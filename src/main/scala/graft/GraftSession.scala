@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * The reference engine (sqlrs) is a single-process embedded OLAP engine; its
+  * `Database`/`ClientContext` entry points (reference: src/db.rs:107,
+  * src/main_entry/client_context.rs:76) map onto one [[SparkSession]] here.
+  * All parallelism that the reference lacks (it is single-threaded,
+  * SURVEY.md §4.3) comes from Spark's distributed execution: we size shuffle
+  * partitions for local[32] but every operator is written to scale out —
+  * partition-parallel scans, map-side partial aggregation, broadcast for
+  * small dimension tables, AQE for runtime re-planning and skew handling.
+  */
+object GraftSession {
+
+  /** Build a SparkSession tuned for this workload. `local[32]` in tests /
+    * bench; on a real cluster the master line is the only change.
+    */
+  def build(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dimension tables (region/nation/supplier/part at tested SFs) stay
+      // broadcastable; 64 MB threshold is safe with 128 GiB of driver heap
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+  *
+  * Centralizing reads keeps every query's scan declarative: Catalyst sees a
+  * plain parquet relation, so column pruning and filter pushdown reach the
+  * scan (verified via `.explain("formatted")` — see PlanQualitySpec).
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extra: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extra
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` text queries work. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { n =>
+      // a missing table (older sf dirs) must not sink the rest
+      try load(spark, sfDir, n).createOrReplaceTempView(n)
+      catch { case _: Throwable => () }
+    }
+}

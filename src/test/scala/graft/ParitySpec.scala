@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  // One session for the whole test JVM (Test / fork := true).
+  lazy val spark: SparkSession =
+    GraftSession.build(master = "local[4]", appName = "graft-test", shufflePartitions = 4)
+  val sf = "/root/testdata/sf0.001"
+}
+
+class ParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed but must be intentional; keep the list
+    // here in sync when adding non-SQL-expressible operators.
+    val allowedRowsOnly = Set.empty[String]
+    assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
+  }
+
+  test("every oracle key has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("all queries run and return rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with 0 rows: $empties")
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg values: grouped sums are exact") {
+    val rows = SparkEntry.queries("q1_agg")(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus in testdata
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("min_qty") <= r.getAs[Double]("max_qty"))
+    }
+  }
+
+  test("q12 order/limit/offset is deterministic") {
+    val a = SparkEntry.queries("q12_order_limit_offset")(spark, sf).collect()
+    val b = SparkEntry.queries("q12_order_limit_offset")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10)
+    val prices = a.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q9 full join pads both sides with nulls") {
+    val df = SparkEntry.queries("q9_join_full")(spark, sf)
+    val rows = df.collect()
+    assert(rows.exists(_.getAs[Long]("cust") == -1L) ||
+      rows.exists(_.getAs[Long]("big_spender") == -1L))
+  }
+}
