@@ -34,6 +34,10 @@ object GraftSession {
       // broadcastable; 64 MB threshold is safe with 128 GiB of driver heap
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
+      // default; read as Long and convert (Tables.load truncates to µs —
+      // the same thing DuckDB's µs-precision timestamp does)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,8 +57,18 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // nanosAsLong surfaces TIMESTAMP(NANOS) columns as Long; convert to a
+    // proper µs timestamp column (floor division — matches DuckDB, whose
+    // timestamps are µs-precision)
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case (acc, _) => acc
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths with one output contract (query_id, neighbor_id, sim, rank):
+  *  - [[bruteForceTopK]]: exact baseline. The query set is broadcast, the
+  *    corpus is scanned once, per-query top-k via window rank. Cost is
+  *    O(|corpus| × |queries|) — fine for small query batches at any corpus
+  *    size because the corpus side stays partition-parallel with no shuffle
+  *    until the (tiny) top-k aggregation.
+  *  - [[ivfTopK]]: IVF-style scale path. A deterministic centroid set
+  *    partitions the corpus into `nlist` cells (one narrow shuffle, done
+  *    once and reusable); queries probe only the `nprobe` nearest cells,
+  *    cutting the scan by ~nlist/nprobe. Recall < 1.0 by construction —
+  *    SimilaritySpec measures it against the brute-force baseline.
+  *
+  * All arithmetic is double-precision, strictly left-to-right `aggregate`
+  * folds, so scores are bit-reproducible across engines and partitionings.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns (strict sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query vector (self-matches excluded).
+    * `queries` and `corpus` both need (vec_id, embedding).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic centroid choice: a hash-ordered pseudo-random sample of
+    * `nlist` corpus vectors. Stands in for a k-means fit; the IVF plumbing
+    * (assignment, probe-side pruning) is identical either way, and
+    * determinism is what the correctness gate needs. `orderBy(...).limit`
+    * compiles to TakeOrderedAndProject — per-partition top-n, no global
+    * sort — so this scales to any corpus size; the window ranks only the
+    * already-limited nlist rows.
+    */
+  def deterministicCentroids(corpus: DataFrame, nlist: Int): DataFrame = {
+    val sample = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("centroid"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+    sample
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("vec_id"))))
+      .select(col("centroid_id"), col("centroid"))
+  }
+
+  /** IVF ANN: assign corpus vectors to nearest centroid, probe the
+    * `nprobe` nearest cells per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(deterministicCentroids(corpus, nlist))
+
+    // corpus→cell assignment: broadcast-join + map-side max_by aggregation
+    // (shuffles one (vec_id, cell) pair per vector, never the scored cross
+    // product; no window sort over the corpus)
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .join(cents) // broadcast nested loop over nlist rows
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(
+          col("centroid_id"),
+          struct(cosine(col("cv"), col("centroid")).as("s"),
+            (-col("centroid_id")).as("tie"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+    // query→nprobe cells: the query set is small by contract, a window over
+    // it is negligible
+    val qScored = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .join(cents)
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val q = qScored.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+
+    // probe: equi-join on cell — the pruning step that replaces a full scan
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim")) // a neighbor may appear via several probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: time-bucketed
+  * aggregation, ranking/lag window functions, JSON property extraction, and
+  * gap-based sessionization. The reference has no window/stream surface
+  * (SURVEY §2.5) — these are capability extensions, all expressed with
+  * Spark built-ins so they scale: window functions shuffle once on their
+  * partition key (user_id — high cardinality, even), and the time-bucket
+  * aggregations are plain hash aggregates with map-side combine.
+  *
+  * NOTE on timestamps: events.ts is nanosecond-precision parquet; Spark
+  * truncates to microseconds. Queries therefore never order or group by raw
+  * `ts` where sub-µs could matter — `event_id` is the total order.
+  */
+object Events {
+
+  private val THIRTY_MIN_US = 30L * 60 * 1000 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_events_hourly" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    "e2_window_funcs" -> { (s, dir) =>
+      // filtering on the partition key commutes with the window — do it
+      // before so only the selected partitions shuffle at all
+      val e = Tables.load(s, dir, "events").filter(col("user_id") < 50)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      e.select(
+          col("user_id"), col("event_id"), col("value"),
+          row_number().over(byUser).as("rn"),
+          rank().over(Window.partitionBy(col("user_id")).orderBy(col("event_type"))).as("type_rank"),
+          lag(col("event_id"), 1).over(byUser).as("prev_event"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "e3_events_json" -> { (s, dir) =>
+      // props is a JSON string column: {"k": <int>}
+      val e = Tables.load(s, dir, "events")
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    "e4_sessionize" -> { (s, dir) =>
+      // gap-based sessionization: a >30-minute silence starts a new session.
+      // boundary flags → running sum per user = session index; then one
+      // aggregate per (user, session).
+      val e = Tables.load(s, dir, "events").filter(col("user_id") < 50)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val flagged = e.select(
+          col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > THIRTY_MIN_US, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_trunc("second", min(col("ts"))).as("session_start"),
+          date_trunc("second", max(col("ts"))).as("session_end"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        .filter(col("user_id") < 50)
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e2_window_funcs" ->
+      """SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "e3_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e4_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM events WHERE user_id < 50),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  date_trunc('second', max(ts)) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM numbered WHERE user_id < 50
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

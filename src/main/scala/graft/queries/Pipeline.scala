@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * tables: the dedup family, similarity search, and text analysis.
+  * Queries without an oracle (`d3`, `d4`, `d5`, `a2`) are the
+  * LSH/approximate variants whose bucketing is not SQL-expressible; their
+  * exact counterparts (`d1`, `d2`, `d6`, `a1`) ARE oracle-checked, and the
+  * specs additionally assert the approximate variants agree with the exact
+  * ones on this data.
+  */
+object Pipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup family ---------------------------------------------------
+    "d1_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
+    "d2_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccard(Tables.load(s, dir, "documents"),
+        n = 1, threshold = 0.95, blockCols = Seq(col("lang")))
+        .orderBy(col("doc_id"))
+    },
+
+    "d3_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .orderBy(col("doc_id"))
+    },
+
+    "d4_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    "d5_dedup_embedding_lsh" -> { (s, dir) =>
+      Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"),
+        dim = 64, planes = 12, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    },
+
+    "d6_dedup_embedding_exact" -> { (s, dir) =>
+      // exact cosine near-dup blocked on `label` — the oracle-checkable
+      // twin of d5 (full pairwise inside blocks, no LSH)
+      val e = Tables.load(s, dir, "embeddings")
+      val v = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val l = v.alias("l")
+      val r = v.alias("r")
+      val pairs = l.join(r,
+          col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+        .filter(Similarity.cosine(col("l.v"), col("r.v")) >= 0.95)
+        .select(col("l.vec_id").as("i"), col("r.vec_id").as("j"))
+      e.join(pairs, e("vec_id") === pairs("j"), "left")
+        .groupBy(e("vec_id"))
+        .agg(coalesce(min(col("i")), first(e("vec_id"))).as("rep"))
+        .select(col("vec_id"), col("rep"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "a1_ann_bruteforce" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    },
+
+    "a2_ann_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    },
+
+    // ---- text analysis ----------------------------------------------------
+    "t1_text_stats" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.uniqueTokenCount(col("text")).as("n_unique"),
+        TextFunctions.charCount(col("text")).as("n_chars_txt"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t2_quality" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t3_langid" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("pred_lang"))
+    },
+
+    "t4_fingerprint" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.docFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT d.doc_id, g.rep, g.n_copies
+        |FROM documents d
+        |JOIN (SELECT text, min(doc_id) AS rep, count(*) AS n_copies
+        |      FROM documents GROUP BY text) g USING (text)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "d2_dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95)
+        |SELECT d.doc_id, coalesce(min(p.i), d.doc_id) AS rep
+        |FROM documents d LEFT JOIN pairs p ON d.doc_id = p.j
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "d6_dedup_embedding_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+        |SELECT e.vec_id, coalesce(min(p.i), e.vec_id) AS rep
+        |FROM embeddings e LEFT JOIN pairs p ON e.vec_id = p.j
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    "a1_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "t1_text_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, length(text) AS n_chars_txt,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_unique,
+        |  n_chars_txt,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+        |          CAST(len(toks) AS DOUBLE), 6) END AS mean_tok_len
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+        |            CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+        |  FROM tok)
+        |SELECT doc_id, stop_ratio, punct_ratio,
+        |  round(
+        |    (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
+        |    (CASE WHEN n_tok = 0 THEN 0.0 ELSE round(least(n_uniq / n_tok, 1.0) * 0.25, 6) END),
+        |  6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM tok),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM s)
+        |SELECT pred_lang, count(*) AS n_docs FROM p
+        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

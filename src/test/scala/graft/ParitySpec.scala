@@ -17,7 +17,12 @@ class ParitySpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are allowed but must be intentional; keep the list
     // here in sync when adding non-SQL-expressible operators.
-    val allowedRowsOnly = Set.empty[String]
+    val allowedRowsOnly = Set(
+      // LSH/approximate variants: bucketing is not SQL-expressible; their
+      // exact twins (d1/d2/d6/a1) are oracle-checked and PipelineSpec
+      // asserts agreement/recall against those.
+      "d3_dedup_minhash_lsh", "d4_dedup_simhash",
+      "d5_dedup_embedding_lsh", "a2_ann_ivf")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
   }
 

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("tokens + shingles") {
+    val df = Seq("The quick  brown fox", "", "one").toDF("text")
+    val got = df.select(
+      TextFunctions.tokens(col("text")).as("t"),
+      TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2).as("s"))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("the", "quick", "brown", "fox"))
+    assert(got(0).getSeq[String](1) == Seq("the quick", "quick brown", "brown fox"))
+    assert(got(1).getSeq[String](0).isEmpty && got(1).getSeq[String](1).isEmpty)
+    assert(got(2).getSeq[String](1).isEmpty) // fewer tokens than n
+  }
+
+  test("minhash signature is deterministic and similarity-sensitive") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // near-dup of 1
+      (3L, "z y x w v u t s r q") // unrelated
+    ).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      TextFunctions.minhashSignature(
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2)), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // deterministic across evaluations
+    val sig2 = docs.select(TextFunctions.minhashSignature(
+      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2)), 64))
+      .collect()(0).getSeq[Long](0)
+    assert(sig(1L) == sig2)
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sig(1L), sig(2L)) > agree(sig(1L), sig(3L)))
+  }
+
+  test("simhash: near-dups have small hamming distance") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical stages"),
+      (3L, "completely different words about cooking pasta with tomato sauce")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("langId picks marker language, und on no markers") {
+    val df = Seq("the cat of the house is big", "der hund und die katze ist",
+      "xyz qrs", "le chat et la maison est").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "und", "fr"))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // synthetic corpus with planted near-duplicates
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills and birds sing in the tall trees near the old stone bridge"
+    val nearDup = base.replace("old stone bridge", "old wooden bridge")
+    val exactDup = base
+    val other = "completely unrelated text about databases indexes transactions and query optimizers running on distributed clusters with fault tolerance"
+    Seq((0L, base, "en"), (1L, nearDup, "en"), (2L, exactDup, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup groups identical text only") {
+    val rep = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(0L) == 0L && rep(2L) == 0L) // exact pair
+    assert(rep(1L) == 1L && rep(3L) == 3L) // near-dup NOT merged by exact
+  }
+
+  test("minhash LSH finds planted near-dup, spares unrelated") {
+    val rep = Dedup.minhashLsh(docs, shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(1L) == 0L, "near-dup should map to base")
+    assert(rep(2L) == 0L, "exact dup should map to base")
+    assert(rep(3L) == 3L, "unrelated doc must survive")
+  }
+
+  test("simhash finds planted near-dup, spares unrelated") {
+    val rep = Dedup.simhash(docs, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(2L) == 0L)
+    assert(rep(3L) == 3L)
+  }
+
+  test("ngram jaccard merges near-dup at loose threshold") {
+    val rep = Dedup.ngramJaccard(docs, n = 2, threshold = 0.8, blockCols = Seq(col("lang")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(1L) == 0L && rep(2L) == 0L && rep(3L) == 3L)
+  }
+
+  test("embedding LSH dedup agrees with exact pairwise on real data") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val lsh = Dedup.embeddingCosine(embs, dim = 64, planes = 12, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact pairwise (no blocking) ground truth
+    val v = embs.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val l = v.alias("l"); val r = v.alias("r")
+    val truePairs = l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .filter(Similarity.cosine(col("l.v"), col("r.v")) >= 0.95)
+      .select(col("l.vec_id"), col("r.vec_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // every truly-duplicated doc the LSH found must be correct (precision 1
+    // by construction — exact verify); measure recall here
+    val trueDups = truePairs.map(_._2).toSet
+    val found = lsh.filter { case (id, rep) => rep < id }.keySet
+    assert(found.subsetOf(trueDups), "LSH must not invent pairs")
+    if (trueDups.nonEmpty) {
+      val recall = found.size.toDouble / trueDups.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall (found ${found.size}/${trueDups.size})")
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute force top-k: k rows per query, descending sim, no self") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 5).collect()
+    assert(got.length == 15)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getLong(1) != q))
+    }
+  }
+
+  test("IVF recall grows with nprobe (uniform-random data: recall ~ nprobe/nlist)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val r4 = recall(4)
+    val r12 = recall(12)
+    // synthetic embeddings are uniform-random: there is no cluster structure
+    // for IVF to exploit, so recall tracks the scanned fraction; correctness
+    // of the plumbing is pinned by the nprobe=nlist exact-equality test below
+    assert(r4 >= 0.15, s"nprobe=4 recall suspiciously low: $r4")
+    assert(r12 >= r4, s"recall must not shrink with more probes: $r4 -> $r12")
+    assert(r12 >= 0.5, s"nprobe=12/16 recall too low: $r12")
+  }
+
+  test("IVF with nprobe = nlist equals brute force exactly") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(bf == ivf)
+  }
+}
