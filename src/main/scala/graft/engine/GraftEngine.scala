@@ -1,0 +1,329 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The sqlrs-compatible engine surface: an embedded SQL session over Spark.
+  *
+  * Mirrors the reference's two entry points — v1 `Database::run`
+  * (/root/reference/src/db.rs:107) and v2 `ClientContext::query`
+  * (/root/reference/src/main_entry/client_context.rs:76) — as one `run(sql)`
+  * on top of `spark.sql`, plus the statement surface Spark temp views don't
+  * give us directly:
+  *
+  *  - CREATE TABLE (explicit columns, incl. UNSIGNED widening per SURVEY
+  *    §1.2) and CTAS (bind_create.rs:13-51)
+  *  - INSERT INTO ... VALUES / SELECT with column reorder + implicit cast
+  *    (bind_insert.rs:1-111); temp views are immutable so inserts
+  *    union-and-replace the view (the reference's LocalStorage append,
+  *    local_storage.rs:100-125, is likewise an in-memory table swap)
+  *  - COPY t FROM 'f.csv' (DELIMITER, HEADER) — rewritten to INSERT INTO t
+  *    SELECT * FROM read_csv(...), reproducing the reference's SQL-to-SQL
+  *    rewrite (bind_copy.rs:10-35)
+  *  - read_csv('path', header=>..., delim=>...) table function
+  *    (read_csv.rs:17-42) and bare `FROM 'file.csv'` auto-binding
+  *    (bind_base_table_ref.rs:98-118)
+  *  - SHOW TABLES / DESCRIBE / EXPLAIN pragmas and the sqlrs_tables() /
+  *    sqlrs_columns() introspection TVFs (sqlrs_tables.rs, sqlrs_columns.rs)
+  *  - select-list aliases usable in WHERE (bind_select_node.rs:98-131) via
+  *    an analysis-failure-driven rewrite
+  *
+  * Every SELECT still goes through Catalyst untouched — the engine adds
+  * statement routing, never its own execution path, so plans stay fully
+  * optimizable and distributed.
+  */
+class GraftEngine(val spark: SparkSession) {
+
+  /** name → current DataFrame; the catalog (reference: TableCatalog,
+    * src/catalog/mod.rs:36-43). Temp views mirror every entry so SQL sees
+    * them.
+    */
+  private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def register(name: String, df: DataFrame): Unit = {
+    tables(name.toLowerCase) = df
+    df.createOrReplaceTempView(name.toLowerCase)
+  }
+
+  def table(name: String): DataFrame = tables(name.toLowerCase)
+  def tableNames: Seq[String] = tables.keys.toSeq
+
+  // ---- sources ----------------------------------------------------------
+
+  /** CSV file → named table. Column names lowercased like the reference's
+    * inference (src/storage/csv.rs:148).
+    */
+  def createCsvTable(name: String, path: String): Unit = {
+    val df = readCsv(path, header = true, delim = ",")
+    register(name, df)
+  }
+
+  /** read_csv(path, header=>, delim=>) parity (read_csv.rs:31-42). */
+  def readCsv(path: String, header: Boolean, delim: String): DataFrame = {
+    val df = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "true")
+      .option("delimiter", delim)
+      .csv(path)
+    val renamed = if (header) {
+      df.toDF(df.columns.map(_.toLowerCase): _*)
+    } else {
+      // reference names headerless columns column_1.. (Arrow convention);
+      // Spark uses _c0.. — rename to match
+      df.toDF(df.columns.indices.map(i => s"column_${i + 1}"): _*)
+    }
+    renamed
+  }
+
+  /** In-memory table from explicit rows (tests / VALUES). */
+  def createTable(name: String, schema: StructType, rows: Seq[Row] = Seq.empty): Unit =
+    register(name, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema))
+
+  // ---- statement router ---------------------------------------------------
+
+  private val CreateTableRe =
+    """(?is)\s*create\s+table\s+(\w+)\s*\((.+)\)\s*""".r
+  private val CtasRe =
+    """(?is)\s*create\s+table\s+(\w+)\s+as\s+(select\b.*)""".r
+  private val InsertValuesRe =
+    """(?is)\s*insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(values\b.*)""".r
+  private val InsertSelectRe =
+    """(?is)\s*insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*)""".r
+  private val CopyRe =
+    """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val ShowTablesRe = """(?is)\s*show\s+tables\s*;?\s*""".r
+  private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*;?\s*""".r
+  private val ExplainRe = """(?is)\s*explain\s+(.*)""".r
+  private val ReadCsvCallRe =
+    """(?i)read_csv\s*\(\s*'([^']+)'\s*(?:,\s*([^)]*))?\)""".r
+  private val BareCsvFromRe = """(?i)(from\s+)'([^']+\.csv)'""".r
+
+  /** Execute one statement; always returns a DataFrame (DDL/DML return an
+    * empty result, like the reference's ok-statements).
+    */
+  def run(sql: String): DataFrame = sql match {
+    case ShowTablesRe() => showTables()
+    case DescribeRe(t) => describe(t)
+    case ExplainRe(q) => explainDf(q)
+    case CtasRe(name, select) =>
+      register(name, runSelect(select)); emptyOk
+    case CreateTableRe(name, cols) =>
+      createTable(name, parseSchema(cols)); emptyOk
+    case CopyRe(t, path, opts) =>
+      // the reference rewrites COPY to INSERT..SELECT over read_csv
+      // (bind_copy.rs:10-35); same rewrite here
+      val o = Option(opts).getOrElse("")
+      val delim = """(?i)delimiter\s+'([^']+)'""".r
+        .findFirstMatchIn(o).map(_.group(1)).getOrElse(",")
+      val header = """(?i)header""".r.findFirstIn(o).isDefined
+      insertInto(t, None, readCsv(path, header, delim)); emptyOk
+    case InsertValuesRe(t, _, colList, values) =>
+      insertInto(t, Option(colList), spark.sql(s"select * from $values"))
+      emptyOk
+    case InsertSelectRe(t, _, colList, select) =>
+      insertInto(t, Option(colList), runSelect(select)); emptyOk
+    case _ => runSelect(sql)
+  }
+
+  /** SELECT path: TVF/bare-CSV rewrites, catalog refresh for the
+    * introspection views, then Catalyst; alias-in-WHERE repair on
+    * unresolved-column failures.
+    */
+  private def runSelect(sql0: String): DataFrame = {
+    var sql = sql0
+    if (sql.toLowerCase.contains("sqlrs_tables") ||
+      sql.toLowerCase.contains("sqlrs_columns")) {
+      sqlrsTables().createOrReplaceTempView("sqlrs_tables")
+      sqlrsColumns().createOrReplaceTempView("sqlrs_columns")
+      sql = sql.replaceAll("(?i)sqlrs_tables\\s*\\(\\s*\\)", "sqlrs_tables")
+      sql = sql.replaceAll("(?i)sqlrs_columns\\s*\\(\\s*\\)", "sqlrs_columns")
+    }
+    // read_csv('p', named=>args) table function → materialized temp view
+    var idx = 0
+    sql = ReadCsvCallRe.replaceAllIn(sql, m => {
+      val path = m.group(1)
+      val opts = Option(m.group(2)).getOrElse("")
+      val header = """(?i)header\s*=>\s*true""".r.findFirstIn(opts).isDefined ||
+        !opts.toLowerCase.contains("header")
+      val delim = """(?i)delim\s*=>\s*'([^']+)'""".r
+        .findFirstMatchIn(opts).map(_.group(1)).getOrElse(",")
+      idx += 1
+      val view = s"__read_csv_$idx"
+      readCsv(path, header, delim).createOrReplaceTempView(view)
+      view
+    })
+    // bare `FROM 'file.csv'` auto-binds to read_csv (defaults: header on)
+    sql = BareCsvFromRe.replaceAllIn(sql, m => {
+      idx += 1
+      val view = s"__read_csv_$idx"
+      readCsv(m.group(2), header = true, delim = ",").createOrReplaceTempView(view)
+      m.group(1) + view
+    })
+    try spark.sql(sql)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNRESOLVED_COLUMN") =>
+        rewriteAliasInWhere(sql).map(spark.sql).getOrElse(throw e)
+    }
+  }
+
+  /** `select v1+1 as a from t where a >= 2` — the reference binds select
+    * aliases inside WHERE (bind_select_node.rs:98-131); Spark does not.
+    * Substitute alias → its expression in the WHERE clause and retry.
+    */
+  private def rewriteAliasInWhere(sql: String): Option[String] = {
+    val m = """(?is)^(.*?select\s+)(.*?)(\s+from\s+.*?)(\s+where\s+)(.+?)(\s+(?:group|order|limit|having)\b.*)?$"""
+      .r.findFirstMatchIn(sql)
+    m.flatMap { g =>
+      val selectList = g.group(2)
+      val aliases = """(?i)(\S.*?)\s+as\s+(\w+)""".r
+        .findAllMatchIn(splitTopLevel(selectList).mkString(" "))
+      var where = g.group(5)
+      var changed = false
+      splitTopLevel(selectList).foreach { item =>
+        """(?is)^(.*\S)\s+as\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim).foreach { am =>
+          val expr = am.group(1); val alias = am.group(2)
+          val re = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b").r
+          if (re.findFirstIn(where).isDefined) {
+            where = re.replaceAllIn(where,
+              java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+            changed = true
+          }
+        }
+      }
+      if (changed)
+        Some(g.group(1) + g.group(2) + g.group(3) + g.group(4) + where +
+          Option(g.group(6)).getOrElse(""))
+      else None
+    }
+  }
+
+  /** Split a select list on top-level commas (ignores commas inside parens
+    * and quotes).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  // ---- DDL/DML helpers ---------------------------------------------------
+
+  /** sqlrs type name → Spark type, with the unsigned-widening policy of
+    * SURVEY §1.2 (no unsigned types in Spark: widen to the next signed
+    * type, UBIGINT → DECIMAL(20,0), matching Spark's own JDBC/parquet
+    * unsigned handling).
+    */
+  private[engine] def parseType(t: String): DataType = {
+    val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    norm match {
+      case "boolean" | "bool" => BooleanType
+      case "tinyint" => ByteType
+      case "tinyint unsigned" => ShortType
+      case "smallint" => ShortType
+      case "smallint unsigned" => IntegerType
+      case "int" | "integer" => IntegerType
+      case "int unsigned" | "integer unsigned" => LongType
+      case "bigint" => LongType
+      case "bigint unsigned" => DecimalType(20, 0)
+      case "float" | "real" => FloatType
+      case "double" => DoubleType
+      case "varchar" | "string" | "text" => StringType
+      case "date" => DateType
+      case "timestamp" => TimestampType
+      case v if v.startsWith("varchar") => StringType
+      case v if v.startsWith("decimal") =>
+        val nums = "\\d+".r.findAllIn(v).map(_.toInt).toSeq
+        if (nums.size >= 2) DecimalType(nums(0), nums(1))
+        else if (nums.size == 1) DecimalType(nums(0), 0)
+        else DecimalType(10, 0)
+      case other => throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+  }
+
+  private def parseSchema(colDefs: String): StructType =
+    StructType(splitTopLevel(colDefs).map { c =>
+      val parts = c.trim.split("\\s+", 2)
+      StructField(parts(0).toLowerCase, parseType(parts(1)), nullable = true)
+    })
+
+  /** INSERT semantics from the reference (bind_insert.rs): explicit column
+    * list reorders, missing columns get NULL, values implicit-cast to the
+    * table's types.
+    */
+  private def insertInto(name: String, colList: Option[String], values: DataFrame): Unit = {
+    val target = table(name)
+    val schema = target.schema
+    val explicit = colList.map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+    val incoming = explicit.getOrElse(schema.fields.map(_.name).toSeq)
+    require(incoming.size == values.columns.length,
+      s"INSERT column count mismatch: ${incoming.size} vs ${values.columns.length}")
+    val byName = incoming.zip(values.columns).toMap
+    val aligned = values.select(
+      schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(src) => col(src).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+    register(name, target.unionByName(aligned))
+  }
+
+  // ---- meta / introspection ------------------------------------------------
+
+  def showTables(): DataFrame = sqlrsTables()
+
+  /** sqlrs_tables() parity (sqlrs_tables.rs): schema + table name dump. */
+  def sqlrsTables(): DataFrame = {
+    import spark.implicits._
+    tables.keys.toSeq.sorted.map(("main", _)).toDF("schema_name", "table_name")
+  }
+
+  /** sqlrs_columns() parity (sqlrs_columns.rs): per-column catalog dump. */
+  def sqlrsColumns(): DataFrame = {
+    import spark.implicits._
+    tables.toSeq.sortBy(_._1).flatMap { case (t, df) =>
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        ("main", t, f.name, i, f.dataType.simpleString, f.nullable)
+      }
+    }.toDF("schema_name", "table_name", "column_name", "column_index",
+      "data_type", "nullable")
+  }
+
+  def describe(name: String): DataFrame = {
+    import spark.implicits._
+    table(name).schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, if (f.nullable) "YES" else "NO"))
+      .toDF("column_name", "column_type", "null")
+  }
+
+  /** EXPLAIN: Catalyst's formatted plan as a one-column relation (the
+    * reference renders logical+physical trees, tree_render.rs:1-193).
+    */
+  def explainDf(sql: String): DataFrame = {
+    import spark.implicits._
+    val plan = runSelect(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan.split("\n").toSeq.toDF("plan")
+  }
+
+  def explain(sql: String): String =
+    explainDf(sql).collect().map(_.getString(0)).mkString("\n")
+
+  private def emptyOk: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("ok")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed partition-parallel.
+  *
+  * The Spark-side mechanics here are real and designed for 100 TB — binary
+  * payloads never hit the driver, decode runs inside `mapPartitions` (the
+  * Scala analogue of arrow-batched Python `mapInPandas`), metadata is a
+  * typed struct so downstream filters prune on it, and the decode output
+  * schema is fixed so Catalyst can column-prune around the blob.
+  *
+  * The codec itself is STUBBED: this container has no image/audio
+  * libraries, so `GRFT` is a deterministic fake format — a 16-byte header
+  * (magic, width, height, channels) followed by the payload. `decode`
+  * parses exactly that. Swapping in a real codec changes only the body of
+  * [[MediaCodecStub.decode]]; every schema, partitioning, and batching
+  * decision stays.
+  */
+object Multimodal {
+
+  /** Decoded media metadata — the typed half of the (metadata, blob) pair. */
+  case class MediaMeta(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_channels: Int,
+      n_bytes: Long)
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+
+  object MediaCodecStub {
+    val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
+
+    /** Encode a fake media blob: 16-byte header + payload. Deterministic in
+      * (doc_id, payload).
+      */
+    def encode(docId: Long, payload: Array[Byte]): Array[Byte] = {
+      val width = 16 + (docId % 64).toInt
+      val height = 16 + (docId % 48).toInt
+      val channels = 1 + (docId % 3).toInt
+      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+      bb.put(Magic)
+      bb.putInt(width); bb.putInt(height); bb.putInt(channels)
+      bb.put(payload)
+      bb.array()
+    }
+
+    /** STUB decode: with a real library this would be e.g. an ImageIO /
+      * ffmpeg call; contractually it maps bytes → metadata + raw payload.
+      */
+    def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), "not a GRFT blob")
+      val w = bb.getInt; val h = bb.getInt; val c = bb.getInt
+      val payload = new Array[Byte](bytes.length - 16); bb.get(payload)
+      (MediaMeta(docId, "GRFT", w, h, c, payload.length.toLong), payload)
+    }
+  }
+
+  /** documents → (doc_id, media binary). In production this column arrives
+    * from upstream storage; here it is synthesized deterministically from
+    * the text payload so the decode path is exercised end-to-end.
+    */
+  def withFakeMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, MediaCodecStub.encode(id, text.getBytes("UTF-8")))
+      }
+  }
+
+  /** Partition-parallel decode: binary column → typed metadata rows.
+    * Batch shape = one partition's iterator; nothing is collected.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      MediaCodecStub.decode(row.doc_id, row.media)._1
+    })
+  }
+
+  /** Feature extraction stub: 8-bin byte histogram over the decoded
+    * payload, L1-normalized. Real feature extractors (CLIP embeddings,
+    * mel spectrograms) drop into the same mapPartitions slot.
+    */
+  def byteHistogram(media: Dataset[MediaRow], bins: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      val payload = MediaCodecStub.decode(row.doc_id, row.media)._2
+      val hist = new Array[Long](bins)
+      payload.foreach { b => hist(((b & 0xff) * bins) / 256) += 1 }
+      val n = math.max(1L, payload.length.toLong)
+      (row.doc_id, hist.map(_.toDouble / n).toSeq)
+    }).toDF("doc_id", "features")
+  }
+
+  /** Frame sampling stub: every `stride`-th fixed-size chunk of the payload
+    * (video keyframe extraction shape: one blob in, many smaller out,
+    * `flatMap` so partitions stay balanced).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      val payload = MediaCodecStub.decode(row.doc_id, row.media)._2
+      payload.grouped(frameSize).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, i) => (row.doc_id, i, chunk) }
+    }.toDF("doc_id", "frame_no", "frame")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -115,6 +115,25 @@ object Pipeline {
       d.select(
         col("doc_id"),
         TextFunctions.docFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal plumbing -------------------------------------------
+    // the oracle recomputes the expected metadata analytically from the
+    // source row, so a broken encode→decode roundtrip hash-mismatches
+    "m1_multimodal_meta" -> { (s, dir) =>
+      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      Multimodal.decodeMeta(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_channels"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    "m2_media_frames" -> { (s, dir) =>
+      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id"))
     }
   )
@@ -239,6 +258,19 @@ object Pipeline {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id, 'GRFT' AS format,
+        |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_channels,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_media_frames" ->
+      """SELECT doc_id,
+        |  CAST((CAST(ceil(strlen(text) / 64.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

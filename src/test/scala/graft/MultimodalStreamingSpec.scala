@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.EventsStream
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val media = Multimodal.withFakeMedia(Tables.load(spark, sf, "documents"))
+
+  test("encode→decode roundtrip preserves metadata and payload size") {
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 500)
+    meta.foreach { m =>
+      assert(m.format == "GRFT")
+      assert(m.width == 16 + (m.doc_id % 64) && m.height == 16 + (m.doc_id % 48))
+      assert(m.n_channels >= 1 && m.n_channels <= 3)
+      assert(m.n_bytes > 0)
+    }
+  }
+
+  test("metadata n_bytes equals source text byte length") {
+    val meta = Multimodal.decodeMeta(media).toDF()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("expected"))
+    val joined = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("expected"))
+    assert(joined.count() == 0)
+  }
+
+  test("byte histogram features are normalized and partition-parallel") {
+    val feats = Multimodal.byteHistogram(media, bins = 8).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length == 8)
+      assert(math.abs(f.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("frame sampling emits every stride-th chunk") {
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+    val byDoc = frames.groupBy(col("doc_id")).count().collect()
+    assert(byDoc.nonEmpty)
+    // a doc with payload length L has ceil(L/64) chunks, every 4th kept
+    val one = frames.filter(col("doc_id") === 0).collect()
+    assert(one.forall(_.getInt(1) % 4 == 0))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming hourly counts match the batch answer") {
+    // Complete mode: a finite file feed never advances the watermark past
+    // the last window, so Append would hold the tail windows back forever
+    val stream = EventsStream.hourlyCounts(EventsStream.readEvents(spark, sf))
+    val got = EventsStream.runToMemory(stream, "hourly_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select("hour", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch)
+  }
+
+  test("stateful user totals match batch aggregation") {
+    val ds = EventsStream.userTotals(EventsStream.readEvents(spark, sf))
+    val got = EventsStream.runToMemory(ds.toDF(), "user_totals_test")
+      .groupBy(col("user_id"))
+      // Update mode re-emits per batch; the last emission per user is the
+      // final state — with one input batch there is exactly one emission
+      .agg(max(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch)
+  }
+}
