@@ -75,7 +75,14 @@ class GraftEngine(val spark: SparkSession) {
       // Spark uses _c0.. — rename to match
       df.toDF(df.columns.indices.map(i => s"column_${i + 1}"): _*)
     }
-    renamed
+    // Arrow's CSV reader (reference src/storage/csv.rs) parses an empty
+    // cell in a string column as "" — Spark parses NULL. Align with the
+    // reference (golden: tests/slt/select.slt renders `(empty)`, not NULL).
+    renamed.select(renamed.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        coalesce(col(s"`${f.name}`"), lit("")).as(f.name)
+      else col(s"`${f.name}`")
+    }.toIndexedSeq: _*)
   }
 
   /** In-memory table from explicit rows (tests / VALUES). */
@@ -115,11 +122,13 @@ class GraftEngine(val spark: SparkSession) {
       createTable(name, parseSchema(cols)); emptyOk
     case CopyRe(t, path, opts) =>
       // the reference rewrites COPY to INSERT..SELECT over read_csv
-      // (bind_copy.rs:10-35); same rewrite here
+      // (bind_copy.rs:10-35); same rewrite here. Header defaults to true
+      // like read_csv (tests/slt/csv/csv.slt: state1.csv's header row is
+      // skipped without any HEADER option); `HEADER false` disables.
       val o = Option(opts).getOrElse("")
       val delim = """(?i)delimiter\s+'([^']+)'""".r
         .findFirstMatchIn(o).map(_.group(1)).getOrElse(",")
-      val header = """(?i)header""".r.findFirstIn(o).isDefined
+      val header = """(?i)header\s+false""".r.findFirstIn(o).isEmpty
       insertInto(t, None, readCsv(path, header, delim)); emptyOk
     case InsertValuesRe(t, _, colList, values) =>
       insertInto(t, Option(colList), spark.sql(s"select * from $values"))
@@ -135,6 +144,10 @@ class GraftEngine(val spark: SparkSession) {
     */
   private def runSelect(sql0: String): DataFrame = {
     var sql = sql0
+    // sqlparser-rs accepts OFFSET before LIMIT (tests/slt/order.slt:2);
+    // Spark's parser requires LIMIT first — swap the clause order
+    sql = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
+      .replaceAllIn(sql, m => s"limit ${m.group(2)} offset ${m.group(1)}")
     if (sql.toLowerCase.contains("sqlrs_tables") ||
       sql.toLowerCase.contains("sqlrs_columns")) {
       sqlrsTables().createOrReplaceTempView("sqlrs_tables")
@@ -156,10 +169,15 @@ class GraftEngine(val spark: SparkSession) {
       readCsv(path, header, delim).createOrReplaceTempView(view)
       view
     })
-    // bare `FROM 'file.csv'` auto-binds to read_csv (defaults: header on)
+    // bare `FROM 'file.csv'` auto-binds to read_csv (defaults: header on).
+    // The relation is named after the file stem so qualified references
+    // work — `select t1.a from 'tests/csv/t1.csv'` binds t1 to the file
+    // (bind_base_table_ref.rs:98-118 does the same).
     sql = BareCsvFromRe.replaceAllIn(sql, m => {
-      idx += 1
-      val view = s"__read_csv_$idx"
+      val stem = m.group(2).split("/").last.stripSuffix(".csv")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
+        else s"csv_$stem"
       readCsv(m.group(2), header = true, delim = ",").createOrReplaceTempView(view)
       m.group(1) + view
     })
@@ -283,16 +301,70 @@ class GraftEngine(val spark: SparkSession) {
 
   // ---- meta / introspection ------------------------------------------------
 
-  def showTables(): DataFrame = sqlrsTables()
-
-  /** sqlrs_tables() parity (sqlrs_tables.rs): schema + table name dump. */
-  def sqlrsTables(): DataFrame = {
+  /** SHOW TABLES renders like the v2 pragma (tests/slt/pragma.slt:6-11):
+    * (schema_name, table_name) rows, schema fixed to `main`.
+    */
+  def showTables(): DataFrame = {
     import spark.implicits._
     tables.keys.toSeq.sorted.map(("main", _)).toDF("schema_name", "table_name")
   }
 
-  /** sqlrs_columns() parity (sqlrs_columns.rs): per-column catalog dump. */
+  /** sqlrs_tables() parity (sqlrs_tables.rs:1-117): (schema_name,
+    * schema_oid, table_name); the single `main` schema has oid 1.
+    */
+  def sqlrsTables(): DataFrame = {
+    import spark.implicits._
+    tables.keys.toSeq.sorted.map(("main", 1L, _))
+      .toDF("schema_name", "schema_oid", "table_name")
+  }
+
+  /** Spark type → sqlrs LogicalType display name (types_v2/types.rs:9-26).
+    * Unsigned variants are unrepresentable after widening (SURVEY §1.2), so
+    * they render as their widened signed type.
+    */
+  private def logicalTypeName(t: DataType): String = t match {
+    case BooleanType => "Boolean"
+    case ByteType => "Tinyint"
+    case ShortType => "Smallint"
+    case IntegerType => "Integer"
+    case LongType => "Bigint"
+    case FloatType => "Float"
+    case DoubleType => "Double"
+    case StringType => "Varchar"
+    case DateType => "Date"
+    case d: DecimalType if d.scale == 0 => "UBigint"
+    case other => other.simpleString.capitalize
+  }
+
+  /** sqlrs_columns() parity (sqlrs_columns.rs:25-39): one row per table —
+    * (table_name, column_names, column_types) with list-rendered strings,
+    * e.g. `t1 [v1, v2, v3] [Integer, Integer, Integer]`.
+    */
   def sqlrsColumns(): DataFrame = {
+    import spark.implicits._
+    tables.toSeq.sortBy(_._1).map { case (t, df) =>
+      (t,
+        df.schema.fields.map(_.name).mkString("[", ", ", "]"),
+        df.schema.fields.map(f => logicalTypeName(f.dataType)).mkString("[", ", ", "]"))
+    }.toDF("table_name", "column_names", "column_types")
+  }
+
+  /** DESCRIBE t renders identically to one sqlrs_columns() row
+    * (bind_explain_table.rs; golden output tests/slt/pragma.slt:14-17).
+    */
+  def describe(name: String): DataFrame = {
+    import spark.implicits._
+    val df = table(name)
+    Seq((name.toLowerCase,
+      df.schema.fields.map(_.name).mkString("[", ", ", "]"),
+      df.schema.fields.map(f => logicalTypeName(f.dataType)).mkString("[", ", ", "]")))
+      .toDF("table_name", "column_names", "column_types")
+  }
+
+  /** Per-column catalog dump (richer than the reference surface; kept for
+    * programmatic use — the v1 CLI's `\dt` moral equivalent).
+    */
+  def columnsCatalog(): DataFrame = {
     import spark.implicits._
     tables.toSeq.sortBy(_._1).flatMap { case (t, df) =>
       df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -300,13 +372,6 @@ class GraftEngine(val spark: SparkSession) {
       }
     }.toDF("schema_name", "table_name", "column_name", "column_index",
       "data_type", "nullable")
-  }
-
-  def describe(name: String): DataFrame = {
-    import spark.implicits._
-    table(name).schema.fields.toSeq
-      .map(f => (f.name, f.dataType.simpleString, if (f.nullable) "YES" else "NO"))
-      .toDF("column_name", "column_type", "null")
   }
 
   /** EXPLAIN: Catalyst's formatted plan as a one-column relation (the

@@ -59,11 +59,12 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ---- aggregation.slt / distinct.slt ----
-  test("grouped aggregation with nulls") {
+  test("grouped aggregation with empty-string CSV cell (reference parity)") {
+    // Arrow CSV parses an empty string cell as "", not NULL (SURVEY §7)
     val got = rows(
-      "select state, count(*), sum(salary) from employee group by state order by state nulls first")
-    assert(got.head.head == null) // null state group
-    assert(got.map(_.head).filter(_ != null) == Seq("CA", "TX", "WA"))
+      "select state, count(*), sum(salary) from employee group by state order by state")
+    assert(got.head.head == "") // empty-string state group sorts first
+    assert(got.map(_.head).drop(1) == Seq("CA", "TX", "WA"))
   }
 
   test("count distinct (README.md:47)") {
@@ -156,14 +157,22 @@ class EngineSpec extends AnyFunSuite {
     assert(t2.contains("department"))
   }
 
-  test("sqlrs_columns() dumps column catalog") {
-    val cols = rows("select column_name from sqlrs_columns() where table_name = 't1'")
-    assert(cols.map(_.head) == Seq("a", "b", "c"))
+  test("sqlrs_columns() dumps column catalog (v2 rendering, pragma.slt:14-17)") {
+    val cols = rows("select * from sqlrs_columns() where table_name = 't1'")
+    assert(cols.map(c => (c(0), c(1))) == Seq(("t1", "[a, b, c]")))
   }
 
-  test("describe") {
-    val d = rows("describe employee")
-    assert(d.map(_.head).take(3) == Seq("id", "first_name", "last_name"))
+  test("describe renders one sqlrs_columns row") {
+    val d = rows("describe employee").head
+    assert(d(0) == "employee")
+    assert(d(1).toString.startsWith("[id, first_name, last_name"))
+  }
+
+  test("columnsCatalog per-column dump") {
+    val cols = engine.columnsCatalog()
+      .filter(org.apache.spark.sql.functions.col("table_name") === "t1")
+      .collect().map(_.getString(2)).toSeq
+    assert(cols == Seq("a", "b", "c"))
   }
 
   // ---- explain.slt ----
