@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the *shape* of the physical plans, not just their results — the
+  * properties that decide whether a query survives a 1000-executor run over
+  * 100 TB: filters reaching the parquet scan, column pruning, map-side
+  * partial aggregation, broadcast joins for dimensions, and no accidental
+  * cartesian products. A regression here is a performance bug even when
+  * every value is still correct.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Count physical nodes by their formatted-mode section headers
+    * (`(3) HashAggregate`) — the tree rendering repeats each name.
+    */
+  private def nodeCount(p: String, name: String): Int =
+    ("""\(\d+\) """ + name).r.findAllIn(p).size
+
+  test("q1_agg: filter pushed into parquet scan, columns pruned, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"filter must reach the scan:\n$p")
+    // only the 6 referenced columns are read, not all 16
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan must not read unused columns:\n$readSchema")
+    // partial + final pair = map-side combine before the shuffle
+    assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
+    val codegen = SparkEntry.queries("q1_agg")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), "agg pipeline must be codegen'd")
+  }
+
+  test("q11_multi_join: dimension joins broadcast; fact join shuffles once") {
+    val p = plan("q11_multi_join")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 3,
+      s"customer/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem⋈orders is the only shuffle join (SMJ or shuffled-hash, AQE picks)
+    val shuffleJoins =
+      nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin")
+    assert(shuffleJoins <= 1, s"only the fact-fact join may shuffle:\n$p")
+  }
+
+  test("q6_join_inner: big-small join broadcasts the dimension side") {
+    val p = plan("q6_join_inner")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"customer should broadcast at this SF:\n$p")
+  }
+
+  test("q13_scalar_subquery: one-row aggregate is broadcast, not cartesian") {
+    val p = plan("q13_scalar_subquery")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar subquery row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q5_filter_project: disjunctive filter still pushes to the scan") {
+    val p = plan("q5_filter_project")
+    assert(p.contains("PushedFilters: [Or("), s"OR predicate should push down:\n$p")
+  }
+
+  test("d3_dedup_minhash_lsh: LSH candidate join is equi, never cartesian") {
+    val p = plan("d3_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"band-bucket join must be an equi join:\n$p")
+  }
+
+  test("d4_dedup_simhash: band join is equi, never cartesian") {
+    val p = plan("d4_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a1_ann_bruteforce: query side broadcasts; corpus scan stays pruned") {
+    val p = plan("a1_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"small query set must broadcast over the corpus:\n$p")
+    val readSchema = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(!readSchema.contains("label"),
+      s"corpus scan must prune unused columns:\n$readSchema")
+  }
+
+  test("e1_events_hourly: aggregation has map-side partial before shuffle") {
+    val p = plan("e1_events_hourly")
+    assert(nodeCount(p, "(Hash|ObjectHash|Sort)Aggregate") >= 2, p)
+  }
+
+  test("t1_text_stats: pure per-row expressions — no shuffle at all") {
+    val p = plan("t1_text_stats")
+    // one Exchange allowed for the final orderBy only
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 1, s"text stats must not shuffle except the sort:\n$p")
+  }
+}
