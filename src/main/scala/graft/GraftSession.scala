@@ -41,6 +41,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native codegen'd vector expressions (graft_dot / graft_cosine)
+    graft.functions.VectorFunctions.register(spark)
     spark
   }
 }

@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns (strict sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+  /** Dot product of two float/double-array columns — the codegen'd
+    * [[graft.functions.DotProduct]] expression (strict sequential fold,
+    * single pass, no intermediate arrays).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity — [[graft.functions.CosineSimilarity]]: dot and both
+    * norms fused into one codegen'd pass. Bit-identical to the composable
+    * `aggregate(zip_with(...))/(sqrt·sqrt)` form (same left-to-right
+    * accumulation order), ~3× fewer array walks and zero allocation.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -37,10 +42,13 @@ object Similarity {
     * `queries` and `corpus` both need (vec_id, embedding).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    // raw float arrays go straight into the fused cosine expression —
+    // per-element float→double widening is exact, and skipping the
+    // asDouble transform avoids materializing a second copy of the corpus
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+      col("vec_id").as("query_id"), col("embedding").as("qv")))
     val c = corpus.select(
-      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(
@@ -87,7 +95,7 @@ object Similarity {
     // (shuffles one (vec_id, cell) pair per vector, never the scored cross
     // product; no window sort over the corpus)
     val c = corpus
-      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(cents) // broadcast nested loop over nlist rows
       .groupBy(col("neighbor_id"))
       .agg(
@@ -100,7 +108,7 @@ object Similarity {
     // query→nprobe cells: the query set is small by contract, a window over
     // it is negligible
     val qScored = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .join(cents)
       .select(col("query_id"), col("qv"), col("centroid_id"),
         cosine(col("qv"), col("centroid")).as("csim"))
