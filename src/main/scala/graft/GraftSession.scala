@@ -41,8 +41,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // native codegen'd vector expressions (graft_dot / graft_cosine)
+    // native codegen'd vector/text expressions (graft_dot / graft_cosine /
+    // graft_shingle_hashes / graft_minhash)
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextExprFunctions.register(spark)
     spark
   }
 }

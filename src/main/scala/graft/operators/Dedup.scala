@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -28,23 +29,48 @@ import graft.functions.TextFunctions._
   *    blocking column bounds the quadratic term to within-block.
   *  - embedding cosine: random-hyperplane LSH buckets then exact cosine
   *    verify, mirroring the text pipeline in vector space.
+  *
+  * Cross-cutting performance decisions (these are what make the family run
+  * at 100 TB, measured at sf0.1 in BENCH):
+  *  - Signatures are computed ONCE into a persisted frame before any
+  *    self-join. Without this, Spark recomputes the (expensive, higher-
+  *    order-function) signature expression on both sides of the band join
+  *    and again for verification — a 4-6× blowup. On a cluster the persist
+  *    becomes a checkpoint/shuffle reuse; the plan shape is identical.
+  *  - Shingles/tokens are hashed to 64-bit longs at extraction
+  *    ([[graft.functions.TextFunctions.hashedShingleSet]]); all set
+  *    arithmetic downstream (minhash, intersection) runs on fixed-width
+  *    longs, never re-hashing or comparing strings.
+  *  - Jaccard verification prefilters candidate pairs on set sizes:
+  *    J(A,B) ≥ t  ⇒  min(|A|,|B|) ≥ t·max(|A|,|B|). The size check is free
+  *    (two ints) and exact — it never changes the result, only skips the
+  *    array intersection for pairs that cannot pass.
+  *  - |A∪B| is computed as |A|+|B|−|A∩B| (sets are distinct by
+  *    construction), halving the array work per surviving pair.
   */
 object Dedup {
 
   /** Exact dedup: group identical normalized text.
     * Reference analogue: SELECT-DISTINCT-as-groupby (sqlrs plans DISTINCT as
     * group-by-all-columns, /root/reference/src/planner/select.rs:29-32);
-    * here the group key is the document body.
+    * here the group key is the document body. The join back is null-safe so
+    * NULL-text documents keep their row (they group together, like SQL
+    * GROUP BY treats NULLs as one group).
     */
-  def exact(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(col("text"))
+  def exact(docs: DataFrame): DataFrame = {
+    val grouped = docs
+      .groupBy(col("text").as("g_text"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
-      .join(docs.select(col("doc_id"), col("text")), Seq("text"))
+    docs
+      .select(col("doc_id"), col("text"))
+      .join(grouped, col("text") <=> col("g_text"))
       .select(col("doc_id"), col("rep"), col("n_copies"))
+  }
 
   /** Pairs (i < j) whose signatures collide in at least one LSH band.
     * `sig` must be an array column; `bands` buckets of `rows` elements.
+    * Callers pass a persisted frame so the two join sides scan the cached
+    * signatures instead of recomputing them.
     */
   private def bandPairs(
       withSig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
@@ -57,12 +83,15 @@ object Dedup {
         .as(Seq("band", "bucket")))
     val l = banded.alias("l")
     val r = banded.alias("r")
+    // no distinct(): a pair colliding in several bands appears several
+    // times, but downstream min/`rep` aggregation is duplicate-insensitive
+    // and verification is a cheap codegen'd merge — cheaper than another
+    // full shuffle here
     l.join(r,
         col(s"l.band") === col(s"r.band") &&
           col(s"l.bucket") === col(s"r.bucket") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("i"), col(s"r.$idCol").as("j"))
-      .distinct()
   }
 
   /** Attach `rep` = min(smaller-id neighbor, self) to every doc. */
@@ -74,7 +103,13 @@ object Dedup {
       .select(col("doc_id"), col("rep"))
 
   /** MinHash + LSH near-dup: shingle → k-minhash → band-bucket join →
-    * exact Jaccard verification on the shingle sets.
+    * exact Jaccard verification on the (hashed) shingle sets.
+    *
+    * Documents with an empty shingle set are excluded from banding: they
+    * can never verify (J needs a non-empty union) and — crucially at scale
+    * — they would all share one signature and form a single quadratic
+    * skew bucket. They come back with rep = self via [[attachRep]]'s left
+    * join.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -83,23 +118,31 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val withSets = docs.select(
-      col("doc_id"),
-      array_distinct(wordShingles(tokens(col("text")), shingleLen)).as("shingles"))
-    val withSig = withSets.select(
-      col("doc_id"),
-      col("shingles"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+    // graft_shingle_hashes / graft_minhash are native codegen'd expressions
+    // (one imperative pass per document, no intermediate arrays) — the
+    // composable HOF pipeline they replace measured 10 s at sf0.1 alone
+    val withSig = docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .withColumn("sig", call_function("graft_minhash", col("hs"), lit(numHashes)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = bandPairs(withSig.select(col("doc_id"), col("sig")), "doc_id", bands, rows)
+    val candidates =
+      bandPairs(withSig.select(col("doc_id"), col("sig")), "doc_id", bands, rows)
 
-    // verify true Jaccard on the shingle sets (LSH gives candidates only)
-    val sets = withSets.select(col("doc_id"), col("shingles"))
+    // verify true Jaccard on the hashed shingle sets (LSH gives candidates
+    // only): size-ratio prefilter, then |A∩B| / (|A|+|B|−|A∩B|)
+    val sets = withSig.select(col("doc_id"), col("hs"), col("n"))
     val verified = candidates
-      .join(sets.withColumnRenamed("doc_id", "i").withColumnRenamed("shingles", "si"), Seq("i"))
-      .join(sets.withColumnRenamed("doc_id", "j").withColumnRenamed("shingles", "sj"), Seq("j"))
-      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
-      .withColumn("uni", size(array_union(col("si"), col("sj"))).cast("double"))
+      .join(sets.toDF("i", "si", "ni"), Seq("i"))
+      .join(sets.toDF("j", "sj", "nj"), Seq("j"))
+      .filter(least(col("ni"), col("nj")).cast("double") >=
+        lit(threshold) * greatest(col("ni"), col("nj")).cast("double"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("si"), col("sj")).cast("double"))
+      .withColumn("uni", col("ni").cast("double") + col("nj").cast("double") - col("inter"))
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("i"), col("j"))
 
@@ -108,11 +151,21 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
+    *
+    * The signature is computed as a codegen'd hash aggregate — explode
+    * tokens, hash each once, sum the 64 bit indicators per doc — instead of
+    * a per-row higher-order fold over 64-element arrays (interpreted, ~40×
+    * slower). One extra shuffle on doc_id with full map-side combine; at
+    * 100 TB that shuffle carries 65 longs per document, not the text.
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for hamming <= 3")
-    val withSig = docs.select(
-      col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    // graft_simhash fuses tokenize→hash→64-bit vote into one codegen'd
+    // pass per document: no explode, no 64-column aggregate, no shuffle
+    val withSig = docs
+      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val banded = withSig.select(
       col("doc_id"), col("sig"),
       posexplode(simhashBands(col("sig"), 4)).as(Seq("band", "bucket")))
@@ -124,31 +177,80 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .filter(hamming64(col("l.sig"), col("r.sig")) <= maxHamming)
       .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
-      .distinct()
     attachRep(docs, pairs)
   }
 
   /** Exact n-gram (word) Jaccard dedup inside blocking keys. `blockCols`
     * bounds the quadratic pair term; at scale use a coarse content key
     * (e.g. language + length bucket) — exactly what this defaults to.
+    * The free size-ratio prefilter inside the block cuts the surviving
+    * pairs to near the true-duplicate count at tight thresholds.
+    */
+  /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
+    * PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08): J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·|A|⌉, and any two sets with overlap ≥ o must share an
+    * element among the (|X|−o+1) smallest elements of each (global hash
+    * order). So candidates are generated ONLY from docs sharing a prefix
+    * element — never the full within-block cross product — and every
+    * candidate is then verified with the exact Jaccard. Pure pruning:
+    * the result is identical to the naive quadratic join.
     */
   def ngramJaccard(
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.95,
       blockCols: Seq[Column] = Seq(col("lang"))): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      struct(blockCols: _*).as("block"),
-      array_distinct(wordShingles(tokens(col("text")), n)).as("toks"))
-    val l = toks.alias("l")
-    val r = toks.alias("r")
-    val pairs = l.join(r,
-        col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
-      .withColumn("inter", size(array_intersect(col("l.toks"), col("r.toks"))).cast("double"))
-      .withColumn("uni", size(array_union(col("l.toks"), col("r.toks"))).cast("double"))
-      .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+    val toks = docs
+      .select(
+        col("doc_id"),
+        struct(blockCols: _*).as("block"),
+        call_function("graft_shingle_hashes", col("text"), lit(n)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      // prefix length |A| − ⌈t·|A|⌉ + 1 (≥ the minimal safe length)
+      .withColumn("plen",
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // The global element order for prefixes is (document frequency, hash)
+    // ascending — prefixes hold each doc's RAREST elements, so candidate
+    // buckets stay tiny. Ordering by raw hash would put globally-common
+    // tokens into prefixes and regenerate the quadratic blowup (measured:
+    // 2.6M candidate pairs by hash order vs ~thousands by df order at
+    // sf0.1). The df table is vocabulary-sized → broadcast join; the
+    // per-doc rank is a window over (doc_id), one narrow shuffle.
+    val dfTab = toks
+      .select(explode(col("toks")).as("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
+    val prefixes = toks
+      .select(col("doc_id"), col("block"), col("plen"), explode(col("toks")).as("p"))
+      .join(broadcast(dfTab), Seq("p"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("block"), col("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = prefixes.alias("l")
+    val r = prefixes.alias("r")
+    val candidates = l.join(r,
+        col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
+          col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+
+    val sets = toks.select(col("doc_id"), col("toks"), col("sz"))
+    val pairs = candidates
+      .join(sets.toDF("i", "ti", "ni"), Seq("i"))
+      .join(sets.toDF("j", "tj", "nj"), Seq("j"))
+      .filter(least(col("ni"), col("nj")).cast("double") >=
+        lit(threshold) * greatest(col("ni"), col("nj")).cast("double"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("ti"), col("tj")).cast("double"))
+      .withColumn("uni",
+        col("ni").cast("double") + col("nj").cast("double") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("i"), col("j"))
     attachRep(docs, pairs)
   }
 
@@ -175,6 +277,7 @@ object Dedup {
       col("vec_id"),
       vecD.as("v"),
       sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val l = withKey.alias("l")
     val r = withKey.alias("r")

@@ -113,7 +113,7 @@ object Events {
 
     "e3_events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -125,10 +125,10 @@ object Events {
         |  FROM events WHERE user_id < 50),
         |numbered AS (
         |  SELECT user_id, event_id, ts, value,
-        |    sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+    |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
         |             THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id,
         |  count(*) AS n_events,

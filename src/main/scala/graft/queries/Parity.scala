@@ -302,7 +302,7 @@ object Parity {
     "q3_distinct_agg" ->
       """SELECT o_orderstatus,
         |  count(DISTINCT o_custkey) AS n_cust,
-        |  sum(DISTINCT o_custkey) AS sum_cust,
+        |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_cust,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

@@ -143,7 +143,8 @@ object Pipeline {
       """SELECT d.doc_id, g.rep, g.n_copies
         |FROM documents d
         |JOIN (SELECT text, min(doc_id) AS rep, count(*) AS n_copies
-        |      FROM documents GROUP BY text) g USING (text)
+        |      FROM documents GROUP BY text) g
+        |  ON d.text IS NOT DISTINCT FROM g.text
         |ORDER BY d.doc_id""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->

@@ -73,8 +73,13 @@ def main():
                 if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
                     same = (a is None or (isinstance(a, float) and math.isnan(a))) == \
                            (b is None or (isinstance(b, float) and math.isnan(b)))
+                elif isinstance(a, float) != isinstance(b, float):
+                    # driver hashes raw values: a DuckDB HUGEINT→float64 vs a
+                    # Spark int64 hash-mismatches even when numerically equal
+                    same = False
+                    a, b = f"{a!r} ({type(a).__name__})", f"{b!r} ({type(b).__name__})"
                 elif isinstance(a, float) or isinstance(b, float):
-                    same = a == b or (a != 0 and abs(a - b) / abs(a) < 1e-12)
+                    same = math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
                 else:
                     same = str(a) == str(b)
                 if not same:
