@@ -51,6 +51,19 @@ class GraftEngine(val spark: SparkSession) {
   def table(name: String): DataFrame = tables(name.toLowerCase)
   def tableNames: Seq[String] = tables.keys.toSeq
 
+  /** Drop every temp view in the session and clear this engine's catalog.
+    * Engines share one SparkSession; without this, a "fresh" engine still
+    * resolves temp views registered by earlier engines through spark.sql —
+    * fresh-catalog semantics (the reference's per-Database isolation,
+    * src/db.rs:107) need an explicit sweep.
+    */
+  def resetCatalog(): Unit = {
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    tables.clear()
+  }
+
   // ---- sources ----------------------------------------------------------
 
   /** CSV file → named table. Column names lowercased like the reference's
@@ -102,17 +115,25 @@ class GraftEngine(val spark: SparkSession) {
     """(?is)\s*insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*)""".r
   private val CopyRe =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
-  private val ShowTablesRe = """(?is)\s*show\s+tables\s*;?\s*""".r
-  private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*;?\s*""".r
+  private val ShowTablesRe = """(?is)\s*show\s+tables\s*""".r
+  private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*""".r
   private val ExplainRe = """(?is)\s*explain\s+(.*)""".r
   private val ReadCsvCallRe =
     """(?i)read_csv\s*\(\s*'([^']+)'\s*(?:,\s*([^)]*))?\)""".r
   private val BareCsvFromRe = """(?i)(from\s+)'([^']+\.csv)'""".r
 
   /** Execute one statement; always returns a DataFrame (DDL/DML return an
-    * empty result, like the reference's ok-statements).
+    * empty result, like the reference's ok-statements). A trailing
+    * semicolon is stripped once up front so every route accepts it
+    * uniformly (`create table t(a int);` used to fall through to the
+    * SELECT path and die in the parser).
     */
-  def run(sql: String): DataFrame = sql match {
+  def run(sql0: String): DataFrame = {
+    val sql = sql0.replaceAll("""(?s);\s*$""", "")
+    runStatement(sql)
+  }
+
+  private def runStatement(sql: String): DataFrame = sql match {
     case ShowTablesRe() => showTables()
     case DescribeRe(t) => describe(t)
     case ExplainRe(q) => explainDf(q)
@@ -192,32 +213,92 @@ class GraftEngine(val spark: SparkSession) {
   /** `select v1+1 as a from t where a >= 2` — the reference binds select
     * aliases inside WHERE (bind_select_node.rs:98-131); Spark does not.
     * Substitute alias → its expression in the WHERE clause and retry.
+    *
+    * Clause boundaries come from a quote/paren-aware scan
+    * ([[topLevelKeyword]]), so a `where`/`from` inside a subquery or a
+    * string literal never splits the statement; the substitution itself
+    * ([[replaceIdentifier]]) skips string literals, so an alias that also
+    * appears inside quoted text is left alone.
     */
   private def rewriteAliasInWhere(sql: String): Option[String] = {
-    val m = """(?is)^(.*?select\s+)(.*?)(\s+from\s+.*?)(\s+where\s+)(.+?)(\s+(?:group|order|limit|having)\b.*)?$"""
-      .r.findFirstMatchIn(sql)
-    m.flatMap { g =>
-      val selectList = g.group(2)
-      val aliases = """(?i)(\S.*?)\s+as\s+(\w+)""".r
-        .findAllMatchIn(splitTopLevel(selectList).mkString(" "))
-      var where = g.group(5)
-      var changed = false
-      splitTopLevel(selectList).foreach { item =>
-        """(?is)^(.*\S)\s+as\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim).foreach { am =>
-          val expr = am.group(1); val alias = am.group(2)
-          val re = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b").r
-          if (re.findFirstIn(where).isDefined) {
-            where = re.replaceAllIn(where,
-              java.util.regex.Matcher.quoteReplacement(s"($expr)"))
-            changed = true
+    for {
+      fromPos <- topLevelKeyword(sql, "from", 0)
+      selPos <- topLevelKeyword(sql, "select", 0)
+      if selPos < fromPos
+      wherePos <- topLevelKeyword(sql, "where", fromPos)
+      rewritten <- {
+        val whereStart = wherePos + "where".length
+        val tailStart = Seq("group", "order", "limit", "having")
+          .flatMap(k => topLevelKeyword(sql, k, whereStart)).minOption
+          .getOrElse(sql.length)
+        val selectList = sql.substring(selPos + "select".length, fromPos)
+        var where = sql.substring(whereStart, tailStart)
+        var changed = false
+        splitTopLevel(selectList).foreach { item =>
+          """(?is)^(.*\S)\s+as\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim).foreach { am =>
+            val expr = am.group(1); val alias = am.group(2)
+            val replaced = replaceIdentifier(where, alias, s"($expr)")
+            if (replaced != where) { where = replaced; changed = true }
           }
         }
+        if (changed)
+          Some(sql.substring(0, whereStart) + where + sql.substring(tailStart))
+        else None
       }
-      if (changed)
-        Some(g.group(1) + g.group(2) + g.group(3) + g.group(4) + where +
-          Option(g.group(6)).getOrElse(""))
-      else None
+    } yield rewritten
+  }
+
+  /** Index of the first top-level (paren depth 0, outside string literals)
+    * occurrence of keyword `kw` at or after position `from`, as a whole
+    * word. Statement routing and the alias rewrite both need clause
+    * boundaries that ignore subqueries and string literals.
+    */
+  private def topLevelKeyword(s: String, kw: String, from: Int): Option[Int] = {
+    var depth = 0; var inStr = false
+    var i = 0
+    val n = s.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i >= from &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !isWord(s.charAt(i - 1))) &&
+            (i + kw.length >= n || !isWord(s.charAt(i + kw.length))))
+            return Some(i)
+      }
+      i += 1
     }
+    None
+  }
+
+  /** Replace whole-word, case-insensitive occurrences of `ident` in `text`
+    * with `repl`, skipping string literals (an alias that also appears
+    * inside '...' text must stay untouched).
+    */
+  private def replaceIdentifier(text: String, ident: String, repl: String): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    val n = text.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = text.charAt(i)
+      if (!inStr && c == '\'') { inStr = true; out += c; i += 1 }
+      else if (inStr) { if (c == '\'') inStr = false; out += c; i += 1 }
+      else if (text.regionMatches(true, i, ident, 0, ident.length) &&
+        (i == 0 || !isWord(text.charAt(i - 1))) &&
+        (i + ident.length >= n || !isWord(text.charAt(i + ident.length)))) {
+        out ++= repl
+        i += ident.length
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** Split a select list on top-level commas (ignores commas inside parens

@@ -151,12 +151,6 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
-    *
-    * The signature is computed as a codegen'd hash aggregate — explode
-    * tokens, hash each once, sum the 64 bit indicators per doc — instead of
-    * a per-row higher-order fold over 64-element arrays (interpreted, ~40×
-    * slower). One extra shuffle on doc_id with full map-side combine; at
-    * 100 TB that shuffle carries 65 longs per document, not the text.
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for hamming <= 3")
@@ -180,12 +174,6 @@ object Dedup {
     attachRep(docs, pairs)
   }
 
-  /** Exact n-gram (word) Jaccard dedup inside blocking keys. `blockCols`
-    * bounds the quadratic pair term; at scale use a coarse content key
-    * (e.g. language + length bucket) — exactly what this defaults to.
-    * The free size-ratio prefilter inside the block cuts the surviving
-    * pairs to near the true-duplicate count at tight thresholds.
-    */
   /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
     * PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity
     * Joins for Near Duplicate Detection", WWW'08): J(A,B) ≥ t implies

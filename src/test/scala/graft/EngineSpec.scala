@@ -43,6 +43,33 @@ class EngineSpec extends AnyFunSuite {
       .map(_(1)).toSet == Set(1L, 2L))
   }
 
+  test("alias rewrite leaves string literals alone") {
+    // alias `x` also appears inside a string literal in the WHERE — the
+    // substitution must not rewrite quoted text
+    val got = rows(
+      "select first_name, salary + 1 as x from employee where x > 100000 and first_name <> 'x marks'")
+    assert(got.nonEmpty)
+    assert(got.forall(r => r(1).toString.toLong > 100000L))
+  }
+
+  test("alias rewrite ignores where inside a subquery") {
+    // the inner `where` belongs to the subquery; clause detection must
+    // split on the OUTER where only
+    val got = rows(
+      """select a + 1 as x from t1
+        |where x > (select min(a) from t1 where a > 1)""".stripMargin)
+    // t1.a = 0,1,2,2 → x = 1,2,3,3; inner min(a where a>1) = 2 → x ∈ {3,3}
+    assert(got.map(_.head) == Seq(3L, 3L))
+  }
+
+  test("trailing semicolons accepted on every statement route") {
+    engine.run("create table semi_t(a int);")
+    engine.run("insert into semi_t values (1), (2);")
+    assert(rows("select count(*) from semi_t;").head.head == 2L)
+    assert(engine.run("show tables;").collect().map(_.getString(1)).contains("semi_t"))
+    assert(engine.run("describe semi_t;").collect().nonEmpty)
+  }
+
   // ---- join.slt / join_filter.slt ----
   test("inner join with residual filter in ON") {
     val got = rows(

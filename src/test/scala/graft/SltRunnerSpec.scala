@@ -145,6 +145,10 @@ class SltRunnerSpec extends AnyFunSuite {
 
   private def freshEngine(withFixtures: Boolean): GraftEngine = {
     val e = new GraftEngine(spark)
+    // engines share the session: drop temp views left by earlier files so
+    // a fresh catalog cannot resolve stale tables (missing-table bugs would
+    // otherwise silently pass against leftover views)
+    e.resetCatalog()
     if (withFixtures) {
       Files.list(refRoot.resolve("tests/csv")).iterator().asScala
         .filter(_.toString.endsWith(".csv"))
