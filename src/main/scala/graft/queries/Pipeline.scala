@@ -80,41 +80,51 @@ object Pipeline {
     },
 
     // ---- text analysis ----------------------------------------------------
+    // graft_text_stats computes every per-document statistic in one fused
+    // codegen'd pass (the composable TextFunctions forms re-tokenize per
+    // metric through interpreted HOFs — semantics identical, PipelineSpec
+    // asserts agreement); Catalyst's subexpression elimination evaluates
+    // the struct once per row however many fields are projected
     "t1_text_stats" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
       d.select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.uniqueTokenCount(col("text")).as("n_unique"),
-        TextFunctions.charCount(col("text")).as("n_chars_txt"),
-        TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_unique").as("n_unique"),
+        st.getField("n_chars").as("n_chars_txt"),
+        st.getField("mean_tok_len").as("mean_tok_len"))
         .orderBy(col("doc_id"))
     },
 
     "t2_quality" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
       d.select(
         col("doc_id"),
-        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
-        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        st.getField("stop_ratio").as("stop_ratio"),
+        st.getField("punct_ratio").as("punct_ratio"),
+        st.getField("quality").as("quality"))
         .orderBy(col("doc_id"))
     },
 
     "t3_langid" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
-          TextFunctions.langId(col("text")).as("pred_lang"))
+          call_function("graft_text_stats", col("text"))
+            .getField("lang").as("pred_lang"))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("pred_lang"))
     },
 
     "t4_fingerprint" -> { (s, dir) =>
+      // md5 over graft_norm_text ≡ TextFunctions.docFingerprint (the
+      // fused kernel replaces the interpreted tokenize+join)
       val d = Tables.load(s, dir, "documents")
       d.select(
         col("doc_id"),
-        TextFunctions.docFingerprint(col("text")).as("fp"))
+        md5(call_function("graft_norm_text", col("text"))).as("fp"))
         .orderBy(col("doc_id"))
     },
 

@@ -90,6 +90,94 @@ object EventsStream {
       }
   }
 
+  /** One closed session: mirrors the batch e4 sessionization row shape
+    * (session ids are 1-based per user in close order; start/end truncated
+    * to the second like `date_trunc('second', ...)`).
+    */
+  case class SessionOut(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      session_value: Double)
+
+  /** Per-user sessionizer state: the currently-open session. Times are
+    * epoch micros; `closedSoFar` numbers the next emitted session.
+    */
+  case class OpenSession(
+      closedSoFar: Long, startUs: Long, endUs: Long, n: Long, value: Double)
+
+  /** Streaming gap-based sessionization — the custom-state shape that
+    * windowed aggregation cannot express (session bounds depend on the
+    * data, not the clock grid). `flatMapGroupsWithState` with an
+    * event-time timeout: events extend the open session or close it when
+    * the gap exceeds `gapMinutes`; the watermark passing `end + gap`
+    * closes idle sessions, so state size is bounded by the number of
+    * concurrently-active users — the property that keeps an unbounded
+    * stream runnable. Batch twin: the e4_sessionize query; the spec
+    * cross-checks closed sessions against it.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+
+    def close(user: Long, s: OpenSession): SessionOut =
+      SessionOut(
+        user,
+        s.closedSoFar + 1,
+        s.n,
+        new java.sql.Timestamp(s.startUs / 1000000L * 1000L),
+        new java.sql.Timestamp(s.endUs / 1000000L * 1000L),
+        s.value)
+
+    // the watermark column itself must survive projection up to the
+    // stateful operator — convert to micros inside the lambda instead
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows0: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          val rows = rows0.map(r => (r._1, r._2, micros(r._3), r._4))
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            // event_id is the total order within a user (ns timestamps
+            // truncate; ids are unique) — same ordering the batch query uses
+            val sorted = rows.toSeq.sortBy(_._2)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            sorted.foreach { case (_, _, ts, v) =>
+              open match {
+                case Some(s) if ts - s.endUs <= gapUs =>
+                  open = Some(s.copy(
+                    endUs = math.max(s.endUs, ts), n = s.n + 1, value = s.value + v))
+                case Some(s) =>
+                  closed += close(user, s)
+                  open = Some(OpenSession(s.closedSoFar + 1, ts, ts, 1L, v))
+                case None =>
+                  open = Some(OpenSession(0L, ts, ts, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * feed and return the result via a memory sink. Update mode so
     * mapGroupsWithState emissions surface immediately.

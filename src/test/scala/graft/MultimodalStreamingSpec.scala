@@ -73,6 +73,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming gap sessionization matches batch sessions (closed ones)") {
+    import org.apache.spark.sql.expressions.Window
+    val ds = EventsStream.sessionize(EventsStream.readEvents(spark, sf))
+    val got = EventsStream.runToMemory(ds.toDF(), "sessionize_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5)))
+      .toMap
+
+    // batch twin (double sum — the streaming state accumulates raw doubles)
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"),
+        sum(col("value")).as("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5)))
+      .toMap
+
+    // processAllAvailable runs a final trigger after the watermark advances,
+    // closing idle sessions via the event-time timeout. A user's LAST
+    // session survives only if its timeout (end + gap) is still ahead of
+    // the final watermark (max event time − 10 min) — compute exactly
+    // which ones those are and expect everything else.
+    val wmMs = Tables.load(spark, sf, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 10 * 60 * 1000L
+    val lastPerUser = batch.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+    val mayStayOpen = batch.filter { case ((u, sid), (_, _, end, _)) =>
+      sid == lastPerUser(u) && end.getTime + 30 * 60 * 1000L >= wmMs
+    }.keySet
+    val expected = batch.filter { case (k, _) => !mayStayOpen(k) }
+    assert(expected.keySet.subsetOf(got.keySet) && got.keySet.subsetOf(batch.keySet),
+      s"session keys differ: got=${got.size} expected>=${expected.size} batch=${batch.size}")
+    got.foreach { case (k, (gn, gstart, gend, gv)) =>
+      val (n, start, end, v) = batch(k)
+      assert(gn == n && gstart == start && gend == end, s"session $k mismatch")
+      assert(math.abs(gv - v) < 1e-6, s"session $k value: $gv vs $v")
+    }
+  }
+
   test("stateful user totals match batch aggregation") {
     val ds = EventsStream.userTotals(EventsStream.readEvents(spark, sf))
     val got = EventsStream.runToMemory(ds.toDF(), "user_totals_test")

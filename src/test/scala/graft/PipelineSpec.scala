@@ -54,6 +54,78 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("graft_text_stats matches the composable TextFunctions forms") {
+    // real corpus plus adversarial edges: empty, whitespace-only, heavy
+    // punctuation, unicode, repeated tokens
+    val edges = Seq("", "   \t\n ", "!!! ??? ...", "the the the the",
+      "der hund und die katze", "的 是 了", "a b  c\td\ne", "x" * 500)
+      .toDF("text").select(lit(-1L).as("doc_id"), col("text"))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edges)
+    val st = call_function("graft_text_stats", col("text"))
+    val mismatches = docs.select(
+        col("doc_id"),
+        st.getField("n_tokens").as("f_ntok"),
+        st.getField("n_unique").as("f_nuniq"),
+        st.getField("n_chars").as("f_nchars"),
+        st.getField("mean_tok_len").as("f_mean"),
+        st.getField("stop_ratio").as("f_stop"),
+        st.getField("punct_ratio").as("f_punct"),
+        st.getField("quality").as("f_quality"),
+        st.getField("lang").as("f_lang"),
+        TextFunctions.tokenCount(col("text")).as("c_ntok"),
+        TextFunctions.uniqueTokenCount(col("text")).as("c_nuniq"),
+        TextFunctions.charCount(col("text")).as("c_nchars"),
+        TextFunctions.meanTokenLen(col("text")).as("c_mean"),
+        TextFunctions.stopwordRatio(col("text")).as("c_stop"),
+        TextFunctions.punctRatio(col("text")).as("c_punct"),
+        TextFunctions.qualityScore(col("text")).as("c_quality"),
+        TextFunctions.langId(col("text")).as("c_lang"))
+      .filter(
+        col("f_ntok") =!= col("c_ntok") || col("f_nuniq") =!= col("c_nuniq") ||
+          col("f_nchars") =!= col("c_nchars") || col("f_mean") =!= col("c_mean") ||
+          col("f_stop") =!= col("c_stop") || col("f_punct") =!= col("c_punct") ||
+          col("f_quality") =!= col("c_quality") || col("f_lang") =!= col("c_lang"))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"fused/composable divergence:\n${mismatches.take(5).mkString("\n")}")
+  }
+
+  test("graft_shingle_hashes matches the composable hashedShingleSet") {
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+      .unionByName(Seq("", "one", "a b", "a b c d").toDF("text"))
+    Seq(1, 3).foreach { n =>
+      val bad = docs.select(
+          sort_array(TextFunctions.hashedShingleSet(col("text"), n)).as("c"),
+          call_function("graft_shingle_hashes", col("text"), lit(n)).as("f"))
+        .filter(col("c") =!= col("f"))
+        .count()
+      assert(bad == 0, s"shingle hash divergence at n=$n")
+    }
+  }
+
+  test("graft_norm_text matches the composable docFingerprint path") {
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+      .unionByName(Seq("", "  a  B ", "Mixed CASE\ttabs").toDF("text"))
+    val bad = docs.select(
+        TextFunctions.docFingerprint(col("text")).as("c"),
+        md5(call_function("graft_norm_text", col("text"))).as("f"))
+      .filter(col("c") =!= col("f"))
+      .count()
+    assert(bad == 0, "norm_text fingerprint divergence")
+  }
+
+  test("graft_simhash matches the composable simhash64") {
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+      .unionByName(Seq("", "one token", "the quick brown fox").toDF("text"))
+    val bad = docs.select(
+        TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("c"),
+        call_function("graft_simhash", col("text")).as("f"))
+      .filter(col("c") =!= col("f"))
+      .count()
+    assert(bad == 0, "simhash divergence")
+  }
+
   test("langId picks marker language, und on no markers") {
     val df = Seq("the cat of the house is big", "der hund und die katze ist",
       "xyz qrs", "le chat et la maison est").toDF("text")
