@@ -17,6 +17,14 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object Pipeline {
 
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
+    * and RE2 (DuckDB) interpret identically: contractions, ASCII letter
+    * runs, digit runs, punctuation runs (leading space attaches), residual
+    * whitespace.
+    */
+  val BpePattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ---------------------------------------------------
     "d1_dedup_exact" -> { (s, dir) =>
@@ -125,6 +133,20 @@ object Pipeline {
       d.select(
         col("doc_id"),
         md5(call_function("graft_norm_text", col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t5_bpe_tokens" -> { (s, dir) =>
+      // BPE-style subword segmentation count (GPT-2 pre-tokenizer shape:
+      // contractions, letter runs, digit runs, punctuation runs, spaces
+      // attach to the following word). Same regex runs in DuckDB's RE2 and
+      // Java — the pattern deliberately avoids lookahead/unicode classes,
+      // which the two engines treat differently.
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(Pipeline.BpePattern), lit(0)))
+          .as("n_bpe"))
         .orderBy(col("doc_id"))
     },
 
@@ -269,6 +291,11 @@ object Pipeline {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->

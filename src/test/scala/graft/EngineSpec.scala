@@ -62,6 +62,16 @@ class EngineSpec extends AnyFunSuite {
     assert(got.map(_.head) == Seq(3L, 3L))
   }
 
+  test("CLI meta commands: \\dt, \\load csv, \\explain, select") {
+    val e = new GraftEngine(spark)
+    assert(Cli.execute(e, "\\load csv emp " + fixture("employee")).contains("loaded"))
+    assert(Cli.execute(e, "\\dt").contains("main.emp"))
+    assert(Cli.execute(e, "\\explain select * from emp").contains("Physical Plan"))
+    val out = Cli.execute(e, "select first_name from emp where last_name = 'Hopkins'")
+    assert(out.linesIterator.toSeq.head == "first_name")
+    assert(out.contains("Ada") && out.contains("Eli"))
+  }
+
   test("trailing semicolons accepted on every statement route") {
     engine.run("create table semi_t(a int);")
     engine.run("insert into semi_t values (1), (2);")
