@@ -26,6 +26,10 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      // custom whole-operator extensions (graft.plans.*): per-key top-k
+      // bounded-heap selection — injected the sanctioned way so `spark.sql`
+      // plans and DataFrame plans both see the strategy
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -54,11 +54,12 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap per-key top-k (graft.plans.TopKPerKey): same semantics
+    // as row_number-over-window + filter, but never sorts the full scored
+    // set per query — the difference between O(n log k) and a spilling
+    // O(n log n) sort when the corpus side is 100 TB
+    graft.plans.TopKPerKey(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -112,10 +113,9 @@ object Similarity {
       .join(cents)
       .select(col("query_id"), col("qv"), col("centroid_id"),
         cosine(col("qv"), col("centroid")).as("csim"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val q = qScored.withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
+    val q = graft.plans.TopKPerKey(qScored,
+        Seq(col("query_id")), Seq(col("csim").desc, col("centroid_id").asc),
+        nprobe, rankName = "crank")
       .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
 
     // probe: equi-join on cell — the pruning step that replaces a full scan
@@ -125,10 +125,8 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("sim"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("sim")).as("sim")) // a neighbor may appear via several probed cells
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerKey(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+class TopKPerKeySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // deterministic multi-group data with duplicate order values (the
+  // neighbor-id tiebreak column makes the order total, like the ANN use)
+  private lazy val df = (0 until 2000)
+    .map(i => (i % 7L, i.toLong, (i * 2654435761L % 97).toDouble))
+    .toDF("key", "id", "score")
+
+  private def windowed(k: Int) = df
+    .withColumn("rank", row_number().over(
+      Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)))
+    .filter(col("rank") <= k)
+
+  private def collectSet(d: org.apache.spark.sql.DataFrame) =
+    d.select("key", "id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("matches window row_number + filter exactly (ties broken by id)") {
+    Seq(1, 5, 64).foreach { k =>
+      val got = collectSet(TopKPerKey(df, Seq(col("key")),
+        Seq(col("score").desc, col("id").asc), k))
+      val want = collectSet(windowed(k))
+      assert(got == want, s"k=$k: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("k larger than every group returns all rows ranked") {
+    val got = collectSet(TopKPerKey(df, Seq(col("key")),
+      Seq(col("score").desc, col("id").asc), 10000))
+    assert(got == collectSet(windowed(10000)))
+    assert(got.size == 2000)
+  }
+
+  test("empty input yields empty output") {
+    val empty = df.filter(col("key") < 0)
+    assert(TopKPerKey(empty, Seq(col("key")), Seq(col("score").desc), 3).count() == 0)
+  }
+
+  test("empty key set = global top-k (TakeOrderedAndProject per-key analogue)") {
+    val got = TopKPerKey(df, Seq.empty, Seq(col("score").desc, col("id").asc), 5)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = df.orderBy(col("score").desc, col("id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+  }
+
+  test("physical plan uses the bounded-heap exec, no sort, one exchange") {
+    val p = TopKPerKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Sort "), s"no sort expected:\n$p")
+  }
+
+  test("expression keys work (not just column refs)") {
+    val got = TopKPerKey(df, Seq(col("key") % 2), Seq(col("score").desc, col("id").asc), 3)
+      .collect()
+    assert(got.length == 6)
+  }
+}
