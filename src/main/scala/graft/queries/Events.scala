@@ -89,10 +89,35 @@ object Events {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
         .filter(col("user_id") < 50)
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    "e5_asof_join" -> { (s, dir) =>
+      // backward as-of join on the event_id axis (unique ⇒ deterministic;
+      // the ts column is ns-precision in DuckDB vs µs in Spark, so an
+      // id axis keeps both engines exactly comparable): for every click,
+      // the most recent prior purchase by the same user
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("ord"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("ord"),
+          col("event_id").as("pid"), col("value").as("pvalue"))
+      graft.operators.AsofJoin
+        .backward(clicks, purchases, key = "user_id", ord = "ord",
+          payload = Seq("pid", "pvalue"))
+        .orderBy(col("user_id"), col("ord"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "e5_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id AS ord FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS ord, event_id AS pid, value AS pvalue
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ord, p.pid, p.pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ord <= c.ord
+        |ORDER BY c.user_id, c.ord""".stripMargin,
+
     "e1_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,

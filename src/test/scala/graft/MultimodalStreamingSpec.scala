@@ -51,6 +51,37 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class AsofJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("backward as-of join picks latest at-or-before right row per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "ord", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "ord", "v")
+    val got = graft.operators.AsofJoin
+      .backward(left, right, "k", "ord", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some(100.0)), // inclusive: right at same ord matches
+      (1L, 20L, "b", Some(150.0)), // latest of the two prior rights
+      (1L, 5L, "c", None),         // nothing at-or-before
+      (2L, 7L, "d", None)))        // key with no right rows at all
+  }
+
+  test("multi-column payload comes from one right row, nulls preserved") {
+    val left = Seq((1L, 10L)).toDF("k", "ord")
+    val right = Seq((1L, 3L, Some("x"), 1.0), (1L, 8L, None: Option[String], 2.0))
+      .toDF("k", "ord", "s", "v")
+    val got = graft.operators.AsofJoin
+      .backward(left, right, "k", "ord", Seq("s", "v")).collect()(0)
+    // latest right row (ord=8) wins for BOTH columns — its null s must not
+    // fall back to the earlier row's "x"
+    assert(got.isNullAt(2) && got.getDouble(3) == 2.0)
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
