@@ -275,6 +275,95 @@ object Parity {
         .except(s1.intersect(s2).limit(0)) // keep plan shape: union/intersect/except all exercised
         .withColumnRenamed("c_nationkey", "nationkey")
         .orderBy(col("nationkey"))
+    },
+
+    // ---- semi/anti joins (absent in the reference — SURVEY §2.3 lists
+    // them as free Spark capability; EXISTS/NOT EXISTS shapes) ----
+    "q21_semi_anti" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(c("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n")).withColumn("grp", lit("with"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(c("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n")).withColumn("grp", lit("without"))
+      withOrders.unionByName(withoutOrders)
+        .select(col("grp"), col("mktsegment"), col("n"))
+        .orderBy(col("grp"), col("mktsegment"))
+    },
+
+    // ---- correlated scalar subquery (reference supports only uncorrelated,
+    // subquery.rs:63-84; Spark decorrelates natively) ----
+    "q22_correlated_subquery" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_nationkey AS nationkey, count(*) AS n_above
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+          |                   WHERE i.c_nationkey = c.c_nationkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    },
+
+    // ---- grouping sets: ROLLUP (absent in reference, SURVEY §2.4) ----
+    "q23_rollup" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- HAVING (absent from both reference binders, SURVEY §2.4) ----
+    "q24_having" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 10)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- string functions (reference registers NO string functions,
+    // SURVEY §2.8 — only arithmetic; all free in Spark) ----
+    "q25_string_funcs" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "a", "@").as("name_subst"),
+          trim(col("p_type")).as("type_trim"))
+        .filter(col("p_partkey") <= 400)
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- AVG (reference agg set is Count/Sum/Min/Max only,
+    // agg_func.rs:10-15). Expressed as exact-decimal sum over count: both
+    // engines then divide the SAME two numbers, so the double result is
+    // bit-identical — Spark's decimal avg() rounds at scale+4 and DuckDB's
+    // avg() accumulates doubles, which would drift at the hash gate. ----
+    "q26_avg" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- CASE WHEN bucketing (searched case; Catalyst folds the ladder) ----
+    "q27_case_when" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -417,6 +506,63 @@ object Parity {
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
         |UNION
         |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    "q21_semi_anti" ->
+      """SELECT 'with' AS grp, c_mktsegment AS mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'without' AS grp, c_mktsegment AS mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY grp, mktsegment""".stripMargin,
+
+    "q22_correlated_subquery" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+        |                   WHERE i.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q24_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q25_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_subst,
+        |  trim(p_type) AS type_trim
+        |FROM part WHERE p_partkey <= 400
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q26_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
