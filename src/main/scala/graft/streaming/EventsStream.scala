@@ -90,6 +90,18 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup — the training-pipeline ingest shape: drop
+    * repeated documents/events as they arrive, with state bounded by the
+    * watermark instead of growing forever (`dropDuplicates` alone would
+    * keep every key ever seen; `WithinWatermark` ages keys out once no
+    * late duplicate can still arrive — the property that keeps a
+    * forever-running 100 TB ingest job's state finite).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One closed session: mirrors the batch e4 sessionization row shape
     * (session ids are 1-based per user in close order; start/end truncated
     * to the second like `date_trunc('second', ...)`).

@@ -158,6 +158,19 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops duplicate keys, keeps state watermark-bounded") {
+    val deduped = EventsStream.dedupStream(
+      EventsStream.readEvents(spark, sf), Seq("user_id", "event_type"))
+    val got = EventsStream.runToMemory(deduped.toDF(), "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // one row per (user, type) — the batch distinct count
+    val batchDistinct = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(got.count() == batchDistinct)
+    assert(got.groupBy(col("user_id"), col("event_type")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("stateful user totals match batch aggregation") {
     val ds = EventsStream.userTotals(EventsStream.readEvents(spark, sf))
     val got = EventsStream.runToMemory(ds.toDF(), "user_totals_test")
