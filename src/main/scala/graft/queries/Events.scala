@@ -106,10 +106,47 @@ object Events {
         .backward(clicks, purchases, key = "user_id", ord = "ord",
           payload = Seq("pid", "pvalue"))
         .orderBy(col("user_id"), col("ord"))
+    },
+
+    "e6_range_join" -> { (s, dir) =>
+      // point-in-interval range join on the µs axis (exact on both
+      // engines — the data has no sub-µs components): events falling into
+      // 2-minute "incident windows" anchored at the 20 busiest minutes.
+      // The window table is derived with the global-top-k form of the
+      // TopKPerKey operator; the join is RangeJoin's bucketed equi form
+      // (1-minute buckets, so each 2-minute window spans 2-3 buckets).
+      val e = Tables.load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val minuteUs = 60L * 1000 * 1000
+      val perMinute = e
+        .groupBy((col("us") / minuteUs).cast("long").as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopKPerKey(
+        perMinute, Seq.empty, Seq(col("n").desc, col("minute").asc), 20)
+      val windows = top.select(
+        (col("minute") * minuteUs).as("start_us"),
+        ((col("minute") + 2) * minuteUs).as("end_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(e.select(col("event_id"), col("us")), windows,
+          pt = "us", start = "start_us", end = "end_us",
+          bucketWidth = minuteUs)
+        .select(col("event_id"), col("start_us"))
+        .orderBy(col("event_id"), col("start_us"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "e6_range_join" ->
+      """WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |top AS (SELECT minute FROM m ORDER BY n DESC, minute ASC LIMIT 20),
+        |w AS (SELECT minute * 60000000 AS start_us,
+        |             (minute + 2) * 60000000 AS end_us FROM top)
+        |SELECT e.event_id, w.start_us
+        |FROM events e JOIN w
+        |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+        |ORDER BY e.event_id, w.start_us""".stripMargin,
+
     "e5_asof_join" ->
       """WITH c AS (SELECT user_id, event_id AS ord FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id AS ord, event_id AS pid, value AS pvalue

@@ -82,6 +82,37 @@ class AsofJoinSpec extends AnyFunSuite {
   }
 }
 
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bucketed point-in-interval equals the naive non-equi join") {
+    val points = (0L until 500L by 7L).map(p => (p, s"p$p")).toDF("pt", "tag")
+    val intervals = Seq(
+      (0L, 10L), (5L, 250L), (100L, 101L), (240L, 240L), // empty: dropped
+      (490L, 600L), (3L, 4L))
+      .toDF("start", "end").withColumn("iid", monotonically_increasing_id())
+    Seq(1L, 16L, 1000L).foreach { width => // narrow, mid, all-in-one-bucket
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "pt", "start", "end", width)
+        .select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = points.join(intervals,
+          col("pt") >= col("start") && col("pt") < col("end"))
+        .select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"width=$width: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("range join plan is an equi join, not nested-loop or cartesian") {
+    val points = (0L until 100L).map(p => (p, p)).toDF("pt", "x")
+    val intervals = Seq((0L, 50L), (25L, 75L)).toDF("start", "end")
+    val p = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "pt", "start", "end", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
