@@ -49,6 +49,7 @@ object GraftSession {
     // graft_shingle_hashes / graft_minhash)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TextExprFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
     spark
   }
 }

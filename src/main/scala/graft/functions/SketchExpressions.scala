@@ -1,0 +1,139 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Bounded buffer of the k smallest DISTINCT hash values, kept in
+  * sign-flipped form so signed ordering equals unsigned hash ordering.
+  * This is the whole sketch state: ~8k bytes regardless of input size.
+  */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+
+  def add(flipped: Long): Unit = {
+    if (set.size < k) set.add(flipped)
+    else if (flipped < set.last) {
+      if (set.add(flipped)) set.pollLast()
+    }
+  }
+
+  def merge(other: KmvBuffer): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) add(it.next())
+  }
+
+  /** True distinct count while < k values were kept (nothing was ever
+    * evicted ⇒ the set IS the distinct hash set); the (k−1)/U(k)
+    * KMV estimator beyond that.
+    */
+  def estimate: Long =
+    if (set.size < k) set.size.toLong
+    else {
+      // values are stored sign-flipped: unflipped unsigned position is
+      // flipped + 2^63, as a fraction of the 2^64 hash space
+      val kthFraction =
+        (set.last.toDouble + 9.223372036854776E18) / 1.8446744073709552E19
+      math.round((k - 1).toDouble / kthFraction)
+    }
+}
+
+/** `graft_kmv_distinct(col, k)` → bigint: KMV (k-minimum-values) distinct
+  * count sketch [Bar-Yossef et al., RANDOM'02]. Hash every value once
+  * (xxHash64), keep the k smallest distinct hashes; the k-th smallest
+  * order statistic estimates the distinct count with ~1/√k relative
+  * error. The buffer is a fixed ~8k-byte set with an associative merge —
+  * the shape that aggregates 100 TB with map-side partial state and one
+  * tiny shuffle row per partition, where exact count(DISTINCT) shuffles
+  * every distinct value. Deterministic: the same inputs give the same
+  * estimate under ANY partitioning (hashes are fixed-seed, the merge is
+  * order-insensitive) — spec-pinned, since the correctness gate hashes
+  * results.
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k >= 2) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_kmv_distinct needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = false
+
+  private lazy val hasher = XxHash64(child :: Nil, 42L)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    if (child.eval(input) != null) {
+      val h = hasher.eval(input).asInstanceOf[Long]
+      buf.add(h ^ Long.MinValue)
+    }
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = buf.estimate
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.set.size * 8)
+    bb.putInt(buf.k).putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinct =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv_distinct"
+}
+
+object SketchFunctions {
+  private def intArg(e: Expression): Int = {
+    require(e.foldable, "graft_kmv_distinct: k must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"bad k: $other")
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_distinct",
+      exprs => KmvDistinct(exprs(0), intArg(exprs(1)))
+        .toAggregateExpression(),
+      "built-in")
+}

@@ -150,6 +150,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "k1_sketch_distinct" -> { (s, dir) =>
+      // KMV distinct sketch per language. k=1024 sits above the per-group
+      // cardinality at the sf0.01 correctness gate, where KMV is exact by
+      // construction (nothing evicted ⇒ the buffer IS the distinct set), so
+      // the oracle is plain count(DISTINCT); the estimator regime (groups
+      // larger than k) is exercised at bench SF and pinned by KmvSketchSpec
+      // against exact counts and across partitionings.
+      val d = Tables.load(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(
+          call_function("graft_kmv_distinct", col("text"), lit(1024)).as("est_distinct"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+
     // ---- multimodal plumbing -------------------------------------------
     // the oracle recomputes the expected metadata analytically from the
     // source row, so a broken encode→decode roundtrip hash-mismatches
@@ -297,6 +312,10 @@ object Pipeline {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k1_sketch_distinct" ->
+      """SELECT lang, count(DISTINCT text) AS est_distinct, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id, 'GRFT' AS format,

@@ -1,5 +1,54 @@
 package graft
 
+import org.apache.spark.sql.functions.{call_function, col, countDistinct, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+class KmvSketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("exact below k; within 1/sqrt(k) error band above; null-safe") {
+    val few = (0 until 100).map(i => s"v${i % 37}").toDF("v")
+    val exactSmall = few.select(
+      call_function("graft_kmv_distinct", col("v"), lit(256)).as("est"))
+      .collect()(0).getLong(0)
+    assert(exactSmall == 37, "below k the sketch IS the exact count")
+
+    val many = (0 until 200000).map(i => s"item-${i % 50000}").toDF("v")
+    val est = many.select(
+      call_function("graft_kmv_distinct", col("v"), lit(256)).as("est"))
+      .collect()(0).getLong(0)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.20, s"estimate $est vs 50000")
+
+    val withNulls = Seq(Some("a"), None, Some("b"), None, Some("a")).toDF("v")
+    assert(withNulls.select(call_function("graft_kmv_distinct", col("v"), lit(16)))
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("deterministic under any partitioning (merge is order-insensitive)") {
+    val df = (0 until 60000).map(i => (i % 7L, s"u${i % 9000}")).toDF("g", "v")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy(col("g"))
+      .agg(call_function("graft_kmv_distinct", col("v"), lit(128)).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(1) == run(32))
+  }
+
+  test("tracks exact count distinct on real data (grouped)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = docs.groupBy(col("lang"))
+      .agg(
+        call_function("graft_kmv_distinct", col("text"), lit(128)).as("est"),
+        countDistinct(col("text")).as("exact"))
+      .collect()
+    got.foreach { r =>
+      val est = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(est - exact.toDouble) / math.max(exact, 1L) < 0.25,
+        s"lang=${r.getString(0)}: $est vs $exact")
+    }
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
