@@ -150,6 +150,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d7_label_centroids" -> { (s, dir) =>
+      // per-label embedding centroid — the k-means update step as a query:
+      // posexplode to (label, dim, value), decimal-summed per cell so the
+      // mean is partitioning-independent, flattened to scalar rows (one
+      // per label × dimension) for the hash gate. At scale this is the
+      // canonical two-level aggregate: map-side partial sums per (label,
+      // dim), one shuffle of ~|labels|×dims rows.
+      val e = Tables.load(s, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     "k1_sketch_distinct" -> { (s, dir) =>
       // KMV distinct sketch per language. k=1024 sits above the per-group
       // cardinality at the sf0.01 correctness gate, where KMV is exact by
@@ -316,6 +331,16 @@ object Pipeline {
     "k1_sketch_distinct" ->
       """SELECT lang, count(DISTINCT text) AS est_distinct, count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d7_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id, 'GRFT' AS format,
