@@ -150,6 +150,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "t6_quantiles" -> { (s, dir) =>
+      // per-language document-length quartiles — how a pipeline derives
+      // quality-filter thresholds. Discrete percentiles (an actual element
+      // is chosen, no interpolation arithmetic) so both engines return the
+      // identical value; Spark's percentile_disc = DuckDB's quantile_disc.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang,
+          |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS q25,
+          |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS q50,
+          |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS q75,
+          |  count(*) AS n_docs
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     "d7_label_centroids" -> { (s, dir) =>
       // per-label embedding centroid — the k-means update step as a query:
       // posexplode to (label, dim, value), decimal-summed per cell so the
@@ -330,6 +345,14 @@ object Pipeline {
 
     "k1_sketch_distinct" ->
       """SELECT lang, count(DISTINCT text) AS est_distinct, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t6_quantiles" ->
+      """SELECT lang,
+        |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS q25,
+        |  CAST(quantile_disc(length(text), 0.5)  AS BIGINT) AS q50,
+        |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
+        |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d7_label_centroids" ->

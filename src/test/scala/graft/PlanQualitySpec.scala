@@ -102,4 +102,29 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = nodeCount(p, "Exchange")
     assert(exchanges <= 1, s"text stats must not shuffle except the sort:\n$p")
   }
+
+  test("e5_asof_join: union + window, never a range/cartesian join") {
+    val p = plan("e5_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan as a nested-loop join:\n$p")
+    assert(nodeCount(p, "Window") >= 1, s"running-last window expected:\n$p")
+  }
+
+  test("e6_range_join: bucketed equi join, no nested loop") {
+    val p = plan("e6_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must be the bucketed equi form:\n$p")
+  }
+
+  test("d7_label_centroids: two-level aggregate with map-side partials") {
+    val p = plan("d7_label_centroids")
+    assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a1_ann_bruteforce: top-k is the bounded-heap operator, not a sort") {
+    val p = plan("a1_ann_bruteforce")
+    assert(p.contains("TopKPerKey"), s"expected custom top-k exec:\n$p")
+    assert(!p.contains("WindowExec"), s"no window sort in the ANN path:\n$p")
+  }
 }
