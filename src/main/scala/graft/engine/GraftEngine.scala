@@ -228,9 +228,10 @@ class GraftEngine(val spark: SparkSession) {
       wherePos <- topLevelKeyword(sql, "where", fromPos)
       rewritten <- {
         val whereStart = wherePos + "where".length
-        val tailStart = Seq("group", "order", "limit", "having")
-          .flatMap(k => topLevelKeyword(sql, k, whereStart)).minOption
-          .getOrElse(sql.length)
+        val tailStart =
+          Seq("group", "order", "limit", "having", "union", "intersect", "except")
+            .flatMap(k => topLevelKeyword(sql, k, whereStart)).minOption
+            .getOrElse(sql.length)
         val selectList = sql.substring(selPos + "select".length, fromPos)
         var where = sql.substring(whereStart, tailStart)
         var changed = false

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
@@ -72,13 +72,16 @@ case class KmvDistinct(
 
   override def nullable: Boolean = false
 
-  private lazy val hasher = XxHash64(child :: Nil, 42L)
-
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
-    if (child.eval(input) != null) {
-      val h = hasher.eval(input).asInstanceOf[Long]
+    // evaluate the child ONCE and hash the value directly — the same
+    // per-value primitive the XxHash64 expression applies, without a
+    // second child evaluation for the null check
+    val v = child.eval(input)
+    if (v != null) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L)
       buf.add(h ^ Long.MinValue)
     }
     buf
@@ -121,19 +124,11 @@ case class KmvDistinct(
 }
 
 object SketchFunctions {
-  private def intArg(e: Expression): Int = {
-    require(e.foldable, "graft_kmv_distinct: k must be a literal")
-    e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(s"bad k: $other")
-    }
-  }
-
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct",
-      exprs => KmvDistinct(exprs(0), intArg(exprs(1)))
+      exprs => KmvDistinct(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_distinct"))
         .toAggregateExpression(),
       "built-in")
 }

@@ -441,7 +441,7 @@ case class IntersectSize(left: Expression, right: Expression)
   * window size).
   */
 object TextExprFunctions {
-  private def intArg(e: Expression, fn: String): Int = e match {
+  private[functions] def intArg(e: Expression, fn: String): Int = e match {
     case lit if lit.foldable =>
       lit.eval(null) match {
         case i: Int => i

@@ -41,25 +41,15 @@ object TextFunctions {
       i => coalesce(array_min(transform(shingles, s => xxhash64(s, i))),
         lit(Long.MaxValue)))
 
-  /** Distinct shingle set pre-hashed to 64-bit longs. Hashing each shingle
-    * string ONCE and doing all downstream work (minhash re-hashing, set
-    * intersection) on fixed-width longs is the scale path: k-seed minhash
-    * re-hashes 8-byte values instead of re-hashing strings k times, and
-    * Jaccard verification intersects long arrays instead of string arrays.
-    * xxhash64 collisions (~2^-64 per pair) are negligible against LSH noise.
+  /** Distinct shingle set pre-hashed to 64-bit longs — the composable twin
+    * of the fused `graft_shingle_hashes` kernel (PipelineSpec pins their
+    * agreement; sort this one before comparing, the kernel emits sorted).
+    * Hashing each shingle string ONCE and doing all downstream set work on
+    * fixed-width longs is the scale path. xxhash64 collisions (~2^-64 per
+    * pair) are negligible against LSH noise.
     */
   def hashedShingleSet(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(tokens(text), n), s => xxhash64(s)))
-
-  /** MinHash signature over an already-hashed shingle set (see
-    * [[hashedShingleSet]]): per seed i, min over xxhash64(h, i) — one cheap
-    * long-hash per element per seed instead of a string hash.
-    */
-  def minhashFromHashes(hashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => coalesce(array_min(transform(hashes, h => xxhash64(h, i))),
-        lit(Long.MaxValue)))
 
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 votes weighted by
     * token hash bits; the sign of each counter becomes the output bit.

@@ -51,11 +51,16 @@ object AsofJoin {
       .withColumn("__p", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(payload.map(col): _*).schema.fields)))
-    val r2 = right.select(
-      (Seq(col(key), col(ord), lit(0).as("__side"),
-        struct(payload.map(col): _*).as("__p")) ++
-        leftCols.filterNot(c => c == key || c == ord)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // SQL join semantics: a NULL key matches nothing. The window below
+    // groups all null keys into ONE partition, so null-key right rows must
+    // be dropped up front (null-key left rows then simply find no payload).
+    val r2 = right
+      .filter(col(key).isNotNull)
+      .select(
+        (Seq(col(key), col(ord), lit(0).as("__side"),
+          struct(payload.map(col): _*).as("__p")) ++
+          leftCols.filterNot(c => c == key || c == ord)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
     val w = Window.partitionBy(col(key))

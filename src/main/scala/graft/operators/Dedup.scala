@@ -33,10 +33,14 @@ import graft.functions.TextFunctions._
   * Cross-cutting performance decisions (these are what make the family run
   * at 100 TB, measured at sf0.1 in BENCH):
   *  - Signatures are computed ONCE into a persisted frame before any
-  *    self-join. Without this, Spark recomputes the (expensive, higher-
-  *    order-function) signature expression on both sides of the band join
-  *    and again for verification — a 4-6× blowup. On a cluster the persist
-  *    becomes a checkpoint/shuffle reuse; the plan shape is identical.
+  *    self-join. Without this, Spark recomputes the signature expression on
+  *    both sides of the band join and again for verification — a 4-6×
+  *    blowup. On a cluster the persist becomes a checkpoint/shuffle reuse;
+  *    the plan shape is identical. Lifecycle note: Dataset caches are
+  *    CacheManager-held (not GC-reclaimed), so each call leaves its small
+  *    signature frame cached for the session — fine for job-per-batch use
+  *    (this project's Verify/Bench model); a long-lived service re-running
+  *    dedup should `spark.catalog.clearCache()` between batches.
   *  - Shingles/tokens are hashed to 64-bit longs at extraction
   *    ([[graft.functions.TextFunctions.hashedShingleSet]]); all set
   *    arithmetic downstream (minhash, intersection) runs on fixed-width
@@ -205,8 +209,11 @@ object Dedup {
     // buckets stay tiny. Ordering by raw hash would put globally-common
     // tokens into prefixes and regenerate the quadratic blowup (measured:
     // 2.6M candidate pairs by hash order vs ~thousands by df order at
-    // sf0.1). The df table is vocabulary-sized → broadcast join; the
-    // per-doc rank is a window over (doc_id), one narrow shuffle.
+    // sf0.1). The df table has one row per distinct shingle — word-vocab
+    // sized for n=1 but corpus-sized for larger n — so the join strategy
+    // is left to Catalyst/AQE (it broadcasts when the table is actually
+    // small); the per-doc rank is a window over (doc_id), one narrow
+    // shuffle.
     val dfTab = toks
       .select(explode(col("toks")).as("p"))
       .groupBy(col("p"))
@@ -215,7 +222,7 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
     val prefixes = toks
       .select(col("doc_id"), col("block"), col("plen"), explode(col("toks")).as("p"))
-      .join(broadcast(dfTab), Seq("p"))
+      .join(dfTab, Seq("p"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("plen"))
       .select(col("doc_id"), col("block"), col("p"))

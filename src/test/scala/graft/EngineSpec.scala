@@ -72,6 +72,17 @@ class EngineSpec extends AnyFunSuite {
     assert(out.contains("Ada") && out.contains("Eli"))
   }
 
+  test("alias rewrite stops at set operations") {
+    // the alias token `x` also appears in the second UNION branch (as that
+    // branch's own alias); a rewrite crossing the UNION boundary would
+    // substitute it there too and produce unparseable SQL
+    val got = rows(
+      """select a + 1 as x from t1 where x >= 3
+        |union all
+        |select b + c as x from t1 where b + c > 10""".stripMargin)
+    assert(got.map(_.head.toString.toLong).sorted == Seq(3L, 3L, 11L, 13L, 16L))
+  }
+
   test("trailing semicolons accepted on every statement route") {
     engine.run("create table semi_t(a int);")
     engine.run("insert into semi_t values (1), (2);")

@@ -70,6 +70,17 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 7L, "d", None)))        // key with no right rows at all
   }
 
+  test("null keys never match (SQL join semantics)") {
+    val left = Seq((Some(1L), 10L), (None: Option[Long], 10L)).toDF("k", "ord")
+    val right = Seq((Some(1L), 5L, 1.0), (None: Option[Long], 5L, 99.0))
+      .toDF("k", "ord", "v")
+    val got = graft.operators.AsofJoin
+      .backward(left, right, "k", "ord", Seq("v"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(2)))).toSet
+    // the null-key left row must NOT receive the null-key right payload
+    assert(got == Set((Some(1L), Some(1.0)), (None, None)))
+  }
+
   test("multi-column payload comes from one right row, nulls preserved") {
     val left = Seq((1L, 10L)).toDF("k", "ord")
     val right = Seq((1L, 3L, Some("x"), 1.0), (1L, 8L, None: Option[String], 2.0))
