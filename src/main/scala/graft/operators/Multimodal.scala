@@ -102,6 +102,42 @@ object Multimodal {
     }).toDF("doc_id", "features")
   }
 
+  /** Resize stub: nearest-neighbor resample of the payload viewed as a
+    * width×height grid (channels folded into the cell) to `newW`×`newH`,
+    * re-encoded as a GRFT blob with the new dimensions. The real-codec
+    * version swaps the sampling loop for an image library call; output
+    * stays (doc_id, binary) so resize chains with decode/feature/frame
+    * stages. One pass per row, partition-parallel, no shuffle.
+    */
+  def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      val (meta, payload) = MediaCodecStub.decode(row.doc_id, row.media)
+      val out = new Array[Byte](newW * newH)
+      var y = 0
+      while (y < newH) {
+        var x = 0
+        while (x < newW) {
+          // nearest-neighbor source cell; payload is row-major w×h,
+          // truncated/padded with 0 when the fake payload is short
+          val sx = (x.toLong * meta.width / newW).toInt
+          val sy = (y.toLong * meta.height / newH).toInt
+          val idx = sy * meta.width + sx
+          out(y * newW + x) = if (idx < payload.length) payload(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      // keep the doc-derived channel count; dimensions are the new ones
+      val bb = java.nio.ByteBuffer.allocate(16 + out.length)
+      bb.put(MediaCodecStub.Magic)
+      bb.putInt(newW); bb.putInt(newH); bb.putInt(meta.n_channels)
+      bb.put(out)
+      MediaRow(row.doc_id, bb.array())
+    })
+  }
+
   /** Frame sampling stub: every `stride`-th fixed-size chunk of the payload
     * (video keyframe extraction shape: one blob in, many smaller out,
     * `flatMap` so partitions stay balanced).

@@ -206,6 +206,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "m3_media_resize" -> { (s, dir) =>
+      // resize → decode roundtrip; the oracle recomputes the expected
+      // post-resize metadata analytically, so broken re-encoding or
+      // dimension handling hash-mismatches
+      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      Multimodal.decodeMeta(Multimodal.resize(media, newW = 8, newH = 8)).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_channels"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
     "m2_media_frames" -> { (s, dir) =>
       val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
       Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
@@ -371,6 +382,12 @@ object Pipeline {
         |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_channels,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_media_resize" ->
+      """SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_channels,
+        |  CAST(64 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m2_media_frames" ->

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{KmvBuffer, TextHashing}
+
+/** ScalaCheck properties for the imperative kernels behind the graft
+  * expressions (SURVEY §5's property-test layer). These run at the JVM
+  * level — no SparkSession — so they cover thousands of random inputs per
+  * run; the Spark-level differential specs (PipelineSpec) pin the same
+  * kernels against the composable column forms on real data.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  // ---- sorted-merge intersection ----------------------------------------
+
+  private val longSet: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted.toArray)
+
+  property("intersectSize == set intersection size") =
+    forAll(longSet, longSet) { (a, b) =>
+      val got = TextHashing.intersectSize(new GenericArrayData(a), new GenericArrayData(b))
+      got == a.toSet.intersect(b.toSet).size
+    }
+
+  // ---- minhash -----------------------------------------------------------
+
+  private val hashes: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.long).map(_.distinct.toArray)
+
+  property("minhash element i = min over per-seed hashes") =
+    forAll(hashes, Gen.chooseNum(1, 16)) { (hs, k) =>
+      val sig = TextHashing.minhash(new GenericArrayData(hs), k)
+      (0 until k).forall { i =>
+        sig.getLong(i) == hs.map(h => XXH64.hashLong(h, i.toLong)).min
+      }
+    }
+
+  property("minhash of empty set = Long.MaxValue everywhere") =
+    forAll(Gen.chooseNum(1, 8)) { k =>
+      val sig = TextHashing.minhash(new GenericArrayData(Array.empty[Long]), k)
+      (0 until k).forall(i => sig.getLong(i) == Long.MaxValue)
+    }
+
+  // ---- KMV sketch --------------------------------------------------------
+
+  private val values: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(0L, 5000L))
+
+  property("kmv: split-merge equals single-pass (any partitioning)") =
+    forAll(values, Gen.chooseNum(2, 64), Gen.chooseNum(0, 100)) { (vs, k, cut) =>
+      def fill(xs: Seq[Long]): KmvBuffer = {
+        val b = new KmvBuffer(k)
+        xs.foreach(v => b.add(XXH64.hashLong(v, 42L) ^ Long.MinValue))
+        b
+      }
+      val single = fill(vs)
+      val at = if (vs.isEmpty) 0 else cut % (vs.size + 1)
+      val (l, r) = vs.splitAt(at)
+      val merged = fill(l)
+      merged.merge(fill(r))
+      merged.estimate == single.estimate
+    }
+
+  property("kmv: exact when distinct count < k") =
+    forAll(values, Gen.chooseNum(2, 64)) { (vs, k) =>
+      val distinct = vs.distinct
+      (distinct.size >= k) || {
+        val b = new KmvBuffer(k)
+        vs.foreach(v => b.add(XXH64.hashLong(v, 42L) ^ Long.MinValue))
+        b.estimate == distinct.size.toLong
+      }
+    }
+
+  // ---- tokenizer-derived kernels vs straightforward reference impls ------
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ä', '中', '!', '.')))
+      .map(_.mkString)
+  private val ws: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n')).map(_.mkString)
+  private val text: Gen[String] = for {
+    words <- Gen.listOf(word)
+    seps <- Gen.listOfN(words.size + 1, ws)
+    lead <- Gen.oneOf("", " ")
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def refTokens(s: String): Array[String] =
+    s.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+
+  private def refHash(s: String): Long = {
+    val b = UTF8String.fromString(s).getBytes
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  property("shingleHashes = sorted distinct hashes of n-token windows") =
+    forAll(text, Gen.chooseNum(1, 4)) { (s, n) =>
+      val got = {
+        val a = TextHashing.shingleHashes(UTF8String.fromString(s), n)
+        (0 until a.numElements()).map(a.getLong).toSeq
+      }
+      val want = refTokens(s).sliding(n).filter(_.size == n)
+        .map(w => refHash(w.mkString(" "))).toSeq.distinct.sorted
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  property("simhash = per-bit majority vote of token hashes") =
+    forAll(text) { s =>
+      val toks = refTokens(s)
+      var want = 0L
+      (0 until 64).foreach { b =>
+        val votes = toks.map(t => if (((refHash(t) >>> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) want |= (1L << b)
+      }
+      TextHashing.simhash(UTF8String.fromString(s)) == want
+    }
+
+  property("normText = tokens joined by single spaces") =
+    forAll(text) { s =>
+      TextHashing.normText(UTF8String.fromString(s)).toString ==
+        refTokens(s).mkString(" ")
+    }
+}

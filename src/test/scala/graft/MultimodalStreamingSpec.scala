@@ -41,6 +41,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize re-encodes to the requested dimensions, chains with decode") {
+    val resized = Multimodal.resize(media, newW = 8, newH = 8)
+    val meta = Multimodal.decodeMeta(resized).collect()
+    assert(meta.length == 500)
+    meta.foreach { m =>
+      assert(m.width == 8 && m.height == 8)
+      assert(m.n_bytes == 64, s"8x8 payload expected, got ${m.n_bytes}")
+      assert(m.n_channels >= 1 && m.n_channels <= 3) // carried through
+    }
+    // deterministic: same input → same bytes
+    val a = resized.collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    val b = Multimodal.resize(media, 8, 8).collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(a == b)
+  }
+
   test("frame sampling emits every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
     val byDoc = frames.groupBy(col("doc_id")).count().collect()
