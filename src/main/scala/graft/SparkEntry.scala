@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Events, Parity, Pipeline}
+import graft.queries.{Events, Parity, Pipeline, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Pipeline.queries ++ Events.queries
+    Parity.queries ++ Pipeline.queries ++ Events.queries ++ Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Parity.oracles ++ Pipeline.oracles ++ Events.oracles
+    Parity.oracles ++ Pipeline.oracles ++ Events.oracles ++ Tpch.oracles
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic TPC-H query shapes adapted to the driver's synthetic schema
+  * (TESTDATA.md; some TPC-H columns — shipmode, commitdate, shippriority —
+  * don't exist, so those predicates are mapped onto present columns while
+  * keeping each query's SHAPE: the join graph, aggregation structure, and
+  * ordering/limit semantics that make the plan interesting at scale).
+  * The reference repo generates exactly these 22 queries via tpch-dbgen
+  * (/root/reference/Makefile:63-92) but has no runner; here the important
+  * ones run oracle-checked.
+  *
+  * Same conventions as [[Parity]]: decimal-routed double aggregates, total
+  * ORDER BY, matching column aliases on both sides.
+  */
+object Tpch {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q3: shipping-priority — 3-way join, filter both fact sides, top-10
+    // by revenue (TakeOrderedAndProject after partial aggregation)
+    "tpch3_shipping_priority" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenue.as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // Q4: order-priority checking — EXISTS decorrelated to a semi join
+    // (no commitdate/receiptdate in this schema: "late line item" becomes
+    // shipped more than 60 days after the order date)
+    "tpch4_order_priority" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+      val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"))
+      o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q6: forecasting revenue change — pure scan+filter+ungrouped agg;
+    // every predicate must reach the parquet scan
+    "tpch6_forecast_revenue" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
+    // Q10: returned-item reporting — 4-way join on the R-flagged subset,
+    // top-20 customers by lost revenue
+    "tpch10_returned_items" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenue.as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // Q14: promotion effect — conditional aggregation over a join
+    // (promo = part names containing a marker token)
+    "tpch14_promo_effect" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val p = Tables.load(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          (sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0 /
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double")).as("promo_revenue"))
+    },
+
+    // Q18: large-volume customers — HAVING over a grouped fact, then join
+    // back for the detail rows
+    "tpch18_large_orders" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 205.0)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY rev DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "tpch4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch14_promo_effect" ->
+      """SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "tpch18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 205.0) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+  )
+}
