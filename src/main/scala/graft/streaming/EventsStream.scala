@@ -102,6 +102,33 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases in the preceding `gapMinutes` — the attribution shape.
+    * Both sides carry watermarks and the time-range predicate bounds the
+    * join state on BOTH sides (Spark evicts a buffered row once the other
+    * stream's watermark passes its join window) — without the interval
+    * bound, stream-stream join state grows forever; with it, state is
+    * O(events in the window), the 100 TB-survival property.
+    */
+  def clickAttribution(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND
+              |p_ts >= c_ts - INTERVAL $gapMinutes MINUTES AND
+              |p_ts <= c_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
   /** One closed session: mirrors the batch e4 sessionization row shape
     * (session ids are 1-based per user in close order; start/end truncated
     * to the second like `date_trunc('second', ...)`).

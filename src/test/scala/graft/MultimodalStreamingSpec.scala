@@ -215,6 +215,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val joined = EventsStream.clickAttribution(
+      EventsStream.readEvents(spark, sf), gapMinutes = 30)
+    val got = EventsStream.runToMemory(joined, "attribution_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val e = Tables.load(spark, sf, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = c.join(p,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") - expr("INTERVAL 30 MINUTES") &&
+          col("pts") <= col("cts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == batch, s"stream ${got.size} vs batch ${batch.size}")
+  }
+
   test("streaming dedup drops duplicate keys, keeps state watermark-bounded") {
     val deduped = EventsStream.dedupStream(
       EventsStream.readEvents(spark, sf), Seq("user_id", "event_type"))
