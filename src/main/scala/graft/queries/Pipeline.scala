@@ -136,6 +136,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "p1_curation_pipeline" -> { (s, dir) =>
+      // end-to-end curation in ONE plan: exact dedup → quality filter →
+      // deterministic sample → per-language token budget. This is the
+      // composition the engine exists for; every stage reuses a verified
+      // primitive (Dedup.exact, graft_text_stats) and the whole chain
+      // stays a single Catalyst plan — filters push down, the dedup
+      // aggregate is the only wide stage.
+      val d = Tables.load(s, dir, "documents")
+      val keepers = Dedup.exact(d)
+        .filter(col("rep") === col("doc_id"))
+        .select(col("doc_id"))
+      val st = call_function("graft_text_stats", col("text"))
+      d.join(keepers, Seq("doc_id"))
+        .select(col("doc_id"),
+          st.getField("quality").as("q"),
+          st.getField("lang").as("pred_lang"),
+          st.getField("n_tokens").as("ntok"))
+        .filter(col("q") >= 0.5 && col("doc_id") % 10 < 3)
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("total_tokens"))
+        .orderBy(col("pred_lang"))
+    },
+
     "t5_bpe_tokens" -> { (s, dir) =>
       // BPE-style subword segmentation count (GPT-2 pre-tokenizer shape:
       // contractions, letter runs, digit runs, punctuation runs, spaces
@@ -348,6 +372,56 @@ object Pipeline {
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p1_curation_pipeline" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+        |            CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+        |  FROM tok),
+        |q AS (
+        |  SELECT doc_id, toks, CAST(n_tok AS BIGINT) AS ntok_i,
+        |    round(
+        |      (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
+        |      (CASE WHEN n_tok = 0 THEN 0.0 ELSE round(least(n_uniq / n_tok, 1.0) * 0.25, 6) END),
+        |    6) AS quality,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM m),
+        |p AS (
+        |  SELECT doc_id, ntok_i, quality,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM q),
+        |keep AS (
+        |  SELECT d.doc_id FROM documents d
+        |  JOIN (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text) g
+        |    ON d.text IS NOT DISTINCT FROM g.text
+        |  WHERE g.rep = d.doc_id)
+        |SELECT pred_lang, count(*) AS n_docs,
+        |  CAST(sum(ntok_i) AS BIGINT) AS total_tokens
+        |FROM p JOIN keep USING (doc_id)
+        |WHERE quality >= 0.5 AND doc_id % 10 < 3
+        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
 
     "t5_bpe_tokens" ->
       """SELECT doc_id,
