@@ -109,6 +109,63 @@ object Tpch {
               .cast("double")).as("promo_revenue"))
     },
 
+    // Q2 shape: min-within-group via a correlated subquery — for each
+    // nation, the supplier(s) with the minimum account balance
+    "tpch2_min_within_group" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, s_name, s_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_acctbal = (SELECT min(s_acctbal) FROM supplier i
+          |                   WHERE i.s_nationkey = supplier.s_nationkey)
+          |ORDER BY n_name, s_name""".stripMargin)
+    },
+
+    // Q15 shape: CTE revenue view + scalar-max join (top supplier(s))
+    "tpch15_top_supplier" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val sup = Tables.load(s, dir, "supplier")
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(revenue.as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(maxRev), rev("total_revenue") === maxRev("mr"))
+        .join(sup, rev("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // Q16 shape: NOT IN with a subquery (anti-join semantics) + distinct
+    // count — parts of a brand not supplied by low-balance suppliers
+    "tpch16_parts_supplied" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT p_brand, p_type, count(DISTINCT p_partkey) AS n_parts
+          |FROM part
+          |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+          |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+          |                        WHERE l_quantity > 49)
+          |GROUP BY p_brand, p_type
+          |ORDER BY n_parts DESC, p_brand, p_type""".stripMargin)
+    },
+
+    // Q19 shape: disjunction of conjunctive range predicates across a join
+    // (the codegen stress shape — one fused filter, no plan blowup)
+    "tpch19_disjunctive_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 45)))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+    },
+
     // Q18: large-volume customers — HAVING over a grouped fact, then join
     // back for the detail rows
     "tpch18_large_orders" -> { (s, dir) =>
@@ -182,6 +239,46 @@ object Tpch {
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "tpch2_min_within_group" ->
+      """SELECT n_name, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = (SELECT min(s_acctbal) FROM supplier i
+        |                   WHERE i.s_nationkey = supplier.s_nationkey)
+        |ORDER BY n_name, s_name""".stripMargin,
+
+    "tpch15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch16_parts_supplied" ->
+      """SELECT p_brand, p_type, count(DISTINCT p_partkey) AS n_parts
+        |FROM part
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+        |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE l_quantity > 49)
+        |GROUP BY p_brand, p_type
+        |ORDER BY n_parts DESC, p_brand, p_type""".stripMargin,
+
+    "tpch19_disjunctive_join" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
 
     "tpch18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -83,6 +83,17 @@ class EngineSpec extends AnyFunSuite {
     assert(got.map(_.head.toString.toLong).sorted == Seq(3L, 3L, 11L, 13L, 16L))
   }
 
+  test("graft_* custom expressions are callable from engine SQL text") {
+    val sim = rows("select graft_simhash('hello world') as s").head.head
+    assert(sim.isInstanceOf[Long])
+    val n = rows("select size(graft_shingle_hashes('a b c d', 2)) as n").head.head
+    assert(n == 3)
+    val kmv = rows(
+      "select graft_kmv_distinct(c, 64) as d from (select 'x' || (a % 5) as c from t1)")
+      .head.head
+    assert(kmv == 3L) // t1.a = 0,1,2,2 → x0,x1,x2,x2 → 3 distinct
+  }
+
   test("trailing semicolons accepted on every statement route") {
     engine.run("create table semi_t(a int);")
     engine.run("insert into semi_t values (1), (2);")
