@@ -121,10 +121,13 @@ object Multimodal {
         while (x < newW) {
           // nearest-neighbor source cell; payload is row-major w×h,
           // truncated/padded with 0 when the fake payload is short
-          val sx = (x.toLong * meta.width / newW).toInt
-          val sy = (y.toLong * meta.height / newH).toInt
+          val sx = x.toLong * meta.width / newW
+          val sy = y.toLong * meta.height / newH
+          // long index: a header claiming w*h > 2^31 must zero-pad, not
+          // wrap negative and crash the bounds check
           val idx = sy * meta.width + sx
-          out(y * newW + x) = if (idx < payload.length) payload(idx) else 0
+          out(y * newW + x) =
+            if (idx >= 0 && idx < payload.length) payload(idx.toInt) else 0
           x += 1
         }
         y += 1

@@ -250,6 +250,52 @@ object Pipeline {
     }
   )
 
+  // ---- shared oracle SQL fragments (single source of truth for the
+  // quality formula and language markers — t2/t3/p1 compose from these,
+  // mirroring how the Spark side shares graft_text_stats) ----------------
+
+  private val TokCte: String =
+    """tok AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  private val QualityMCte: String =
+    """m AS (
+      |  SELECT doc_id, text, toks,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+      |            CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+      |            CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+      |    CAST(len(toks) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+      |  FROM tok)""".stripMargin
+
+  private val QualityExpr: String =
+    """round(
+      |      (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END) +
+      |      (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END) +
+      |      (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |      (CASE WHEN n_tok = 0 THEN 0.0 ELSE round(least(n_uniq / n_tok, 1.0) * 0.25, 6) END),
+      |    6)""".stripMargin
+
+  private val LangScores: String =
+    """len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+      |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+      |    len(list_filter(toks, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
+      |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+      |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh""".stripMargin
+
+  private val LangCase: String =
+    """CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT d.doc_id, g.rep, g.n_copies
@@ -319,51 +365,21 @@ object Pipeline {
         |FROM tok ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
-      """WITH tok AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, text, toks,
-        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
-        |            CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio,
-        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |      round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
-        |            CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
-        |    CAST(len(toks) AS DOUBLE) AS n_tok,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
-        |  FROM tok)
+      s"""WITH $TokCte,
+        |$QualityMCte
         |SELECT doc_id, stop_ratio, punct_ratio,
-        |  round(
-        |    (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END) +
-        |    (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END) +
-        |    (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
-        |    (CASE WHEN n_tok = 0 THEN 0.0 ELSE round(least(n_uniq / n_tok, 1.0) * 0.25, 6) END),
-        |  6) AS quality
+        |  $QualityExpr AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "t3_langid" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
+      s"""WITH $TokCte,
         |s AS (
         |  SELECT doc_id,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
-        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |    $LangScores
         |  FROM tok),
         |p AS (
         |  SELECT doc_id,
-        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |         ELSE 'zh' END AS pred_lang
+        |    $LangCase AS pred_lang
         |  FROM s)
         |SELECT pred_lang, count(*) AS n_docs FROM p
         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
@@ -374,43 +390,16 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_curation_pipeline" ->
-      """WITH tok AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, text, toks,
-        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
-        |            CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio,
-        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |      round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
-        |            CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
-        |    CAST(len(toks) AS DOUBLE) AS n_tok,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
-        |  FROM tok),
+      s"""WITH $TokCte,
+        |$QualityMCte,
         |q AS (
         |  SELECT doc_id, toks, CAST(n_tok AS BIGINT) AS ntok_i,
-        |    round(
-        |      (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END) +
-        |      (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END) +
-        |      (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
-        |      (CASE WHEN n_tok = 0 THEN 0.0 ELSE round(least(n_uniq / n_tok, 1.0) * 0.25, 6) END),
-        |    6) AS quality,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
-        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |    $QualityExpr AS quality,
+        |    $LangScores
         |  FROM m),
         |p AS (
         |  SELECT doc_id, ntok_i, quality,
-        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |         ELSE 'zh' END AS pred_lang
+        |    $LangCase AS pred_lang
         |  FROM q),
         |keep AS (
         |  SELECT d.doc_id FROM documents d

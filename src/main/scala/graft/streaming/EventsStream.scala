@@ -102,13 +102,14 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Stream-stream interval join: each click joined to the same user's
-    * purchases in the preceding `gapMinutes` — the attribution shape.
-    * Both sides carry watermarks and the time-range predicate bounds the
-    * join state on BOTH sides (Spark evicts a buffered row once the other
-    * stream's watermark passes its join window) — without the interval
-    * bound, stream-stream join state grows forever; with it, state is
-    * O(events in the window), the 100 TB-survival property.
+  /** Stream-stream interval join — the attribution shape: each purchase
+    * credited to the same user's clicks in the preceding `gapMinutes`
+    * (purchase follows click). Both sides carry watermarks and the
+    * time-range predicate bounds the join state on BOTH sides (Spark
+    * evicts a buffered row once the other stream's watermark passes its
+    * join window) — without the interval bound, stream-stream join state
+    * grows forever; with it, state is O(events in the window), the
+    * 100 TB-survival property.
     */
   def clickAttribution(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val clicks = events
@@ -123,8 +124,8 @@ object EventsStream {
       .withWatermark("p_ts", "10 minutes")
     clicks.join(purchases,
       expr(s"""c_user = p_user AND
-              |p_ts >= c_ts - INTERVAL $gapMinutes MINUTES AND
-              |p_ts <= c_ts""".stripMargin))
+              |p_ts >= c_ts AND
+              |p_ts <= c_ts + INTERVAL $gapMinutes MINUTES""".stripMargin))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("purchase_value"))
   }

@@ -82,15 +82,20 @@ object KernelProperties extends Properties("graft.kernels") {
     Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ä', '中', '!', '.')))
       .map(_.mkString)
   private val ws: Gen[String] =
-    Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n')).map(_.mkString)
+    Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'))
+      .map(_.mkString)
   private val text: Gen[String] = for {
     words <- Gen.listOf(word)
     seps <- Gen.listOfN(words.size + 1, ws)
     lead <- Gen.oneOf("", " ")
   } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
 
+  // reference tokenizer mirrors the kernel's documented spec exactly:
+  // Java \s whitespace class (incl. \u000B) and locale-independent
+  // lowercasing (String.toLowerCase is locale-sensitive: tr_TR turns
+  // 'I' into dotless ı where UTF8String.toLowerCase gives 'i')
   private def refTokens(s: String): Array[String] =
-    s.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    s.toLowerCase(java.util.Locale.ROOT).split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
 
   private def refHash(s: String): Long = {
     val b = UTF8String.fromString(s).getBytes

@@ -229,8 +229,8 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
     val batch = c.join(p,
         col("cu") === col("pu") &&
-          col("pts") >= col("cts") - expr("INTERVAL 30 MINUTES") &&
-          col("pts") <= col("cts"))
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(got == batch, s"stream ${got.size} vs batch ${batch.size}")
   }
