@@ -221,17 +221,22 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
     val prefixes = toks
-      .select(col("doc_id"), col("block"), col("plen"), explode(col("toks")).as("p"))
+      .select(col("doc_id"), col("block"), col("plen"), col("sz"),
+        explode(col("toks")).as("p"))
       .join(dfTab, Seq("p"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("plen"))
-      .select(col("doc_id"), col("block"), col("p"))
+      .select(col("doc_id"), col("block"), col("p"), col("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = prefixes.alias("l")
     val r = prefixes.alias("r")
+    // the size-ratio necessary condition sits IN the join so incompatible
+    // pairs die during the probe — exact pruning, identical final result
     val candidates = l.join(r,
         col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") &&
+          least(col("l.sz"), col("r.sz")).cast("double") >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double"))
       .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
 
     val sets = toks.select(col("doc_id"), col("toks"), col("sz"))
