@@ -123,12 +123,140 @@ case class KmvDistinct(
   override def prettyName: String = "graft_kmv_distinct"
 }
 
+/** Bounded buffer of the k largest (key, id) pairs, min-heap ordered so
+  * the smallest retained key is evictable in O(log k).
+  */
+final class ReservoirBuffer(val k: Int) {
+  val heap = new java.util.PriorityQueue[Array[Double]](
+    math.max(1, k),
+    new java.util.Comparator[Array[Double]] {
+      override def compare(a: Array[Double], b: Array[Double]): Int =
+        java.lang.Double.compare(a(0), b(0))
+    })
+
+  def add(key: Double, id: Long): Unit = {
+    if (heap.size < k) heap.add(Array(key, id.toDouble))
+    else if (key > heap.peek()(0)) {
+      heap.poll()
+      heap.add(Array(key, id.toDouble))
+    }
+  }
+
+  def merge(other: ReservoirBuffer): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val e = it.next(); add(e(0), e(1).toLong) }
+  }
+
+  /** Selected ids, strongest key first. */
+  def result: Array[Long] = {
+    val arr = heap.toArray(Array.empty[Array[Double]])
+    arr.sortBy(-_(0)).map(_(1).toLong)
+  }
+}
+
+/** `graft_weighted_sample(id, weight, k)` → array<bigint>: deterministic
+  * weighted sampling without replacement (Efraimidis & Spirakis, A-Res,
+  * IPL 2006): each item gets key u^(1/w) with u a hash-derived uniform in
+  * (0,1); the k largest keys are the sample. Because u comes from
+  * xxHash64(id) — not a RNG — the result is identical under ANY
+  * partitioning and across runs: the data-mixing primitive (sample docs
+  * proportional to quality/temperature) that normally needs a global sort,
+  * done in one aggregate with a k-row buffer and an associative merge.
+  */
+case class WeightedSample(
+    idExpr: Expression,
+    weightExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ReservoirBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"id must be bigint, got ${idExpr.dataType.simpleString}")
+    else if (weightExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"weight must be double, got ${weightExpr.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = idExpr :: weightExpr :: Nil
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ReservoirBuffer = new ReservoirBuffer(k)
+
+  override def update(buf: ReservoirBuffer, input: InternalRow): ReservoirBuffer = {
+    val idv = idExpr.eval(input)
+    val wv = weightExpr.eval(input)
+    if (idv != null && wv != null) {
+      val w = wv.asInstanceOf[Double]
+      if (w > 0 && !w.isNaN) {
+        val id = idv.asInstanceOf[Long]
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(id, LongType, 42L)
+        // unsigned hash → uniform in (0,1), never exactly 0 or 1
+        val u = ((h ^ Long.MinValue).toDouble + 9.223372036854776E18 + 0.5) /
+          1.8446744073709552E19
+        buf.add(math.pow(u, 1.0 / w), id)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: ReservoirBuffer, other: ReservoirBuffer): ReservoirBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: ReservoirBuffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.result)
+
+  override def serialize(buf: ReservoirBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.heap.size * 16)
+    bb.putInt(buf.k).putInt(buf.heap.size)
+    val it = buf.heap.iterator()
+    while (it.hasNext) { val e = it.next(); bb.putDouble(e(0)).putDouble(e(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ReservoirBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new ReservoirBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.heap.add(Array(bb.getDouble, bb.getDouble)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): WeightedSample =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): WeightedSample =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightedSample =
+    copy(idExpr = newChildren(0), weightExpr = newChildren(1))
+
+  override def prettyName: String = "graft_weighted_sample"
+}
+
 object SketchFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct",
       exprs => KmvDistinct(
         exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_distinct"))
         .toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_weighted_sample",
+      exprs => WeightedSample(
+        exprs(0), exprs(1), TextExprFunctions.intArg(exprs(2), "graft_weighted_sample"))
+        .toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -204,6 +204,23 @@ object Pipeline {
         .orderBy(col("label"), col("pos"))
     },
 
+    "s1_weighted_sample" -> { (s, dir) =>
+      // data mixing: per-language quality-weighted sample of 10 documents,
+      // deterministic under any partitioning (hash-derived keys — no RNG),
+      // exploded to one row per pick with its rank. Rows-only at the
+      // driver gate (the hash-based selection is not DuckDB-expressible);
+      // WeightedSampleSpec pins determinism, weight bias, and exactness.
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      d.select(col("doc_id"), col("lang"),
+          (st.getField("quality") + lit(0.01)).as("w"))
+        .groupBy(col("lang"))
+        .agg(call_function("graft_weighted_sample",
+          col("doc_id"), col("w"), lit(10)).as("picks"))
+        .select(col("lang"), posexplode(col("picks")).as(Seq("rank", "doc_id")))
+        .orderBy(col("lang"), col("rank"))
+    },
+
     "k1_sketch_distinct" -> { (s, dir) =>
       // KMV distinct sketch per language. k=1024 sits above the per-group
       // cardinality at the sf0.01 correctness gate, where KMV is exact by

@@ -22,7 +22,10 @@ class ParitySpec extends AnyFunSuite {
       // exact twins (d1/d2/d6/a1) are oracle-checked and PipelineSpec
       // asserts agreement/recall against those.
       "d3_dedup_minhash_lsh", "d4_dedup_simhash",
-      "d5_dedup_embedding_lsh", "a2_ann_ivf")
+      "d5_dedup_embedding_lsh", "a2_ann_ivf",
+      // hash-derived weighted sampling keys are not DuckDB-expressible;
+      // WeightedSampleSpec pins determinism/bias/exactness
+      "s1_weighted_sample")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
   }
 

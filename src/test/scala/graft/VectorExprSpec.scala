@@ -3,6 +3,43 @@ package graft
 import org.apache.spark.sql.functions.{call_function, col, countDistinct, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
+class WeightedSampleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sample(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(call_function("graft_weighted_sample",
+      col("id"), col("w"), lit(k)).as("s"))
+      .collect()(0).getSeq[Long](0)
+
+  test("returns every positive-weight id when group is smaller than k") {
+    val df = Seq((1L, 1.0), (2L, 0.5), (3L, 0.0), (4L, -1.0), (5L, 2.0))
+      .toDF("id", "w")
+    val got = sample(df, 10)
+    assert(got.toSet == Set(1L, 2L, 5L)) // zero/negative weights excluded
+  }
+
+  test("deterministic under any partitioning") {
+    val df = (0L until 20000L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val a = sample(df.repartition(1), 100)
+    val b = sample(df.repartition(32), 100)
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.length == 100 && a.distinct.length == 100)
+  }
+
+  test("overwhelming weight is always selected; selection tracks weight") {
+    val df = ((0L until 1000L).map(i => (i, 1.0)) :+ (9999L, 1e9))
+      .toDF("id", "w")
+    assert(sample(df, 10).contains(9999L))
+    // items weighted 100x are strongly over-represented among winners
+    val skewed = (0L until 2000L).map(i => (i, if (i < 100) 100.0 else 1.0))
+      .toDF("id", "w")
+    val got = sample(skewed, 50)
+    val heavyHits = got.count(_ < 100L)
+    assert(heavyHits > 25, s"expected heavy-weight dominance, got $heavyHits/50")
+  }
+}
+
 class KmvSketchSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
