@@ -123,20 +123,32 @@ case class KmvDistinct(
   override def prettyName: String = "graft_kmv_distinct"
 }
 
-/** Bounded buffer of the k largest (key, id) pairs, min-heap ordered so
-  * the smallest retained key is evictable in O(log k).
+/** Bounded buffer of the k best (key, id) pairs under the TOTAL order
+  * (key desc, id asc), min-heap ordered so the worst retained pair is
+  * evictable in O(log k). The id tiebreak matters: extreme weights
+  * saturate u^(1/w) keys to the same double (≈1.0 for huge w), and
+  * without a total order the winner among equal keys would depend on
+  * heap arrival order — i.e. on partitioning.
   */
 final class ReservoirBuffer(val k: Int) {
+  // worst first: smaller key, then LARGER id
   val heap = new java.util.PriorityQueue[Array[Double]](
     math.max(1, k),
     new java.util.Comparator[Array[Double]] {
-      override def compare(a: Array[Double], b: Array[Double]): Int =
-        java.lang.Double.compare(a(0), b(0))
+      override def compare(a: Array[Double], b: Array[Double]): Int = {
+        val c = java.lang.Double.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Double.compare(b(1), a(1))
+      }
     })
+
+  private def beatsWorst(key: Double, id: Long): Boolean = {
+    val worst = heap.peek()
+    key > worst(0) || (key == worst(0) && id < worst(1).toLong)
+  }
 
   def add(key: Double, id: Long): Unit = {
     if (heap.size < k) heap.add(Array(key, id.toDouble))
-    else if (key > heap.peek()(0)) {
+    else if (beatsWorst(key, id)) {
       heap.poll()
       heap.add(Array(key, id.toDouble))
     }
@@ -147,10 +159,10 @@ final class ReservoirBuffer(val k: Int) {
     while (it.hasNext) { val e = it.next(); add(e(0), e(1).toLong) }
   }
 
-  /** Selected ids, strongest key first. */
+  /** Selected ids in (key desc, id asc) order. */
   def result: Array[Long] = {
     val arr = heap.toArray(Array.empty[Array[Double]])
-    arr.sortBy(-_(0)).map(_(1).toLong)
+    arr.sortBy(e => (-e(0), e(1))).map(_(1).toLong)
   }
 }
 

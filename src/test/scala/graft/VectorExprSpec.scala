@@ -27,6 +27,16 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(a.length == 100 && a.distinct.length == 100)
   }
 
+  test("saturated keys (huge weights) stay deterministic via id tiebreak") {
+    // all keys collapse to ~1.0 in double precision; the id tiebreak must
+    // make the winner set identical under any partitioning
+    val df = (0L until 5000L).map(i => (i, 1e20)).toDF("id", "w")
+    val a = sample(df.repartition(1), 20)
+    val b = sample(df.repartition(32), 20)
+    assert(a == b)
+    assert(a == (0L until 20L), "total order (key desc, id asc) expected")
+  }
+
   test("overwhelming weight is always selected; selection tracks weight") {
     val df = ((0L until 1000L).map(i => (i, 1.0)) :+ (9999L, 1e9))
       .toDF("id", "w")
