@@ -122,15 +122,47 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_csv\s*\(\s*'([^']+)'\s*(?:,\s*([^)]*))?\)""".r
   private val BareCsvFromRe = """(?i)(from\s+)'([^']+\.csv)'""".r
 
-  /** Execute one statement; always returns a DataFrame (DDL/DML return an
-    * empty result, like the reference's ok-statements). A trailing
-    * semicolon is stripped once up front so every route accepts it
-    * uniformly (`create table t(a int);` used to fall through to the
-    * SELECT path and die in the parser).
+  /** Execute one or more `;`-separated statements; returns the LAST
+    * statement's DataFrame (DDL/DML return an empty result, like the
+    * reference's ok-statements). The reference's v2 entry loops over every
+    * parsed statement in the input (client_context.rs:76-97), so pasting
+    * `create ...; insert ...;` into the CLI must work — the split is
+    * string-literal-aware, so a `;` inside '...' never splits.
     */
   def run(sql0: String): DataFrame = {
-    val sql = sql0.replaceAll("""(?s);\s*$""", "")
-    runStatement(sql)
+    val stmts = splitStatements(sql0)
+    if (stmts.isEmpty) emptyOk
+    else stmts.map(runStatement).last
+  }
+
+  /** Split a multi-statement block on top-level (outside string literals)
+    * semicolons; drops empty fragments (so a single trailing `;` is a
+    * no-op, not an empty statement).
+    */
+  private[engine] def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\\' && i + 1 < n) { cur += sql.charAt(i + 1); i += 1 }
+        else if (c == '\'') {
+          if (i + 1 < n && sql.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; cur += c }
+      else if (c == ';') {
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      } else cur += c
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
   }
 
   private def runStatement(sql: String): DataFrame = sql match {
@@ -138,8 +170,10 @@ class GraftEngine(val spark: SparkSession) {
     case DescribeRe(t) => describe(t)
     case ExplainRe(q) => explainDf(q)
     case CtasRe(name, select) =>
+      requireNotExists(name)
       register(name, runSelect(select)); emptyOk
     case CreateTableRe(name, cols) =>
+      requireNotExists(name)
       createTable(name, parseSchema(cols)); emptyOk
     case CopyRe(t, path, opts) =>
       // the reference rewrites COPY to INSERT..SELECT over read_csv
@@ -165,6 +199,7 @@ class GraftEngine(val spark: SparkSession) {
     */
   private def runSelect(sql0: String): DataFrame = {
     var sql = sql0
+    requireFromSubqueryAlias(sql)
     // sqlparser-rs accepts OFFSET before LIMIT (tests/slt/order.slt:2);
     // Spark's parser requires LIMIT first — swap the clause order
     sql = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
@@ -202,12 +237,133 @@ class GraftEngine(val spark: SparkSession) {
       readCsv(m.group(2), header = true, delim = ",").createOrReplaceTempView(view)
       m.group(1) + view
     })
-    try spark.sql(sql)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNRESOLVED_COLUMN") =>
-        rewriteAliasInWhere(sql).map(spark.sql).getOrElse(throw e)
+    val df =
+      try spark.sql(sql)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNRESOLVED_COLUMN") =>
+          rewriteAliasInWhere(sql).map(spark.sql).getOrElse(throw e)
+      }
+    rejectVarcharNumericComparison(df)
+    df
+  }
+
+  /** Reference error semantics: `select 'abc' > 10` must fail to bind — the
+    * reference's `can_implicit_cast` forbids Varchar↔numeric
+    * (src/types_v2/types.rs:138-200; asserted by
+    * tests/slt/comparison_function.slt:2-7). Spark instead implicit-casts
+    * the string side and yields NULL, so after analysis we walk every
+    * comparison and reject ones whose operands were a string and a number
+    * BEFORE Catalyst's implicit casts. Explicit user-written CASTs are
+    * tagged by the parser (Cast.USER_SPECIFIED_CAST) and stay allowed.
+    */
+  private def rejectVarcharNumericComparison(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, Expression}
+    def origType(e: Expression): DataType = e match {
+      case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => origType(c.child)
+      case other => other.dataType
     }
+    df.queryExecution.analyzed.foreach { plan =>
+      plan.expressions.foreach { root =>
+        root.foreach {
+          case cmp: BinaryComparison =>
+            val (l, r) = (origType(cmp.left), origType(cmp.right))
+            def isNum(t: DataType) = t.isInstanceOf[NumericType]
+            if ((l == StringType && isNum(r)) || (isNum(l) && r == StringType))
+              throw new IllegalArgumentException(
+                s"cannot compare Varchar with ${if (isNum(l)) l.simpleString else r.simpleString}: " +
+                  "no implicit Varchar↔numeric cast (reference types_v2/types.rs:138-200)")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Reference error semantics: a subquery in FROM must carry an alias
+    * (Postgres-compatible; asserted by tests/slt/subquery.slt:5). Scans the
+    * top-level FROM clause for `(select ...)` items introduced by FROM /
+    * `,` / JOIN and requires an identifier after the closing paren.
+    * Subqueries nested inside expressions (IN/EXISTS/scalar) sit at paren
+    * depth > 0 after their consuming keyword and are not FROM items.
+    */
+  private def requireFromSubqueryAlias(sql: String): Unit = {
+    val fromPos = topLevelKeyword(sql, "from", 0).getOrElse(return)
+    val n = sql.length
+    var i = fromPos
+    var inStr = false
+    var depth = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else if (c == '\'') inStr = true
+      else if (c == ')') depth -= 1
+      else if (c == '(') {
+        // token immediately before the paren decides whether this is a
+        // FROM item (from/,/join) or an expression paren (function call…)
+        var p = i - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        val before =
+          if (p >= 0 && sql.charAt(p) == ',') ","
+          else {
+            var q = p
+            while (q >= 0 && isWord(sql.charAt(q))) q -= 1
+            sql.substring(q + 1, p + 1).toLowerCase
+          }
+        val close = if (depth == 0 && Set("from", ",", "join").contains(before))
+          matchingParen(sql, i) else -1
+        if (close > 0) {
+          val firstWord = sql.substring(i + 1, close).trim
+            .takeWhile(isWord).toLowerCase
+          if (firstWord == "select") {
+            var j = close + 1
+            while (j < n && sql.charAt(j).isWhitespace) j += 1
+            val next =
+              if (j >= n) ""
+              else if (sql.charAt(j) == ',') ","
+              else sql.substring(j).takeWhile(isWord).toLowerCase
+            val clauseStarters = Set("", ",", "where", "group", "order", "limit",
+              "having", "union", "intersect", "except", "on", "join", "inner",
+              "left", "right", "full", "cross", "natural", "offset")
+            if (clauseStarters.contains(next))
+              throw new IllegalArgumentException(
+                "subquery in FROM must have an alias (reference v1 binder, tests/slt/subquery.slt:5)")
+          }
+          i = close // item consumed; nested FROMs are the subquery's own
+        } else depth += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Index of the `)` matching the `(` at `open` (string-literal-aware);
+    * -1 if unbalanced.
+    */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var inStr = false
+    var i = open
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** `select v1+1 as a from t where a >= 2` — the reference binds select
@@ -261,7 +417,14 @@ class GraftEngine(val spark: SparkSession) {
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        // Spark string literals escape with backslash ('don\'t') or a
+        // doubled quote (''); both must not terminate the literal
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inStr = false
+        }
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -291,7 +454,13 @@ class GraftEngine(val spark: SparkSession) {
     while (i < n) {
       val c = text.charAt(i)
       if (!inStr && c == '\'') { inStr = true; out += c; i += 1 }
-      else if (inStr) { if (c == '\'') inStr = false; out += c; i += 1 }
+      else if (inStr) {
+        if (c == '\\' && i + 1 < n) { out += c; out += text.charAt(i + 1); i += 2 }
+        else if (c == '\'' && i + 1 < n && text.charAt(i + 1) == '\'') {
+          out ++= "''"; i += 2
+        }
+        else { if (c == '\'') inStr = false; out += c; i += 1 }
+      }
       else if (text.regionMatches(true, i, ident, 0, ident.length) &&
         (i == 0 || !isWord(text.charAt(i - 1))) &&
         (i + ident.length >= n || !isWord(text.charAt(i + ident.length)))) {
@@ -308,12 +477,25 @@ class GraftEngine(val spark: SparkSession) {
   private def splitTopLevel(s: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case '(' if !inStr => depth += 1; cur += '('
-      case ')' if !inStr => depth -= 1; cur += ')'
-      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\\' && i + 1 < n) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq
@@ -321,10 +503,20 @@ class GraftEngine(val spark: SparkSession) {
 
   // ---- DDL/DML helpers ---------------------------------------------------
 
+  /** Reference error semantics: CREATE TABLE over an existing name fails
+    * (tests/slt/create_table.slt:8; the v2 binder checks the catalog in
+    * bind_create.rs).
+    */
+  private def requireNotExists(name: String): Unit =
+    if (tables.contains(name.toLowerCase))
+      throw new IllegalArgumentException(s"table ${name.toLowerCase} already exists")
+
   /** sqlrs type name → Spark type, with the unsigned-widening policy of
     * SURVEY §1.2 (no unsigned types in Spark: widen to the next signed
     * type, UBIGINT → DECIMAL(20,0), matching Spark's own JDBC/parquet
-    * unsigned handling).
+    * unsigned handling). INTERVAL maps like the reference: plain `interval`
+    * is day-time (types_v2/types.rs:229-230), `interval year to month` is
+    * the year-month variant.
     */
   private[engine] def parseType(t: String): DataType = {
     val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
@@ -343,6 +535,8 @@ class GraftEngine(val spark: SparkSession) {
       case "varchar" | "string" | "text" => StringType
       case "date" => DateType
       case "timestamp" => TimestampType
+      case "interval" | "interval day to second" => DayTimeIntervalType()
+      case "interval year to month" => YearMonthIntervalType()
       case v if v.startsWith("varchar") => StringType
       case v if v.startsWith("decimal") =>
         val nums = "\\d+".r.findAllIn(v).map(_.toInt).toSeq
@@ -353,10 +547,31 @@ class GraftEngine(val spark: SparkSession) {
     }
   }
 
+  /** Inclusive max of each unsigned sqlrs type; widening erases
+    * unsignedness from the Spark type, so the origin is kept as column
+    * metadata and enforced on INSERT (reference `can_implicit_cast`
+    * rejects out-of-range values, types_v2/types.rs:138-200;
+    * tests/slt/insert_table.slt:50).
+    */
+  private val UnsignedMax: Map[String, java.math.BigDecimal] = Map(
+    "tinyint unsigned" -> new java.math.BigDecimal(255),
+    "smallint unsigned" -> new java.math.BigDecimal(65535),
+    "int unsigned" -> new java.math.BigDecimal(4294967295L),
+    "integer unsigned" -> new java.math.BigDecimal(4294967295L),
+    "bigint unsigned" -> new java.math.BigDecimal("18446744073709551615"))
+
+  private[engine] val UnsignedMaxKey = "graft.unsignedMax"
+
   private def parseSchema(colDefs: String): StructType =
     StructType(splitTopLevel(colDefs).map { c =>
       val parts = c.trim.split("\\s+", 2)
-      StructField(parts(0).toLowerCase, parseType(parts(1)), nullable = true)
+      val norm = parts(1).trim.toLowerCase.replaceAll("\\s+", " ")
+      val meta = UnsignedMax.get(norm) match {
+        case Some(mx) =>
+          new MetadataBuilder().putString(UnsignedMaxKey, mx.toPlainString).build()
+        case None => Metadata.empty
+      }
+      StructField(parts(0).toLowerCase, parseType(parts(1)), nullable = true, meta)
     })
 
   /** INSERT semantics from the reference (bind_insert.rs): explicit column
@@ -371,6 +586,25 @@ class GraftEngine(val spark: SparkSession) {
     require(incoming.size == values.columns.length,
       s"INSERT column count mismatch: ${incoming.size} vs ${values.columns.length}")
     val byName = incoming.zip(values.columns).toMap
+    // unsigned-origin range enforcement (tests/slt/insert_table.slt:50):
+    // validated on the INCOMING values, before the widening cast can wrap.
+    // One cheap filter job per INSERT, but only on tables declaring
+    // unsigned columns — parity cost the reference also pays at execution.
+    val rangeViolations = schema.fields.flatMap { f =>
+      if (f.metadata.contains(UnsignedMaxKey)) {
+        byName.get(f.name).map { src =>
+          val v = col(src).cast(DecimalType(38, 0))
+          col(src).isNotNull &&
+            (v < lit(java.math.BigDecimal.ZERO) ||
+              v > lit(new java.math.BigDecimal(f.metadata.getString(UnsignedMaxKey))))
+        }
+      } else None
+    }
+    if (rangeViolations.nonEmpty &&
+      !values.filter(rangeViolations.reduce(_ || _)).isEmpty)
+      throw new IllegalArgumentException(
+        s"INSERT value out of range for unsigned column in $name " +
+          "(reference can_implicit_cast, types_v2/types.rs:138-200)")
     val aligned = values.select(
       schema.fields.map { f =>
         byName.get(f.name) match {

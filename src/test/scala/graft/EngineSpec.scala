@@ -89,7 +89,7 @@ class EngineSpec extends AnyFunSuite {
     val n = rows("select size(graft_shingle_hashes('a b c d', 2)) as n").head.head
     assert(n == 3)
     val kmv = rows(
-      "select graft_kmv_distinct(c, 64) as d from (select 'x' || (a % 5) as c from t1)")
+      "select graft_kmv_distinct(c, 64) as d from (select 'x' || (a % 5) as c from t1) s")
       .head.head
     assert(kmv == 3L) // t1.a = 0,1,2,2 → x0,x1,x2,x2 → 3 distinct
   }
@@ -260,5 +260,61 @@ class EngineSpec extends AnyFunSuite {
   test("values list in FROM") {
     assert(rows("select * from values (1, 'a'), (2, 'b') order by col1 desc")
       .map(_.head) == Seq(2, 1))
+  }
+
+  // ---- reference error semantics (round-3 parity) ----
+
+  test("duplicate CREATE TABLE errors (create_table.slt:8)") {
+    engine.run("create table dup_t(v1 int)")
+    intercept[IllegalArgumentException] { engine.run("create table dup_t(v1 int)") }
+    // CTAS over an existing name errors the same way
+    intercept[IllegalArgumentException] { engine.run("create table dup_t as select 1 as x") }
+  }
+
+  test("unsigned range enforcement on INSERT (insert_table.slt:50)") {
+    engine.run("create table ur_t(v1 tinyint unsigned, v2 smallint unsigned)")
+    intercept[IllegalArgumentException] { engine.run("insert into ur_t(v1) values (1481)") }
+    intercept[IllegalArgumentException] { engine.run("insert into ur_t(v2) values (-1)") }
+    // in-range and NULL values stay insertable
+    engine.run("insert into ur_t values (255, 65535), (null, null)")
+    assert(rows("select count(*) from ur_t").head.head == 2L)
+  }
+
+  test("varchar vs numeric comparison errors (comparison_function.slt:2-7)") {
+    intercept[IllegalArgumentException] { rows("select 'abc' > 10") }
+    intercept[IllegalArgumentException] { rows("select 20.0 = 'abc'") }
+    // string-string and explicit casts stay legal
+    assert(rows("select '1000' > '20'").head.head == false)
+    assert(rows("select cast('30' as int) > 20").head.head == true)
+  }
+
+  test("FROM-subquery without alias errors (subquery.slt:5)") {
+    intercept[IllegalArgumentException] {
+      rows("select * from (select a from t1 where a > 1) where b > 7")
+    }
+    // aliased subqueries (with or without AS), IN/EXISTS subqueries, and
+    // expression parens are untouched
+    assert(rows("select s.a from (select a from t1 where a > 1) s").nonEmpty)
+    assert(rows("select a from t1 where a in (select a from t1 where a > 1)").nonEmpty)
+    assert(rows("select (a + 1) * 2 from t1").nonEmpty)
+  }
+
+  test("multi-statement run executes all and returns the last") {
+    val got = engine.run(
+      "create table ms_t(a int); insert into ms_t values (1), (2); select sum(a) as s from ms_t;")
+    assert(got.collect().head.getLong(0) == 3L)
+    // a ; inside a string literal never splits
+    assert(rows("select 'a;b' as v").head.head == "a;b")
+  }
+
+  test("interval as a column type (types_v2/types.rs:9-26)") {
+    engine.run("create table iv_t(d interval, ym interval year to month)")
+    val s = engine.table("iv_t").schema
+    assert(s("d").dataType.isInstanceOf[DayTimeIntervalType])
+    assert(s("ym").dataType.isInstanceOf[YearMonthIntervalType])
+    engine.run("insert into iv_t values (interval '2' day, interval '3' month)")
+    val got = rows("select d, ym from iv_t").head
+    assert(got.head == java.time.Duration.ofDays(2))
+    assert(got(1) == java.time.Period.ofMonths(3))
   }
 }

@@ -19,12 +19,14 @@ import graft.engine.GraftEngine
   *  - v2 mode: fresh engine, no fixtures; records tagged `skipif sqlrs_v2`
   *    are skipped.
   *
+  * `statement error` records are EXECUTED and must fail: the engine
+  * enforces the reference's error semantics (duplicate CREATE TABLE,
+  * unsigned range checks on INSERT, varchar↔numeric comparison rejection,
+  * FROM-subquery alias requirement) so a user migrating from the reference
+  * sees the same rejects.
+  *
   * Documented divergences from the reference (each one an intentional
   * behavior choice, not a gap):
-  *  - `statement error` records are skipped: they assert reference
-  *    LIMITATIONS (unsupported syntax, duplicate-create, unsigned range
-  *    checks) that this engine — a superset — often handles fine. Executing
-  *    them would also fork catalog state from the reference's.
   *  - query results are compared under rowsort regardless of the record's
   *    sort mode: the reference is single-threaded and order-deterministic,
   *    distributed Spark is not (SURVEY §4.3); ORDER BY correctness is
@@ -167,19 +169,16 @@ class SltRunnerSpec extends AnyFunSuite {
     parse(path).foreach { rec =>
       val skip =
         rec.onlyIf.exists(_ != engineName) ||
-          rec.skipIf.contains(engineName) ||
-          rec.kind == StatementError
+          rec.skipIf.contains(engineName)
       if (!skip) {
         // corpus paths are relative to the reference repo root
         val sql = rec.sql.replace("'tests/", s"'$refRoot/tests/")
         rec.kind match {
           case StatementOk =>
-            splitStatements(sql).foreach { s =>
-              try engine.run(s).collect()
-              catch {
-                case e: Throwable =>
-                  fail(s"$path:${rec.line} [$engineName] statement failed: $s\n$e")
-              }
+            try engine.run(sql).collect()
+            catch {
+              case e: Throwable =>
+                fail(s"$path:${rec.line} [$engineName] statement failed: $sql\n$e")
             }
             ran += 1
           case Query(_) =>
@@ -198,27 +197,18 @@ class SltRunnerSpec extends AnyFunSuite {
                 s"got:\n  ${got.map(norm).sorted.mkString("\n  ")}\n" +
                 s"expected:\n  ${expected.map(norm).sorted.mkString("\n  ")}")
             ran += 1
-          case StatementError => ()
+          case StatementError =>
+            val failed =
+              try { engine.run(sql).collect(); false }
+              catch { case _: Throwable => true }
+            assert(failed,
+              s"$path:${rec.line} [$engineName] statement expected to error " +
+                s"but succeeded: $sql")
+            ran += 1
         }
       }
     }
     info(s"$engineName: $ran records")
-  }
-
-  /** Split a multi-statement block on top-level semicolons. */
-  private def splitStatements(sql: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
-    var inStr = false
-    val cur = new StringBuilder
-    sql.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ';' if !inStr =>
-        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-        cur.clear()
-      case c => cur += c
-    }
-    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-    out.result()
   }
 
   // -- one test per (file, engine) like the reference harness ---------------
