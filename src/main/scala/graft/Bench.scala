@@ -20,6 +20,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally graft.operators.Dedup.unpersistAll() // caches die with the query
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -131,38 +131,42 @@ case class KmvDistinct(
   * heap arrival order — i.e. on partitioning.
   */
 final class ReservoirBuffer(val k: Int) {
+  // (key, id) kept as their native types — routing the bigint id through a
+  // Double would silently corrupt ids above 2^53
+  final class Entry(val key: Double, val id: Long)
+
   // worst first: smaller key, then LARGER id
-  val heap = new java.util.PriorityQueue[Array[Double]](
+  val heap = new java.util.PriorityQueue[Entry](
     math.max(1, k),
-    new java.util.Comparator[Array[Double]] {
-      override def compare(a: Array[Double], b: Array[Double]): Int = {
-        val c = java.lang.Double.compare(a(0), b(0))
-        if (c != 0) c else java.lang.Double.compare(b(1), a(1))
+    new java.util.Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(a.key, b.key)
+        if (c != 0) c else java.lang.Long.compare(b.id, a.id)
       }
     })
 
   private def beatsWorst(key: Double, id: Long): Boolean = {
     val worst = heap.peek()
-    key > worst(0) || (key == worst(0) && id < worst(1).toLong)
+    key > worst.key || (key == worst.key && id < worst.id)
   }
 
   def add(key: Double, id: Long): Unit = {
-    if (heap.size < k) heap.add(Array(key, id.toDouble))
+    if (heap.size < k) heap.add(new Entry(key, id))
     else if (beatsWorst(key, id)) {
       heap.poll()
-      heap.add(Array(key, id.toDouble))
+      heap.add(new Entry(key, id))
     }
   }
 
   def merge(other: ReservoirBuffer): Unit = {
     val it = other.heap.iterator()
-    while (it.hasNext) { val e = it.next(); add(e(0), e(1).toLong) }
+    while (it.hasNext) { val e = it.next(); add(e.key, e.id) }
   }
 
   /** Selected ids in (key desc, id asc) order. */
   def result: Array[Long] = {
-    val arr = heap.toArray(Array.empty[Array[Double]])
-    arr.sortBy(e => (-e(0), e(1))).map(_(1).toLong)
+    val arr = heap.toArray(Array.empty[Entry])
+    arr.sortBy(e => (-e.key, e.id)).map(_.id)
   }
 }
 
@@ -230,7 +234,7 @@ case class WeightedSample(
     val bb = ByteBuffer.allocate(8 + buf.heap.size * 16)
     bb.putInt(buf.k).putInt(buf.heap.size)
     val it = buf.heap.iterator()
-    while (it.hasNext) { val e = it.next(); bb.putDouble(e(0)).putDouble(e(1)) }
+    while (it.hasNext) { val e = it.next(); bb.putDouble(e.key).putLong(e.id) }
     bb.array()
   }
 
@@ -239,7 +243,7 @@ case class WeightedSample(
     val buf = new ReservoirBuffer(bb.getInt)
     val n = bb.getInt
     var i = 0
-    while (i < n) { buf.heap.add(Array(bb.getDouble, bb.getDouble)); i += 1 }
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
     buf
   }
 

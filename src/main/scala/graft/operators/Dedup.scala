@@ -36,11 +36,11 @@ import graft.functions.TextFunctions._
   *    self-join. Without this, Spark recomputes the signature expression on
   *    both sides of the band join and again for verification — a 4-6×
   *    blowup. On a cluster the persist becomes a checkpoint/shuffle reuse;
-  *    the plan shape is identical. Lifecycle note: Dataset caches are
-  *    CacheManager-held (not GC-reclaimed), so each call leaves its small
-  *    signature frame cached for the session — fine for job-per-batch use
-  *    (this project's Verify/Bench model); a long-lived service re-running
-  *    dedup should `spark.catalog.clearCache()` between batches.
+  *    the plan shape is identical. Lifecycle: every persisted frame is
+  *    tracked, and [[unpersistAll]] releases them — call it once the
+  *    result is materialized. Dataset caches are CacheManager-held (not
+  *    GC-reclaimed), so without the hook repeated dedup calls in one
+  *    session would accumulate cache without bound.
   *  - Shingles/tokens are hashed to 64-bit longs at extraction
   *    ([[graft.functions.TextFunctions.hashedShingleSet]]); all set
   *    arithmetic downstream (minhash, intersection) runs on fixed-width
@@ -54,21 +54,50 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup: group identical normalized text.
+  /** Signature/prefix frames persisted by dedup calls, released by
+    * [[unpersistAll]]. A queue (not a field per call) because the operators
+    * are static functions — callers own the lifecycle boundary.
+    */
+  private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(p)
+    p
+  }
+
+  /** Release every signature/prefix frame cached by dedup calls so far.
+    * Safe once the caller has materialized its results; Spark recomputes
+    * if a plan is re-executed later.
+    */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
+
+  /** Exact dedup: group identical text.
     * Reference analogue: SELECT-DISTINCT-as-groupby (sqlrs plans DISTINCT as
     * group-by-all-columns, /root/reference/src/planner/select.rs:29-32);
-    * here the group key is the document body. The join back is null-safe so
-    * NULL-text documents keep their row (they group together, like SQL
-    * GROUP BY treats NULLs as one group).
+    * here the group key is the document body — by 128-bit fingerprint.
+    *
+    * Scale shape: the shuffle key is `md5(text)` (32 hex chars), never the
+    * raw document body — at 100 TB the standard plan's group+join-back on
+    * full text would carry every body through TWO wide stages. A window
+    * over the fingerprint does it in ONE shuffle of (doc_id, fp) pairs,
+    * with no join back at all. md5's 128 bits make collisions vanishingly
+    * unlikely at any corpus size (64-bit keys would birthday-collide at
+    * ~billions of docs). NULL text ⇒ NULL fingerprint, and a window
+    * partitions all NULLs together — same one-group semantics as SQL
+    * GROUP BY.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val grouped = docs
-      .groupBy(col("text").as("g_text"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     docs
-      .select(col("doc_id"), col("text"))
-      .join(grouped, col("text") <=> col("g_text"))
-      .select(col("doc_id"), col("rep"), col("n_copies"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("rep"),
+        count(lit(1)).over(w).as("n_copies"))
   }
 
   /** Pairs (i < j) whose signatures collide in at least one LSH band.
@@ -131,7 +160,7 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
       .withColumn("sig", call_function("graft_minhash", col("hs"), lit(numHashes)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
 
     val candidates =
       bandPairs(withSig.select(col("doc_id"), col("sig")), "doc_id", bands, rows)
@@ -162,7 +191,7 @@ object Dedup {
     // pass per document: no explode, no 64-column aggregate, no shuffle
     val withSig = docs
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
 
     val banded = withSig.select(
       col("doc_id"), col("sig"),
@@ -202,7 +231,7 @@ object Dedup {
       // prefix length |A| − ⌈t·|A|⌉ + 1 (≥ the minimal safe length)
       .withColumn("plen",
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
 
     // The global element order for prefixes is (document frequency, hash)
     // ascending — prefixes hold each doc's RAREST elements, so candidate
@@ -227,7 +256,7 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("plen"))
       .select(col("doc_id"), col("block"), col("p"), col("sz"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val l = prefixes.alias("l")
     val r = prefixes.alias("r")
     // the size-ratio necessary condition sits IN the join so incompatible
@@ -277,7 +306,7 @@ object Dedup {
       col("vec_id"),
       vecD.as("v"),
       sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
 
     val l = withKey.alias("l")
     val r = withKey.alias("r")

@@ -83,7 +83,14 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val fullOutput = output
-    child.execute().mapPartitions({ iter =>
+    child.execute().mapPartitions({ iter0 =>
+      // no contract guarantees the child emits UnsafeRow — normalize via an
+      // identity projection (a no-op copy for rows that already are unsafe)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val iter = iter0.map {
+        case u: UnsafeRow => u
+        case r => toUnsafe(r)
+      }
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val baseOrd =
         org.apache.spark.sql.catalyst.expressions.RowOrdering.create(
@@ -94,8 +101,7 @@ case class TopKPerKeyExec(
       // heap head = WORST retained row (max under the sort order); a new
       // row replaces it when it sorts strictly earlier
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
+      iter.foreach { u =>
         val key = keyProj(u)
         val heap = heaps.get(key) match {
           case Some(h) => h

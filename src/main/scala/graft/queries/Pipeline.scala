@@ -20,10 +20,12 @@ object Pipeline {
   /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
     * and RE2 (DuckDB) interpret identically: contractions, ASCII letter
     * runs, digit runs, punctuation runs (leading space attaches), residual
-    * whitespace.
+    * whitespace. Whitespace is the explicit class [ \t\n\f\r], NOT \s —
+    * Java's \s includes vertical tab (\x0B), RE2's does not, so \s would
+    * hash-mismatch on documents containing \x0B.
     */
   val BpePattern: String =
-    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ---------------------------------------------------
@@ -431,7 +433,7 @@ object Pipeline {
 
     "t5_bpe_tokens" ->
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe
+        |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k1_sketch_distinct" ->

@@ -136,16 +136,19 @@ object Tpch {
         .orderBy(col("s_suppkey"))
     },
 
-    // Q16 shape: NOT IN with a subquery (anti-join semantics) + distinct
-    // count — parts of a brand not supplied by low-balance suppliers
+    // Q16 shape: anti-join + distinct count — parts of a brand not supplied
+    // in large quantities. Written as NOT EXISTS, not NOT IN: NOT IN over a
+    // nullable column is null-aware and degrades to a broadcast-nested-loop
+    // at scale, while NOT EXISTS stays a hash left-anti join regardless of
+    // nullability (identical results here — l_partkey is non-null).
     "tpch16_parts_supplied" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT p_brand, p_type, count(DISTINCT p_partkey) AS n_parts
           |FROM part
           |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
-          |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
-          |                        WHERE l_quantity > 49)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem
+          |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
           |GROUP BY p_brand, p_type
           |ORDER BY n_parts DESC, p_brand, p_type""".stripMargin)
     },
@@ -265,8 +268,8 @@ object Tpch {
       """SELECT p_brand, p_type, count(DISTINCT p_partkey) AS n_parts
         |FROM part
         |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
-        |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
-        |                        WHERE l_quantity > 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
         |GROUP BY p_brand, p_type
         |ORDER BY n_parts DESC, p_brand, p_type""".stripMargin,
 

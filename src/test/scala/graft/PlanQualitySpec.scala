@@ -127,4 +127,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey"), s"expected custom top-k exec:\n$p")
     assert(!p.contains("WindowExec"), s"no window sort in the ANN path:\n$p")
   }
+
+  test("tpch16: NOT EXISTS plans as a hash anti join, never nested-loop") {
+    val p = plan("tpch16_parts_supplied")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"anti join must stay hash-based (NOT IN over nullable degrades):\n$p")
+    assert(p.contains("LeftAnti"), s"expected a left anti join:\n$p")
+  }
+
+  test("d1_dedup_exact: shuffle keyed on the md5 fingerprint, not raw text") {
+    val p = plan("d1_dedup_exact")
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(exchangeLines.nonEmpty, s"window needs one hash exchange:\n$p")
+    assert(exchangeLines.forall(l => l.contains("fp#") && !l.contains("text#")),
+      s"exchange must carry the 128-bit fingerprint, never document bodies:\n$p")
+    // one wide stage total: the window's exchange plus the output sort
+    assert(nodeCount(p, "Exchange") <= 2, s"exact dedup is one shuffle + sort:\n$p")
+  }
 }

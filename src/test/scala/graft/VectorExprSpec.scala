@@ -37,6 +37,19 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(a == (0L until 20L), "total order (key desc, id asc) expected")
   }
 
+  test("ids above 2^53 survive exactly (no double round-trip)") {
+    // consecutive longs beyond double precision: a Double-keyed buffer
+    // would collapse/corrupt them; exact ids must come back out
+    val base = (1L << 60) + 1L
+    val df = (0L until 100L).map(i => (base + i, 1.0)).toDF("id", "w")
+    val got = sample(df.repartition(16), 100)
+    assert(got.toSet == (0L until 100L).map(base + _).toSet)
+    // forces serialize/deserialize via multi-partition merge with odd ids
+    val two = sample(df.repartition(32), 2)
+    assert(two.forall(id => id >= base && id < base + 100L))
+    assert(two.distinct.length == 2)
+  }
+
   test("overwhelming weight is always selected; selection tracks weight") {
     val df = ((0L until 1000L).map(i => (i, 1.0)) :+ (9999L, 1e9))
       .toDF("id", "w")
