@@ -690,18 +690,109 @@ class GraftEngine(val spark: SparkSession) {
       "data_type", "nullable")
   }
 
-  /** EXPLAIN: Catalyst's formatted plan as a one-column relation (the
-    * reference renders logical+physical trees, tree_render.rs:1-193).
+  /** EXPLAIN parity: the reference returns a two-column relation
+    * (explain_type, explain_value) with one multi-line tree per row —
+    * logical, optimized logical, physical (bind_explain.rs:23-29;
+    * physical_explain.rs:24-34; renderer tree_render.rs:1-193, 2-space
+    * indent per level). The trees here are Catalyst's analyzed /
+    * optimized / executed plans rendered in the reference's node
+    * vocabulary (LogicalProjection, LogicalGet: main.t, PhysicalFilter…),
+    * plus a fourth row with Spark's own formatted plan — the detail a
+    * Spark operator actually tunes against. Expression text is Catalyst's
+    * (the reference prints binder column indices that have no Spark
+    * analogue); node names and tree shape are the parity surface.
     */
   def explainDf(sql: String): DataFrame = {
     import spark.implicits._
-    val plan = runSelect(sql).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    plan.split("\n").toSeq.toDF("plan")
+    val qe = runSelect(sql).queryExecution
+    Seq(
+      ("logical_plan", renderLogicalTree(qe.analyzed)),
+      ("logical_plan_opt", renderLogicalTree(qe.optimizedPlan)),
+      ("physical_plan", renderPhysicalTree(qe.executedPlan)),
+      ("physical_plan_spark", qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim))
+      .toDF("explain_type", "explain_value")
   }
 
   def explain(sql: String): String =
-    explainDf(sql).collect().map(_.getString(0)).mkString("\n")
+    explainDf(sql).collect()
+      .map(r => s"${r.getString(0)}:\n${r.getString(1)}").mkString("\n")
+
+  private def renderLogicalTree(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val sb = new StringBuilder
+    def exprStr(es: Seq[Expression]): String =
+      es.map(e => try e.sql catch { case _: Throwable => e.simpleString(100) })
+        .mkString(", ")
+    def walk(p: LogicalPlan, level: Int): Unit = {
+      val pad = "  " * level
+      p match {
+        // a reference to a cataloged table — the reference's scan node
+        // (schema fixed to `main` like the v2 catalog)
+        case s: SubqueryAlias if tables.contains(s.alias.toLowerCase) =>
+          sb.append(pad).append(s"LogicalGet: main.${s.alias.toLowerCase}\n")
+        case s: SubqueryAlias => // derived-table alias: transparent
+          walk(s.child, level)
+        case v: View => walk(v.child, level)
+        case GlobalLimit(l, LocalLimit(_, child)) =>
+          sb.append(pad).append(s"LogicalLimit: limit[${l.sql}], offset[None]\n")
+          walk(child, level + 1)
+        case pr: Project =>
+          sb.append(pad).append(s"LogicalProjection: ${exprStr(pr.projectList)}\n")
+          walk(pr.child, level + 1)
+        case f: Filter =>
+          sb.append(pad).append(s"LogicalFilter: ${exprStr(Seq(f.condition))}\n")
+          walk(f.child, level + 1)
+        case _: OneRowRelation =>
+          sb.append(pad).append("LogicalDummyScan\n")
+        case l: LocalRelation =>
+          // materialized rows (VALUES / in-memory table after optimization)
+          sb.append(pad).append(
+            if (l.data.isEmpty) "LogicalDummyScan\n" else "LogicalExpressionGet\n")
+        case other if other.nodeName == "LogicalRelation" ||
+            other.nodeName == "LogicalRDD" =>
+          sb.append(pad).append("LogicalGet: read_csv\n")
+        case other =>
+          // outside the reference's vocabulary (joins, aggregates, sorts…):
+          // reference naming convention over Catalyst's node name
+          sb.append(pad).append(s"Logical${other.nodeName}\n")
+          other.children.foreach(walk(_, level + 1))
+      }
+    }
+    walk(plan, 0)
+    sb.toString.stripTrailing()
+  }
+
+  private def renderPhysicalTree(
+      plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution._
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, level: Int): Unit = {
+      val pad = "  " * level
+      p match {
+        // execution wrappers with no reference analogue are transparent
+        case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan, level)
+        case w: WholeStageCodegenExec => walk(w.child, level)
+        case i: InputAdapter => walk(i.child, level)
+        case other =>
+          val name = other match {
+            case _: ProjectExec => "PhysicalProjection"
+            case _: FilterExec => "PhysicalFilter"
+            case _: FileSourceScanExec => "PhysicalTableScan"
+            case _: LocalTableScanExec => "PhysicalColumnDataScan"
+            case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec =>
+              "PhysicalLimit"
+            case _ => s"Physical${other.nodeName}"
+          }
+          sb.append(pad).append(name).append('\n')
+          other.children.foreach(walk(_, level + 1))
+      }
+    }
+    walk(plan, 0)
+    sb.toString.stripTrailing()
+  }
 
   private def emptyOk: DataFrame = {
     import spark.implicits._

@@ -100,20 +100,47 @@ object Dedup {
         count(lit(1)).over(w).as("n_copies"))
   }
 
+  /** Drop (band, bucket) groups larger than `maxBucket` rows before a
+    * bucket self-join. A single degenerate band key — a near-constant
+    * signature region on adversarial data — otherwise produces a
+    * quadratic O(n²) stage that no verification can pay for at 100 TB.
+    * The cap bounds any bucket's pair count at maxBucket²/2. Recall cost
+    * is confined to pairs whose EVERY shared bucket is oversize — and a
+    * clique that large is identical-or-near-identical text, which the
+    * exact-dedup pass (d1) already collapses. The count is a window over
+    * the same key the join shuffles on, so the partitioning is reused —
+    * no extra exchange.
+    */
+  private def capBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    if (maxBucket <= 0) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
+    }
+  }
+
   /** Pairs (i < j) whose signatures collide in at least one LSH band.
     * `sig` must be an array column; `bands` buckets of `rows` elements.
     * Callers pass a persisted frame so the two join sides scan the cached
     * signatures instead of recomputing them.
     */
   private def bandPairs(
-      withSig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
-    val banded = withSig.select(
-      col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-        .as(Seq("band", "bucket")))
+      withSig: DataFrame, idCol: String, bands: Int, rows: Int,
+      maxBucket: Int): DataFrame = {
+    val banded = capBuckets(
+      withSig.select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
     val l = banded.alias("l")
     val r = banded.alias("r")
     // no distinct(): a pair colliding in several bands appears several
@@ -125,6 +152,52 @@ object Dedup {
           col(s"l.bucket") === col(s"r.bucket") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("i"), col(s"r.$idCol").as("j"))
+  }
+
+  /** Opt-in transitive closure over a near-dup pair set: every document
+    * gets the MINIMUM doc_id of its whole connected component, not just
+    * its one-hop neighborhood (the default contract — see the object doc).
+    * A ~ B ~ C with A !~ C then collapses all three onto A.
+    *
+    * Algorithm: label propagation fused with pointer jumping — each round
+    * takes the min label over neighbors, then follows the label one hop
+    * (label(x) ← label(label(x))). The jump doubles effective path length
+    * per round, so a chain of length L collapses in O(log L) rounds, and
+    * each round is two shuffles on id keys. Rounds stop early at a
+    * fixpoint; `maxIters` bounds the worst case (a bound the caller sees:
+    * components with diameter > 2^maxIters may stay split — log-depth
+    * makes that astronomically unlikely on real dup graphs).
+    */
+  def connectedComponents(
+      docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // symmetric edge list; self-loops harmless (min with self is identity)
+    val edges = pairs.select(col("i").as("u"), col("j").as("v"))
+      .union(pairs.select(col("j").as("u"), col("i").as("v")))
+      .transform(persistTracked)
+    var labels = attachRep(docs, pairs).select(col("doc_id"), col("rep"))
+      .transform(persistTracked)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      // min label among neighbors
+      val nbr = edges.join(labels.toDF("nid", "nrep"), col("v") === col("nid"))
+        .groupBy(col("u")).agg(min(col("nrep")).as("nbr_rep"))
+      val stepped = labels.join(nbr, labels("doc_id") === nbr("u"), "left")
+        .select(labels("doc_id"),
+          least(labels("rep"), coalesce(col("nbr_rep"), labels("rep"))).as("rep"))
+      // pointer jump: follow the label one hop (labels' domain is closed —
+      // every rep is itself a doc_id — so a left join only guards NULLs)
+      val next = stepped.join(stepped.toDF("pid", "prep"), col("rep") === col("pid"), "left")
+        .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"))
+        .transform(persistTracked)
+      converged = next.toDF("a_id", "a_rep")
+        .join(labels.toDF("b_id", "b_rep"), col("a_id") === col("b_id"))
+        .filter(col("a_rep") =!= col("b_rep"))
+        .isEmpty
+      labels = next
+      iters += 1
+    }
+    labels
   }
 
   /** Attach `rep` = min(smaller-id neighbor, self) to every doc. */
@@ -149,7 +222,8 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBandBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     // graft_shingle_hashes / graft_minhash are native codegen'd expressions
     // (one imperative pass per document, no intermediate arrays) — the
@@ -163,7 +237,8 @@ object Dedup {
       .transform(persistTracked)
 
     val candidates =
-      bandPairs(withSig.select(col("doc_id"), col("sig")), "doc_id", bands, rows)
+      bandPairs(withSig.select(col("doc_id"), col("sig")), "doc_id", bands, rows,
+        maxBandBucket)
 
     // verify true Jaccard on the hashed shingle sets (LSH gives candidates
     // only): size-ratio prefilter, then |A∩B| / (|A|+|B|−|A∩B|)
@@ -185,7 +260,8 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(
+      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 10000): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for hamming <= 3")
     // graft_simhash fuses tokenize→hash→64-bit vote into one codegen'd
     // pass per document: no explode, no 64-column aggregate, no shuffle
@@ -193,9 +269,11 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
       .transform(persistTracked)
 
-    val banded = withSig.select(
-      col("doc_id"), col("sig"),
-      posexplode(simhashBands(col("sig"), 4)).as(Seq("band", "bucket")))
+    val banded = capBuckets(
+      withSig.select(
+        col("doc_id"), col("sig"),
+        posexplode(simhashBands(col("sig"), 4)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBandBucket)
     val l = banded.alias("l")
     val r = banded.alias("r")
     val pairs = l.join(r,
@@ -218,6 +296,16 @@ object Dedup {
     * the result is identical to the naive quadratic join.
     */
   def ngramJaccard(
+      docs: DataFrame,
+      n: Int = 1,
+      threshold: Double = 0.95,
+      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame =
+    attachRep(docs, ngramJaccardPairs(docs, n, threshold, blockCols))
+
+  /** The verified (i < j) duplicate-pair set behind [[ngramJaccard]] —
+    * exposed so [[connectedComponents]] can close over the same edges.
+    */
+  def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.95,
@@ -280,7 +368,7 @@ object Dedup {
         col("ni").cast("double") + col("nj").cast("double") - col("inter"))
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("i"), col("j"))
-    attachRep(docs, pairs)
+    pairs
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets → exact cosine
@@ -291,7 +379,8 @@ object Dedup {
       embs: DataFrame,
       dim: Int = 64,
       planes: Int = 12,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBandBucket: Int = 10000): DataFrame = {
     val rnd = new scala.util.Random(42)
     val hyper: Seq[Seq[Double]] =
       Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -302,10 +391,12 @@ object Dedup {
       when(aggregate(zip_with(vecD, w, (a, b) => a * b), lit(0.0), _ + _) > 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    val withKey = embs.select(
-      col("vec_id"),
-      vecD.as("v"),
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val withKey = capBuckets(
+      embs.select(
+        col("vec_id"),
+        vecD.as("v"),
+        sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket")),
+      Seq("bucket"), maxBandBucket)
       .transform(persistTracked)
 
     val l = withKey.alias("l")

@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * typed struct so downstream filters prune on it, and the decode output
   * schema is fixed so Catalyst can column-prune around the blob.
   *
-  * The codec itself is STUBBED: this container has no image/audio
-  * libraries, so `GRFT` is a deterministic fake format — a 16-byte header
-  * (magic, width, height, channels) followed by the payload. `decode`
-  * parses exactly that. Swapping in a real codec changes only the body of
-  * [[MediaCodecStub.decode]]; every schema, partitioning, and batching
-  * decision stays.
+  * The codec dispatches on magic bytes: PNG and JPEG decode through the
+  * JDK's own `javax.imageio` (headless, no external library), and `GRFT`
+  * remains the deterministic synthetic format — a 16-byte header (magic,
+  * width, height, channels) followed by the payload — used by the oracle-
+  * gated queries so expected metadata stays analytically computable.
+  * Audio/video codecs are still stubs (nothing in the JDK decodes them);
+  * they would slot into the same [[MediaCodecStub.decode]] dispatch.
   */
 object Multimodal {
 
@@ -49,16 +50,78 @@ object Multimodal {
       bb.array()
     }
 
-    /** STUB decode: with a real library this would be e.g. an ImageIO /
-      * ffmpeg call; contractually it maps bytes → metadata + raw payload.
+    /** Format sniffing by magic bytes — the dispatch a real media pipeline
+      * performs before handing to a codec.
       */
-    def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Array[Byte]) = {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val magic = new Array[Byte](4); bb.get(magic)
-      require(java.util.Arrays.equals(magic, Magic), "not a GRFT blob")
-      val w = bb.getInt; val h = bb.getInt; val c = bb.getInt
-      val payload = new Array[Byte](bytes.length - 16); bb.get(payload)
-      (MediaMeta(docId, "GRFT", w, h, c, payload.length.toLong), payload)
+    def detectFormat(bytes: Array[Byte]): String =
+      if (bytes.length >= 4 && java.util.Arrays.equals(bytes.take(4), Magic)) "GRFT"
+      else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+      else "unknown"
+
+    /** Decode: bytes → (metadata, raw sample payload). PNG/JPEG go through
+      * `javax.imageio` (the payload is the row-major interleaved raster
+      * samples, deterministic for a given image); GRFT parses the synthetic
+      * header. ffmpeg-class formats stay stubbed — same dispatch slot.
+      */
+    def decode(docId: Long, bytes: Array[Byte]): (MediaMeta, Array[Byte]) =
+      detectFormat(bytes) match {
+        case "GRFT" =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          bb.position(4)
+          val w = bb.getInt; val h = bb.getInt; val c = bb.getInt
+          val payload = new Array[Byte](bytes.length - 16); bb.get(payload)
+          (MediaMeta(docId, "GRFT", w, h, c, payload.length.toLong), payload)
+        case fmt @ ("png" | "jpeg") =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"imageio could not decode a $fmt blob")
+          val raster = img.getRaster
+          val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val payload = new Array[Byte](w * h * c)
+          var i = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < c) {
+                payload(i) = raster.getSample(x, y, b).toByte
+                i += 1; b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (MediaMeta(docId, fmt, w, h, c, payload.length.toLong), payload)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported media format: $other")
+      }
+
+    /** Encode raw interleaved samples back to PNG (lossless — JPEG input
+      * also re-encodes as PNG so roundtrips stay bit-deterministic).
+      */
+    def encodePng(samples: Array[Byte], w: Int, h: Int, c: Int): Array[Byte] = {
+      val imgType = c match {
+        case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        case 3 => java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        case _ => java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+      }
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      val raster = img.getRaster
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < c) { raster.setSample(x, y, b, samples(i) & 0xff); i += 1; b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
@@ -114,30 +177,54 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { row =>
       val (meta, payload) = MediaCodecStub.decode(row.doc_id, row.media)
-      val out = new Array[Byte](newW * newH)
-      var y = 0
-      while (y < newH) {
-        var x = 0
-        while (x < newW) {
-          // nearest-neighbor source cell; payload is row-major w×h,
-          // truncated/padded with 0 when the fake payload is short
-          val sx = x.toLong * meta.width / newW
-          val sy = y.toLong * meta.height / newH
-          // long index: a header claiming w*h > 2^31 must zero-pad, not
-          // wrap negative and crash the bounds check
-          val idx = sy * meta.width + sx
-          out(y * newW + x) =
-            if (idx >= 0 && idx < payload.length) payload(idx.toInt) else 0
-          x += 1
-        }
-        y += 1
+      meta.format match {
+        case "GRFT" =>
+          val out = new Array[Byte](newW * newH)
+          var y = 0
+          while (y < newH) {
+            var x = 0
+            while (x < newW) {
+              // nearest-neighbor source cell; payload is row-major w×h,
+              // truncated/padded with 0 when the fake payload is short
+              val sx = x.toLong * meta.width / newW
+              val sy = y.toLong * meta.height / newH
+              // long index: a header claiming w*h > 2^31 must zero-pad, not
+              // wrap negative and crash the bounds check
+              val idx = sy * meta.width + sx
+              out(y * newW + x) =
+                if (idx >= 0 && idx < payload.length) payload(idx.toInt) else 0
+              x += 1
+            }
+            y += 1
+          }
+          // keep the doc-derived channel count; dimensions are the new ones
+          val bb = java.nio.ByteBuffer.allocate(16 + out.length)
+          bb.put(MediaCodecStub.Magic)
+          bb.putInt(newW); bb.putInt(newH); bb.putInt(meta.n_channels)
+          bb.put(out)
+          MediaRow(row.doc_id, bb.array())
+        case _ =>
+          // real image: nearest-neighbor over interleaved raster samples,
+          // re-encoded lossless PNG (deterministic, chains with decode)
+          val c = meta.n_channels
+          val out = new Array[Byte](newW * newH * c)
+          var y = 0
+          while (y < newH) {
+            var x = 0
+            while (x < newW) {
+              val sx = (x.toLong * meta.width / newW).toInt
+              val sy = (y.toLong * meta.height / newH).toInt
+              var b = 0
+              while (b < c) {
+                out((y * newW + x) * c + b) = payload((sy * meta.width + sx) * c + b)
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(row.doc_id, MediaCodecStub.encodePng(out, newW, newH, c))
       }
-      // keep the doc-derived channel count; dimensions are the new ones
-      val bb = java.nio.ByteBuffer.allocate(16 + out.length)
-      bb.put(MediaCodecStub.Magic)
-      bb.putInt(newW); bb.putInt(newH); bb.putInt(meta.n_channels)
-      bb.put(out)
-      MediaRow(row.doc_id, bb.array())
     })
   }
 

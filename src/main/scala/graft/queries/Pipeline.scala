@@ -50,6 +50,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d8_dedup_connected" -> { (s, dir) =>
+      // transitive closure over the exact ngram-Jaccard pair set: chains
+      // A~B~C collapse onto one representative even when A !~ C. The
+      // oracle recomputes the closure with a recursive CTE.
+      val d = Tables.load(s, dir, "documents")
+      Dedup.connectedComponents(d,
+        Dedup.ngramJaccardPairs(d, n = 1, threshold = 0.95,
+          blockCols = Seq(col("lang"))), maxIters = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "d5_dedup_embedding_lsh" -> { (s, dir) =>
       Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"),
         dim = 64, planes = 12, threshold = 0.95)
@@ -337,6 +348,26 @@ object Pipeline {
         |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95)
         |SELECT d.doc_id, coalesce(min(p.i), d.doc_id) AS rep
         |FROM documents d LEFT JOIN pairs p ON d.doc_id = p.j
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "d8_dedup_connected" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "d6_dedup_embedding_exact" ->

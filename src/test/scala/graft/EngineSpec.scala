@@ -240,6 +240,36 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("Filter") || plan.contains("PushedFilters"))
   }
 
+  test("explain returns the reference's (explain_type, explain_value) trees") {
+    // the two explain.slt statements (tests/slt/explain.slt:1-16), asserted
+    // on tree content rather than just statement-ok
+    val r1 = engine.run("explain select 1, 2.3, 'x', true, null").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1.keySet == Set("logical_plan", "logical_plan_opt", "physical_plan",
+      "physical_plan_spark"))
+    assert(r1("logical_plan").startsWith("LogicalProjection:"))
+    assert(r1("logical_plan").linesIterator.toSeq.last.trim == "LogicalDummyScan")
+    assert(r1("physical_plan").contains("PhysicalProjection"))
+
+    engine.run("create table ex_int(i integer, j integer)")
+    engine.run("insert into ex_int values (1, 1), (2, 2), (3, 3), (null, null)")
+    val r2 = engine.run("explain select * from ex_int").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val logical = r2("logical_plan").linesIterator.map(_.trim).toSeq
+    assert(logical.head.startsWith("LogicalProjection:"), r2("logical_plan"))
+    assert(logical.contains("LogicalGet: main.ex_int"), r2("logical_plan"))
+    // 2-space-per-level indentation like the reference renderer
+    assert(r2("logical_plan").linesIterator.toSeq(1).startsWith("  "))
+    assert(r2("physical_plan").nonEmpty && r2("physical_plan_spark").nonEmpty)
+
+    // filter + limit shapes map onto the reference vocabulary
+    val r3 = engine.run("explain select a from t1 where b > 4 limit 2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r3("logical_plan").contains("LogicalLimit: limit[2], offset[None]"))
+    assert(r3("logical_plan").contains("LogicalFilter:"))
+    assert(r3("physical_plan").contains("PhysicalLimit"))
+  }
+
   // ---- time.slt: date ± interval with CORRECT subtract semantics ----
   test("date interval arithmetic (diverging from reference negate bug, SURVEY §2.8)") {
     engine.run("create table t5(v1 date)")

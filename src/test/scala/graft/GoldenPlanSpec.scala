@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file regression net for the plan-critical queries — the Spark
+  * analogue of the reference's sqlplannertest harness
+  * (/root/reference/tests/sqlplannertest/src/lib.rs:36-41, which diffs
+  * planner output against checked-in `.planner.sql` files).
+  *
+  * PlanQualitySpec asserts targeted properties (pushdown, broadcast, no
+  * cartesian); this spec freezes the WHOLE normalized plan text so any
+  * rule/shape drift — even one the targeted asserts don't cover — fails
+  * loudly and shows the diff.
+  *
+  * Regenerate after an intentional plan change:
+  *   GRAFT_REGEN_GOLDEN=1 sbt "testOnly graft.GoldenPlanSpec"
+  * then review the diff like any other code change.
+  */
+class GoldenPlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val goldenDir = Paths.get("src/test/resources/golden")
+  private val regen = sys.env.contains("GRAFT_REGEN_GOLDEN")
+
+  /** The queries whose plan shape carries the 100-TB design decisions. */
+  private val planCritical = Seq(
+    "q1_agg",              // pushdown + pruning + partial agg
+    "q11_multi_join",      // broadcast dims, single fact shuffle
+    "d1_dedup_exact",      // fingerprint-keyed single window shuffle
+    "d3_dedup_minhash_lsh",// band-bucket equi self-join, persisted sigs
+    "tpch16_parts_supplied", // hash left-anti join
+    "e5_asof_join",        // union + running-last window
+    "e6_range_join",       // bucketed equi join
+    "a1_ann_bruteforce")   // broadcast queries + bounded-heap top-k
+
+  /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("lambda x_\\d+", "lambda x_n") // session-global counter
+      .replaceAll("@[0-9a-f]{6,}", "@x")         // object identity hashes
+      .replaceAll("file:[^\\]\\s,)]+", "file:PATH")
+      .replaceAll("Location: .*", "Location: PATH")
+      .replaceAll("(?m)\\s+$", "")
+      .trim
+
+  planCritical.foreach { name =>
+    test(s"golden plan: $name") {
+      val got = normalize(
+        SparkEntry.queries(name)(spark, dir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      val file = goldenDir.resolve(s"$name.plan")
+      if (regen || !Files.exists(file)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(file, got + "\n")
+        info(s"wrote golden ${file.toAbsolutePath}")
+      } else {
+        val want = Files.readString(file).trim
+        assert(got == want,
+          s"\nplan drift for $name — if intentional, regen with " +
+            s"GRAFT_REGEN_GOLDEN=1 and review the diff.\n" +
+            s"--- golden\n$want\n--- current\n$got")
+      }
+    }
+  }
+}

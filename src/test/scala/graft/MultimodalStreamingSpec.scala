@@ -56,6 +56,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("real PNGs decode through imageio and resize losslessly") {
+    import spark.implicits._
+    import Multimodal.{MediaCodecStub, MediaRow}
+    // author real PNGs in-memory: a deterministic RGB gradient per doc
+    def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val samples = new Array[Byte](w * h * 3)
+      var i = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          samples(i) = ((x * 7 + id) % 256).toByte
+          samples(i + 1) = ((y * 11 + id) % 256).toByte
+          samples(i + 2) = ((x + y) % 256).toByte
+          i += 3
+        }
+      }
+      MediaCodecStub.encodePng(samples, w, h, 3)
+    }
+    assert(MediaCodecStub.detectFormat(makePng(0, 4, 4)) == "png")
+    val pngs = (0L until 20L).map(id => MediaRow(id, makePng(id, 12 + id.toInt % 5, 10)))
+      .toDS().repartition(4)
+    val meta = Multimodal.decodeMeta(pngs).collect().sortBy(_.doc_id)
+    assert(meta.length == 20)
+    meta.foreach { m =>
+      assert(m.format == "png")
+      assert(m.width == 12 + m.doc_id % 5 && m.height == 10 && m.n_channels == 3)
+      assert(m.n_bytes == m.width.toLong * m.height * 3)
+    }
+    // decode returns the exact samples that were encoded (PNG is lossless)
+    val (m0, samples0) = MediaCodecStub.decode(3L, makePng(3L, 15, 10))
+    assert(samples0.length == 15 * 10 * 3)
+    assert(samples0(0) == ((0 * 7 + 3) % 256).toByte)
+    assert(m0.width == 15)
+    // resize: output is an 8x8 3-channel PNG; roundtrip decodes to 8x8
+    val resized = Multimodal.resize(pngs, newW = 8, newH = 8)
+    val rmeta = Multimodal.decodeMeta(resized).collect()
+    assert(rmeta.length == 20)
+    rmeta.foreach { m =>
+      assert(m.format == "png" && m.width == 8 && m.height == 8 && m.n_channels == 3)
+    }
+    // deterministic bytes across runs
+    val a = resized.collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    val b = Multimodal.resize(pngs, 8, 8).collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(a == b)
+    // histograms also run on real images
+    val feats = Multimodal.byteHistogram(pngs, bins = 8).collect()
+    assert(feats.length == 20)
+  }
+
   test("frame sampling emits every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
     val byDoc = frames.groupBy(col("doc_id")).count().collect()

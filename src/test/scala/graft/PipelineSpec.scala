@@ -175,6 +175,65 @@ class DedupSpec extends AnyFunSuite {
     assert(rep(1L) == 0L && rep(2L) == 0L && rep(3L) == 3L)
   }
 
+  test("band-bucket skew cap bounds degenerate buckets, keeps normal recall") {
+    // adversarial corpus: a 60-doc clique of identical text (every band is
+    // one mega bucket) plus the planted near-dup pair. With a tight cap
+    // the clique's buckets are dropped — the quadratic stage is bounded —
+    // while the near-dup pair (tiny buckets) is still found. The clique
+    // itself is exact-duplicate text, i.e. d1's job, not LSH's.
+    val cliqueText = "all work and no play makes jack a dull boy again and again forever"
+    val clique = (100L until 160L).map(i => (i, cliqueText, "en"))
+    val adversarial = docs.union(clique.toDF("doc_id", "text", "lang"))
+    val rep = Dedup.minhashLsh(adversarial, shingleLen = 3, numHashes = 32,
+      bands = 8, threshold = 0.7, maxBandBucket = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(1L) == 0L && rep(2L) == 0L, "normal near-dups still found under cap")
+    assert((100L until 160L).forall(i => rep(i) == i),
+      "capped mega-bucket docs fall back to rep=self (exact dedup's job)")
+    // without the cap the clique merges (sanity: cap was the difference)
+    val uncapped = Dedup.minhashLsh(adversarial, shingleLen = 3, numHashes = 32,
+      bands = 8, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uncapped(159L) == 100L)
+  }
+
+  test("connected components collapses chains transitively within log rounds") {
+    // chain A0~A1~...~A9 where consecutive docs are near-dups but the ends
+    // share almost nothing: single-hop rep keeps the chain split; the
+    // closure must collapse it all onto doc 0
+    val words = (0 until 40).map(i => s"w$i")
+    val chainDocs = (0 until 10).map { i =>
+      // doc i = words[3i .. 3i+12]: consecutive docs overlap 10/13 words
+      (i.toLong, words.slice(3 * i, 3 * i + 13).mkString(" "), "en")
+    }
+    val far = Seq((99L, "zz yy xx ww vv uu tt ss rr qq pp oo nn", "en"))
+    val cdocs = (chainDocs ++ far).toDF("doc_id", "text", "lang")
+    def toks(c: org.apache.spark.sql.Column) = TextFunctions.tokenSet(c)
+    val jac = size(array_intersect(toks(col("l.text")), toks(col("r.text"))))
+      .cast("double") /
+      size(array_union(toks(col("l.text")), toks(col("r.text")))).cast("double")
+    val pairs = cdocs.as("l").join(cdocs.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+    // sanity: consecutive pairs exist, ends are not directly paired
+    val pset = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 9).forall(i => pset.contains((i.toLong, i.toLong + 1))))
+    assert(!pset.contains((0L, 9L)))
+    // single-hop leaves the chain split…
+    val singleHop = cdocs.select(col("doc_id"))
+      .join(pairs, col("doc_id") === col("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(col("i")), first(col("doc_id"))).as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singleHop.values.toSet.size > 2, "chain must not be single-hop-collapsible")
+    // …the closure collapses it fully
+    val cc = Dedup.connectedComponents(cdocs, pairs, maxIters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 10).forall(i => cc(i.toLong) == 0L), s"chain must collapse: $cc")
+    assert(cc(99L) == 99L, "isolated doc keeps itself")
+  }
+
   test("embedding LSH dedup agrees with exact pairwise on real data") {
     val embs = Tables.load(spark, sf, "embeddings")
     val lsh = Dedup.embeddingCosine(embs, dim = 64, planes = 12, threshold = 0.95)
