@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -84,6 +84,16 @@ object Pipeline {
         .agg(coalesce(min(col("i")), first(e("vec_id"))).as("rep"))
         .select(col("vec_id"), col("rep"))
         .orderBy(col("vec_id"))
+    },
+
+    "c1_decontamination" -> { (s, dir) =>
+      // contamination check: corpus docs sharing a verbatim 8-gram with the
+      // "eval set" (docs with doc_id % 10 == 7 stand in for a benchmark)
+      val d = Tables.load(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        d.filter(col("doc_id") % 10 =!= 7),
+        d.filter(col("doc_id") % 10 === 7), n = 8)
+        .orderBy(col("doc_id"))
     },
 
     // ---- similarity search ----------------------------------------------
@@ -369,6 +379,24 @@ object Pipeline {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "c1_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM tok WHERE len(toks) >= 8),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 = 7),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 <> 7)
+        |SELECT cg.doc_id, count(*) AS n_shared
+        |FROM cg JOIN ev USING (g)
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
 
     "d6_dedup_embedding_exact" ->
       """WITH v AS (

@@ -257,6 +257,47 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class DecontaminateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.operators.Decontaminate
+
+  private val evalDoc =
+    "the capital of france is paris and the capital of spain is madrid today"
+  private lazy val evalSet = Seq((1000L, evalDoc)).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    // verbatim 8-gram leak from the eval doc, embedded mid-document
+    (1L, "students wrote that the capital of france is paris and the capital was remembered"),
+    // shares only shorter runs (< 8 tokens) with the eval doc
+    (2L, "the capital of france has many museums and the capital of spain has plazas"),
+    // unrelated
+    (3L, "distributed query engines shuffle partitioned data across executor nodes")
+  ).toDF("doc_id", "text")
+
+  test("flags verbatim 8-gram leaks, spares short overlaps and clean docs") {
+    val flagged = Decontaminate.ngramOverlap(corpus, evalSet, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L), s"leaked doc must be flagged: $flagged")
+    assert(!flagged.contains(2L), "sub-threshold overlap must not flag")
+    assert(!flagged.contains(3L), "clean doc must not flag")
+  }
+
+  test("clean() removes exactly the flagged documents") {
+    val kept = Decontaminate.clean(corpus, evalSet, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("n_shared counts distinct shared grams") {
+    // doc 1 shares exactly the grams inside the leaked 9-token run:
+    // "the capital of france is paris and the capital" → two 8-grams
+    val flagged = Decontaminate.ngramOverlap(corpus, evalSet, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged(1L) == 2L, s"expected 2 shared grams, got ${flagged.get(1L)}")
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark._
 
