@@ -43,6 +43,12 @@ class GraftEngine(val spark: SparkSession) {
     */
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
 
+  /** INSERTs per table since creation; drives the plan-lineage collapse in
+    * [[insertInto]].
+    */
+  private val insertCounts = mutable.Map.empty[String, Int]
+  private val CollapseEvery = 32
+
   private def register(name: String, df: DataFrame): Unit = {
     tables(name.toLowerCase) = df
     df.createOrReplaceTempView(name.toLowerCase)
@@ -612,7 +618,17 @@ class GraftEngine(val spark: SparkSession) {
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toIndexedSeq: _*)
-    register(name, target.unionByName(aligned))
+    val unioned = target.unionByName(aligned)
+    // plan-lineage cap: each INSERT union-and-replaces the view, so a long
+    // REPL session doing thousands of inserts would grow the plan linearly
+    // and slow every analysis pass. Collapse the lineage every
+    // `CollapseEvery` inserts with an eager localCheckpoint (executor-side
+    // materialization — rows never hit the driver).
+    insertCounts(name.toLowerCase) = insertCounts.getOrElse(name.toLowerCase, 0) + 1
+    if (insertCounts(name.toLowerCase) % CollapseEvery == 0)
+      register(name, unioned.localCheckpoint(eager = true))
+    else
+      register(name, unioned)
   }
 
   // ---- meta / introspection ------------------------------------------------

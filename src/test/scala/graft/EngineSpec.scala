@@ -337,6 +337,16 @@ class EngineSpec extends AnyFunSuite {
     assert(rows("select 'a;b' as v").head.head == "a;b")
   }
 
+  test("many INSERTs stay correct across the plan-lineage collapse") {
+    engine.run("create table acc_t(v int)")
+    (1 to 70).foreach(i => engine.run(s"insert into acc_t values ($i)"))
+    val got = rows("select count(*) as n, sum(v) as s from acc_t").head
+    assert(got == Seq(70L, (1 to 70).sum.toLong))
+    // the registered plan is collapsed, not a 70-deep union
+    val depth = engine.table("acc_t").queryExecution.analyzed.collect { case p => p }.size
+    assert(depth < 30, s"lineage should have been collapsed, plan has $depth nodes")
+  }
+
   test("interval as a column type (types_v2/types.rs:9-26)") {
     engine.run("create table iv_t(d interval, ym interval year to month)")
     val s = engine.table("iv_t").schema

@@ -135,6 +135,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected a left anti join:\n$p")
   }
 
+  test("c1_decontamination: eval grams broadcast; corpus text never shuffles") {
+    val p = plan("c1_decontamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval gram set must broadcast:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.forall(!_.contains("text#")),
+      s"no exchange may carry document text:\n$p")
+  }
+
   test("d1_dedup_exact: shuffle keyed on the md5 fingerprint, not raw text") {
     val p = plan("d1_dedup_exact")
     val exchangeLines = p.linesIterator
