@@ -68,6 +68,7 @@ class GraftEngine(val spark: SparkSession) {
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
     tables.clear()
+    insertCounts.clear()
   }
 
   // ---- sources ----------------------------------------------------------
@@ -141,33 +142,71 @@ class GraftEngine(val spark: SparkSession) {
     else stmts.map(runStatement).last
   }
 
-  /** Split a multi-statement block on top-level (outside string literals)
-    * semicolons; drops empty fragments (so a single trailing `;` is a
-    * no-op, not an empty statement).
+  /** Per-character "active code" mask: false inside single-quoted string
+    * literals (backslash and doubled-quote escapes), backtick-quoted
+    * identifiers, `--` line comments, and block comments. Every
+    * statement-text scanner below consults this ONE automaton instead of
+    * tracking literal state itself, so escape rules cannot drift between
+    * scanners (a `;` in a comment must not split a statement exactly like
+    * a `;` in a string must not).
+    */
+  private def codeMask(s: String): Array[Boolean] = {
+    val n = s.length
+    val mask = new Array[Boolean](n) // default false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = s.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == '\'' && i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+          else if (d == '\'') { i += 1; closed = true }
+          else i += 1
+        }
+      } else if (c == '`') {
+        i += 1
+        while (i < n && s.charAt(i) != '`') i += 1
+        if (i < n) i += 1
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else {
+        mask(i) = true
+        i += 1
+      }
+    }
+    mask
+  }
+
+  /** Split a multi-statement block on active-code semicolons; drops empty
+    * fragments (so a single trailing `;` is a no-op, not an empty
+    * statement). Comments and quoted text travel with their statement.
     */
   private[engine] def splitStatements(sql: String): Seq[String] = {
+    val mask = codeMask(sql)
     val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var inStr = false
+    // a statement starts at its first ACTIVE non-whitespace char: leading
+    // comments are routing noise (`-- note\ninsert …` must route as an
+    // INSERT); a fragment that is pure comment is no statement at all
+    def emit(start: Int, end: Int): Unit = {
+      var s = start
+      while (s < end && !(mask(s) && !sql.charAt(s).isWhitespace)) s += 1
+      val stmt = sql.substring(s, end).trim
+      if (stmt.nonEmpty) out += stmt
+    }
+    var start = 0
     var i = 0
-    val n = sql.length
-    while (i < n) {
-      val c = sql.charAt(i)
-      if (inStr) {
-        cur += c
-        if (c == '\\' && i + 1 < n) { cur += sql.charAt(i + 1); i += 1 }
-        else if (c == '\'') {
-          if (i + 1 < n && sql.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
-          else inStr = false
-        }
-      } else if (c == '\'') { inStr = true; cur += c }
-      else if (c == ';') {
-        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-        cur.clear()
-      } else cur += c
+    while (i < sql.length) {
+      if (mask(i) && sql.charAt(i) == ';') { emit(start, i); start = i + 1 }
       i += 1
     }
-    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    emit(start, sql.length)
     out.result()
   }
 
@@ -264,13 +303,14 @@ class GraftEngine(val spark: SparkSession) {
     * tagged by the parser (Cast.USER_SPECIFIED_CAST) and stay allowed.
     */
   private def rejectVarcharNumericComparison(df: DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, Expression}
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, Expression, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     def origType(e: Expression): DataType = e match {
       case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => origType(c.child)
       case other => other.dataType
     }
-    df.queryExecution.analyzed.foreach { plan =>
-      plan.expressions.foreach { root =>
+    def checkPlan(p: LogicalPlan): Unit = p.foreach { node =>
+      node.expressions.foreach { root =>
         root.foreach {
           case cmp: BinaryComparison =>
             val (l, r) = (origType(cmp.left), origType(cmp.right))
@@ -279,10 +319,14 @@ class GraftEngine(val spark: SparkSession) {
               throw new IllegalArgumentException(
                 s"cannot compare Varchar with ${if (isNum(l)) l.simpleString else r.simpleString}: " +
                   "no implicit Varchar↔numeric cast (reference types_v2/types.rs:138-200)")
+          // subquery plans hang off expressions, not the outer plan tree —
+          // descend so `where x in (select … where 'abc' > 10)` also rejects
+          case sub: SubqueryExpression => checkPlan(sub.plan)
           case _ => ()
         }
       }
     }
+    checkPlan(df.queryExecution.analyzed)
   }
 
   /** Reference error semantics: a subquery in FROM must carry an alias
@@ -294,78 +338,67 @@ class GraftEngine(val spark: SparkSession) {
     */
   private def requireFromSubqueryAlias(sql: String): Unit = {
     val fromPos = topLevelKeyword(sql, "from", 0).getOrElse(return)
+    val mask = codeMask(sql)
     val n = sql.length
     var i = fromPos
-    var inStr = false
     var depth = 0
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
-      val c = sql.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1
-        else if (c == '\'') {
-          if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 1 else inStr = false
+      if (mask(i)) {
+        val c = sql.charAt(i)
+        if (c == ')') depth -= 1
+        else if (c == '(') {
+          // token immediately before the paren decides whether this is a
+          // FROM item (from/,/join) or an expression paren (function call…)
+          var p = i - 1
+          while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+          val before =
+            if (p >= 0 && sql.charAt(p) == ',') ","
+            else {
+              var q = p
+              while (q >= 0 && isWord(sql.charAt(q))) q -= 1
+              sql.substring(q + 1, p + 1).toLowerCase
+            }
+          val close = if (depth == 0 && Set("from", ",", "join").contains(before))
+            matchingParen(sql, i, mask) else -1
+          if (close > 0) {
+            val firstWord = sql.substring(i + 1, close).trim
+              .takeWhile(isWord).toLowerCase
+            if (firstWord == "select") {
+              var j = close + 1
+              while (j < n && sql.charAt(j).isWhitespace) j += 1
+              // a backtick-quoted identifier after the paren IS an alias
+              val aliased = j < n && sql.charAt(j) == '`'
+              val next =
+                if (j >= n) ""
+                else if (sql.charAt(j) == ',') ","
+                else sql.substring(j).takeWhile(isWord).toLowerCase
+              val clauseStarters = Set("", ",", "where", "group", "order", "limit",
+                "having", "union", "intersect", "except", "on", "join", "inner",
+                "left", "right", "full", "cross", "natural", "offset")
+              if (!aliased && clauseStarters.contains(next))
+                throw new IllegalArgumentException(
+                  "subquery in FROM must have an alias (reference v1 binder, tests/slt/subquery.slt:5)")
+            }
+            i = close // item consumed; nested FROMs are the subquery's own
+          } else depth += 1
         }
-      } else if (c == '\'') inStr = true
-      else if (c == ')') depth -= 1
-      else if (c == '(') {
-        // token immediately before the paren decides whether this is a
-        // FROM item (from/,/join) or an expression paren (function call…)
-        var p = i - 1
-        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
-        val before =
-          if (p >= 0 && sql.charAt(p) == ',') ","
-          else {
-            var q = p
-            while (q >= 0 && isWord(sql.charAt(q))) q -= 1
-            sql.substring(q + 1, p + 1).toLowerCase
-          }
-        val close = if (depth == 0 && Set("from", ",", "join").contains(before))
-          matchingParen(sql, i) else -1
-        if (close > 0) {
-          val firstWord = sql.substring(i + 1, close).trim
-            .takeWhile(isWord).toLowerCase
-          if (firstWord == "select") {
-            var j = close + 1
-            while (j < n && sql.charAt(j).isWhitespace) j += 1
-            val next =
-              if (j >= n) ""
-              else if (sql.charAt(j) == ',') ","
-              else sql.substring(j).takeWhile(isWord).toLowerCase
-            val clauseStarters = Set("", ",", "where", "group", "order", "limit",
-              "having", "union", "intersect", "except", "on", "join", "inner",
-              "left", "right", "full", "cross", "natural", "offset")
-            if (clauseStarters.contains(next))
-              throw new IllegalArgumentException(
-                "subquery in FROM must have an alias (reference v1 binder, tests/slt/subquery.slt:5)")
-          }
-          i = close // item consumed; nested FROMs are the subquery's own
-        } else depth += 1
       }
       i += 1
     }
   }
 
-  /** Index of the `)` matching the `(` at `open` (string-literal-aware);
+  /** Index of the `)` matching the `(` at `open` (active code only);
     * -1 if unbalanced.
     */
-  private def matchingParen(s: String, open: Int): Int = {
+  private def matchingParen(s: String, open: Int, mask: Array[Boolean]): Int = {
     var depth = 0
-    var inStr = false
     var i = open
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1
-        else if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inStr = false
-        }
-      } else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ => ()
+    while (i < s.length) {
+      if (mask(i)) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
       }
       i += 1
     }
@@ -417,30 +450,21 @@ class GraftEngine(val spark: SparkSession) {
     * boundaries that ignore subqueries and string literals.
     */
   private def topLevelKeyword(s: String, kw: String, from: Int): Option[Int] = {
-    var depth = 0; var inStr = false
+    val mask = codeMask(s)
+    var depth = 0
     var i = 0
     val n = s.length
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
-      val c = s.charAt(i)
-      if (inStr) {
-        // Spark string literals escape with backslash ('don\'t') or a
-        // doubled quote (''); both must not terminate the literal
-        if (c == '\\') i += 1
-        else if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') i += 1 else inStr = false
-        }
-      }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && i >= from &&
-            s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || !isWord(s.charAt(i - 1))) &&
-            (i + kw.length >= n || !isWord(s.charAt(i + kw.length))))
-            return Some(i)
+      if (mask(i)) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && i >= from &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isWord(s.charAt(i - 1))) &&
+          (i + kw.length >= n || !isWord(s.charAt(i + kw.length))))
+          return Some(i)
       }
       i += 1
     }
@@ -452,27 +476,18 @@ class GraftEngine(val spark: SparkSession) {
     * inside '...' text must stay untouched).
     */
   private def replaceIdentifier(text: String, ident: String, repl: String): String = {
+    val mask = codeMask(text)
     val out = new StringBuilder
-    var inStr = false
     var i = 0
     val n = text.length
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
-      val c = text.charAt(i)
-      if (!inStr && c == '\'') { inStr = true; out += c; i += 1 }
-      else if (inStr) {
-        if (c == '\\' && i + 1 < n) { out += c; out += text.charAt(i + 1); i += 2 }
-        else if (c == '\'' && i + 1 < n && text.charAt(i + 1) == '\'') {
-          out ++= "''"; i += 2
-        }
-        else { if (c == '\'') inStr = false; out += c; i += 1 }
-      }
-      else if (text.regionMatches(true, i, ident, 0, ident.length) &&
+      if (mask(i) && text.regionMatches(true, i, ident, 0, ident.length) &&
         (i == 0 || !isWord(text.charAt(i - 1))) &&
         (i + ident.length >= n || !isWord(text.charAt(i + ident.length)))) {
         out ++= repl
         i += ident.length
-      } else { out += c; i += 1 }
+      } else { out += text.charAt(i); i += 1 }
     }
     out.toString
   }
@@ -481,30 +496,22 @@ class GraftEngine(val spark: SparkSession) {
     * and quotes).
     */
   private def splitTopLevel(s: String): Seq[String] = {
+    val mask = codeMask(s)
     val out = mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; val cur = new StringBuilder
+    var depth = 0
+    var start = 0
     var i = 0
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (inStr) {
-        cur += c
-        if (c == '\\' && i + 1 < n) { cur += s.charAt(i + 1); i += 1 }
-        else if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
-          else inStr = false
-        }
-      } else c match {
-        case '\'' => inStr = true; cur += c
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
+    while (i < s.length) {
+      if (mask(i)) s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
       }
       i += 1
     }
-    if (cur.nonEmpty) out += cur.toString
-    out.toSeq
+    out += s.substring(start)
+    out.filter(_.trim.nonEmpty).toSeq
   }
 
   // ---- DDL/DML helpers ---------------------------------------------------
@@ -594,8 +601,10 @@ class GraftEngine(val spark: SparkSession) {
     val byName = incoming.zip(values.columns).toMap
     // unsigned-origin range enforcement (tests/slt/insert_table.slt:50):
     // validated on the INCOMING values, before the widening cast can wrap.
-    // One cheap filter job per INSERT, but only on tables declaring
-    // unsigned columns — parity cost the reference also pays at execution.
+    // The source is materialized ONCE (executor-side localCheckpoint) so
+    // validation and insertion see the same rows even for a
+    // non-deterministic INSERT..SELECT — otherwise a rand()-style source
+    // could pass the check and then re-evaluate out of range on insert.
     val rangeViolations = schema.fields.flatMap { f =>
       if (f.metadata.contains(UnsignedMaxKey)) {
         byName.get(f.name).map { src =>
@@ -606,12 +615,17 @@ class GraftEngine(val spark: SparkSession) {
         }
       } else None
     }
-    if (rangeViolations.nonEmpty &&
-      !values.filter(rangeViolations.reduce(_ || _)).isEmpty)
-      throw new IllegalArgumentException(
-        s"INSERT value out of range for unsigned column in $name " +
-          "(reference can_implicit_cast, types_v2/types.rs:138-200)")
-    val aligned = values.select(
+    val source =
+      if (rangeViolations.isEmpty) values
+      else {
+        val once = values.localCheckpoint(true)
+        if (!once.filter(rangeViolations.reduce(_ || _)).isEmpty)
+          throw new IllegalArgumentException(
+            s"INSERT value out of range for unsigned column in $name " +
+              "(reference can_implicit_cast, types_v2/types.rs:138-200)")
+        once
+      }
+    val aligned = source.select(
       schema.fields.map { f =>
         byName.get(f.name) match {
           case Some(src) => col(src).cast(f.dataType).as(f.name)

@@ -261,8 +261,13 @@ object Dedup {
     * hamming-distance verification.
     */
   def simhash(
-      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 10000): DataFrame = {
+      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 0): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for hamming <= 3")
+    // maxBandBucket is OPT-IN here (0 = off), unlike minhashLsh: capping a
+    // simhash band silently voids the hamming<=3 recall guarantee above,
+    // and unlike minhash mega-buckets the dropped docs are not necessarily
+    // exact duplicates that d1 would catch. Enable it knowingly on
+    // adversarial corpora.
     // graft_simhash fuses tokenize→hash→64-bit vote into one codegen'd
     // pass per document: no explode, no 64-column aggregate, no shuffle
     val withSig = docs
@@ -380,7 +385,10 @@ object Dedup {
       dim: Int = 64,
       planes: Int = 12,
       threshold: Double = 0.95,
-      maxBandBucket: Int = 10000): DataFrame = {
+      // OPT-IN (0 = off): the hyperplane bucket is the ONLY candidate
+      // source here, and embeddings have no exact-dedup fallback — a
+      // default cap would silently drop true duplicates in dense regions
+      maxBandBucket: Int = 0): DataFrame = {
     val rnd = new scala.util.Random(42)
     val hyper: Seq[Seq[Double]] =
       Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))

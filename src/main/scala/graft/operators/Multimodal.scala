@@ -79,6 +79,10 @@ object Multimodal {
           require(img != null, s"imageio could not decode a $fmt blob")
           val raster = img.getRaster
           val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+          // >8-bit samples (16-bit PNG) downscale by shifting the high
+          // bits — a defined 8-bit reduction, not a low-byte truncation
+          val shift = Array.tabulate(c)(b =>
+            math.max(0, raster.getSampleModel.getSampleSize(b) - 8))
           val payload = new Array[Byte](w * h * c)
           var i = 0; var y = 0
           while (y < h) {
@@ -86,7 +90,7 @@ object Multimodal {
             while (x < w) {
               var b = 0
               while (b < c) {
-                payload(i) = raster.getSample(x, y, b).toByte
+                payload(i) = (raster.getSample(x, y, b) >> shift(b)).toByte
                 i += 1; b += 1
               }
               x += 1
@@ -102,12 +106,26 @@ object Multimodal {
       * also re-encodes as PNG so roundtrips stay bit-deterministic).
       */
     def encodePng(samples: Array[Byte], w: Int, h: Int, c: Int): Array[Byte] = {
-      val imgType = c match {
-        case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
-        case 3 => java.awt.image.BufferedImage.TYPE_3BYTE_BGR
-        case _ => java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+      val img = c match {
+        case 1 => new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        case 2 =>
+          // gray + alpha has no predefined BufferedImage type; a 2-band
+          // ComponentColorModel raster keeps both bands addressable (the
+          // 4-band fallback would leave alpha unwritten → transparent)
+          val cs = java.awt.color.ColorSpace.getInstance(
+            java.awt.color.ColorSpace.CS_GRAY)
+          val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+            java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+          new java.awt.image.BufferedImage(
+            cm, cm.createCompatibleWritableRaster(w, h), false, null)
+        case 3 => new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        case 4 => new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+        case other => throw new IllegalArgumentException(
+          s"unsupported channel count for PNG encode: $other")
       }
-      val img = new java.awt.image.BufferedImage(w, h, imgType)
       val raster = img.getRaster
       var i = 0; var y = 0
       while (y < h) {

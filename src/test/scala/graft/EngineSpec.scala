@@ -335,6 +335,23 @@ class EngineSpec extends AnyFunSuite {
     assert(got.collect().head.getLong(0) == 3L)
     // a ; inside a string literal never splits
     assert(rows("select 'a;b' as v").head.head == "a;b")
+    // …nor inside a backtick identifier, a line comment, or a block comment
+    assert(rows("select 1 as `a;b`").head.head == 1)
+    assert(rows("select 1 as v -- note; more\n").head.head == 1)
+    assert(rows("select /* x; y */ 2 as v").head.head == 2)
+    // comments travel with their statement in a multi-statement block
+    val multi = engine.run(
+      "create table msc_t(a int); -- seed; data\ninsert into msc_t values (5); select a from msc_t;")
+    assert(multi.collect().head.getInt(0) == 5)
+  }
+
+  test("strictness checks see through quoting and subqueries") {
+    // backtick-quoted subquery alias is an alias, not a missing one
+    assert(rows("select a from (select a from t1) `sq`").nonEmpty)
+    // varchar↔numeric rejection applies inside subqueries too
+    intercept[IllegalArgumentException] {
+      rows("select a from t1 where a in (select a from t1 where 'abc' > 10)")
+    }
   }
 
   test("many INSERTs stay correct across the plan-lineage collapse") {

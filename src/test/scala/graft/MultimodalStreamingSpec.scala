@@ -104,6 +104,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 20)
   }
 
+  test("gray+alpha (2-band) and 16-bit PNGs decode and re-encode correctly") {
+    import spark.implicits._
+    import Multimodal.{MediaCodecStub, MediaRow}
+    // 2-band gray+alpha roundtrip: encode → decode preserves both bands
+    val ga = Array.tabulate(6 * 4 * 2)(i => ((i * 13) % 256).toByte)
+    val png2 = MediaCodecStub.encodePng(ga, 6, 4, 2)
+    val (m2, back2) = MediaCodecStub.decode(7L, png2)
+    assert(m2.n_channels == 2 && m2.width == 6 && m2.height == 4)
+    assert(back2.toSeq == ga.toSeq, "gray+alpha samples must roundtrip losslessly")
+    // resize keeps the 2-band layout
+    val resized = Multimodal.resize(
+      Seq(MediaRow(7L, png2)).toDS(), newW = 3, newH = 2).collect().head
+    val (mr, _) = MediaCodecStub.decode(7L, resized.media)
+    assert(mr.n_channels == 2 && mr.width == 3 && mr.height == 2)
+
+    // 16-bit grayscale: samples downscale by >>8, not low-byte truncation
+    val img16 = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 4).foreach(y => (0 until 4).foreach { x =>
+      img16.getRaster.setSample(x, y, 0, (x + y * 4) * 4096) // 0, 4096, …
+    })
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", out)
+    val (m16, s16) = MediaCodecStub.decode(8L, out.toByteArray)
+    assert(m16.n_channels == 1)
+    val expected = (0 until 16).map(i => ((i * 4096) >> 8).toByte)
+    assert(s16.toSeq == expected,
+      s"16-bit samples must shift high bits: ${s16.toSeq} vs $expected")
+  }
+
   test("frame sampling emits every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
     val byDoc = frames.groupBy(col("doc_id")).count().collect()
