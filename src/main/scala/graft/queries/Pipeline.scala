@@ -212,6 +212,22 @@ object Pipeline {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    "t8_top_tokens" -> { (s, dir) =>
+      // per-language top-5 vocabulary: corpus-stat query through the
+      // custom bounded-heap TopKPerKey operator (not a window sort) — at
+      // scale the per-language token-count set is huge and a full sort per
+      // partition key is exactly what the operator exists to avoid. Total
+      // order (cnt desc, tok asc) keeps ties deterministic for the oracle.
+      val d = Tables.load(s, dir, "documents")
+      val counts = d
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.plans.TopKPerKey(counts,
+        Seq(col("lang")), Seq(col("cnt").desc, col("tok").asc), 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+
     "d7_label_centroids" -> { (s, dir) =>
       // per-label embedding centroid — the k-means update step as a query:
       // posexplode to (label, dim, value), decimal-summed per cell so the
@@ -506,6 +522,19 @@ object Pipeline {
         |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t8_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, tok, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS INTEGER) AS rank
+        |  FROM cnts)
+        |SELECT lang, tok, cnt, rank FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "d7_label_centroids" ->
       """WITH x AS (
