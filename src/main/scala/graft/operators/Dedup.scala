@@ -169,13 +169,23 @@ object Dedup {
     * makes that astronomically unlikely on real dup graphs).
     */
   def connectedComponents(
-      docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+      docs: DataFrame, pairs0: DataFrame, maxIters: Int = 10): DataFrame = {
+    // the pair set is typically the output of an expensive similarity
+    // join; it feeds BOTH the edge list and the initial labels, so persist
+    // it once instead of re-running the verify join per consumer
+    val pairs = persistTracked(pairs0)
     // symmetric edge list; self-loops harmless (min with self is identity)
     val edges = pairs.select(col("i").as("u"), col("j").as("v"))
       .union(pairs.select(col("j").as("u"), col("i").as("v")))
       .transform(persistTracked)
+    // Iterative self-joins DOUBLE the logical plan per round (the pointer
+    // jump references `labels` twice), so lineage must be TRUNCATED each
+    // iteration, not merely cached: with persist alone the plan tree is
+    // 2^rounds copies of the base plan and Spark OOMs just rendering it.
+    // localCheckpoint(eager) materializes executor-side and replaces the
+    // plan with an RDD scan — the standard iterative-algorithm discipline.
     var labels = attachRep(docs, pairs).select(col("doc_id"), col("rep"))
-      .transform(persistTracked)
+      .localCheckpoint(true)
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
@@ -184,17 +194,19 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("nrep")).as("nbr_rep"))
       val stepped = labels.join(nbr, labels("doc_id") === nbr("u"), "left")
         .select(labels("doc_id"),
-          least(labels("rep"), coalesce(col("nbr_rep"), labels("rep"))).as("rep"))
+          least(labels("rep"), coalesce(col("nbr_rep"), labels("rep"))).as("rep"),
+          labels("rep").as("prev_rep"))
       // pointer jump: follow the label one hop (labels' domain is closed —
-      // every rep is itself a doc_id — so a left join only guards NULLs)
-      val next = stepped.join(stepped.toDF("pid", "prep"), col("rep") === col("pid"), "left")
-        .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"))
-        .transform(persistTracked)
-      converged = next.toDF("a_id", "a_rep")
-        .join(labels.toDF("b_id", "b_rep"), col("a_id") === col("b_id"))
-        .filter(col("a_rep") =!= col("b_rep"))
-        .isEmpty
-      labels = next
+      // every rep is itself a doc_id — so a left join only guards NULLs).
+      // prev_rep rides along so convergence is a filter on the checkpointed
+      // frame, not another join job per round.
+      val next = stepped.join(stepped.toDF("pid", "prep", "pprev"),
+          col("rep") === col("pid"), "left")
+        .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),
+          stepped("prev_rep"))
+        .localCheckpoint(true)
+      converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
+      labels = next.select(col("doc_id"), col("rep"))
       iters += 1
     }
     labels

@@ -54,10 +54,28 @@ object Pipeline {
       // transitive closure over the exact ngram-Jaccard pair set: chains
       // A~B~C collapse onto one representative even when A !~ C. The
       // oracle recomputes the closure with a recursive CTE.
+      //
+      // Exact-duplicate texts are collapsed FIRST (one representative per
+      // md5 fingerprint — identical docs have Jaccard 1 and are trivially
+      // one component), and pair generation + closure run on the
+      // representatives only. Without this, an m-clique of identical docs
+      // materializes O(m²) edges — measured: OOM at sf0.1's duplicate
+      // cluster sizes, and fatal at 100 TB. The result is unchanged: the
+      // component minimum over representatives IS the component minimum
+      // over documents, because each rep0 is already its clique's min.
       val d = Tables.load(s, dir, "documents")
-      Dedup.connectedComponents(d,
-        Dedup.ngramJaccardPairs(d, n = 1, threshold = 0.95,
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val withRep0 = d
+        .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"))
+        .withColumn("rep0", min(col("doc_id")).over(w))
+      val reps = withRep0.filter(col("doc_id") === col("rep0"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val cc = Dedup.connectedComponents(reps,
+        Dedup.ngramJaccardPairs(reps, n = 1, threshold = 0.95,
           blockCols = Seq(col("lang"))), maxIters = 8)
+      withRep0.select(col("doc_id"), col("rep0"))
+        .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
+        .select(col("doc_id"), col("rep"))
         .orderBy(col("doc_id"))
     },
 
