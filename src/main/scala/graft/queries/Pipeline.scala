@@ -230,6 +230,25 @@ object Pipeline {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    "p2_sequence_packing" -> { (s, dir) =>
+      // pretraining sequence packing in the concat-then-chunk model: per
+      // language, documents concatenate in doc_id order and split at
+      // context-window boundaries (2048 tokens); seq_no is the window each
+      // document STARTS in. One running-sum window per language — a single
+      // shuffle keyed on lang, no driver loop, deterministic under any
+      // partitioning because the order (lang, doc_id) is total.
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      d.select(col("doc_id"), col("lang"), st.getField("n_tokens").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("seq_no",
+          floor((col("cum") - col("ntok")).cast("double") / 2048.0).cast("long"))
+        .select(col("doc_id"), col("lang"), col("ntok"), col("seq_no"))
+        .orderBy(col("doc_id"))
+    },
+
     "t8_top_tokens" -> { (s, dir) =>
       // per-language top-5 vocabulary: corpus-stat query through the
       // custom bounded-heap TopKPerKey operator (not a window sort) — at
@@ -540,6 +559,16 @@ object Pipeline {
         |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p2_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |  FROM documents)
+        |SELECT doc_id, lang, ntok,
+        |  CAST(floor(CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS DOUBLE) / 2048.0) AS BIGINT) AS seq_no
+        |FROM tok ORDER BY doc_id""".stripMargin,
 
     "t8_top_tokens" ->
       """WITH tok AS (
