@@ -188,7 +188,7 @@ class GraftEngine(val spark: SparkSession) {
     * fragments (so a single trailing `;` is a no-op, not an empty
     * statement). Comments and quoted text travel with their statement.
     */
-  private[engine] def splitStatements(sql: String): Seq[String] = {
+  private[graft] def splitStatements(sql: String): Seq[String] = {
     val mask = codeMask(sql)
     val out = Vector.newBuilder[String]
     // a statement starts at its first ACTIVE non-whitespace char: leading

@@ -30,8 +30,12 @@ object EventsStream {
     * parquet file (the driver testdata layout) we stage a symlink inside a
     * temp directory — zero copy, still exercises the real file source.
     */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+  /** Stream-source staging: the file source wants a directory; when the
+    * testdata is a single parquet file, symlink it into a temp dir (zero
+    * copy, still the real file source).
+    */
+  private def stageDir(path: String): String = {
+    val raw = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(raw)) raw
       else {
@@ -39,14 +43,28 @@ object EventsStream {
           sys.props("java.io.tmpdir"),
           s"graft-stream-${math.abs(raw.toString.hashCode)}")
         java.nio.file.Files.createDirectories(d)
-        val link = d.resolve("events.parquet")
+        val link = d.resolve(raw.getFileName)
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(link, raw)
         d
       }
+    dir.toString
+  }
+
+  /** The documents table as a stream — the shape of a continuously-fed
+    * curation pipeline; stateless ops ([[graft.operators.Decontaminate]],
+    * text stats) apply unchanged to this frame.
+    */
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .parquet(stageDir(s"$sfDir/documents.parquet"))
+  }
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.readStream
       .schema(eventsSchema)
-      .parquet(dir.toString)
+      .parquet(stageDir(s"$sfDir/events.parquet"))
       .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
   }
 

@@ -129,4 +129,26 @@ object KernelProperties extends Properties("graft.kernels") {
       TextHashing.normText(UTF8String.fromString(s)).toString ==
         refTokens(s).mkString(" ")
     }
+
+  // ---- statement splitting (engine scanner) ------------------------------
+
+  /** Statement bodies that cannot themselves contain a top-level `;`:
+    * word runs, quoted strings with embedded semicolons/escapes, backtick
+    * identifiers, and comments.
+    */
+  private val stmtAtom: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.suchThat(_.nonEmpty).map("select " + _),
+    Gen.const("select 'a;b'"),
+    Gen.const("select 'don\\'t; stop'"),
+    Gen.const("select 'it''s; fine'"),
+    Gen.const("select 1 as `a;b`"),
+    Gen.const("select 1 -- trailing; comment\nfrom t"),
+    Gen.const("select /* block; comment */ 2"))
+
+  property("splitStatements recovers the statements joined with ';'") =
+    forAll(Gen.nonEmptyListOf(stmtAtom)) { stmts =>
+      val engine = new graft.engine.GraftEngine(null)
+      val joined = stmts.mkString("; ") + ";"
+      engine.splitStatements(joined) == stmts.map(_.trim)
+    }
 }

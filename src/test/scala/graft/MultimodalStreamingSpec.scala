@@ -340,4 +340,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == batch)
   }
+  test("streaming decontamination matches the batch answer") {
+    import graft.operators.Decontaminate
+    // eval set is static/broadcast; the corpus arrives as a stream — the
+    // continuously-fed curation shape. The gram join is stream-static and
+    // stateless; only the per-doc count aggregate holds state.
+    val batchDocs = Tables.load(spark, sf, "documents")
+    val evalSet = batchDocs.filter(col("doc_id") % 10 === 7)
+    val streamCorpus = EventsStream.readDocuments(spark, sf)
+      .filter(col("doc_id") % 10 =!= 7)
+    val got = EventsStream.runToMemory(
+      Decontaminate.ngramOverlap(streamCorpus, evalSet, n = 8),
+      "decon_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Decontaminate
+      .ngramOverlap(batchDocs.filter(col("doc_id") % 10 =!= 7), evalSet, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
+  }
 }
