@@ -184,6 +184,79 @@ object Tpch {
           col("o_orderdate"), col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    },
+
+    // Q5: local-supplier volume — the 6-table join cycle (customer and
+    // supplier must share a nation). Dimension chain broadcasts; the two
+    // fact tables meet in one shuffle join; the cycle condition
+    // c_nationkey = s_nationkey closes as a residual on the joined row.
+    "tpch5_local_supplier_volume" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("rev"))
+        .orderBy(col("rev").desc, col("n_name").asc)
+    },
+
+    // Q12 shape: conditional aggregation over a join — counts of
+    // high/low-priority orders per line status (no shipmode column in this
+    // schema; the CASE-bucketed agg over the join is the shape)
+    "tpch12_priority_shipping" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = Tables.load(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Q13: customer order-count distribution — the outer-join histogram
+    // (two stacked aggregations; customers with zero orders count too)
+    "tpch13_customer_distribution" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q17: small-quantity-order revenue — correlated per-part average.
+    // The threshold l_quantity < 0.2·avg(qty) is compared as
+    // 5·qty·count < sum(qty) in EXACT decimal/integer arithmetic: a
+    // double-rounded average could flip rows at the boundary between
+    // engines, an exactness trick the float form cannot give.
+    "tpch17_small_quantity_revenue" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#2")
+      val perPart = li.groupBy(col("l_partkey").as("ag_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("cnt"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(perPart, li("l_partkey") === col("ag_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") < col("sq"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     }
   )
 
@@ -292,6 +365,53 @@ object Tpch {
         |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 205.0) big
         |JOIN orders ON big.l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "tpch5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY rev DESC, n_name ASC""".stripMargin,
+
+    "tpch12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "tpch13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch17_small_quantity_revenue" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS ag_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN per_part ON l_partkey = ag_partkey
+        |WHERE p_brand = 'Brand#2'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin
   )
 }

@@ -128,6 +128,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), s"no window sort in the ANN path:\n$p")
   }
 
+  test("tpch5: 6-table join cycle — dimensions broadcast, one fact shuffle") {
+    val p = plan("tpch5_local_supplier_volume")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 4,
+      s"customer/supplier/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val shuffleJoins =
+      nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin")
+    assert(shuffleJoins <= 1, s"only lineitem⋈orders may shuffle:\n$p")
+  }
+
   test("tpch16: NOT EXISTS plans as a hash anti join, never nested-loop") {
     val p = plan("tpch16_parts_supplied")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
