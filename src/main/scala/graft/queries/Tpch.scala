@@ -257,6 +257,83 @@ object Tpch {
         .join(perPart, li("l_partkey") === col("ag_partkey"))
         .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") < col("sq"))
         .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    // Q1 full: the 8-aggregate pricing summary. Intermediates are cast to
+    // DECIMAL(12,2) so the three-factor product stays inside DECIMAL(38,6)
+    // with NO scale reduction — Spark truncates scale (with rounding) on
+    // decimal overflow while DuckDB widens, so an exactly-representable
+    // intermediate is the only hash-stable form. Averages are exact
+    // decimal sums divided by the group count, cast to double at the end.
+    "tpch1_pricing_summary" -> { (s, dir) =>
+      val d2 = (c: Column) => c.cast("decimal(12,2)")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      val one = lit(1).cast("decimal(12,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))) *
+            (one + d2(col("l_tax")))).cast("double").as("sum_charge"),
+          // exact decimal sum → double, THEN divide: decimal division
+          // rounds at engine-specific scales, double division of identical
+          // operands is bit-identical
+          (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(d2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Q7: volume shipping between two nations — the double-dimension join
+    // (nation joined twice under different roles) with a symmetric
+    // either-direction predicate and a year-grouped aggregate
+    "tpch7_volume_shipping" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val n1 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nkey"))
+        .filter(
+          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("rev"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q22: wealthy inactive customers — scalar average threshold + anti
+    // join. The `c_acctbal > avg(...)` comparison runs as
+    // bal·count > sum in exact decimal arithmetic (same boundary-exactness
+    // trick as Q17). Every synthetic customer has orders, so "inactive"
+    // is adapted to "no URGENT orders" — the anti-join-on-subset shape is
+    // preserved and the result set stays non-empty.
+    "tpch22_inactive_customers" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val pos = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sbal"),
+          count(lit(1)).as("nbal"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("nbal") > col("sbal"))
+        .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }
   )
 
@@ -412,6 +489,54 @@ object Tpch {
         |JOIN part ON l_partkey = p_partkey
         |JOIN per_part ON l_partkey = ag_partkey
         |WHERE p_brand = 'Brand#2'
-        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
+
+    "tpch1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+        |      (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch22_inactive_customers" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sbal, count(*) AS nbal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nbal > sbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }
