@@ -334,6 +334,110 @@ object Tpch {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // Q8: national market share — per-year ratio of one supplier-nation's
+    // revenue to total revenue in a region's market. The case-sum /
+    // total-sum ratio stays in exact decimals until one final double
+    // division.
+    "tpch8_market_share" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val n1 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey"))
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val volume = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("c_rkey") === r("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_1", volume)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(volume).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q9 shape: product-type profit by nation and year (no partsupp table:
+    // cost is p_retailprice·quantity, preserving the two-sided decimal
+    // profit expression and the nation×year rollup)
+    "tpch9_product_profit" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val p = Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val profit =
+        col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) -
+          col("p_retailprice").cast("decimal(12,2)") *
+            col("l_quantity").cast("decimal(12,2)")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q11 shape: important stock — per-key value share against a global
+    // scalar threshold (no partsupp: value is lineitem extendedprice per
+    // part). The HAVING-vs-scalar-subquery comparison stays in exact
+    // decimals.
+    "tpch11_important_stock" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_d"))
+      val total = perPart.agg(sum(col("value_d")).as("tot"),
+        count(lit(1)).as("np"))
+      perPart.crossJoin(broadcast(total))
+        // keep parts holding > 1.5× the mean per-part value — exact
+        // integer/decimal comparison value·np·2 > 3·tot (the synthetic
+        // value distribution is near-uniform, so a fixed 0.1%-of-total cut
+        // would select nothing)
+        .filter(col("value_d") * col("np") * 2 > col("tot") * 3)
+        .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    },
+
+    // Q21 shape: suppliers who kept orders waiting — the double-correlated
+    // EXISTS / NOT EXISTS pair, decorrelated to one semi and one anti join
+    // over the same multi-supplier order set ("late" = shipped > 60 days
+    // after the order date, as in Q4)
+    "tpch21_waiting_suppliers" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val li = Tables.load(s, dir, "lineitem")
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      val late = li.filter(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val l1 = late.select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+        .distinct()
+      // EXISTS: another supplier also has a line in the order
+      val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+        .distinct()
+      val withOther = l1.join(others,
+        col("k") === col("k2") && col("sk") =!= col("sk2"), "left_semi")
+      // NOT EXISTS: no OTHER supplier was late on that order
+      val otherLate = l1.select(col("k").as("k3"), col("sk").as("sk3"))
+      val sole = withOther.join(otherLate,
+        col("k") === col("k3") && col("sk") =!= col("sk3"), "left_anti")
+      val su = Tables.load(s, dir, "supplier")
+      sole.join(su, col("sk") === su("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
     }
   )
 
@@ -537,6 +641,71 @@ object Tpch {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "tpch8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin,
+
+    "tpch9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch11_important_stock" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT sum(value_d) AS tot, count(*) AS np FROM per_part)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM per_part, tot
+        |WHERE value_d * np * 2 > tot * 3
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    "tpch21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS sk FROM li
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |others AS (SELECT DISTINCT l_orderkey AS k2, l_suppkey AS sk2 FROM li)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late
+        |JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM others
+        |              WHERE k2 = late.k AND sk2 <> late.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.k = late.k AND l3.sk <> late.sk)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
   )
 }
