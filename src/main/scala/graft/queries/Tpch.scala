@@ -438,6 +438,28 @@ object Tpch {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(100)
+    },
+
+    // Q20 shape: part-supply threshold — nested aggregate feeding a semi
+    // join chain. The classic "available > 0.5·shipped" needs partsupp;
+    // here a supplier qualifies when it shipped MORE than 1.5× the part's
+    // mean per-supplier quantity of the brand (scale-invariant, compared
+    // in exact arithmetic: qty·ns·2 > tot·3).
+    "tpch20_part_supply" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#3")
+      val sp = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val pp = sp.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("tot"), count(lit(1)).as("ns"))
+      val qualifying = sp.join(pp, col("l_partkey") === col("pk"))
+        .filter(col("qty") * col("ns") * 2 > col("tot") * 3)
+        .select(col("l_suppkey"))
+      Tables.load(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
     }
   )
 
@@ -706,6 +728,20 @@ object Tpch {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.k = late.k AND l3.sk <> late.sk)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+
+    "tpch20_part_supply" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'
+        |  GROUP BY l_suppkey, l_partkey),
+        |pp AS (SELECT l_partkey, sum(qty) AS tot, count(*) AS ns FROM sp GROUP BY l_partkey)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sp JOIN pp USING (l_partkey)
+        |  WHERE qty * ns * 2 > tot * 3)
+        |ORDER BY s_name""".stripMargin
   )
 }
