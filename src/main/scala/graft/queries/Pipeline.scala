@@ -297,6 +297,27 @@ object Pipeline {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "s2_mixture_weights" -> { (s, dir) =>
+      // temperature-scaled data-mixing weights: w_lang = sqrt(token share)
+      // (α = 0.5 upweights low-resource languages). Arithmetic chosen for
+      // cross-engine bit-exactness: token counts are exact longs, the
+      // share is one double division of identical longs, and sqrt is
+      // IEEE-correctly-rounded in both engines. The final normalization
+      // (w / Σw) is deliberately NOT done here — a 5-term double sum has
+      // engine-dependent ordering; it is a trivial driver-side step.
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val perLang = d.select(col("lang"), st.getField("n_tokens").as("ntok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("lang_tokens"))
+      val total = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"), col("lang_tokens"),
+          sqrt(col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+            .as("w"))
+        .orderBy(col("lang"))
+    },
+
     "k1_sketch_distinct" -> { (s, dir) =>
       // KMV distinct sketch per language. k=1024 sits above the per-group
       // cardinality at the sf0.01 correctness gate, where KMV is exact by
@@ -547,6 +568,19 @@ object Pipeline {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s2_mixture_weights" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |  FROM documents),
+        |per_lang AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+        |  FROM tok GROUP BY lang),
+        |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+        |SELECT lang, n_docs, lang_tokens,
+        |  sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS w
+        |FROM per_lang, tot ORDER BY lang""".stripMargin,
 
     "k1_sketch_distinct" ->
       """SELECT lang, count(DISTINCT text) AS est_distinct, count(*) AS n_docs

@@ -138,6 +138,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffleJoins <= 1, s"only lineitem⋈orders may shuffle:\n$p")
   }
 
+  test("tpch21: semi+anti chain stays hash-joined, never nested-loop") {
+    val p = plan("tpch21_waiting_suppliers")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the EXISTS/NOT-EXISTS pair must decorrelate to hash joins:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected one semi and one anti join:\n$p")
+  }
+
   test("tpch16: NOT EXISTS plans as a hash anti join, never nested-loop") {
     val p = plan("tpch16_parts_supplied")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
