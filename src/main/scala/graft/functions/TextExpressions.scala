@@ -26,13 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashing {
 
-  /** ASCII whitespace, exactly Java regex `\s` = [ \t\n\x0B\f\r] — the
-    * class `split(lower(text), "\\s+")` tokenizes on. Character.isWhitespace
-    * is BROADER (unicode spaces) and would silently diverge from the
-    * composable form and the DuckDB oracle on non-ASCII whitespace.
+  /** ASCII whitespace, exactly RE2's `\s` = [ \t\n\f\r] — the class the
+    * DuckDB oracles tokenize on and the composable form
+    * (`split(lower(text), "[ \t\n\f\r]+")`) shares. Java's `\s` ALSO
+    * includes `\x0B` (vertical tab) and Character.isWhitespace is broader
+    * still (unicode spaces); either would silently diverge from the oracle
+    * on documents containing those characters.
     */
   @inline private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Distinct xxhash64 values of the `n`-token shingles of `text`
     * (lowercased, whitespace-tokenized), SORTED ascending — sorted output

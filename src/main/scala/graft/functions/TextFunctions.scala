@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens, empties dropped. */
+  /** Lowercased whitespace tokens, empties dropped. The whitespace class
+    * is RE2's `\s` = [ \t\n\f\r] (NOT Java's, which adds \x0B) so the
+    * DuckDB oracles' `string_split_regex(..., '\s+')` tokenizes
+    * identically.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)
 
   /** Distinct token set (for Jaccard-style set similarity). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
@@ -136,7 +140,7 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
       round(
-        (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+        (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 \t\n\f\r]", "")))
           .cast("double") / length(text).cast("double"),
         6))
 

@@ -66,13 +66,39 @@ object Dedup {
     p
   }
 
-  /** Release every signature/prefix frame cached by dedup calls so far.
-    * Safe once the caller has materialized its results; Spark recomputes
-    * if a plan is re-executed later.
+  /** Tracked persist for callers composing dedup stages (e.g. the d8
+    * query's fingerprint map) — released by [[unpersistAll]] like the
+    * operator-internal frames.
+    */
+  def persistPublic(df: DataFrame): DataFrame = persistTracked(df)
+
+  /** RDDs pinned by eager localCheckpoints ([[localCheckpointTracked]]);
+    * checkpoint blocks are NOT CacheManager-managed, so df.unpersist can't
+    * release them — the underlying RDD handle can.
+    */
+  private val checkpointRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+
+  private def localCheckpointTracked(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    out.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => checkpointRdds.add(l.rdd)
+      case _ => ()
+    }
+    out
+  }
+
+  /** Release every signature/prefix frame cached — and every checkpoint
+    * RDD pinned — by dedup calls so far. Safe once the caller has
+    * materialized its results; Spark recomputes if a plan is re-executed
+    * later (checkpointed plans cannot recompute, so callers must not
+    * re-execute a dedup result DataFrame after calling this).
     */
   def unpersistAll(): Unit = {
     var df = cachedFrames.poll()
     while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+    var rdd = checkpointRdds.poll()
+    while (rdd != null) { rdd.unpersist(blocking = false); rdd = checkpointRdds.poll() }
   }
 
   /** Exact dedup: group identical text.
@@ -184,8 +210,17 @@ object Dedup {
     // 2^rounds copies of the base plan and Spark OOMs just rendering it.
     // localCheckpoint(eager) materializes executor-side and replaces the
     // plan with an RDD scan — the standard iterative-algorithm discipline.
-    var labels = attachRep(docs, pairs).select(col("doc_id"), col("rep"))
-      .localCheckpoint(true)
+    var labels = localCheckpointTracked(
+      attachRep(docs, pairs).select(col("doc_id"), col("rep")))
+    // superseded rounds free their checkpoint blocks immediately — at most
+    // two label copies are pinned at any time, and the final one is
+    // released by unpersistAll()
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
@@ -200,12 +235,13 @@ object Dedup {
       // every rep is itself a doc_id — so a left join only guards NULLs).
       // prev_rep rides along so convergence is a filter on the checkpointed
       // frame, not another join job per round.
-      val next = stepped.join(stepped.toDF("pid", "prep", "pprev"),
-          col("rep") === col("pid"), "left")
-        .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),
-          stepped("prev_rep"))
-        .localCheckpoint(true)
+      val next = localCheckpointTracked(
+        stepped.join(stepped.toDF("pid", "prep", "pprev"),
+            col("rep") === col("pid"), "left")
+          .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),
+            stepped("prev_rep")))
       converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
+      freeCheckpoint(labels) // next is materialized; the old round is dead
       labels = next.select(col("doc_id"), col("rep"))
       iters += 1
     }

@@ -46,6 +46,11 @@ object Pipeline {
     },
 
     "d4_dedup_simhash" -> { (s, dir) =>
+      // runs UNCAPPED (maxBandBucket default 0): capping a simhash band
+      // voids the hamming<=3 recall guarantee, and this corpus has no
+      // degenerate band cliques (measured at bench SF). An adversarial
+      // boilerplate-heavy corpus should pass an explicit cap here and
+      // accept the recall trade.
       Dedup.simhash(Tables.load(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("doc_id"))
     },
@@ -56,24 +61,37 @@ object Pipeline {
       // oracle recomputes the closure with a recursive CTE.
       //
       // Exact-duplicate texts are collapsed FIRST (one representative per
-      // md5 fingerprint — identical docs have Jaccard 1 and are trivially
-      // one component), and pair generation + closure run on the
+      // (lang, md5) — identical same-language docs have Jaccard 1 and are
+      // trivially one component), and pair generation + closure run on the
       // representatives only. Without this, an m-clique of identical docs
       // materializes O(m²) edges — measured: OOM at sf0.1's duplicate
-      // cluster sizes, and fatal at 100 TB. The result is unchanged: the
-      // component minimum over representatives IS the component minimum
-      // over documents, because each rep0 is already its clique's min.
+      // cluster sizes, and fatal at 100 TB. The collapse must mirror the
+      // PAIR predicate exactly or it would merge docs the closure never
+      // would: the window partitions by (lang, fp) — not fp alone, since
+      // pairs require equal lang — and docs with an empty token set keep
+      // rep0 = self (Jaccard is undefined on an empty union, so the pair
+      // join never merges them; partitions are text-homogeneous, so the
+      // token-size guard is constant within each). With those conditions
+      // the component minimum over representatives IS the minimum over
+      // documents: each rep0 is already its clique's min.
       val d = Tables.load(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("fp"))
       val withRep0 = d
-        .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"))
-        .withColumn("rep0", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"),
+          size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
+        .withColumn("rep0",
+          when(col("tsz") > 0, min(col("doc_id")).over(w)).otherwise(col("doc_id")))
       val reps = withRep0.filter(col("doc_id") === col("rep0"))
         .select(col("doc_id"), col("lang"), col("text"))
       val cc = Dedup.connectedComponents(reps,
         Dedup.ngramJaccardPairs(reps, n = 1, threshold = 0.95,
           blockCols = Seq(col("lang"))), maxIters = 8)
-      withRep0.select(col("doc_id"), col("rep0"))
+      // the rep0 map is consumed here AND feeds reps above — persist so
+      // the fingerprint window does not recompute for the final rejoin
+      val rep0Map = Dedup.persistPublic(
+        withRep0.select(col("doc_id"), col("rep0")))
+      rep0Map
         .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
         .select(col("doc_id"), col("rep"))
         .orderBy(col("doc_id"))

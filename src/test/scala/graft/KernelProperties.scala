@@ -91,11 +91,12 @@ object KernelProperties extends Properties("graft.kernels") {
   } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
 
   // reference tokenizer mirrors the kernel's documented spec exactly:
-  // Java \s whitespace class (incl. \u000B) and locale-independent
+  // RE2 \s whitespace class (NO \u000B -- matches the DuckDB oracles
+  // and TextHashing.isSpace) and locale-independent
   // lowercasing (String.toLowerCase is locale-sensitive: tr_TR turns
   // 'I' into dotless ı where UTF8String.toLowerCase gives 'i')
   private def refTokens(s: String): Array[String] =
-    s.toLowerCase(java.util.Locale.ROOT).split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
+    s.toLowerCase(java.util.Locale.ROOT).split("[ \t\n\f\r]+").filter(_.nonEmpty)
 
   private def refHash(s: String): Long = {
     val b = UTF8String.fromString(s).getBytes
