@@ -234,6 +234,43 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(99L) == 99L, "isolated doc keeps itself")
   }
 
+  test("connected components equals union-find on random graphs") {
+    // seeded random graphs of varying density vs a reference union-find;
+    // catches closure bugs (missed merges, wrong minimum) that the planted
+    // chain cannot
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { trial =>
+      val n = 20 + rnd.nextInt(60)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find with path compression
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docsDf = (0L until n.toLong).map(i => Tuple1(i)).toDF("doc_id")
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("i", "j")
+        else edges.toDF("i", "j")
+      val got = Dedup.connectedComponents(docsDf, pairsDf, maxIters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n, m=${edges.size}): CC disagrees with union-find")
+    }
+  }
+
   test("embedding LSH dedup agrees with exact pairwise on real data") {
     val embs = Tables.load(spark, sf, "embeddings")
     val lsh = Dedup.embeddingCosine(embs, dim = 64, planes = 12, threshold = 0.95)
