@@ -313,6 +313,31 @@ object Parity {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    "q28_cube" -> { (s, dir) =>
+      // CUBE completes the grouping-set family next to q23's ROLLUP: all
+      // four grouping combinations in one pass (Spark expands to an
+      // Expand + single aggregate — one shuffle, not four scans)
+      val li = Tables.load(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "q29_grouping_sets" -> { (s, dir) =>
+      // explicit GROUPING SETS with grouping_id disambiguation: (flag),
+      // (status), and () — grouping_id distinguishes a rolled-up NULL
+      // from a genuine NULL group value
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+    },
+
     // ---- HAVING (absent from both reference binders, SURVEY §2.4) ----
     "q24_having" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
@@ -532,6 +557,21 @@ object Parity {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
     "q24_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
