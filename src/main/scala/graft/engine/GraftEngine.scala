@@ -150,7 +150,19 @@ class GraftEngine(val spark: SparkSession) {
     * scanners (a `;` in a comment must not split a statement exactly like
     * a `;` in a string must not).
     */
+  /** One-entry memo: statement routing calls the scanners up to ~12 times
+    * on the SAME string reference (clause seeks in the alias rewrite), so
+    * reference-equality caching removes the redundant rescans. The engine
+    * is single-threaded per instance (like the mutable catalog map).
+    */
+  private var maskMemo: (String, Array[Boolean]) = ("", Array.empty)
+
   private def codeMask(s: String): Array[Boolean] = {
+    if (maskMemo._1 eq s) maskMemo._2
+    else { val m = computeCodeMask(s); maskMemo = (s, m); m }
+  }
+
+  private def computeCodeMask(s: String): Array[Boolean] = {
     val n = s.length
     val mask = new Array[Boolean](n) // default false
     var i = 0
