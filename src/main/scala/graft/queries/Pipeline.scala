@@ -105,7 +105,10 @@ object Pipeline {
 
     "d6_dedup_embedding_exact" -> { (s, dir) =>
       // exact cosine near-dup blocked on `label` — the oracle-checkable
-      // twin of d5 (full pairwise inside blocks, no LSH)
+      // twin of d5 (full pairwise inside blocks, no LSH). GATE-ONLY: the
+      // within-block all-pairs join is quadratic in block size and exists
+      // to hash-check d5's semantics at test SF; d5 (hyperplane LSH +
+      // exact verify) is the 100 TB path.
       val e = Tables.load(s, dir, "embeddings")
       val v = e.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
