@@ -119,6 +119,61 @@ object TextHashing {
     sig
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** PORTABLE 64-bit SimHash over DISTINCT tokens with md5-derived bit
+    * votes — the oracle-recomputable twin of [[simhash]]. Where [[simhash]]
+    * uses xxHash64 (which DuckDB cannot evaluate), this variant derives
+    * each token's 64 bits from its md5 HEX STRING, a primitive both
+    * engines share: bit b of the token hash is bit (b mod 4) of the value
+    * of hex character b/4 (0-based) of md5(token). The d4p oracle rebuilds
+    * the identical signature in SQL (strpos over '0123456789abcdef' +
+    * shifts) and recomputes the full hamming-<=3 pair set, which the
+    * 16-bit-band blocking is guaranteed to equal by pigeonhole — a
+    * hash-equality gate on the whole banding/verification machinery.
+    * Tokens are DISTINCT (not per-occurrence votes) so the SQL twin is a
+    * plain list_distinct, and zero-token documents yield signature 0 —
+    * callers exclude them (the oracle has no row to exclude).
+    */
+  def simhashMd5(text: UTF8String): Long = {
+    val s = text.toLowerCase.toString
+    val seen = new java.util.HashSet[String]()
+    val counters = new Array[Int](64)
+    val md = md5Digest.get()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isSpace(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        if (seen.add(tok)) {
+          md.reset()
+          val digest = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var b = 0
+          while (b < 64) {
+            val nib = b >> 2 // hex-char index: byte nib/2, high nibble when even
+            val byteV = digest(nib >> 1) & 0xFF
+            val v = if ((nib & 1) == 0) (byteV >> 4) & 0xF else byteV & 0xF
+            if (((v >> (b & 3)) & 1) == 1) counters(b) += 1 else counters(b) -= 1
+            b += 1
+          }
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** |A ∩ B| for two ascending-sorted long arrays: one merge walk, no
     * allocation. Replaces `size(array_intersect(...))`, which builds a hash
     * set and an output array per pair — at millions of candidate pairs the
@@ -409,6 +464,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_simhash_md5(text)` → bigint: portable (DuckDB-recomputable)
+  * SimHash over distinct tokens; see [[TextHashing.simhashMd5]].
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_md5 requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** `graft_intersect_size(a, b)` → int: sorted-merge set intersection size;
   * see [[TextHashing.intersectSize]]. Both inputs must be ascending-sorted
   * array<bigint> (as produced by [[ShingleHashes]]).
@@ -464,6 +540,8 @@ object TextExprFunctions {
       exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_md5",
+      exprs => SimHashMd5(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_stats",
       exprs => TextStats(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",

@@ -271,6 +271,22 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.8,
+      maxBandBucket: Int = 10000): DataFrame =
+    attachRep(docs,
+      minhashLshPairs(docs, shingleLen, numHashes, bands, threshold, maxBandBucket))
+
+  /** The verified (i < j) duplicate-pair set behind [[minhashLsh]] — every
+    * emitted pair passed the EXACT Jaccard check at `threshold` (LSH only
+    * proposes candidates), so the output is sound by construction; the
+    * driver's d3p gate re-derives the predicate in DuckDB over the raw
+    * text to hold the whole pipeline to that contract.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
       maxBandBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     // graft_shingle_hashes / graft_minhash are native codegen'd expressions
@@ -301,27 +317,45 @@ object Dedup {
       .withColumn("uni", col("ni").cast("double") + col("nj").cast("double") - col("inter"))
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("i"), col("j"))
-
-    attachRep(docs, verified)
+    verified
   }
 
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
     */
   def simhash(
-      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 0): DataFrame = {
+      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 0): DataFrame =
+    attachRep(docs, simhashPairs(docs, maxHamming, maxBandBucket))
+
+  /** The verified (i < j) pair set behind [[simhash]]: 64-bit signatures
+    * from the codegen'd `graft_simhash`, banded and hamming-verified by
+    * [[simhashPairsFromSig]].
+    */
+  def simhashPairs(
+      docs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 0): DataFrame =
+    // graft_simhash fuses tokenize→hash→64-bit vote into one codegen'd
+    // pass per document: no explode, no 64-column aggregate, no shuffle
+    simhashPairsFromSig(
+      docs.select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig")),
+      maxHamming, maxBandBucket)
+
+  /** Band-block + exact-hamming-verify over ANY precomputed 64-bit
+    * signature column (doc_id, sig). With 4 bands of 16 bits, recall for
+    * hamming <= `maxHamming` <= 3 is EXACT by pigeonhole: 3 differing bits
+    * cannot touch all 4 bands, so every qualifying pair shares at least one
+    * intact band. Exposed separately so alternative signature functions
+    * (e.g. the portable md5-bit signature behind the d4p oracle gate) reuse
+    * the identical banding/verification machinery.
+    */
+  def simhashPairsFromSig(
+      sigs: DataFrame, maxHamming: Int = 3, maxBandBucket: Int = 0): DataFrame = {
     require(maxHamming < 4, "4 bands of 16 bits guarantee recall only for hamming <= 3")
     // maxBandBucket is OPT-IN here (0 = off), unlike minhashLsh: capping a
     // simhash band silently voids the hamming<=3 recall guarantee above,
     // and unlike minhash mega-buckets the dropped docs are not necessarily
     // exact duplicates that d1 would catch. Enable it knowingly on
     // adversarial corpora.
-    // graft_simhash fuses tokenize→hash→64-bit vote into one codegen'd
-    // pass per document: no explode, no 64-column aggregate, no shuffle
-    val withSig = docs
-      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
-      .transform(persistTracked)
-
+    val withSig = persistTracked(sigs)
     val banded = capBuckets(
       withSig.select(
         col("doc_id"), col("sig"),
@@ -329,13 +363,15 @@ object Dedup {
       Seq("band", "bucket"), maxBandBucket)
     val l = banded.alias("l")
     val r = banded.alias("r")
-    val pairs = l.join(r,
+    l.join(r,
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .filter(hamming64(col("l.sig"), col("r.sig")) <= maxHamming)
       .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
-    attachRep(docs, pairs)
+    // NOTE: a pair sharing several intact bands appears once per band —
+    // duplicate-insensitive consumers (attachRep's min) take it as-is;
+    // pair-set consumers (the d4p gate) distinct() at their boundary
   }
 
   /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
@@ -433,6 +469,25 @@ object Dedup {
       dim: Int = 64,
       planes: Int = 12,
       threshold: Double = 0.95,
+      maxBandBucket: Int = 0): DataFrame = {
+    val pairs = embeddingCosinePairs(embs, dim, planes, threshold, maxBandBucket)
+    embs
+      .join(pairs, embs("vec_id") === pairs("j"), "left")
+      .groupBy(embs("vec_id"))
+      .agg(coalesce(min(col("i")), first(embs("vec_id"))).as("rep"))
+      .select(col("vec_id"), col("rep"))
+  }
+
+  /** The verified (i < j) pair set behind [[embeddingCosine]] — every pair
+    * shares a hyperplane-sign bucket AND passed the exact cosine check at
+    * `threshold` (sound by construction; the d5p gate re-derives the
+    * cosine predicate in DuckDB over the flagged pairs).
+    */
+  def embeddingCosinePairs(
+      embs: DataFrame,
+      dim: Int = 64,
+      planes: Int = 12,
+      threshold: Double = 0.95,
       // OPT-IN (0 = off): the hyperplane bucket is the ONLY candidate
       // source here, and embeddings have no exact-dedup fallback — a
       // default cap would silently drop true duplicates in dense regions
@@ -457,15 +512,9 @@ object Dedup {
 
     val l = withKey.alias("l")
     val r = withKey.alias("r")
-    val pairs = l.join(r,
+    l.join(r,
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .filter(Similarity.cosine(col("l.v"), col("r.v")) >= threshold)
       .select(col("l.vec_id").as("i"), col("r.vec_id").as("j"))
-
-    embs
-      .join(pairs, embs("vec_id") === pairs("j"), "left")
-      .groupBy(embs("vec_id"))
-      .agg(coalesce(min(col("i")), first(embs("vec_id"))).as("rep"))
-      .select(col("vec_id"), col("rep"))
   }
 }

@@ -103,15 +103,69 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    // ---- soundness gates for the approximate family ---------------------
+    // The LSH bucketings themselves are not SQL-expressible, but their
+    // OUTPUT CONTRACT is: every emitted pair must satisfy the exact
+    // predicate. These entries emit the verified pair sets; each DuckDB
+    // oracle recomputes the full exact-predicate pair set from the raw
+    // data, so a single unsound pair (or, on this corpus, a missed one —
+    // recall is 100% here, probe-verified; guaranteed by pigeonhole for
+    // d4p) hash-mismatches. Completeness in general stays with the
+    // planted-pair/recall specs.
+    "d3p_minhash_pairs" -> { (s, dir) =>
+      // same parameters as d3; a pair colliding in several bands is
+      // emitted once per band by the operator (documented there), so the
+      // gate entry distincts at its boundary
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .distinct().orderBy(col("i"), col("j"))
+    },
+
+    "d4p_simhash_pairs" -> { (s, dir) =>
+      // portable md5-bit signature (graft_simhash_md5) through the SAME
+      // banding + hamming-verify machinery as d4; with 4 bands of 16 bits
+      // the hamming<=3 pair set is recalled EXACTLY (pigeonhole), so the
+      // oracle's quadratic recompute of the identical signature in SQL
+      // must match bit-for-bit. Zero-token docs are excluded (their
+      // signature would be 0 and they have no oracle row).
+      val d = Tables.load(s, dir, "documents")
+      val sigs = d
+        .select(col("doc_id"),
+          call_function("graft_simhash_md5", col("text")).as("sig"),
+          size(TextFunctions.tokens(col("text"))).as("ntok"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("sig"))
+      Dedup.simhashPairsFromSig(sigs, maxHamming = 3)
+        .distinct().orderBy(col("i"), col("j"))
+    },
+
+    "d5p_embedding_pairs" -> { (s, dir) =>
+      // at this corpus the exact cosine>=0.95 pair set is empty (probe:
+      // max off-diagonal cosine ~0.51), so the gate pins exactly the
+      // soundness direction: any spurious LSH pair breaks equality
+      Dedup.embeddingCosinePairs(Tables.load(s, dir, "embeddings"),
+        dim = 64, planes = 12, threshold = 0.95)
+        .distinct().orderBy(col("i"), col("j"))
+    },
+
     "d6_dedup_embedding_exact" -> { (s, dir) =>
       // exact cosine near-dup blocked on `label` — the oracle-checkable
-      // twin of d5 (full pairwise inside blocks, no LSH). GATE-ONLY: the
-      // within-block all-pairs join is quadratic in block size and exists
-      // to hash-check d5's semantics at test SF; d5 (hyperplane LSH +
-      // exact verify) is the 100 TB path.
+      // twin of d5 (full pairwise inside blocks, no LSH); d5 (hyperplane
+      // LSH + exact verify) is the 100 TB path. The all-pairs stage is
+      // BOUNDED: only label blocks with <= 4096 vectors generate pairs, so
+      // the per-block cost is capped at 4096²/2 comparisons and the total
+      // stays linear in the number of labels at any corpus size — no
+      // unbounded quadratic stage ships in this plan. Vectors in oversize
+      // blocks keep rep = self via the left join (at the gate/bench scale
+      // factors every block is far below the cap, so results are
+      // unchanged); the oracle applies the identical block-size bound.
       val e = Tables.load(s, dir, "embeddings")
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
       val v = e.select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("bsz", count(lit(1)).over(bw))
+        .filter(col("bsz") <= 4096)
+        .drop("bsz")
       val l = v.alias("l")
       val r = v.alias("r")
       val pairs = l.join(r,
@@ -475,6 +529,56 @@ object Pipeline {
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    "d3p_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list(array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM idx GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+        |ORDER BY i, j""".stripMargin,
+
+    "d4p_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |th AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1) >> (b % 4)) & 1 AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN
+        |      CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+        |    ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS i, c.doc_id AS j
+        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.sig, c.sig)) <= 3
+        |ORDER BY i, j""".stripMargin,
+
+    "d5p_embedding_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+        |ORDER BY i, j""".stripMargin,
+
     "c1_decontamination" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -495,11 +599,14 @@ object Pipeline {
 
     "d6_dedup_embedding_exact" ->
       """WITH v AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    count(*) OVER (PARTITION BY label) AS bsz
+        |  FROM embeddings),
         |pairs AS (
         |  SELECT a.vec_id AS i, b.vec_id AS j
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v) /
+        |  WHERE a.bsz <= 4096
+        |    AND list_dot_product(a.v, b.v) /
         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
         |SELECT e.vec_id, coalesce(min(p.i), e.vec_id) AS rep
         |FROM embeddings e LEFT JOIN pairs p ON e.vec_id = p.j

@@ -35,9 +35,13 @@ class ParitySpec extends AnyFunSuite {
   }
 
   test("all queries run and return rows at sf0.001") {
+    // d5p is a pure soundness gate: this corpus has NO embedding pair with
+    // cosine >= 0.95 (probe-measured max ~0.51), so its correct output is
+    // the empty set — the oracle recomputes the same empty exact set
+    val emptyOk = Set("d5p_embedding_pairs")
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0) Some(name) else None
+      if (n == 0 && !emptyOk(name)) Some(name) else None
     }
     assert(empties.isEmpty, s"queries with 0 rows: $empties")
   }
