@@ -88,6 +88,28 @@ object Dedup {
     out
   }
 
+  /** Lineage truncation for iterative rounds. Default: eager
+    * localCheckpoint — fastest, but its blocks live on executors and are
+    * NOT fault-tolerant: losing one executor mid-closure loses blocks the
+    * lineage can no longer recompute, killing the whole iterative job.
+    * When `spark.graft.checkpointDir` is set, rounds write RELIABLE
+    * checkpoints to that (HDFS/object-store) directory instead — the
+    * setting an hours-long 100 TB closure on a real cluster needs.
+    * Reliable checkpoint files are owned by the directory, not by
+    * [[unpersistAll]]: point it at a job-scoped temp path and delete it
+    * when the job ends.
+    */
+  private def truncateLineage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => localCheckpointTracked(df)
+    }
+  }
+
   /** Release every signature/prefix frame cached — and every checkpoint
     * RDD pinned — by dedup calls so far. Safe once the caller has
     * materialized its results; Spark recomputes if a plan is re-executed
@@ -209,8 +231,10 @@ object Dedup {
     // iteration, not merely cached: with persist alone the plan tree is
     // 2^rounds copies of the base plan and Spark OOMs just rendering it.
     // localCheckpoint(eager) materializes executor-side and replaces the
-    // plan with an RDD scan — the standard iterative-algorithm discipline.
-    var labels = localCheckpointTracked(
+    // plan with an RDD scan — the standard iterative-algorithm discipline
+    // (or a reliable checkpoint when spark.graft.checkpointDir is set, see
+    // truncateLineage).
+    var labels = truncateLineage(
       attachRep(docs, pairs).select(col("doc_id"), col("rep")))
     // superseded rounds free their checkpoint blocks immediately — at most
     // two label copies are pinned at any time, and the final one is
@@ -235,7 +259,7 @@ object Dedup {
       // every rep is itself a doc_id — so a left join only guards NULLs).
       // prev_rep rides along so convergence is a filter on the checkpointed
       // frame, not another join job per round.
-      val next = localCheckpointTracked(
+      val next = truncateLineage(
         stepped.join(stepped.toDF("pid", "prep", "pprev"),
             col("rep") === col("pid"), "left")
           .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),

@@ -81,16 +81,69 @@ object Similarity {
       .select(col("centroid_id"), col("centroid"))
   }
 
+  /** Lloyd (k-means) refinement of the hash-sampled seed: each iteration
+    * assigns every corpus vector to its nearest current centroid (cosine,
+    * ties on centroid_id) in ONE distributed broadcast-join pass, then
+    * recomputes cell means with decimal-summed per-dimension aggregates —
+    * the d7 centroid discipline, partitioning-independent. The nlist×dim
+    * centroid table round-trips through the driver between iterations:
+    * centroid state is O(nlist·dim) by contract (the Spark MLlib KMeans
+    * discipline), and materializing it keeps each iteration exactly one
+    * corpus pass — a lazy chain would re-run every round once per
+    * downstream consumer of the centroid frame. Deterministic end-to-end:
+    * hash-ordered seed, id-tiebroken assignment, order-insensitive decimal
+    * sums. Cells left empty by an iteration keep their previous centroid,
+    * so nlist never shrinks.
+    */
+  def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Map[Int, Seq[Double]] =
+      deterministicCentroids(corpus, nlist)
+        .as[(Int, Seq[Double])].collect().toMap
+    val corp = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var i = 0
+    while (i < iters) {
+      val cdf = broadcast(cents.toSeq.sortBy(_._1).toDF("centroid_id", "centroid"))
+      val means = corp
+        .join(cdf) // broadcast nested loop over nlist rows
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(
+            col("centroid_id"),
+            struct(cosine(col("v"), col("centroid")).as("s"),
+              (-col("centroid_id")).as("tie"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents ++ means
+      i += 1
+    }
+    cents.toSeq.sortBy(_._1).toDF("centroid_id", "centroid")
+  }
+
   /** IVF ANN: assign corpus vectors to nearest centroid, probe the
-    * `nprobe` nearest cells per query.
+    * `nprobe` nearest cells per query. `lloydIters` k-means rounds refine
+    * the hash-sampled seed centroids (0 = raw seed) — refined cells track
+    * the data distribution, so recall at a given nprobe/nlist no longer
+    * depends on sample luck.
     */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val cents = broadcast(deterministicCentroids(corpus, nlist))
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val cents = broadcast(
+      if (lloydIters > 0) lloydCentroids(corpus, nlist, lloydIters)
+      else deterministicCentroids(corpus, nlist))
 
     // corpus→cell assignment: broadcast-join + map-side max_by aggregation
     // (shuffles one (vec_id, cell) pair per vector, never the scored cross

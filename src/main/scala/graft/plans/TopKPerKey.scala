@@ -56,9 +56,19 @@ case class TopKPerKeyNode(
   * (EnsureRequirements inserts the hash exchange); inside each partition a
   * hash map of per-key heaps holds at most k rows per key — the memory
   * bound is (keys in partition) × k rows, the direct analogue of hash
-  * aggregation state (and like pre-spill hash agg it assumes k is small;
-  * k-sized heaps are the contract of a top-k operator, not a limit of this
-  * implementation).
+  * aggregation state.
+  *
+  * Like Spark's own hash aggregate, the hash path cannot spill — so when a
+  * partition's key count exceeds `spark.graft.topk.maxHeapKeys` (default
+  * 262144) the operator degrades to SORT-based evaluation for that
+  * partition: all retained rows plus the rest of the input go through a
+  * spillable [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]]
+  * ordered by (keys asc, order), and one linear sweep emits rank ≤ k per
+  * key group. Rows already evicted from a heap lost to k better rows of
+  * the same key, so dropping them before the sort is exact. The fallback
+  * is O(n log n) with disk spill instead of O(n log k) in memory — the
+  * hash-agg-falls-back-to-sort-agg discipline, which makes unbounded key
+  * cardinality a slowdown, never an OOM.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -83,6 +93,8 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val fullOutput = output
+    val maxHeapKeys =
+      conf.getConfString("spark.graft.topk.maxHeapKeys", "262144").toInt
     child.execute().mapPartitions({ iter0 =>
       // no contract guarantees the child emits UnsafeRow — normalize via an
       // identity projection (a no-op copy for rows that already are unsafe)
@@ -98,35 +110,66 @@ case class TopKPerKeyExec(
       val ord = new Ordering[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = baseOrd.compare(a, b)
       }
-      // heap head = WORST retained row (max under the sort order); a new
-      // row replaces it when it sorts strictly earlier
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { u =>
-        val key = keyProj(u)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](ord)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) heap.enqueue(u.copy())
-        else if (ord.compare(u, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(u.copy())
-        }
-      }
       val resultProj = UnsafeProjection.create(fullOutput, fullOutput)
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        // dequeueAll yields descending (worst first) — reverse for rank 1..n
-        val rows = heap.dequeueAll.reverseIterator
+
+      // heap head = WORST retained row (max under the sort order); a new
+      // row replaces it when it sorts strictly earlier
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      var sorter: org.apache.spark.sql.execution.UnsafeExternalRowSorter = null
+      while (iter.hasNext && sorter == null) {
+        val u = iter.next()
+        val key = keyProj(u)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(u.copy())
+            else if (ord.compare(u, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(u.copy())
+            }
+          case None if heaps.size < maxHeapKeys =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](ord)
+            heaps.put(key.copy(), h)
+            h.enqueue(u.copy())
+          case None =>
+            // key-cardinality bound hit: degrade to the spillable sort path.
+            // Heap-retained rows are a sound subset (every evicted row lost
+            // to k better same-key rows), so re-sorting (retained ∪ rest of
+            // input) is exact.
+            sorter = TopKPerKeyExec.createSorter(childOutput, keyExprs, sortOrder)
+            heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+            heaps.clear()
+            sorter.insertRow(u)
+        }
+      }
+
+      if (sorter == null) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          // dequeueAll yields descending (worst first) — reverse for rank 1..n
+          val rows = heap.dequeueAll.reverseIterator
+          var rank = 0
+          rows.map { r =>
+            rank += 1
+            rankRow.update(0, rank)
+            resultProj(joined(r, rankRow))
+          }
+        }
+      } else {
+        while (iter.hasNext) sorter.insertRow(iter.next())
+        // rows arrive grouped by key (sorted keys-asc) and ordered within
+        // each group; one sweep emits rank 1..k per group and skips the rest
+        var prevKey: UnsafeRow = null
         var rank = 0
-        rows.map { r =>
+        sorter.sort().flatMap { row =>
+          val u = row.asInstanceOf[UnsafeRow]
+          val key = keyProj(u)
+          if (prevKey == null || key != prevKey) { prevKey = key.copy(); rank = 0 }
           rank += 1
-          rankRow.update(0, rank)
-          resultProj(joined(r, rankRow))
+          if (rank <= limit) {
+            rankRow.update(0, rank)
+            Some(resultProj(joined(u, rankRow)))
+          } else None
         }
       }
     }, preservesPartitioning = true)
@@ -134,6 +177,37 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+
+  /** Spillable sorter for the fallback path, ordered (keys asc, then the
+    * caller's order) so key groups are contiguous and internally ranked.
+    * A constant sort prefix routes every comparison through the full row
+    * ordering — the fallback is a safety valve, not the hot path.
+    */
+  private[plans] def createSorter(
+      childOutput: Seq[Attribute],
+      keyExprs: Seq[Expression],
+      order: Seq[SortOrder]): org.apache.spark.sql.execution.UnsafeExternalRowSorter = {
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    val groupOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering.create(
+      keyExprs.map(SortOrder(_, Ascending)) ++ order, childOutput)
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
+      }
+    }
+    UnsafeExternalRowSorter.create(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(childOutput),
+      groupOrd,
+      org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+      prefixComputer,
+      org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+      false)
+  }
 }
 
 /** Planner strategy mapping the logical node 1:1 to the exec. */

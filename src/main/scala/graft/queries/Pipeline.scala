@@ -324,6 +324,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "p3_sequence_chunks" -> { (s, dir) =>
+      // full chunk emission for the concat-then-chunk packing model (p2
+      // labels only the window each document STARTS in): one row per
+      // (document × context window it overlaps) with the in-document token
+      // offset and length of that chunk — the form a training loader
+      // consumes. Same single running-sum window as p2 (one shuffle keyed
+      // on lang); the chunk explode is per-document arithmetic over
+      // `sequence`, no extra wide stage. A document spanning w windows
+      // emits w rows; zero-token documents emit none.
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val win = 2048L
+      d.select(col("doc_id"), col("lang"), st.getField("n_tokens").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("strt", col("cum") - col("ntok"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("lang"), col("strt"), col("cum"),
+          explode(sequence(
+            floor(col("strt") / win).cast("long"),
+            floor((col("cum") - 1) / win).cast("long"))).as("seq_no"))
+        .withColumn("cs", greatest(col("strt"), col("seq_no") * win))
+        .withColumn("ce", least(col("cum"), (col("seq_no") + lit(1L)) * win))
+        .select(col("doc_id"), col("lang"), col("seq_no"),
+          (col("cs") - col("strt")).cast("long").as("chunk_offset"),
+          (col("ce") - col("cs")).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("seq_no"))
+    },
+
     "t8_top_tokens" -> { (s, dir) =>
       // per-language top-5 vocabulary: corpus-stat query through the
       // custom bounded-heap TopKPerKey operator (not a window sort) — at
@@ -731,6 +761,28 @@ object Pipeline {
         |  CAST(floor(CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS DOUBLE) / 2048.0) AS BIGINT) AS seq_no
         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "p3_sequence_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, lang, cum, cum - ntok AS strt FROM c WHERE ntok > 0),
+        |x AS (
+        |  SELECT doc_id, lang, strt, cum,
+        |    unnest(generate_series(CAST(floor(strt / 2048.0) AS BIGINT),
+        |                           CAST(floor((cum - 1) / 2048.0) AS BIGINT))) AS seq_no
+        |  FROM s)
+        |SELECT doc_id, lang, seq_no,
+        |  CAST(greatest(strt, seq_no * 2048) - strt AS BIGINT) AS chunk_offset,
+        |  CAST(least(cum, (seq_no + 1) * 2048) - greatest(strt, seq_no * 2048) AS BIGINT) AS chunk_len
+        |FROM x ORDER BY doc_id, seq_no""".stripMargin,
 
     "t8_top_tokens" ->
       """WITH tok AS (

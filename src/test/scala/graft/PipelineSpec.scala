@@ -271,6 +271,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: reliable checkpointing path (spark.graft.checkpointDir)") {
+    // same closure, lineage truncated via reliable checkpoint() instead of
+    // localCheckpoint — the fault-tolerant setting a real cluster needs
+    val docsDf = (0L until 30L).map(Tuple1(_)).toDF("doc_id")
+    val pairsDf = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 12L), (12L, 14L),
+      (20L, 25L)).toDF("i", "j")
+    val expected = Dedup.connectedComponents(docsDf, pairsDf, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val got = Dedup.connectedComponents(docsDf, pairsDf, maxIters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "reliable-checkpoint closure must match default path")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, s"no reliable checkpoint files were written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  test("p3 chunks partition each document and agree with p2 start windows") {
+    val p3 = SparkEntry.queries("p3_sequence_chunks")(spark, sf)
+    val p2 = SparkEntry.queries("p2_sequence_packing")(spark, sf)
+    val agg = p3.groupBy(col("doc_id")).agg(
+      sum(col("chunk_len")).as("tot"),
+      min(col("seq_no")).as("first_seq"),
+      max(col("seq_no")).as("last_seq"),
+      count(lit(1)).as("n_chunks"))
+    val joined = p2.join(agg, Seq("doc_id"), "left").collect()
+    joined.foreach { r =>
+      val ntok = r.getAs[Number]("ntok").longValue
+      if (ntok > 0) {
+        // chunk lengths partition the document's tokens exactly
+        assert(r.getAs[Long]("tot") == ntok, s"doc ${r.get(0)}: chunk lens != ntok")
+        // the first chunk's window is the start window p2 reports
+        assert(r.getAs[Long]("first_seq") == r.getAs[Long]("seq_no"))
+        // windows a doc spans are contiguous: count == last - first + 1
+        assert(r.getAs[Long]("n_chunks") ==
+          r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("tot")), "zero-token docs emit no chunks")
+      }
+    }
+    // no chunk exceeds the context window or is empty
+    assert(p3.filter(col("chunk_len") <= 0 || col("chunk_len") > 2048).count() == 0)
+  }
+
   test("embedding LSH dedup agrees with exact pairwise on real data") {
     val embs = Tables.load(spark, sf, "embeddings")
     val lsh = Dedup.embeddingCosine(embs, dim = 64, planes = 12, threshold = 0.95)
@@ -367,6 +416,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r4 >= 0.15, s"nprobe=4 recall suspiciously low: $r4")
     assert(r12 >= r4, s"recall must not shrink with more probes: $r4 -> $r12")
     assert(r12 >= 0.5, s"nprobe=12/16 recall too low: $r12")
+  }
+
+  test("Lloyd refinement: recall >= raw seed at same nlist/nprobe, deterministic") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val ivf = Similarity
+        .ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"Lloyd refinement must not lose recall: $r0 -> $r2")
+    // determinism: hash-ordered seed + id-tiebroken assignment + decimal
+    // sums make the refined centroids identical across runs
+    val a = Similarity.lloydCentroids(e, 16, 2).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Similarity.lloydCentroids(e, 16, 2).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "refined centroids must be deterministic")
   }
 
   test("IVF with nprobe = nlist equals brute force exactly") {

@@ -63,6 +63,34 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Sort "), s"no sort expected:\n$p")
   }
 
+  test("sort fallback: key cardinality over the threshold matches the heap path") {
+    // 50k distinct keys, several rows per key, against a 16-key threshold —
+    // every partition trips the fallback and must still match the window
+    // form exactly (including ranks); spill-capable, never OOM
+    val wide = (0 until 200000)
+      .map(i => (i % 50000L, i.toLong, (i * 40503L % 7919).toDouble))
+      .toDF("key", "id", "score")
+    def run(k: Int) = TopKPerKey(wide, Seq(col("key")),
+      Seq(col("score").desc, col("id").asc), k)
+      .select("key", "id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = wide
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rank") <= 2)
+      .select("key", "id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val heapPath = run(2) // default threshold: heap path
+    spark.conf.set("spark.graft.topk.maxHeapKeys", "16")
+    try {
+      val sortPath = run(2)
+      assert(sortPath == want, s"fallback diverges: ${sortPath.size} vs ${want.size}")
+      assert(sortPath == heapPath)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxHeapKeys")
+    }
+  }
+
   test("expression keys work (not just column refs)") {
     val got = TopKPerKey(df, Seq(col("key") % 2), Seq(col("score").desc, col("id").asc), 3)
       .collect()
