@@ -30,6 +30,11 @@ object Cli {
       require(parts.length == 2, """usage: \load csv <name> <path>""")
       engine.createCsvTable(parts(0), parts(1))
       s"loaded table ${parts(0)}"
+    } else if (line.startsWith("\\load parquet ")) {
+      val parts = line.stripPrefix("\\load parquet ").trim.split("\\s+", 2)
+      require(parts.length == 2, """usage: \load parquet <name> <path>""")
+      engine.createParquetTable(parts(0), parts(1))
+      s"loaded table ${parts(0)}"
     } else if (line.startsWith("\\explain "))
       engine.explain(line.stripPrefix("\\explain "))
     else render(engine.run(line))
@@ -50,7 +55,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(appName = "graft-cli")
     val engine = new GraftEngine(spark)
-    println("graft SQL shell — \\dt, \\load csv <name> <path>, \\explain <sql>, exit")
+    println("graft SQL shell — \\dt, \\load csv|parquet <name> <path>, \\explain <sql>, exit")
     var line = StdIn.readLine("graft> ")
     while (line != null && line.trim != "exit" && line.trim != "quit") {
       val t0 = System.nanoTime()

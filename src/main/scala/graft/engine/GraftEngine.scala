@@ -105,6 +105,23 @@ class GraftEngine(val spark: SparkSession) {
     }.toIndexedSeq: _*)
   }
 
+  /** Parquet file → named table (extension beyond the reference's
+    * CSV-only sources — the training-pipeline tables are parquet, and a
+    * columnar source is what a 100 TB scan actually reads; pushdown and
+    * pruning reach the parquet footer where CSV cannot).
+    */
+  def createParquetTable(name: String, path: String): Unit =
+    register(name, readParquet(path))
+
+  /** `read_parquet(path)` TVF body: lowercase column names like the CSV
+    * inference path; parquet carries real NULLs and its own schema, so no
+    * empty-string coalescing and no inference options apply.
+    */
+  def readParquet(path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+
   /** In-memory table from explicit rows (tests / VALUES). */
   def createTable(name: String, schema: StructType, rows: Seq[Row] = Seq.empty): Unit =
     register(name, spark.createDataFrame(
@@ -128,6 +145,9 @@ class GraftEngine(val spark: SparkSession) {
   private val ReadCsvCallRe =
     """(?i)read_csv\s*\(\s*'([^']+)'\s*(?:,\s*([^)]*))?\)""".r
   private val BareCsvFromRe = """(?i)(from\s+)'([^']+\.csv)'""".r
+  private val ReadParquetCallRe =
+    """(?i)read_parquet\s*\(\s*'([^']+)'\s*\)""".r
+  private val BareParquetFromRe = """(?i)(from\s+)'([^']+\.parquet)'""".r
 
   /** Execute one or more `;`-separated statements; returns the LAST
     * statement's DataFrame (DDL/DML return an empty result, like the
@@ -238,10 +258,17 @@ class GraftEngine(val spark: SparkSession) {
       // like read_csv (tests/slt/csv/csv.slt: state1.csv's header row is
       // skipped without any HEADER option); `HEADER false` disables.
       val o = Option(opts).getOrElse("")
-      val delim = """(?i)delimiter\s+'([^']+)'""".r
-        .findFirstMatchIn(o).map(_.group(1)).getOrElse(",")
-      val header = """(?i)header\s+false""".r.findFirstIn(o).isEmpty
-      insertInto(t, None, readCsv(path, header, delim)); emptyOk
+      if (path.toLowerCase.endsWith(".parquet")) {
+        // columnar twin of the rewrite (extension; COPY in the reference
+        // is CSV-only) — same INSERT..SELECT shape over read_parquet
+        insertInto(t, None, readParquet(path))
+      } else {
+        val delim = """(?i)delimiter\s+'([^']+)'""".r
+          .findFirstMatchIn(o).map(_.group(1)).getOrElse(",")
+        val header = """(?i)header\s+false""".r.findFirstIn(o).isEmpty
+        insertInto(t, None, readCsv(path, header, delim))
+      }
+      emptyOk
     case InsertValuesRe(t, _, colList, values) =>
       insertInto(t, Option(colList), spark.sql(s"select * from $values"))
       emptyOk
@@ -292,6 +319,22 @@ class GraftEngine(val spark: SparkSession) {
       val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
         else s"csv_$stem"
       readCsv(m.group(2), header = true, delim = ",").createOrReplaceTempView(view)
+      m.group(1) + view
+    })
+    // read_parquet('p') TVF and bare `FROM 'file.parquet'` — the columnar
+    // twin of the CSV surface above (extension; the reference is CSV-only)
+    sql = ReadParquetCallRe.replaceAllIn(sql, m => {
+      idx += 1
+      val view = s"__read_parquet_$idx"
+      readParquet(m.group(1)).createOrReplaceTempView(view)
+      view
+    })
+    sql = BareParquetFromRe.replaceAllIn(sql, m => {
+      val stem = m.group(2).split("/").last.stripSuffix(".parquet")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
+        else s"parquet_$stem"
+      readParquet(m.group(2)).createOrReplaceTempView(view)
       m.group(1) + view
     })
     val df =

@@ -98,23 +98,35 @@ object Similarity {
   def lloydCentroids(corpus: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Map[Int, Seq[Double]] =
+    centroidArray(corpus, nlist, iters).toDF("centroid_id", "centroid")
+  }
+
+  /** Nearest-centroid id (1-based) against DRIVER-RESIDENT centroids as a
+    * single narrow projection: an array of fused-cosine expressions over
+    * literal centroid vectors, argmax via array_position (first max ⇒
+    * smallest centroid_id on ties — deterministic). This is the assignment
+    * step with NO join and NO shuffle: at 100 TB the alternative
+    * (broadcast-join corpus × nlist then aggregate the scored pairs back
+    * per vector) pushes every vector through a hash aggregate; this is a
+    * map-only pass.
+    */
+  private def nearestCellExpr(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val cs = array(cents.map { case (_, c) => cosine(vec, typedLit(c)) }: _*)
+    array_position(cs, array_max(cs)).cast("int")
+  }
+
+  private def centroidArray(
+      corpus: DataFrame, nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] =
       deterministicCentroids(corpus, nlist)
-        .as[(Int, Seq[Double])].collect().toMap
-    val corp = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     var i = 0
     while (i < iters) {
-      val cdf = broadcast(cents.toSeq.sortBy(_._1).toDF("centroid_id", "centroid"))
-      val means = corp
-        .join(cdf) // broadcast nested loop over nlist rows
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(
-            col("centroid_id"),
-            struct(cosine(col("v"), col("centroid")).as("s"),
-              (-col("centroid_id")).as("tie"))).as("cell"),
-          first(col("v")).as("v"))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = corpus
+        .select(nearestCellExpr(col("embedding"), cents).as("cell"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
@@ -122,10 +134,11 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
         .as[(Int, Seq[Double])].collect().toMap
-      cents = cents ++ means
+      // cells left empty keep their previous centroid: nlist never shrinks
+      cents = cents.map { case (id, c) => (id, means.getOrElse(id, c)) }
       i += 1
     }
-    cents.toSeq.sortBy(_._1).toDF("centroid_id", "centroid")
+    cents
   }
 
   /** IVF ANN: assign corpus vectors to nearest centroid, probe the
@@ -141,23 +154,17 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
-    val cents = broadcast(
-      if (lloydIters > 0) lloydCentroids(corpus, nlist, lloydIters)
-      else deterministicCentroids(corpus, nlist))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centArr = centroidArray(corpus, nlist, math.max(0, lloydIters))
+    val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
 
-    // corpus→cell assignment: broadcast-join + map-side max_by aggregation
-    // (shuffles one (vec_id, cell) pair per vector, never the scored cross
-    // product; no window sort over the corpus)
+    // corpus→cell assignment: one NARROW projection against the literal
+    // centroids (see nearestCellExpr) — the corpus is never joined,
+    // aggregated, or shuffled to learn its cell
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      .join(cents) // broadcast nested loop over nlist rows
-      .groupBy(col("neighbor_id"))
-      .agg(
-        max_by(
-          col("centroid_id"),
-          struct(cosine(col("cv"), col("centroid")).as("s"),
-            (-col("centroid_id")).as("tie"))).as("cell"),
-        first(col("cv")).as("cv"))
+      .withColumn("cell", nearestCellExpr(col("cv"), centArr))
 
     // query→nprobe cells: the query set is small by contract, a window over
     // it is negligible

@@ -208,6 +208,20 @@ class EngineSpec extends AnyFunSuite {
     assert(rows("select state_name from st where id = 1").map(_.head) == Seq("California"))
   }
 
+  // ---- parquet source surface (extension; reference is CSV-only) ----
+  test("read_parquet TVF, bare FROM 'file.parquet', COPY parquet, \\load parquet") {
+    val p = "/root/testdata/sf0.001/region.parquet"
+    val n = rows(s"select count(*) from read_parquet('$p')").head.head
+    assert(n == 5L)
+    assert(rows(s"select r_name from '$p' where r_regionkey = 0").map(_.head)
+      == rows(s"select r_name from read_parquet('$p') where r_regionkey = 0").map(_.head))
+    engine.run("create table rgn(r_regionkey bigint, r_name varchar)")
+    engine.run(s"copy rgn from '$p'")
+    assert(rows("select count(*) from rgn").head.head == 5L)
+    assert(Cli.execute(engine, s"\\load parquet rgn2 $p") == "loaded table rgn2")
+    assert(rows("select count(*) from rgn2").head.head == 5L)
+  }
+
   // ---- pragma.slt / table_function.slt ----
   test("show tables + sqlrs_tables()") {
     val t = rows("show tables").map(_(1))
