@@ -82,9 +82,11 @@ object Similarity {
   }
 
   /** Lloyd (k-means) refinement of the hash-sampled seed: each iteration
-    * assigns every corpus vector to its nearest current centroid (cosine,
-    * ties on centroid_id) in ONE distributed broadcast-join pass, then
-    * recomputes cell means with decimal-summed per-dimension aggregates —
+    * assigns the fit sample (hash-prefix of the corpus, ≤ [[LloydFitCap]]
+    * vectors — the whole corpus below the cap) to its nearest current
+    * centroid (cosine, ties on centroid_id) in ONE distributed map-only
+    * pass, then recomputes cell means with decimal-summed per-dimension
+    * aggregates —
     * the d7 centroid discipline, partitioning-independent. The nlist×dim
     * centroid table round-trips through the driver between iterations:
     * centroid state is O(nlist·dim) by contract (the Spark MLlib KMeans
@@ -115,6 +117,18 @@ object Similarity {
     array_position(cs, array_max(cs)).cast("int")
   }
 
+  /** Cap on the number of vectors the Lloyd fit aggregates per iteration.
+    * The fit is an ESTIMATION step — centroid quality converges with the
+    * sample, not the corpus — so fitting on a deterministic hash-prefix
+    * sample bounds the k-means cost at O(fitCap · nlist · iters) for ANY
+    * corpus size (the standard sketch: at 100 TB you never Lloyd the full
+    * corpus; assignment stays a full-corpus map-only pass either way).
+    * The hash-ordered prefix is the same ordering that seeds
+    * [[deterministicCentroids]], so at or below the cap the sample IS the
+    * corpus and results are unchanged.
+    */
+  val LloydFitCap = 8192
+
   private def centroidArray(
       corpus: DataFrame, nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
@@ -122,9 +136,17 @@ object Similarity {
     var cents: Seq[(Int, Seq[Double])] =
       deterministicCentroids(corpus, nlist)
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    if (iters <= 0) return cents
+    // orderBy(...).limit compiles to TakeOrderedAndProject (per-partition
+    // top-n, no global sort); persisted because each iteration is one action
+    val fit = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(LloydFitCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var i = 0
     while (i < iters) {
-      val means = corpus
+      val means = fit
         .select(nearestCellExpr(col("embedding"), cents).as("cell"),
           posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -138,6 +160,7 @@ object Similarity {
       cents = cents.map { case (id, c) => (id, means.getOrElse(id, c)) }
       i += 1
     }
+    fit.unpersist()
     cents
   }
 

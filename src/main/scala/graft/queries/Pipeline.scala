@@ -203,6 +203,19 @@ object Pipeline {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
     },
 
+    "a2p_ivf_full_probe" -> { (s, dir) =>
+      // oracle gate for the IVF machinery: with nprobe = nlist every cell
+      // is probed, so the candidate set is the full corpus and the result
+      // must equal brute force EXACTLY (same a1 oracle SQL) — centroid
+      // seeding, the map-only cell assignment, the probe join, multi-cell
+      // candidate dedup, and the top-k heap all sit on the hash-checked
+      // path. a2's pruned recall (nprobe < nlist) stays spec-measured.
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        k = 10, nlist = 8, nprobe = 8, lloydIters = 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    },
+
     // ---- text analysis ----------------------------------------------------
     // graft_text_stats computes every per-document statistic in one fused
     // codegen'd pass (the composable TextFunctions forms re-tokenize per
@@ -641,6 +654,26 @@ object Pipeline {
         |SELECT e.vec_id, coalesce(min(p.i), e.vec_id) AS rep
         |FROM embeddings e LEFT JOIN pairs p ON e.vec_id = p.j
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    // a2p probes every cell (nprobe = nlist), so the IVF output contract
+    // is exact top-k — the SAME brute-force SQL is its oracle
+    "a2p_ivf_full_probe" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "a1_ann_bruteforce" ->
       """WITH q AS (
