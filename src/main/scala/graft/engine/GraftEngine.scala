@@ -122,6 +122,52 @@ class GraftEngine(val spark: SparkSession) {
     df.toDF(df.columns.map(_.toLowerCase): _*)
   }
 
+  /** `COPY <table | (subquery)> TO 'path' (opts)` — the write sink
+    * (extension: the reference REJECTS copy-to, bind_copy.rs:77-79; an
+    * engine without a sink can't feed a pipeline). Spark-native semantics:
+    * the target is a DIRECTORY of part files — the only layout that works
+    * when 1000 executors write 100 TB — with options for the knobs that
+    * matter at scale:
+    *   FORMAT csv|parquet        (default: by path extension, else parquet)
+    *   HEADER false              (csv; default true, mirroring COPY FROM)
+    *   DELIMITER 'c'             (csv; default ',')
+    *   PARTITION_BY (col, ...)   (hive-style subdirectories — partition
+    *                              pruning for every downstream reader)
+    *   MAX_RECORDS_PER_FILE n    (bounds file size so a skewed partition
+    *                              never produces one giant file)
+    * Overwrites like the reference's CSV-writing kin (DuckDB COPY TO).
+    */
+  def copyTo(src: String, path: String, opts: String): Unit = {
+    val df =
+      if (src.trim.startsWith("(") && src.trim.endsWith(")"))
+        runSelect(src.trim.stripPrefix("(").stripSuffix(")"))
+      else runSelect(s"select * from ${src.trim}")
+    val lower = path.toLowerCase
+    val fmt = """(?i)format\s+(\w+)""".r.findFirstMatchIn(opts)
+      .map(_.group(1).toLowerCase)
+      .getOrElse(
+        if (lower.endsWith(".csv")) "csv"
+        else if (lower.endsWith(".parquet")) "parquet"
+        else "parquet")
+    var w = df.write.mode("overwrite")
+    """(?i)partition_by\s*\(([^)]*)\)""".r.findFirstMatchIn(opts).foreach { m =>
+      w = w.partitionBy(m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq: _*)
+    }
+    """(?i)max_records_per_file\s+(\d+)""".r.findFirstMatchIn(opts).foreach { m =>
+      w = w.option("maxRecordsPerFile", m.group(1))
+    }
+    fmt match {
+      case "csv" =>
+        val delim = """(?i)delimiter\s+'([^']+)'""".r
+          .findFirstMatchIn(opts).map(_.group(1)).getOrElse(",")
+        val header = """(?i)header\s+false""".r.findFirstIn(opts).isEmpty
+        w.option("header", header.toString).option("delimiter", delim).csv(path)
+      case "parquet" => w.parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported COPY TO format: $other (csv|parquet)")
+    }
+  }
+
   /** In-memory table from explicit rows (tests / VALUES). */
   def createTable(name: String, schema: StructType, rows: Seq[Row] = Seq.empty): Unit =
     register(name, spark.createDataFrame(
@@ -139,6 +185,8 @@ class GraftEngine(val spark: SparkSession) {
     """(?is)\s*insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*)""".r
   private val CopyRe =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val CopyToRe =
+    """(?is)\s*copy\s+(.+?)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val ShowTablesRe = """(?is)\s*show\s+tables\s*""".r
   private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*""".r
   private val ExplainRe = """(?is)\s*explain\s+(.*)""".r
@@ -269,6 +317,8 @@ class GraftEngine(val spark: SparkSession) {
         insertInto(t, None, readCsv(path, header, delim))
       }
       emptyOk
+    case CopyToRe(src, path, opts) =>
+      copyTo(src, path, Option(opts).getOrElse("")); emptyOk
     case InsertValuesRe(t, _, colList, values) =>
       insertInto(t, Option(colList), spark.sql(s"select * from $values"))
       emptyOk

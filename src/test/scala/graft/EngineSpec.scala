@@ -222,6 +222,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rows("select count(*) from rgn2").head.head == 5L)
   }
 
+  // ---- COPY TO sink (extension; the reference rejects copy-to) ----
+  test("copy to parquet/csv roundtrip, subquery source, partition_by layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_copyto").toString
+    engine.run("create table ct(id int, lang varchar)")
+    engine.run("insert into ct values (1,'en'),(2,'de'),(3,'en'),(4,'fr')")
+    // parquet roundtrip (directory target, read back through the TVF)
+    engine.run(s"copy ct to '$base/ct.parquet'")
+    assert(rows(s"select count(*) from read_parquet('$base/ct.parquet')").head.head == 4L)
+    // csv with options + subquery source
+    engine.run(s"copy (select id, lang from ct where id <= 2) to '$base/ct.csv' (DELIMITER '|')")
+    val back = engine.readCsv(s"$base/ct.csv", header = true, delim = "|")
+    assert(back.count() == 2L)
+    assert(back.columns.toSeq == Seq("id", "lang"))
+    // hive-style partition directories for downstream partition pruning
+    engine.run(s"copy ct to '$base/part' (PARTITION_BY (lang), MAX_RECORDS_PER_FILE 1000)")
+    val dirs = new java.io.File(s"$base/part").listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.toSet == Set("lang=en", "lang=de", "lang=fr"))
+    assert(rows(s"select count(*) from read_parquet('$base/part')").head.head == 4L)
+    // unknown format rejected
+    intercept[Exception](engine.run(s"copy ct to '$base/x' (FORMAT json)"))
+  }
+
   // ---- pragma.slt / table_function.slt ----
   test("show tables + sqlrs_tables()") {
     val t = rows("show tables").map(_(1))
