@@ -173,4 +173,31 @@ class PlanQualitySpec extends AnyFunSuite {
     // one wide stage total: the window's exchange plus the output sort
     assert(nodeCount(p, "Exchange") <= 2, s"exact dedup is one shuffle + sort:\n$p")
   }
+
+  test("bucketed fact tables co-locate the join: zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    graft.operators.Bucketing.writeBucketed(o, "o_bkt", s"$tmp/o", 8, Seq("o_orderkey"))
+    graft.operators.Bucketing.writeBucketed(l, "l_bkt", s"$tmp/l", 8, Seq("l_orderkey"))
+    // merge hint pins SMJ (the tables are broadcast-sized at this SF; at
+    // scale the planner picks SMJ itself) — the property under test is that
+    // the bucket distribution satisfies both sides' requirement, so NO
+    // exchange is planned anywhere
+    val j = spark.table("l_bkt").hint("merge")
+      .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_quantity"))
+    val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), s"expect a sort-merge join:\n$p")
+    assert(nodeCount(p, "Exchange") == 0 && !p.contains("hashpartitioning("),
+      s"bucketed join must plan zero exchanges:\n$p")
+    // same rows as the unbucketed join
+    val expected = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.count() == expected)
+    spark.sql("drop table if exists o_bkt")
+    spark.sql("drop table if exists l_bkt")
+  }
 }
