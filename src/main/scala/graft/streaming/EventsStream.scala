@@ -250,4 +250,23 @@ object EventsStream {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Durable parquet sink: append mode + checkpoint. This is the
+    * production shape — the file sink's `_spark_metadata` commit log plus
+    * the checkpoint give exactly-once output across restarts (a batch is
+    * either fully committed to the log or re-run), where the memory sink
+    * above is test-only. Append mode restricts inputs to row-level
+    * streams or watermark-finalized aggregates; the memory-sink path
+    * stays for update-mode state inspection.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

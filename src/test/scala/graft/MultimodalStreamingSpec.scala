@@ -326,6 +326,20 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("durable parquet sink: exactly-once commit log, same rows as batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val deduped = EventsStream.dedupStream(
+      EventsStream.readEvents(spark, sf), Seq("user_id", "event_type"))
+    EventsStream.runToParquet(deduped.toDF(), s"$base/out", s"$base/ckpt")
+    // the file sink's transaction log is what makes restarts exactly-once
+    assert(new java.io.File(s"$base/out/_spark_metadata").exists(),
+      "file sink must write its _spark_metadata commit log")
+    val back = spark.read.parquet(s"$base/out")
+    val batchDistinct = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(back.count() == batchDistinct)
+  }
+
   test("stateful user totals match batch aggregation") {
     val ds = EventsStream.userTotals(EventsStream.readEvents(spark, sf))
     val got = EventsStream.runToMemory(ds.toDF(), "user_totals_test")

@@ -19,8 +19,9 @@ class ParitySpec extends AnyFunSuite {
     // here in sync when adding non-SQL-expressible operators.
     val allowedRowsOnly = Set(
       // LSH/approximate variants: bucketing is not SQL-expressible; their
-      // exact twins (d1/d2/d6/a1) are oracle-checked and PipelineSpec
-      // asserts agreement/recall against those.
+      // exact twins (d1/d2/d6/a1) are oracle-checked, the pair/full-probe
+      // gates (d3p/d4p/d5p/a2p) hash-check soundness, and PipelineSpec
+      // asserts agreement/recall against the exact twins.
       "d3_dedup_minhash_lsh", "d4_dedup_simhash",
       "d5_dedup_embedding_lsh", "a2_ann_ivf",
       // hash-derived weighted sampling keys are not DuckDB-expressible;
