@@ -137,6 +137,26 @@ class GraftEngine(val spark: SparkSession) {
     *                              never produces one giant file)
     * Overwrites like the reference's CSV-writing kin (DuckDB COPY TO).
     */
+  /** COPY ... TO routing. The `TO` keyword is located mask-aware at paren
+    * depth 0 outside string literals, so a subquery source containing the
+    * text `to '` (in a literal or nested select) can never mis-split the
+    * statement the way a lazy regex would.
+    */
+  private def runCopyTo(sql: String): DataFrame = {
+    val copyPos = topLevelKeyword(sql, "copy", 0).getOrElse(
+      throw new IllegalArgumentException(s"not a COPY statement: $sql"))
+    val toPos = topLevelKeyword(sql, "to", copyPos + 4).getOrElse(
+      throw new IllegalArgumentException(s"unsupported COPY statement: $sql"))
+    val src = sql.substring(copyPos + 4, toPos).trim
+    val TailRe = """(?s)\s*'([^']+)'\s*(?:\((.*)\))?\s*""".r
+    sql.substring(toPos + 2) match {
+      case TailRe(path, opts) =>
+        copyTo(src, path, Option(opts).getOrElse("")); emptyOk
+      case _ => throw new IllegalArgumentException(
+        s"COPY TO expects 'path' (options): $sql")
+    }
+  }
+
   def copyTo(src: String, path: String, opts: String): Unit = {
     val df =
       if (src.trim.startsWith("(") && src.trim.endsWith(")"))
@@ -185,8 +205,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?is)\s*insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*)""".r
   private val CopyRe =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
-  private val CopyToRe =
-    """(?is)\s*copy\s+(.+?)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val CopyAnyRe = """(?is)\s*copy\s+.*""".r
   private val ShowTablesRe = """(?is)\s*show\s+tables\s*""".r
   private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*""".r
   private val ExplainRe = """(?is)\s*explain\s+(.*)""".r
@@ -317,8 +336,7 @@ class GraftEngine(val spark: SparkSession) {
         insertInto(t, None, readCsv(path, header, delim))
       }
       emptyOk
-    case CopyToRe(src, path, opts) =>
-      copyTo(src, path, Option(opts).getOrElse("")); emptyOk
+    case CopyAnyRe() => runCopyTo(sql) // COPY FROM already matched above
     case InsertValuesRe(t, _, colList, values) =>
       insertInto(t, Option(colList), spark.sql(s"select * from $values"))
       emptyOk

@@ -242,6 +242,9 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(s"select count(*) from read_parquet('$base/part')").head.head == 4L)
     // unknown format rejected
     intercept[Exception](engine.run(s"copy ct to '$base/x' (FORMAT json)"))
+    // a literal containing "to '" in the subquery source must not mis-split
+    engine.run(s"copy (select id, 'go to ' as note from ct) to '$base/lit.parquet'")
+    assert(rows(s"select count(*) from read_parquet('$base/lit.parquet')").head.head == 4L)
   }
 
   // ---- pragma.slt / table_function.slt ----
