@@ -133,6 +133,10 @@ class GraftEngine(val spark: SparkSession) {
     *   DELIMITER 'c'             (csv; default ',')
     *   PARTITION_BY (col, ...)   (hive-style subdirectories — partition
     *                              pruning for every downstream reader)
+    *   SORT_BY (col, ...)        (range-partition + sort before writing:
+    *                              tight, pairwise-disjoint file/row-group
+    *                              min/max stats, so downstream range
+    *                              predicates skip whole files)
     *   MAX_RECORDS_PER_FILE n    (bounds file size so a skewed partition
     *                              never produces one giant file)
     * Overwrites like the reference's CSV-writing kin (DuckDB COPY TO).
@@ -158,10 +162,18 @@ class GraftEngine(val spark: SparkSession) {
   }
 
   def copyTo(src: String, path: String, opts: String): Unit = {
-    val df =
+    var df =
       if (src.trim.startsWith("(") && src.trim.endsWith(")"))
         runSelect(src.trim.stripPrefix("(").stripSuffix(")"))
       else runSelect(s"select * from ${src.trim}")
+    """(?i)sort_by\s*\(([^)]*)\)""".r.findFirstMatchIn(opts).foreach { m =>
+      val cols = m.group(1).split(",").map(c => col(c.trim)).toIndexedSeq
+      // explicit partition count: a user-specified repartition is final
+      // (AQE would otherwise coalesce small range partitions back into
+      // one file, defeating the layout)
+      val n = spark.sessionState.conf.numShufflePartitions
+      df = df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    }
     val lower = path.toLowerCase
     val fmt = """(?i)format\s+(\w+)""".r.findFirstMatchIn(opts)
       .map(_.group(1).toLowerCase)

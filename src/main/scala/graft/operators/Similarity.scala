@@ -133,10 +133,9 @@ object Similarity {
       corpus: DataFrame, nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Seq[(Int, Seq[Double])] =
-      deterministicCentroids(corpus, nlist)
+    if (iters <= 0)
+      return deterministicCentroids(corpus, nlist)
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    if (iters <= 0) return cents
     // orderBy(...).limit compiles to TakeOrderedAndProject (per-partition
     // top-n, no global sort); persisted because each iteration is one action
     val fit = corpus
@@ -144,6 +143,12 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(LloydFitCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the seed is the first nlist rows of the SAME hash ordering, so it is
+    // read off the persisted sample — the corpus is scanned exactly once
+    // for the whole fit, not once more for seeding
+    var cents: Seq[(Int, Seq[Double])] =
+      deterministicCentroids(fit, nlist)
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     var i = 0
     while (i < iters) {
       val means = fit

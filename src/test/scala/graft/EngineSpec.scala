@@ -247,6 +247,31 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(s"select count(*) from read_parquet('$base/lit.parquet')").head.head == 4L)
   }
 
+  test("copy to SORT_BY writes range-disjoint files (data-skipping layout)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sortby").toString
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    engine.run(
+      s"copy (select doc_id from read_parquet('$src')) to '$base/s.parquet' (SORT_BY (doc_id))")
+    val parts = new java.io.File(s"$base/s.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "expect multiple range partitions")
+    // per-file (min, max) doc_id ranges must be pairwise disjoint — that
+    // disjointness is exactly what lets a range predicate skip whole files
+    val ranges = parts.map { f =>
+      val r = engine.spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    val total = ranges.length
+    assert(rows(s"select count(*) from read_parquet('$base/s.parquet')").head.head == 500L,
+      s"roundtrip count mismatch across $total files")
+  }
+
   // ---- pragma.slt / table_function.slt ----
   test("show tables + sqlrs_tables()") {
     val t = rows("show tables").map(_(1))
