@@ -174,6 +174,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 2, s"exact dedup is one shuffle + sort:\n$p")
   }
 
+  test("a2_ann_ivf: cell assignment is map-only — embeddings never shuffle") {
+    val p = plan("a2_ann_ivf")
+    // the corpus learns its cell in a narrow projection against literal
+    // centroids; only (query_id, neighbor_id, sim) triples may reach an
+    // exchange (the candidate-dedup and top-k stages)
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("cv#") && !l.contains("embedding#")),
+      s"no exchange may carry corpus vectors:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed fact tables co-locate the join: zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
