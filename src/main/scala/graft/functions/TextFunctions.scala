@@ -203,4 +203,69 @@ object TextFunctions {
     */
   def rollingFingerprints(text: Column, w: Int): Column =
     array_distinct(transform(wordShingles(tokens(text), w), s => xxhash64(s)))
+
+  // ---- repetition / splitting ------------------------------------------
+
+  /** Longest run of equal adjacent elements in a pre-sorted string array —
+    * i.e. the max multiplicity of any element — via a one-pass
+    * `functions.aggregate` fold (struct accumulator: previous element,
+    * current run, best run). Stays inside codegen-friendly array kernels:
+    * no explode, no shuffle. 0 for an empty array.
+    */
+  def maxRunLength(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Deterministic 0..255 bucket from the md5 of a stable key — the
+    * content-independent hash a pipeline splits train/val/test on.
+    * Reproducible across engines, runs, partitionings, and cluster sizes
+    * (md5 is specified byte-for-byte; no RNG, no partition index). The
+    * DuckDB twin is `strpos('0123456789abcdef', ...)` arithmetic over the
+    * same two hex chars.
+    */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+
+  // ---- PII scrubbing -----------------------------------------------------
+
+  /** Email-address shape: local-part @ dotted domain with an alpha TLD.
+    * Deliberately plain (no lookarounds, no unicode classes) so the same
+    * pattern string behaves identically under Java regex and RE2.
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Phone-number shape: optional +, then 8+ of digits/separators ending
+    * in a digit — loose on purpose (scrubbing favors recall; a few
+    * over-masked number runs are the accepted cost).
+    */
+  val PhonePattern: String =
+    "\\+?[0-9][0-9() .\\-]{6,}[0-9]"
+
+  /** Redact emails and phone-like runs with typed placeholders — the cheap
+    * regex scrub pass a corpus gets before leaving the pipeline. Pure
+    * per-row codegen'd `regexp_replace`, no shuffle; emails first so a
+    * digit-bearing local part isn't half-eaten by the phone pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of email / phone matches (for audit dashboards and
+    * filter-vs-redact decisions). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
 }

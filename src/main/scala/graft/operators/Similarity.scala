@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,10 +181,52 @@ object Similarity {
       k: Int = 10,
       nlist: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2): DataFrame =
+    ivfTopKWith(
+      centroidArray(corpus, nlist, math.max(0, lloydIters)),
+      corpus, queries, k, nprobe)
+
+  /** Persist a fitted centroid table. The centroids ARE the whole IVF
+    * "index": cell membership is recomputed as a map-only projection at
+    * query time (see [[ivfTopK]]), so the durable state is just
+    * O(nlist·dim) parquet — fit once on a corpus snapshot, then serve any
+    * number of query batches (and any corpus delta) against it without
+    * refitting. Columns: (centroid_id int, centroid array<double>).
+    */
+  def saveIvfIndex(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("centroid_id").cast("int"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadIvfIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF search against a PREFITTED centroid table (from
+    * [[lloydCentroids]] or [[loadIvfIndex]]) — the serving path where the
+    * fit is amortized across query batches.
+    */
+  def ivfTopKWith(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centArr = centroidArray(corpus, nlist, math.max(0, lloydIters))
+    // centroid state is O(nlist·dim) by contract — driver-resident so the
+    // assignment projection can inline the vectors as literals
+    val centArr = centroids.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    ivfTopKWith(centArr, corpus, queries, k, nprobe)
+  }
+
+  private def ivfTopKWith(
+      centArr: Seq[(Int, Seq[Double])],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
 
     // corpus→cell assignment: one NARROW projection against the literal

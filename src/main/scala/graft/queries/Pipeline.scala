@@ -479,8 +479,98 @@ object Pipeline {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- repetition / split / frequency scoring / quantization ---------
+
+    "t9_repetition" -> { (s, dir) =>
+      // Gopher-style repetition signals (top-token fraction, duplicate- and
+      // top-bigram fractions) in ONE fused codegen'd pass per document
+      // (`graft_rep_stats`, the t1 discipline — the composable
+      // split/sort/fold form runs interpreted and re-tokenizes per signal).
+      // Zero shuffle: at 100 TB this is a pure scan+project over documents,
+      // embarrassingly parallel at any partition count. The DuckDB oracle
+      // computes the same multiset statistics by a different algorithm
+      // (unnest → GROUP BY), so a kernel bug hash-mismatches; all fractions
+      // are a SINGLE division of exact integer counts, so the doubles are
+      // bit-identical across engines.
+      val d = Tables.load(s, dir, "documents")
+      val r = call_function("graft_rep_stats", col("text"))
+      d.select(
+          col("doc_id"),
+          r.getField("n_tokens").as("n_tokens"),
+          r.getField("top_token_frac").as("top_token_frac"),
+          r.getField("dup_bigram_frac").as("dup_bigram_frac"),
+          r.getField("top_bigram_frac").as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    "s3_split_assign" -> { (s, dir) =>
+      // deterministic train/val/test assignment from a stable,
+      // content-independent key: bucket = first two hex chars of
+      // md5(doc_id) → 0..255, then fixed bucket ranges (train < 245,
+      // val < 250, test otherwise ⇒ ≈95.7% / 2.0% / 2.3%). Map-only — no
+      // shuffle, no RNG, independent of partitioning and of corpus
+      // content, so the split is reproducible across re-runs and across
+      // engines (the property a training pipeline needs so later data
+      // refreshes never migrate a document between splits).
+      val d = Tables.load(s, dir, "documents")
+      val bucket = TextFunctions.md5Bucket(col("doc_id"))
+      d.select(
+          col("doc_id"),
+          bucket.as("bucket"),
+          when(bucket < 245, lit("train"))
+            .when(bucket < 250, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    "u1_token_surprisal" -> { (s, dir) =>
+      // global-frequency scoring: a document's mean corpus-wide token
+      // count — the cheap unigram-LM proxy for "how typical is this
+      // document" that pipelines threshold on before spending model-based
+      // perplexity. Two aggregations: the vocabulary count table is tiny
+      // relative to the corpus (even a BPE vocab is ≤ a few million rows)
+      // so it BROADCASTS to the exploded corpus side; only (doc_id, count)
+      // pairs shuffle for the per-document mean. The mean is one division
+      // of an exact long sum, so doubles are bit-identical to DuckDB's.
+      val d = Tables.load(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val g = tok.groupBy(col("tok")).agg(count(lit(1)).as("gc"))
+      tok.join(broadcast(g), "tok")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          (sum(col("gc")).cast("double") / count(lit(1))).as("mean_token_count"))
+        .orderBy(col("doc_id"))
+    },
+
+    "v1_vec_quantize" -> { (s, dir) =>
+      // symmetric int8 quantization of the embedding column (the storage /
+      // bandwidth-reduction step before ANN serving): per-vector scale maps
+      // the max-|x| component to ±127; q = floor(x·scale + 0.5) — the
+      // explicit floor form because Spark and DuckDB round() disagree on
+      // ties while floor is IEEE-identical. Map-only, zero shuffle. The
+      // quantized vector is emitted as a comma-joined string (portable
+      // exact comparison; both engines stringify ints identically) plus a
+      // long checksum.
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      e.select(col("vec_id"), v.as("v"))
+        .select(col("vec_id"), col("v"),
+          (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          transform(col("v"),
+            x => floor(x * col("scale") + 0.5).cast("int")).as("q"))
+        .select(
+          col("vec_id"),
+          col("scale"),
+          array_join(transform(col("q"), x => x.cast("string")), ",").as("q_str"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"))
+        .orderBy(col("vec_id"))
     }
   )
+
 
   // ---- shared oracle SQL fragments (single source of truth for the
   // quality formula and language markers — t2/t3/p1 compose from these,
@@ -857,6 +947,65 @@ object Pipeline {
     "m2_media_frames" ->
       """SELECT doc_id,
         |  CAST((CAST(ceil(strlen(text) / 64.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same multiset statistics as the Spark array kernels, by a different
+    // algorithm (unnest → GROUP BY) — an array-kernel bug hash-mismatches
+    "t9_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok FROM tc GROUP BY 1),
+        |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
+        |              max(c) AS top_bg
+        |       FROM bc GROUP BY 1)
+        |SELECT ts.doc_id,
+        |  CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tokens AS BIGINT) AS top_token_frac,
+        |  CAST(bs.n_bigrams - bs.n_distinct AS DOUBLE) / CAST(bs.n_bigrams AS BIGINT) AS dup_bigram_frac,
+        |  CAST(bs.top_bg AS DOUBLE) / CAST(bs.n_bigrams AS BIGINT) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
+
+    "s3_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+        |  CASE WHEN bucket < 245 THEN 'train'
+        |       WHEN bucket < 250 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "u1_token_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT tok, count(*) AS gc FROM tok GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(g.gc) AS DOUBLE) / count(*) AS mean_token_count
+        |FROM tok t JOIN g ON t.tok = g.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "v1_vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+        |      FROM s)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_str,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
+import graft.queries.Pipeline
 
 class TextFunctionsSpec extends AnyFunSuite {
   import TestSpark._
@@ -449,5 +450,165 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 8, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(bf == ivf)
+  }
+
+  test("IVF index save/load roundtrip: prefitted serving path equals inline fit") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val inline = Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4,
+        lloydIters = 2).collect().map(_.toString).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(Similarity.lloydCentroids(e, 16, 2), s"$tmp/idx")
+    val served = Similarity.ivfTopKWith(
+        Similarity.loadIvfIndex(spark, s"$tmp/idx"), e, q, k = 10, nprobe = 4)
+      .collect().map(_.toString).toSeq
+    assert(inline == served,
+      "a saved+reloaded index must serve identical results to the inline fit")
+  }
+}
+
+/** The round-4 corpus-curation additions: repetition signals, deterministic
+  * split assignment, global-frequency scoring, int8 quantization. Each is
+  * verified against an INDEPENDENT driver-side recompute in plain Scala (a
+  * different algorithm from both the Spark array kernels and the DuckDB
+  * oracle), so all three implementations must agree.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs: Map[Long, String] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("maxRunLength = max multiplicity, including empties and empty array") {
+    val df = Seq(
+      (Seq("a", "a", "b"), 2L),
+      (Seq("x"), 1L),
+      (Seq.empty[String], 0L),
+      (Seq("", "", "z"), 2L),
+      (Seq("m", "m", "m", "m"), 4L)).toDF("arr", "want")
+    df.select(TextFunctions.maxRunLength(array_sort(col("arr"))).as("got"),
+        col("want")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("graft_rep_stats matches the composable split/sort/fold form on edges") {
+    val edges = Seq("", " ", "a", "a a", "a a a b b", "x  y", "trailing ",
+      "the the the the", "a b a b a b")
+    val df = edges.toDF("text")
+    val r = call_function("graft_rep_stats", col("text"))
+    val toks = split(col("text"), " ")
+    val b = TextFunctions.wordShingles(toks, 2)
+    def bigramFrac(v: org.apache.spark.sql.Column) =
+      when(size(b) === 0, lit(null).cast("double")).otherwise(v)
+    val got = df.select(
+      r.getField("n_tokens"), size(toks).cast("long"),
+      r.getField("top_token_frac"),
+      TextFunctions.maxRunLength(array_sort(toks)).cast("double") / size(toks),
+      r.getField("dup_bigram_frac"),
+      bigramFrac((size(b) - size(array_distinct(b))).cast("double") / size(b)),
+      r.getField("top_bigram_frac"),
+      bigramFrac(TextFunctions.maxRunLength(array_sort(b)).cast("double") / size(b)),
+      col("text")).collect()
+    got.foreach { row =>
+      Seq(0, 2, 4, 6).foreach { i =>
+        assert(row.get(i) == row.get(i + 1),
+          s"field $i mismatch on '${row.getString(8)}': ${row.get(i)} vs ${row.get(i + 1)}")
+      }
+    }
+  }
+
+  test("t9 repetition matches a driver-side recompute") {
+    val d = docs
+    val rows = Pipeline.queries("t9_repetition")(spark, sf).collect()
+    assert(rows.length == d.size)
+    rows.foreach { r =>
+      // split(" ", -1) keeps trailing empties, like Spark's split and
+      // DuckDB's string_split
+      val t = d(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) == t.length)
+      val topTok = t.groupBy(identity).valuesIterator.map(_.length).max
+      assert(r.getDouble(2) == topTok.toDouble / t.length)
+      val big = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (big.nonEmpty) {
+        val bc = big.groupBy(identity).map { case (_, v) => v.length }
+        assert(r.getDouble(3) == (big.size - bc.size).toDouble / big.size)
+        assert(r.getDouble(4) == bc.max.toDouble / big.size)
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+  }
+
+  test("s3 split: bucket is the first md5 byte, ranges fixed, all splits present") {
+    val rows = Pipeline.queries("s3_split_assign")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = r.getInt(1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      assert(b == (md(0) & 0xff), s"doc $id bucket")
+      val want = if (b < 245) "train" else if (b < 250) "val" else "test"
+      assert(r.getString(2) == want)
+    }
+    assert(rows.map(_.getString(2)).toSet == Set("train", "val", "test"))
+    // split must be a pure function of doc_id: re-running yields identical rows
+    val again = Pipeline.queries("s3_split_assign")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("u1 mean global token count matches a driver-side recompute") {
+    val d = docs
+    val g = d.values.toSeq.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val rows = Pipeline.queries("u1_token_surprisal")(spark, sf).collect()
+    assert(rows.length == d.size)
+    rows.foreach { r =>
+      val t = d(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) == t.length)
+      assert(r.getDouble(2) == t.map(g(_).toLong).sum.toDouble / t.length)
+    }
+  }
+
+  test("PII redaction masks planted emails/phones, leaves clean text intact") {
+    val df = Seq(
+      ("write to alice.smith+spam@example.co.uk today", 1, 0),
+      ("call +1 (415) 555-0199 or 030-1234567 now", 0, 2),
+      ("bob@sub.domain.org and backup bob2@example.io", 2, 0),
+      ("no pii here, just words and the number 7", 0, 0),
+      ("", 0, 0)).toDF("text", "n_email", "n_phone")
+    val got = df.select(
+      TextFunctions.redactPii(col("text")).as("red"),
+      TextFunctions.emailCount(col("text")).as("ne"),
+      TextFunctions.phoneCount(col("text")).as("np"),
+      col("n_email"), col("n_phone"), col("text")).collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3), s"email count: ${r.getString(5)}")
+      assert(r.getInt(2) == r.getInt(4), s"phone count: ${r.getString(5)}")
+      val red = r.getString(0)
+      assert(!red.contains("@"), s"no raw email may survive: $red")
+      if (r.getInt(3) > 0) assert(red.contains("<EMAIL>"))
+      if (r.getInt(4) > 0) assert(red.contains("<PHONE>"))
+    }
+    // clean text passes through byte-identical
+    assert(got(3).getString(0) == "no pii here, just words and the number 7")
+  }
+
+  test("v1 int8 quantization: exact scale/values, max component hits ±127") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = Pipeline.queries("v1_vec_quantize")(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0)).map(_.toDouble)
+      val scale = 127.0 / v.map(math.abs).max
+      assert(r.getDouble(1) == scale)
+      val q = v.map(x => math.floor(x * scale + 0.5).toInt)
+      assert(r.getString(2) == q.mkString(","))
+      assert(r.getLong(3) == q.map(_.toLong).sum)
+      assert(q.map(math.abs).max == 127, s"max |component| must quantize to 127")
+    }
   }
 }

@@ -212,4 +212,29 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.sql("drop table if exists o_bkt")
     spark.sql("drop table if exists l_bkt")
   }
+
+  test("t9/s3/v1: map-only — at most the final-sort exchange, pruned scans") {
+    Seq("t9_repetition" -> "text", "s3_split_assign" -> "doc_id",
+        "v1_vec_quantize" -> "embedding").foreach { case (q, needed) =>
+      val p = plan(q)
+      assert(nodeCount(p, "Exchange") <= 1,
+        s"$q must not shuffle except the gate's orderBy:\n$p")
+      assert(!p.contains("Join"), s"$q must be a pure scan+project:\n$p")
+      val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+      assert(readSchema.contains(needed) && !readSchema.contains("source"),
+        s"$q scan must prune to the referenced columns:\n$readSchema")
+    }
+  }
+
+  test("u1_token_surprisal: vocabulary counts broadcast; text never shuffles") {
+    val p = plan("u1_token_surprisal")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the token-count table must broadcast:\n$p")
+    // only (doc_id, tok)/(doc_id, count) rows may cross a shuffle boundary —
+    // never the raw document text
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.forall(!_.contains("text#")),
+      s"document text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // one pathologically hot key (80% of the big side) plus a uniform tail —
+  // the shape AQE's partition splitting cannot fix when the hot key's rows
+  // all hash to one task
+  private def skewed = {
+    val big = spark.range(0, 10000)
+      .select(
+        when(col("id") % 5 =!= 0, lit(42L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(0, 100)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    (big, small)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("salted inner join returns exactly the plain join's rows") {
+    val (big, small) = skewed
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(canon(salted) == canon(plain))
+  }
+
+  test("salted left join preserves unmatched left rows with nulls") {
+    val (big, small0) = skewed
+    val small = small0.filter(col("k") < 50) // make some keys unmatched
+    val plain = big.join(small, Seq("k"), "left")
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), saltFactor = 8,
+      joinType = "left")
+    assert(canon(salted) == canon(plain))
+  }
+
+  test("saltFactor = 1 degenerates to the plain join") {
+    val (big, small) = skewed
+    assert(canon(SkewJoin.saltedJoin(big, small, Seq("k"), saltFactor = 1)) ==
+      canon(big.join(small, Seq("k"), "inner")))
+  }
+
+  test("hybrid routing: hot keys salted + tail plain, unioned = plain join") {
+    val (big, small) = skewed
+    val hot = SkewJoin.isHot(Seq(col("k")), Seq(Seq(42L)))
+    val salted = SkewJoin.saltedJoin(big.filter(hot), small, Seq("k"), 8)
+    val tail = big.filter(!hot).join(small, Seq("k"), "inner")
+    val hybrid = salted.unionByName(tail)
+    assert(canon(hybrid) == canon(big.join(small, Seq("k"), "inner")))
+  }
+
+  test("rejects unsound join types") {
+    val (big, small) = skewed
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("k"), 8, joinType = "right")
+    }
+  }
+}
