@@ -53,4 +53,47 @@ object Decontaminate {
       .select(col("doc_id"))
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
+
+  /** FUZZY decontamination: corpus documents that are near-duplicates of
+    * an eval document (paraphrase-level leakage the verbatim
+    * [[ngramOverlap]] check misses — reworded benchmark questions still
+    * share most of their shingle set). MinHash-LSH candidates against the
+    * eval set's band index ([[Dedup.minhashIndex]] — benchmark-sized, so
+    * it BROADCASTS), then the exact Jaccard predicate decides; identical
+    * discipline to `Dedup.minhashLshPairs`, with the self-join replaced by
+    * a corpus⋈eval probe, so the corpus never self-shuffles. Output:
+    * (doc_id, eval_id, jaccard ≥ threshold) — a pair colliding in several
+    * bands appears once per band; aggregate or distinct downstream.
+    */
+  def fuzzyPairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val idx = broadcast(Dedup.minhashIndex(evalSet, shingleLen, numHashes, bands)
+      .select(col("doc_id").as("eval_id"), col("hs").as("e_hs"),
+        col("n").as("e_n"), col("band"), col("bucket")))
+    corpus
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .withColumn("sig", call_function("graft_minhash", col("hs"), lit(numHashes)))
+      .select(col("doc_id"), col("hs"), col("n"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+      .join(idx, Seq("band", "bucket"))
+      .filter(least(col("n"), col("e_n")).cast("double") >=
+        lit(threshold) * greatest(col("n"), col("e_n")).cast("double"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("hs"), col("e_hs")).cast("double"))
+      .withColumn("uni",
+        col("n").cast("double") + col("e_n").cast("double") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= lit(threshold))
+      .select(col("doc_id"), col("eval_id"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
 }

@@ -172,6 +172,17 @@ object Dedup {
     }
   }
 
+  /** Per-band bucket hashes for an array signature column: element `b` is
+    * `xxhash64(sig[b·rows+1 .. b·rows+rows], seed = b)`. Shared by the
+    * batch self-join ([[bandPairs]]) and the streaming stream-vs-corpus
+    * path ([[minhashIndex]] / `EventsStream.nearDupPairsStream`) so both
+    * sides of an incremental dedup bucket IDENTICALLY.
+    */
+  private[graft] def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
+
   /** Pairs (i < j) whose signatures collide in at least one LSH band.
     * `sig` must be an array column; `bands` buckets of `rows` elements.
     * Callers pass a persisted frame so the two join sides scan the cached
@@ -183,10 +194,7 @@ object Dedup {
     val banded = capBuckets(
       withSig.select(
         col(idCol),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        posexplode(bandBuckets(col("sig"), bands, rows))
           .as(Seq("band", "bucket"))),
       Seq("band", "bucket"), maxBucket)
     val l = banded.alias("l")
@@ -342,6 +350,38 @@ object Dedup {
       .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("i"), col("j"))
     verified
+  }
+
+  /** Static-side LSH index for INCREMENTAL near-dup (new data vs existing
+    * corpus — `EventsStream.nearDupPairsStream` joins a document stream
+    * against it): one row per (band, bucket) per corpus document, the
+    * hashed shingle set riding along so the exact-Jaccard verification can
+    * run inside the same microbatch. Build once per corpus snapshot and
+    * persist or write to parquet — it is a plain DataFrame, so the index
+    * survives as a table and serves any number of streaming jobs.
+    * Degenerate buckets are capped at build time (the batch skew
+    * discipline); arriving documents probe at most `maxBandBucket` corpus
+    * rows per band.
+    */
+  def minhashIndex(
+      corpus: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBandBucket: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = corpus
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .withColumn("sig", call_function("graft_minhash", col("hs"), lit(numHashes)))
+    capBuckets(
+      withSig.select(
+        col("doc_id"), col("hs"), col("n"),
+        posexplode(bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBandBucket)
   }
 
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact

@@ -120,6 +120,58 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup against a static corpus index — the
+    * incremental-crawl shape: new documents arrive as a stream, the
+    * existing corpus's LSH band index ([[graft.operators.Dedup.minhashIndex]],
+    * a plain table built once per corpus snapshot) sits on the static side,
+    * and every arriving document is flagged with the corpus documents it
+    * verifies against. Each microbatch runs exactly the batch operator's
+    * candidate discipline: the SAME codegen'd shingle/minhash/band kernels
+    * bucket the arriving side, a stream-static equi join on (band, bucket)
+    * proposes candidates (STATELESS — Spark keeps no join state for the
+    * static side, so a forever-running ingest holds zero streaming state
+    * here), and the exact Jaccard predicate over the hashed shingle sets
+    * decides, inside the microbatch. Output rows are (doc_id, corpus_id,
+    * jaccard); a pair colliding in several bands appears once per band —
+    * the batch internals' contract, consumers aggregate
+    * duplicate-insensitively (min/rep) or distinct downstream.
+    */
+  def nearDupPairsStream(
+      docs: DataFrame,
+      corpusIndex: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val arriving = docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("s_hs"))
+      .withColumn("s_n", size(col("s_hs")))
+      .filter(col("s_n") > 0)
+      .withColumn("sig",
+        call_function("graft_minhash", col("s_hs"), lit(numHashes)))
+      .select(col("doc_id"), col("s_hs"), col("s_n"),
+        posexplode(graft.operators.Dedup.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+    val idx = corpusIndex.select(
+      col("doc_id").as("corpus_id"), col("hs").as("c_hs"), col("n").as("c_n"),
+      col("band"), col("bucket"))
+    arriving.join(idx, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      // size-ratio prefilter, then exact |A∩B| / |A∪B| — the identical
+      // predicate the batch minhashLshPairs verifies
+      .filter(least(col("s_n"), col("c_n")).cast("double") >=
+        lit(threshold) * greatest(col("s_n"), col("c_n")).cast("double"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("s_hs"), col("c_hs")).cast("double"))
+      .withColumn("uni",
+        col("s_n").cast("double") + col("c_n").cast("double") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= lit(threshold))
+      .select(col("doc_id"), col("corpus_id"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * credited to the same user's clicks in the preceding `gapMinutes`
     * (purchase follows click). Both sides carry watermarks and the

@@ -374,4 +374,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
   }
+
+  test("streaming near-dup vs static corpus index matches the batch pair set") {
+    import graft.operators.Dedup
+    // incremental-crawl shape: documents arrive as a stream, the corpus
+    // index is a static table. Stream-static join — stateless, so this is
+    // the one dedup flavor a forever-running ingest can afford.
+    val corpus = Tables.load(spark, sf, "documents")
+    val idx = Dedup.minhashIndex(corpus).persist()
+    try {
+      val stream = EventsStream.readDocuments(spark, sf)
+      val got = EventsStream.runToMemory(
+        EventsStream.nearDupPairsStream(stream, idx),
+        "neardup_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("doc_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // every arriving doc is also in the corpus, so the streamed pair set
+      // must be the SYMMETRIC closure of the batch operator's (i < j) pairs
+      val batch = Dedup.minhashLshPairs(corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.unpersistAll()
+      val want = batch ++ batch.map(_.swap)
+      assert(got == want,
+        s"stream=${got.size} pairs, batch symmetric=${want.size}")
+      assert(batch.nonEmpty, "sf0.001 corpus should contain planted near-dups")
+    } finally idx.unpersist()
+  }
 }
