@@ -189,6 +189,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "c2_decon_fuzzy" -> { (s, dir) =>
+      // paraphrase-level contamination: corpus docs whose 3-shingle set is
+      // near-identical (exact Jaccard >= 0.8) to an eval doc's — the
+      // reworded-leak check layered over c1's verbatim grams. LSH proposes,
+      // the exact predicate decides; the oracle recomputes the predicate
+      // quadratically in DuckDB over the raw text, and the gate is FULL
+      // EQUALITY (same discipline as d3p: at hamming-room this wide the
+      // 8-band recall is exact on this corpus, which the d3p gate already
+      // pins corpus-wide)
+      val d = Tables.load(s, dir, "documents")
+      Decontaminate.fuzzyPairs(
+          d.filter(col("doc_id") % 10 =!= 7),
+          d.filter(col("doc_id") % 10 === 7))
+        .select(col("doc_id"), col("eval_id"))
+        .distinct().orderBy(col("doc_id"), col("eval_id"))
+    },
+
     // ---- similarity search ----------------------------------------------
     "a1_ann_bruteforce" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -729,6 +746,24 @@ object Pipeline {
         |SELECT cg.doc_id, count(*) AS n_shared
         |FROM cg JOIN ev USING (g)
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+
+    "c2_decon_fuzzy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list(array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM idx GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS eval_id
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "d6_dedup_embedding_exact" ->
       """WITH v AS (

@@ -383,6 +383,54 @@ class DecontaminateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged(1L) == 2L, s"expected 2 shared grams, got ${flagged.get(1L)}")
   }
+
+  test("fuzzyPairs catches a reworded leak the verbatim check misses") {
+    // every 7th word substituted: no verbatim 8-token run survives, but
+    // the 3-shingle sets still overlap heavily — the paraphrase shape
+    val longEval = (1 to 28).map(i => s"w$i").mkString(" ")
+    val reworded = (1 to 28).map(i =>
+      if (i % 7 == 0) s"sub$i" else s"w$i").mkString(" ")
+    val ev = Seq((1000L, longEval)).toDF("doc_id", "text")
+    val corp = Seq(
+      (1L, reworded),
+      (2L, "completely unrelated tokens about cooking pasta tonight")).toDF("doc_id", "text")
+    val verbatim = Decontaminate.ngramOverlap(corp, ev, n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(verbatim.isEmpty, s"no verbatim 8-gram may survive: $verbatim")
+    // J ≈ 0.44 here: single-row bands (32 of them) so the banding recall
+    // at this looser threshold is ~1 − (1−J)^32 ≈ 1; with the default
+    // 8×4-row bands a 0.44-Jaccard pair would usually miss, correctly —
+    // the default is tuned for the 0.8 operating point
+    val fuzzy = Decontaminate.fuzzyPairs(corp, ev, numHashes = 32, bands = 32,
+        threshold = 0.4)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(1L), s"paraphrased leak must be flagged: $fuzzy")
+  }
+
+  test("fuzzyPairs matches a driver-side exact-Jaccard recompute at sf0.001") {
+    val d = Tables.load(spark, sf, "documents")
+    val got = Decontaminate.fuzzyPairs(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+      .select("doc_id", "eval_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent recompute: 3-shingle sets in plain Scala, all pairs
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val all = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val corp = all.filter(_._1 % 10 != 7).filter(_._2.nonEmpty)
+    val ev = all.filter(_._1 % 10 == 7).filter(_._2.nonEmpty)
+    val want = (for {
+      (ci, cs) <- corp
+      (ei, es) <- ev
+      inter = (cs & es).size.toDouble
+      if inter / (cs.size + es.size - inter) >= 0.8
+    } yield (ci, ei)).toSet
+    assert(got == want, s"spark=${got.size} recompute=${want.size}")
+    assert(want.nonEmpty, "sf0.001 should contain cross-split near-dups")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
