@@ -562,6 +562,41 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "s4_stratified_sample" -> { (s, dir) =>
+      // deterministic stratified sampling: 20 documents per language,
+      // chosen by md5(doc_id) order — uniform w.r.t. content, identical
+      // across engines, runs, and partitionings (no RNG, no partition
+      // index). Routed through the TopKPerKey bounded-heap operator, so
+      // the per-stratum selection is O(n log k) with NO full sort at any
+      // corpus size; the DuckDB twin is a row_number window over the same
+      // (md5, doc_id) total order.
+      val d = Tables.load(s, dir, "documents")
+      val keyed = d.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      graft.plans.TopKPerKey(keyed, Seq(col("lang")),
+          Seq(col("h").asc, col("doc_id").asc), 20)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    "x1_profile" -> { (s, dir) =>
+      // data profiling — the pre-flight a pipeline runs on a new drop:
+      // per-group row count, key cardinality, value and date ranges. One
+      // map-combinable aggregation pass (distinct via its standard
+      // two-level expansion), no row ever leaves its partition except the
+      // tiny per-group partials.
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_custkeys"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "v1_vec_quantize" -> { (s, dir) =>
       // symmetric int8 quantization of the embedding column (the storage /
       // bandwidth-reduction step before ANN serving): per-vector scale maps
@@ -1027,6 +1062,24 @@ object Pipeline {
         |  CAST(sum(g.gc) AS DOUBLE) / count(*) AS mean_token_count
         |FROM tok t JOIN g ON t.tok = g.tok
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "s4_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rank""".stripMargin,
+
+    "x1_profile" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS n_custkeys,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS min_date,
+        |  max(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "v1_vec_quantize" ->
       """WITH v AS (

@@ -619,6 +619,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s4 stratified sample equals the window-rank recompute") {
+    val d = Tables.load(spark, sf, "documents")
+    val got = Pipeline.queries("s4_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val want = d.select(col("doc_id"), col("lang"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 20)
+      .orderBy(col("lang"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == want)
+    // every language present contributes min(20, its doc count) rows
+    val counts = d.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> math.min(20L, r.getLong(1))).toMap
+    val gotCounts = got.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    assert(gotCounts == counts)
+  }
+
   test("PII redaction masks planted emails/phones, leaves clean text intact") {
     val df = Seq(
       ("write to alice.smith+spam@example.co.uk today", 1, 0),

@@ -226,6 +226,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c2_decon_fuzzy: eval index broadcast; corpus never self-joins") {
+    val p = plan("c2_decon_fuzzy")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the eval-set band index must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against the eval set:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.forall(!_.contains("text#")),
+      s"corpus text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
   test("u1_token_surprisal: vocabulary counts broadcast; text never shuffles") {
     val p = plan("u1_token_surprisal")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
