@@ -152,4 +152,31 @@ object KernelProperties extends Properties("graft.kernels") {
       val joined = stmts.mkString("; ") + ";"
       engine.splitStatements(joined) == stmts.map(_.trim)
     }
+
+  // ---- repetition signals (graft_rep_stats kernel) -----------------------
+
+  /** Documents from a tiny vocabulary so repeats/bigram-dups actually occur;
+    * includes empty tokens (double spaces) to pin split-keeps-empties.
+    */
+  private val repDoc: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "")).map(_.mkString(" "))
+
+  property("repetitionStats == multiset recompute over split-keep-empties") =
+    forAll(repDoc) { text =>
+      val row = TextHashing.repetitionStats(UTF8String.fromString(text))
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val top = toks.groupBy(identity).valuesIterator.map(_.length).max
+      val okTok = row.getLong(0) == n.toLong &&
+        row.getDouble(1) == top.toDouble / n
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val okBig =
+        if (bigrams.isEmpty) row.isNullAt(2) && row.isNullAt(3)
+        else {
+          val bc = bigrams.groupBy(identity).map { case (_, v) => v.length }
+          row.getDouble(2) == (bigrams.size - bc.size).toDouble / bigrams.size &&
+            row.getDouble(3) == bc.max.toDouble / bigrams.size
+        }
+      okTok && okBig
+    }
 }
