@@ -35,7 +35,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     "tpch16_parts_supplied", // hash left-anti join
     "e5_asof_join",        // union + running-last window
     "e6_range_join",       // bucketed equi join
-    "a1_ann_bruteforce")   // broadcast queries + bounded-heap top-k
+    "a1_ann_bruteforce",   // broadcast queries + bounded-heap top-k
+    "t9_repetition",       // fused kernel, map-only scan+project
+    "u1_token_surprisal",  // broadcast vocabulary, text never shuffles
+    "c2_decon_fuzzy",      // broadcast eval band index, no corpus self-join
+    "s4_stratified_sample")// TopKPerKey bounded heap, no full sort
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
