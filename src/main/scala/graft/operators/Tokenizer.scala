@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer-vocabulary induction over a corpus — the step that turns
+  * raw training text into the merge table a subword tokenizer runs on.
+  *
+  * Scale shape (the k-means/LloydFit discipline): the DISTRIBUTED stage is
+  * one word-frequency aggregation — `explode(split) → groupBy(word) →
+  * count`, map-combinable, the only pass over the corpus. The merge loop
+  * then runs DRIVER-SIDE over the compact (word, count) table: classic BPE
+  * needs only word frequencies, never the corpus again, and a word vocab
+  * is bounded (≲ millions) regardless of corpus size — `fitCap` keeps the
+  * driver table to the most frequent words, which is where all the merge
+  * mass lives. This is how production tokenizer trainers work too: corpus
+  * → word counts (distributed) → merges (local).
+  *
+  * Determinism: ties on pair frequency break lexicographically, word
+  * selection ties break lexicographically — same corpus, same merges, on
+  * any partitioning or cluster size.
+  */
+object Tokenizer {
+
+  /** End-of-word sentinel (kept off the corpus alphabet: documents are
+    * whitespace-tokenized words, `</w>` cannot appear inside one).
+    */
+  val EndOfWord = "</w>"
+
+  /** Learn `numMerges` BPE merge rules from the corpus. Returns the rules
+    * in application order, each a pair of adjacent symbols to fuse.
+    */
+  def learnBpeMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 64,
+      fitCap: Int = 65536): Seq[(String, String)] = {
+    val counts = wordCounts(docs, textCol, fitCap)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    learnFromCounts(counts, numMerges)
+  }
+
+  /** The distributed stage: (word, count) for the `fitCap` most frequent
+    * words (ties on count break lexicographically so the cap is
+    * deterministic). One shuffle keyed on the word.
+    */
+  def wordCounts(docs: DataFrame, textCol: String, fitCap: Int): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "[ \t\n\f\r]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(fitCap)
+
+  /** Driver-side merge loop over the compact frequency table — pure
+    * function of the counts, no Spark.
+    */
+  def learnFromCounts(
+      wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    // each word as its symbol sequence: chars + </w>
+    var words: Seq[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ EndOfWord, c)
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          pairCounts.merge((syms(j), syms(j + 1)), c, (a, b) => a + b)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max count, ties lexicographic — deterministic
+        var best: ((String, String), Long) = null
+        pairCounts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && pairLt(p, best._1))) best = (p, c)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def pairLt(x: (String, String), y: (String, String)): Boolean =
+    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  private def mergePair(
+      syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Segment one word with a learned merge table (rules applied in
+    * learned order — standard BPE inference). The `</w>` sentinel is
+    * stripped from the output symbols.
+    */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector :+ EndOfWord
+    merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+    syms.map(s => s.replace(EndOfWord, "")).filter(_.nonEmpty)
+  }
+
+  /** Whole-document segmentation for the imperative kernel: lowercased
+    * whitespace words, each segmented with the merge table, concatenated.
+    * Called from [[BpeSegment]]'s generated code — one pass per document,
+    * merge table resolved once per task via a codegen reference object.
+    */
+  def bpeSegment(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toLowerCase.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val out = Vector.newBuilder[org.apache.spark.unsafe.types.UTF8String]
+    words.foreach { w =>
+      segmentWord(w, merges).foreach(s =>
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** Column form: `graft`-style codegen'd expression over a learned merge
+    * table — `Tokenizer.segment(col("text"), merges)` yields the subword
+    * array. The table rides along as a plan reference object (O(numMerges)
+    * driver state, the Lloyd-centroid discipline), so the corpus side is a
+    * map-only fused pass — no join, no HOF interpretation.
+    */
+  def segment(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BpeSegment(
+      GraftSqlBridge.expressionNoSpark(text), merges))
+  }
+}
+
+/** `BpeSegment(text, merges)` → array<string>: subword segmentation with a
+  * learned merge table; see [[Tokenizer.bpeSegment]].
+  */
+case class BpeSegment(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Seq[(String, String)])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe segmentation requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenizer.bpeSegment(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.collection.immutable.Seq")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Tokenizer.bpeSegment($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BpeSegment =
+    copy(child = newChild)
+}

@@ -22,4 +22,15 @@ object GraftSqlBridge {
     */
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Session-free Column↔Expression conversions for expression-valued
+    * helpers (e.g. `Tokenizer.segment`) that run before any session is in
+    * scope. `ExpressionUtils.expression` suffices when the column is a
+    * plain attribute/function tree (no session-specific resolution).
+    */
+  def expressionNoSpark(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

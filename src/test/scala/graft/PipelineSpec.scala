@@ -679,3 +679,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 }
+
+class TokenizerSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.Tokenizer
+
+  test("BPE merges: classic example, deterministic tie-breaks") {
+    // Sennrich et al.'s worked example; ties on pair frequency break
+    // lexicographically (round 1: (e,s)/(s,t)/(t,</w>) all have count 9)
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Tokenizer.learnFromCounts(counts, 5)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+    assert(Tokenizer.segmentWord("lowest", merges) == Seq("low", "est"))
+    assert(Tokenizer.segmentWord("lower", merges) == Seq("low", "e", "r"))
+    // unseen word still segments (down to chars where no merge applies)
+    assert(Tokenizer.segmentWord("west", merges) == Seq("w", "est"))
+  }
+
+  test("merge loop stops early when no pairs remain") {
+    val merges = Tokenizer.learnFromCounts(Seq("ab" -> 1L), 100)
+    // "a b </w>" admits exactly 2 merges before becoming one symbol
+    assert(merges.size == 2)
+  }
+
+  test("distributed fit is partitioning-independent; column form matches driver") {
+    val d = Tables.load(spark, sf, "documents")
+    val merges = Tokenizer.learnBpeMerges(d, numMerges = 16)
+    assert(merges.size == 16)
+    assert(Tokenizer.learnBpeMerges(d.repartition(7), numMerges = 16) == merges,
+      "same corpus must learn the same merges under any partitioning")
+    val rows = d.limit(20)
+      .select(col("text"), Tokenizer.segment(col("text"), merges).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val want = r.getString(0).toLowerCase.split("[ \t\n\f\r]+")
+        .filter(_.nonEmpty).toSeq
+        .flatMap(w => Tokenizer.segmentWord(w, merges))
+      assert(r.getSeq[String](1) == want)
+    }
+    // segmentation is lossless per word: concatenated subwords = the word
+    val word = "analytics"
+    assert(Tokenizer.segmentWord(word, merges).mkString == word)
+  }
+}
