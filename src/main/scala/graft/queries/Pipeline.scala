@@ -500,6 +500,17 @@ object Pipeline {
 
     // ---- repetition / split / frequency scoring / quantization ---------
 
+    "t7_word_counts" -> { (s, dir) =>
+      // the tokenizer-fit's distributed stage (Tokenizer.wordCounts): the
+      // frequency-capped word vocabulary, deterministic under the
+      // (count desc, word) total order. orderBy+limit compiles to
+      // TakeOrderedAndProject — per-partition top-n, no global sort — so
+      // the cap costs O(cap) memory per partition at any corpus size.
+      graft.operators.Tokenizer
+        .wordCounts(Tables.load(s, dir, "documents"), "text", fitCap = 20)
+        .orderBy(col("cnt").desc, col("word"))
+    },
+
     "t9_repetition" -> { (s, dir) =>
       // Gopher-style repetition signals (top-token fraction, duplicate- and
       // top-bigram fractions) in ONE fused codegen'd pass per document
@@ -1021,6 +1032,13 @@ object Pipeline {
 
     // same multiset statistics as the Spark array kernels, by a different
     // algorithm (unnest → GROUP BY) — an array-kernel bug hash-mismatches
+    "t7_word_counts" ->
+      """SELECT tok AS word, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                x -> len(x) > 0)) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
     "t9_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
