@@ -608,6 +608,28 @@ object Pipeline {
         .orderBy(col("o_orderstatus"))
     },
 
+    "v2_vec_normalize" -> { (s, dir) =>
+      // L2 normalization — the pre-ANN step that turns cosine into a plain
+      // dot product at serving time. Map-only. The gate hashes the norm
+      // plus fold/selection checksums of the unit vector: every double is
+      // bit-exact across engines because the folds are strict
+      // left-to-right (Spark `aggregate` from 0.0 ≡ DuckDB `list_reduce`
+      // from the first element — the leading 0.0 add is an IEEE no-op),
+      // sqrt is correctly rounded, and min/max are selections.
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      e.select(col("vec_id"), v.as("v"))
+        .select(col("vec_id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("norm"))
+        .select(
+          col("vec_id"),
+          col("norm"),
+          aggregate(col("v"), lit(0.0), (a, x) => a + x / col("norm")).as("u_sum"),
+          array_min(transform(col("v"), x => x / col("norm"))).as("u_min"),
+          array_max(transform(col("v"), x => x / col("norm"))).as("u_max"))
+        .orderBy(col("vec_id"))
+    },
+
     "v1_vec_quantize" -> { (s, dir) =>
       // symmetric int8 quantization of the embedding column (the storage /
       // bandwidth-reduction step before ANN serving): per-vector scale maps
@@ -1098,6 +1120,19 @@ object Pipeline {
         |  min(o_orderdate) AS min_date,
         |  max(o_orderdate) AS max_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "v2_vec_normalize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
+        |      FROM v)
+        |SELECT vec_id, norm,
+        |  list_reduce(list_transform(v, x -> x / norm), (a, b) -> a + b) AS u_sum,
+        |  list_min(list_transform(v, x -> x / norm)) AS u_min,
+        |  list_max(list_transform(v, x -> x / norm)) AS u_max
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "v1_vec_quantize" ->
       """WITH v AS (
