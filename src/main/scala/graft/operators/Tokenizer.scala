@@ -54,14 +54,31 @@ object Tokenizer {
       .orderBy(col("cnt").desc, col("word"))
       .limit(fitCap)
 
+  /** One symbol per Unicode CODE POINT (not UTF-16 unit), so non-BMP
+    * characters — emoji, CJK extensions — stay whole instead of splitting
+    * into lone surrogates that `UTF8String.fromString` would mangle into
+    * replacement characters. For BMP-only text this is identical to a
+    * per-char split.
+    */
+  private[operators] def codePointSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Driver-side merge loop over the compact frequency table — pure
     * function of the counts, no Spark.
     */
   def learnFromCounts(
       wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    // each word as its symbol sequence: chars + </w>
+    // each word as its symbol sequence: code points + </w>
     var words: Seq[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
-      (w.map(_.toString).toVector :+ EndOfWord, c)
+      (codePointSymbols(w) :+ EndOfWord, c)
     }
     val merges = Vector.newBuilder[(String, String)]
     var i = 0
@@ -107,12 +124,83 @@ object Tokenizer {
     out.result()
   }
 
-  /** Segment one word with a learned merge table (rules applied in
-    * learned order — standard BPE inference). The `</w>` sentinel is
+  /** Segment one word with a learned merge table. Semantics are standard
+    * BPE inference — rules applied in learned order — but the algorithm is
+    * the rank-greedy priority-queue merge production trainers use:
+    * repeatedly fuse the adjacent pair with the LOWEST merge rank
+    * (leftmost first on ties), O(|word| log |word|) INDEPENDENT of the
+    * merge-table size, vs the naive per-rule rescan's O(numMerges·|word|)
+    * which melts at a production 32k–100k-rule table. Equivalent to
+    * sequential application because a merge only creates pairs involving
+    * the NEW symbol, whose rules were necessarily learned later (higher
+    * rank) — so rank order IS application order. The `</w>` sentinel is
     * stripped from the output symbols.
     */
-  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms = word.map(_.toString).toVector :+ EndOfWord
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    segmentWord(word, new BpeMergeTable(merges))
+
+  /** Hot-path form: the rank lookup is prebuilt once per task (the
+    * [[BpeSegment]] reference object), not once per word.
+    */
+  def segmentWord(word: String, table: BpeMergeTable): Seq[String] = {
+    val base = codePointSymbols(word) :+ EndOfWord
+    val n = base.length
+    val sym = base.toArray
+    // doubly-linked live list over the original positions; a merged symbol
+    // keeps its LEFT constituent's position, so position order stays the
+    // left-to-right scan order sequential application uses
+    val nxt = Array.tabulate(n)(_ + 1)
+    val prv = Array.tabulate(n)(_ - 1)
+    val alive = Array.fill(n)(true)
+
+    // min-heap on (rank, leftPos); scala's PQ is a max-heap, so reverse
+    val ord = Ordering.by[(Int, Int, String, String), (Int, Int)](c => (c._1, c._2)).reverse
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int, String, String)](ord)
+    def push(i: Int): Unit = {
+      val j = nxt(i)
+      if (j < n) {
+        val r = table.rank(sym(i), sym(j))
+        if (r != Int.MaxValue) pq.enqueue((r, i, sym(i), sym(j)))
+      }
+    }
+    var i0 = 0
+    while (i0 < n - 1) { push(i0); i0 += 1 }
+
+    while (pq.nonEmpty) {
+      val (_, i, a, b) = pq.dequeue()
+      // stale-entry check: both endpoints must still be live, adjacent,
+      // and carry the symbols the entry was enqueued with
+      if (alive(i) && sym(i) == a) {
+        val j = nxt(i)
+        if (j < n && alive(j) && sym(j) == b) {
+          sym(i) = a + b
+          alive(j) = false
+          nxt(i) = nxt(j)
+          if (nxt(j) < n) prv(nxt(j)) = i
+          if (prv(i) >= 0) push(prv(i))
+          push(i)
+        }
+      }
+    }
+
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < n) {
+      if (alive(k)) {
+        val s = sym(k).replace(EndOfWord, "")
+        if (s.nonEmpty) out += s
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** The naive per-rule rescan the PQ form replaces — kept (test-only) as
+    * the differential oracle for [[segmentWord]]'s equivalence property.
+    */
+  private[graft] def segmentWordSequential(
+      word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = codePointSymbols(word) :+ EndOfWord
     merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
     syms.map(s => s.replace(EndOfWord, "")).filter(_.nonEmpty)
   }
@@ -124,11 +212,11 @@ object Tokenizer {
     */
   def bpeSegment(
       text: org.apache.spark.unsafe.types.UTF8String,
-      merges: Seq[(String, String)]): org.apache.spark.sql.catalyst.util.ArrayData = {
+      table: BpeMergeTable): org.apache.spark.sql.catalyst.util.ArrayData = {
     val words = text.toLowerCase.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
     val out = Vector.newBuilder[org.apache.spark.unsafe.types.UTF8String]
     words.foreach { w =>
-      segmentWord(w, merges).foreach(s =>
+      segmentWord(w, table).foreach(s =>
         out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result().toArray[Any])
@@ -144,6 +232,28 @@ object Tokenizer {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(BpeSegment(
       GraftSqlBridge.expressionNoSpark(text), merges))
+  }
+}
+
+/** Prebuilt rank lookup for a merge table: pair → index in learned order.
+  * Built once per task (ships as a codegen reference object) so the per-word
+  * segmenter does O(1) rank probes instead of re-deriving anything. The map
+  * is transient-lazy: only the rule Seq serializes with the plan.
+  */
+final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializable {
+  @transient private lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) =>
+      // first occurrence wins — matches sequential application order
+      if (!m.containsKey(p)) m.put(p, i)
+    }
+    m
+  }
+
+  /** Merge rank of the pair, or Int.MaxValue when it is not a rule. */
+  def rank(a: String, b: String): Int = {
+    val r = ranks.get((a, b))
+    if (r == null) Int.MaxValue else r.intValue()
   }
 }
 
@@ -165,12 +275,15 @@ case class BpeSegment(
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  @transient private lazy val table = new BpeMergeTable(merges)
+
   override def nullSafeEval(input: Any): Any =
     Tokenizer.bpeSegment(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], merges)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.collection.immutable.Seq")
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
     defineCodeGen(ctx, ev, c =>
       s"graft.operators.Tokenizer.bpeSegment($c, $ref)")
   }

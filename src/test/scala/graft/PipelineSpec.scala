@@ -722,4 +722,55 @@ class TokenizerSpec extends AnyFunSuite {
     val word = "analytics"
     assert(Tokenizer.segmentWord(word, merges).mkString == word)
   }
+
+  test("priority-queue segmenter ≡ sequential rule application at ≥8k merges") {
+    // production merge tables run 32k-100k rules; the PQ segmenter is
+    // O(|word| log |word|) independent of table size, and must stay
+    // EXACTLY equivalent to applying the rules in learned order. Learn a
+    // large table from a deterministic synthetic vocabulary, then diff the
+    // two algorithms word by word.
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (0 until 3000).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val counts = vocab.map(w => w -> (1L + rnd.nextInt(50)))
+    val merges = Tokenizer.learnFromCounts(counts, 8192)
+    assert(merges.size >= 8192, s"vocabulary too small: ${merges.size} merges")
+    val probes = vocab.take(300) ++ Seq("", "a", "zzz", "abcdefgh",
+      "hgfedcba", "aaaaaaaaaaaa")
+    probes.foreach { w =>
+      val pq = Tokenizer.segmentWord(w, merges)
+      val seq = Tokenizer.segmentWordSequential(w, merges)
+      assert(pq == seq, s"segmenters diverge on '$w': $pq vs $seq")
+      assert(pq.mkString == w, s"lossy segmentation of '$w'")
+    }
+  }
+
+  test("non-BMP characters segment as whole code points, never lone surrogates") {
+    // emoji/CJK-extension chars are surrogate PAIRS in UTF-16; symbols are
+    // built per code point so an unmerged symbol is still a valid string
+    // (a lone surrogate would be mangled to U+FFFD by UTF8String)
+    val counts = Seq("a😀b" -> 5L, "😀😀" -> 3L,
+      "plain" -> 7L)
+    val merges = Tokenizer.learnFromCounts(counts, 4)
+    Seq("a😀b", "😀😀", "x😀").foreach { w =>
+      val segs = Tokenizer.segmentWord(w, merges)
+      assert(segs.mkString == w, s"lossy segmentation of '$w': $segs")
+      segs.foreach { s =>
+        val last = s.charAt(s.length - 1)
+        assert(!Character.isHighSurrogate(last),
+          s"symbol '$s' ends in a lone high surrogate")
+        assert(!Character.isLowSurrogate(s.charAt(0)),
+          s"symbol '$s' starts with a lone low surrogate")
+      }
+    }
+    // and the column form round-trips through UTF8String unmangled
+    import spark.implicits._
+    val got = Seq("a😀b").toDF("text")
+      .select(Tokenizer.segment(col("text"), merges).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got.mkString == "a😀b", s"UTF8String mangled: $got")
+  }
 }
