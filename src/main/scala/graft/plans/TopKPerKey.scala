@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  AllTuples, ClusteredDistribution, Distribution, Partitioning}
+  AllTuples, ClusteredDistribution, Distribution, Partitioning,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -52,11 +53,24 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
-/** Physical bounded-heap implementation. Requires clustering on `keys`
-  * (EnsureRequirements inserts the hash exchange); inside each partition a
-  * hash map of per-key heaps holds at most k rows per key — the memory
-  * bound is (keys in partition) × k rows, the direct analogue of hash
-  * aggregation state.
+/** Physical bounded-heap implementation, planned as a two-phase pair the
+  * way hash aggregation is:
+  *
+  *   TopKPerKeyExec(partial) → Exchange(keys) → TopKPerKeyExec(final)
+  *
+  * Per-key top-k is a semigroup (the top-k of a union is the top-k of the
+  * per-part top-ks), so the PARTIAL phase runs the same bounded heap over
+  * each INPUT partition before any exchange, shrinking shuffle input to at
+  * most k rows per (partition × key) and — critically at 100 TB — capping
+  * the skewed-key hot spot: the final task for a dominant key receives
+  * ≤ k·numInputPartitions rows instead of the key's entire row set. The
+  * partial phase requires no distribution and emits retained rows WITHOUT
+  * ranks; the FINAL phase requires clustering on `keys` (EnsureRequirements
+  * inserts the hash exchange) and assigns ranks 1..k.
+  *
+  * Inside each partition a hash map of per-key heaps holds at most k rows
+  * per key — the memory bound is (keys in partition) × k rows, the direct
+  * analogue of hash aggregation state.
   *
   * Like Spark's own hash aggregate, the hash path cannot spill — so when a
   * partition's key count exceeds `spark.graft.topk.maxHeapKeys` (default
@@ -75,15 +89,23 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr :: Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -93,6 +115,7 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val fullOutput = output
+    val isPartial = partial
     val maxHeapKeys =
       conf.getConfString("spark.graft.topk.maxHeapKeys", "262144").toInt
     child.execute().mapPartitions({ iter0 =>
@@ -145,14 +168,20 @@ case class TopKPerKeyExec(
       }
 
       if (sorter == null) {
-        heaps.iterator.flatMap { case (_, heap) =>
-          // dequeueAll yields descending (worst first) — reverse for rank 1..n
-          val rows = heap.dequeueAll.reverseIterator
-          var rank = 0
-          rows.map { r =>
-            rank += 1
-            rankRow.update(0, rank)
-            resultProj(joined(r, rankRow))
+        if (isPartial) {
+          // partial phase: emit the retained rows unranked — ranks are
+          // assigned once, after the exchange, by the final phase
+          heaps.iterator.flatMap { case (_, heap) => heap.iterator }
+        } else {
+          heaps.iterator.flatMap { case (_, heap) =>
+            // dequeueAll yields descending (worst first) — reverse for rank 1..n
+            val rows = heap.dequeueAll.reverseIterator
+            var rank = 0
+            rows.map { r =>
+              rank += 1
+              rankRow.update(0, rank)
+              resultProj(joined(r, rankRow))
+            }
           }
         }
       } else {
@@ -167,8 +196,11 @@ case class TopKPerKeyExec(
           if (prevKey == null || key != prevKey) { prevKey = key.copy(); rank = 0 }
           rank += 1
           if (rank <= limit) {
-            rankRow.update(0, rank)
-            Some(resultProj(joined(u, rankRow)))
+            if (isPartial) Some(u)
+            else {
+              rankRow.update(0, rank)
+              Some(resultProj(joined(u, rankRow)))
+            }
           } else None
         }
       }
@@ -210,11 +242,18 @@ object TopKPerKeyExec {
   }
 }
 
-/** Planner strategy mapping the logical node 1:1 to the exec. */
+/** Planner strategy: the logical node becomes the two-phase physical pair
+  * (partial → final); EnsureRequirements inserts the hash exchange between
+  * them because only the final phase declares a clustering requirement.
+  * If the child is already clustered on `keys` no exchange appears and the
+  * partial pass is a cheap same-partition pre-filter.
+  */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      val pre = TopKPerKeyExec(keys, order, k, rankAttr, planLater(child),
+        partial = true)
+      TopKPerKeyExec(keys, order, k, rankAttr, pre) :: Nil
     case _ => Nil
   }
 }

@@ -128,6 +128,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), s"no window sort in the ANN path:\n$p")
   }
 
+  test("s4_stratified_sample: map-side partial top-k before the exchange") {
+    // the semigroup partial pass caps shuffle input at k rows per
+    // (partition × key) — the skewed-lang hot spot fix; the exchange must
+    // sit BETWEEN the partial and final phases
+    val p = plan("s4_stratified_sample")
+    // tree section renders root-first as `Name (n)`; "TopKPerKey (" cannot
+    // match the partial node ("TopKPerKeyPartial (")
+    val lines = p.linesIterator.toSeq
+    val iFinal = lines.indexWhere(_.contains("TopKPerKey ("))
+    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial ("))
+    val iExchange = lines.indexWhere(_.contains("Exchange ("), iFinal + 1)
+    assert(iFinal >= 0, s"expected final top-k phase:\n$p")
+    assert(iPartial > iFinal, s"expected partial top-k phase below final:\n$p")
+    assert(iExchange > iFinal && iExchange < iPartial,
+      s"want final <- exchange <- partial (top-down explain tree):\n$p")
+  }
+
   test("tpch5: 6-table join cycle — dimensions broadcast, one fact shuffle") {
     val p = plan("tpch5_local_supplier_volume")
     assert(nodeCount(p, "BroadcastHashJoin") >= 4,

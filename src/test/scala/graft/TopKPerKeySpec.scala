@@ -56,11 +56,26 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("physical plan uses the bounded-heap exec, no sort, one exchange") {
+  test("physical plan: partial heap → exchange → final heap, no sort") {
     val p = TopKPerKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), 5)
       .queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("TopKPerKeyPartial"),
+      s"map-side partial phase must run before the exchange:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("Sort "), s"no sort expected:\n$p")
+  }
+
+  test("partial phase preserves partitioning-independence of the result") {
+    // the partial heap's OUTPUT depends on how rows are partitioned (which
+    // ≤ k survivors each partition contributes) — the FINAL result must
+    // not; any partial-phase bug that drops a globally-top row for some
+    // layout shows up here
+    def run(d: org.apache.spark.sql.DataFrame) = collectSet(
+      TopKPerKey(d, Seq(col("key")), Seq(col("score").desc, col("id").asc), 3))
+    val want = collectSet(windowed(3))
+    assert(run(df.repartition(1)) == want, "single partition")
+    assert(run(df.repartition(13)) == want, "13 partitions")
+    assert(run(df.repartition(64, col("id"))) == want, "64 id-hash partitions")
   }
 
   test("sort fallback: key cardinality over the threshold matches the heap path") {
