@@ -560,10 +560,14 @@ object Dedup {
     val hyper: Seq[Seq[Double]] =
       Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
     val vecD = transform(col("embedding"), x => x.cast("double"))
-    // LSH key: sign pattern over `planes` fixed hyperplanes
+    // LSH key: sign pattern over `planes` fixed hyperplanes. The dot goes
+    // through the fused codegen'd graft_dot kernel (one pass, no
+    // intermediate arrays) instead of interpreted aggregate/zip_with
+    // lambdas; graft_dot widens float elements exactly and folds strict
+    // left-to-right from 0.0, so the sign — and therefore the bucketing —
+    // is bit-identical to the composable form it replaces.
     val sigBits = hyper.zipWithIndex.map { case (h, i) =>
-      val w = array(h.map(lit): _*)
-      when(aggregate(zip_with(vecD, w, (a, b) => a * b), lit(0.0), _ + _) > 0,
+      when(call_function("graft_dot", col("embedding"), typedLit(h)) > 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     val withKey = capBuckets(
