@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * where salting is sound: every left row holds exactly one salt, and all
   * right copies carry every salt, so per-row match sets are identical to
   * the unsalted join's.
+  *
+  * Caveat: `big` and `small` must not share lineage (a self-join) — the
+  * `salted(k) === replicated(k)` condition would then trip Spark's
+  * ambiguous self-join attribute resolution. Alias/deduplicate one side
+  * first (e.g. re-read the table, or `small.select(...)` fresh columns).
   */
 object SkewJoin {
 
@@ -43,6 +48,10 @@ object SkewJoin {
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "left" || jt == "leftouter",
       s"salting is sound for inner/left joins of a replicated right side, not $joinType")
+    // withColumn would silently REPLACE a pre-existing __salt, changing the
+    // caller's data — refuse instead
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
