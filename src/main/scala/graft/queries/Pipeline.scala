@@ -195,13 +195,17 @@ object Pipeline {
       // reworded-leak check layered over c1's verbatim grams. LSH proposes,
       // the exact predicate decides; the oracle recomputes the predicate
       // quadratically in DuckDB over the raw text, and the gate is FULL
-      // EQUALITY (same discipline as d3p: at hamming-room this wide the
-      // 8-band recall is exact on this corpus, which the d3p gate already
-      // pins corpus-wide)
+      // EQUALITY. The GATE runs at bands=16 (rows=2): a threshold-marginal
+      // J=0.8 pair then misses every band with prob (1-0.8²)¹⁶ ≈ 8e-8 —
+      // effectively-certain recall on ANY corpus, so gate equality pins
+      // soundness without depending on this corpus having no marginal
+      // pair (the 8-band default's ~1.5% per-pair miss rate would). Same
+      // code path either way; production calls keep the cheaper default.
       val d = Tables.load(s, dir, "documents")
       Decontaminate.fuzzyPairs(
           d.filter(col("doc_id") % 10 =!= 7),
-          d.filter(col("doc_id") % 10 === 7))
+          d.filter(col("doc_id") % 10 === 7),
+          bands = 16)
         .select(col("doc_id"), col("eval_id"))
         .distinct().orderBy(col("doc_id"), col("eval_id"))
     },
@@ -533,6 +537,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "t10_pii_redact" -> { (s, dir) =>
+      // PII scrub under the hash gate: the synthetic corpus carries no PII,
+      // so a deterministic planted column derives an email and a phone from
+      // doc_id (no RNG — same string on every engine and run), runs the
+      // production `redactPii` kernel, and the DuckDB twin replays the
+      // identical regexp_replace chain. The patterns avoid
+      // lookarounds/unicode classes by construction (the t5 discipline), so
+      // Java and RE2 match identically; counts are taken on the planted
+      // text in both engines. Map-only, zero shuffle.
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val planted = concat(
+        lit("Reach u"), id, lit(".test@mail-"), id,
+        lit(".example.org or call +1 (555) 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" now. "), col("text"))
+      d.select(
+          col("doc_id"),
+          TextFunctions.redactPii(planted).as("redacted"),
+          TextFunctions.emailCount(planted).as("n_emails"),
+          TextFunctions.phoneCount(planted).as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+
     "s3_split_assign" -> { (s, dir) =>
       // deterministic train/val/test assignment from a stable,
       // content-independent key: bucket = first two hex chars of
@@ -557,19 +586,29 @@ object Pipeline {
       // global-frequency scoring: a document's mean corpus-wide token
       // count — the cheap unigram-LM proxy for "how typical is this
       // document" that pipelines threshold on before spending model-based
-      // perplexity. Two aggregations: the vocabulary count table is tiny
-      // relative to the corpus (even a BPE vocab is ≤ a few million rows)
-      // so it BROADCASTS to the exploded corpus side; only (doc_id, count)
-      // pairs shuffle for the per-document mean. The mean is one division
+      // perplexity. Two aggregations; the broadcast vocabulary is
+      // FREQUENCY-FLOORED (count >= minTokenCount, default 2) because the
+      // raw whitespace vocabulary of web text grows with the corpus
+      // (Heaps' law — URLs, hashes, typos are mostly hapaxes), so
+      // broadcasting it unfloored would OOM the driver at 100 TB. Tokens
+      // below the floor score as count 1 via left-join + coalesce — at the
+      // default floor of 2 that IS their exact count (a dropped token has
+      // gc = 1), so the result is bit-identical to the unfloored query and
+      // the DuckDB oracle needs no special-casing. Only (doc_id, count)
+      // pairs shuffle for the per-document mean; the mean is one division
       // of an exact long sum, so doubles are bit-identical to DuckDB's.
       val d = Tables.load(s, dir, "documents")
+      val minCount =
+        s.conf.getOption("spark.graft.surprisal.minTokenCount").map(_.toInt).getOrElse(2)
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val g = tok.groupBy(col("tok")).agg(count(lit(1)).as("gc"))
-      tok.join(broadcast(g), "tok")
+        .filter(col("gc") >= minCount)
+      tok.join(broadcast(g), Seq("tok"), "left")
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
-          (sum(col("gc")).cast("double") / count(lit(1))).as("mean_token_count"))
+          (sum(coalesce(col("gc"), lit(1L))).cast("double") / count(lit(1)))
+            .as("mean_token_count"))
         .orderBy(col("doc_id"))
     },
 
@@ -664,7 +703,7 @@ object Pipeline {
   private val TokCte: String =
     """tok AS (
       |  SELECT doc_id, text,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
       |  FROM documents)""".stripMargin
 
   private val QualityMCte: String =
@@ -715,7 +754,7 @@ object Pipeline {
     "d2_dedup_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
-        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
         |  FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS i, b.doc_id AS j
@@ -730,7 +769,7 @@ object Pipeline {
     "d8_dedup_connected" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, lang,
-        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
         |  FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS i, b.doc_id AS j
@@ -750,7 +789,7 @@ object Pipeline {
     "d3p_minhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
         |  FROM documents),
         |idx AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
@@ -767,8 +806,8 @@ object Pipeline {
     "d4p_simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS toks
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) > 0),
         |th AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
         |bits AS (
         |  SELECT doc_id, b,
@@ -800,7 +839,7 @@ object Pipeline {
     "c1_decontamination" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
         |  FROM documents),
         |idx AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
@@ -818,7 +857,7 @@ object Pipeline {
     "c2_decon_fuzzy" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
         |  FROM documents),
         |idx AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
@@ -889,7 +928,7 @@ object Pipeline {
     "t1_text_stats" ->
       """WITH tok AS (
         |  SELECT doc_id, length(text) AS n_chars_txt,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  len(toks) AS n_tokens,
@@ -922,7 +961,7 @@ object Pipeline {
 
     "t4_fingerprint" ->
       """SELECT doc_id,
-        |  md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |  md5(array_to_string(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_curation_pipeline" ->
@@ -956,7 +995,7 @@ object Pipeline {
     "s2_mixture_weights" ->
       """WITH tok AS (
         |  SELECT lang,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS ntok
         |  FROM documents),
         |per_lang AS (
         |  SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS lang_tokens
@@ -981,7 +1020,7 @@ object Pipeline {
     "p2_sequence_packing" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS ntok
         |  FROM documents)
         |SELECT doc_id, lang, ntok,
         |  CAST(floor(CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
@@ -991,7 +1030,7 @@ object Pipeline {
     "p3_sequence_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ntok
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS ntok
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, ntok,
@@ -1013,7 +1052,7 @@ object Pipeline {
     "t8_top_tokens" ->
       """WITH tok AS (
         |  SELECT lang,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS tok
         |  FROM documents),
         |cnts AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
         |ranked AS (
@@ -1056,7 +1095,7 @@ object Pipeline {
     // algorithm (unnest → GROUP BY) — an array-kernel bug hash-mismatches
     "t7_word_counts" ->
       """SELECT tok AS word, count(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
         |                                x -> len(x) > 0)) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
@@ -1081,6 +1120,25 @@ object Pipeline {
         |  CAST(bs.top_bg AS DOUBLE) / CAST(bs.n_bigrams AS BIGINT) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
+
+    "t10_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Reach u' || CAST(doc_id AS VARCHAR) || '.test@mail-' ||
+        |    CAST(doc_id AS VARCHAR) || '.example.org or call +1 (555) 01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now. ' || text AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(planted,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() .\-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '\+?[0-9][0-9() .\-]{6,}[0-9]')) AS INTEGER) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "s3_split_assign" ->
       """WITH b AS (

@@ -490,6 +490,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "refined centroids must be deterministic")
   }
 
+  test("a2's recall@10 at the gate SF holds its measured floor") {
+    // pins the pruned-probe (nlist=16, nprobe=4) recall at the gate scale
+    // factor so a centroid-quality regression breaks sbt test instead of
+    // only showing in a manual RecallProbe run. The floor is the measured
+    // value (0.44 on sf0.01's uniform-random embeddings — there is no
+    // cluster structure to exploit, so recall tracks the scanned fraction
+    // plus top-k overlap luck) minus slack; a2p (full probe) pins
+    // exactness, THIS pins that pruning never gets catastrophically worse.
+    val gateSf = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, gateSf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"gate-SF recall@10 (nlist=16, nprobe=4): $recall%.3f")
+    assert(recall >= 0.35, f"a2 recall@10 regressed at the gate SF: $recall%.3f")
+  }
+
   test("IVF with nprobe = nlist equals brute force exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 3)
