@@ -260,6 +260,59 @@ case class WeightedSample(
   override def prettyName: String = "graft_weighted_sample"
 }
 
+/** Serializable carrier for a prebuilt Bloom filter: only the byte image
+  * rides with the plan (Spark's `BloomFilterImpl` serializes via its own
+  * `writeTo` format, which is stable across JVMs); the probe object is
+  * rebuilt lazily once per executor JVM, the [[graft.operators.BpeMergeTable]]
+  * discipline.
+  */
+final class SerializableBloom(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def mightContain(v: Long): Boolean = bloom.mightContainLong(v)
+}
+
+object SerializableBloom {
+  def from(bloom: org.apache.spark.util.sketch.BloomFilter): SerializableBloom = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    new SerializableBloom(out.toByteArray)
+  }
+}
+
+/** `BloomContains(hash)` → boolean: membership probe of a prebuilt Bloom
+  * filter over 64-bit hashes. One-sided by construction — false positives
+  * only — so it is a PREFILTER: callers must re-verify survivors against
+  * the exact set. Codegen'd; the filter ships once per plan, not per row.
+  */
+case class BloomContains(
+    child: Expression,
+    bloom: SerializableBloom)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom probe requires a bigint hash input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContain(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, classOf[SerializableBloom].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bloom_contains"
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -42,6 +42,45 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[ngramOverlap]] with a BLOOM-FILTER prefilter — the shape for when
+    * the eval set is too large to broadcast as a hash relation. A hashed
+    * relation costs ≥ 8 bytes per gram plus table overhead; the Bloom
+    * filter costs ~1.2 bytes per gram at 1% fpp, an order of magnitude
+    * more eval grams per executor-memory budget. The filter is built once
+    * driver-side (`stat.bloomFilter` merges per-partition partials — the
+    * Lloyd-fit/BPE-table discipline: bounded driver state, fit once,
+    * amortized across runs), probes as a codegen'd map-side expression, and
+    * survivors — true matches plus the fpp tail — are re-verified against
+    * the exact gram set, so the RESULT IS IDENTICAL to [[ngramOverlap]]:
+    * false positives die in the verify join, which now probes a
+    * prefiltered, near-empty input and can afford a shuffle join when the
+    * eval side outgrows broadcast (no hint — AQE decides).
+    */
+  def ngramOverlapBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      expectedGrams: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.{BloomContains, SerializableBloom}
+    val evalGrams = Dedup.persistPublic(evalSet
+      .select(explode(
+        call_function("graft_shingle_hashes", col("text"), lit(n))).as("g"))
+      .distinct())
+    val bloom = SerializableBloom.from(
+      evalGrams.stat.bloomFilter("g", expectedGrams, fpp))
+    val probe = GraftSqlBridge.column(
+      BloomContains(GraftSqlBridge.expressionNoSpark(col("g")), bloom))
+    corpus
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(n))).as("g"))
+      .filter(probe)
+      .join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The corpus with contaminated documents removed: anti join against the
     * flagged set (threshold `minShared` distinct grams).
     */

@@ -189,6 +189,19 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "c3_decon_bloom" -> { (s, dir) =>
+      // the Bloom-prefiltered decontamination path: ~1.2 bytes/gram at 1%
+      // fpp instead of >= 8 bytes/gram for a broadcast hash relation, so
+      // an eval set an order of magnitude too big to broadcast still scrubs
+      // map-side. False positives die in the exact verify join, so the
+      // result — and therefore the oracle — is IDENTICAL to c1's.
+      val d = Tables.load(s, dir, "documents")
+      Decontaminate.ngramOverlapBloom(
+        d.filter(col("doc_id") % 10 =!= 7),
+        d.filter(col("doc_id") % 10 === 7), n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "c2_decon_fuzzy" -> { (s, dir) =>
       // paraphrase-level contamination: corpus docs whose 3-shingle set is
       // near-identical (exact Jaccard >= 0.8) to an eval doc's — the
@@ -837,6 +850,24 @@ object Pipeline {
         |ORDER BY i, j""".stripMargin,
 
     "c1_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM tok WHERE len(toks) >= 8),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 = 7),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 <> 7)
+        |SELECT cg.doc_id, count(*) AS n_shared
+        |FROM cg JOIN ev USING (g)
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+
+    "c3_decon_bloom" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks

@@ -384,6 +384,22 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(flagged(1L) == 2L, s"expected 2 shared grams, got ${flagged.get(1L)}")
   }
 
+  test("bloom-prefiltered overlap equals the exact path, even with heavy FPs") {
+    val d = Tables.load(spark, sf, "documents")
+    val corp = d.filter(col("doc_id") % 10 =!= 7)
+    val ev = d.filter(col("doc_id") % 10 === 7)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = toMap(Decontaminate.ngramOverlap(corp, ev, n = 8))
+    assert(toMap(Decontaminate.ngramOverlapBloom(corp, ev, n = 8)) == want,
+      "default bloom must reproduce the exact overlap counts")
+    // a deliberately undersized, half-blind filter floods the verify join
+    // with false positives — the exact join must still pin the result
+    val noisy = toMap(Decontaminate.ngramOverlapBloom(corp, ev, n = 8,
+      expectedGrams = 16, fpp = 0.5))
+    assert(noisy == want, "bloom false positives must die in the verify join")
+  }
+
   test("fuzzyPairs catches a reworded leak the verbatim check misses") {
     // every 7th word substituted: no verbatim 8-token run survives, but
     // the 3-shingle sets still overlap heavily — the paraphrase shape
