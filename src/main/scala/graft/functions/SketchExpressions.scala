@@ -260,6 +260,166 @@ case class WeightedSample(
   override def prettyName: String = "graft_weighted_sample"
 }
 
+/** Multi-level MRL-style quantile buffer [Manku, Rajagopalan, Lindsay,
+  * SIGMOD'98]: level i holds values of weight 2^i; when a level overflows
+  * `capacity` it is sorted and every second element (odd positions) is
+  * promoted to the next level at doubled weight — a DETERMINISTIC collapse
+  * (no coin flip), so the same inputs in the same merge order give the
+  * same sketch. While total count ≤ capacity nothing ever compacts and the
+  * buffer IS the value multiset — the exact regime the correctness gate
+  * runs in (k1's KMV discipline); beyond it, rank error grows
+  * ~ (n/capacity)·log(n/capacity) and the answer may depend on merge
+  * order, the same contract as Spark's own approx_percentile.
+  */
+final class QuantileBuffer(val capacity: Int) {
+  import scala.collection.mutable.ArrayBuffer
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(new ArrayBuffer[Double]())
+  var count: Long = 0L
+
+  def add(v: Double): Unit = { levels(0) += v; count += 1; compact(0) }
+
+  private def compact(i: Int): Unit = {
+    if (levels(i).length > capacity) {
+      val sorted = levels(i).sorted
+      if (i + 1 >= levels.length) levels += new ArrayBuffer[Double]()
+      var j = 1
+      while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
+      levels(i).clear()
+      compact(i + 1)
+    }
+  }
+
+  def merge(other: QuantileBuffer): Unit = {
+    var i = 0
+    while (i < other.levels.length) {
+      if (i >= levels.length) levels += new ArrayBuffer[Double]()
+      levels(i) ++= other.levels(i)
+      i += 1
+    }
+    count += other.count
+    var j = 0
+    while (j < levels.length) { compact(j); j += 1 }
+  }
+
+  /** percentile_disc semantics: the smallest value whose cumulative weight
+    * reaches q × total weight (≡ q × count in the exact regime, where
+    * every weight is 1 — matching DuckDB's quantile_disc bit-for-bit).
+    */
+  def quantile(q: Double): Any = {
+    if (count == 0L) return null
+    val entries = new ArrayBuffer[(Double, Long)]()
+    var total = 0L
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach { v => entries += ((v, w)); total += w }
+      i += 1
+    }
+    val sorted = entries.sortBy(_._1)
+    val target = q * total
+    var cum = 0L
+    var k = 0
+    while (k < sorted.length) {
+      cum += sorted(k)._2
+      if (cum >= target) return sorted(k)._1
+      k += 1
+    }
+    sorted(sorted.length - 1)._1
+  }
+}
+
+/** `graft_quantile_sketch(x, q, capacity)` → double: mergeable quantile
+  * aggregate over a bounded [[QuantileBuffer]]. The 100 TB replacement for
+  * exact `percentile_disc`, which must SORT every group: this keeps
+  * O(capacity · log(n/capacity)) values per group with map-side partials
+  * and an associative merge, so per-group state is bounded at any corpus
+  * size. Exact (and gate-checkable against DuckDB `quantile_disc`) while
+  * group size ≤ capacity; bounded rank error beyond.
+  */
+case class QuantileSketch(
+    child: Expression,
+    q: Double,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_sketch needs a numeric input, got ${child.dataType.simpleString}")
+    else if (q < 0.0 || q > 1.0)
+      TypeCheckResult.TypeCheckFailure(s"quantile must be in [0, 1], got $q")
+    else if (capacity < 8)
+      TypeCheckResult.TypeCheckFailure(s"capacity must be >= 8, got $capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): QuantileBuffer = new QuantileBuffer(capacity)
+
+  override def update(buf: QuantileBuffer, input: InternalRow): QuantileBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    })
+    buf
+  }
+
+  override def merge(buf: QuantileBuffer, other: QuantileBuffer): QuantileBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: QuantileBuffer): Any = buf.quantile(q)
+
+  override def serialize(buf: QuantileBuffer): Array[Byte] = {
+    val n = buf.levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putInt(buf.capacity).putLong(buf.count).putInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      bb.putInt(lvl.length)
+      lvl.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new QuantileBuffer(bb.getInt)
+    buf.count = bb.getLong
+    val nLevels = bb.getInt
+    var i = 0
+    while (i < nLevels) {
+      if (i >= buf.levels.length)
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]()
+      val len = bb.getInt
+      var j = 0
+      while (j < len) { buf.levels(i) += bb.getDouble; j += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_quantile_sketch"
+}
+
 /** Serializable carrier for a prebuilt Bloom filter: only the byte image
   * rides with the plan (Spark's `BloomFilterImpl` serializes via its own
   * `writeTo` format, which is stable across JVMs); the probe object is
@@ -319,6 +479,14 @@ object SketchFunctions {
       "graft_kmv_distinct",
       exprs => KmvDistinct(
         exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_distinct"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantile_sketch",
+      exprs => QuantileSketch(
+        exprs(0),
+        TextExprFunctions.doubleArg(exprs(1), "graft_quantile_sketch"),
+        TextExprFunctions.intArg(exprs(2), "graft_quantile_sketch"))
         .toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

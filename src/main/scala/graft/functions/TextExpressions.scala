@@ -607,6 +607,20 @@ object TextExprFunctions {
     case _ => throw new IllegalArgumentException(s"$fn: size argument must be a literal")
   }
 
+  private[functions] def doubleArg(e: Expression, fn: String): Double = e match {
+    case lit if lit.foldable =>
+      lit.eval(null) match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$fn: expected numeric literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(s"$fn: argument must be a literal")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_shingle_hashes",

@@ -352,6 +352,25 @@ object Pipeline {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    "k2_quantile_sketch" -> { (s, dir) =>
+      // t6's quartiles through the MERGEABLE sketch instead of exact
+      // percentile_disc. Exact percentile sorts every group — at 100 TB
+      // that is a full per-group sort+spill; the sketch keeps a bounded
+      // buffer with map-side partials and an associative merge, the same
+      // state shape as any hash aggregate. capacity=4096 ≥ every gate/bench
+      // group, so HERE it is in its exact regime and must match DuckDB's
+      // quantile_disc bit-for-bit (the k1 KMV discipline: gate the exact
+      // regime, spec the error band beyond it).
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang,
+          |  CAST(graft_quantile_sketch(length(text), 0.25, 4096) AS BIGINT) AS q25,
+          |  CAST(graft_quantile_sketch(length(text), 0.5,  4096) AS BIGINT) AS q50,
+          |  CAST(graft_quantile_sketch(length(text), 0.75, 4096) AS BIGINT) AS q75,
+          |  count(*) AS n_docs
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     "p2_sequence_packing" -> { (s, dir) =>
       // pretraining sequence packing in the concat-then-chunk model: per
       // language, documents concatenate in doc_id order and split at
@@ -1041,6 +1060,14 @@ object Pipeline {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t6_quantiles" ->
+      """SELECT lang,
+        |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS q25,
+        |  CAST(quantile_disc(length(text), 0.5)  AS BIGINT) AS q50,
+        |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k2_quantile_sketch" ->
       """SELECT lang,
         |  CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS q25,
         |  CAST(quantile_disc(length(text), 0.5)  AS BIGINT) AS q50,

@@ -109,6 +109,75 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 }
 
+class QuantileSketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def disc(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    var cum = 0L
+    val target = q * s.length
+    s.find { _ => cum += 1; cum >= target }.getOrElse(s.last)
+  }
+
+  test("exact regime: equals percentile_disc for every q, any partitioning") {
+    val vals = (0 until 3000).map(i => ((i * 2654435761L) % 977).toDouble)
+    val df = vals.toDF("v")
+    Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0).foreach { q =>
+      val want = disc(vals, q)
+      Seq(1, 17).foreach { parts =>
+        val got = df.repartition(parts)
+          .select(call_function("graft_quantile_sketch", col("v"), lit(q), lit(4096)))
+          .collect()(0).getDouble(0)
+        assert(got == want, s"q=$q parts=$parts: $got vs $want")
+      }
+    }
+  }
+
+  test("sketchy regime: rank error bounded, state stays bounded") {
+    // 200k values through a 512-capacity sketch — far past the exact
+    // regime; the returned element's TRUE rank must sit near q·n
+    val n = 200000
+    val vals = (0 until n).map(i => ((i * 40503L) % 99991).toDouble)
+    val sorted = vals.sorted
+    val df = vals.toDF("v")
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val got = df
+        .select(call_function("graft_quantile_sketch", col("v"), lit(q), lit(512)))
+        .collect()(0).getDouble(0)
+      // rank of the returned value (first occurrence)
+      val rank = sorted.indexWhere(_ >= got).toDouble / n
+      assert(math.abs(rank - q) < 0.05,
+        s"q=$q: returned value at rank $rank (off by ${math.abs(rank - q)})")
+    }
+  }
+
+  test("grouped quartiles match exact percentile_disc at gate capacity") {
+    val docs = Tables.load(spark, sf, "documents")
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      """SELECT lang,
+        |  graft_quantile_sketch(length(text), 0.5, 4096) AS s50,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS DOUBLE) AS e50
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"lang=${r.getString(0)}: sketch ${r.getDouble(1)} vs exact ${r.get(2)}")
+    }
+  }
+
+  test("null inputs are skipped; empty group yields null") {
+    val withNulls = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
+    assert(withNulls
+      .select(call_function("graft_quantile_sketch", col("v"), lit(0.5), lit(64)))
+      .collect()(0).getDouble(0) == 1.0)
+    val empty = Seq.empty[Double].toDF("v")
+    assert(empty
+      .select(call_function("graft_quantile_sketch", col("v"), lit(0.5), lit(64)))
+      .collect()(0).isNullAt(0))
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
