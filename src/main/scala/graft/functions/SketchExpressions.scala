@@ -420,6 +420,175 @@ case class QuantileSketch(
   override def prettyName: String = "graft_quantile_sketch"
 }
 
+/** SpaceSaving heavy-hitters state [Metwally, Agrawal, El Abbadi,
+  * ICDT'05]: at most `capacity` (token → count, err) entries. A new token
+  * arriving at a full buffer evicts the minimum-count entry and inherits
+  * its count as both base and error — the classic one-sided overestimate
+  * (true ≤ est ≤ true + n/capacity). Merging sums counts of the union and
+  * prunes back to capacity keeping the largest (mergeable-summaries
+  * result: the ε-bound adds). While a group's DISTINCT tokens fit in
+  * capacity nothing evicts, every err is 0, counts are exact under any
+  * partitioning — the gate regime. All tie-breaks are lexicographic so
+  * eviction and pruning are deterministic.
+  */
+final class HeavyHittersBuffer(val capacity: Int) {
+  // token -> [count, err]
+  val counts = new java.util.HashMap[String, Array[Long]]()
+
+  def add(tok: String, inc: Long, err: Long): Unit = {
+    val cur = counts.get(tok)
+    if (cur != null) { cur(0) += inc; cur(1) += err }
+    else if (counts.size < capacity) counts.put(tok, Array(inc, err))
+    else {
+      // evict the (count asc, token DESC) minimum — deterministic
+      var minTok: String = null
+      var minCnt = Long.MaxValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (minTok == null || c < minCnt ||
+            (c == minCnt && e.getKey.compareTo(minTok) > 0)) {
+          minCnt = c; minTok = e.getKey
+        }
+      }
+      counts.remove(minTok)
+      counts.put(tok, Array(minCnt + inc, minCnt + err))
+    }
+  }
+
+  def merge(other: HeavyHittersBuffer): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      else counts.put(e.getKey, Array(e.getValue()(0), e.getValue()(1)))
+    }
+    if (counts.size > capacity) {
+      // prune to the `capacity` largest (count desc, token asc)
+      val keep = top(capacity)
+      val keepSet = new java.util.HashSet[String]()
+      keep.foreach(t => keepSet.add(t._1))
+      val rm = counts.keySet().iterator()
+      while (rm.hasNext) { if (!keepSet.contains(rm.next())) rm.remove() }
+    }
+  }
+
+  /** The k largest entries as (token, count), ordered (count desc,
+    * token asc).
+    */
+  def top(k: Int): Array[(String, Long)] = {
+    val arr = new Array[(String, Long)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue()(0)); i += 1 }
+    arr.sortBy(t => (-t._2, t._1)).take(k)
+  }
+}
+
+/** `graft_heavy_hitters(tok, k, capacity)` → array<struct<token, cnt>>:
+  * top-k frequent values through a bounded SpaceSaving buffer. The scale
+  * path for per-group vocabulary stats: the exact form (t8) must shuffle
+  * every distinct (group, token) count; this keeps O(capacity) state per
+  * group with map-side partials, so only small buffers cross the wire no
+  * matter how large the vocabulary grows. Exact — and oracle-checked —
+  * while distinct tokens per group ≤ capacity.
+  */
+case class HeavyHitters(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HeavyHittersBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_heavy_hitters needs a string input, got ${child.dataType.simpleString}")
+    else if (k < 1 || capacity < k)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): HeavyHittersBuffer =
+    new HeavyHittersBuffer(capacity)
+
+  override def update(buf: HeavyHittersBuffer, input: InternalRow): HeavyHittersBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: HeavyHittersBuffer, other: HeavyHittersBuffer): HeavyHittersBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: HeavyHittersBuffer): Any = {
+    val rows: Array[Any] = buf.top(k).map { case (tok, cnt) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(tok), cnt)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: HeavyHittersBuffer): Array[Byte] = {
+    var bytes = 8
+    val it0 = buf.counts.entrySet().iterator()
+    val entries = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long)]()
+    while (it0.hasNext) {
+      val e = it0.next()
+      val tb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      entries += ((tb, e.getValue()(0), e.getValue()(1)))
+      bytes += 4 + tb.length + 16
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.capacity).putInt(entries.length)
+    entries.foreach { case (tb, c, er) =>
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(c); bb.putLong(er)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new HeavyHittersBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val tb = new Array[Byte](bb.getInt)
+      bb.get(tb)
+      buf.counts.put(
+        new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+        Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHitters =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_heavy_hitters"
+}
+
 /** Serializable carrier for a prebuilt Bloom filter: only the byte image
   * rides with the plan (Spark's `BloomFilterImpl` serializes via its own
   * `writeTo` format, which is stable across JVMs); the probe object is
@@ -479,6 +648,14 @@ object SketchFunctions {
       "graft_kmv_distinct",
       exprs => KmvDistinct(
         exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_distinct"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      exprs => HeavyHitters(
+        exprs(0),
+        TextExprFunctions.intArg(exprs(1), "graft_heavy_hitters"),
+        TextExprFunctions.intArg(exprs(2), "graft_heavy_hitters"))
         .toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

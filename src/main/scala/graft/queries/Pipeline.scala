@@ -436,6 +436,26 @@ object Pipeline {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "k3_heavy_hitters" -> { (s, dir) =>
+      // t8's per-language top tokens through the bounded SpaceSaving
+      // sketch. The exact form shuffles every distinct (lang, token)
+      // count — correct, but the shuffle grows with the vocabulary; this
+      // keeps O(capacity) state per language with map-side partials, so
+      // only small buffers cross the wire at any vocabulary size.
+      // capacity=4096 ≥ the corpus vocabulary here, so the sketch is in
+      // its exact regime and must reproduce t8's counts bit-for-bit (the
+      // k1/k2 discipline).
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(call_function("graft_heavy_hitters",
+          col("tok"), lit(5), lit(4096)).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("i", "s")))
+        .select(col("lang"), col("s.token").as("tok"), col("s.cnt").as("cnt"),
+          (col("i") + 1).cast("int").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
     "d7_label_centroids" -> { (s, dir) =>
       // per-label embedding centroid — the k-means update step as a query:
       // posexplode to (label, dim, value), decimal-summed per cell so the
@@ -1108,6 +1128,19 @@ object Pipeline {
         |FROM x ORDER BY doc_id, seq_no""".stripMargin,
 
     "t8_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, tok, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS INTEGER) AS rank
+        |  FROM cnts)
+        |SELECT lang, tok, cnt, rank FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    "k3_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT lang,
         |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS tok

@@ -109,6 +109,54 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 }
 
+class HeavyHittersSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.posexplode
+
+  private def run(df: org.apache.spark.sql.DataFrame, k: Int, cap: Int) = df
+    .select(call_function("graft_heavy_hitters", col("v"), lit(k), lit(cap)).as("hh"))
+    .select(posexplode(col("hh")).as(Seq("i", "s")))
+    .select(col("s.token"), col("s.cnt"))
+    .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("exact regime: counts equal groupBy, deterministic under partitioning") {
+    val data = (0 until 5000).map(i => s"tok${i % 37}")
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(t => (-t._2, t._1)).take(10)
+    Seq(1, 13).foreach { parts =>
+      val got = run(data.toDF("v").repartition(parts), 10, 64)
+      assert(got == want, s"parts=$parts: $got vs $want")
+    }
+  }
+
+  test("sketchy regime: one-sided overestimate, true heavy hitter survives") {
+    // zipf-ish stream: one dominant token + a long tail wider than the
+    // buffer; SpaceSaving guarantees est >= true and the dominant token
+    // cannot be evicted
+    val data = (0 until 20000).flatMap { i =>
+      Seq("dominant") ++ (if (i % 2 == 0) Seq(s"tail${i % 3000}") else Nil)
+    }
+    val trueCounts = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run(data.toDF("v").repartition(7), 5, 64)
+    assert(got.head._1 == "dominant", s"dominant token must rank first: $got")
+    got.foreach { case (tok, est) =>
+      assert(est >= trueCounts.getOrElse(tok, 0L),
+        s"SpaceSaving must never undercount: $tok est=$est true=${trueCounts.get(tok)}")
+      assert(est <= trueCounts.getOrElse(tok, 0L) + data.size.toLong / 64 + 1,
+        s"overestimate beyond the n/capacity bound: $tok est=$est")
+    }
+  }
+
+  test("matches the exact t8 top-tokens path on real data") {
+    val got = SparkEntry.queries("k3_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val want = SparkEntry.queries("t8_top_tokens")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+}
+
 class QuantileSketchSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
