@@ -721,6 +721,35 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    "v3_embedding_covariance" -> { (s, dir) =>
+      // second-moment statistics of the embedding corpus in ONE pass — the
+      // fit input for PCA / whitening / Mahalanobis scoring. Emits, per
+      // upper-triangle dimension pair (i ≤ j): n, Σvi·vj, Σvi, Σvj —
+      // covariance and correlation derive downstream ((sxy − sx·sy/n)/n),
+      // and the eigendecomposition over the d×d result is driver-side like
+      // the Lloyd fit and BPE merge loop (O(d²) state, corpus-independent).
+      // Scale shape: the d² pair expansion happens map-side and collapses
+      // into the partial aggregate immediately — the shuffle carries
+      // d·(d+1)/2 rows per partition, nothing else, at any corpus size.
+      // All sums are decimal-routed (the d7 discipline) so every double is
+      // bit-identical across engines and partitionings.
+      val e = Tables.load(s, dir, "embeddings")
+      e.select(col("embedding"),
+          posexplode(transform(col("embedding"), v => v.cast("double")))
+            .as(Seq("i", "vi")))
+        .select(col("i"), col("vi"),
+          posexplode(transform(col("embedding"), v => v.cast("double")))
+            .as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("vi") * col("vj")).cast("decimal(28,12)")).cast("double").as("sxy"),
+          sum(col("vi").cast("decimal(28,12)")).cast("double").as("sx"),
+          sum(col("vj").cast("decimal(28,12)")).cast("double").as("sy"))
+        .orderBy(col("i"), col("j"))
+    },
+
     "v1_vec_quantize" -> { (s, dir) =>
       // symmetric int8 quantization of the embedding column (the storage /
       // bandwidth-reduction step before ANN serving): per-vector scale maps
@@ -1282,6 +1311,24 @@ object Pipeline {
         |  list_min(list_transform(v, x -> x / norm)) AS u_min,
         |  list_max(list_transform(v, x -> x / norm)) AS u_max
         |FROM n ORDER BY vec_id""".stripMargin,
+
+    "v3_embedding_covariance" ->
+      """WITH a AS (
+        |  SELECT embedding,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS vi
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT i, vi,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS j,
+        |    CAST(unnest(embedding) AS DOUBLE) AS vj
+        |  FROM a)
+        |SELECT i, j, count(*) AS n,
+        |  CAST(sum(CAST(vi * vj AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(vi AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(vj AS DECIMAL(28,12))) AS DOUBLE) AS sy
+        |FROM b WHERE j >= i
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "v1_vec_quantize" ->
       """WITH v AS (

@@ -698,6 +698,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3).getString(0) == "no pii here, just words and the number 7")
   }
 
+  test("v3 covariance sums match a BigDecimal driver recompute, any partitioning") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val vecs = e.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val got = SparkEntry.queries("v3_embedding_covariance")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 64 * 65 / 2, s"expected full upper triangle, got ${got.size}")
+    // mirror the decimal route: each double rounds to 12 frac digits
+    // (HALF_UP, Spark's double→decimal cast), sums exactly, one final
+    // rounding back to double
+    def dec(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    Seq((0, 0), (0, 1), (3, 7), (63, 63)).foreach { case (i, j) =>
+      val (n, sxy, sx, sy) = got((i, j))
+      assert(n == vecs.length.toLong)
+      assert(sxy == vecs.map(v => dec(v(i) * v(j))).sum.toDouble, s"sxy($i,$j)")
+      assert(sx == vecs.map(v => dec(v(i))).sum.toDouble, s"sx($i,$j)")
+      assert(sy == vecs.map(v => dec(v(j))).sum.toDouble, s"sy($i,$j)")
+    }
+    // the BigDecimal mirror above IS the partitioning-independence proof:
+    // decimal accumulation is exact, so any summation order gives the
+    // same total — the same argument d7's gate rests on
+  }
+
   test("v1 int8 quantization: exact scale/values, max component hits ±127") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
