@@ -92,6 +92,13 @@ class EngineSpec extends AnyFunSuite {
       "select graft_kmv_distinct(c, 64) as d from (select 'x' || (a % 5) as c from t1) s")
       .head.head
     assert(kmv == 3L) // t1.a = 0,1,2,2 → x0,x1,x2,x2 → 3 distinct
+    val q = rows(
+      "select graft_quantile_sketch(a, 0.5, 64) as m from t1").head.head
+    assert(q == 1.0) // a = 0,1,2,2 → disc median at rank 2 = 1
+    val hh = rows(
+      "select graft_heavy_hitters(cast(a as string), 1, 64)[0].token as t from t1")
+      .head.head
+    assert(hh.toString == "2") // 2 appears twice, the rest once
   }
 
   test("trailing semicolons accepted on every statement route") {

@@ -145,6 +145,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"want final <- exchange <- partial (top-down explain tree):\n$p")
   }
 
+  test("k3_heavy_hitters: sketch aggregates partially before the shuffle") {
+    // the point of the sketch: only bounded buffers cross the wire —
+    // TypedImperativeAggregate plans as ObjectHashAggregate partial/final
+    val p = plan("k3_heavy_hitters")
+    assert(nodeCount(p, "ObjectHashAggregate") >= 2,
+      s"expect partial+final sketch aggregate:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(shuffleLines.forall(!_.contains("text#")),
+      s"document text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("v3_embedding_covariance: pair expansion collapses map-side") {
+    val p = plan("v3_embedding_covariance")
+    assert(nodeCount(p, "HashAggregate") + nodeCount(p, "ObjectHashAggregate") >= 2,
+      s"expect partial+final aggregate:\n$p")
+    // only (i, j, partial sums) may shuffle — never embeddings
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(shuffleLines.forall(!_.contains("embedding#")),
+      s"embeddings must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("c3_decon_bloom: bloom probe sits map-side before the verify join") {
+    val p = plan("c3_decon_bloom")
+    assert(p.contains("graft_bloom_contains") || p.contains("BloomContains"),
+      s"bloom prefilter must appear in the plan:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(shuffleLines.forall(!_.contains("text#")),
+      s"corpus text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
   test("tpch5: 6-table join cycle — dimensions broadcast, one fact shuffle") {
     val p = plan("tpch5_local_supplier_volume")
     assert(nodeCount(p, "BroadcastHashJoin") >= 4,
