@@ -259,4 +259,152 @@ object Similarity {
       Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---- PCA / whitening ---------------------------------------------------
+
+  /** Fitted PCA state: per-dimension means, top-k principal components as
+    * ROWS (already 1/√λ-scaled when whitened), and their eigenvalues.
+    * O(k·dim) driver state — the Lloyd-centroid / BPE-table discipline.
+    */
+  final case class PcaModel(
+      means: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** One-pass covariance fit + driver-side eigendecomposition.
+    *
+    * The DISTRIBUTED stage is the v3 covariance shape: the d² pair
+    * expansion collapses into a map-side partial aggregate, d(d+1)/2
+    * decimal-summed rows per partition shuffle, and the driver collects
+    * O(d²) numbers — corpus-size-independent, like the Lloyd fit. The
+    * eigendecomposition is cyclic Jacobi with a FIXED sweep order, ties
+    * broken by index and signs pinned (largest-|component| positive), so
+    * the same corpus fits the same model bit-for-bit on any partitioning
+    * (the covariance doubles are decimal-routed; Jacobi is a fixed
+    * sequence of IEEE ops). `whiten` scales each component by 1/√λ so the
+    * projected data has identity covariance — the PCA-whitening step
+    * embedding pipelines run before clustering/ANN.
+    */
+  def fitPca(
+      embs: DataFrame,
+      dim: Int,
+      k: Int,
+      whiten: Boolean = false): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val stats = embs
+      .select(col("embedding"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(asDouble(col("embedding"))).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("vi") * col("vj")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum(col("vi").cast("decimal(28,12)")).cast("double").as("sx"))
+      .collect()
+    val n = stats.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](dim, dim)
+    val means = new Array[Double](dim)
+    stats.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      if (i == j) means(i) = r.getDouble(4) / n
+    }
+    stats.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c = r.getDouble(3) / n - means(i) * means(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // order by eigenvalue desc, index asc on ties; pin each sign so the
+    // largest-|entry| coordinate (first on ties) is positive
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(r => eigVecs(r)(c))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sign = if (v(m) < 0) -1.0 else 1.0
+      val scale = if (whiten) sign / math.sqrt(math.max(eigVals(c), 1e-12))
+                  else sign
+      v.map(_ * scale)
+    }.toArray
+    PcaModel(means, comps, order.map(eigVals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: fixed (p, q)
+    * sweep order, rotations applied until the off-diagonal mass is below
+    * tolerance. Returns (eigenvalues, eigenvector COLUMNS). Deterministic:
+    * no pivot search, no randomness — a fixed sequence of IEEE doubles.
+    */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]],
+      maxSweeps: Int = 64,
+      tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < n) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Map-only projection of the embedding column onto a fitted model:
+    * component r of the output is dot(x − μ, w_r) = graft_dot(x, w_r) − c_r
+    * with c_r = dot(μ, w_r) folded into a literal driver-side — one fused
+    * codegen'd kernel pass per component, nothing shuffles, and the fold
+    * order matches a driver recompute bit-for-bit (the d5p property).
+    */
+  def pcaProject(emb: Column, model: PcaModel): Column = {
+    val comps = model.components.map { w =>
+      var c = 0.0
+      var i = 0
+      while (i < w.length) { c += model.means(i) * w(i); i += 1 }
+      dot(emb, typedLit(w.toSeq)) - lit(c)
+    }
+    array(comps.toIndexedSeq: _*)
+  }
 }

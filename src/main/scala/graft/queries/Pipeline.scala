@@ -750,6 +750,27 @@ object Pipeline {
         .orderBy(col("i"), col("j"))
     },
 
+    "v4_pca_project" -> { (s, dir) =>
+      // PCA-whitening projection — the dimensionality-reduction step before
+      // clustering/ANN. The fit is the v3 covariance pass (distributed,
+      // decimal-routed, gate-checked there) + a driver-side deterministic
+      // Jacobi eigendecomposition (O(d²) state, the Lloyd/BPE discipline);
+      // the projection is map-only through the fused graft_dot kernel.
+      // Rows-only at the driver gate (an eigensolver is not
+      // SQL-expressible); PcaSpec pins the math: fit determinism,
+      // orthonormality, covariance diagonalization, whitened-identity, and
+      // a bit-exact column≡driver differential. Its exact twins v3 (the
+      // fit input) and d5p/a1 (the graft_dot fold) are hash-gated.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Similarity.fitPca(e, dim = 64, k = 8, whiten = true)
+      e.select(col("vec_id"),
+          Similarity.pcaProject(col("embedding"), model).as("p"))
+        .select(col("vec_id"),
+          col("p")(0).as("p0"), col("p")(1).as("p1"),
+          col("p")(2).as("p2"), col("p")(3).as("p3"))
+        .orderBy(col("vec_id"))
+    },
+
     "v1_vec_quantize" -> { (s, dir) =>
       // symmetric int8 quantization of the embedding column (the storage /
       // bandwidth-reduction step before ANN serving): per-vector scale maps

@@ -26,7 +26,11 @@ class ParitySpec extends AnyFunSuite {
       "d5_dedup_embedding_lsh", "a2_ann_ivf",
       // hash-derived weighted sampling keys are not DuckDB-expressible;
       // WeightedSampleSpec pins determinism/bias/exactness
-      "s1_weighted_sample")
+      "s1_weighted_sample",
+      // an eigensolver is not SQL-expressible; PcaSpec pins fit
+      // determinism, orthonormality, diagonalization and the bit-exact
+      // column≡driver projection; the fit INPUT is the hash-gated v3
+      "v4_pca_project")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
   }
 

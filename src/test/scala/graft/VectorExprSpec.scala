@@ -109,6 +109,86 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 }
 
+class PcaSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Similarity
+
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+  private lazy val vecs = embs.select(col("embedding")).collect()
+    .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Driver-side centered covariance for comparison. */
+  private def centeredCov(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = rows.length
+    val d = rows.head.length
+    val mu = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    Array.tabulate(d, d)((i, j) =>
+      rows.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / n)
+  }
+
+  test("fit is deterministic and components are orthonormal") {
+    val m1 = Similarity.fitPca(embs, dim = 64, k = 8)
+    val m2 = Similarity.fitPca(embs, dim = 64, k = 8)
+    assert(m1.means.toSeq == m2.means.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    // orthonormal rows: W · Wᵀ = I
+    for (a <- m1.components; b <- m1.components) {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val want = if (a eq b) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"WWᵀ entry $d vs $want")
+    }
+    // explained variance comes out ordered
+    assert(m1.eigenvalues.zip(m1.eigenvalues.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("projection diagonalizes the covariance; whitening makes it identity") {
+    val k = 6
+    val model = Similarity.fitPca(embs, dim = 64, k = k)
+    val proj = vecs.map(v => model.components.map(w =>
+      w.indices.map(i => (v(i) - model.means(i)) * w(i)).sum))
+    val pc = centeredCov(proj)
+    for (i <- 0 until k; j <- 0 until k) {
+      if (i == j)
+        assert(math.abs(pc(i)(i) - model.eigenvalues(i)) < 1e-6,
+          s"diag $i: ${pc(i)(i)} vs λ=${model.eigenvalues(i)}")
+      else assert(math.abs(pc(i)(j)) < 1e-7, s"off-diag ($i,$j): ${pc(i)(j)}")
+    }
+    val white = Similarity.fitPca(embs, dim = 64, k = k, whiten = true)
+    val wproj = vecs.map(v => white.components.map(w =>
+      w.indices.map(i => (v(i) - white.means(i)) * w(i)).sum))
+    val wc = centeredCov(wproj)
+    for (i <- 0 until k; j <- 0 until k) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(wc(i)(j) - want) < 1e-6, s"whitened ($i,$j): ${wc(i)(j)}")
+    }
+  }
+
+  test("column projection matches the driver fold bit-for-bit") {
+    val model = Similarity.fitPca(embs, dim = 64, k = 4, whiten = true)
+    val got = embs.limit(25)
+      .select(col("vec_id"), Similarity.pcaProject(col("embedding"), model).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val raw = embs.limit(25).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.foreach { case (id, emb) =>
+      val want = model.components.map { w =>
+        // mirror the kernel exactly: left-to-right fold of x·w, then one
+        // subtraction of the precomputed mean offset
+        var acc = 0.0
+        var i = 0
+        while (i < w.length) { acc += emb(i).toDouble * w(i); i += 1 }
+        var c = 0.0
+        i = 0
+        while (i < w.length) { c += model.means(i) * w(i); i += 1 }
+        acc - c
+      }.toSeq
+      assert(got(id) == want, s"vec $id: ${got(id)} vs $want")
+    }
+  }
+}
+
 class HeavyHittersSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
