@@ -39,7 +39,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t9_repetition",       // fused kernel, map-only scan+project
     "u1_token_surprisal",  // broadcast vocabulary, text never shuffles
     "c2_decon_fuzzy",      // broadcast eval band index, no corpus self-join
-    "s4_stratified_sample")// TopKPerKey bounded heap, no full sort
+    "s4_stratified_sample",// TopKPerKey bounded heap, no full sort
+    "c3_decon_bloom",      // map-side bloom prefilter before the verify join
+    "k3_heavy_hitters",    // ObjectHashAggregate partial/final sketch pair
+    "k2_quantile_sketch",  // mergeable quantile buffers, no per-group sort
+    "v3_embedding_covariance") // pair expansion collapses map-side
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
