@@ -73,4 +73,47 @@ object AsofJoin {
     val out = leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p))
     carried.select(out: _*)
   }
+
+  /** Forward as-of join: attach the EARLIEST right row at-or-after each
+    * left row (smallest `ord` with right.ord >= left.ord) sharing the key —
+    * the "next event" lookup (next maintenance window, next price tick).
+    * Same one-shuffle union + linear-sweep construction as [[backward]],
+    * mirrored: the running carry is `first(_, ignoreNulls)` over the
+    * FOLLOWING frame, and rights sort AFTER lefts at equal ord so a
+    * same-ord right row matches inclusively (ASOF `>=` semantics).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ord: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+
+    val l2 = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payload.map(col): _*).schema.fields)))
+    val r2 = right
+      .filter(col(key).isNotNull)
+      .select(
+        (Seq(col(key), col(ord), lit(2).as("__side"),
+          struct(payload.map(col): _*).as("__p")) ++
+          leftCols.filterNot(c => c == key || c == ord)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ord), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__match", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val out = leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p))
+    carried.select(out: _*)
+  }
 }

@@ -108,6 +108,23 @@ object Events {
         .orderBy(col("user_id"), col("ord"))
     },
 
+    "e7_asof_forward" -> { (s, dir) =>
+      // forward as-of join, e5's mirror: for every click, the EARLIEST
+      // following purchase by the same user — the "next event" lookup.
+      // Same union + single-shuffle sweep, first() over the following
+      // frame; the oracle is DuckDB's native ASOF with the >= comparator.
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("ord"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("ord"),
+          col("event_id").as("pid"), col("value").as("pvalue"))
+      graft.operators.AsofJoin
+        .forward(clicks, purchases, key = "user_id", ord = "ord",
+          payload = Seq("pid", "pvalue"))
+        .orderBy(col("user_id"), col("ord"))
+    },
+
     "e6_range_join" -> { (s, dir) =>
       // point-in-interval range join on the µs axis (exact on both
       // engines — the data has no sub-µs components): events falling into
@@ -153,6 +170,14 @@ object Events {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT c.user_id, c.ord, p.pid, p.pvalue
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ord <= c.ord
+        |ORDER BY c.user_id, c.ord""".stripMargin,
+
+    "e7_asof_forward" ->
+      """WITH c AS (SELECT user_id, event_id AS ord FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS ord, event_id AS pid, value AS pvalue
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ord, p.pid, p.pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ord >= c.ord
         |ORDER BY c.user_id, c.ord""".stripMargin,
 
     "e1_events_hourly" ->
