@@ -68,6 +68,47 @@ object SkewJoin {
         rightCols.map(replicated(_)): _*)
   }
 
+  /** The `n` most frequent key tuples of `df` — the profiling pass the
+    * hybrid router needs. One map-combined count aggregate, then the
+    * global-top-n form of [[graft.plans.TopKPerKey]] (bounded heap, no
+    * full sort of the key space), so the pass is one shuffle of (key,
+    * count) partials regardless of key cardinality. Ties on count break
+    * by the key values for determinism.
+    */
+  def hotKeyProfile(df: DataFrame, keys: Seq[String], n: Int = 16): Seq[Seq[Any]] = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    graft.plans.TopKPerKey(counts, Seq.empty,
+        col("__cnt").desc +: keys.map(col(_).asc), n)
+      .select(keys.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+  }
+
+  /** Hybrid skew join: rows with a profiled hot key route through
+    * [[saltedJoin]], the long tail through the plain join, unioned. The
+    * result equals `big.join(small, keys, joinType)` row-for-row; only the
+    * physical distribution changes — hot keys fan out over `saltFactor`
+    * tasks instead of serializing on one straggler. The profile pass is
+    * one bounded-heap aggregate over the big side ([[hotKeyProfile]]);
+    * pass `hotKeys` explicitly to skip it (e.g. when profiled on a sample
+    * or reused across runs).
+    */
+  def hybridJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      hotKeys: Seq[Seq[Any]] = null,
+      saltFactor: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val hot = Option(hotKeys).getOrElse(hotKeyProfile(big, keys))
+    if (hot.isEmpty) big.join(small, keys, joinType)
+    else {
+      val flag = isHot(keys.map(big(_)), hot)
+      val salted = saltedJoin(big.filter(flag), small, keys, saltFactor, joinType)
+      val plain = big.filter(!flag).join(small, keys, joinType)
+      salted.unionByName(plain.select(salted.columns.map(col): _*))
+    }
+  }
+
   /** Column expression flagging rows whose key falls in `hotKeys` — for the
     * hybrid plan: route hot keys through [[saltedJoin]] and the long tail
     * through a plain (or broadcast) join, then union. Hot keys usually come

@@ -163,6 +163,21 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 7L, "d", None)))        // key with no right rows at all
   }
 
+  test("forward as-of join picks earliest at-or-after right row per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "ord", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "ord", "v")
+    val got = graft.operators.AsofJoin
+      .forward(left, right, "k", "ord", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some(100.0)), // inclusive: right at same ord matches
+      (1L, 20L, "b", None),        // nothing at-or-after
+      (1L, 5L, "c", Some(100.0)),  // earliest of the two following rights
+      (2L, 7L, "d", None)))        // key with no right rows at all
+  }
+
   test("null keys never match (SQL join semantics)") {
     val left = Seq((Some(1L), 10L), (None: Option[Long], 10L)).toDF("k", "ord")
     val right = Seq((Some(1L), 5L, 1.0), (None: Option[Long], 5L, 99.0))
@@ -373,6 +388,31 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == batch)
     assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
+  }
+
+  test("streaming heavy-hitters aggregate matches the batch sketch") {
+    // the SpaceSaving TypedImperativeAggregate composes with Structured
+    // Streaming: its buffer IS the streaming aggregation state, so a
+    // running vocabulary monitor costs O(capacity) state per group
+    import org.apache.spark.sql.functions.{call_function, explode, lit, posexplode}
+    import graft.functions.TextFunctions
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_heavy_hitters", col("tok"), lit(5), lit(4096)).as("hh"))
+    val got = EventsStream.runToMemory(
+      agg(EventsStream.readDocuments(spark, sf)),
+      "hh_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("lang"), posexplode(col("hh")).as(Seq("i", "s")))
+      .select(col("lang"), col("s.token"), col("s.cnt"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val want = agg(Tables.load(spark, sf, "documents"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("i", "s")))
+      .select(col("lang"), col("s.token"), col("s.cnt"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 
   test("streaming near-dup vs static corpus index matches the batch pair set") {

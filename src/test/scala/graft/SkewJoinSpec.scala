@@ -63,4 +63,28 @@ class SkewJoinSpec extends AnyFunSuite {
       SkewJoin.saltedJoin(big, small, Seq("k"), 8, joinType = "right")
     }
   }
+
+  test("rejects inputs that already carry a __salt column") {
+    val (big, small) = skewed
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big.withColumn("__salt", lit(0)), small, Seq("k"), 8)
+    }
+  }
+
+  test("hotKeyProfile finds the dominant key first, deterministically") {
+    val (big, _) = skewed
+    val hot = SkewJoin.hotKeyProfile(big, Seq("k"), n = 3)
+    assert(hot.head == Seq(42L), s"dominant key must lead the profile: $hot")
+    assert(hot == SkewJoin.hotKeyProfile(big, Seq("k"), n = 3))
+  }
+
+  test("hybridJoin with auto-profile equals the plain join (inner and left)") {
+    val (big, small0) = skewed
+    val small = small0.filter(col("k") < 50)
+    Seq("inner", "left").foreach { jt =>
+      val got = canon(SkewJoin.hybridJoin(big, small, Seq("k"), joinType = jt))
+      val want = canon(big.join(small, Seq("k"), jt))
+      assert(got == want, s"$jt hybrid diverges from plain")
+    }
+  }
 }
