@@ -93,22 +93,9 @@ case class KmvDistinct(
 
   override def eval(buf: KmvBuffer): Any = buf.estimate
 
-  override def serialize(buf: KmvBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.set.size * 8)
-    bb.putInt(buf.k).putInt(buf.set.size)
-    val it = buf.set.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new KmvBuffer(bb.getInt)
-    val n = bb.getInt
-    var i = 0
-    while (i < n) { buf.set.add(bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvCodec.read(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): KmvDistinct =
     copy(mutableAggBufferOffset = offset)
@@ -121,6 +108,29 @@ case class KmvDistinct(
     copy(child = newChildren.head)
 
   override def prettyName: String = "graft_kmv_distinct"
+}
+
+/** Byte image of a [[KmvBuffer]] — the aggregate's shuffle format AND the
+  * persistable state column emitted by `graft_kmv_state` (see the
+  * state/merge pair below).
+  */
+object KmvCodec {
+  def write(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.set.size * 8)
+    bb.putInt(buf.k).putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
 }
 
 /** Bounded buffer of the k best (key, id) pairs under the TOTAL order
@@ -328,6 +338,39 @@ final class QuantileBuffer(val capacity: Int) {
   }
 }
 
+/** Byte image of a [[QuantileBuffer]] — shuffle format and persistable
+  * state (`graft_quantile_state`).
+  */
+object QuantileCodec {
+  def write(buf: QuantileBuffer): Array[Byte] = {
+    val n = buf.levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putInt(buf.capacity).putLong(buf.count).putInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      bb.putInt(lvl.length)
+      lvl.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): QuantileBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new QuantileBuffer(bb.getInt)
+    buf.count = bb.getLong
+    val nLevels = bb.getInt
+    var i = 0
+    while (i < nLevels) {
+      if (i >= buf.levels.length)
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]()
+      val len = bb.getInt
+      var j = 0
+      while (j < len) { buf.levels(i) += bb.getDouble; j += 1 }
+      i += 1
+    }
+    buf
+  }
+}
+
 /** `graft_quantile_sketch(x, q, capacity)` → double: mergeable quantile
   * aggregate over a bounded [[QuantileBuffer]]. The 100 TB replacement for
   * exact `percentile_disc`, which must SORT every group: this keeps
@@ -379,33 +422,9 @@ case class QuantileSketch(
 
   override def eval(buf: QuantileBuffer): Any = buf.quantile(q)
 
-  override def serialize(buf: QuantileBuffer): Array[Byte] = {
-    val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
-    bb.putInt(buf.capacity).putLong(buf.count).putInt(buf.levels.length)
-    buf.levels.foreach { lvl =>
-      bb.putInt(lvl.length)
-      lvl.foreach(bb.putDouble)
-    }
-    bb.array()
-  }
+  override def serialize(buf: QuantileBuffer): Array[Byte] = QuantileCodec.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): QuantileBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new QuantileBuffer(bb.getInt)
-    buf.count = bb.getLong
-    val nLevels = bb.getInt
-    var i = 0
-    while (i < nLevels) {
-      if (i >= buf.levels.length)
-        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]()
-      val len = bb.getInt
-      var j = 0
-      while (j < len) { buf.levels(i) += bb.getDouble; j += 1 }
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): QuantileBuffer = QuantileCodec.read(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): QuantileSketch =
     copy(mutableAggBufferOffset = offset)
@@ -487,6 +506,45 @@ final class HeavyHittersBuffer(val capacity: Int) {
   }
 }
 
+/** Byte image of a [[HeavyHittersBuffer]] — shuffle format and persistable
+  * state (`graft_hh_state`).
+  */
+object HhCodec {
+  def write(buf: HeavyHittersBuffer): Array[Byte] = {
+    var bytes = 8
+    val it0 = buf.counts.entrySet().iterator()
+    val entries = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long)]()
+    while (it0.hasNext) {
+      val e = it0.next()
+      val tb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      entries += ((tb, e.getValue()(0), e.getValue()(1)))
+      bytes += 4 + tb.length + 16
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.capacity).putInt(entries.length)
+    entries.foreach { case (tb, c, er) =>
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(c); bb.putLong(er)
+    }
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): HeavyHittersBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new HeavyHittersBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val tb = new Array[Byte](bb.getInt)
+      bb.get(tb)
+      buf.counts.put(
+        new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+        Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+}
+
 /** `graft_heavy_hitters(tok, k, capacity)` → array<struct<token, cnt>>:
   * top-k frequent values through a bounded SpaceSaving buffer. The scale
   * path for per-group vocabulary stats: the exact form (t8) must shuffle
@@ -542,39 +600,9 @@ case class HeavyHitters(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
-  override def serialize(buf: HeavyHittersBuffer): Array[Byte] = {
-    var bytes = 8
-    val it0 = buf.counts.entrySet().iterator()
-    val entries = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long)]()
-    while (it0.hasNext) {
-      val e = it0.next()
-      val tb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      entries += ((tb, e.getValue()(0), e.getValue()(1)))
-      bytes += 4 + tb.length + 16
-    }
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(buf.capacity).putInt(entries.length)
-    entries.foreach { case (tb, c, er) =>
-      bb.putInt(tb.length); bb.put(tb); bb.putLong(c); bb.putLong(er)
-    }
-    bb.array()
-  }
+  override def serialize(buf: HeavyHittersBuffer): Array[Byte] = HhCodec.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new HeavyHittersBuffer(bb.getInt)
-    val n = bb.getInt
-    var i = 0
-    while (i < n) {
-      val tb = new Array[Byte](bb.getInt)
-      bb.get(tb)
-      buf.counts.put(
-        new String(tb, java.nio.charset.StandardCharsets.UTF_8),
-        Array(bb.getLong, bb.getLong))
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = HhCodec.read(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): HeavyHitters =
     copy(mutableAggBufferOffset = offset)
@@ -642,12 +670,345 @@ case class BloomContains(
   override def prettyName: String = "graft_bloom_contains"
 }
 
+/** Sketch-STATE persistence — the "sketch cube" pattern.
+  *
+  * `graft_*_state(x, capacity)` aggregates a group into the sketch's raw
+  * byte image; `graft_*_merge(state, ...)` aggregates stored states back
+  * into a combined answer. Compute states once per shard/day/partition and
+  * persist them as a tiny binary column: any later rollup (a month, one
+  * language, everything) is a merge over the state TABLE — the corpus is
+  * never rescanned. This is the production shape for recurring corpus
+  * stats at 100 TB: the daily pass is map-combinable and bounded, and
+  * every downstream report is O(states), not O(rows). In each sketch's
+  * exact regime the merged answer equals the direct aggregate exactly
+  * (spec- and gate-pinned); beyond it, the sketch's usual error contract
+  * applies.
+  */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k >= 2) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_kmv_state needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L)
+      buf.add(h ^ Long.MinValue)
+    }
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = { buf.merge(other); buf }
+  override def eval(buf: KmvBuffer): Any = KmvCodec.write(buf)
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): KmvState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_kmv_state"
+}
+
+/** `graft_kmv_merge(state, k)` → bigint: distinct estimate over stored
+  * KMV states. Merge is order-insensitive, so any grouping of states
+  * gives the same answer.
+  */
+case class KmvMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KmvCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = { buf.merge(other); buf }
+  override def eval(buf: KmvBuffer): Any = buf.estimate
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_kmv_merge"
+}
+
+/** `graft_quantile_state(x, capacity)` → binary (see the sketch-cube note
+  * on [[KmvState]]).
+  */
+case class QuantileState(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_state needs a numeric input, got ${child.dataType.simpleString}")
+    else if (capacity < 8)
+      TypeCheckResult.TypeCheckFailure(s"capacity must be >= 8, got $capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): QuantileBuffer = new QuantileBuffer(capacity)
+
+  override def update(buf: QuantileBuffer, input: InternalRow): QuantileBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    })
+    buf
+  }
+
+  override def merge(buf: QuantileBuffer, other: QuantileBuffer): QuantileBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: QuantileBuffer): Any = QuantileCodec.write(buf)
+  override def serialize(buf: QuantileBuffer): Array[Byte] = QuantileCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileBuffer = QuantileCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): QuantileState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantileState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_quantile_state"
+}
+
+/** `graft_quantile_merge(state, q, capacity)` → double: quantile over
+  * stored quantile-sketch states.
+  */
+case class QuantileMerge(
+    child: Expression,
+    q: Double,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else if (q < 0.0 || q > 1.0)
+      TypeCheckResult.TypeCheckFailure(s"quantile must be in [0, 1], got $q")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): QuantileBuffer = new QuantileBuffer(capacity)
+
+  override def update(buf: QuantileBuffer, input: InternalRow): QuantileBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(QuantileCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: QuantileBuffer, other: QuantileBuffer): QuantileBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: QuantileBuffer): Any = buf.quantile(q)
+  override def serialize(buf: QuantileBuffer): Array[Byte] = QuantileCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileBuffer = QuantileCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): QuantileMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantileMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_quantile_merge"
+}
+
+/** `graft_hh_state(tok, capacity)` → binary (see the sketch-cube note on
+  * [[KmvState]]).
+  */
+case class HeavyHittersState(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HeavyHittersBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hh_state needs a string input, got ${child.dataType.simpleString}")
+    else if (capacity < 1)
+      TypeCheckResult.TypeCheckFailure(s"capacity must be >= 1, got $capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): HeavyHittersBuffer =
+    new HeavyHittersBuffer(capacity)
+
+  override def update(buf: HeavyHittersBuffer, input: InternalRow): HeavyHittersBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: HeavyHittersBuffer, other: HeavyHittersBuffer): HeavyHittersBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: HeavyHittersBuffer): Any = HhCodec.write(buf)
+  override def serialize(buf: HeavyHittersBuffer): Array[Byte] = HhCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = HhCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHittersState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHittersState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_hh_state"
+}
+
+/** `graft_hh_merge(state, k, capacity)` → array<struct<token, cnt>>:
+  * top-k over stored SpaceSaving states.
+  */
+case class HeavyHittersMerge(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HeavyHittersBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hh_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else if (k < 1 || capacity < k)
+      TypeCheckResult.TypeCheckFailure(
+        s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): HeavyHittersBuffer =
+    new HeavyHittersBuffer(capacity)
+
+  override def update(buf: HeavyHittersBuffer, input: InternalRow): HeavyHittersBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(HhCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: HeavyHittersBuffer, other: HeavyHittersBuffer): HeavyHittersBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: HeavyHittersBuffer): Any = {
+    val rows: Array[Any] = buf.top(k).map { case (tok, cnt) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(tok), cnt)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: HeavyHittersBuffer): Array[Byte] = HhCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = HhCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHittersMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHittersMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_hh_merge"
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct",
       exprs => KmvDistinct(
         exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_distinct"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_state",
+      exprs => KmvState(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_merge",
+      exprs => KmvMerge(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_kmv_merge"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantile_state",
+      exprs => QuantileState(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_quantile_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantile_merge",
+      exprs => QuantileMerge(
+        exprs(0),
+        TextExprFunctions.doubleArg(exprs(1), "graft_quantile_merge"),
+        TextExprFunctions.intArg(exprs(2), "graft_quantile_merge"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hh_state",
+      exprs => HeavyHittersState(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_hh_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hh_merge",
+      exprs => HeavyHittersMerge(
+        exprs(0),
+        TextExprFunctions.intArg(exprs(1), "graft_hh_merge"),
+        TextExprFunctions.intArg(exprs(2), "graft_hh_merge"))
         .toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

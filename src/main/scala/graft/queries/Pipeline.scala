@@ -436,6 +436,32 @@ object Pipeline {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "k4_sketch_cube" -> { (s, dir) =>
+      // the sketch-CUBE pattern: per-(lang, shard) KMV and quantile STATES
+      // (the binary column a daily pipeline would persist), then a rollup
+      // per lang by MERGING states — the corpus is aggregated once; every
+      // later report is O(states). Both sketches sit in their exact regime
+      // here (per-lang rows ≤ capacity), so the merged answers must equal
+      // DuckDB's exact count(DISTINCT) and quantile_disc bit-for-bit —
+      // gating the state serialization, the merge path, and the estimates
+      // in one query.
+      val d = Tables.load(s, dir, "documents")
+      val states = d
+        .withColumn("shard", (col("doc_id") % 4).cast("int"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(
+          call_function("graft_kmv_state", col("text"), lit(4096)).as("ks"),
+          call_function("graft_quantile_state",
+            length(col("text")), lit(4096)).as("qs"))
+      states.groupBy(col("lang"))
+        .agg(
+          call_function("graft_kmv_merge", col("ks"), lit(4096))
+            .as("n_distinct"),
+          call_function("graft_quantile_merge", col("qs"), lit(0.5), lit(4096))
+            .cast("long").as("med_len"))
+        .orderBy(col("lang"))
+    },
+
     "k3_heavy_hitters" -> { (s, dir) =>
       // t8's per-language top tokens through the bounded SpaceSaving
       // sketch. The exact form shuffles every distinct (lang, token)
@@ -1189,6 +1215,12 @@ object Pipeline {
         |  FROM cnts)
         |SELECT lang, tok, cnt, rank FROM ranked WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "k4_sketch_cube" ->
+      """SELECT lang,
+        |  count(DISTINCT text) AS n_distinct,
+        |  CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS med_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "k3_heavy_hitters" ->
       """WITH tok AS (

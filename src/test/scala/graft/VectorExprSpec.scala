@@ -109,6 +109,59 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 }
 
+class SketchStateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{call_function, posexplode}
+
+  // the sketch-cube contract: states computed per shard, merged later,
+  // must answer like the direct aggregate over the union
+  test("kmv state/merge over shards equals the direct estimate (both regimes)") {
+    val df = (0 until 60000).map(i => (i % 8, s"u${i % 9000}")).toDF("shard", "v")
+    def direct(k: Int) = df
+      .select(call_function("graft_kmv_distinct", col("v"), lit(k)))
+      .collect()(0).getLong(0)
+    def viaStates(k: Int) = df
+      .groupBy(col("shard"))
+      .agg(call_function("graft_kmv_state", col("v"), lit(k)).as("st"))
+      .select(call_function("graft_kmv_merge", col("st"), lit(k)))
+      .collect()(0).getLong(0)
+    // exact regime AND estimator regime: KMV's merge is order-insensitive,
+    // so shard-then-merge is indistinguishable from one pass
+    assert(viaStates(16384) == direct(16384), "exact regime")
+    assert(viaStates(256) == direct(256), "estimator regime")
+  }
+
+  test("quantile state/merge over shards equals the direct sketch (exact regime)") {
+    val df = (0 until 3000).map(i => (i % 5, ((i * 2654435761L) % 977).toDouble))
+      .toDF("shard", "v")
+    val direct = df
+      .select(call_function("graft_quantile_sketch", col("v"), lit(0.5), lit(4096)))
+      .collect()(0).getDouble(0)
+    val merged = df
+      .groupBy(col("shard"))
+      .agg(call_function("graft_quantile_state", col("v"), lit(4096)).as("st"))
+      .select(call_function("graft_quantile_merge", col("st"), lit(0.5), lit(4096)))
+      .collect()(0).getDouble(0)
+    assert(merged == direct)
+  }
+
+  test("heavy-hitters state/merge over shards equals the direct sketch (exact regime)") {
+    val df = (0 until 5000).map(i => (i % 8, s"tok${i % 37}")).toDF("shard", "v")
+    def top(d: org.apache.spark.sql.DataFrame) = d
+      .select(posexplode(col("hh")).as(Seq("i", "s")))
+      .select(col("s.token"), col("s.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val direct = top(df.agg(
+      call_function("graft_heavy_hitters", col("v"), lit(10), lit(64)).as("hh")))
+    val merged = top(df
+      .groupBy(col("shard"))
+      .agg(call_function("graft_hh_state", col("v"), lit(64)).as("st"))
+      .agg(call_function("graft_hh_merge", col("st"), lit(10), lit(64)).as("hh")))
+    assert(merged == direct)
+  }
+}
+
 class PcaSpec extends AnyFunSuite {
   import TestSpark._
   import org.apache.spark.sql.functions.col
