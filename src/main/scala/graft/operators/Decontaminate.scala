@@ -93,6 +93,19 @@ object Decontaminate {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** [[clean]] over the Bloom-prefiltered path — same output (the
+    * prefilter is exact-verified), sized for eval sets beyond broadcast.
+    */
+  def cleanBloom(
+      corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      minShared: Long = 1L,
+      expectedGrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    val flagged = ngramOverlapBloom(corpus, evalSet, n, expectedGrams, fpp)
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** FUZZY decontamination: corpus documents that are near-duplicates of
     * an eval document (paraphrase-level leakage the verbatim
     * [[ngramOverlap]] check misses — reworded benchmark questions still

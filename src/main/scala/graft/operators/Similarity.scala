@@ -291,25 +291,27 @@ object Similarity {
       k: Int,
       whiten: Boolean = false): PcaModel = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
-    val stats = embs
-      .select(col("embedding"),
-        posexplode(asDouble(col("embedding"))).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"),
-        posexplode(asDouble(col("embedding"))).as(Seq("j", "vj")))
+    // hot O(n·d²) pair pass carries one decimal sum; the O(n·d) per-dim
+    // sums come from a separate cheap aggregate (the v3 cost shape)
+    val x = embs.select(col("embedding"),
+      posexplode(col("embedding")).as(Seq("i", "vf")))
+    val stats = x
+      .select(col("i"), col("vf").cast("double").as("vi"),
+        posexplode(col("embedding")).as(Seq("j", "wf")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(
         count(lit(1)).as("n"),
-        sum((col("vi") * col("vj")).cast("decimal(28,12)")).cast("double").as("sxy"),
-        sum(col("vi").cast("decimal(28,12)")).cast("double").as("sx"))
+        sum((col("vi") * col("wf").cast("double")).cast("decimal(28,12)"))
+          .cast("double").as("sxy"))
       .collect()
+    val dimSums = x.groupBy(col("i"))
+      .agg(sum(col("vf").cast("double").cast("decimal(28,12)"))
+        .cast("double").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val n = stats.head.getLong(2).toDouble
     val cov = Array.ofDim[Double](dim, dim)
-    val means = new Array[Double](dim)
-    stats.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      if (i == j) means(i) = r.getDouble(4) / n
-    }
+    val means = Array.tabulate(dim)(i => dimSums(i) / n)
     stats.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
       val c = r.getDouble(3) / n - means(i) * means(j)

@@ -374,6 +374,9 @@ class DecontaminateSpec extends AnyFunSuite {
     val kept = Decontaminate.clean(corpus, evalSet, n = 8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
+    val keptBloom = Decontaminate.cleanBloom(corpus, evalSet, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBloom == kept, "bloom-prefiltered clean must match exact clean")
   }
 
   test("n_shared counts distinct shared grams") {
