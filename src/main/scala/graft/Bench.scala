@@ -10,36 +10,62 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the very columns whose computation we want to measure.
   * One warm-up pass amortizes JIT/codegen so numbers reflect steady-state
   * throughput, which is what extrapolates to a cluster run.
+  *
+  * Artifact discipline (learned in round 5, where a reps=3 default blew
+  * the harness capture window and the round recorded no numbers at all):
+  *   - reps defaults to 1 so a full pass fits the driver's wall-clock
+  *     budget; min-of-N (`SPARK_GRAFT_BENCH_REPS=3`) is the documented
+  *     local opt-in for shedding container CPU-starvation noise.
+  *   - a `{"query":...,"sec":...}` line is printed AS EACH QUERY
+  *     COMPLETES, so even a timed-out run leaves per-query numbers
+  *     behind instead of nothing.
+  *   - failures are named on stderr (query + exception class) before the
+  *     -1 sentinel is recorded — a -1 must be attributable, not silent.
+  *   - the final summary line sorts slowest LAST: the driver captures a
+  *     bounded tail, and the heavy queries are the ones the perf read
+  *     needs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(appName = "graft-bench")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"bench: query $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       finally graft.operators.Dedup.unpersistAll() // caches die with the query
       (System.nanoTime() - t0) / 1e9
     }
 
-    // min-of-N per query: the container shows transient CPU-starvation
-    // episodes that inflate single-pass timings 2-10× on random queries;
-    // the minimum of repeated passes is the steady-state number and makes
-    // the artifact reproducible run-to-run (a starved pass can only ADD
-    // time, never subtract it)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = (1 to reps).map(_ => runOnce(fn))
+    // min-of-N per query (opt-in): transient CPU-starvation episodes
+    // inflate single-pass timings 2-10× on random queries; the minimum of
+    // repeated passes is the steady-state number (a starved pass can only
+    // ADD time). Defaults to 1 — the driver's capture window can't afford
+    // three full passes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = (1 to reps).map(_ => runOnce(name, fn))
       if (times.exists(_ < 0)) -1.0 else times.min
     }
 
     // Warm-up: JVM/codegen/parquet-footer caches (not reported).
-    SparkEntry.queries.headOption.foreach { case (_, f) => runOnce(f) }
+    SparkEntry.queries.headOption.foreach { case (n, f) => runOnce(n, f) }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn)
+      val sec = run(name, fn)
+      // incremental artifact: one line per completed query, flushed, so a
+      // run killed mid-pass still leaves everything finished so far
+      println(s"""{"query":"$name","sec":$sec}""")
+      Console.out.flush()
+      name -> sec
     }
     // slowest LAST: the driver captures a bounded tail of this line, so the
     // entries that matter for the perf read (the heavy queries) must sit at

@@ -83,29 +83,61 @@ object SkewJoin {
       .collect().map(_.toSeq).toSeq
   }
 
-  /** Hybrid skew join: rows with a profiled hot key route through
-    * [[saltedJoin]], the long tail through the plain join, unioned. The
-    * result equals `big.join(small, keys, joinType)` row-for-row; only the
-    * physical distribution changes — hot keys fan out over `saltFactor`
-    * tasks instead of serializing on one straggler. The profile pass is
-    * one bounded-heap aggregate over the big side ([[hotKeyProfile]]);
-    * pass `hotKeys` explicitly to skip it (e.g. when profiled on a sample
-    * or reused across runs).
+  /** Hybrid skew join: rows with a profiled hot key get a uniform salt in
+    * [0, saltFactor), the long tail gets salt 0, and the small side is the
+    * union of per-salt hot-key replicas and single salt-0 tail rows — all
+    * computed as ONE conditional projection per input, so the big side is
+    * scanned exactly once (the round-5 shape filtered the big side twice,
+    * doubling the dominant cost of a 100 TB fact scan). The result equals
+    * `big.join(small, keys, joinType)` row-for-row; only the physical
+    * distribution changes — hot keys fan out over `saltFactor` tasks
+    * instead of serializing on one straggler, and tail keys join their
+    * single salt-0 replica as before.
+    *
+    * Match-exactness: a hot big row (salt s) meets exactly the one replica
+    * of each matching small row carrying salt s; a tail big row (salt 0)
+    * meets exactly the one salt-0 copy of each matching small row. Hot and
+    * tail key sets are disjoint by construction, so no row matches both
+    * branches of the small side.
+    *
+    * The profile pass is one bounded-heap aggregate over the big side
+    * ([[hotKeyProfile]]); pass `hotKeys` explicitly to skip it (e.g. when
+    * profiled on a sample or reused across runs) — `Some(Seq.empty)`
+    * degenerates to the plain join.
     */
   def hybridJoin(
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
-      hotKeys: Seq[Seq[Any]] = null,
+      hotKeys: Option[Seq[Seq[Any]]] = None,
       saltFactor: Int = 16,
       joinType: String = "inner"): DataFrame = {
-    val hot = Option(hotKeys).getOrElse(hotKeyProfile(big, keys))
+    require(keys.nonEmpty, "hybrid join needs at least one key")
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"salting is sound for inner/left joins of a replicated right side, not $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
+    val hot = hotKeys.getOrElse(hotKeyProfile(big, keys))
     if (hot.isEmpty) big.join(small, keys, joinType)
     else {
-      val flag = isHot(keys.map(big(_)), hot)
-      val salted = saltedJoin(big.filter(flag), small, keys, saltFactor, joinType)
-      val plain = big.filter(!flag).join(small, keys, joinType)
-      salted.unionByName(plain.select(salted.columns.map(col): _*))
+      val salted = big.withColumn("__salt",
+        when(isHot(keys.map(big(_)), hot),
+            pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
+          .otherwise(lit(0L)).cast("int"))
+      val replicated = small.withColumn("__salt",
+        explode(when(isHot(keys.map(small(_)), hot),
+            sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      val cond = (keys.map(k => salted(k) === replicated(k)) :+
+        (salted("__salt") === replicated("__salt"))).reduce(_ && _)
+      val joined = salted.join(replicated, cond, joinType)
+      val rightCols = small.columns.filterNot(keys.contains)
+      joined.select(
+        keys.map(salted(_)) ++
+          big.columns.filterNot(keys.contains).map(salted(_)) ++
+          rightCols.map(replicated(_)): _*)
     }
   }
 

@@ -87,4 +87,45 @@ class SkewJoinSpec extends AnyFunSuite {
       assert(got == want, s"$jt hybrid diverges from plain")
     }
   }
+
+  test("hybridJoin with explicit hot keys equals the plain join") {
+    val (big, small) = skewed
+    val got = canon(SkewJoin.hybridJoin(big, small, Seq("k"),
+      hotKeys = Some(Seq(Seq(42L))), saltFactor = 8))
+    assert(got == canon(big.join(small, Seq("k"), "inner")))
+  }
+
+  test("hybridJoin with an explicitly-empty profile is the plain join, no salt") {
+    val (big, small) = skewed
+    val hybrid = SkewJoin.hybridJoin(big, small, Seq("k"),
+      hotKeys = Some(Seq.empty))
+    assert(!hybrid.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(canon(hybrid) == canon(big.join(small, Seq("k"), "inner")))
+  }
+
+  test("hybridJoin scans the big side exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("skew_big").toString
+    try {
+      val (big0, small) = skewed
+      big0.write.mode("overwrite").parquet(dir)
+      val big = spark.read.parquet(dir)
+      val hybrid = SkewJoin.hybridJoin(big, small, Seq("k"),
+        hotKeys = Some(Seq(Seq(42L))), saltFactor = 8)
+      val p = hybrid.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+      assert(scans == 1, s"big side must be scanned once, saw $scans:\n$p")
+      assert(canon(hybrid) == canon(big.join(small, Seq("k"), "inner")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("hybridJoin rejects inputs that already carry a __salt column") {
+    val (big, small) = skewed
+    intercept[IllegalArgumentException] {
+      SkewJoin.hybridJoin(big.withColumn("__salt", lit(0)), small, Seq("k"),
+        hotKeys = Some(Seq(Seq(42L))))
+    }
+  }
 }
