@@ -79,6 +79,21 @@ object Tables {
     }
   }
 
+  /** Directory for small persisted model tables (PCA models, IVF
+    * centroids) fitted against `sfDir`'s data — the model-as-data half of
+    * an oracle-backed gate: Spark writes the fitted state here as parquet
+    * and the DuckDB oracle `read_parquet`s the identical bytes (see
+    * `Verify`'s `__GRAFT_MODELS__` substitution). Keyed by the sf dir
+    * name so verify (sf0.01) and bench (sf0.1) runs never clobber each
+    * other's models.
+    */
+  def modelsDir(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val d = new java.io.File(s"target/graft_models/$sfName")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach { n =>

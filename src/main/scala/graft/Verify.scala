@@ -12,7 +12,15 @@ object Verify {
       appName = "graft-verify",
       shufflePartitions = cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_VERIFY_QUERIES=q1_agg,v4p_...
+    // runs only those queries (the driver leaves it unset → full dump)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,8 +41,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // model-as-data oracles (v4p): the SQL references small parquet model
+    // tables the queries just wrote; substitute the sf-specific dir so
+    // the driver's DuckDB reads the same model this run fitted
+    val modelsDir = Tables.modelsDir(sfDir)
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_MODELS__", modelsDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -271,6 +271,18 @@ object Similarity {
       components: Array[Array[Double]],
       eigenvalues: Array[Double])
 
+  /** Cap on the number of vectors the PCA fit aggregates, mirroring
+    * [[LloydFitCap]]: the covariance is an ESTIMATION of the corpus
+    * second moments — it converges with the sample, not the corpus — so
+    * fitting on a deterministic hash-prefix sample bounds the one
+    * O(n·d²) stage in the library at O(fitCap·d²) for ANY corpus size.
+    * At or below the cap the sample IS the corpus (the same
+    * `orderBy(xxhash64).limit` prefix that seeds the Lloyd fit), so
+    * results are bit-identical to an uncapped fit; the projection stays a
+    * full-corpus map-only pass either way.
+    */
+  val PcaFitCap = 8192
+
   /** One-pass covariance fit + driver-side eigendecomposition.
     *
     * The DISTRIBUTED stage is the v3 covariance shape: the d² pair
@@ -284,16 +296,32 @@ object Similarity {
     * sequence of IEEE ops). `whiten` scales each component by 1/√λ so the
     * projected data has identity covariance — the PCA-whitening step
     * embedding pipelines run before clustering/ANN.
+    *
+    * The fit input is the first `fitCap` vectors of the deterministic
+    * hash ordering on `idCol` (see [[PcaFitCap]]); pass
+    * `fitCap = Int.MaxValue` to force a full-corpus fit.
     */
   def fitPca(
       embs: DataFrame,
       dim: Int,
       k: Int,
-      whiten: Boolean = false): PcaModel = {
+      whiten: Boolean = false,
+      fitCap: Int = PcaFitCap,
+      idCol: String = "vec_id"): PcaModel = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    require(fitCap >= 2, s"fitCap must be >= 2, got $fitCap")
+    val fit =
+      if (fitCap == Int.MaxValue) embs
+      else {
+        require(embs.columns.contains(idCol),
+          s"fitPca: sampled fit orders by id column '$idCol', not present in " +
+            s"[${embs.columns.mkString(", ")}] — pass idCol or fitCap=Int.MaxValue")
+        // TakeOrderedAndProject: per-partition top-n, no global sort
+        embs.orderBy(xxhash64(col(idCol)), col(idCol)).limit(fitCap)
+      }
     // hot O(n·d²) pair pass carries one decimal sum; the O(n·d) per-dim
     // sums come from a separate cheap aggregate (the v3 cost shape)
-    val x = embs.select(col("embedding"),
+    val x = fit.select(col("embedding"),
       posexplode(col("embedding")).as(Seq("i", "vf")))
     val stats = x
       .select(col("i"), col("vf").cast("double").as("vi"),
@@ -309,7 +337,22 @@ object Similarity {
       .agg(sum(col("vf").cast("double").cast("decimal(28,12)"))
         .cast("double").as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val n = stats.head.getLong(2).toDouble
+    require(stats.nonEmpty,
+      "fitPca: no embedding values to fit on — the corpus (or fit sample) " +
+        "is empty, or every embedding is NULL/empty")
+    val over = stats.iterator.map(_.getInt(1)).filter(_ >= dim).toSeq
+    require(over.isEmpty,
+      s"fitPca: embeddings carry dimensions up to ${over.max} but dim=$dim " +
+        "— pass the true embedding width")
+    val missing = (0 until dim).filterNot(dimSums.contains)
+    require(missing.isEmpty,
+      s"fitPca: embeddings cover ${dimSums.size} of dim=$dim dimensions " +
+        s"(missing: ${missing.take(8).mkString(", ")}${if (missing.length > 8) ", …" else ""})")
+    val pairCounts = stats.map(_.getLong(2)).distinct
+    require(pairCounts.length == 1,
+      "fitPca: ragged embedding lengths — every vector must have exactly " +
+        s"dim=$dim values (saw per-pair counts ${pairCounts.sorted.take(4).mkString(", ")}…)")
+    val n = pairCounts.head.toDouble
     val cov = Array.ofDim[Double](dim, dim)
     val means = Array.tabulate(dim)(i => dimSums(i) / n)
     stats.foreach { r =>

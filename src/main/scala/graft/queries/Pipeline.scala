@@ -514,6 +514,27 @@ object Pipeline {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "s1p_weighted_sample_exact" -> { (s, dir) =>
+      // s1's A-Res sampler in its EXACT regime: k=4096 ≥ every per-lang
+      // stratum at gate and bench SF, and sampling WITHOUT replacement
+      // with k ≥ |stratum| must return every id — so the oracle is the
+      // plain per-lang id list, and the hash gate pins the id→uniform
+      // hashing, weight filter, bounded heap, buffer serialization, and
+      // merge path (the k1/k2/k3 exact-regime discipline applied to the
+      // one sampling component whose ranked s1 output is not
+      // SQL-expressible). The selection ORDER is hash-derived, so ranks
+      // are dropped and rows re-sorted by id for the compare.
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      d.select(col("doc_id"), col("lang"),
+          (st.getField("quality") + lit(0.01)).as("w"))
+        .groupBy(col("lang"))
+        .agg(call_function("graft_weighted_sample",
+          col("doc_id"), col("w"), lit(4096)).as("picks"))
+        .select(col("lang"), explode(col("picks")).as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     "s2_mixture_weights" -> { (s, dir) =>
       // temperature-scaled data-mixing weights: w_lang = sqrt(token share)
       // (α = 0.5 upweights low-resource languages). Arithmetic chosen for
@@ -806,6 +827,35 @@ object Pipeline {
           col("p")(0).as("p0"), col("p")(1).as("p1"),
           col("p")(2).as("p2"), col("p")(3).as("p3"))
         .orderBy(col("vec_id"))
+    },
+
+    "v4p_pca_project" -> { (s, dir) =>
+      // v4's projection with an ORACLE-BACKED hash gate (model-as-data,
+      // the v2 fold discipline): the fitted model is persisted as a small
+      // parquet table of (r, c, w) rows — component index, precomputed
+      // mean offset c_r = dot(μ, w_r), component vector — and DuckDB
+      // recomputes the identical projection dot(x, w_r) − c_r from that
+      // table. Parquet round-trips the doubles bit-for-bit, both folds
+      // are strict left-to-right with a leading IEEE-no-op 0.0, and the
+      // offset is read, not recomputed — so every projected coordinate is
+      // bit-exact across engines. The eigensolver stays spec-gated
+      // (PcaSpec); THIS gate pins the map-only projection kernel and the
+      // persisted-model serving contract.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Similarity.fitPca(e, dim = 64, k = 8, whiten = true)
+      val modelRows = model.components.toSeq.zipWithIndex.map { case (w, r) =>
+        var c = 0.0
+        var i = 0
+        while (i < w.length) { c += model.means(i) * w(i); i += 1 }
+        (r, c, w.toSeq)
+      }
+      import s.implicits._
+      modelRows.toDF("r", "c", "w").coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/pca_model.parquet")
+      e.select(col("vec_id"),
+          posexplode(Similarity.pcaProject(col("embedding"), model))
+            .as(Seq("r", "p")))
+        .orderBy(col("vec_id"), col("r"))
     },
 
     "v1_vec_quantize" -> { (s, dir) =>
@@ -1148,6 +1198,27 @@ object Pipeline {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // s1p: exact regime ⇒ the sample IS the stratum; every document has
+    // weight quality + 0.01 > 0, so the expected output is simply every
+    // (lang, doc_id), sorted.
+    "s1p_weighted_sample_exact" ->
+      "SELECT lang, doc_id FROM documents ORDER BY lang, doc_id",
+
+    // v4p: DuckDB recomputes the projection from the PERSISTED model
+    // table (written by the Spark query; __GRAFT_MODELS__ is substituted
+    // by Verify with the sf-specific models dir). list_reduce folds from
+    // the first element — ≡ Spark's 0.0-seeded strict fold (leading 0.0
+    // add is an IEEE no-op); the float→double element widening is exact;
+    // c is read from the table, not recomputed.
+    "v4p_pca_project" ->
+      """WITH model AS (
+        |  SELECT r, c, w FROM read_parquet('__GRAFT_MODELS__/pca_model.parquet/*.parquet'))
+        |SELECT e.vec_id, m.r,
+        |  list_reduce(list_apply(list_zip(e.embedding, m.w),
+        |    p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) - m.c AS p
+        |FROM embeddings e CROSS JOIN model m
+        |ORDER BY e.vec_id, m.r""".stripMargin,
 
     "s2_mixture_weights" ->
       """WITH tok AS (
