@@ -218,6 +218,54 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("fitPca rejects empty, mis-dimensioned, and ragged input with clear messages") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.fitPca(empty, dim = 64, k = 4)
+    }
+    assert(eEmpty.getMessage.contains("no embedding values"))
+    // dim larger than the data's width → named missing dimensions
+    val eMissing = intercept[IllegalArgumentException] {
+      Similarity.fitPca(embs, dim = 80, k = 4)
+    }
+    assert(eMissing.getMessage.contains("missing"))
+    // dim smaller than the data's width → named over-range dimensions
+    val eOver = intercept[IllegalArgumentException] {
+      Similarity.fitPca(embs, dim = 32, k = 4)
+    }
+    assert(eOver.getMessage.contains("dimensions up to"))
+    // ragged rows covering all dims → named ragged failure
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(2.0f, 1.0f, 4.0f))).toDF("vec_id", "embedding")
+    val eRagged = intercept[IllegalArgumentException] {
+      Similarity.fitPca(ragged, dim = 3, k = 2)
+    }
+    assert(eRagged.getMessage.contains("ragged"))
+  }
+
+  test("sampled fit: cap >= corpus is bit-identical to full; below-cap is deterministic") {
+    // cap above the corpus (500 vectors): the hash-prefix sample IS the
+    // corpus, so the model must equal the uncapped fit bit-for-bit
+    val full = Similarity.fitPca(embs, dim = 64, k = 6, whiten = true,
+      fitCap = Int.MaxValue)
+    val capped = Similarity.fitPca(embs, dim = 64, k = 6, whiten = true)
+    assert(capped.means.toSeq == full.means.toSeq)
+    assert(capped.components.map(_.toSeq).toSeq == full.components.map(_.toSeq).toSeq)
+    assert(capped.eigenvalues.toSeq == full.eigenvalues.toSeq)
+    // cap below the corpus: same model from any partitioning (the sample
+    // is a deterministic hash prefix, not partition-order-dependent) …
+    val s1 = Similarity.fitPca(embs.repartition(7), dim = 64, k = 6, fitCap = 100)
+    val s2 = Similarity.fitPca(embs.repartition(3), dim = 64, k = 6, fitCap = 100)
+    assert(s1.means.toSeq == s2.means.toSeq)
+    assert(s1.components.map(_.toSeq).toSeq == s2.components.map(_.toSeq).toSeq)
+    assert(s1.eigenvalues.toSeq == s2.eigenvalues.toSeq)
+    // … and the cap visibly engaged (a 100-vector sample of 500 shifts
+    // the estimated means)
+    assert(s1.means.toSeq != full.means.toSeq)
+  }
+
   test("column projection matches the driver fold bit-for-bit") {
     val model = Similarity.fitPca(embs, dim = 64, k = 4, whiten = true)
     val got = embs.limit(25)
