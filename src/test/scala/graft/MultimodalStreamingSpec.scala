@@ -415,6 +415,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming quantile-sketch aggregate matches the batch sketch") {
+    // the MRL buffer is the streaming aggregation state exactly as the
+    // SpaceSaving buffer is for heavy hitters: partial buffers merge
+    // associatively across micro-batches, so a running length-quantile
+    // monitor carries O(capacity) state per group. capacity=4096 ≥ every
+    // per-lang group here, so streamed and batch answers must be
+    // identical (the exact regime — same discipline as the k2 gate).
+    import org.apache.spark.sql.functions.{call_function, length, lit}
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .groupBy(col("lang"))
+      .agg(
+        call_function("graft_quantile_sketch",
+          length(col("text")), lit(0.25), lit(4096)).as("q25"),
+        call_function("graft_quantile_sketch",
+          length(col("text")), lit(0.5), lit(4096)).as("q50"),
+        call_function("graft_quantile_sketch",
+          length(col("text")), lit(0.75), lit(4096)).as("q75"))
+    val got = EventsStream.runToMemory(
+      agg(EventsStream.readDocuments(spark, sf)),
+      "quantile_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val want = agg(Tables.load(spark, sf, "documents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming near-dup vs static corpus index matches the batch pair set") {
     import graft.operators.Dedup
     // incremental-crawl shape: documents arrive as a stream, the corpus
