@@ -256,28 +256,37 @@ object Dedup {
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
-      // min label among neighbors
-      val nbr = edges.join(labels.toDF("nid", "nrep"), col("v") === col("nid"))
-        .groupBy(col("u")).agg(min(col("nrep")).as("nbr_rep"))
-      val stepped = labels.join(nbr, labels("doc_id") === nbr("u"), "left")
-        .select(labels("doc_id"),
-          least(labels("rep"), coalesce(col("nbr_rep"), labels("rep"))).as("rep"),
-          labels("rep").as("prev_rep"))
-      // pointer jump: follow the label one hop (labels' domain is closed —
-      // every rep is itself a doc_id — so a left join only guards NULLs).
-      // prev_rep rides along so convergence is a filter on the checkpointed
-      // frame, not another join job per round.
-      val next = truncateLineage(
-        stepped.join(stepped.toDF("pid", "prep", "pprev"),
-            col("rep") === col("pid"), "left")
-          .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),
-            stepped("prev_rep")))
+      val next = truncateLineage(ccRound(labels, edges))
       converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
       freeCheckpoint(labels) // next is materialized; the old round is dead
       labels = next.select(col("doc_id"), col("rep"))
       iters += 1
     }
     labels
+  }
+
+  /** One label-propagation + pointer-jump round over `labels`
+    * (doc_id, rep) and the symmetric `edges` (u, v) — the repeated unit of
+    * [[connectedComponents]], extracted so its plan shape can be
+    * golden-pinned: two shuffles on id keys (the neighbor-min aggregate
+    * and the jump self-join), nothing proportional to round count.
+    * Emits (doc_id, rep, prev_rep); prev_rep rides along so convergence
+    * is a filter on the checkpointed frame, not another join job.
+    */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    // min label among neighbors
+    val nbr = edges.join(labels.toDF("nid", "nrep"), col("v") === col("nid"))
+      .groupBy(col("u")).agg(min(col("nrep")).as("nbr_rep"))
+    val stepped = labels.join(nbr, labels("doc_id") === nbr("u"), "left")
+      .select(labels("doc_id"),
+        least(labels("rep"), coalesce(col("nbr_rep"), labels("rep"))).as("rep"),
+        labels("rep").as("prev_rep"))
+    // pointer jump: follow the label one hop (labels' domain is closed —
+    // every rep is itself a doc_id — so a left join only guards NULLs)
+    stepped.join(stepped.toDF("pid", "prep", "pprev"),
+        col("rep") === col("pid"), "left")
+      .select(stepped("doc_id"), coalesce(col("prep"), stepped("rep")).as("rep"),
+        stepped("prev_rep"))
   }
 
   /** Attach `rep` = min(smaller-id neighbor, self) to every doc. */

@@ -43,7 +43,9 @@ class GoldenPlanSpec extends AnyFunSuite {
     "c3_decon_bloom",      // map-side bloom prefilter before the verify join
     "k3_heavy_hitters",    // ObjectHashAggregate partial/final sketch pair
     "k2_quantile_sketch",  // mergeable quantile buffers, no per-group sort
-    "v3_embedding_covariance") // pair expansion collapses map-side
+    "v3_embedding_covariance", // pair expansion collapses map-side
+    "e7_asof_forward",     // union + running-first window (e5's mirror)
+    "k4_sketch_cube")      // two-level aggregate over binary sketch states
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
@@ -57,23 +59,57 @@ class GoldenPlanSpec extends AnyFunSuite {
       .replaceAll("(?m)\\s+$", "")
       .trim
 
+  private def checkGolden(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+    val got = normalize(
+      df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    val file = goldenDir.resolve(s"$name.plan")
+    if (regen || !Files.exists(file)) {
+      Files.createDirectories(goldenDir)
+      Files.writeString(file, got + "\n")
+      info(s"wrote golden ${file.toAbsolutePath}")
+    } else {
+      val want = Files.readString(file).trim
+      assert(got == want,
+        s"\nplan drift for $name — if intentional, regen with " +
+          s"GRAFT_REGEN_GOLDEN=1 and review the diff.\n" +
+          s"--- golden\n$want\n--- current\n$got")
+    }
+  }
+
   planCritical.foreach { name =>
     test(s"golden plan: $name") {
-      val got = normalize(
-        SparkEntry.queries(name)(spark, dir)
-          .queryExecution.explainString(ExplainMode.fromString("formatted")))
-      val file = goldenDir.resolve(s"$name.plan")
-      if (regen || !Files.exists(file)) {
-        Files.createDirectories(goldenDir)
-        Files.writeString(file, got + "\n")
-        info(s"wrote golden ${file.toAbsolutePath}")
-      } else {
-        val want = Files.readString(file).trim
-        assert(got == want,
-          s"\nplan drift for $name — if intentional, regen with " +
-            s"GRAFT_REGEN_GOLDEN=1 and review the diff.\n" +
-            s"--- golden\n$want\n--- current\n$got")
-      }
+      checkGolden(name, SparkEntry.queries(name)(spark, dir))
     }
+  }
+
+  // Not SparkEntry queries, but plan shapes that carry 100-TB decisions:
+
+  test("golden plan: hybrid_skew_join") {
+    // pins the round-6 single-scan rewrite: ONE parquet scan of the big
+    // side with a conditional-salt projection, a replica-union small
+    // side, one join — a regression back to the two-scan union form
+    // shows up as a second `Scan parquet` in the diff. Hot keys are
+    // explicit so the pinned plan has no data-dependent profile pass.
+    import org.apache.spark.sql.functions.col
+    val big = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val small = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate"))
+    checkGolden("hybrid_skew_join",
+      graft.operators.SkewJoin.hybridJoin(big, small, Seq("l_orderkey"),
+        hotKeys = Some(Seq(Seq(1L), Seq(2L))), saltFactor = 8))
+  }
+
+  test("golden plan: d8_cc_round") {
+    // pins the repeated unit of the connected-components closure (the
+    // most expensive query in every bench): one neighbor-min aggregate +
+    // one pointer-jump self-join — two id-keyed shuffles per round. A
+    // lineage/checkpoint regression multiplies this shape per round and
+    // previously only surfaced as a 3× bench number.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
+    val edges = docs.select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+    checkGolden("d8_cc_round", graft.operators.Dedup.ccRound(labels, edges))
   }
 }
