@@ -858,6 +858,36 @@ object Pipeline {
         .orderBy(col("vec_id"), col("r"))
     },
 
+    "v5_outlier_score" -> { (s, dir) =>
+      // Mahalanobis outlier scoring for embedding curation: under the
+      // WHITENED model the projected data has identity covariance, so
+      // Σ_r p_r² IS the (rank-k) Mahalanobis distance² from the corpus
+      // mean — the standard anomaly signal for dropping corrupt/outlier
+      // embeddings before training. Map-only projection (the v4 kernel)
+      // + one decimal-routed per-vector sum (the d7 discipline — the
+      // square is exact, the decimal conversion identical both engines,
+      // and the decimal sum order-insensitive). The model persists to its
+      // OWN parquet path so this query stays self-contained, and the
+      // DuckDB oracle recomputes projection and score from that table.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Similarity.fitPca(e, dim = 64, k = 8, whiten = true)
+      val modelRows = model.components.toSeq.zipWithIndex.map { case (w, r) =>
+        var c = 0.0
+        var i = 0
+        while (i < w.length) { c += model.means(i) * w(i); i += 1 }
+        (r, c, w.toSeq)
+      }
+      import s.implicits._
+      modelRows.toDF("r", "c", "w").coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/pca_model_v5.parquet")
+      e.select(col("vec_id"),
+          explode(Similarity.pcaProject(col("embedding"), model)).as("p"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("p") * col("p")).cast("decimal(28,12)"))
+          .cast("double").as("m2"))
+        .orderBy(col("vec_id"))
+    },
+
     "v1_vec_quantize" -> { (s, dir) =>
       // symmetric int8 quantization of the embedding column (the storage /
       // bandwidth-reduction step before ANN serving): per-vector scale maps
@@ -1219,6 +1249,21 @@ object Pipeline {
         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) - m.c AS p
         |FROM embeddings e CROSS JOIN model m
         |ORDER BY e.vec_id, m.r""".stripMargin,
+
+    // v5: projection recomputed from the persisted model exactly as v4p,
+    // then the score is a decimal-routed sum of squares — order-
+    // insensitive, so the per-vector grouping needs no ordering contract.
+    "v5_outlier_score" ->
+      """WITH model AS (
+        |  SELECT r, c, w FROM read_parquet('__GRAFT_MODELS__/pca_model_v5.parquet/*.parquet')),
+        |proj AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_apply(list_zip(e.embedding, m.w),
+        |      p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) - m.c AS p
+        |  FROM embeddings e CROSS JOIN model m)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS m2
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "s2_mixture_weights" ->
       """WITH tok AS (
