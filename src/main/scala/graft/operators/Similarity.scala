@@ -112,7 +112,7 @@ object Similarity {
     * per vector) pushes every vector through a hash aggregate; this is a
     * map-only pass.
     */
-  private def nearestCellExpr(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private[graft] def nearestCellExpr(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val cs = array(cents.map { case (_, c) => cosine(vec, typedLit(c)) }: _*)
     array_position(cs, array_max(cs)).cast("int")
   }
@@ -258,6 +258,52 @@ object Similarity {
     graft.plans.TopKPerKey(scored,
       Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SemDeDup-shaped semantic dedup: Lloyd centroids partition the
+    * embedding space, each vector joins its nearest cell in a MAP-ONLY
+    * projection (no join/shuffle to learn the cell — the IVF assignment
+    * discipline), and exact cosine runs only WITHIN a cell. At scale
+    * `nlist` grows with the corpus so cells stay bounded, and `maxCell`
+    * hard-bounds the pair stage regardless (vectors in oversize cells
+    * keep rep = self — the d6 cap contract). Output: (vec_id, cell, rep)
+    * with rep = min vec_id among the vector's within-cell neighbors at
+    * cosine ≥ `tau` (self if none).
+    *
+    * `saveCellsPath` persists the fitted cell table (centroids-as-data)
+    * so an external engine — or a later serving run — can replay the
+    * assignment and pair predicate from the identical doubles.
+    */
+  def semanticDedup(
+      embs: DataFrame,
+      nlist: Int = 16,
+      lloydIters: Int = 2,
+      tau: Double = 0.95,
+      maxCell: Int = 4096,
+      saveCellsPath: Option[String] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = lloydCentroids(
+      embs.select(col("vec_id"), col("embedding")), nlist, lloydIters)
+    saveCellsPath.foreach(saveIvfIndex(cents, _))
+    val centArr = cents.as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val v = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", nearestCellExpr(col("embedding"), centArr))
+    val bw = Window.partitionBy(col("cell"))
+    val bounded = v.withColumn("bsz", count(lit(1)).over(bw))
+      .filter(col("bsz") <= maxCell)
+      .drop("bsz")
+    val l = bounded.alias("l")
+    val r = bounded.alias("r")
+    val pairs = l.join(r,
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(cosine(col("l.embedding"), col("r.embedding")) >= tau)
+      .select(col("l.vec_id").as("i"), col("r.vec_id").as("j"))
+    v.join(pairs, v("vec_id") === pairs("j"), "left")
+      .groupBy(v("vec_id"), v("cell"))
+      .agg(coalesce(min(col("i")), first(v("vec_id"))).as("rep"))
+      .select(col("vec_id"), col("cell"), col("rep"))
+      .orderBy(col("vec_id"))
   }
 
   // ---- PCA / whitening ---------------------------------------------------

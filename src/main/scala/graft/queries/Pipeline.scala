@@ -179,6 +179,25 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    "d9_semantic_dedup" -> { (s, dir) =>
+      // SemDeDup-shaped semantic dedup (Similarity.semanticDedup): Lloyd
+      // cells via a map-only assignment, exact cosine only within a cell,
+      // d6-style cell cap. Fully ORACLE-BACKED via centroids-as-data: the
+      // fitted cell table persists as parquet and DuckDB replays the
+      // assignment (argmax cosine, ties to the smaller centroid_id —
+      // mirroring array_position-of-first-max) and the pair predicate
+      // bit-for-bit. tau=0.4 sits below this corpus's max pairwise
+      // cosine (~0.51 — the synthetic embeddings carry no planted
+      // near-dups), so the gate LIVE-FIRES the pair path and rep
+      // aggregation rather than vacuously matching an empty pair set;
+      // production semantic dedup runs the 0.95 default, and the planted
+      // near-dup behavior is spec-gated in SimilaritySpec.
+      Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"),
+        nlist = 16, lloydIters = 2, tau = 0.4,
+        saveCellsPath = Some(s"${Tables.modelsDir(dir)}/cells_d9.parquet"))
+    },
+
     "c1_decontamination" -> { (s, dir) =>
       // contamination check: corpus docs sharing a verbatim 8-gram with the
       // "eval set" (docs with doc_id % 10 == 7 stand in for a benchmark)
@@ -1123,6 +1142,39 @@ object Pipeline {
         |SELECT e.vec_id, coalesce(min(p.i), e.vec_id) AS rep
         |FROM embeddings e LEFT JOIN pairs p ON e.vec_id = p.j
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    // d9: centroids-as-data — DuckDB replays the nearest-cell assignment
+    // (argmax cosine, ties to the smaller centroid_id, mirroring Spark's
+    // array_position-of-first-max) and the within-cell pair predicate
+    // from the persisted cell table; list_dot_product ≡ the fused
+    // graft_cosine folds (the d6/a1 discipline)
+    "d9_semantic_dedup" ->
+      """WITH cents AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/cells_d9.parquet/*.parquet')),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT v.vec_id, c.centroid_id,
+        |    list_dot_product(v.v, c.centroid) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+        |  FROM v CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rk
+        |    FROM scored) t WHERE rk = 1),
+        |b AS (
+        |  SELECT a.vec_id, a.cell, v.v, count(*) OVER (PARTITION BY a.cell) AS bsz
+        |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
+        |pairs AS (
+        |  SELECT x.vec_id AS i, y.vec_id AS j
+        |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE x.bsz <= 4096
+        |    AND list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        |SELECT a.vec_id, a.cell, coalesce(min(p.i), a.vec_id) AS rep
+        |FROM assign a LEFT JOIN pairs p ON a.vec_id = p.j
+        |GROUP BY a.vec_id, a.cell ORDER BY a.vec_id""".stripMargin,
 
     // a2p probes every cell (nprobe = nlist), so the IVF output contract
     // is exact top-k — the SAME brute-force SQL is its oracle

@@ -509,6 +509,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "refined centroids must be deterministic")
   }
 
+  test("semantic dedup collapses planted near-dups, leaves the rest alone") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 40 well-spread vectors + two planted
+    // near-identical pairs (1e-3 perturbation ⇒ cosine ≈ 1 ≫ 0.95, and the
+    // pair members share a nearest centroid by construction). The mix
+    // needs a seed×i cross term — a seed-only offset would make every
+    // vector a constant shift of every other (cosine ≈ 1 across the board)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map { i =>
+        val h = (seed * 1103515245L + i * 2654435761L + seed.toLong * i * 97003L) % 10007L
+        ((if (h < 0) h + 10007 else h) / 10007.0f) - 0.5f
+      }
+    val base = (0L until 40L).map(id => (id, vec(id.toInt)))
+    val planted = Seq(
+      (100L, base(3)._2.updated(0, base(3)._2.head + 1e-3f)),
+      (101L, base(7)._2.updated(1, base(7)._2(1) - 1e-3f)))
+    val embs = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(embs, nlist = 4, lloydIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(100L) == 3L, s"planted dup 100 should collapse onto 3, got ${got(100L)}")
+    assert(got(101L) == 7L, s"planted dup 101 should collapse onto 7, got ${got(101L)}")
+    // spread base vectors stay their own rep (no false collapses at 0.95)
+    // except the planted partners' bases, which are reps (= self) anyway
+    assert(base.map(_._1).forall(id => got(id) == id),
+      "no base vector may collapse onto another")
+    // deterministic under partitioning
+    val again = Similarity.semanticDedup(embs.repartition(5), nlist = 4, lloydIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("a2's recall@10 at the gate SF holds its measured floor") {
     // pins the pruned-probe (nlist=16, nprobe=4) recall at the gate scale
     // factor so a centroid-quality regression breaks sbt test instead of
