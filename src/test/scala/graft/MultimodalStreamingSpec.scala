@@ -447,6 +447,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming sketch-cube states match the batch cube (k4 shape)") {
+    // the sketch-CUBE pattern under streaming: per-(lang, shard) binary
+    // STATES aggregate in the stream, then a batch rollup merges them —
+    // the daily-pipeline shape where micro-batches maintain shard states
+    // and reports merge whatever states exist. Exact regime ⇒ streamed
+    // states must roll up to the identical answers.
+    import org.apache.spark.sql.functions.{call_function, length, lit}
+    val cube = (d: org.apache.spark.sql.DataFrame) => d
+      .withColumn("shard", (col("doc_id") % 4).cast("int"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(
+        call_function("graft_kmv_state", col("text"), lit(4096)).as("ks"),
+        call_function("graft_quantile_state",
+          length(col("text")), lit(4096)).as("qs"))
+    val rollup = (states: org.apache.spark.sql.DataFrame) => states
+      .groupBy(col("lang"))
+      .agg(
+        call_function("graft_kmv_merge", col("ks"), lit(4096)).as("n_distinct"),
+        call_function("graft_quantile_merge", col("qs"), lit(0.5), lit(4096))
+          .cast("long").as("med_len"))
+    val got = rollup(EventsStream.runToMemory(
+        cube(EventsStream.readDocuments(spark, sf)),
+        "cube_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Complete()))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rollup(cube(Tables.load(spark, sf, "documents")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming near-dup vs static corpus index matches the batch pair set") {
     import graft.operators.Dedup
     // incremental-crawl shape: documents arrive as a stream, the corpus

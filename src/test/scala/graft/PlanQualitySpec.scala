@@ -82,6 +82,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d9_semantic_dedup: map-only cell assignment, equi pair join, no cartesian") {
+    val p = plan("d9_semantic_dedup")
+    // the corpus learns its cell in a projection against literal
+    // centroids — any join/aggregate-based assignment would show up as
+    // an extra exchange; the within-cell pair join must stay equi
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pair join must be an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pair join must be an equi join:\n$p")
+  }
+
   test("a1_ann_bruteforce: query side broadcasts; corpus scan stays pruned") {
     val p = plan("a1_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"),
