@@ -764,6 +764,84 @@ case class KmvMerge(
   override def prettyName: String = "graft_kmv_merge"
 }
 
+/** KMV set algebra over two stored states [Beyer et al., SIGMOD'07]:
+  * `graft_kmv_union(a, b)` / `graft_kmv_intersect(a, b)` → bigint.
+  *
+  * The k smallest hashes of A and of B determine the k smallest hashes of
+  * A∪B (merge) and a uniform sample of it, so BOTH estimates come from the
+  * two ~8 KB states alone — no revisit of either input set. Union is the
+  * standard KMV estimate on the merged state. Intersection counts the
+  * common hashes below the merged state's k-th order statistic τ (each
+  * hash < τ is a uniform coin flip for membership in A∩B):
+  * ρ = |A∩B ∩ [0,τ)| / k, est = round(ρ · est(A∪B)).
+  *
+  * Exact regime (the gate discipline): while the merged state holds fewer
+  * than k hashes nothing was ever evicted from either side, so the sets
+  * ARE the distinct hash sets and both results are exact counts — the k5
+  * gate pins this against DuckDB's exact set SQL. Deterministic at any
+  * size: fixed-seed hashes, order-insensitive merge.
+  *
+  * Evaluated once per GROUP (states are aggregate outputs), never per
+  * input row, so interpreted eval is off every hot path.
+  */
+case class KmvSetEstimate(
+    left: Expression,
+    right: Expression,
+    intersect: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def name: String =
+    if (intersect) "graft_kmv_intersect" else "graft_kmv_union"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name needs two binary KMV states, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bufA = KmvCodec.read(a.asInstanceOf[Array[Byte]])
+    val bufB = KmvCodec.read(b.asInstanceOf[Array[Byte]])
+    require(bufA.k == bufB.k,
+      s"$name: states have different capacities (${bufA.k} vs ${bufB.k})")
+    val merged = new KmvBuffer(bufA.k)
+    merged.merge(bufA)
+    merged.merge(bufB)
+    val unionEst = merged.estimate
+    if (!intersect) unionEst
+    else if (merged.set.size < merged.k) {
+      // exact regime: no eviction anywhere ⇒ sets are complete
+      var n = 0L
+      val it = bufA.set.iterator()
+      while (it.hasNext) if (bufB.set.contains(it.next())) n += 1
+      n
+    } else {
+      // τ-threshold sample: common hashes strictly below the merged k-th
+      val tau = merged.set.last
+      var n = 0
+      val it = bufA.set.iterator()
+      var h = 0L
+      var continue = true
+      while (continue && it.hasNext) {
+        h = it.next()
+        if (h >= tau) continue = false
+        else if (bufB.set.contains(h)) n += 1
+      }
+      math.round(n.toDouble / merged.k * unionEst)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvSetEstimate =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = name
+}
+
 /** `graft_quantile_state(x, capacity)` → binary (see the sketch-cube note
   * on [[KmvState]]).
   */
@@ -1032,6 +1110,14 @@ object SketchFunctions {
       exprs => WeightedSample(
         exprs(0), exprs(1), TextExprFunctions.intArg(exprs(2), "graft_weighted_sample"))
         .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_union",
+      exprs => KmvSetEstimate(exprs(0), exprs(1), intersect = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_intersect",
+      exprs => KmvSetEstimate(exprs(0), exprs(1), intersect = true),
       "built-in")
   }
 }

@@ -495,6 +495,35 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "k5_sketch_setops" -> { (s, dir) =>
+      // KMV set algebra [Beyer et al., SIGMOD'07]: per-language bigram
+      // vocabularies are sketched ONCE into ~8 KB states, then every
+      // pairwise union/intersection cardinality — the corpus-overlap
+      // matrix a mixture-design pass wants — is computed from the state
+      // TABLE alone (25 tiny rows joined to themselves), never rescanning
+      // the corpus. At 100 TB this is the only tractable shape: exact
+      // pairwise overlap is a self-join of the full vocabulary per pair,
+      // this is one aggregation pass + O(groups²) driver-scale work.
+      // capacity=4096 ≥ the per-pair union here, so both estimates sit in
+      // the sketches' exact regime and must equal DuckDB's exact set SQL
+      // (the k1/k2/k3 exact-regime gate discipline).
+      val d = Tables.load(s, dir, "documents")
+      val states = d
+        .select(col("lang"), explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("gram"))
+        .groupBy(col("lang"))
+        .agg(call_function("graft_kmv_state", col("gram"), lit(4096)).as("st"))
+      val a = states.select(col("lang").as("l1"), col("st").as("sa"))
+      val b = states.select(col("lang").as("l2"), col("st").as("sb"))
+      a.join(b, col("l1") < col("l2"))
+        .select(col("l1"), col("l2"),
+          call_function("graft_kmv_union", col("sa"), col("sb")).as("n_union"),
+          call_function("graft_kmv_intersect", col("sa"), col("sb"))
+            .as("n_intersect"))
+        .orderBy(col("l1"), col("l2"))
+    },
+
     "k3_heavy_hitters" -> { (s, dir) =>
       // t8's per-language top tokens through the bounded SpaceSaving
       // sketch. The exact form shuffles every distinct (lang, token)
@@ -1414,6 +1443,30 @@ object Pipeline {
         |  count(DISTINCT text) AS n_distinct,
         |  CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS med_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k5_sketch_setops" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |idx AS (
+        |  SELECT lang, ws, unnest(range(1, len(ws))) AS i
+        |  FROM w WHERE len(ws) >= 2),
+        |g AS (SELECT DISTINCT lang, ws[i] || ' ' || ws[i + 1] AS gram FROM idx),
+        |n AS (SELECT lang, count(*) AS c FROM g GROUP BY lang),
+        |ix AS (
+        |  SELECT a.lang AS l1, b.lang AS l2, count(*) AS ci
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.lang < b.lang
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT na.lang AS l1, nb.lang AS l2, na.c AS ca, nb.c AS cb
+        |  FROM n na JOIN n nb ON na.lang < nb.lang)
+        |SELECT p.l1, p.l2,
+        |  p.ca + p.cb - coalesce(ix.ci, 0) AS n_union,
+        |  coalesce(ix.ci, 0) AS n_intersect
+        |FROM p LEFT JOIN ix ON p.l1 = ix.l1 AND p.l2 = ix.l2
+        |ORDER BY p.l1, p.l2""".stripMargin,
 
     "k3_heavy_hitters" ->
       """WITH tok AS (

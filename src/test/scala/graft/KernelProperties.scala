@@ -76,6 +76,47 @@ object KernelProperties extends Properties("graft.kernels") {
       }
     }
 
+  // ---- KMV set algebra ---------------------------------------------------
+
+  private def kmvSetOp(a: Seq[Long], b: Seq[Long], k: Int, intersect: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    def state(xs: Seq[Long]): Array[Byte] = {
+      val buf = new KmvBuffer(k)
+      xs.foreach(v => buf.add(XXH64.hashLong(v, 42L) ^ Long.MinValue))
+      graft.functions.KmvCodec.write(buf)
+    }
+    graft.functions.KmvSetEstimate(
+      Literal(state(a), BinaryType), Literal(state(b), BinaryType), intersect)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  property("kmv set ops: exact union and intersection below capacity") =
+    forAll(values, values, Gen.chooseNum(2, 64)) { (as, bs, k) =>
+      val (sa, sb) = (as.toSet, bs.toSet)
+      (sa.union(sb).size >= k) || {
+        kmvSetOp(as, bs, k, intersect = false) == sa.union(sb).size.toLong &&
+        kmvSetOp(as, bs, k, intersect = true) == sa.intersect(sb).size.toLong
+      }
+    }
+
+  property("kmv set ops: symmetric at any size") =
+    forAll(values, values, Gen.chooseNum(2, 16)) { (as, bs, k) =>
+      kmvSetOp(as, bs, k, intersect = false) == kmvSetOp(bs, as, k, intersect = false) &&
+      kmvSetOp(as, bs, k, intersect = true) == kmvSetOp(bs, as, k, intersect = true)
+    }
+
+  property("kmv set ops: estimates bounded beyond capacity") = {
+    // deterministic overlap structure far past k: A = [0, 3000),
+    // B = [1500, 4500) ⇒ union 4500, intersection 1500, at k=256 the
+    // ~1/√k (≈6%) estimator must land within a generous 4σ band
+    val a = 0L until 3000L
+    val b = 1500L until 4500L
+    val u = kmvSetOp(a, b, 256, intersect = false)
+    val i = kmvSetOp(a, b, 256, intersect = true)
+    Prop(math.abs(u - 4500) <= 1100 && math.abs(i - 1500) <= 600) :| s"u=$u i=$i"
+  }
+
   // ---- tokenizer-derived kernels vs straightforward reference impls ------
 
   private val word: Gen[String] =
