@@ -41,4 +41,47 @@ object RangeJoin {
       .filter(col(pt) >= col(start) && col(pt) < col(end))
       .drop("__bucket")
   }
+
+  /** Inner join of every CLOSED interval `[lStart, lEnd]` in `left` to
+    * every overlapping closed `[rStart, rEnd]` in `right` — the
+    * interval×interval generalization of [[pointInInterval]], which Spark
+    * would otherwise plan as a nested-loop over the conjunction of two
+    * inequalities.
+    *
+    * Both sides register under each fixed-width bucket they cover and the
+    * overlap predicate becomes one equi shuffle join + exact residual.
+    * Two overlapping intervals share every bucket their intersection
+    * touches, so naive expansion duplicates pairs; instead each pair is
+    * kept ONLY in the canonical bucket of its intersection's left edge —
+    * `max(lStart, rStart) div bucketWidth` — which both sides cover by
+    * definition, making the output duplicate-free with NO distinct pass.
+    * Cost is expansion ×(len/bucketWidth + 1) per side; pick the width
+    * near the typical interval length so that factor stays ~2.
+    *
+    * All four bound columns must be integral (long), non-negative, on one
+    * axis, with `start <= end` (violating rows are dropped, matching
+    * [[pointInInterval]]'s empty-interval filter).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def expand(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) >= col(s))
+      .withColumn("__bucket",
+        explode(sequence(
+          expr(s"`$s` div $bucketWidth"), expr(s"`$e` div $bucketWidth"))))
+    expand(left, lStart, lEnd)
+      .join(expand(right, rStart, rEnd), Seq("__bucket"))
+      .filter(
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          col("__bucket") ===
+            expr(s"greatest(`$lStart`, `$rStart`) div $bucketWidth"))
+      .drop("__bucket")
+  }
 }

@@ -149,10 +149,59 @@ object Events {
           bucketWidth = minuteUs)
         .select(col("event_id"), col("start_us"))
         .orderBy(col("event_id"), col("start_us"))
+    },
+
+    "e8_interval_overlap" -> { (s, dir) =>
+      // interval×interval overlap join on the day axis: per-order
+      // fulfillment intervals [orderdate, orderdate + orderkey%21 days]
+      // (deterministic varied lengths, no RNG) against 7-day "audit
+      // windows" anchored at the 20 busiest order days. e6's point form
+      // can't express this — BOTH sides have extent — so it exercises
+      // RangeJoin.intervalOverlap's canonical-bucket expansion (7-day
+      // buckets ⇒ fulfillment spans 1-4, windows 1-2, every overlapping
+      // pair survives in exactly one). The window table derives from the
+      // global-top-k form of TopKPerKey, as in e6.
+      val o = Tables.load(s, dir, "orders")
+      val perDay = o.groupBy(unix_date(to_date(col("o_orderdate"))).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopKPerKey(
+        perDay, Seq.empty, Seq(col("n").desc, col("d").asc), 20)
+      val windows = top.select(
+        col("d").cast("long").as("w_start"),
+        (col("d") + 6).cast("long").as("w_end"))
+      val fulfill = o.select(
+        col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("f_start"),
+        (unix_date(to_date(col("o_orderdate"))) + col("o_orderkey") % 21)
+          .cast("long").as("f_end"))
+      graft.operators.RangeJoin
+        .intervalOverlap(fulfill, windows,
+          lStart = "f_start", lEnd = "f_end",
+          rStart = "w_start", rEnd = "w_end", bucketWidth = 7L)
+        .select(col("o_orderkey"), col("w_start"))
+        .orderBy(col("o_orderkey"), col("w_start"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_interval_overlap" ->
+      """WITH pd AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |top AS (SELECT d FROM pd ORDER BY n DESC, d ASC LIMIT 20),
+        |w AS (SELECT CAST(d AS BIGINT) AS w_start,
+        |             CAST(d + 6 AS BIGINT) AS w_end FROM top),
+        |f AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS f_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 21 AS f_end
+        |  FROM orders)
+        |SELECT f.o_orderkey, w.w_start
+        |FROM f JOIN w ON f.f_start <= w.w_end AND w.w_start <= f.f_end
+        |ORDER BY f.o_orderkey, w.w_start""".stripMargin,
+
     "e6_range_join" ->
       """WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n
         |           FROM events GROUP BY 1),

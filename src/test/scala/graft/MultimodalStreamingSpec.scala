@@ -230,6 +230,36 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bucketed interval overlap equals the naive non-equi join, no dups") {
+    // deterministic mixed-length closed intervals, including touching
+    // endpoints, bucket-boundary-straddlers, points (len 0), and a
+    // degenerate end<start row that must be dropped
+    val left = (0L until 400L by 11L).map(a => (a, a + a % 37L))
+      .toDF("ls", "le").withColumn("lid", monotonically_increasing_id())
+    val right = (Seq((5L, 5L), (100L, 99L)) ++ // point; inverted: dropped
+        (0L until 400L by 23L).map(b => (b, b + b % 53L)))
+      .toDF("rs", "re").withColumn("rid", monotonically_increasing_id())
+    Seq(1L, 16L, 1000L).foreach { width =>
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(left, right, "ls", "le", "rs", "re", width)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = left.join(right,
+          col("ls") <= col("re") && col("rs") <= col("le") && col("re") >= col("rs"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.length == got.toSet.size, s"width=$width: duplicate pairs")
+      assert(got.toSet == want, s"width=$width: ${got.length} vs ${want.size}")
+    }
+  }
+
+  test("interval overlap plan is an equi join, not nested-loop or cartesian") {
+    val left = (0L until 100L).map(a => (a, a + 5L)).toDF("ls", "le")
+    val right = Seq((0L, 50L), (25L, 75L)).toDF("rs", "re")
+    val p = graft.operators.RangeJoin
+      .intervalOverlap(left, right, "ls", "le", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
