@@ -212,6 +212,42 @@ object Pipeline {
         saveCellsPath = Some(s"${Tables.modelsDir(dir)}/cells_d9.parquet"))
     },
 
+    "d10_span_dedup" -> { (s, dir) =>
+      // duplicated-SPAN detection — the span-granular form of exact
+      // substring dedup [Lee et al., ACL'22]: an 8-token window occurring
+      // in more than one document marks boilerplate/template text that
+      // document-level dedup (d1-d9 keep/drop whole docs) cannot see. Per
+      // doc: total span positions, positions whose span recurs elsewhere,
+      // and the dup ratio a curation filter thresholds on. Scale shape:
+      // spans are xxhash64'd map-side so the df aggregation and the
+      // re-join shuffle fixed-width longs, never span text — the d1
+      // "bodies never move" discipline at span granularity; the per-span
+      // doc-frequency table joins back on the same hashed key (AQE picks
+      // the strategy). The oracle recomputes doc frequencies on the raw
+      // span strings — a hash collision would hash-mismatch the gate, so
+      // the gate also pins collision-freedom on this corpus.
+      val d = Tables.load(s, dir, "documents")
+      val g = d.select(col("doc_id"), explode(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 8),
+        x => xxhash64(x))).as("gh"))
+      val df = g.groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("nd"))
+      val per = g.join(df, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          when(col("n_spans") > 0,
+            col("n_dup_spans").cast("double") / col("n_spans"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+
     "c1_decontamination" -> { (s, dir) =>
       // contamination check: corpus docs sharing a verbatim 8-gram with the
       // "eval set" (docs with doc_id % 10 == 7 stand in for a benchmark)
@@ -1116,6 +1152,31 @@ object Pipeline {
         |WHERE list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
         |ORDER BY i, j""".stripMargin,
+
+    "d10_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM tok WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM idx),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+        |per AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_spans
+        |  FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_spans, 0) AS n_spans,
+        |  coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+        |  CASE WHEN coalesce(per.n_spans, 0) > 0
+        |       THEN CAST(per.n_dup_spans AS DOUBLE) / per.n_spans
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "c1_decontamination" ->
       """WITH tok AS (
