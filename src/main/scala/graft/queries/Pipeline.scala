@@ -319,6 +319,26 @@ object Pipeline {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
     },
 
+    "v6_knn_label" -> { (s, dir) =>
+      // kNN majority-vote labeling — the label-propagation step that
+      // turns a small labeled set into weak labels for the rest of the
+      // corpus: each query takes the modal label of its 5 nearest
+      // neighbors by cosine (ties to the smaller label, a total order).
+      // Composes the gate-checked brute-force top-k with a per-key vote
+      // aggregate; the winner is selected by TopKPerKey k=1, not a
+      // window, so no per-query sort materializes at any corpus size.
+      val e = Tables.load(s, dir, "embeddings")
+      val knn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50), k = 5)
+      val lbl = e.select(col("vec_id").as("neighbor_id"), col("label"))
+      val votes = knn.join(lbl, Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      graft.plans.TopKPerKey(votes, Seq(col("query_id")),
+          Seq(col("votes").desc, col("label").asc), 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    },
+
     // ---- text analysis ----------------------------------------------------
     // graft_text_stats computes every per-document statistic in one fused
     // codegen'd pass (the composable TextFunctions forms re-tokenize per
@@ -1299,6 +1319,34 @@ object Pipeline {
         |  FROM scored)
         |SELECT query_id, neighbor_id, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "v6_knn_label" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+        |win AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, label ASC) AS rn
+        |  FROM votes)
+        |SELECT query_id, label AS pred_label, votes
+        |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     "a1_ann_bruteforce" ->
       """WITH q AS (
