@@ -846,6 +846,36 @@ object Pipeline {
         .orderBy(col("lang"), col("rank"))
     },
 
+    "x2_source_zscore" -> { (s, dir) =>
+      // per-group standardization WITHOUT a window: z-scoring a metric
+      // within its source is the classic "normalize before mixing
+      // corpora" step, and the naive window form
+      // (avg/stddev OVER (PARTITION BY source)) materializes every
+      // group's rows in one task — the biggest source OOMs the executor
+      // at 100 TB. This shape is a tiny two-level aggregate (20 rows)
+      // broadcast-joined back, so rows never co-locate by source at all.
+      // Bit-exactness discipline: n_chars is integral, so sum and
+      // sum-of-squares route through decimal (exact); mean, the
+      // population variance ((sq - s*s/n)/n), sqrt, and the final z are
+      // then identical IEEE double ops on both engines.
+      val d = Tables.load(s, dir, "documents")
+      val stats = d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(28,0)")).as("s"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(28,0)")).as("sq"))
+        .select(col("source"),
+          (col("s").cast("double") / col("n")).as("mu"),
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            col("n")).as("sigma"))
+      d.join(broadcast(stats), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("mu"),
+          col("sigma"),
+          ((col("n_chars") - col("mu")) / col("sigma")).as("z"))
+        .orderBy(col("doc_id"))
+    },
+
     "x1_profile" -> { (s, dir) =>
       // data profiling — the pre-flight a pipeline runs on a new drop:
       // per-group row count, key cardinality, value and date ranges. One
@@ -1696,6 +1726,23 @@ object Pipeline {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rank""".stripMargin,
+
+    "x2_source_zscore" ->
+      """WITH st AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CAST(n_chars AS DECIMAL(28,0))) AS s,
+        |    sum(CAST(n_chars * n_chars AS DECIMAL(28,0))) AS sq
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT source,
+        |    CAST(s AS DOUBLE) / n AS mu,
+        |    sqrt((CAST(sq AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sigma
+        |  FROM st)
+        |SELECT d.doc_id, d.source, d.n_chars, m.mu, m.sigma,
+        |  (d.n_chars - m.mu) / m.sigma AS z
+        |FROM documents d JOIN m USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x1_profile" ->
       """SELECT o_orderstatus,
