@@ -294,7 +294,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus must not sort-merge against the eval set:\n$p")
     val shuffleLines = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+      .filter(l => l.contains("hashpartitioning(")).toSeq
     assert(shuffleLines.forall(!_.contains("text#")),
       s"corpus text must not shuffle:\n${shuffleLines.mkString("\n")}")
   }
@@ -306,8 +306,52 @@ class PlanQualitySpec extends AnyFunSuite {
     // only (doc_id, tok)/(doc_id, count) rows may cross a shuffle boundary —
     // never the raw document text
     val shuffleLines = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
-    assert(shuffleLines.forall(!_.contains("text#")),
+      .filter(l => l.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
       s"document text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("e8_interval_overlap: bucketed equi join, no nested loop") {
+    val p = plan("e8_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must be the bucketed equi form:\n$p")
+  }
+
+  test("k5_sketch_setops: states aggregate partially; grams never shuffle") {
+    val p = plan("k5_sketch_setops")
+    // the per-lang KMV aggregation must combine map-side: exchanges carry
+    // ~8KB states, never the exploded bigram strings
+    assert(nodeCount(p, "ObjectHashAggregate") + nodeCount(p, "HashAggregate")
+      + nodeCount(p, "SortAggregate") >= 2, s"expect partial+final agg:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("gram#")),
+      s"bigram strings must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("d10_span_dedup: shuffles carry span hashes, never span or doc text") {
+    val p = plan("d10_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted mode puts the partitioning in each Exchange's detail block
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
+      s"span/document text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("v6_knn_label: winner via bounded-heap top-k, no per-query window") {
+    val p = plan("v6_knn_label")
+    assert(p.contains("TopKPerKey"), s"expect the bounded-heap operator:\n$p")
+    assert(nodeCount(p, "Window") == 0, s"no window sort should appear:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x2_source_zscore: per-source stats broadcast back, no window") {
+    val p = plan("x2_source_zscore")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 20-row stats table must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"group-normalize must not use a window partition:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
   }
 }
