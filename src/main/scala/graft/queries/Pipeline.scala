@@ -441,6 +441,31 @@ object Pipeline {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    "t11_quantile_bucket" -> { (s, dir) =>
+      // quantile-bucket assignment — applying t6's thresholds back to the
+      // rows: every document gets its within-language length quartile
+      // (the "drop the bottom quality decile per language" curation
+      // shape). The threshold table is groups×3 rows, broadcast back, so
+      // assignment is map-only — the naive ntile() window would instead
+      // sort every language's rows in one task. Thresholds and
+      // comparisons are integral ⇒ bucket edges are engine-exact.
+      Tables.registerAll(s, dir)
+      val th = s.sql(
+        """SELECT lang,
+          |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q25,
+          |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q50,
+          |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q75
+          |FROM documents GROUP BY lang""".stripMargin)
+      Tables.load(s, dir, "documents")
+        .join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("n_chars") <= col("q25"), 0)
+            .when(col("n_chars") <= col("q50"), 1)
+            .when(col("n_chars") <= col("q75"), 2)
+            .otherwise(3).cast("int").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     "k2_quantile_sketch" -> { (s, dir) =>
       // t6's quartiles through the MERGEABLE sketch instead of exact
       // percentile_disc. Exact percentile sorts every group — at 100 TB
@@ -1523,6 +1548,21 @@ object Pipeline {
         |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t11_quantile_bucket" ->
+      """WITH th AS (
+        |  SELECT lang,
+        |    CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+        |    CAST(quantile_disc(n_chars, 0.5)  AS BIGINT) AS q50,
+        |    CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(CASE WHEN d.n_chars <= th.q25 THEN 0
+        |            WHEN d.n_chars <= th.q50 THEN 1
+        |            WHEN d.n_chars <= th.q75 THEN 2
+        |            ELSE 3 END AS INTEGER) AS bucket
+        |FROM documents d JOIN th USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "k2_quantile_sketch" ->
       """SELECT lang,

@@ -346,6 +346,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t11_quantile_bucket: thresholds broadcast back, no ntile window") {
+    val p = plan("t11_quantile_bucket")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the per-lang threshold table must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"bucket assignment must be map-only, not an ntile window:\n$p")
+  }
+
   test("x2_source_zscore: per-source stats broadcast back, no window") {
     val p = plan("x2_source_zscore")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
