@@ -441,6 +441,50 @@ object Pipeline {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    "t12_salient_terms" -> { (s, dir) =>
+      // TF-IDF-shaped salient-term extraction with an INTEGER-EXACT
+      // ordering: per document, the top-3 tokens by term frequency, ties
+      // broken by lower document frequency (rarer ⇒ more distinctive)
+      // then token — the float tf·idf product would gate on log()
+      // rounding, the (tf desc, df asc) lexicographic order ranks
+      // identically for fixed tf and is bit-free. Two aggregates (tf, df)
+      // joined on the token, winner via the TopKPerKey bounded heap — no
+      // per-document sort, and only (doc_id, tok, counts) rows shuffle.
+      val d = Tables.load(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      graft.plans.TopKPerKey(tf.join(dfreq, Seq("tok")), Seq(col("doc_id")),
+          Seq(col("tf").desc, col("df").asc, col("tok").asc), 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    "s5_negative_sample" -> { (s, dir) =>
+      // deterministic negative sampling — the contrastive-training data
+      // op: for each anchor, 4 corpus items with a DIFFERENT label,
+      // chosen by md5(anchor, candidate) order (uniform w.r.t. content,
+      // identical on any engine/partitioning, no RNG — the s3/s4 md5
+      // discipline). The anchor set broadcasts; candidate selection is
+      // the TopKPerKey bounded heap per anchor, so the corpus is scanned
+      // once and never sorted.
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("cand_id"), col("label").as("clabel"))
+      val pairs = c.join(broadcast(q), col("clabel") =!= col("qlabel"))
+        .withColumn("h",
+          md5(concat_ws("_", col("query_id"), col("cand_id")).cast("binary")))
+      graft.plans.TopKPerKey(pairs, Seq(col("query_id")),
+          Seq(col("h").asc, col("cand_id").asc), 4)
+        .select(col("query_id"), col("cand_id"),
+          col("clabel").as("neg_label"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "t11_quantile_bucket" -> { (s, dir) =>
       // quantile-bucket assignment — applying t6's thresholds back to the
       // rows: every document gets its within-language length quartile
@@ -1548,6 +1592,43 @@ object Pipeline {
         |  CAST(quantile_disc(length(text), 0.75) AS BIGINT) AS q75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t12_salient_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                       x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rank
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "s5_negative_sample" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cand_id, label AS clabel FROM embeddings),
+        |p AS (
+        |  SELECT q.query_id, c.cand_id, c.clabel,
+        |    md5(concat_ws('_', q.query_id, c.cand_id)) AS h
+        |  FROM c CROSS JOIN q WHERE c.clabel <> q.qlabel),
+        |r AS (
+        |  SELECT query_id, cand_id, clabel,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY h ASC, cand_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, cand_id, clabel AS neg_label, rank
+        |FROM r WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
 
     "t11_quantile_bucket" ->
       """WITH th AS (

@@ -346,6 +346,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t12_salient_terms: bounded-heap winners, no per-doc window sort") {
+    val p = plan("t12_salient_terms")
+    assert(p.contains("TopKPerKey"), s"expect the bounded-heap operator:\n$p")
+    assert(nodeCount(p, "Window") == 0, s"no window sort should appear:\n$p")
+  }
+
+  test("s5_negative_sample: anchors broadcast; corpus scanned once, no sort") {
+    val p = plan("s5_negative_sample")
+    assert(p.contains("TopKPerKey"), s"expect the bounded-heap operator:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the anchor set must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0, s"no window sort should appear:\n$p")
+  }
+
   test("t11_quantile_bucket: thresholds broadcast back, no ntile window") {
     val p = plan("t11_quantile_bucket")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
