@@ -227,9 +227,12 @@ object Pipeline {
       // span strings — a hash collision would hash-mismatch the gate, so
       // the gate also pins collision-freedom on this corpus.
       val d = Tables.load(s, dir, "documents")
-      val g = d.select(col("doc_id"), explode(transform(
+      // persisted (Dedup lifecycle): the span subtree feeds BOTH the
+      // doc-frequency aggregate and the re-join — without the persist the
+      // tokenize+shingle+hash pass (the dominant cost) runs twice
+      val g = Dedup.persistPublic(d.select(col("doc_id"), explode(transform(
         TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 8),
-        x => xxhash64(x))).as("gh"))
+        x => xxhash64(x))).as("gh")))
       val df = g.groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("nd"))
       val per = g.join(df, Seq("gh"))
         .groupBy(col("doc_id"))
