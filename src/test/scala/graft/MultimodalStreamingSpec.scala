@@ -508,6 +508,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("kmv set ops over streamed states match the batch answer (k5 shape)") {
+    // k5 under streaming: micro-batches maintain per-language KMV states;
+    // the pairwise union/intersection matrix is computed from whatever
+    // states exist at read time. Exact regime ⇒ identical to batch.
+    import org.apache.spark.sql.functions.{call_function, explode, lit}
+    import graft.functions.TextFunctions
+    val states = (d: org.apache.spark.sql.DataFrame) => d
+      .select(col("lang"), explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+        .as("gram"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_kmv_state", col("gram"), lit(4096)).as("st"))
+    val setops = (st: org.apache.spark.sql.DataFrame) => {
+      val a = st.select(col("lang").as("l1"), col("st").as("sa"))
+      val b = st.select(col("lang").as("l2"), col("st").as("sb"))
+      a.join(b, col("l1") < col("l2")).select(col("l1"), col("l2"),
+        call_function("graft_kmv_union", col("sa"), col("sb")).as("u"),
+        call_function("graft_kmv_intersect", col("sa"), col("sb")).as("i"))
+    }
+    val got = setops(EventsStream.runToMemory(
+        states(EventsStream.readDocuments(spark, sf)),
+        "kmv_setops_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Complete()))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = setops(states(Tables.load(spark, sf, "documents")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming near-dup vs static corpus index matches the batch pair set") {
     import graft.operators.Dedup
     // incremental-crawl shape: documents arrive as a stream, the corpus
