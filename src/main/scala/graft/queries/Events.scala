@@ -180,6 +180,83 @@ object Events {
           rStart = "w_start", rEnd = "w_end", bucketWidth = 7L)
         .select(col("o_orderkey"), col("w_start"))
         .orderBy(col("o_orderkey"), col("w_start"))
+    },
+
+    "e9_funnel" -> { (s, dir) =>
+      // ordered funnel (view → click → purchase) per user on the
+      // event_id axis. Each stage's anchor is a conditional min over the
+      // WHOLE user partition, chained: stage n+1 only counts events after
+      // stage n's anchor. Three unordered windows share one hash
+      // partitioning on user_id, so the whole funnel is a single shuffle
+      // followed by a partition-local aggregate — no per-stage joins, no
+      // repeated scans. That shape holds at any user cardinality.
+      val e = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+      e.select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("event_id"))).over(byUser))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("event_id") > col("v"),
+            col("event_id"))).over(byUser))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("event_id") > col("c"),
+            col("event_id"))).over(byUser))
+        .groupBy(col("user_id"))
+        .agg(min(col("v")).as("v_id"), min(col("c")).as("c_id"),
+          min(col("p")).as("p_id"))
+        .withColumn("stage",
+          (when(col("v_id").isNotNull, 1).otherwise(0) +
+            when(col("c_id").isNotNull, 1).otherwise(0) +
+            when(col("p_id").isNotNull, 1).otherwise(0)).cast("int"))
+        .orderBy(col("user_id"))
+    },
+
+    "e10_gap_fill" -> { (s, dir) =>
+      // time-series regularization: per user, an hourly grid from the
+      // user's first to last event hour, gap hours carrying the last
+      // observed value forward (n_events = 0 marks the fill rows).
+      // The grid is generated, not joined-in: sequence() + explode emits
+      // each user's hours map-side from a 2-column bounds row, so the
+      // only shuffles are the hourly aggregate and the forward-fill
+      // window — both on user_id. Hours are integer epoch-hour buckets
+      // (µs DIV 3600e6): pure integer math on both engines, no timestamp
+      // formatting in the comparison surface.
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          col("value"))
+      val hourly = e.groupBy(col("user_id"), col("h"))
+        .agg(max(col("value")).as("v"), count(lit(1)).as("n"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+        .select(col("user_id"),
+          explode(sequence(col("hmin"), col("hmax"))).as("h"))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(fill).as("filled_value"))
+        .orderBy(col("user_id"), col("h"))
+    },
+
+    "e11_cohort" -> { (s, dir) =>
+      // cohort retention matrix: users grouped by first-active week,
+      // counted at each later week offset. Weeks are integer epoch-week
+      // buckets (µs DIV 86400e6 DIV 7). One distinct over (user, week)
+      // — the only row-scale shuffle — then a per-user min and a tiny
+      // (cohort, offset) aggregate; the matrix is O(weeks²) however big
+      // the event log grows.
+      val e = Tables.load(s, dir, "events")
+      val uw = e.select(col("user_id"),
+          expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("w"))
+        .distinct()
+      val cohorts = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      uw.join(cohorts, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 
@@ -273,6 +350,58 @@ object Events {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM numbered WHERE user_id < 50
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "e9_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN event_id END)
+        |      OVER (PARTITION BY user_id) AS v
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND event_id > v
+        |                     THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS c
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND event_id > c
+        |                     THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS p
+        |  FROM s2)
+        |SELECT user_id, min(v) AS v_id, min(c) AS c_id, min(p) AS p_id,
+        |  CAST((CASE WHEN min(v) IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN min(c) IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN min(p) IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e10_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, value
+        |  FROM events WHERE user_id < 40),
+        |hourly AS (
+        |  SELECT user_id, h, max(value) AS v, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+        |      FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(hmin, hmax)) AS h
+        |         FROM b)
+        |SELECT g.user_id, g.h,
+        |  coalesce(n, 0) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
+    "e11_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+        |SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset,
+        |  count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
