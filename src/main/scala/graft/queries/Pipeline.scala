@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Multimodal, Similarity}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -249,6 +249,27 @@ object Pipeline {
             col("n_dup_spans").cast("double") / col("n_spans"))
             .otherwise(lit(0.0)))
         .orderBy(col("doc_id"))
+    },
+
+    "d11_fuzzy_join" -> { (s, dir) =>
+      // typo-level record linkage: all pairs of corpus keys within
+      // levenshtein distance 1, found by FuzzyJoin's deletion-neighborhood
+      // blocking (lossless; no all-pairs stage). Corpus = each document's
+      // 24-char prefix, plus a planted first-char typo ('#' — a character
+      // the synthetic vocabulary never emits, so each plant is distance
+      // EXACTLY 1 from its source) for every 5th doc; the corpus's 24
+      // naturally-identical prefixes supply the distance-0 pairs. The
+      // oracle brute-forces levenshtein over the same derived corpus, so
+      // any pair the blocking lost would hash-mismatch — the candidate
+      // generation itself is the system under test.
+      val d = Tables.load(s, dir, "documents")
+      val base = d.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 24).as("sk"))
+      val typos = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(lit("#"), substring(col("text"), 2, 23)).as("sk"))
+      FuzzyJoin.editDistanceJoin(base.unionAll(typos), "id", "sk", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     "c1_decontamination" -> { (s, dir) =>
@@ -1299,6 +1320,20 @@ object Pipeline {
         |       ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "d11_fuzzy_join" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 24) AS sk FROM documents),
+        |typos AS (
+        |  SELECT doc_id + 1000000 AS id, '#' || substr(text, 2, 23) AS sk
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.sk, b.sk) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON a.id < b.id AND abs(len(a.sk) - len(b.sk)) <= 1
+        |WHERE levenshtein(a.sk, b.sk) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "c1_decontamination" ->
       """WITH tok AS (
