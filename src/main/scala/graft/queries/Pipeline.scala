@@ -487,6 +487,33 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    "t13_postings" -> { (s, dir) =>
+      // inverted-index construction (bigram → sorted doc-id posting list)
+      // for the mid-frequency band 2 ≤ df ≤ 25 — the phrase-search /
+      // retrieval primitive. Bigrams, not unigrams: this corpus's 31-word
+      // vocabulary puts every unigram in half the documents, while its
+      // ~900 bigrams span the full df spectrum, so both band bounds
+      // live-fire. df-FIRST shape: document frequency comes from a
+      // map-side-combinable count aggregate whose output is O(vocab), the
+      // band filter runs on that tiny frame, and only qualifying grams
+      // ever materialize a posting list — a stop-phrase with millions of
+      // postings is filtered before its list exists, so no aggregation
+      // buffer exceeds the df cap. Postings emit as comma-joined strings
+      // (arrays don't gate — the v3/array_join discipline).
+      val d = Tables.load(s, dir, "documents")
+      val td = d.select(col("doc_id"), explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("gram"))
+        .distinct()
+      val dfreq = td.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 25))
+      td.join(dfreq, Seq("gram"))
+        .groupBy(col("gram"), col("df"))
+        .agg(array_join(array_sort(collect_set(col("doc_id"))), ",")
+          .as("postings"))
+        .orderBy(col("gram"))
+    },
+
     "s5_negative_sample" -> { (s, dir) =>
       // deterministic negative sampling — the contrastive-training data
       // op: for each anchor, 4 corpus items with a DIFFERENT label,
@@ -1650,6 +1677,27 @@ object Pipeline {
         |  FROM tf JOIN df USING (tok))
         |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "t13_postings" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |td AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        |  FROM idx),
+        |dfreq AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |  FROM td GROUP BY gram HAVING count(*) BETWEEN 2 AND 25)
+        |SELECT td.gram, dfreq.df,
+        |  array_to_string(list_sort(list(td.doc_id)), ',') AS postings
+        |FROM td JOIN dfreq USING (gram)
+        |GROUP BY td.gram, dfreq.df
+        |ORDER BY td.gram""".stripMargin,
 
     "s5_negative_sample" ->
       """WITH q AS (
