@@ -41,6 +41,36 @@ object Pipeline {
       Similarity.fitPca(Tables.load(s, dir, "embeddings"),
         dim = 64, k = 8, whiten = true))
 
+  /** Connected near-dup components over the exact ngram-Jaccard pair set —
+    * the shared engine behind d8 (the raw component map) and d12 (the
+    * keep-best canonicalization on top of it). One row per document with
+    * its component representative. See d8's scaladoc for why exact
+    * duplicates collapse BEFORE pair generation (m-clique edge blowup) and
+    * why that collapse is semantics-preserving.
+    */
+  private def ccComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("fp"))
+    val withRep0 = d
+      .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
+      .withColumn("rep0",
+        when(col("tsz") > 0, min(col("doc_id")).over(w)).otherwise(col("doc_id")))
+    val reps = withRep0.filter(col("doc_id") === col("rep0"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cc = Dedup.connectedComponents(reps,
+      Dedup.ngramJaccardPairs(reps, n = 1, threshold = 0.95,
+        blockCols = Seq(col("lang"))), maxIters = 8)
+    // the rep0 map is consumed here AND feeds reps above — persist so
+    // the fingerprint window does not recompute for the final rejoin
+    val rep0Map = Dedup.persistPublic(
+      withRep0.select(col("doc_id"), col("rep0")))
+    rep0Map
+      .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
+      .select(col("doc_id"), col("rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ---------------------------------------------------
     "d1_dedup_exact" -> { (s, dir) =>
@@ -88,26 +118,30 @@ object Pipeline {
       // token-size guard is constant within each). With those conditions
       // the component minimum over representatives IS the minimum over
       // documents: each rep0 is already its clique's min.
-      val d = Tables.load(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"), col("fp"))
-      val withRep0 = d
-        .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"),
-          size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
-        .withColumn("rep0",
-          when(col("tsz") > 0, min(col("doc_id")).over(w)).otherwise(col("doc_id")))
-      val reps = withRep0.filter(col("doc_id") === col("rep0"))
-        .select(col("doc_id"), col("lang"), col("text"))
-      val cc = Dedup.connectedComponents(reps,
-        Dedup.ngramJaccardPairs(reps, n = 1, threshold = 0.95,
-          blockCols = Seq(col("lang"))), maxIters = 8)
-      // the rep0 map is consumed here AND feeds reps above — persist so
-      // the fingerprint window does not recompute for the final rejoin
-      val rep0Map = Dedup.persistPublic(
-        withRep0.select(col("doc_id"), col("rep0")))
-      rep0Map
-        .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
-        .select(col("doc_id"), col("rep"))
+      // (Body factored into [[ccComponents]], shared with d12.)
+      ccComponents(s, dir).orderBy(col("doc_id"))
+    },
+
+    "d12_dedup_canonical" -> { (s, dir) =>
+      // canonicalization — the step that turns a component map into an
+      // actual deduplicated corpus: per near-dup cluster, KEEP the
+      // highest-quality member (longest text, ties to the smaller id; a
+      // production pipeline plugs its quality score in here), drop the
+      // rest. d8 answers "which docs are together"; d12 answers "which
+      // doc survives". The winner comes from the TopKPerKey bounded heap
+      // per component (k=1) — no per-cluster sort; only (doc_id, rep,
+      // n_chars) triples shuffle, never text.
+      val comp = ccComponents(s, dir)
+      val quality = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val scored = comp.join(quality, Seq("doc_id"))
+      val keep = graft.plans.TopKPerKey(scored, Seq(col("rep")),
+          Seq(col("n_chars").desc, col("doc_id").asc), 1)
+        .select(col("rep"), col("doc_id").as("keep_id"))
+      comp.join(keep, Seq("rep"))
+        .select(col("doc_id"), col("rep"), col("keep_id"),
+          when(col("doc_id") === col("keep_id"), 1).otherwise(0)
+            .cast("int").as("kept"))
         .orderBy(col("doc_id"))
     },
 
@@ -1272,6 +1306,37 @@ object Pipeline {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "d12_dedup_canonical" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |k AS (
+        |  SELECT rep, doc_id AS keep_id FROM (
+        |    SELECT cc.rep, d.doc_id,
+        |      row_number() OVER (PARTITION BY cc.rep
+        |                         ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |    FROM cc JOIN documents d USING (doc_id)) WHERE rn = 1)
+        |SELECT cc.doc_id, cc.rep, k.keep_id,
+        |  CAST(CASE WHEN cc.doc_id = k.keep_id THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM cc JOIN k USING (rep)
+        |ORDER BY cc.doc_id""".stripMargin,
 
     "d3p_minhash_pairs" ->
       """WITH tok AS (
