@@ -50,6 +50,7 @@ object GraftSession {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TextExprFunctions.register(spark)
     graft.functions.SketchFunctions.register(spark)
+    graft.functions.LayoutExprFunctions.register(spark)
     spark
   }
 }

@@ -1030,6 +1030,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x3_zorder" -> { (s, dir) =>
+      // z-order layout audit: Morton-interleave the two filter dimensions
+      // a scan would prune on (partkey × suppkey), then report per
+      // z-range-bucket row counts and tight z min/max — exactly the
+      // row-group statistics a z-sorted parquet write would expose to
+      // min/max pruning. The interleave is a codegen'd kernel
+      // (ZOrderInterleave); the aggregation is one map-combinable pass.
+      // The actual layout step (repartitionByRange on z + local sort) is
+      // LayoutExprFunctions.zorderLayout, property-gated in LayoutSpec —
+      // this query gates the kernel bit-for-bit against unrolled SQL bit
+      // math in DuckDB.
+      val l = Tables.load(s, dir, "lineitem")
+      val z = call_function("graft_zorder",
+        (col("l_partkey") % 65536).cast("int"),
+        (col("l_suppkey") % 65536).cast("int"))
+      l.select(z.as("z"))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("zmin"),
+          max(col("z")).as("zmax"))
+        .orderBy(col("bucket"))
+    },
+
     "x1_profile" -> { (s, dir) =>
       // data profiling — the pre-flight a pipeline runs on a new drop:
       // per-group row count, key cardinality, value and date ranges. One
@@ -2015,6 +2037,19 @@ object Pipeline {
         |  (d.n_chars - m.mu) / m.sigma AS z
         |FROM documents d JOIN m USING (source)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x3_zorder" ->
+      """WITH base AS (
+        |  SELECT l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+        |  FROM lineitem),
+        |zv AS (
+        |  SELECT CAST(list_sum(
+        |    [(((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))
+        |     FOR i IN range(16)]) AS BIGINT) AS z
+        |  FROM base)
+        |SELECT z >> 12 AS bucket, count(*) AS n,
+        |  min(z) AS zmin, max(z) AS zmax
+        |FROM zv GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "x1_profile" ->
       """SELECT o_orderstatus,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.{call_function, col, lit, max, min, spark_partition_id}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{LayoutExprFunctions, ZOrderKernel}
+
+/** Z-order layout kernel + helper (`graft_zorder`, `zorderLayout`). */
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Naive 16-step interleave loop — the definition the kernel's magic
+    * numbers must match bit-for-bit.
+    */
+  private def naive(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("known values") {
+    assert(ZOrderKernel.interleave16(0L, 0L) == 0L)
+    assert(ZOrderKernel.interleave16(0xFFFFL, 0L) == 0x55555555L)
+    assert(ZOrderKernel.interleave16(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(ZOrderKernel.interleave16(3L, 1L) == 7L) // a→bits 0,2; b→bit 1
+    assert(ZOrderKernel.interleave16(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+  }
+
+  test("matches the naive bit loop; masks to 16 bits") {
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val a = rnd.nextLong().abs
+      val b = rnd.nextLong().abs
+      assert(ZOrderKernel.interleave16(a, b) == naive(a & 0xFFFFL, b & 0xFFFFL))
+    }
+  }
+
+  test("SQL function evaluates through codegen and interpreted paths") {
+    assert(spark.sql("SELECT graft_zorder(3, 1)").head().getLong(0) == 7L)
+    val df = (0 until 1000).map(i => (i, i * 31 % 65536)).toDF("a", "b")
+    val got = df.select(call_function("graft_zorder", col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = (0 until 1000)
+      .map(i => ZOrderKernel.interleave16(i.toLong, (i * 31 % 65536).toLong))
+    assert(got.toSeq == want)
+  }
+
+  test("rejects non-integral input") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_zorder('x', 1)").collect()
+    }
+    assert(err.getMessage.contains("graft_zorder") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("zorderLayout yields disjoint, locally-sorted z ranges per partition") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 20000)
+      .map(_ => (rnd.nextInt(65536), rnd.nextInt(65536)))
+      .toDF("a", "b")
+    val laid = LayoutExprFunctions.zorderLayout(df, col("a"), col("b"), 8)
+    assert(laid.columns.toSeq == Seq("a", "b"), "helper column must be dropped")
+
+    val z = laid.select(
+      spark_partition_id().as("pid"),
+      call_function("graft_zorder", col("a"), col("b")).as("z"))
+
+    // per-partition [min, max] ranges must not overlap (range exchange)
+    val ranges = z.groupBy(col("pid"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .orderBy(col("lo"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"partition z ranges overlap: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+
+    // rows must be locally sorted by z inside each partition
+    val sortedWithin = z.rdd.mapPartitions { it =>
+      val zs = it.map(_.getLong(1)).toArray
+      Iterator.single(zs.sameElements(zs.sorted))
+    }.collect()
+    assert(sortedWithin.forall(identity), "partitions must be z-sorted")
+  }
+}
