@@ -1041,6 +1041,201 @@ case class HeavyHittersMerge(
   override def prettyName: String = "graft_hh_merge"
 }
 
+/** Count-Min sketch [Cormode & Muthukrishnan, J.Alg 2005]: a depth×width
+  * integer counter grid; every key increments one counter per depth row
+  * (an independent hash each), and a point query reads the MINIMUM of its
+  * depth counters — an overestimate by at most the colliding mass, never
+  * an underestimate. depth·width·8 bytes total, element-wise mergeable, so
+  * per-shard states roll up like the other sketch cubes (k4 discipline).
+  *
+  * The hash is the first 8 md5 hex chars of `"<depth>:<key>"` mod width —
+  * deliberately SQL-recomputable (the proven md5-bucket trick), so the k6
+  * gate replays the ENTIRE sketch — collisions included — as exact
+  * integer math in DuckDB and hash-compares estimates bit-for-bit. That
+  * makes the gate exact at ANY width; collisions don't weaken it, they
+  * exercise the min-over-depths path.
+  */
+object CmsHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Bucket of `key` in depth row `d`: first 8 lowercase-hex chars of
+    * md5(s"$d:$key") parsed base-16, mod width. All values fit in a
+    * non-negative int (< 2^32 / width bound after mod).
+    */
+  def bucket(d: Int, key: String, width: Int): Int = {
+    val digest = md.get()
+    digest.reset()
+    val bytes = digest.digest(s"$d:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 bytes == first 8 hex chars
+    val v = ((bytes(0) & 0xFFL) << 24) | ((bytes(1) & 0xFFL) << 16) |
+      ((bytes(2) & 0xFFL) << 8) | (bytes(3) & 0xFFL)
+    (v % width).toInt
+  }
+}
+
+final class CmsBuffer(val depth: Int, val width: Int) {
+  val counters: Array[Long] = new Array[Long](depth * width)
+
+  def add(key: String, inc: Long): Unit = {
+    var d = 0
+    while (d < depth) {
+      counters(d * width + CmsHash.bucket(d, key, width)) += inc
+      d += 1
+    }
+  }
+
+  def merge(other: CmsBuffer): Unit = {
+    require(other.depth == depth && other.width == width,
+      s"CMS shape mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
+    var i = 0
+    while (i < counters.length) { counters(i) += other.counters(i); i += 1 }
+  }
+
+  def estimate(key: String): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = counters(d * width + CmsHash.bucket(d, key, width))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+}
+
+object CmsCodec {
+  def write(buf: CmsBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.counters.length * 8)
+    bb.putInt(buf.depth).putInt(buf.width)
+    buf.counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): CmsBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val depth = bb.getInt
+    val width = bb.getInt
+    val buf = new CmsBuffer(depth, width)
+    var i = 0
+    while (i < buf.counters.length) { buf.counters(i) = bb.getLong; i += 1 }
+    buf
+  }
+}
+
+/** `graft_cms_state(key, depth, width)` → binary: Count-Min counter grid
+  * over the group's keys, one increment per row.
+  */
+case class CmsState(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_state needs a string input, got ${child.dataType.simpleString}")
+    else if (depth < 1 || width < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"need depth >= 1 and width >= 1, got depth=$depth width=$width")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
+
+  override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString, 1L)
+    buf
+  }
+
+  override def merge(buf: CmsBuffer, other: CmsBuffer): CmsBuffer = { buf.merge(other); buf }
+  override def eval(buf: CmsBuffer): Any = CmsCodec.write(buf)
+  override def serialize(buf: CmsBuffer): Array[Byte] = CmsCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = CmsCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): CmsState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_cms_state"
+}
+
+/** `graft_cms_merge(state, depth, width)` → binary: element-wise sum of
+  * stored CMS states. Order-insensitive; the merged grid is bit-identical
+  * to the grid a single pass over the union would build.
+  */
+case class CmsMerge(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = child :: Nil
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
+
+  override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(CmsCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: CmsBuffer, other: CmsBuffer): CmsBuffer = { buf.merge(other); buf }
+  override def eval(buf: CmsBuffer): Any = CmsCodec.write(buf)
+  override def serialize(buf: CmsBuffer): Array[Byte] = CmsCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = CmsCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): CmsMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_cms_merge"
+}
+
+/** `graft_cms_query(state, key)` → bigint: point-frequency estimate (min
+  * over depth rows). Parses the state per call — the intended shape is a
+  * tiny key set probed against a broadcast one-row state (or a stored
+  * state table), never a per-corpus-row probe.
+  */
+case class CmsQuery(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_query needs (binary state, string key), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(state: Any, key: Any): Any =
+    CmsCodec.read(state.asInstanceOf[Array[Byte]]).estimate(key.toString)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
+    copy(left = l, right = r)
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1074,6 +1269,26 @@ object SketchFunctions {
         TextExprFunctions.doubleArg(exprs(1), "graft_quantile_merge"),
         TextExprFunctions.intArg(exprs(2), "graft_quantile_merge"))
         .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_state",
+      exprs => CmsState(
+        exprs(0),
+        TextExprFunctions.intArg(exprs(1), "graft_cms_state"),
+        TextExprFunctions.intArg(exprs(2), "graft_cms_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_merge",
+      exprs => CmsMerge(
+        exprs(0),
+        TextExprFunctions.intArg(exprs(1), "graft_cms_merge"),
+        TextExprFunctions.intArg(exprs(2), "graft_cms_merge"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_query",
+      exprs => CmsQuery(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hh_state",

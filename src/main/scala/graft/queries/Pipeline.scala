@@ -705,6 +705,34 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "k6_cms" -> { (s, dir) =>
+      // Count-Min frequency sketch, cube-shaped: per-shard CMS states
+      // (the binary column a daily pipeline persists), element-wise
+      // merged, then point-queried for every key. The 4×3 grid is
+      // deliberately SMALLER than the key set so collisions are live and
+      // the min-over-depths path does real work — the gate stays exact
+      // anyway because the oracle replays the identical md5-bucket math
+      // (bucket sums + min) as integer SQL in DuckDB. est ≥ n_true is the
+      // sketch's one-sided contract; both columns are gated.
+      val ev = Tables.load(s, dir, "events")
+      val states = ev
+        .withColumn("shard", (col("user_id") % 4).cast("int"))
+        .groupBy(col("shard"))
+        .agg(call_function("graft_cms_state",
+          col("event_type"), lit(4), lit(3)).as("st"))
+      val merged = states
+        .agg(call_function("graft_cms_merge",
+          col("st"), lit(4), lit(3)).as("st"))
+      val truth = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      truth.crossJoin(broadcast(merged))
+        .select(col("event_type"),
+          call_function("graft_cms_query", col("st"), col("event_type"))
+            .as("est"),
+          col("n_true"))
+        .orderBy(col("event_type"))
+    },
+
     "k5_sketch_setops" -> { (s, dir) =>
       // KMV set algebra [Beyer et al., SIGMOD'07]: per-language bigram
       // vocabularies are sketched ONCE into ~8 KB states, then every
@@ -1876,6 +1904,37 @@ object Pipeline {
         |  count(DISTINCT text) AS n_distinct,
         |  CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS med_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k6_cms" ->
+      """WITH counts AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |hashed AS (
+        |  SELECT event_type, d,
+        |    md5(CAST(d AS VARCHAR) || ':' || event_type) AS h
+        |  FROM counts, (SELECT unnest(range(4)) AS d)),
+        |buckets AS (
+        |  SELECT event_type, d, CAST((
+        |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |    ) % 3 AS INTEGER) AS b
+        |  FROM hashed),
+        |counters AS (
+        |  SELECT d, b, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM buckets JOIN counts USING (event_type)
+        |  GROUP BY d, b),
+        |est AS (
+        |  SELECT bk.event_type, min(c.cnt) AS est
+        |  FROM buckets bk JOIN counters c ON bk.d = c.d AND bk.b = c.b
+        |  GROUP BY bk.event_type)
+        |SELECT e.event_type, e.est, c.n AS n_true
+        |FROM est e JOIN counts c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "k5_sketch_setops" ->
       """WITH w AS (
