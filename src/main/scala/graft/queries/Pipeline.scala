@@ -705,6 +705,32 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "j1_json_extract" -> { (s, dir) =>
+      // semi-structured extraction — the first step over any event/log
+      // drop: pull typed fields out of a JSON string column. Both Spark
+      // paths are exercised (path-based get_json_object and schema-based
+      // from_json→struct), map-only into one map-combinable aggregate;
+      // missing keys must yield NULL, not errors, on both engines (the
+      // n_missing column pins that). Integer sums keep the gate exact.
+      val ev = Tables.load(s, dir, "events")
+      val parsed = ev.select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k2"),
+        get_json_object(col("props"), "$.absent").as("absent"))
+      parsed.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("k2")).as("sum_k2"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("absent")).as("n_missing"))
+        .orderBy(col("event_type"))
+    },
+
     "k6_cms" -> { (s, dir) =>
       // Count-Min frequency sketch, cube-shaped: per-shard CMS states
       // (the binary column a daily pipeline persists), element-wise
@@ -1904,6 +1930,22 @@ object Pipeline {
         |  count(DISTINCT text) AS n_distinct,
         |  CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS med_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "j1_json_extract" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(props->>'k' AS BIGINT) AS k,
+        |    CAST(props->>'k' AS BIGINT) AS k2,
+        |    props->>'absent' AS absent
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k2) AS BIGINT) AS sum_k2,
+        |  min(k) AS min_k,
+        |  max(k) AS max_k,
+        |  count(absent) AS n_missing
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "k6_cms" ->
       """WITH counts AS (
