@@ -477,6 +477,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming count-min state matches the batch grid byte-for-byte") {
+    // the CMS grid is the streaming aggregation state: element-wise
+    // addition is commutative/associative and the byte image is
+    // shape-deterministic, so HOWEVER micro-batches split the input the
+    // final state must be the identical byte array the batch pass builds.
+    import org.apache.spark.sql.functions.{base64, call_function, lit}
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .groupBy(col("lang"))
+      .agg(base64(call_function("graft_cms_state",
+        col("source"), lit(4), lit(8))).as("st"))
+    val got = EventsStream.runToMemory(
+      agg(EventsStream.readDocuments(spark, sf)),
+      "cms_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = agg(Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sketch-cube states match the batch cube (k4 shape)") {
     // the sketch-CUBE pattern under streaming: per-(lang, shard) binary
     // STATES aggregate in the stream, then a batch rollup merges them —
