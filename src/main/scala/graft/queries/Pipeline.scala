@@ -548,6 +548,42 @@ object Pipeline {
         .orderBy(col("gram"))
     },
 
+    "t14_tfidf_simjoin" -> { (s, dir) =>
+      // sparse lexical similarity join — the inverted-index counterpart
+      // to the embedding ANN family: score(a,b) = Σ_shared-grams
+      // tf_a·tf_b·w², w = N/df (a reciprocal-df weight; one
+      // integer division so it is bit-exact without transcendentals).
+      // Pair generation is the postings SELF-join on the df-banded
+      // mid-frequency grams only (2 ≤ df ≤ 25) — the standard df-cap
+      // discipline: a stop-phrase's quadratic fan-out is filtered at the
+      // tiny O(vocab) frame before any posting materializes, so per-gram
+      // pair counts are bounded by df² at any corpus size. Partial
+      // products combine map-side into the (a,b) sum; the double
+      // products route through decimal so the gate is exact (the
+      // v3/d7 discipline).
+      val d = Tables.load(s, dir, "documents")
+      val tf = d.select(col("doc_id"), explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 25))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = dfreq.crossJoin(broadcast(n))
+        .select(col("gram"), (col("n_docs").cast("double") / col("df")).as("w"))
+      val postings = tf.join(w, Seq("gram"))
+      val pairs = postings.as("a").join(postings.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (((col("a.tf") * col("b.tf")).cast("double") * col("a.w")) * col("b.w"))
+            .cast("decimal(28,12)").as("term"))
+      pairs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("term")).cast("double").as("score"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     "s5_negative_sample" -> { (s, dir) =>
       // deterministic negative sampling — the contrastive-training data
       // op: for each anchor, 4 corpus items with a DIFFERENT label,
@@ -1818,6 +1854,34 @@ object Pipeline {
         |  FROM tf JOIN df USING (tok))
         |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "t14_tfidf_simjoin" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT gram, CAST(n_docs AS DOUBLE) / df AS w FROM dfreq, n),
+        |p AS (SELECT tf.doc_id, tf.gram, tf.tf, w.w FROM tf JOIN w USING (gram)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST((CAST(a.tf * b.tf AS DOUBLE) * a.w) * b.w
+        |         AS DECIMAL(28,12)) AS term
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, count(*) AS n_shared,
+        |  CAST(sum(term) AS DOUBLE) AS score
+        |FROM pr GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
     "t13_postings" ->
       """WITH tok AS (
