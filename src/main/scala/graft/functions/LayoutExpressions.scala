@@ -81,6 +81,8 @@ case class ZOrderInterleave(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderInterleave =
     copy(left = l, right = r)
+
+  override def prettyName: String = "graft_zorder"
 }
 
 object LayoutExprFunctions {

@@ -376,4 +376,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"group-normalize must not use a window partition:\n$p")
     assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
   }
+
+  test("x3_zorder: codegen'd interleave, one partial+final aggregate") {
+    val p = plan("x3_zorder")
+    // the z-value is a projection inside the scan stage; the bucket
+    // rollup is one map-combinable aggregate — no join, no window
+    assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_zorder"), s"interleave must be in the plan:\n$p")
+  }
+
+  test("k6_cms: one-row merged state broadcasts to the key probe") {
+    val p = plan("k6_cms")
+    // truth × state is a broadcast nested-loop on a ONE-ROW build side —
+    // the only acceptable nested-loop shape; the corpus is never on it
+    assert(p.contains("BroadcastExchange"), s"state must broadcast:\n$p")
+    // sketch states build via ObjectHashAggregate (TypedImperative),
+    // truth counts via HashAggregate — both partial+final
+    assert(nodeCount(p, "ObjectHashAggregate") >= 2,
+      s"expect partial+final state aggregates:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"expect partial+final truth counts:\n$p")
+  }
+
+  test("j1_json_extract: map-only parse into one agg + one sort exchange") {
+    val p = plan("j1_json_extract")
+    assert(nodeCount(p, "Exchange") == 2,
+      s"exactly the aggregate shuffle and the final order-by range:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2, s"expect partial+final agg:\n$p")
+    assert(nodeCount(p, "Join") == 0, s"extraction must be map-only:\n$p")
+  }
+
+  test("t14_tfidf_simjoin: equi pair join; n_docs broadcasts; no cartesian") {
+    val p = plan("t14_tfidf_simjoin")
+    assert(!p.contains("CartesianProduct"),
+      s"postings self-join must stay equi:\n$p")
+    // the only nested-loop allowed is the one-row n_docs broadcast into
+    // the tiny df frame; the postings SELF-join must be hash/merge equi
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"tf⋈w and postings⋈postings must be equi joins:\n$p")
+    assert(p.contains("BroadcastExchange"), s"n_docs must broadcast:\n$p")
+  }
 }
