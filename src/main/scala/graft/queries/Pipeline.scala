@@ -742,12 +742,13 @@ object Pipeline {
     },
 
     "j1_json_extract" -> { (s, dir) =>
-      // semi-structured extraction — the first step over any event/log
-      // drop: pull typed fields out of a JSON string column. Both Spark
-      // paths are exercised (path-based get_json_object and schema-based
-      // from_json→struct), map-only into one map-combinable aggregate;
-      // missing keys must yield NULL, not errors, on both engines (the
-      // n_missing column pins that). Integer sums keep the gate exact.
+      // schema-based JSON parsing — the complement of e3_events_json
+      // (which gates the path-string get_json_object route): from_json
+      // with a DDL schema parses once into a typed struct (the shape a
+      // pipeline uses when it reads MANY fields — one parse, not one per
+      // path), and sum_k2 must agree with the path route's sum_k
+      // bit-for-bit. n_missing pins missing-key semantics: absent keys
+      // yield NULL, not errors, on both engines.
       val ev = Tables.load(s, dir, "events")
       val parsed = ev.select(
         col("event_type"),
