@@ -937,6 +937,33 @@ object Pipeline {
     // ---- multimodal plumbing -------------------------------------------
     // the oracle recomputes the expected metadata analytically from the
     // source row, so a broken encode→decode roundtrip hash-mismatches
+    "m4_media_dedup" -> { (s, dir) =>
+      // exact media dedup by content fingerprint — the first dedup pass
+      // of any image/audio corpus: md5 the PAYLOAD SLICE of the blob
+      // in place (substring on the binary column, codegen'd), so the
+      // multi-MB blobs never shuffle — only (32-char fp, doc_id) rows
+      // move, the d1 discipline on a binary column. Slicing past the
+      // 16-byte container header dedups identical content re-wrapped in
+      // different containers. The oracle recomputes the same md5 from
+      // the payload's source text. The corpus's texts are all distinct,
+      // so 50 copies are planted under shifted ids: their CONTAINER
+      // header differs (dimensions derive from doc_id) but the payload
+      // is identical — the pair the header-inclusive hash would miss,
+      // keeping the dup path live-fire.
+      val docs = Tables.load(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val media = Multimodal.withFakeMedia(docs.unionByName(copies)).toDF()
+      val fp = media.select(col("doc_id"),
+        md5(expr("substring(media, 17, 2147483647)")).as("fp"))
+      val groups = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+      fp.join(groups, Seq("fp"))
+        .select(col("doc_id"), col("rep"), col("n_copies"),
+          (col("doc_id") =!= col("rep")).cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     "m1_multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
       Multimodal.decodeMeta(media).toDF()
@@ -2089,6 +2116,18 @@ object Pipeline {
         |SELECT label, pos,
         |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "m4_media_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |fp AS (SELECT doc_id, md5(text) AS fp FROM docs),
+        |g AS (SELECT fp, min(doc_id) AS rep, count(*) AS n_copies
+        |      FROM fp GROUP BY fp)
+        |SELECT f.doc_id, g.rep, g.n_copies,
+        |  CAST(f.doc_id <> g.rep AS INTEGER) AS is_dup
+        |FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id, 'GRFT' AS format,
