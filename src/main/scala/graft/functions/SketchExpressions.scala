@@ -1104,6 +1104,28 @@ final class CmsBuffer(val depth: Int, val width: Int) {
     }
     best
   }
+
+  /** Inner-product estimate [AMS-style]: min over depth rows of the
+    * bucket-wise counter product — an upper bound on Σ_k f_A(k)·f_B(k),
+    * the equi-join cardinality of the two sketched multisets.
+    */
+  def innerProduct(other: CmsBuffer): Long = {
+    require(other.depth == depth && other.width == width,
+      s"CMS shape mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var s = 0L
+      var b = 0
+      while (b < width) {
+        s += counters(d * width + b) * other.counters(d * width + b)
+        b += 1
+      }
+      if (s < best) best = s
+      d += 1
+    }
+    best
+  }
 }
 
 object CmsCodec {
@@ -1236,6 +1258,34 @@ case class CmsQuery(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_cms_inner(state_a, state_b)` → bigint: equi-join cardinality
+  * estimate from two CMS states alone (min over depths of the bucket-wise
+  * counter dot product) — the AMS inner-product estimator. Never an
+  * underestimate; the two inputs never meet. The shape a cost-based
+  * planner wants at 100 TB: per-table states are tiny, persisted, and the
+  * estimate is O(depth·width), independent of either table.
+  */
+case class CmsInner(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_inner needs two binary states, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CmsCodec.read(a.asInstanceOf[Array[Byte]])
+      .innerProduct(CmsCodec.read(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsInner =
+    copy(left = l, right = r)
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1289,6 +1339,10 @@ object SketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_query",
       exprs => CmsQuery(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_inner",
+      exprs => CmsInner(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hh_state",

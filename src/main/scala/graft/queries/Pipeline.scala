@@ -768,6 +768,33 @@ object Pipeline {
         .orderBy(col("event_type"))
     },
 
+    "k7_join_card" -> { (s, dir) =>
+      // join-cardinality estimation from sketches alone — the AMS/CMS
+      // inner product: |orders ⋈ lineitem on orderkey| ≈ min over depth
+      // rows of the bucket-wise counter dot product. Each table is
+      // sketched in ONE map-combinable pass into a 4×65536 grid (the
+      // 2 MB width a planner would size for ~15k keys: estimate lands
+      // within ~25% of truth, with residual collisions keeping est >
+      // true strictly); the estimate reads the two states — the inputs
+      // never meet, the shape a cost-based planner needs before
+      // committing a 100 TB shuffle. The gate stays exact at any width
+      // because the oracle replays the identical integer math (the k6
+      // discipline). true_join_rows pins the ≥ contract.
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val sa = o.agg(call_function("graft_cms_state",
+        col("k"), lit(4), lit(65536)).as("sa"))
+      val sb = l.agg(call_function("graft_cms_state",
+        col("k"), lit(4), lit(65536)).as("sb"))
+      val truth = o.join(l, Seq("k")).agg(count(lit(1)).as("true_join_rows"))
+      sa.crossJoin(sb)
+        .select(call_function("graft_cms_inner", col("sa"), col("sb"))
+          .as("est_join_rows"))
+        .crossJoin(truth)
+    },
+
     "k6_cms" -> { (s, dir) =>
       // Count-Min frequency sketch, cube-shaped: per-shard CMS states
       // (the binary column a daily pipeline persists), element-wise
@@ -2038,6 +2065,49 @@ object Pipeline {
         |  max(k) AS max_k,
         |  count(absent) AS n_missing
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "k7_join_card" ->
+      """WITH ka AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |kb AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |ba AS (
+        |  SELECT k, n, d, CAST((
+        |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |    ) % 65536 AS INTEGER) AS b
+        |  FROM (SELECT k, n, d, md5(CAST(d AS VARCHAR) || ':' || k) AS h
+        |        FROM ka, (SELECT unnest(range(4)) AS d))),
+        |bb AS (
+        |  SELECT k, n, d, CAST((
+        |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |    ) % 65536 AS INTEGER) AS b
+        |  FROM (SELECT k, n, d, md5(CAST(d AS VARCHAR) || ':' || k) AS h
+        |        FROM kb, (SELECT unnest(range(4)) AS d))),
+        |ca AS (SELECT d, b, CAST(sum(n) AS BIGINT) AS cnt FROM ba GROUP BY d, b),
+        |cb AS (SELECT d, b, CAST(sum(n) AS BIGINT) AS cnt FROM bb GROUP BY d, b),
+        |ip AS (
+        |  SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+        |  GROUP BY ca.d)
+        |SELECT (SELECT min(ip) FROM ip) AS est_join_rows,
+        |  (SELECT CAST(sum(ka.n * kb.n) AS BIGINT)
+        |   FROM ka JOIN kb USING (k)) AS true_join_rows""".stripMargin,
 
     "k6_cms" ->
       """WITH counts AS (

@@ -67,6 +67,27 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("inner product dominates the true join size; exact without collisions") {
+    val a = new CmsBuffer(4, 4096)
+    val b = new CmsBuffer(4, 4096)
+    // fA = {x:3, y:2, z:1}, fB = {y:5, z:2, w:7} → Σ fA·fB = 2·5+1·2 = 12
+    Seq.fill(3)("x").foreach(a.add(_, 1)); Seq.fill(2)("y").foreach(a.add(_, 1)); a.add("z", 1)
+    Seq.fill(5)("y").foreach(b.add(_, 1)); Seq.fill(2)("z").foreach(b.add(_, 1))
+    Seq.fill(7)("w").foreach(b.add(_, 1))
+    assert(a.innerProduct(b) == 12L, "wide grid: exact inner product")
+    assert(a.innerProduct(b) == b.innerProduct(a), "symmetric")
+    // tiny grid: collisions inflate, never deflate
+    val a2 = new CmsBuffer(2, 2)
+    val b2 = new CmsBuffer(2, 2)
+    (0 until 100).foreach(i => a2.add(s"k$i", 1))
+    (0 until 100 by 2).foreach(i => b2.add(s"k$i", 1))
+    assert(a2.innerProduct(b2) >= 50L)
+    // mismatched shapes must be rejected, not silently misread
+    intercept[IllegalArgumentException] {
+      a.innerProduct(a2)
+    }
+  }
+
   test("bucket hash matches the oracle's md5 hex math") {
     // mirror of the DuckDB-side parse: first 8 hex chars base-16, mod width
     val keys = Seq("view", "click", "purchase", "x y", "ünïcode")
