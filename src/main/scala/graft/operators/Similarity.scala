@@ -117,6 +117,25 @@ object Similarity {
     array_position(cs, array_max(cs)).cast("int")
   }
 
+  /** L2 twin of [[nearestCellExpr]] (argMIN of squared distance) for
+    * unnormalized subspace blocks (PQ codebooks). Scores drop the
+    * per-row ‖v‖² constant: ‖v−c‖² − ‖v‖² = ‖c‖² − 2⟨v,c⟩, with ‖c‖²
+    * precomputed driver-side as the same strict left-to-right fold the
+    * oracle's `list_dot_product(c,c)` performs — every score is
+    * bit-reproducible in SQL, and first-min `array_position` ties to the
+    * smallest centroid_id exactly like the oracle's
+    * `ORDER BY s, centroid_id`.
+    */
+  private[graft] def nearestCellL2Expr(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val ss = array(cents.map { case (_, c) =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      lit(cc) - lit(2.0) * dot(vec, typedLit(c))
+    }: _*)
+    array_position(ss, array_min(ss)).cast("int")
+  }
+
   /** Cap on the number of vectors the Lloyd fit aggregates per iteration.
     * The fit is an ESTIMATION step — centroid quality converges with the
     * sample, not the corpus — so fitting on a deterministic hash-prefix
@@ -130,7 +149,8 @@ object Similarity {
   val LloydFitCap = 8192
 
   private def centroidArray(
-      corpus: DataFrame, nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+      corpus: DataFrame, nlist: Int, iters: Int,
+      metric: String = "cosine"): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     if (iters <= 0)
@@ -152,7 +172,8 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val means = fit
-        .select(nearestCellExpr(col("embedding"), cents).as("cell"),
+        .select((if (metric == "l2") nearestCellL2Expr(col("embedding"), cents)
+          else nearestCellExpr(col("embedding"), cents)).as("cell"),
           posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -304,6 +325,50 @@ object Similarity {
       .agg(coalesce(min(col("i")), first(v("vec_id"))).as("rep"))
       .select(col("vec_id"), col("cell"), col("rep"))
       .orderBy(col("vec_id"))
+  }
+
+  // ---- Product quantization ---------------------------------------------
+
+  /** Fitted PQ codebooks: `m` subspaces of `dsub` dims, each with its own
+    * L2-Lloyd centroid list. O(m·k·dsub) driver state — the
+    * Lloyd-centroid / BPE-table discipline.
+    */
+  final case class PqModel(m: Int, dsub: Int, books: Seq[Seq[(Int, Seq[Double])]])
+
+  /** Product-quantization fit [Jégou et al., TPAMI'11]: split the `dim`
+    * dimensions into `m` contiguous subspaces and Lloyd-fit `k` centroids
+    * per subspace (L2 metric — blocks are unnormalized) on the capped
+    * hash-prefix sample. Vectors then compress from dim·4 bytes to m
+    * single-byte codes (k ≤ 256) — the codebook an ANN serving tier pairs
+    * with the IVF index. Each subspace fit reuses the [[lloydCentroids]]
+    * machinery on the SLICED block, so cost is bounded at
+    * O(fitCap · k · iters · m) for any corpus size.
+    */
+  def fitPq(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int): PqModel = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split evenly into m=$m subspaces")
+    require(k >= 1 && k <= 256, s"k=$k codes must fit one byte")
+    val dsub = dim / m
+    val books = (0 until m).map { sub =>
+      val block = corpus.select(col("vec_id"),
+        slice(asDouble(col("embedding")), sub * dsub + 1, dsub).as("embedding"))
+      centroidArray(block, k, iters, metric = "l2")
+    }
+    PqModel(m, dsub, books)
+  }
+
+  /** PQ encoding: per subspace, the 1-based id of the L2-nearest codebook
+    * centroid — `m` narrow [[nearestCellL2Expr]] projections, one map-only
+    * pass, no join and no shuffle (the assignment discipline). Output:
+    * (vec_id, c0..c{m-1}).
+    */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val codeCols = model.books.zipWithIndex.map { case (cents, sub) =>
+      nearestCellL2Expr(
+        slice(asDouble(col("embedding")), sub * model.dsub + 1, model.dsub),
+        cents).as(s"c$sub")
+    }
+    corpus.select(col("vec_id") +: codeCols: _*)
   }
 
   // ---- PCA / whitening ---------------------------------------------------

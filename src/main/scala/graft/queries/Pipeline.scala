@@ -364,6 +364,33 @@ object Pipeline {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
     },
 
+    "a3_pq_encode" -> { (s, dir) =>
+      // product quantization [Jégou et al., TPAMI'11] — the compression
+      // half of an ANN serving tier: 64-dim vectors become 8 one-byte
+      // codes (32× smaller), one L2-argmin per subspace against an 8×16
+      // codebook. The fit is the capped Lloyd machinery per subspace;
+      // encoding is a map-only pass (no join, no shuffle — the
+      // assignment discipline). MODEL-AS-DATA gate: the codebooks
+      // persist as a (sub, centroid_id, centroid) parquet table and
+      // DuckDB recomputes every argmin from it — scores replay as
+      // ‖c‖² − 2·list_dot_product(block, c) with the identical fold, so
+      // codes are bit-reproducible (the v4p/d9 discipline).
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Similarity.fitPq(e, dim = 64, m = 8, k = 16, iters = 2)
+      val rows = for {
+        (book, sub) <- model.books.zipWithIndex
+        (cid, c) <- book
+      } yield (sub, cid, c)
+      import s.implicits._
+      rows.toDF("sub", "centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+      Similarity.pqEncode(e, model)
+        .select(col("vec_id"), posexplode(
+          array((0 until 8).map(i => col(s"c$i")): _*)).as(Seq("sub", "code")))
+        .orderBy(col("vec_id"), col("sub"))
+    },
+
     "a2p_ivf_full_probe" -> { (s, dir) =>
       // oracle gate for the IVF machinery: with nprobe = nlist every cell
       // is probed, so the candidate set is the full corpus and the result
@@ -1698,6 +1725,27 @@ object Pipeline {
 
     // a2p probes every cell (nprobe = nlist), so the IVF output contract
     // is exact top-k — the SAME brute-force SQL is its oracle
+    "a3_pq_encode" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |rk AS (
+        |  SELECT vec_id, sub, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY s, centroid_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+        |  CAST(centroid_id AS INTEGER) AS code
+        |FROM rk WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
     "a2p_ivf_full_probe" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Product quantization (`Similarity.fitPq` / `pqEncode`). */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int, parts: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 31 + d * 7) % 97) / 97.0f))
+    }.toDF("vec_id", "embedding").repartition(parts)
+
+  test("codes are deterministic under any partitioning and in [1, k]") {
+    val m = 4; val k = 8
+    val a = corpus(500, 16, 1)
+    val b = corpus(500, 16, 32)
+    val model = Similarity.fitPq(a, dim = 16, m = m, k = k, iters = 2)
+    val modelB = Similarity.fitPq(b, dim = 16, m = m, k = k, iters = 2)
+    // fit must not depend on partitioning (hash-prefix sample + decimal sums)
+    assert(model == modelB, "fitted codebooks must be partition-invariant")
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, model).collect()
+        .map(r => r.getLong(0) -> (1 until 1 + m).map(r.getInt)).toMap
+    val ca = codes(a)
+    val cb = codes(b)
+    assert(ca == cb, "encoding must be partition-invariant")
+    assert(ca.values.flatten.forall(c => c >= 1 && c <= k))
+    ca.values.transpose.zipWithIndex.foreach { case (sub, i) =>
+      assert(sub.toSet.size > 1, s"subspace $i collapsed to one code")
+    }
+  }
+
+  test("a vector equal to a codebook centroid encodes to that centroid") {
+    val model = Similarity.fitPq(corpus(300, 16, 8), dim = 16, m = 2, k = 4, iters = 2)
+    // take each centroid of subspace 0 paired with centroid 1 of subspace 1
+    val probes = model.books(0).map { case (cid, c) =>
+      (cid.toLong, (c ++ model.books(1).head._2).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(probes, model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (cid, code) =>
+      assert(code == cid.toInt,
+        s"centroid $cid must be its own nearest code, got $code")
+    }
+  }
+
+  test("invalid shapes are rejected") {
+    val df = corpus(10, 16, 1)
+    intercept[IllegalArgumentException] {
+      Similarity.fitPq(df, dim = 16, m = 3, k = 4, iters = 0) // 16 % 3 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.fitPq(df, dim = 16, m = 2, k = 300, iters = 0) // k > 256
+    }
+  }
+}
