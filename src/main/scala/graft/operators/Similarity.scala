@@ -371,6 +371,54 @@ object Similarity {
     corpus.select(col("vec_id") +: codeCols: _*)
   }
 
+  /** PQ asymmetric-distance top-k (ADC serving): for each query, the k
+    * corpus vectors with the smallest code-approximated L2 distance,
+    * computed WITHOUT touching corpus vectors — only their m one-byte
+    * codes. The per-query lookup table (m·k entries: ‖c‖² − 2⟨q_block,c⟩,
+    * the per-query-constant-dropped ‖q_block − c‖²) is built driver-side
+    * from the bounded query batch and broadcast; scoring is one equi join
+    * on (sub, code) plus a decimal-routed sum per (query, vec) — order-
+    * insensitive, so the gate is exact — and winners come from the
+    * bounded-heap [[graft.plans.TopKPerKey]], never a full sort. At
+    * 100 TB this is the PQ serving contract: the scan reads m bytes per
+    * vector instead of dim·4.
+    */
+  def pqAdcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      model: PqModel,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val lut = for {
+      (qid, qv) <- qs
+      (book, sub) <- model.books.zipWithIndex
+      (cid, c) <- book
+    } yield {
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      var dp = 0.0
+      i = 0
+      while (i < c.length) { dp += qv(sub * model.dsub + i) * c(i); i += 1 }
+      (qid, sub, cid, cc - 2.0 * dp)
+    }
+    val long = codes.select(col("vec_id"), posexplode(
+      array((0 until model.m).map(i => col(s"c$i")): _*)).as(Seq("sub", "code")))
+    val scored = long
+      .join(broadcast(lut.toDF("query_id", "sub", "code", "s")), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("s").cast("decimal(28,12)")).cast("double").as("adist"))
+    graft.plans.TopKPerKey(scored,
+        Seq(col("query_id")), Seq(col("adist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
   // ---- PCA / whitening ---------------------------------------------------
 
   /** Fitted PCA state: per-dimension means, top-k principal components as

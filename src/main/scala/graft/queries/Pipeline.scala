@@ -41,6 +41,29 @@ object Pipeline {
       Similarity.fitPca(Tables.load(s, dir, "embeddings"),
         dim = 64, k = 8, whiten = true))
 
+  /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
+    * (hash-prefix sample + decimal sums), so memoizing is transparent —
+    * the pcaMemo discipline. Both queries persist the model parquet so
+    * each stays self-contained for its oracle.
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqModel]()
+  private def fittedPq(s: SparkSession, dir: String): Similarity.PqModel =
+    pqMemo.computeIfAbsent(dir, _ =>
+      Similarity.fitPq(Tables.load(s, dir, "embeddings"),
+        dim = 64, m = 8, k = 16, iters = 2))
+  private def savePqModel(s: SparkSession, dir: String,
+      model: Similarity.PqModel): Unit = {
+    import s.implicits._
+    val rows = for {
+      (book, sub) <- model.books.zipWithIndex
+      (cid, c) <- book
+    } yield (sub, cid, c)
+    rows.toDF("sub", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+  }
+
   /** Connected near-dup components over the exact ngram-Jaccard pair set —
     * the shared engine behind d8 (the raw component map) and d12 (the
     * keep-best canonicalization on top of it). One row per document with
@@ -376,19 +399,28 @@ object Pipeline {
       // ‖c‖² − 2·list_dot_product(block, c) with the identical fold, so
       // codes are bit-reproducible (the v4p/d9 discipline).
       val e = Tables.load(s, dir, "embeddings")
-      val model = Similarity.fitPq(e, dim = 64, m = 8, k = 16, iters = 2)
-      val rows = for {
-        (book, sub) <- model.books.zipWithIndex
-        (cid, c) <- book
-      } yield (sub, cid, c)
-      import s.implicits._
-      rows.toDF("sub", "centroid_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+      val model = fittedPq(s, dir)
+      savePqModel(s, dir, model)
       Similarity.pqEncode(e, model)
         .select(col("vec_id"), posexplode(
           array((0 until 8).map(i => col(s"c$i")): _*)).as(Seq("sub", "code")))
         .orderBy(col("vec_id"), col("sub"))
+    },
+
+    "a4_pq_adc" -> { (s, dir) =>
+      // PQ serving (asymmetric distance): top-5 neighbors per query read
+      // from the corpus's 8-byte codes alone — the per-query LUT is
+      // driver-built from the bounded query batch and broadcast, scoring
+      // is an equi join on (sub, code) + a decimal-routed sum (order-
+      // insensitive ⇒ exact gate), winners via the bounded heap. The
+      // oracle recomputes codes from the persisted codebooks (the a3
+      // CTEs) and replays LUT + sum + ranking in SQL end-to-end.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = fittedPq(s, dir)
+      savePqModel(s, dir, model)
+      val codes = Similarity.pqEncode(e, model)
+      Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), codes, model, k = 5)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     "a2p_ivf_full_probe" -> { (s, dir) =>
@@ -1725,6 +1757,45 @@ object Pipeline {
 
     // a2p probes every cell (nprobe = nlist), so the IVF output contract
     // is exact top-k — the SAME brute-force SQL is its oracle
+    "a4_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.query_id, m.sub, m.centroid_id AS code,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(q.qv[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM q, model m),
+        |sc AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adist, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "a3_pq_encode" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -49,6 +49,31 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("adc top-k stays within the query's cluster on separated data") {
+    // two well-separated clusters: codes differ across clusters, so every
+    // approximate neighbor of a cluster-A query must be a cluster-A member
+    val rows = (0 until 400).map { i =>
+      val base = if (i < 200) 0.0f else 10.0f
+      (i.toLong, (0 until 16).map(d => base + ((i * 13 + d) % 7) * 0.01f))
+    }.toDF("vec_id", "embedding").repartition(16)
+    val model = Similarity.fitPq(rows, dim = 16, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(rows, model)
+    val got = Similarity.pqAdcTopK(
+      rows.filter(col("vec_id") < 5), codes, model, k = 10).collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(n < 200, s"query $q (cluster A) got cross-cluster neighbor $n")
+      assert(n != q, "self must be excluded")
+    }
+    // determinism under partitioning
+    val again = Similarity.pqAdcTopK(
+      rows.repartition(1).filter(col("vec_id") < 5),
+      Similarity.pqEncode(rows.repartition(1), model), model, k = 10).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted)
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
