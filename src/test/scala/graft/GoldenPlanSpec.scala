@@ -45,7 +45,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "k2_quantile_sketch",  // mergeable quantile buffers, no per-group sort
     "v3_embedding_covariance", // pair expansion collapses map-side
     "e7_asof_forward",     // union + running-first window (e5's mirror)
-    "k4_sketch_cube")      // two-level aggregate over binary sketch states
+    "k4_sketch_cube",      // two-level aggregate over binary sketch states
+    "x3_zorder",           // codegen'd interleave inside the scan stage
+    "m4_media_dedup",      // payload-slice fingerprint; blobs never shuffle
+    "k7_join_card",        // two state aggs meet in a one-row nested loop
+    "t14_tfidf_simjoin",   // df-banded postings self-join, n_docs broadcast
+    "a4_pq_adc")           // LUT broadcast join + bounded-heap winners
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
@@ -54,6 +59,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("lambda x_\\d+", "lambda x_n") // session-global counter
       .replaceAll("@[0-9a-f]{6,}", "@x")         // object identity hashes
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$x") // JVM lambda ids
       .replaceAll("file:[^\\]\\s,)]+", "file:PATH")
       .replaceAll("Location: .*", "Location: PATH")
       .replaceAll("(?m)\\s+$", "")
