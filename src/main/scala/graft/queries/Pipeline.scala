@@ -1157,6 +1157,47 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "t15_bigram_pred" -> { (s, dir) =>
+      // bigram predictability — u1's conditional counterpart and the
+      // cheap stand-in for model perplexity: per doc, the mean of
+      // c(w1 w2)/c(w1) over its bigram occurrences (1.0 = every bigram
+      // fully determined by its left token — templated/repetitive text;
+      // near 0 = unpredictable). Both count tables are FREQUENCY-FLOORED
+      // (≥ 2, the u1 Heaps'-law discipline) and broadcast; unseen
+      // bigrams contribute 0. Each ratio is ONE division of exact longs
+      // (bit-identical cross-engine), ratios route through decimal so
+      // the per-doc sum is order-insensitive, and the final mean is one
+      // more exact division — the whole gate is bit-exact.
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        .filter(col("cu") >= 2)
+      val occ = toks.select(col("doc_id"), explode(
+          TextFunctions.wordShingles(col("toks"), 2)).as("gram"))
+        .select(col("doc_id"),
+          substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+      val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 2)
+      val scored = occ
+        .join(broadcast(big), Seq("w1", "w2"), "left")
+        .join(broadcast(uni), Seq("w1"), "left")
+        .select(col("doc_id"),
+          when(col("cb").isNotNull,
+            col("cb").cast("double") / col("cu")).otherwise(lit(0.0))
+            .cast("decimal(18,12)").as("r"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("r")).cast("double") / count(lit(1))).as("pred"))
+      d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("pred"), lit(0.0)).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+
     "u1_token_surprisal" -> { (s, dir) =>
       // global-frequency scoring: a document's mean corpus-wide token
       // count — the cheap unigram-LM proxy for "how typical is this
@@ -2397,6 +2438,40 @@ object Pipeline {
         |       WHEN bucket < 250 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "t15_bigram_pred" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w1, count(*) AS cu
+        |  FROM (SELECT unnest(toks) AS w1 FROM tok)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |occ AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tok WHERE len(toks) >= 2)),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cb FROM occ
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT o.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(CASE WHEN b.cb IS NOT NULL
+        |                       THEN CAST(b.cb AS DOUBLE) / u.cu
+        |                       ELSE 0.0 END AS DECIMAL(18,12))) AS DOUBLE)
+        |      / count(*) AS pred
+        |  FROM occ o
+        |  LEFT JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+        |  LEFT JOIN uni u ON o.w1 = u.w1
+        |  GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.pred, 0.0) AS pred
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "u1_token_surprisal" ->
       """WITH tok AS (
