@@ -64,6 +64,33 @@ object Pipeline {
       .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
   }
 
+  /** The t14/g1 shared pair engine: tf-idf-weighted lexical similarity
+    * pairs over the df-banded (2 ≤ df ≤ 25) bigram inverted index. See
+    * t14's scaladoc for the fan-out bound and bit-exactness discipline.
+    */
+  private def tfidfPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 25))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = dfreq.crossJoin(broadcast(n))
+      .select(col("gram"), (col("n_docs").cast("double") / col("df")).as("w"))
+    val postings = tf.join(w, Seq("gram"))
+    val pairs = postings.as("a").join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (((col("a.tf") * col("b.tf")).cast("double") * col("a.w")) * col("b.w"))
+          .cast("decimal(28,12)").as("term"))
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("term")).cast("double").as("score"))
+  }
+
   /** Connected near-dup components over the exact ngram-Jaccard pair set —
     * the shared engine behind d8 (the raw component map) and d12 (the
     * keep-best canonicalization on top of it). One row per document with
@@ -607,6 +634,43 @@ object Pipeline {
         .orderBy(col("gram"))
     },
 
+    "g1_pagerank" -> { (s, dir) =>
+      // graph analytics over the document-similarity graph: 3 PageRank
+      // iterations (damping 0.85) on the t14 tf-idf pair edges — the
+      // centrality signal that separates boilerplate-hub documents from
+      // the periphery. Each iteration is the standard distributed shape:
+      // edges ⋈ ranks (shuffle on the SOURCE id) + one map-combinable
+      // sum per target; degree and N broadcast. Neighbor contributions
+      // route through decimal so per-target sums are order-insensitive;
+      // every division is a single double op — the whole 3-round fixpoint
+      // is bit-exact against DuckDB's unrolled replay. (Deeper fixpoints
+      // would add the d8 per-round checkpoint discipline; mass lost to
+      // dangling nodes is the standard simplified form, documented.)
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = tfidfPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = p.union(
+        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      val n1 = docs.agg(count(lit(1)).as("n"))
+      var ranks = docs.crossJoin(broadcast(n1))
+        .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
+      (1 to 3).foreach { _ =>
+        val sums = edges
+          .join(ranks, edges("doc_a") === ranks("doc_id"))
+          .join(broadcast(deg), Seq("doc_a"))
+          .select(col("doc_b"),
+            (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
+          .groupBy(col("doc_b"))
+          .agg(sum(col("c")).cast("double").as("m"))
+        ranks = docs.crossJoin(broadcast(n1))
+          .join(sums, docs("doc_id") === sums("doc_b"), "left")
+          .select(col("doc_id"),
+            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)))
+              .as("r"))
+      }
+      ranks.orderBy(col("doc_id"))
+    },
+
     "t14_tfidf_simjoin" -> { (s, dir) =>
       // sparse lexical similarity join — the inverted-index counterpart
       // to the embedding ANN family: score(a,b) = Σ_shared-grams
@@ -620,27 +684,7 @@ object Pipeline {
       // products combine map-side into the (a,b) sum; the double
       // products route through decimal so the gate is exact (the
       // v3/d7 discipline).
-      val d = Tables.load(s, dir, "documents")
-      val tf = d.select(col("doc_id"), explode(
-          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-          .as("gram"))
-        .groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 25))
-      val n = d.agg(count(lit(1)).as("n_docs"))
-      val w = dfreq.crossJoin(broadcast(n))
-        .select(col("gram"), (col("n_docs").cast("double") / col("df")).as("w"))
-      val postings = tf.join(w, Seq("gram"))
-      val pairs = postings.as("a").join(postings.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (((col("a.tf") * col("b.tf")).cast("double") * col("a.w")) * col("b.w"))
-            .cast("decimal(28,12)").as("term"))
-      pairs.groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"),
-          sum(col("term")).cast("double").as("score"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      tfidfPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
     "s5_negative_sample" -> { (s, dir) =>
@@ -2069,6 +2113,62 @@ object Pipeline {
         |  FROM tf JOIN df USING (tok))
         |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "g1_pagerank" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |r0 AS (SELECT d.doc_id, CAST(1.0 AS DOUBLE) / nn.n AS r
+        |       FROM documents d CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r0 p ON e.doc_a = p.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b),
+        |r2 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r1 p ON e.doc_a = p.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b),
+        |r3 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r2 p ON e.doc_a = p.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b)
+        |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin,
 
     "t14_tfidf_simjoin" ->
       """WITH tok AS (
