@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over an undirected edge list — the two
+  * primitives a document-similarity graph needs at corpus scale:
+  * PageRank (hub/centrality scoring) and per-vertex triangle counting
+  * (local clustering density). Both take the canonical pair form
+  * `(doc_a, doc_b)` with `doc_a < doc_b`, one row per undirected edge
+  * (the shape `Pipeline.tfidfPairs` and the near-dup pair generators
+  * emit).
+  *
+  * Scale posture:
+  *  - PageRank: each iteration is one shuffle on the source id (the
+  *    edges ⋈ ranks join) plus a map-combinable per-target sum; degree
+  *    and vertex count are broadcast. Deep fixpoints should persist /
+  *    checkpoint per round (the `Dedup.connectedComponents` lineage
+  *    discipline); the shallow unrolled form here leaves lineage alone
+  *    so the whole computation stays replayable by the oracle.
+  *  - Triangles: compact-forward — orient each edge from its
+  *    (degree, id)-smaller endpoint, so every triangle is enumerated
+  *    exactly once at its lowest-rank vertex and the wedge join's
+  *    fan-out per vertex is O(√m) even on hub-heavy graphs.
+  *
+  * Reference analogue: the reference engine has no graph operators;
+  * this extends the pipeline surface the way sketches and ANN do
+  * (see SURVEY.md §8.2).
+  */
+object Graph {
+
+  /** PageRank with `iters` unrolled damped iterations. Returns
+    * `(doc_id, r)` for every vertex in `vertices` (isolated vertices
+    * converge to the teleport mass `(1-damping)/n`).
+    *
+    * Determinism: neighbor contributions are cast to `decimal(28,18)`
+    * before the per-target sum, so accumulation is order-insensitive
+    * and the result is bit-identical on any partitioning — replayable
+    * exactly by an unrolled SQL oracle. Dangling-mass redistribution is
+    * intentionally omitted (the standard simplified form); with
+    * symmetric edge lists every vertex with an edge has out-degree > 0.
+    */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val n1 = vertices.agg(count(lit(1)).as("n"))
+    var ranks = vertices.crossJoin(broadcast(n1))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
+    (1 to iters).foreach { _ =>
+      val sums = edges
+        .join(ranks, edges("doc_a") === ranks("doc_id"))
+        .join(broadcast(deg), Seq("doc_a"))
+        .select(col("doc_b"),
+          (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
+        .groupBy(col("doc_b"))
+        .agg(sum(col("c")).cast("double").as("m"))
+      ranks = vertices.crossJoin(broadcast(n1))
+        .join(sums, vertices("doc_id") === sums("doc_b"), "left")
+        .select(col("doc_id"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** Per-vertex triangle counts. Returns `(doc_id, n_triangles)` for
+    * every vertex in `vertices` (0 for triangle-free vertices). Exact
+    * integers — bit-exact on any partitioning by construction.
+    *
+    * The oriented edge frame is consumed by the wedge self-join (twice)
+    * and the closure join, so it is persisted via the [[Dedup]]
+    * lifecycle (release with `Dedup.unpersistAll()`).
+    */
+  def triangleCounts(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val und = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("doc_a", "v")
+    val rk = broadcast(deg)
+    val d0 = und
+      .join(rk, und("doc_a") === rk("v")).drop("v")
+      .withColumnRenamed("deg", "sdeg")
+      .join(rk, und("doc_b") === rk("v")).drop("v")
+      .withColumnRenamed("deg", "ddeg")
+    val directed = Dedup.persistPublic(d0.filter(
+        col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("doc_a") < col("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        col("ddeg")))
+    val wedges = directed.as("w1")
+      .join(directed.as("w2"), col("w1.src") === col("w2.src") &&
+        (col("w1.ddeg") < col("w2.ddeg") ||
+         (col("w1.ddeg") === col("w2.ddeg") &&
+          col("w1.dst") < col("w2.dst"))))
+      .select(col("w1.src").as("u"), col("w1.dst").as("v"),
+        col("w2.dst").as("w"))
+    val tri = wedges.join(directed,
+        wedges("v") === directed("src") && wedges("w") === directed("dst"))
+      .select(col("u"), col("v"), col("w"))
+    val perDoc = tri.select(col("u").as("doc_id"))
+      .union(tri.select(col("v").as("doc_id")))
+      .union(tri.select(col("w").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    vertices.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Similarity}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -647,28 +647,29 @@ object Pipeline {
       // would add the d8 per-round checkpoint discipline; mass lost to
       // dangling nodes is the standard simplified form, documented.)
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = tfidfPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = p.union(
-        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
-      val n1 = docs.agg(count(lit(1)).as("n"))
-      var ranks = docs.crossJoin(broadcast(n1))
-        .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
-      (1 to 3).foreach { _ =>
-        val sums = edges
-          .join(ranks, edges("doc_a") === ranks("doc_id"))
-          .join(broadcast(deg), Seq("doc_a"))
-          .select(col("doc_b"),
-            (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
-          .groupBy(col("doc_b"))
-          .agg(sum(col("c")).cast("double").as("m"))
-        ranks = docs.crossJoin(broadcast(n1))
-          .join(sums, docs("doc_id") === sums("doc_b"), "left")
-          .select(col("doc_id"),
-            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)))
-              .as("r"))
-      }
-      ranks.orderBy(col("doc_id"))
+      // the pair subtree feeds all 3 iterations — persist so the tf-idf
+      // index builds once (the d10 span-subtree discipline)
+      val p = Dedup.persistPublic(
+        tfidfPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.pageRank(docs, p, iters = 3, damping = 0.85)
+        .orderBy(col("doc_id"))
+    },
+
+    "g2_triangle_count" -> { (s, dir) =>
+      // per-document triangle count over the t14 similarity graph — the
+      // local-clustering signal (a doc inside a dense clique of mutually
+      // similar docs is template/boilerplate material; a bridge doc is
+      // not). Compact-forward shape: orient every undirected edge from
+      // the (degree, id)-SMALLER endpoint to the larger, so each
+      // triangle is enumerated exactly once at its lowest-rank vertex
+      // and wedge fan-out per vertex is bounded by O(√m) out-degree —
+      // the standard skew bound that survives hub nodes at 100 TB.
+      // Wedges are an equi self-join on the wedge center; closure is a
+      // semi-style equi join back onto the oriented edge set. All
+      // counts are exact integers — bit-exact by construction.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Graph.triangleCounts(docs, tfidfPairs(s, dir))
+        .orderBy(col("doc_id"))
     },
 
     "t14_tfidf_simjoin" -> { (s, dir) =>
@@ -2169,6 +2170,56 @@ object Pipeline {
         |    JOIN deg g ON e.doc_a = g.doc_a
         |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b)
         |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin,
+
+    "g2_triangle_count" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT doc_a AS v, count(*) AS deg FROM und GROUP BY doc_a),
+        |directed AS (
+        |  SELECT u.doc_a AS src, u.doc_b AS dst, dd.deg AS ddeg
+        |  FROM und u
+        |  JOIN deg ds ON u.doc_a = ds.v
+        |  JOIN deg dd ON u.doc_b = dd.v
+        |  WHERE ds.deg < dd.deg
+        |     OR (ds.deg = dd.deg AND u.doc_a < u.doc_b)),
+        |wedges AS (
+        |  SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        |  FROM directed w1 JOIN directed w2 ON w1.src = w2.src
+        |   AND (w1.ddeg < w2.ddeg
+        |        OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst))),
+        |tri AS (
+        |  SELECT u, v, w FROM wedges
+        |  JOIN directed d ON wedges.v = d.src AND wedges.w = d.dst),
+        |roles AS (
+        |  SELECT u AS doc_id FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri),
+        |cnt AS (SELECT doc_id, count(*) AS n_triangles FROM roles
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t14_tfidf_simjoin" ->
       """WITH tok AS (

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph}
+
+/** Graph operators vs driver-side reference replays on planted graphs.
+  * The planted shapes pin the algorithms themselves (orientation,
+  * wedge enumeration, damping arithmetic); the partition-invariance
+  * tests pin the decimal-routed determinism the oracle gate relies on.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def pairsDf(edges: Seq[(Long, Long)]): DataFrame =
+    edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+
+  private def verticesDf(n: Int): DataFrame =
+    (0L until n.toLong).toDF("doc_id")
+
+  private def triCounts(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(verticesDf(n), pairsDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side brute force: every id triple, adjacency-set test. */
+  private def bruteTriangles(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val tris = for {
+      a <- 0L until n.toLong
+      b <- (a + 1) until n.toLong if adj((a, b))
+      c <- (b + 1) until n.toLong if adj((b, c)) && adj((a, c))
+    } yield (a, b, c)
+    val base = (0L until n.toLong).map(_ -> 0L).toMap
+    tris.foldLeft(base) { case (m, (a, b, c)) =>
+      m + (a -> (m(a) + 1)) + (b -> (m(b) + 1)) + (c -> (m(c) + 1))
+    }
+  }
+
+  test("triangles: K4 — every vertex is in 3 of the 4 triangles") {
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val got = triCounts(4, k4)
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangles: a path has none; an appended isolated vertex counts 0") {
+    val got = triCounts(4, Seq((0L, 1L), (1L, 2L)))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("triangles: hub-heavy random graph equals brute force") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    // hub vertex 0 attaches to everything; random tail among the rest
+    val hub = (1L until n.toLong).map(v => (0L, v))
+    val tail = (for (_ <- 1 to 120) yield {
+      val a = 1 + rnd.nextInt(n - 1); val b = 1 + rnd.nextInt(n - 1)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edges = hub ++ tail
+    assert(triCounts(n, edges) == bruteTriangles(n, edges))
+    Dedup.unpersistAll()
+  }
+
+  test("triangles: partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(15); val b = rnd.nextInt(15)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val one = Graph.triangleCounts(
+        verticesDf(15).repartition(1), pairsDf(edges).repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val many = Graph.triangleCounts(
+        verticesDf(15).repartition(13), pairsDf(edges).repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one == many)
+    Dedup.unpersistAll()
+  }
+
+  /** Driver replay of the exact operator arithmetic: decimal-routed
+    * contribution sums (BigDecimal, 18-scale half-up like Spark's
+    * decimal cast), double divisions in the same spots.
+    */
+  private def refPageRank(n: Int, edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    val out = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = out.groupBy(_._1).map { case (v, es) => v -> es.size }
+    var r = (0L until n.toLong).map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = out.groupBy(_._2).map { case (dst, es) =>
+        val s = es.map { case (src, _) =>
+          BigDecimal(r(src) / deg(src))
+            .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        dst -> s.toDouble
+      }
+      r = (0L until n.toLong).map { v =>
+        v -> ((1.0 - damping) / n + damping * contrib.getOrElse(v, 0.0))
+      }.toMap
+    }
+    r
+  }
+
+  private def runPageRank(n: Int, edges: Seq[(Long, Long)], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] =
+    Graph.pageRank(verticesDf(n), pairsDf(edges), iters, damping)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pagerank: 4-cycle stays uniform at 1/n every iteration") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val got = runPageRank(4, cycle, iters = 3)
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-15))
+  }
+
+  test("pagerank: star + isolated vertex matches the driver replay bit-for-bit") {
+    // hub 0 with leaves 1..4; vertex 5 isolated (teleport mass only)
+    val star = (1L to 4L).map(v => (0L, v))
+    val got = runPageRank(6, star, iters = 3)
+    val want = refPageRank(6, star, iters = 3, damping = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, x) => assert(x == want(v), s"vertex $v") }
+    assert(got(0L) > got(1L) && got(1L) > got(5L))
+  }
+
+  test("pagerank: partition-invariant (decimal-routed sums)") {
+    val rnd = new scala.util.Random(3)
+    val edges = (for (_ <- 1 to 50) yield {
+      val a = rnd.nextInt(12); val b = rnd.nextInt(12)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val one = Graph.pageRank(
+        verticesDf(12).repartition(1), pairsDf(edges).repartition(1), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val many = Graph.pageRank(
+        verticesDf(12).repartition(11), pairsDf(edges).repartition(11), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(one == many)
+  }
+
+  test("pagerank: rejects bad iteration and damping arguments") {
+    val v = verticesDf(2); val p = pairsDf(Seq((0L, 1L)))
+    intercept[IllegalArgumentException](Graph.pageRank(v, p, 0))
+    intercept[IllegalArgumentException](Graph.pageRank(v, p, 1, damping = 1.0))
+  }
+}
