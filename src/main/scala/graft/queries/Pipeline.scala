@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Probe, Similarity}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -1240,6 +1240,39 @@ object Pipeline {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("pred"), lit(0.0)).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t16_quality_probe" -> { (s, dir) =>
+      // learned quality filter: a closed-form ridge probe fitted
+      // in-engine on the fused text-stat features (intercept, n_tokens,
+      // n_unique, mean_tok_len, stop_ratio) predicting the langid-is-en
+      // indicator, then the whole corpus scored MAP-ONLY with the
+      // fitted margin — the fastText-style filter pattern with the
+      // model a first-class artifact. Fit = one decimal-exact Gram
+      // aggregate + a 5×5 driver solve (Probe.fitRidge); weights
+      // persist as parquet and the margin is Σ CAST(f·w AS DECIMAL)
+      // from those exact doubles, so DuckDB replays the scoring
+      // end-to-end (model-as-data, the v4p discipline). Thresholding
+      // on the margin ≡ thresholding on the sigmoid probability
+      // (monotone), so no transcendentals enter the gate.
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val feats = d.select(col("doc_id"),
+        array(lit(1.0),
+          st.getField("n_tokens").cast("double"),
+          st.getField("n_unique").cast("double"),
+          st.getField("mean_tok_len"),
+          st.getField("stop_ratio")).as("features"),
+        when(st.getField("lang") === "en", lit(1.0))
+          .otherwise(lit(0.0)).as("label"))
+      val model = Probe.fitRidge(feats, dim = 5, lambda = 1e-3)
+      model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+        .toDF("idx", "w").coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/probe_model.parquet")
+      feats.select(col("doc_id"), col("label"),
+          Probe.margin(col("features"), model).as("margin"))
         .orderBy(col("doc_id"))
     },
 
@@ -2623,6 +2656,37 @@ object Pipeline {
         |  coalesce(s.pred, 0.0) AS pred
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t16_quality_probe" ->
+      s"""WITH $TokCte,
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    $LangScores
+        |  FROM tok),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS f1,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS f2,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f3,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f4,
+        |    CASE WHEN ($LangCase) = 'en'
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS label
+        |  FROM s),
+        |w AS (SELECT idx, w
+        |      FROM read_parquet('__GRAFT_MODELS__/probe_model.parquet/*.parquet'))
+        |SELECT f.doc_id, f.label,
+        |  CAST(
+        |    CAST(CAST(1.0 AS DOUBLE) * (SELECT w FROM w WHERE idx = 0) AS DECIMAL(28,12)) +
+        |    CAST(f1 * (SELECT w FROM w WHERE idx = 1) AS DECIMAL(28,12)) +
+        |    CAST(f2 * (SELECT w FROM w WHERE idx = 2) AS DECIMAL(28,12)) +
+        |    CAST(f3 * (SELECT w FROM w WHERE idx = 3) AS DECIMAL(28,12)) +
+        |    CAST(f4 * (SELECT w FROM w WHERE idx = 4) AS DECIMAL(28,12))
+        |  AS DOUBLE) AS margin
+        |FROM f ORDER BY f.doc_id""".stripMargin,
 
     "u1_token_surprisal" ->
       """WITH tok AS (
