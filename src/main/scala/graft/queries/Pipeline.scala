@@ -688,6 +688,25 @@ object Pipeline {
       tfidfPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
+    "t17_topk_similar" -> { (s, dir) =>
+      // per-document k-most-similar serving view: symmetrize the t14
+      // pair set and keep the 3 best neighbors per doc through the
+      // two-phase TopKPerKey operator (partial per-partition heaps →
+      // one ≤ k-rows-per-(partition × key) shuffle → final heaps — the
+      // s4/a1 discipline; a window row_number would materialize every
+      // doc's full neighbor list in one task). Scores are the t14
+      // decimal-routed doubles (bit-identical cross-engine), so the
+      // (score desc, nbr asc) total order replays exactly.
+      val p = tfidfPairs(s, dir)
+      val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+          col("score"))
+        .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"),
+          col("score")))
+      graft.plans.TopKPerKey(sym, Seq(col("doc_id")),
+          Seq(col("score").desc, col("nbr").asc), 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     "s5_negative_sample" -> { (s, dir) =>
       // deterministic negative sampling — the contrastive-training data
       // op: for each anchor, 4 corpus items with a DIFFERENT label,
@@ -2281,6 +2300,45 @@ object Pipeline {
         |SELECT doc_a, doc_b, count(*) AS n_shared,
         |  CAST(sum(term) AS DOUBLE) AS score
         |FROM pr GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t17_topk_similar" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT gram, CAST(n_docs AS DOUBLE) / df AS w FROM dfreq, n),
+        |p AS (SELECT tf.doc_id, tf.gram, tf.tf, w.w FROM tf JOIN w USING (gram)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST((CAST(a.tf * b.tf AS DOUBLE) * a.w) * b.w
+        |         AS DECIMAL(28,12)) AS term
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, CAST(sum(term) AS DOUBLE) AS score
+        |  FROM pr GROUP BY doc_a, doc_b),
+        |sym AS (
+        |  SELECT doc_a AS doc_id, doc_b AS nbr, score FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS nbr, score FROM pairs),
+        |rk AS (
+        |  SELECT doc_id, nbr, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, nbr ASC) AS INTEGER) AS rank
+        |  FROM sym)
+        |SELECT doc_id, nbr, score, rank FROM rk WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "t13_postings" ->
       """WITH tok AS (
