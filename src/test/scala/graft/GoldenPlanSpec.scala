@@ -50,7 +50,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     "m4_media_dedup",      // payload-slice fingerprint; blobs never shuffle
     "k7_join_card",        // two state aggs meet in a one-row nested loop
     "t14_tfidf_simjoin",   // df-banded postings self-join, n_docs broadcast
-    "a4_pq_adc")           // LUT broadcast join + bounded-heap winners
+    "a4_pq_adc",           // LUT broadcast join + bounded-heap winners
+    "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg/N broadcast
+    "g2_triangle_count",   // persisted oriented edges, wedge + closure equi joins
+    "t16_quality_probe",   // map-only margin over literal weights, no join
+    "t17_topk_similar")    // two-phase TopKPerKey over symmetrized pairs
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
