@@ -112,4 +112,46 @@ object Graph {
       .select(col("doc_id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Semi-supervised label propagation: `seeds` is `(doc_id, label)`
+    * for the labeled subset; each round every still-unlabeled vertex
+    * adopts the plurality label among its ALREADY-labeled neighbors
+    * (ties by smallest label — a total, replayable order), and newly
+    * labeled vertices propagate in later rounds. Seeds are clamped.
+    * Returns `(doc_id, label)` with NULL for vertices no labeled
+    * neighbor ever reached.
+    *
+    * Each round is one shuffle (edges ⋈ labels on the source id) plus
+    * one exact-count aggregate; the argmax is `min(struct(-cnt,
+    * label))` — no window, no per-vertex sort. Counts are exact longs,
+    * labels compare bytewise: the whole fixpoint replays exactly in an
+    * unrolled SQL oracle. Deep fixpoints should persist per round (the
+    * d8 discipline); callers pass small `iters`.
+    */
+  def labelPropagate(vertices: DataFrame, pairs: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = vertices
+      .join(seeds.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+    (1 to iters).foreach { _ =>
+      val votes = edges
+        .join(labels.filter(col("label").isNotNull),
+          edges("doc_a") === labels("doc_id"))
+        .groupBy(col("doc_b"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes
+        .groupBy(col("doc_b"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("w"))
+        .select(col("doc_b").as("doc_id"),
+          col("w").getField("l").as("new_label"))
+      labels = labels.join(winner, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("new_label")).as("label"))
+    }
+    labels
+  }
 }

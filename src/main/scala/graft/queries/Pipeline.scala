@@ -672,6 +672,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "g3_label_prop" -> { (s, dir) =>
+      // semi-supervised labeling over the similarity graph — the graph
+      // counterpart of v6's embedding kNN vote: 10% of docs seed their
+      // true lang (the labeled-subset regime), two propagation rounds
+      // spread plurality labels along t14 edges. Each round = one
+      // edges ⋈ labels shuffle + an exact-count aggregate; the argmax
+      // is min(struct(-cnt, label)) — total order, no window, no
+      // per-vertex sort — so the whole fixpoint replays exactly in the
+      // unrolled oracle. Pair subtree persisted (the g1 discipline).
+      val d = Tables.load(s, dir, "documents")
+      val seeds = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang").as("label"))
+      val p = Dedup.persistPublic(
+        tfidfPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.labelPropagate(d.select(col("doc_id")), p, seeds, iters = 2)
+        .select(col("doc_id"),
+          coalesce(col("label"), lit("unlabeled")).as("label"))
+        .orderBy(col("doc_id"))
+    },
+
     "t14_tfidf_simjoin" -> { (s, dir) =>
       // sparse lexical similarity join — the inverted-index counterpart
       // to the embedding ANN family: score(a,b) = Σ_shared-grams
@@ -2272,6 +2292,62 @@ object Pipeline {
         |  CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "g3_label_prop" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 THEN d.lang ELSE NULL END AS label
+        |  FROM documents d),
+        |v1 AS (
+        |  SELECT e.doc_b, l.label, count(*) AS cnt
+        |  FROM und e JOIN l0 l ON e.doc_a = l.doc_id
+        |  WHERE l.label IS NOT NULL
+        |  GROUP BY e.doc_b, l.label),
+        |w1 AS (
+        |  SELECT doc_b AS doc_id, label AS new_label FROM (
+        |    SELECT doc_b, label, row_number() OVER (PARTITION BY doc_b
+        |      ORDER BY cnt DESC, label ASC) AS rk FROM v1)
+        |  WHERE rk = 1),
+        |l1 AS (
+        |  SELECT l0.doc_id, coalesce(l0.label, w1.new_label) AS label
+        |  FROM l0 LEFT JOIN w1 ON l0.doc_id = w1.doc_id),
+        |v2 AS (
+        |  SELECT e.doc_b, l.label, count(*) AS cnt
+        |  FROM und e JOIN l1 l ON e.doc_a = l.doc_id
+        |  WHERE l.label IS NOT NULL
+        |  GROUP BY e.doc_b, l.label),
+        |w2 AS (
+        |  SELECT doc_b AS doc_id, label AS new_label FROM (
+        |    SELECT doc_b, label, row_number() OVER (PARTITION BY doc_b
+        |      ORDER BY cnt DESC, label ASC) AS rk FROM v2)
+        |  WHERE rk = 1),
+        |l2 AS (
+        |  SELECT l1.doc_id, coalesce(l1.label, w2.new_label) AS label
+        |  FROM l1 LEFT JOIN w2 ON l1.doc_id = w2.doc_id)
+        |SELECT doc_id, coalesce(label, 'unlabeled') AS label
+        |FROM l2 ORDER BY doc_id""".stripMargin,
 
     "t14_tfidf_simjoin" ->
       """WITH tok AS (

@@ -149,4 +149,59 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(v, p, 0))
     intercept[IllegalArgumentException](Graph.pageRank(v, p, 1, damping = 1.0))
   }
+
+  private def runLabelProp(n: Int, edges: Seq[(Long, Long)],
+      seeds: Seq[(Long, String)], iters: Int): Map[Long, Option[String]] =
+    Graph.labelPropagate(verticesDf(n), pairsDf(edges),
+        seeds.toDF("doc_id", "label"), iters)
+      .collect().map(r =>
+        r.getLong(0) -> Option(r.getString(1))).toMap
+
+  test("label prop: two seeded chains converge to their cluster labels") {
+    // 0(A)-1-2   3-4-5(B): two chains, seeds at the far ends
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L))
+    val seeds = Seq((0L, "A"), (5L, "B"))
+    val got = runLabelProp(6, edges, seeds, iters = 2)
+    assert(got == Map(
+      0L -> Some("A"), 1L -> Some("A"), 2L -> Some("A"),
+      3L -> Some("B"), 4L -> Some("B"), 5L -> Some("B")))
+  }
+
+  test("label prop: one round only reaches direct neighbors") {
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got = runLabelProp(3, edges, Seq((0L, "A")), iters = 1)
+    assert(got == Map(0L -> Some("A"), 1L -> Some("A"), 2L -> None))
+  }
+
+  test("label prop: seeds are clamped; plurality wins, ties break to the smaller label") {
+    // vertex 3 sees two B-neighbors and one A-neighbor → B;
+    // vertex 4 sees one A and one B → tie → A; seed 0 keeps A even
+    // though every neighbor says B
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (5L, 3L),
+      (0L, 4L), (1L, 4L))
+    val seeds = Seq((0L, "A"), (1L, "B"), (2L, "B"), (5L, "A"))
+    val got = runLabelProp(6, edges, seeds, iters = 1)
+    assert(got(3L).contains("B"))
+    assert(got(4L).contains("A"))
+    assert(got(0L).contains("A"))
+  }
+
+  test("label prop: partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val edges = (for (_ <- 1 to 40) yield {
+      val a = rnd.nextInt(12); val b = rnd.nextInt(12)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val seeds = Seq((0L, "X"), (7L, "Y"))
+    val one = Graph.labelPropagate(verticesDf(12).repartition(1),
+        pairsDf(edges).repartition(1), seeds.toDF("doc_id", "label"), 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    val many = Graph.labelPropagate(verticesDf(12).repartition(7),
+        pairsDf(edges).repartition(7), seeds.toDF("doc_id", "label"), 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(one == many)
+  }
 }
