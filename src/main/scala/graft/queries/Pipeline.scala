@@ -1414,6 +1414,37 @@ object Pipeline {
         .orderBy(col("bucket"))
     },
 
+    "x4_corpus_diff" -> { (s, dir) =>
+      // snapshot delta — the daily-crawl versioning primitive: diff two
+      // corpus versions into added/removed/changed/unchanged WITHOUT
+      // moving document bodies: each side reduces to (doc_id, fp =
+      // md5(text)) map-side, the full-outer join shuffles only those
+      // ~48-byte rows, and statuses fall out of null/fingerprint
+      // comparison. The "previous snapshot" is derived deterministically
+      // from the current table so every status is live and the oracle
+      // replays it: docs ≡0 (mod 17) are absent from prev (→ added),
+      // docs ≡0 (mod 7) had different text (→ changed), phantom ids
+      // +1000000 for ≡0 (mod 23) exist only in prev (→ removed).
+      val d = Tables.load(s, dir, "documents")
+      val currFp = d.select(col("doc_id"), md5(col("text")).as("fp"))
+      val prevFp = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text"))).as("fp"))
+        .union(d.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("fp")))
+      currFp.as("c").join(prevFp.as("p"),
+          col("c.doc_id") === col("p.doc_id"), "full_outer")
+        .select(
+          coalesce(col("c.doc_id"), col("p.doc_id")).as("doc_id"),
+          when(col("p.fp").isNull, lit("added"))
+            .when(col("c.fp").isNull, lit("removed"))
+            .when(col("c.fp") =!= col("p.fp"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy(col("doc_id"))
+    },
+
     "x1_profile" -> { (s, dir) =>
       // data profiling — the pre-flight a pipeline runs on a new drop:
       // per-group row count, key cardinality, value and date ranges. One
@@ -2868,6 +2899,25 @@ object Pipeline {
         |SELECT z >> 12 AS bucket, count(*) AS n,
         |  min(z) AS zmin, max(z) AS zmax
         |FROM zv GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "x4_corpus_diff" ->
+      """WITH curr AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 23 = 0)
+        |SELECT
+        |  coalesce(c.doc_id, p.doc_id) AS doc_id,
+        |  CASE WHEN p.fp IS NULL THEN 'added'
+        |       WHEN c.fp IS NULL THEN 'removed'
+        |       WHEN c.fp <> p.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "x1_profile" ->
       """SELECT o_orderstatus,
