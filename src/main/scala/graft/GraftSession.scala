@@ -69,13 +69,19 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // nanosAsLong surfaces TIMESTAMP(NANOS) columns as Long; convert to a
-    // proper µs timestamp column (floor division — matches DuckDB, whose
-    // timestamps are µs-precision)
+    // The testdata's ts encoding has varied across driver generations:
+    // TIMESTAMP(NANOS) (surfaced as Long under nanosAsLong — floor-divide
+    // to µs, what DuckDB's µs-precision timestamps do) or TIMESTAMP_NTZ(µs)
+    // (cast to session-zoned TIMESTAMP — the session is pinned UTC, so the
+    // wall-clock values are unchanged and unix_micros/window arithmetic
+    // work). Either way downstream code sees one canonical TIMESTAMP type.
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }

@@ -106,6 +106,35 @@ object Decontaminate {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** SEMANTIC decontamination: corpus items whose embedding is too close
+    * (cosine ≥ `tau`) to any eval-set embedding — the check that catches
+    * translated / heavily-paraphrased benchmark leakage where neither the
+    * verbatim grams ([[ngramOverlap]]) nor the shingle sets
+    * ([[fuzzyPairs]]) survive. Same scale contract as the other decon
+    * paths: the eval set is benchmark-sized and BROADCAST; the corpus
+    * side is ONE map-side pass (cross join against the broadcast + the
+    * fused codegen'd cosine kernel) and only (vec_id, partial hit
+    * count/max) rows — near-empty, contamination is rare — reach the
+    * final aggregate. Corpus embeddings never shuffle.
+    *
+    * Output: (vec_id, n_eval_hits, max_sim) for flagged corpus items.
+    * Scores are the strict left-to-right `graft_cosine` fold, so the
+    * threshold predicate and max are bit-reproducible cross-engine (the
+    * a1 discipline).
+    */
+  def semanticFlags(corpus: DataFrame, evalSet: DataFrame, tau: Double): DataFrame = {
+    val q = broadcast(evalSet.select(
+      col("vec_id").as("eval_id"), col("embedding").as("qv")))
+    corpus
+      .select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(q)
+      .select(col("vec_id"),
+        call_function("graft_cosine", col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") >= lit(tau))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_sim"))
+  }
+
   /** FUZZY decontamination: corpus documents that are near-duplicates of
     * an eval document (paraphrase-level leakage the verbatim
     * [[ngramOverlap]] check misses — reworded benchmark questions still

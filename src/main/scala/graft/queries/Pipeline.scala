@@ -400,6 +400,23 @@ object Pipeline {
         .distinct().orderBy(col("doc_id"), col("eval_id"))
     },
 
+    "c4_decon_semantic" -> { (s, dir) =>
+      // embedding-level contamination: corpus vectors whose cosine to any
+      // eval vector (vec_id % 10 == 7 stands in for the benchmark) clears
+      // τ=0.35 — the translated/paraphrased-leak check that works when no
+      // surface n-grams survive (c1/c3 verbatim, c2 shingle-Jaccard).
+      // Eval side broadcast, one map-side fused-cosine pass over the
+      // corpus, only the rare flagged (vec_id, count/max) rows shuffle.
+      // Scores are the strict left-to-right graft_cosine fold, so the
+      // τ predicate and the max replay bit-exactly in DuckDB (the a1
+      // discipline).
+      val e = Tables.load(s, dir, "embeddings")
+      Decontaminate.semanticFlags(
+          e.filter(col("vec_id") % 10 =!= 7),
+          e.filter(col("vec_id") % 10 === 7), tau = 0.35)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- similarity search ----------------------------------------------
     "a1_ann_bruteforce" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -1392,6 +1409,60 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x6_latest_wins" -> { (s, dir) =>
+      // CDC / changelog compaction: the current snapshot of a keyed
+      // mutable table from its append-only event log — SCD-1 "latest
+      // record wins" per (user_id, event_type), ordered by (ts, event_id).
+      // The scalable shape is max(struct(ord..., payload...)) — ONE
+      // map-combinable aggregate (each partition reduces to one candidate
+      // row per key before the shuffle), NOT row_number() OVER, which
+      // materializes every key's full history in one task and dies on a
+      // hot key at 100 TB. The struct max's lexicographic order is total
+      // (event_id is unique within a key), so the winner is deterministic
+      // and the DuckDB window replay agrees exactly.
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_versions"),
+          max(struct(col("ts"), col("event_id"), col("value"), col("props")))
+            .as("w"))
+        .select(col("user_id"), col("event_type"), col("n_versions"),
+          col("w.ts").as("ts"), col("w.event_id").as("event_id"),
+          col("w.value").as("value"), col("w.props").as("props"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    "x5_probe_auc" -> { (s, dir) =>
+      // did the learned filter rank well? Exact tie-aware ROC-AUC of the
+      // t16 probe margin against its label, via Stats.rankSumAuc — the
+      // distributed prefix-sum shape (hash-reduce to distinct scores →
+      // range partition → O(partitions) driver offsets → per-range
+      // window), never `row_number() OVER (ORDER BY margin)`'s
+      // single-task global sort. Everything up to the final division is
+      // integer math (u2 is the DOUBLED Mann-Whitney U, so tie halves
+      // stay integral); the margins group consistently across engines
+      // because the t16 gate already pins them bit-for-bit from the
+      // persisted model (saved here too — self-contained).
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val feats = d.select(col("doc_id"),
+        array(lit(1.0),
+          st.getField("n_tokens").cast("double"),
+          st.getField("n_unique").cast("double"),
+          st.getField("mean_tok_len"),
+          st.getField("stop_ratio")).as("features"),
+        when(st.getField("lang") === "en", lit(1.0))
+          .otherwise(lit(0.0)).as("label"))
+      val model = Probe.fitRidge(feats, dim = 5, lambda = 1e-3)
+      model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+        .toDF("idx", "w").coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/probe_model.parquet")
+      val scored = feats.select(col("label"),
+        Probe.margin(col("features"), model).as("margin"))
+      graft.operators.Stats.rankSumAuc(scored, col("margin"), col("label"))
+    },
+
     "x3_zorder" -> { (s, dir) =>
       // z-order layout audit: Morton-interleave the two filter dimensions
       // a scan would prune on (partkey × suppkey), then report per
@@ -1895,6 +1966,22 @@ object Pipeline {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
         |ORDER BY doc_id, eval_id""".stripMargin,
+
+    "c4_decon_semantic" ->
+      """WITH q AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 10 = 7),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 10 <> 7),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q)
+        |SELECT vec_id, count(*) AS n_eval_hits, max(sim) AS max_sim
+        |FROM s WHERE sim >= 0.35
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "d6_dedup_embedding_exact" ->
       """WITH v AS (
@@ -2886,6 +2973,65 @@ object Pipeline {
         |  (d.n_chars - m.mu) / m.sigma AS z
         |FROM documents d JOIN m USING (source)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x6_latest_wins" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, ts, event_id, value, props,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, n_versions, ts, event_id, value, props
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "x5_probe_auc" ->
+      s"""WITH $TokCte,
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    $LangScores
+        |  FROM tok),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS f1,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS f2,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f3,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f4,
+        |    CASE WHEN ($LangCase) = 'en'
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS label
+        |  FROM s),
+        |w AS (SELECT idx, w
+        |      FROM read_parquet('__GRAFT_MODELS__/probe_model.parquet/*.parquet')),
+        |m AS (
+        |  SELECT f.label,
+        |    CAST(
+        |      CAST(CAST(1.0 AS DOUBLE) * (SELECT w FROM w WHERE idx = 0) AS DECIMAL(28,12)) +
+        |      CAST(f1 * (SELECT w FROM w WHERE idx = 1) AS DECIMAL(28,12)) +
+        |      CAST(f2 * (SELECT w FROM w WHERE idx = 2) AS DECIMAL(28,12)) +
+        |      CAST(f3 * (SELECT w FROM w WHERE idx = 3) AS DECIMAL(28,12)) +
+        |      CAST(f4 * (SELECT w FROM w WHERE idx = 4) AS DECIMAL(28,12))
+        |    AS DOUBLE) AS margin
+        |  FROM f),
+        |dist AS (
+        |  SELECT margin AS sc,
+        |    sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label = 1.0 THEN 0 ELSE 1 END) AS n_neg
+        |  FROM m GROUP BY margin),
+        |c AS (
+        |  SELECT n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM dist)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+        |  CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+        |    ((2.0 * sum(n_pos)) * sum(n_neg)) AS auc
+        |FROM c""".stripMargin,
 
     "x3_zorder" ->
       """WITH base AS (

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events parquet schema under nanosAsLong (ts arrives as Long nanos). */
+  /** events parquet schema with ts as it arrives from the file (Long nanos
+    * under nanosAsLong, or TIMESTAMP_NTZ µs in newer testdata generations —
+    * [[readEvents]] sniffs the batch schema and normalizes either way).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -62,10 +65,20 @@ object EventsStream {
   }
 
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.readStream
-      .schema(eventsSchema)
+    // sniff the ts encoding from the batch schema (same normalization as
+    // Tables.load): Long = TIMESTAMP(NANOS) under nanosAsLong → floor-divide
+    // to µs; TIMESTAMP_NTZ(µs) → cast to the UTC-pinned session TIMESTAMP
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
       .parquet(stageDir(s"$sfDir/events.parquet"))
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    batchSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation: events per (hour, type).

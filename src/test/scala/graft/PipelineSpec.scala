@@ -426,6 +426,50 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(fuzzy == Set(1L), s"paraphrased leak must be flagged: $fuzzy")
   }
 
+  test("semanticFlags catches an embedding near-copy no surface check sees") {
+    // a slightly-noised copy of the eval vector (cosine ≈ 1) and two
+    // unrelated vectors — the translated-leak shape: zero shared tokens,
+    // near-identical embedding
+    val ev = Seq((1000L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corp = Seq(
+      (1L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),   // near-copy
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),     // orthogonal
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticFlags(corp, ev, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L), s"only the near-copy flags: $flagged")
+    assert(flagged(1L) == 1L)
+  }
+
+  test("semanticFlags matches a driver-side cosine recompute at sf0.001") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = Decontaminate.semanticFlags(
+        e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7),
+        tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val evs = all.filter(_._1 % 10 == 7)
+    val corp = all.filter(_._1 % 10 != 7)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = corp.flatMap { case (cid, cv) =>
+      val sims = evs.map(ev => cos(ev._2, cv)).filter(_ >= 0.35)
+      if (sims.isEmpty) None else Some((cid, sims.length.toLong, sims.max))
+    }.toSet
+    assert(got == want, s"got ${got.size} flags, want ${want.size}")
+  }
+
   test("fuzzyPairs matches a driver-side exact-Jaccard recompute at sf0.001") {
     val d = Tables.load(spark, sf, "documents")
     val got = Decontaminate.fuzzyPairs(

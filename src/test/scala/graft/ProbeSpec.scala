@@ -112,3 +112,72 @@ class ProbeSpec extends AnyFunSuite {
       Probe.fitRidge(ok.withColumnRenamed("doc_id", "k"), dim = 3))
   }
 }
+
+/** Exact tie-aware AUC via the distributed prefix-sum — equivalence with
+  * a driver-side brute-force pair count, known closed-form cases, and
+  * partition-count invariance (the boundary-placement property the
+  * range-partitioned cumsum must have).
+  */
+class StatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.operators.Stats
+
+  private def auc(rows: Seq[(Double, Double)], parts: Int = 32): (Long, Long, BigDecimal, Double) = {
+    val df = rows.toDF("score", "label")
+    val r = Stats.rankSumAuc(df, col("score"), col("label"), parts).collect().head
+    // auc is NULL (not NaN) when a class is empty — surface as NaN here
+    val a = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+    (r.getLong(0), r.getLong(1), BigDecimal(r.getLong(2)), a)
+  }
+
+  /** Brute-force doubled U: every (pos, neg) pair contributes 2 when the
+    * positive scores higher, 1 on a tie.
+    */
+  private def bruteU2(rows: Seq[(Double, Double)]): BigInt = {
+    val pos = rows.filter(_._2 == 1.0).map(_._1)
+    val neg = rows.filter(_._2 == 0.0).map(_._1)
+    val pairs = for (p <- pos; n <- neg) yield {
+      if (p > n) BigInt(2) else if (p == n) BigInt(1) else BigInt(0)
+    }
+    pairs.sum
+  }
+
+  test("perfect separation scores 1.0, reversed scores 0.0, all-tied 0.5") {
+    val perfect = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 1.0), (4.0, 1.0))
+    assert(auc(perfect)._4 == 1.0)
+    val reversed = perfect.map { case (s, y) => (s, 1.0 - y) }
+    assert(auc(reversed)._4 == 0.0)
+    val tied = Seq((5.0, 0.0), (5.0, 1.0), (5.0, 0.0), (5.0, 1.0))
+    assert(auc(tied)._4 == 0.5)
+  }
+
+  test("tie-aware U matches the brute-force pair count on mixed data") {
+    // deterministic pseudo-random scores with deliberate tie mass
+    val rows = (0 until 400).map { i =>
+      val s = ((i * 2654435761L) % 17).toDouble / 4.0
+      val y = if ((i * 40503L) % 5 < 2) 1.0 else 0.0
+      (s, y)
+    }
+    val (p, n, u2, a) = auc(rows)
+    assert(p == rows.count(_._2 == 1.0) && n == rows.count(_._2 == 0.0))
+    assert(u2 == BigDecimal(bruteU2(rows)))
+    assert(a == u2.toDouble / (2.0 * p * n))
+  }
+
+  test("partition-count invariance: 1, 3, and 64 range partitions agree") {
+    val rows = (0 until 500).map { i =>
+      (((i * 48271L) % 23).toDouble, if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val want = auc(rows, parts = 1)
+    assert(auc(rows, parts = 3) == want)
+    assert(auc(rows, parts = 64) == want)
+  }
+
+  test("degenerate inputs: empty frame and single-class frames") {
+    val (p0, n0, u0, _) = auc(Seq.empty[(Double, Double)])
+    assert(p0 == 0L && n0 == 0L && u0 == BigDecimal(0))
+    val (p1, n1, u1, _) = auc(Seq((1.0, 1.0), (2.0, 1.0)))
+    assert(p1 == 2L && n1 == 0L && u1 == BigDecimal(0))
+  }
+}
