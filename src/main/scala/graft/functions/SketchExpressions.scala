@@ -1286,6 +1286,235 @@ case class CmsInner(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+
+/** HyperLogLog [Flajolet et al., AofA'07] with deliberately
+  * SQL-recomputable hashing (the CmsHash/md5 discipline): for a key k,
+  * bucket = first 8 md5 hex chars (as unsigned) mod m, and the register
+  * candidate is rank = 33 − bitlen(second 8 hex chars) — so the WHOLE
+  * register table, the actual sketch state, replays as integer SQL in
+  * DuckDB (`33 - length(format('{:b}', w))`) and the k8 gate is exact at
+  * any m. bitlen(0) is defined as 1 (rank 32) on both engines. The
+  * float estimator on top is property-gated (error band vs exact
+  * distinct), not oracled — transcendentals don't cross engines.
+  */
+object HllHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (bucket, rank) of `key`: md5 bytes 0–3 pick the bucket (mod m),
+    * bytes 4–7 give rank = 33 − bitlen ∈ [1, 32].
+    */
+  def bucketRank(key: String, m: Int): (Int, Int) = {
+    val digest = md.get()
+    digest.reset()
+    val bytes = digest.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v1 = ((bytes(0) & 0xFFL) << 24) | ((bytes(1) & 0xFFL) << 16) |
+      ((bytes(2) & 0xFFL) << 8) | (bytes(3) & 0xFFL)
+    val v2 = ((bytes(4) & 0xFFL) << 24) | ((bytes(5) & 0xFFL) << 16) |
+      ((bytes(6) & 0xFFL) << 8) | (bytes(7) & 0xFFL)
+    val bitlen = if (v2 == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v2)
+    ((v1 % m).toInt, 33 - bitlen)
+  }
+}
+
+/** m byte registers — the whole HLL state. Mergeable by element-wise max
+  * (order-insensitive, idempotent: re-adding a key is a no-op), so the
+  * map-side partial IS the sketch and re-aggregation across shards never
+  * double-counts — the k4 cube persistence contract.
+  */
+final class HllBuffer(val m: Int) {
+  val registers: Array[Byte] = new Array[Byte](m)
+
+  def add(key: String): Unit = {
+    val (b, r) = HllHash.bucketRank(key, m)
+    if (r > registers(b)) registers(b) = r.toByte
+  }
+
+  def merge(other: HllBuffer): Unit = {
+    require(other.m == m, s"HLL size mismatch: $m vs ${other.m}")
+    var i = 0
+    while (i < m) {
+      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+  }
+
+  /** Standard HLL estimator with the small-range linear-counting switch
+    * (Flajolet et al. §4): raw = α_m·m²/Σ2^−reg; below 2.5·m with empty
+    * registers, m·ln(m/V) instead.
+    */
+  def estimate: Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -registers(i).toDouble)
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m.toDouble * m.toDouble / sum
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+}
+
+object HllCodec {
+  def write(buf: HllBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.m)
+    bb.putInt(buf.m).put(buf.registers)
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): HllBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val m = bb.getInt
+    val buf = new HllBuffer(m)
+    bb.get(buf.registers)
+    buf
+  }
+}
+
+/** `graft_hll_state(key, m)` → binary: HLL register image over the
+  * group's keys. O(m) bytes per group at any cardinality — the
+  * distinct-count sketch whose per-group state is FIXED-SIZE (KMV's
+  * TreeSet costs ~16 bytes/entry up to k; these are m one-byte
+  * registers), which is what a per-(group × partition) shuffle wants
+  * when groups are many.
+  */
+case class HllState(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_state needs a string input, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(m)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer = { buf.merge(other); buf }
+  override def eval(buf: HllBuffer): Any = HllCodec.write(buf)
+  override def serialize(buf: HllBuffer): Array[Byte] = HllCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): HllState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_hll_state"
+}
+
+/** `graft_hll_merge(state, m)` → binary: element-wise max of stored HLL
+  * states — order-insensitive and idempotent, so the merged image is
+  * bit-identical to a single pass over the union (the k4 rollup
+  * contract, spec-asserted).
+  */
+case class HllMerge(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge needs a binary state input, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(m)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(HllCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer = { buf.merge(other); buf }
+  override def eval(buf: HllBuffer): Any = HllCodec.write(buf)
+  override def serialize(buf: HllBuffer): Array[Byte] = HllCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): HllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_hll_merge"
+}
+
+/** `graft_hll_registers(state)` → array<int>: the decoded register
+  * image. This is the gate surface — registers are integers all the way
+  * down, so DuckDB replays the whole table exactly (the k6 grid
+  * discipline); the float estimator never enters the oracle.
+  */
+case class HllRegisters(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_registers needs a binary state, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(state: Any): Any = {
+    val buf = HllCodec.read(state.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      buf.registers.map(_.toInt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+/** `graft_hll_estimate(state)` → double: the HLL cardinality estimate
+  * (α_m bias correction + linear-counting small-range switch).
+  */
+case class HllEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_estimate needs a binary state, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(state: Any): Any =
+    HllCodec.read(state.asInstanceOf[Array[Byte]]).estimate
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1379,6 +1608,26 @@ object SketchFunctions {
       exprs => WeightedSample(
         exprs(0), exprs(1), TextExprFunctions.intArg(exprs(2), "graft_weighted_sample"))
         .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_state",
+      exprs => HllState(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_hll_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_merge",
+      exprs => HllMerge(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_hll_merge"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_registers",
+      exprs => HllRegisters(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_estimate",
+      exprs => HllEstimate(exprs(0)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_union",

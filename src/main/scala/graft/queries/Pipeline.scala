@@ -983,6 +983,31 @@ object Pipeline {
         .orderBy(col("event_type"))
     },
 
+    "k8_hll" -> { (s, dir) =>
+      // HyperLogLog distinct users per event type, cube-shaped like k6:
+      // per-shard register states (the 68-byte binary column a daily
+      // pipeline persists), max-merged, then the full m=64 register
+      // GRID dumped — the actual sketch state, integers all the way
+      // down, so DuckDB replays bucket (md5 mod m) and rank
+      // (33 − bitlen) exactly and the gate pins update + merge +
+      // serialization at any m. The float estimator on top is
+      // spec-gated (HllSpec error band) — transcendentals never enter
+      // an oracle.
+      val ev = Tables.load(s, dir, "events")
+      val states = ev
+        .withColumn("shard", (col("user_id") % 4).cast("int"))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(call_function("graft_hll_state",
+          col("user_id").cast("string"), lit(64)).as("st"))
+      states
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_hll_merge", col("st"), lit(64)).as("st"))
+        .select(col("event_type"),
+          posexplode(call_function("graft_hll_registers", col("st")))
+            .as(Seq("bucket", "register")))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     "k5_sketch_setops" -> { (s, dir) =>
       // KMV set algebra [Beyer et al., SIGMOD'07]: per-language bigram
       // vocabularies are sketched ONCE into ~8 KB states, then every
@@ -2735,6 +2760,45 @@ object Pipeline {
         |SELECT e.event_type, e.est, c.n AS n_true
         |FROM est e JOIN counts c USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "k8_hll" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+        |  FROM events),
+        |h AS (SELECT event_type, md5(k) AS h FROM keys),
+        |parsed AS (
+        |  SELECT event_type,
+        |    ( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS v1,
+        |    ( (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) AS v2
+        |  FROM h),
+        |rb AS (
+        |  SELECT event_type, CAST(v1 % 64 AS INTEGER) AS bucket,
+        |    CAST(33 - length(format('{:b}', v2)) AS INTEGER) AS rank
+        |  FROM parsed),
+        |spine AS (
+        |  SELECT DISTINCT event_type, CAST(unnest(range(64)) AS INTEGER) AS bucket
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, bucket, max(rank) AS register
+        |  FROM rb GROUP BY 1, 2)
+        |SELECT s.event_type, s.bucket,
+        |  CAST(coalesce(r.register, 0) AS INTEGER) AS register
+        |FROM spine s LEFT JOIN regs r USING (event_type, bucket)
+        |ORDER BY s.event_type, s.bucket""".stripMargin,
 
     "k5_sketch_setops" ->
       """WITH w AS (
