@@ -533,6 +533,69 @@ object Dedup {
     pairs
   }
 
+  /** Near-SUPERSET detection: pairs where containment
+    * C(A→B) = |A∩B| / |A| ≥ `threshold` — the quote-expansion /
+    * boilerplate-wrapper duplicates symmetric Jaccard structurally
+    * misses (a 50-token quote inside a 500-token page has J ≈ 0.1 but
+    * C = 1.0). Asymmetric prefix filter: only the CONTAINED side keeps
+    * a (1−t)·|A|+1 rarest-first prefix (df-ordered, the
+    * [[ngramJaccardPairs]] discipline — C ≥ t means at most (1−t)·|A|
+    * of A's elements miss B, so a longer prefix must intersect); the
+    * container side posts its full token list, because ANY of its
+    * tokens can be the contained doc's rare one. Candidates are an
+    * EQUI join on (block, token); exact containment decides. Direction
+    * is canonical — (sub, super) with |A| < |B|, ties by id — so each
+    * pair appears once.
+    *
+    * Output: (sub_id, super_id, containment).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame = {
+    val toks = docs
+      .select(
+        col("doc_id"),
+        struct(blockCols: _*).as("block"),
+        call_function("graft_shingle_hashes", col("text"), lit(n)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+      .transform(persistTracked)
+    val dfTab = toks
+      .select(explode(col("toks")).as("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
+    val prefixes = toks
+      .select(col("doc_id"), col("block"), col("sz"),
+        (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+          .as("plen"),
+        explode(col("toks")).as("p"))
+      .join(dfTab, Seq("p"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("block"), col("p"), col("sz"))
+    val postings = toks
+      .select(col("doc_id"), col("block"), col("sz"), explode(col("toks")).as("p"))
+    val candidates = prefixes.alias("l").join(postings.alias("r"),
+        col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
+          (col("l.sz") < col("r.sz") ||
+            (col("l.sz") === col("r.sz") && col("l.doc_id") < col("r.doc_id"))))
+      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+      .distinct()
+    val sets = toks.select(col("doc_id"), col("toks"), col("sz"))
+    candidates
+      .join(sets.toDF("i", "ti", "ni"), Seq("i"))
+      .join(sets.toDF("j", "tj", "nj"), Seq("j"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("ti"), col("tj")).cast("double"))
+      .filter(col("inter") / col("ni") >= threshold)
+      .select(col("i").as("sub_id"), col("j").as("super_id"),
+        (col("inter") / col("ni")).as("containment"))
+  }
+
   /** Embedding near-dup: random-hyperplane LSH buckets → exact cosine
     * verification at `threshold`. Hyperplanes are seed-fixed literals, so
     * bucketing is deterministic across runs and cluster layouts.

@@ -133,6 +133,19 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d13_containment" -> { (s, dir) =>
+      // near-superset pairs: C(A→B) = |A∩B|/|A| ≥ 0.98 within a
+      // language — the quote-expansion duplicates symmetric Jaccard
+      // can't see. Asymmetric prefix filter (contained side's rarest
+      // (1−t)|A|+1 tokens probe the container side's full posting
+      // list); exact set arithmetic on the hashed token sets decides,
+      // and the oracle recomputes on RAW token strings — hash-collision
+      // freedom is part of the gate (the d2/d10 discipline).
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+        n = 1, threshold = 0.98, blockCols = Seq(col("lang")))
+        .orderBy(col("sub_id"), col("super_id"))
+    },
+
     "d3_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"),
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
@@ -1797,6 +1810,21 @@ object Pipeline {
         |SELECT d.doc_id, coalesce(min(p.i), d.doc_id) AS rep
         |FROM documents d LEFT JOIN pairs p ON d.doc_id = p.j
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "d13_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) > 0)
+        |SELECT a.doc_id AS sub_id, b.doc_id AS super_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)
+        |    AS containment
+        |FROM tok a JOIN tok b ON a.lang = b.lang
+        |WHERE (len(a.toks) < len(b.toks)
+        |       OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(a.toks) >= 0.98
+        |ORDER BY sub_id, super_id""".stripMargin,
 
     "d8_dedup_connected" ->
       """WITH RECURSIVE tok AS (

@@ -155,6 +155,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rep(1L) == 1L && rep(3L) == 3L) // near-dup NOT merged by exact
   }
 
+  test("containment flags a quote-expansion superset Jaccard misses") {
+    val quote = "colorless green ideas sleep furiously every night"
+    val page = "editorial context before the famous line " + quote +
+      " followed by a long discussion of generative grammar syntax and " +
+      "semantics spanning many further unrelated tokens about linguistics"
+    val corpus = Seq(
+      (10L, quote, "en"), (11L, page, "en"),
+      (12L, "entirely different content about sailing ships", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((10L, 11L)),
+      s"only (quote ⊂ page): ${got.toSeq}")
+    assert(got.head._3 == 1.0, "verbatim subset has containment 1.0")
+    // the same pair is INVISIBLE to symmetric Jaccard at any sane
+    // threshold — that asymmetry is the operator's reason to exist
+    val jac = Dedup.ngramJaccardPairs(corpus, n = 1, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, s"Jaccard at 0.5 must miss the subset pair: ${jac.toSeq}")
+  }
+
+  test("containment: canonical direction, no duplicate emissions") {
+    // equal-size twin sets: exactly one row, smaller id first
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta", "en"),
+      (21L, "delta gamma beta alpha", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((20L, 21L)), s"one canonical row: ${got.toSeq}")
+  }
+
   test("minhash LSH finds planted near-dup, spares unrelated") {
     val rep = Dedup.minhashLsh(docs, shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.7)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
