@@ -13,6 +13,12 @@ Test / fork := true
 run / fork := true
 // the CLI REPL (graft.Cli) reads stdin from the forked JVM
 run / connectInput := true
+// The forked run inherits sbt's own stdout/stderr instead of being
+// captured and re-logged with [info]/[error] prefixes — the Bench
+// summary JSON must arrive at the caller as a raw line starting with
+// `{` (three rounds of the harness recording `parsed: null` because
+// every captured line was decorated).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

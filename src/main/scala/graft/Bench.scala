@@ -31,6 +31,13 @@ import org.apache.spark.sql.SparkSession
   *     JIT/codegen; other queries' sole pass includes their own cold
   *     Catalyst/codegen compile (~0.3-0.5 s floor). Steady-state numbers
   *     need the min-of-N opt-in.
+  *   - the summary line is emitted on BOTH stdout and stderr: under sbt
+  *     the stdout copy is wrapped in a `[info] ` prefix that defeats a
+  *     parser expecting a line starting with `{`; stderr passes through
+  *     undecorated.
+  *   - `probe_sec` carries a fixed trivial probe timed at start/middle/
+  *     end of the pass — a large spread marks the artifact as taken under
+  *     container CPU starvation (see BENCH_r08's 10× inflation).
   */
 object Bench {
 
@@ -81,7 +88,22 @@ object Bench {
     // Warm-up: JVM/codegen/parquet-footer caches (not reported).
     SparkEntry.queries.headOption.foreach { case (n, f) => runOnce(n, f) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Starvation sentinel: a fixed trivial CPU-bound probe timed at the
+    // start, middle, and end of the pass. On an idle box the three numbers
+    // agree within noise; under the container CPU-starvation episodes that
+    // poisoned BENCH_r08 (byte-identical queries 10-20× slower) the spread
+    // blows up — making a contended artifact SELF-diagnosing instead of
+    // needing a judge re-measurement.
+    def probeSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(id)").collect()
+      math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+    }
+    val probes = scala.collection.mutable.ArrayBuffer(probeSec())
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == names.length / 2) probes += probeSec()
       val sec = run(name, fn)
       // incremental artifact: one line per completed query, flushed, so a
       // run killed mid-pass still leaves everything finished so far
@@ -89,6 +111,7 @@ object Bench {
       Console.out.flush()
       name -> sec
     }
+    probes += probeSec()
     // slowest LAST, slowest-SummaryCap ONLY: the driver captures a bounded
     // tail of this line — an all-105-query summary only partially fit it
     // and the driver parsed nothing (r6). The heavy queries the perf read
@@ -97,7 +120,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    // The summary goes to BOTH streams: stdout arrives at the driver
+    // wrapped in sbt's `[info] ` log decorator (its parser wants a line
+    // STARTING with `{` — r6/r7/r8 all recorded `parsed: null`), while
+    // stderr passes through sbt undecorated, like the failure lines above.
+    println(summary)
+    Console.out.flush()
+    System.err.println(summary)
+    System.err.flush()
     spark.stop()
   }
 }

@@ -1397,9 +1397,11 @@ case class HllState(
   extends TypedImperativeAggregate[HllBuffer] {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"graft_hll_state needs a string input, got ${child.dataType.simpleString}")
+    else if (m <= 0 || m > (1 << 20)) TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_state needs 0 < m <= ${1 << 20} registers, got $m")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -1439,9 +1441,11 @@ case class HllMerge(
   extends TypedImperativeAggregate[HllBuffer] {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != BinaryType) TypeCheckResult.TypeCheckFailure(
       s"graft_hll_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else if (m <= 0 || m > (1 << 20)) TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge needs 0 < m <= ${1 << 20} registers, got $m")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -541,9 +541,12 @@ object Dedup {
     * a (1−t)·|A|+1 rarest-first prefix (df-ordered, the
     * [[ngramJaccardPairs]] discipline — C ≥ t means at most (1−t)·|A|
     * of A's elements miss B, so a longer prefix must intersect); the
-    * container side posts its full token list, because ANY of its
-    * tokens can be the contained doc's rare one. Candidates are an
-    * EQUI join on (block, token); exact containment decides. Direction
+    * container side must be probeable on ANY of its tokens (any one can
+    * be the contained doc's rare one), but only tokens that occur in
+    * SOME doc's prefix can ever match — so the posting frame is
+    * semi-join-pruned to the distinct prefix-token set before the
+    * candidate join. Candidates are an EQUI join on (block, token);
+    * exact containment decides. Direction
     * is canonical — (sub, super) with |A| < |B|, ties by id — so each
     * pair appears once.
     *
@@ -577,8 +580,18 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("plen"))
       .select(col("doc_id"), col("block"), col("p"), col("sz"))
+      .transform(persistTracked) // consumed by the probe AND the pruning semi-join
+    // Postings-side pruning: the container side would otherwise explode
+    // EVERY token into the candidate join; only tokens appearing in some
+    // doc's rarest-first prefix can ever match a probe. The left-semi
+    // join against the distinct prefix-token set shares the candidate
+    // join's (block, p) keys, so what shuffles into the pair-generating
+    // join is O(prefix tokens), not O(total tokens) — and a high-df token
+    // with a huge posting list dies here instead of fanning out below.
+    val prefixToks = prefixes.select(col("block"), col("p")).distinct()
     val postings = toks
       .select(col("doc_id"), col("block"), col("sz"), explode(col("toks")).as("p"))
+      .join(prefixToks, Seq("block", "p"), "left_semi")
     val candidates = prefixes.alias("l").join(postings.alias("r"),
         col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
           (col("l.sz") < col("r.sz") ||

@@ -16,18 +16,6 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events parquet schema with ts as it arrives from the file (Long nanos
-    * under nanosAsLong, or TIMESTAMP_NTZ µs in newer testdata generations —
-    * [[readEvents]] sniffs the batch schema and normalizes either way).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-fed stream of events with a proper timestamp column.
     * FileStreamSource only accepts directories; when pointed at a single
     * parquet file (the driver testdata layout) we stage a symlink inside a

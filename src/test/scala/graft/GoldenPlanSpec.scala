@@ -34,7 +34,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "d3_dedup_minhash_lsh",// band-bucket equi self-join, persisted sigs
     "tpch16_parts_supplied", // hash left-anti join
     "e5_asof_join",        // union + running-last window
-    "e6_range_join",       // bucketed equi join
+    "e6_range_join",       // bucketed equi join. NOTE: the pin carries the
+                           // testdata's ts encoding (timestamp_ntz in the
+                           // current generation); against an older
+                           // Long-nanos dataset it fails on ReadSchema even
+                           // though Tables.readEvents handles both — regen
+                           // against the generation you run on.
     "a1_ann_bruteforce",   // broadcast queries + bounded-heap top-k
     "t9_repetition",       // fused kernel, map-only scan+project
     "u1_token_surprisal",  // broadcast vocabulary, text never shuffles
@@ -54,7 +59,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg/N broadcast
     "g2_triangle_count",   // persisted oriented edges, wedge + closure equi joins
     "t16_quality_probe",   // map-only margin over literal weights, no join
-    "t17_topk_similar")    // two-phase TopKPerKey over symmetrized pairs
+    "t17_topk_similar",    // two-phase TopKPerKey over symmetrized pairs
+    "d13_containment",     // prefix-filtered equi candidate join, pruned postings
+    "x5_probe_auc",        // range-partitioned prefix-sum, no global window
+    "x6_latest_wins",      // max-struct compaction, no window
+    "k8_hll")              // map-side partial HLL states before the exchange
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =

@@ -407,8 +407,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodeCount(p, "Join") == 0, s"extraction must be map-only:\n$p")
   }
 
-  test("t14_tfidf_simjoin: equi pair join; n_docs broadcasts; no cartesian") {
-    val p = plan("t14_tfidf_simjoin")
+  test("t14 cold index build: equi pair join; n_docs broadcasts; no cartesian") {
+    // the serving queries (t14/g1/g2/t17) scan the persisted pair index;
+    // the expensive plan is the BUILD — guard it directly so the memo
+    // can't hide a regression in the inverted-index self-join
+    val p = graft.queries.Pipeline.tfidfPairs(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"),
       s"postings self-join must stay equi:\n$p")
     // the only nested-loop allowed is the one-row n_docs broadcast into
@@ -417,5 +421,67 @@ class PlanQualitySpec extends AnyFunSuite {
       nodeCount(p, "BroadcastHashJoin") >= 2,
       s"tf⋈w and postings⋈postings must be equi joins:\n$p")
     assert(p.contains("BroadcastExchange"), s"n_docs must broadcast:\n$p")
+  }
+
+  test("d13_containment: prefix-filtered equi candidate join, no cartesian") {
+    val p = plan("d13_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from an equi join:\n$p")
+    // prefix probe ⋈ postings, then the two verify joins back to token
+    // sets — all equi (broadcast at this SF; hash/merge at scale)
+    assert(nodeCount(p, "BroadcastHashJoin") + nodeCount(p, "SortMergeJoin") +
+      nodeCount(p, "ShuffledHashJoin") >= 3,
+      s"candidate + verify joins must be equi joins:\n$p")
+    // the postings side is semi-join-pruned to the distinct prefix-token
+    // set before the candidate join — the O(total tokens) → O(prefix
+    // tokens) shuffle bound at 100 TB
+    assert(p.contains("LeftSemi"),
+      s"postings must be semi-join-pruned against prefix tokens:\n$p")
+  }
+
+  test("x5_probe_auc: range-partitioned prefix-sum, never a global window") {
+    val p = plan("x5_probe_auc")
+    // the distinct-score frame is range-partitioned (balanced by sampling)
+    assert(p.contains("rangepartitioning(s#"),
+      s"distinct scores must range-partition:\n$p")
+    // every window is partitioned by the range id — the operator's whole
+    // reason to exist is NEVER sorting the corpus in one task
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(pid#")),
+      s"cumsum window must be partitioned by range id:\n$p")
+    // the only single-partition exchange is the final one-row total
+    assert("SinglePartition".r.findAllIn(p).size == 1,
+      s"only the one-row final aggregate may single-partition:\n$p")
+  }
+
+  test("x6_latest_wins: max-struct compaction aggregate, no window") {
+    val p = plan("x6_latest_wins")
+    assert(nodeCount(p, "Window") == 0,
+      s"latest-wins must be an aggregate, not row_number():\n$p")
+    // partial max(struct(ord, payload)) combines map-side BEFORE the
+    // exchange — a hot key never materializes its history in one task
+    assert(p.contains("partial_max(struct("),
+      s"compaction must partial-aggregate map-side:\n$p")
+  }
+
+  test("k8_hll: map-side partial HLL states before each exchange") {
+    val p = plan("k8_hll")
+    assert(p.contains("partial_graft_hll_state"),
+      s"register states must build map-side:\n$p")
+    assert(p.contains("partial_graft_hll_merge"),
+      s"the rollup must merge states map-side too:\n$p")
+    assert(nodeCount(p, "ObjectHashAggregate") >= 4,
+      s"expect partial+final pairs for both the build and the rollup:\n$p")
+    assert(nodeCount(p, "Window") == 0 && nodeCount(p, "Join") == 0,
+      s"the cube rollup is pure aggregation:\n$p")
+  }
+
+  test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
+    val p = plan("t14_tfidf_simjoin")
+    assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
+      s"serving path must read the materialized pair index:\n$p")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "HashAggregate") == 0,
+      s"serving path must not re-run the index build:\n$p")
   }
 }
