@@ -154,4 +154,61 @@ object Graph {
     }
     labels
   }
+
+  /** k-core decomposition, `rounds` unrolled peel iterations: each round
+    * drops every vertex whose degree in the SURVIVING subgraph is below
+    * `k`, then restricts the edge set to survivor×survivor. Returns
+    * `(doc_id, in_core, core_deg)` for every vertex — `in_core` marks
+    * round-`rounds` survivors, `core_deg` is the vertex's degree among
+    * them (0 for peeled vertices). The dense-community extractor for a
+    * similarity graph: a document inside a k-core sits in a mutually
+    * similar cluster no single pair score can certify.
+    *
+    * Scale posture: each round is one map-combinable degree aggregate
+    * plus two equi semi-joins of the edge list against the (small,
+    * shrinking) survivor set — never a cartesian, never a window. The
+    * edge frame is persisted per round so the iterative self-join does
+    * not double its lineage (the `Dedup.connectedComponents`
+    * checkpoint discipline); fixed shallow rounds keep the whole peel
+    * replayable by an unrolled SQL oracle. Exact integer degrees —
+    * bit-exact by construction.
+    */
+  def kCore(vertices: DataFrame, pairs: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    var edges = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var alive: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val (a, e) = kCorePeel(edges, k)
+      alive = a
+      edges = graft.operators.Dedup.persistPublic(e)
+    }
+    val coreDeg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("cd"))
+    vertices
+      .join(alive, vertices("doc_id") === alive("v"), "left")
+      .join(coreDeg, vertices("doc_id") === coreDeg("doc_a"), "left")
+      .select(col("doc_id"),
+        col("v").isNotNull.as("in_core"),
+        coalesce(col("cd"), lit(0L)).as("core_deg"))
+  }
+
+  /** One k-core peel round — the repeated unit [[kCore]] persists per
+    * iteration: one map-combinable degree aggregate, then the edge list
+    * restricted to survivor×survivor via two left-semi equi joins.
+    * Returns `(survivors, restricted edges)`. Factored out so the golden
+    * plan can pin the round's shape on a cache-independent input (the
+    * `d8_cc_round` discipline — the full query's plan text depends on
+    * what the JVM's cache manager has already registered).
+    */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val alive = deg.filter(col("deg") >= k).select(col("doc_a").as("v"))
+    val restricted = edges
+      .join(alive, edges("doc_a") === alive("v"), "left_semi")
+      .join(alive, edges("doc_b") === alive("v"), "left_semi")
+    (alive, restricted)
+  }
 }

@@ -1824,6 +1824,214 @@ object Pipeline {
           array_join(transform(col("q"), x => x.cast("string")), ",").as("q_str"),
           aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- round-9 additions: selection / sequence / collocation /
+    // blocking / core extraction -----------------------------------------
+
+    "s6_dsir_weights" -> { (s, dir) =>
+      // DSIR-shaped importance weighting (Xie et al., NeurIPS'23 — Data
+      // Selection via Importance Resampling): score each raw document by
+      // how target-like its unigram distribution is, here with the
+      // `lang = 'en'` subset standing in for the high-quality target.
+      // Per token w the importance ratio is (ct+1)/(cr+1) (add-one
+      // smoothed target count over raw count), carried as ONE scaled
+      // integer division — 1e6·(ct+1) div (cr+1) — so no log/float enters
+      // the gate (sum-of-scaled-ratios ranks like sum-of-log-ratios for
+      // selection thresholds in practice, and is bit-exact by
+      // construction). Both count tables are FREQUENCY-FLOORED (≥ 2, the
+      // u1 Heaps'-law bound) and broadcast; document text never
+      // shuffles — only (doc_id, ratio) longs reach the per-doc sum.
+      val d = Tables.load(s, dir, "documents")
+      val occ = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val raw = occ.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+        .filter(col("cr") >= 2)
+      val tgt = d.filter(col("lang") === "en")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+        .filter(col("ct") >= 2)
+      val scored = occ
+        .join(broadcast(tgt), Seq("w"), "left")
+        .join(broadcast(raw), Seq("w"), "left")
+        .select(col("doc_id"),
+          expr("(1000000 * (coalesce(ct, 0) + 1)) div (coalesce(cr, 0) + 1)")
+            .as("r"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("w_sum"))
+      d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+          coalesce(expr("w_sum div n_tokens"), lit(0L)).as("dsir_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    "e12_transitions" -> { (s, dir) =>
+      // first-order Markov transition matrix over per-user event
+      // sequences — the behavioral-model fit behind next-event
+      // prediction and anomaly scoring. Successor pairs come from ONE
+      // window pass PARTITIONED BY user (ordered by (ts, event_id) so
+      // ties are deterministic; never an unpartitioned window — a user's
+      // history fits a task, the global event stream does not); counts
+      // aggregate map-combinably and the row probability is a single
+      // scaled integer division (ppm), so the whole matrix is bit-exact.
+      val e = Tables.load(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = e
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = trans.groupBy(col("cur")).agg(sum(col("n_trans")).as("tot"))
+      trans.join(broadcast(tot), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n_trans"),
+          expr("(n_trans * 1000000) div tot").as("p_ppm"))
+        .orderBy(col("cur"), col("nxt"))
+    },
+
+    "t18_collocations" -> { (s, dir) =>
+      // collocation / phrase mining: token pairs that co-occur in
+      // documents far more often than chance — the phrase-vocabulary
+      // induction step (lift = N·c(ab)/(c(a)·c(b)), the monotone core of
+      // PMI, carried as one scaled integer division so no log enters the
+      // gate). df-FIRST discipline (the t13/t14 shape): the tiny O(vocab)
+      // document-frequency frame bands tokens BEFORE any per-doc token
+      // list materializes — CORPUS-RELATIVE bounds (in ≥ 5% and ≤ 80% of
+      // docs, exact integer arithmetic so the oracle replays them), so
+      // the band tracks the same "common but not stopword" stratum at
+      // any scale and a stopword's quadratic blowup is filtered at the
+      // frame, not the join. Candidates are an EQUI self-join on doc_id;
+      // relative support (≥ 1% of docs) prunes the tail.
+      val d = Tables.load(s, dir, "documents")
+      val td = d.select(col("doc_id"),
+        explode(TextFunctions.tokenSet(col("text"))).as("w"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val dfreq = td.groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+        .crossJoin(broadcast(n))
+        .filter(col("dfw") >= expr("n_docs div 20")
+          && col("dfw") <= expr("(n_docs * 4) div 5"))
+        .select(col("w"), col("dfw"))
+      val band = td.join(broadcast(dfreq), Seq("w"))
+      val pairs = band.as("a").join(band.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("n_ab"),
+          min(col("a.dfw")).as("df1"), min(col("b.dfw")).as("df2"))
+      pairs.crossJoin(broadcast(n))
+        .filter(col("n_ab") >= expr("n_docs div 100"))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          expr("(n_docs * n_ab * 1000000) div (df1 * df2)").as("lift_ppm"))
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    "d14_sorted_neighborhood" -> { (s, dir) =>
+      // sorted-neighborhood blocking (Hernández & Stolfo's classic
+      // merge/purge method): sort documents by a cheap prefix key inside
+      // (lang, first-token) blocks, compare each doc only with its next
+      // 2 sort neighbors, keep pairs whose exact token-set Jaccard
+      // clears 0.5 — the linear-candidate alternative to LSH when
+      // near-dups share openings (template families, versioned docs).
+      // The window is PARTITIONED by block (a global sort would funnel
+      // the corpus through one task); candidate count is ≤ 2 rows per
+      // document by construction at any scale. Jaccard is exact integer
+      // set arithmetic + one scaled division — bit-exact.
+      val d = Tables.load(s, dir, "documents")
+      val base = d
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("lang"),
+          element_at(col("toks"), 1).as("block"),
+          array_join(slice(col("toks"), 1, 4), " ").as("key"),
+          array_distinct(col("toks")).as("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("block"))
+        .orderBy(col("key"), col("doc_id"))
+      val withN = base
+        .withColumn("b1", lead(col("doc_id"), 1).over(w))
+        .withColumn("t1", lead(col("ts"), 1).over(w))
+        .withColumn("b2", lead(col("doc_id"), 2).over(w))
+        .withColumn("t2", lead(col("ts"), 2).over(w))
+      val cand = withN
+        .select(col("doc_id").as("a"), col("ts"),
+          col("b1").as("b"), col("t1").as("tb"))
+        .union(withN.select(col("doc_id").as("a"), col("ts"),
+          col("b2").as("b"), col("t2").as("tb")))
+        .filter(col("b").isNotNull)
+        .select(col("a"), col("b"),
+          size(array_intersect(col("ts"), col("tb"))).cast("long").as("inter"),
+          (size(col("ts")) + size(col("tb"))
+            - size(array_intersect(col("ts"), col("tb"))))
+            .cast("long").as("uni"))
+      cand
+        .select(col("a"), col("b"), col("inter"), col("uni"),
+          expr("(inter * 1000000) div uni").as("jacc_ppm"))
+        .filter(col("jacc_ppm") >= 500000)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "a5_rrf_fusion" -> { (s, dir) =>
+      // reciprocal-rank-fusion hybrid retrieval (Cormack et al. SIGIR'09
+      // — the fusion rule behind every lexical+vector hybrid search
+      // stack): fuse two independent top-20 rankings per query — exact
+      // cosine (the a1 path) and int8-quantized dot product (the v1
+      // quantizer, the cheap 32×-smaller serving tier) — by
+      // RRF(d) = Σ 1/(60 + rank_i), carried as 1e6 div (60 + rank) so
+      // the whole gate is integer-exact. Each ranking is a broadcast
+      // crossJoin + bounded-heap TopKPerKey (never a per-query sort);
+      // the fusion itself joins two ≤ 20-rows-per-query frames — the
+      // corpus is scanned twice and shuffled never.
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val cosTop = Similarity.bruteForceTopK(e, queries, k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("rank_cos"))
+      def quant(df: DataFrame, idAs: String, qAs: String): DataFrame =
+        df.select(col("vec_id").as(idAs),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .select(col(idAs), col("v"),
+            (lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+              .as("scale"))
+          .select(col(idAs),
+            transform(col("v"),
+              x => floor(x * col("scale") + 0.5).cast("long")).as(qAs))
+      val qq = broadcast(quant(queries, "query_id", "qq"))
+      val qc = quant(e, "neighbor_id", "qc")
+      val scoredQ = qc.crossJoin(qq)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qq"), col("qc"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dotq"))
+      val qTop = graft.plans.TopKPerKey(scoredQ, Seq(col("query_id")),
+          Seq(col("dotq").desc, col("neighbor_id").asc), 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_q"))
+      val fused = cosTop
+        .join(qTop, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"),
+          (coalesce(expr("1000000 div (60 + rank_cos)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_q)"), lit(0L)))
+            .as("rrf_ppm"))
+      graft.plans.TopKPerKey(fused, Seq(col("query_id")),
+          Seq(col("rrf_ppm").desc, col("neighbor_id").asc), 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "g4_kcore" -> { (s, dir) =>
+      // k-core extraction over the t14 similarity graph — the
+      // dense-community signal (a doc in the k-core sits in a cluster of
+      // mutually similar docs; boilerplate families light up, bridges
+      // don't). Three unrolled peel rounds (the g1 fixed-round
+      // discipline) so the DuckDB oracle replays the exact same fixpoint
+      // prefix; the pair subtree is the persisted t14 index. k = 140 is
+      // tuned to the gate corpus's degree distribution (median ~189) so
+      // each round peels — k is the operator's knob, set per use in
+      // production just like d9's τ or t14's df band.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Graph.kCore(docs, tfidfPairsShared(s, dir), k = 140, rounds = 3)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3300,6 +3508,176 @@ object Pipeline {
         |SELECT vec_id, scale,
         |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_str,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "s6_dsir_weights" ->
+      s"""WITH $TokCte,
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |raw AS (SELECT w, count(*) AS cr FROM occ GROUP BY 1 HAVING count(*) >= 2),
+        |tgt AS (
+        |  SELECT w, count(*) AS ct FROM (
+        |    SELECT unnest(t.toks) AS w
+        |    FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+        |    WHERE d.lang = 'en')
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT o.doc_id, count(*) AS n_tokens,
+        |    CAST(sum((1000000 * (coalesce(t.ct, 0) + 1))
+        |             // (coalesce(r.cr, 0) + 1)) AS BIGINT) AS w_sum
+        |  FROM occ o LEFT JOIN tgt t USING (w) LEFT JOIN raw r USING (w)
+        |  GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.w_sum, 0) AS w_sum,
+        |  coalesce(s.w_sum // s.n_tokens, 0) AS dsir_score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "e12_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS cur, nxt, count(*) AS n_trans
+        |  FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n_trans,
+        |  (c.n_trans * 1000000) // tt.tot AS p_ppm
+        |FROM c JOIN tot tt USING (cur) ORDER BY cur, nxt""".stripMargin,
+
+    "t18_collocations" ->
+      s"""WITH $TokCte,
+        |td AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM tok),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |dfreq AS (
+        |  SELECT w, dfw FROM (
+        |    SELECT w, count(*) AS dfw FROM td GROUP BY 1) CROSS JOIN nn
+        |  WHERE dfw >= n_docs // 20 AND dfw <= (n_docs * 4) // 5),
+        |band AS (SELECT td.doc_id, td.w, f.dfw FROM td JOIN dfreq f USING (w)),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab,
+        |    min(a.dfw) AS df1, min(b.dfw) AS df2
+        |  FROM band a JOIN band b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= (SELECT n_docs // 100 FROM nn))
+        |SELECT w1, w2, n_ab,
+        |  (nn.n_docs * n_ab * 1000000) // (df1 * df2) AS lift_ppm
+        |FROM pairs CROSS JOIN nn ORDER BY w1, w2""".stripMargin,
+
+    "d14_sorted_neighborhood" ->
+      s"""WITH $TokCte,
+        |base AS (
+        |  SELECT t.doc_id, d.lang, t.toks[1] AS block,
+        |    array_to_string(t.toks[1:4], ' ') AS key,
+        |    list_distinct(t.toks) AS ts
+        |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+        |  WHERE len(t.toks) > 0),
+        |rn AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang, block ORDER BY key, doc_id) AS rn
+        |  FROM base),
+        |cand AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |    CAST(len(a.ts) + len(b.ts)
+        |      - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+        |  FROM rn a JOIN rn b
+        |    ON a.lang = b.lang AND a.block = b.block
+        |    AND (b.rn = a.rn + 1 OR b.rn = a.rn + 2))
+        |SELECT a, b, inter, uni, (inter * 1000000) // uni AS jacc_ppm
+        |FROM cand WHERE (inter * 1000000) // uni >= 500000
+        |ORDER BY a, b""".stripMargin,
+
+    "a5_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |cos_ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_dot_product(qv, cv) /
+        |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        neighbor_id ASC) AS rank_cos
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |cos_top AS (SELECT * FROM cos_ranked WHERE rank_cos <= 20),
+        |qv8 AS (
+        |  SELECT query_id,
+        |    list_transform(qv, x -> floor(x * (127.0 / qmax) + 0.5)) AS qq
+        |  FROM (SELECT query_id, qv,
+        |          list_max(list_transform(qv, x -> abs(x))) AS qmax FROM q)),
+        |cv8 AS (
+        |  SELECT neighbor_id,
+        |    list_transform(cv, x -> floor(x * (127.0 / cmax) + 0.5)) AS qc
+        |  FROM (SELECT neighbor_id, cv,
+        |          list_max(list_transform(cv, x -> abs(x))) AS cmax FROM c)),
+        |q_ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY CAST(list_dot_product(qq, qc) AS BIGINT) DESC,
+        |        neighbor_id ASC) AS rank_q
+        |  FROM cv8 CROSS JOIN qv8 WHERE neighbor_id <> query_id),
+        |q_top AS (SELECT * FROM q_ranked WHERE rank_q <= 20),
+        |fused AS (
+        |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+        |    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+        |    coalesce(1000000 // (60 + a.rank_cos), 0)
+        |      + coalesce(1000000 // (60 + b.rank_q), 0) AS rrf_ppm
+        |  FROM cos_top a FULL OUTER JOIN q_top b
+        |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        |final AS (
+        |  SELECT query_id, neighbor_id, rrf_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, neighbor_id ASC) AS rank
+        |  FROM fused)
+        |SELECT query_id, neighbor_id, rrf_ppm, rank FROM final
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "g4_kcore" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |e0 AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |d0 AS (SELECT doc_a AS v, count(*) AS deg FROM e0 GROUP BY 1),
+        |a1 AS (SELECT v FROM d0 WHERE deg >= 140),
+        |e1 AS (SELECT e.doc_a, e.doc_b FROM e0 e
+        |       JOIN a1 x ON e.doc_a = x.v JOIN a1 y ON e.doc_b = y.v),
+        |d1 AS (SELECT doc_a AS v, count(*) AS deg FROM e1 GROUP BY 1),
+        |a2 AS (SELECT v FROM d1 WHERE deg >= 140),
+        |e2 AS (SELECT e.doc_a, e.doc_b FROM e1 e
+        |       JOIN a2 x ON e.doc_a = x.v JOIN a2 y ON e.doc_b = y.v),
+        |d2 AS (SELECT doc_a AS v, count(*) AS deg FROM e2 GROUP BY 1),
+        |a3 AS (SELECT v FROM d2 WHERE deg >= 140),
+        |e3 AS (SELECT e.doc_a, e.doc_b FROM e2 e
+        |       JOIN a3 x ON e.doc_a = x.v JOIN a3 y ON e.doc_b = y.v),
+        |d3 AS (SELECT doc_a AS v, count(*) AS cd FROM e3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  (a3.v IS NOT NULL) AS in_core,
+        |  coalesce(d3.cd, 0) AS core_deg
+        |FROM documents d
+        |LEFT JOIN a3 ON d.doc_id = a3.v
+        |LEFT JOIN d3 ON d.doc_id = d3.v
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

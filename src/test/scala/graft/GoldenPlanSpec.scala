@@ -63,7 +63,15 @@ class GoldenPlanSpec extends AnyFunSuite {
     "d13_containment",     // prefix-filtered equi candidate join, pruned postings
     "x5_probe_auc",        // range-partitioned prefix-sum, no global window
     "x6_latest_wins",      // max-struct compaction, no window
-    "k8_hll")              // map-side partial HLL states before the exchange
+    "k8_hll",              // map-side partial HLL states before the exchange
+    "s6_dsir_weights",     // floored count tables broadcast, text never shuffles
+    "e12_transitions",     // per-user window, broadcast row totals
+    "t18_collocations",    // df-banded equi self-join, no cartesian
+    "d14_sorted_neighborhood", // block-partitioned neighbor window
+    "a5_rrf_fusion")       // two bounded-heap rankings fused, no window
+  // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
+  // the full query's plan text varies with the JVM's cache-manager state
+  // (each peel round persists its edge frame), the d8 situation exactly.
 
   /** Strip run-to-run noise: expression ids, plan ids, paths, sizes. */
   private def normalize(plan: String): String =
@@ -71,6 +79,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       .replaceAll("#\\d+", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("lambda x_\\d+", "lambda x_n") // session-global counter
+      .replaceAll("lambda y_\\d+", "lambda y_n") // zip_with's 2nd variable
       .replaceAll("@[0-9a-f]{6,}", "@x")         // object identity hashes
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$x") // JVM lambda ids
       .replaceAll("file:[^\\]\\s,)]+", "file:PATH")
@@ -130,5 +139,19 @@ class GoldenPlanSpec extends AnyFunSuite {
     val labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
     val edges = docs.select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
     checkGolden("d8_cc_round", graft.operators.Dedup.ccRound(labels, edges))
+  }
+
+  test("golden plan: g4_kcore_round") {
+    // pins the repeated peel unit of the k-core decomposition: one
+    // map-combinable degree aggregate + two left-semi equi joins that
+    // restrict the edge list to survivors — the per-round cost at any
+    // graph size. A regression to an inner join (duplicating edges) or
+    // a window-ranked degree would surface here.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = docs.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + 1).as("doc_b"))
+    checkGolden("g4_kcore_round",
+      graft.operators.Graph.kCorePeel(edges, 3)._2)
   }
 }

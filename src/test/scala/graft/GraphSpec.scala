@@ -204,4 +204,66 @@ class GraphSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(one == many)
   }
+
+  private def runKCore(n: Int, edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, (Boolean, Long)] =
+    Graph.kCore(verticesDf(n), pairsDf(edges), k, rounds)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+
+  test("kcore: K4 with a pendant chain — the clique survives k=2, the chain peels") {
+    // 0-1-2-3 clique, chain 3-4-5 hanging off it
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val got = runKCore(6, k4 ++ Seq((3L, 4L), (4L, 5L)), k = 2, rounds = 3)
+    // chain tip 5 (deg 1) peels round 1; 4 drops to deg 1 and peels
+    // round 2; the K4 keeps degree 3 throughout
+    assert((0L to 3L).forall(v => got(v) == (true, 3L)))
+    assert(got(4L) == (false, 0L) && got(5L) == (false, 0L))
+  }
+
+  test("kcore: one round only peels the current degree-deficient frontier") {
+    // path 0-1-2-3-4: k=2 peels endpoints round 1, then 1 and 3, then 2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val r1 = runKCore(5, path, k = 2, rounds = 1)
+    assert(r1(0L)._1 == false && r1(4L)._1 == false)
+    assert(r1(1L)._1 && r1(2L)._1 && r1(3L)._1)
+    // after round 1 the surviving path 1-2-3 has endpoint degrees 1
+    val r2 = runKCore(5, path, k = 2, rounds = 2)
+    assert(r2(1L)._1 == false && r2(3L)._1 == false && r2(2L)._1)
+    val r3 = runKCore(5, path, k = 2, rounds = 3)
+    assert(r3.values.forall(!_._1))
+  }
+
+  test("kcore: isolated vertices report not-in-core with degree 0") {
+    val got = runKCore(4, Seq((0L, 1L)), k = 1, rounds = 2)
+    assert(got(2L) == (false, 0L) && got(3L) == (false, 0L))
+    assert(got(0L) == (true, 1L) && got(1L) == (true, 1L))
+  }
+
+  test("kcore: partition-invariant") {
+    val rnd = new scala.util.Random(9)
+    val edges = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(14); val b = rnd.nextInt(14)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val one = Graph.kCore(verticesDf(14).repartition(1),
+        pairsDf(edges).repartition(1), 3, 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val many = Graph.kCore(verticesDf(14).repartition(7),
+        pairsDf(edges).repartition(7), 3, 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(one == many)
+  }
+
+  test("kcore: rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      Graph.kCore(verticesDf(2), pairsDf(Seq((0L, 1L))), 0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kCore(verticesDf(2), pairsDf(Seq((0L, 1L))), 2, 0)
+    }
+  }
 }

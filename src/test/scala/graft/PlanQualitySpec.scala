@@ -484,4 +484,68 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodeCount(p, "Join") == 0 && nodeCount(p, "HashAggregate") == 0,
       s"serving path must not re-run the index build:\n$p")
   }
+
+  test("s6_dsir_weights: count tables broadcast; text never shuffles") {
+    val p = plan("s6_dsir_weights")
+    // target + raw vocabulary joins are broadcast (the u1 discipline) —
+    // only (doc_id, ratio) longs reach the per-doc aggregate
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"floored count tables must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"document text must never shuffle:\n$p")
+  }
+
+  test("e12_transitions: window partitioned by user, totals broadcast") {
+    val p = plan("e12_transitions")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(user_id#")),
+      s"successor window must be partitioned by user — a user's history fits a task, the global stream does not:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t18_collocations: df-banded equi self-join, no cartesian") {
+    val p = plan("t18_collocations")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must be an equi join on doc_id:\n$p")
+    // the df band joins onto the token stream as a broadcast
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"banded vocabulary must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0, s"no window anywhere:\n$p")
+  }
+
+  test("d14_sorted_neighborhood: neighbor window partitioned by block") {
+    val p = plan("d14_sorted_neighborhood")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(lang#")),
+      s"the sort-neighbor window must be block-partitioned, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && nodeCount(p, "Join") == 0,
+      s"candidates come from the window, not a join:\n$p")
+  }
+
+  test("a5_rrf_fusion: both rankings bounded-heap, queries broadcast, no window") {
+    val p = plan("a5_rrf_fusion")
+    // three TopKPerKey stages: cosine top-20, quantized top-20, fused top-10
+    assert(nodeCount(p, "TopKPerKey") >= 3,
+      s"every ranking must be a bounded heap, never a per-query sort:\n$p")
+    assert(!p.contains("WindowExec") && nodeCount(p, "Window") == 0,
+      s"no window anywhere in the fusion path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query side must broadcast into the scan:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") >= 2,
+      s"both corpus passes join the broadcast query set:\n$p")
+  }
+
+  test("g4_kcore: peel rounds are semi joins over the persisted index") {
+    val p = plan("g4_kcore")
+    assert(p.contains("tfidf_pairs"),
+      s"the edge set must come from the materialized pair index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // each peel round restricts edges via two left-semi equi joins
+    assert(p.contains("LeftSemi"),
+      s"survivor restriction must be a semi join:\n$p")
+  }
 }
