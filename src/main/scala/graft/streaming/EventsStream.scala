@@ -289,6 +289,65 @@ object EventsStream {
       }
   }
 
+  /** State for [[transitionPairsStream]]: the user's most recent event
+    * (by (ts, event_id) — the same total order e12's batch window uses).
+    */
+  case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+
+  /** Per-user successor pairs — e12's transition-matrix input as a
+    * STREAM: flatMapGroupsWithState carries each user's LAST event
+    * across microbatches (one tiny case class per user) and emits one
+    * (user_id, cur, nxt) row per arriving successor; the count /
+    * probability rollup is a downstream aggregate. This is the stateful
+    * sequence join a batch lead() window cannot express incrementally.
+    *
+    * State boundedness: an idle user's state times out `idleMinutes`
+    * after their last event (event time), so the store never outgrows
+    * the active-user set — the 100 TB-survival property. Semantics
+    * note: a gap longer than the horizon RESTARTS the user's chain
+    * (that transition is not emitted) — the deliberate price of bounded
+    * state, mirroring how sessionize closes idle sessions.
+    */
+  def transitionPairsStream(events: DataFrame,
+      idleMinutes: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleUs = idleMinutes.toLong * 60 * 1000 * 1000
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows0: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // (ts, event_id) is the batch query's total order within a user
+            val sorted = rows0.map(r => (micros(r._3), r._2, r._4)).toSeq
+              .sortBy(r => (r._1, r._2))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, String)]
+            var last = state.getOption
+            sorted.foreach { case (tsUs, id, tpe) =>
+              last.foreach(l => out += ((user, l.eventType, tpe)))
+              last = Some(LastEvent(tsUs, id, tpe))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp((l.tsUs + idleUs) / 1000L)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "cur", "nxt")
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * feed and return the result via a memory sink. Update mode so
     * mapGroupsWithState emissions surface immediately.

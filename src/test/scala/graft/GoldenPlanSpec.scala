@@ -68,7 +68,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     "e12_transitions",     // per-user window, broadcast row totals
     "t18_collocations",    // df-banded equi self-join, no cartesian
     "d14_sorted_neighborhood", // block-partitioned neighbor window
-    "a5_rrf_fusion")       // two bounded-heap rankings fused, no window
+    "a5_rrf_fusion",       // two bounded-heap rankings fused, no window
+    "x7_incremental_stats",// base+delta stats merge, full-outer on lang
+    "c5_split_leakage",    // fp-keyed flags, single-row rollup
+    "s7_quota_interleave", // bounded-heap quotas + arithmetic position
+    "t19_bm25")            // broadcast df/query tables, TakeOrdered top-50
   // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
   // the full query's plan text varies with the JVM's cache-manager state
   // (each peel round persists its edge frame), the d8 situation exactly.

@@ -371,6 +371,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streaming transition pairs match the batch lead() pairs") {
+    import org.apache.spark.sql.expressions.Window
+    // horizon >> the data's time span so no chain restarts in the spec
+    // feed — the equivalence is exact, not gap-truncated
+    val stream = EventsStream.transitionPairsStream(
+      EventsStream.readEvents(spark, sf), idleMinutes = 60 * 24 * 365)
+    val got = EventsStream.runToMemory(stream, "trans_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("event_type"), col("nxt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch)
+  }
+
   test("durable parquet sink: exactly-once commit log, same rows as batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val deduped = EventsStream.dedupStream(

@@ -526,6 +526,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("t19_bm25: query/df tables broadcast; top-50 is TakeOrdered, no global sort") {
+    val p = plan("t19_bm25")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"query terms and df table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-50 must be per-partition top-n, not a global sort:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x7_incremental_stats: two stats passes merge; base never rescanned as a whole") {
+    val p = plan("x7_incremental_stats")
+    // partial+final pairs for BOTH the base and the delta aggregate
+    assert(nodeCount(p, "HashAggregate") >= 4,
+      s"both stats passes must partial-aggregate map-side:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+    // the merge joins two O(groups) frames on lang — never the corpora
+    assert(p.contains("FullOuter"), s"the merge is a full-outer stats join:\n$p")
+  }
+
+  test("c5_split_leakage: fp-keyed flags, bodies never shuffle, no window") {
+    val p = plan("c5_split_leakage")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
+      s"document text must never shuffle — only fingerprints:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("s7_quota_interleave: quotas via bounded heap; position is arithmetic") {
+    val p = plan("s7_quota_interleave")
+    assert(nodeCount(p, "TopKPerKey") >= 2,
+      s"per-source quota must be the two-phase bounded heap:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"the source index table must broadcast:\n$p")
+    // the only window ranks the distinct-source frame (#sources rows,
+    // provably tiny — the deterministicCentroids precedent)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.size <= 1, s"only the tiny source-index window may exist:\n$p")
+  }
+
   test("a5_rrf_fusion: both rankings bounded-heap, queries broadcast, no window") {
     val p = plan("a5_rrf_fusion")
     // three TopKPerKey stages: cosine top-20, quantized top-20, fused top-10
