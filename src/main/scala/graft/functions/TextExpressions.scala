@@ -36,6 +36,46 @@ object TextHashing {
   @inline private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
+  /** 64-bit average hash (aHash) over the CODE POINTS of `text` — the
+    * perceptual fingerprint for payloads whose sample stream is the
+    * string itself (the GRFT synthetic media contract; on real images
+    * the same grid runs over pixel lumas). Exact integer rule so the
+    * oracle replays it: blockLen = max(n/64, 1), the first
+    * min(n, 64·blockLen) code points partition into 64 blocks, bit_j =
+    * 1 iff 64·blockSum_j > totalSum. Returns [hi, lo]: two longs each
+    * carrying 32 bits (never bit 63 — both stay positive, so DuckDB's
+    * BIGINT shift arithmetic reproduces them exactly).
+    */
+  def aHash64(text: UTF8String): ArrayData = {
+    val str = text.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return ArrayData.toArrayData(Array(0L, 0L))
+    val blockLen = math.max(n / 64, 1)
+    val used = math.min(n, 64 * blockLen)
+    val sums = new Array[Long](64)
+    var total = 0L
+    var i = 0      // code-point index
+    var ci = 0     // char (UTF-16 unit) index
+    while (i < used) {
+      val cp = str.codePointAt(ci)
+      val j = i / blockLen
+      sums(j) += cp
+      total += cp
+      ci += Character.charCount(cp)
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * 64 > total) {
+        if (j < 32) hi |= (1L << j) else lo |= (1L << (j - 32))
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(Array(hi, lo))
+  }
+
   /** Distinct xxhash64 values of the `n`-token shingles of `text`
     * (lowercased, whitespace-tokenized), SORTED ascending — sorted output
     * lets downstream set intersection run as an O(n+m) merge
@@ -437,6 +477,27 @@ case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_ahash(text)` → array<bigint> [hi, lo] 64-bit average hash;
+  * see [[TextHashing.aHash64]].
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_ahash requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.aHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.aHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
 /** `graft_text_stats(text)` → struct of per-document statistics;
   * see [[TextHashing.textStats]].
   */
@@ -639,5 +700,7 @@ object TextExprFunctions {
       exprs => RepetitionStats(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
       exprs => NormText(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ahash",
+      exprs => AHash64(exprs(0)), "built-in")
   }
 }

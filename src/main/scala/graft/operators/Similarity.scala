@@ -348,12 +348,70 @@ object Similarity {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split evenly into m=$m subspaces")
     require(k >= 1 && k <= 256, s"k=$k codes must fit one byte")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dim / m
-    val books = (0 until m).map { sub =>
-      val block = corpus.select(col("vec_id"),
-        slice(asDouble(col("embedding")), sub * dsub + 1, dsub).as("embedding"))
-      centroidArray(block, k, iters, metric = "l2")
+    // ONE shared hash-prefix sample for all m subspace fits (slicing
+    // commutes with sampling, so each book is bit-identical to the
+    // per-subspace-sampled form this replaces — but the corpus is
+    // scanned once, not m times, and the whole fit is O(m + iters)
+    // driver-synchronized jobs instead of O(m · iters))
+    val fit = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(LloydFitCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // all m seed books from ONE collect: the first k sample rows in hash
+    // order, ids ranked by vec_id, sliced per subspace driver-side —
+    // exactly what deterministicCentroids(slicedFit, k) computes per
+    // subspace (slicing preserves vec_id and the hash order), in 1 job
+    // instead of m
+    val seedRows = fit
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i + 1, v) }
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { sub =>
+      seedRows.map { case (id, v) =>
+        (id, v.slice(sub * dsub, (sub + 1) * dsub))
+      }
     }
+    var i = 0
+    while (i < iters) {
+      // one pass per iteration over the persisted sample covering ALL
+      // subspaces: each row explodes into its m (sub, cell, block)
+      // assignments against that subspace's current literal codebook;
+      // per-(sub, cell, pos) decimal means are order-insensitive, so
+      // the fused job reproduces the sequential fit bit-for-bit
+      val perSub = (0 until m).map { sub =>
+        struct(lit(sub).as("sub"),
+          nearestCellL2Expr(
+            slice(col("embedding"), sub * dsub + 1, dsub), books(sub))
+            .as("cell"),
+          slice(col("embedding"), sub * dsub + 1, dsub).as("block"))
+      }
+      val means = fit.select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          posexplode(col("e.block")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mn"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("centroid"))
+        .as[(Int, Int, Seq[Double])].collect()
+        .groupBy(_._1).map { case (sub, rows) =>
+          sub -> rows.map(t => t._2 -> t._3).toMap
+        }
+      books = books.zipWithIndex.map { case (book, sub) =>
+        book.map { case (id, c) =>
+          (id, means.get(sub).flatMap(_.get(id)).getOrElse(c))
+        }
+      }
+      i += 1
+    }
+    fit.unpersist()
     PqModel(m, dsub, books)
   }
 

@@ -34,16 +34,26 @@ object Pipeline {
     * covariance pass once instead of once per query. Queries stay
     * self-contained — a cold cache just refits the identical model.
     */
+  /** Per-key lazy holder (the materializedIndex discipline): the
+    * ConcurrentHashMap only installs this cheap object — the Spark fit
+    * job runs under the HOLDER's lazy lock, not the map's bin lock, so
+    * first fitters of different models/dirs never serialize behind one
+    * another.
+    */
+  private final class ModelHolder[T](build: () => T) {
+    lazy val value: T = build()
+  }
+
   private val pcaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PcaModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[Similarity.PcaModel]]()
   private def fittedPca(s: SparkSession, dir: String): Similarity.PcaModel =
-    pcaMemo.computeIfAbsent(dir, _ =>
+    pcaMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
       loadPcaFit(s, dir, dim = 64, k = 8).getOrElse {
         val model = Similarity.fitPca(Tables.load(s, dir, "embeddings"),
           dim = 64, k = 8, whiten = true)
         savePcaFit(s, dir, model)
         model
-      })
+      })).value
 
   /** Cross-JVM cache of the fitted PCA model (the pq_model discipline):
     * the fit is deterministic per sf dir, so a later JVM (Verify at one
@@ -90,10 +100,10 @@ object Pipeline {
     * shape. Row-count + dimension validated on load; mismatch refits.
     */
   private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
   private def fittedIvfPath(s: SparkSession, dir: String,
       nlist: Int): String =
-    ivfMemo.computeIfAbsent(dir, _ => {
+    ivfMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
       val path = s"${Tables.modelsDir(dir)}/ivf_centroids.parquet"
       val ok =
         try {
@@ -105,7 +115,7 @@ object Pipeline {
         Similarity.lloydCentroids(Tables.load(s, dir, "embeddings"),
           nlist = nlist, iters = 2), path)
       path
-    })
+    })).value
 
   /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
     * (hash-prefix sample + decimal sums), so memoizing is transparent —
@@ -118,15 +128,15 @@ object Pipeline {
     * contract as [[materializedIndex]].
     */
   private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[Similarity.PqModel]]()
   private def fittedPq(s: SparkSession, dir: String): Similarity.PqModel =
-    pqMemo.computeIfAbsent(dir, _ =>
+    pqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
       loadPqModel(s, dir, dim = 64, m = 8, k = 16).getOrElse {
         val model = Similarity.fitPq(Tables.load(s, dir, "embeddings"),
           dim = 64, m = 8, k = 16, iters = 2)
         savePqModel(s, dir, model)
         model
-      })
+      })).value
   private def savePqModel(s: SparkSession, dir: String,
       model: Similarity.PqModel): Unit = {
     import s.implicits._
@@ -1346,6 +1356,57 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "m5_media_phash" -> { (s, dir) =>
+      // perceptual near-dup media detection — what m4's exact
+      // fingerprint can't see: a 64-bit average hash (aHash, the
+      // classic pHash-family grid) over the payload's sample stream,
+      // banded into 4×16-bit keys for an equi candidate join (the
+      // d3/d4 LSH discipline — never all-pairs), verified by exact
+      // Hamming distance ≤ 6 via bit_count(xor). The hash is the
+      // codegen'd `graft_ahash` kernel over the payload SLICE decoded
+      // in place (blobs never shuffle — only (doc_id, two longs)
+      // rows); for GRFT media the samples are the payload's code
+      // points, on real images the same grid runs over pixel lumas.
+      // Planted variants keep both paths live: length-preserving
+      // 4-char overlays (% 13 → small nonzero Hamming) and exact
+      // copies (% 11 → Hamming 0).
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      val variants = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("zzzz"),
+            expr("substring(text, 9, 2147483647)")).as("text"))
+      val copies = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      val media = Multimodal.withFakeMedia(
+        docs.select(col("doc_id"), col("text"))
+          .unionByName(variants).unionByName(copies)).toDF()
+      val hashed = media.select(col("doc_id"),
+          call_function("graft_ahash",
+            expr("decode(substring(media, 17, 2147483647), 'UTF-8')")).as("h"))
+        .select(col("doc_id"), col("h")(0).as("hi"), col("h")(1).as("lo"))
+      val banded = hashed.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("band"), (col("hi") % 65536).as("bv")),
+          struct(lit(1).as("band"), expr("hi div 65536").as("bv")),
+          struct(lit(2).as("band"), (col("lo") % 65536).as("bv")),
+          struct(lit(3).as("band"), expr("lo div 65536").as("bv"))))
+          .as("bk"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+          col("a.hi").as("hia"), col("a.lo").as("loa"),
+          col("b.hi").as("hib"), col("b.lo").as("lob"))
+        .distinct()
+      cand.select(col("a"), col("b"),
+          expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a"), col("b"))
+    },
+
     "m1_multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
       Multimodal.decodeMeta(media).toDF()
@@ -2041,6 +2102,63 @@ object Pipeline {
           expr("(inter * 1000000) div uni").as("jacc_ppm"))
         .filter(col("jacc_ppm") >= 500000)
         .orderBy(col("a"), col("b"))
+    },
+
+    "e13_decay" -> { (s, dir) =>
+      // half-life-decayed engagement scoring — the recency weighting a
+      // feed/training-freshness pipeline applies, made EXACT: weight =
+      // 1e6 div 2^(age_days) (24 h half-life, shift capped at 40 so the
+      // divisor stays in long range). A power-of-two divisor turns the
+      // usual exp(-λ·age) into integer shift arithmetic both engines
+      // compute bit-identically — no transcendentals. Ages are whole
+      // seconds from the corpus max timestamp (floor-of-epoch
+      // difference ≡ DuckDB's boundary-counting date_diff); one
+      // broadcast 1-row max, one map-combinable per-user sum.
+      val e = Tables.load(s, dir, "events")
+      val mx = e.agg(max(col("ts")).as("mts"))
+      e.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          least(expr("(unix_timestamp(mts) - unix_timestamp(ts)) div 3600 div 24"),
+            lit(40L)).as("k"))
+        .select(col("user_id"),
+          expr("1000000 div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+            .as("wppm"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("wppm")).as("decay_sum"))
+        .orderBy(col("user_id"))
+    },
+
+    "x8_source_drift" -> { (s, dir) =>
+      // per-source distribution-drift scoring — the domain-shift
+      // detector a mixture pipeline runs per ingest source: total
+      // variation distance between each source's token distribution and
+      // the corpus distribution over the HEAD vocabulary (top-30 tokens
+      // by corpus count — TakeOrdered-bounded, so the grid is
+      // O(sources × 30) at ANY corpus size; full-vocabulary χ²/KL would
+      // grow with Heaps' law and gate on log/float rounding besides).
+      // Each term is |obs·totC − totS·cw| scaled by one exact integer
+      // division; zero cells contribute via the (source × head) grid.
+      // Long headroom holds through ~sf1; larger corpora would route
+      // the products through decimal(38,0).
+      val d = Tables.load(s, dir, "documents")
+      val occ = d.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val head = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(30)
+      val occH = occ.join(broadcast(head.select(col("w"))), Seq("w"))
+      val obs = occH.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("obs"))
+      val tots = occH.groupBy(col("source")).agg(count(lit(1)).as("tot_s"))
+      val totC = occH.agg(count(lit(1)).as("tot_c"))
+      tots.crossJoin(broadcast(head))
+        .join(obs, Seq("source", "w"), "left")
+        .crossJoin(broadcast(totC))
+        .select(col("source"),
+          expr("(1000000 * abs(coalesce(obs, 0) * tot_c - tot_s * cw)) div " +
+            "(2 * tot_s * tot_c)").as("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("term")).as("drift_ppm"))
+        .orderBy(col("source"))
     },
 
     "t19_bm25" -> { (s, dir) =>
@@ -3378,6 +3496,61 @@ object Pipeline {
         |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "m5_media_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    substr(text, 1, 4) || 'zzzz' || substr(text, 9)
+        |  FROM documents WHERE length(text) > 0 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text
+        |  FROM documents WHERE length(text) > 0 AND doc_id % 11 = 0),
+        |par AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    greatest(length(text) // 64, 1) AS bl
+        |  FROM corpus),
+        |chars AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS cp,
+        |    (i - 1) // bl AS j
+        |  FROM (SELECT doc_id, text, bl,
+        |          unnest(generate_series(1, least(n, 64 * bl))) AS i
+        |        FROM par)),
+        |bs AS (SELECT doc_id, j, CAST(sum(cp) AS BIGINT) AS s
+        |       FROM chars GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(cp) AS BIGINT) AS t
+        |       FROM chars GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id, b.j,
+        |    CASE WHEN b.s * 64 > t.t THEN 1 ELSE 0 END AS bit
+        |  FROM bs b JOIN tt t USING (doc_id)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN j < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN j >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, hi, lo, bnd.band,
+        |    CASE bnd.band WHEN 0 THEN hi % 65536 WHEN 1 THEN hi // 65536
+        |                  WHEN 2 THEN lo % 65536 ELSE lo // 65536 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bnd),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+        |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
     "m4_media_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -3796,6 +3969,40 @@ object Pipeline {
         |SELECT a, b, inter, uni, (inter * 1000000) // uni AS jacc_ppm
         |FROM cand WHERE (inter * 1000000) // uni >= 500000
         |ORDER BY a, b""".stripMargin,
+
+    "e13_decay" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    least(date_diff('second', ts, mx.mts) // 3600 // 24, 40) AS k
+        |  FROM events CROSS JOIN mx)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(1000000 // (CAST(1 AS BIGINT) << k)) AS BIGINT) AS decay_sum
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x8_source_drift" ->
+      s"""WITH $TokCte,
+        |occ AS (
+        |  SELECT d.source, t.w
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM tok) t
+        |  JOIN documents d ON t.doc_id = d.doc_id),
+        |head AS (
+        |  SELECT w, count(*) AS cw FROM occ GROUP BY 1
+        |  ORDER BY cw DESC, w LIMIT 30),
+        |occh AS (SELECT occ.source, occ.w FROM occ JOIN head USING (w)),
+        |obs AS (SELECT source, w, count(*) AS obs FROM occh GROUP BY 1, 2),
+        |tots AS (SELECT source, count(*) AS tot_s FROM occh GROUP BY 1),
+        |totc AS (SELECT count(*) AS tot_c FROM occh),
+        |grid AS (
+        |  SELECT tots.source, head.w, tots.tot_s, head.cw,
+        |    coalesce(obs.obs, 0) AS obs
+        |  FROM tots CROSS JOIN head
+        |  LEFT JOIN obs ON obs.source = tots.source AND obs.w = head.w)
+        |SELECT g.source,
+        |  CAST(sum((1000000 * abs(g.obs * tc.tot_c - g.tot_s * g.cw))
+        |           // (2 * g.tot_s * tc.tot_c)) AS BIGINT) AS drift_ppm
+        |FROM grid g CROSS JOIN totc tc
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
 
     "t19_bm25" ->
       s"""WITH $TokCte,

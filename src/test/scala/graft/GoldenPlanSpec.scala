@@ -72,7 +72,10 @@ class GoldenPlanSpec extends AnyFunSuite {
     "x7_incremental_stats",// base+delta stats merge, full-outer on lang
     "c5_split_leakage",    // fp-keyed flags, single-row rollup
     "s7_quota_interleave", // bounded-heap quotas + arithmetic position
-    "t19_bm25")            // broadcast df/query tables, TakeOrdered top-50
+    "t19_bm25",            // broadcast df/query tables, TakeOrdered top-50
+    "e13_decay",           // 1-row max broadcast, shift-exact weights
+    "x8_source_drift",     // TakeOrdered head vocab, broadcast grid
+    "m5_media_phash")      // banded equi join over codegen'd aHash keys
   // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
   // the full query's plan text varies with the JVM's cache-manager state
   // (each peel round persists its edge frame), the d8 situation exactly.

@@ -713,6 +713,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ahash matches a driver-side block-sum recompute; edge cases pinned") {
+    def refAHash(s: String): (Long, Long) = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n == 0) return (0L, 0L)
+      val bl = math.max(n / 64, 1)
+      val used = math.min(n, 64 * bl)
+      val sums = new Array[Long](64)
+      var total = 0L
+      (0 until used).foreach { i => sums(i / bl) += cps(i); total += cps(i) }
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { j =>
+        if (sums(j) * 64 > total) {
+          if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val edges = Seq("", "a", "abc", "z" * 64, "a" * 200 + "z" * 56,
+      ("abcdefgh" * 40).take(300), "constant" * 8)
+    val df = edges.toDF("text")
+      .select(col("text"), call_function("graft_ahash", col("text")).as("h"))
+      .select(col("text"), col("h")(0).as("hi"), col("h")(1).as("lo"))
+    df.collect().foreach { r =>
+      val (hi, lo) = refAHash(r.getString(0))
+      assert(r.getLong(1) == hi && r.getLong(2) == lo,
+        s"ahash mismatch on '${r.getString(0).take(20)}...'")
+    }
+    // near-dup property: a 4-char overlay perturbs few blocks
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val (h1, l1) = refAHash(base)
+    val (h2, l2) = refAHash(base.substring(0, 4) + "zzzz" + base.substring(8))
+    val ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(ham <= 6, s"length-preserving overlay should stay near: hamming $ham")
+  }
+
   test("t9 repetition matches a driver-side recompute") {
     val d = docs
     val rows = Pipeline.queries("t9_repetition")(spark, sf).collect()

@@ -526,6 +526,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("m5_media_phash: banded equi candidate join; blobs never shuffle") {
+    val p = plan("m5_media_phash")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the band equi join:\n$p")
+    assert(nodeCount(p, "Window") == 0, p)
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(l =>
+      !l.contains("media#") && !l.contains("text#")),
+      s"media blobs and text must never shuffle — only hashes and ids:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("e13_decay: 1-row max broadcast, partial agg, shift weights need no window") {
+    val p = plan("e13_decay")
+    assert(p.contains("BroadcastExchange"),
+      s"the corpus-max timestamp must broadcast:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"the per-user sum must partial-aggregate map-side:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x8_source_drift: head vocab via TakeOrdered; grid joins broadcast") {
+    val p = plan("x8_source_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the head vocabulary must be a bounded top-n, not a global sort:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"the head token set must broadcast into the occurrence stream:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+  }
+
   test("t19_bm25: query/df tables broadcast; top-50 is TakeOrdered, no global sort") {
     val p = plan("t19_bm25")
     assert(nodeCount(p, "BroadcastHashJoin") >= 2,
