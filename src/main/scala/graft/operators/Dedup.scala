@@ -670,4 +670,52 @@ object Dedup {
       .filter(Similarity.cosine(col("l.v"), col("r.v")) >= threshold)
       .select(col("l.vec_id").as("i"), col("r.vec_id").as("j"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    * sort documents by a cheap 4-token prefix key inside
+    * (lang, first-token) blocks, compare each doc only with its next
+    * `window − 1` sort neighbors, keep pairs whose exact token-set
+    * Jaccard (scaled ppm, one integer division) clears `minJaccPpm`.
+    * Expects columns (doc_id, lang, text); returns
+    * (a, b, inter, uni, jacc_ppm).
+    *
+    * Scale shape: candidate count is ≤ window−1 rows per document BY
+    * CONSTRUCTION at any corpus size — the linear-candidate alternative
+    * to LSH when near-dups share openings (template families, versioned
+    * docs). The neighbor window is PARTITIONED by block; a global sort
+    * would funnel the corpus through one task.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
+      minJaccPpm: Long = 500000L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"),
+        element_at(col("toks"), 1).as("block"),
+        array_join(slice(col("toks"), 1, 4), " ").as("key"),
+        array_distinct(col("toks")).as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("block"))
+      .orderBy(col("key"), col("doc_id"))
+    val withN = (1 until window).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"b$i", lead(col("doc_id"), i).over(w))
+        .withColumn(s"t$i", lead(col("ts"), i).over(w))
+    }
+    val cand = (1 until window).map { i =>
+      withN.select(col("doc_id").as("a"), col("ts"),
+        col(s"b$i").as("b"), col(s"t$i").as("tb"))
+    }.reduce(_.union(_))
+      .filter(col("b").isNotNull)
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ts"), col("tb"))).cast("long").as("inter"),
+        (size(col("ts")) + size(col("tb"))
+          - size(array_intersect(col("ts"), col("tb"))))
+          .cast("long").as("uni"))
+    cand
+      .select(col("a"), col("b"), col("inter"), col("uni"),
+        expr("(inter * 1000000) div uni").as("jacc_ppm"))
+      .filter(col("jacc_ppm") >= minJaccPpm)
+  }
 }

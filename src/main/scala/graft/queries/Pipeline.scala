@@ -544,6 +544,38 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "c6_eval_leak_report" -> { (s, dir) =>
+      // c1's INVERSE direction — the eval-hygiene report: per EVAL item,
+      // how much of it leaked into the training corpus (n_leaked of its
+      // distinct 8-grams appear in ≥ 1 corpus doc; n_hit_docs = Σ
+      // per-gram distinct-corpus-doc counts; leak_ppm one exact scaled
+      // division). Same scale shape as c1 — the corpus side streams
+      // against the BROADCAST eval gram set (never the reverse: the
+      // corpus gram universe is unbounded, the eval set is benchmark-
+      // sized by contract), only matching grams aggregate, and the
+      // per-eval rollup joins two eval-sized frames.
+      val d = Tables.load(s, dir, "documents")
+      val eg = d.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("eval_id"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(8)))
+            .as("g"))
+      val hits = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(8)))
+            .as("g"))
+        .join(broadcast(eg.select(col("g")).distinct()), Seq("g"))
+        .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      eg.join(hits, Seq("g"), "left")
+        .groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+          coalesce(sum(col("n_docs")), lit(0L)).as("n_hit_docs"))
+        .select(col("eval_id"), col("n_grams"), col("n_leaked"),
+          expr("(n_leaked * 1000000) div n_grams").as("leak_ppm"),
+          col("n_hit_docs"))
+        .orderBy(col("eval_id"))
+    },
+
     "c3_decon_bloom" -> { (s, dir) =>
       // the Bloom-prefiltered decontamination path: ~1.2 bytes/gram at 1%
       // fpp instead of >= 8 bytes/gram for a broadcast hash relation, so
@@ -2068,39 +2100,11 @@ object Pipeline {
       // The window is PARTITIONED by block (a global sort would funnel
       // the corpus through one task); candidate count is ≤ 2 rows per
       // document by construction at any scale. Jaccard is exact integer
-      // set arithmetic + one scaled division — bit-exact.
-      val d = Tables.load(s, dir, "documents")
-      val base = d
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("lang"),
-          element_at(col("toks"), 1).as("block"),
-          array_join(slice(col("toks"), 1, 4), " ").as("key"),
-          array_distinct(col("toks")).as("ts"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"), col("block"))
-        .orderBy(col("key"), col("doc_id"))
-      val withN = base
-        .withColumn("b1", lead(col("doc_id"), 1).over(w))
-        .withColumn("t1", lead(col("ts"), 1).over(w))
-        .withColumn("b2", lead(col("doc_id"), 2).over(w))
-        .withColumn("t2", lead(col("ts"), 2).over(w))
-      val cand = withN
-        .select(col("doc_id").as("a"), col("ts"),
-          col("b1").as("b"), col("t1").as("tb"))
-        .union(withN.select(col("doc_id").as("a"), col("ts"),
-          col("b2").as("b"), col("t2").as("tb")))
-        .filter(col("b").isNotNull)
-        .select(col("a"), col("b"),
-          size(array_intersect(col("ts"), col("tb"))).cast("long").as("inter"),
-          (size(col("ts")) + size(col("tb"))
-            - size(array_intersect(col("ts"), col("tb"))))
-            .cast("long").as("uni"))
-      cand
-        .select(col("a"), col("b"), col("inter"), col("uni"),
-          expr("(inter * 1000000) div uni").as("jacc_ppm"))
-        .filter(col("jacc_ppm") >= 500000)
+      // set arithmetic + one scaled division — bit-exact. See
+      // [[Dedup.sortedNeighborhoodPairs]]; DedupSpec plants template
+      // families to pin the blocking semantics.
+      Dedup.sortedNeighborhoodPairs(Tables.load(s, dir, "documents"),
+        window = 3, minJaccPpm = 500000L)
         .orderBy(col("a"), col("b"))
     },
 
@@ -2145,11 +2149,14 @@ object Pipeline {
         explode(TextFunctions.tokens(col("text"))).as("w"))
       val head = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
         .orderBy(col("cw").desc, col("w")).limit(30)
-      val occH = occ.join(broadcast(head.select(col("w"))), Seq("w"))
-      val obs = occH.groupBy(col("source"), col("w"))
+      val obs = occ.join(broadcast(head.select(col("w"))), Seq("w"))
+        .groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("obs"))
-      val tots = occH.groupBy(col("source")).agg(count(lit(1)).as("tot_s"))
-      val totC = occH.agg(count(lit(1)).as("tot_c"))
+      // totals derive from the tiny obs frame, NOT from re-scanning the
+      // occurrence stream — the whole query reads the corpus exactly
+      // twice (once for the head vocabulary, once for obs)
+      val tots = obs.groupBy(col("source")).agg(sum(col("obs")).as("tot_s"))
+      val totC = obs.agg(sum(col("obs")).as("tot_c"))
       tots.crossJoin(broadcast(head))
         .join(obs, Seq("source", "w"), "left")
         .crossJoin(broadcast(totC))
@@ -2604,6 +2611,34 @@ object Pipeline {
         |SELECT cg.doc_id, count(*) AS n_shared
         |FROM cg JOIN ev USING (g)
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+
+    "c6_eval_leak_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM tok WHERE len(toks) >= 8),
+        |eg AS (
+        |  SELECT DISTINCT doc_id AS eval_id, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 = 7),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx WHERE doc_id % 10 <> 7),
+        |hits AS (
+        |  SELECT cg.g, count(DISTINCT cg.doc_id) AS n_docs
+        |  FROM cg JOIN (SELECT DISTINCT g FROM eg) e USING (g)
+        |  GROUP BY cg.g),
+        |agg AS (
+        |  SELECT eval_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN h.n_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+        |    CAST(coalesce(sum(h.n_docs), 0) AS BIGINT) AS n_hit_docs
+        |  FROM eg LEFT JOIN hits h USING (g)
+        |  GROUP BY eval_id)
+        |SELECT eval_id, n_grams, n_leaked,
+        |  (n_leaked * 1000000) // n_grams AS leak_ppm, n_hit_docs
+        |FROM agg ORDER BY eval_id""".stripMargin,
 
     "c3_decon_bloom" ->
       """WITH tok AS (

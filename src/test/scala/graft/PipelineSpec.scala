@@ -155,6 +155,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rep(1L) == 1L && rep(3L) == 3L) // near-dup NOT merged by exact
   }
 
+  test("sorted-neighborhood finds template-family pairs; window bounds candidates") {
+    // template family: same 4-token opening, small body edits — sorts
+    // adjacent inside the (lang, first-token) block
+    val corpus = Seq(
+      (20L, "report for march sales were strong in the north region", "en"),
+      (21L, "report for march sales were strong in the south region", "en"),
+      (22L, "report for march sales were weak in the south region", "en"),
+      // same first token but a different 4-token prefix AND body — sorts
+      // apart and fails the jaccard bar
+      (23L, "report about unrelated engineering topics entirely different words here", "en"),
+      // different first token — different block, never a candidate
+      (24L, "summary for march sales were strong in the north region", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.sortedNeighborhoodPairs(corpus, window = 3,
+      minJaccPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((20L, 21L)) && pairs.contains((21L, 22L)),
+      s"template family must pair up: $pairs")
+    assert(!pairs.exists(p => p._1 == 24L || p._2 == 24L),
+      s"cross-block docs are never candidates: $pairs")
+    assert(!pairs.exists(p => p._1 == 23L || p._2 == 23L),
+      s"dissimilar same-block doc must fail the jaccard bar: $pairs")
+    // candidate bound: each doc compares with at most window-1 successors
+    val cand = Dedup.sortedNeighborhoodPairs(corpus, window = 3,
+      minJaccPpm = 0L)
+      .collect().map(r => r.getLong(0))
+    assert(cand.groupBy(identity).values.forall(_.length <= 2),
+      "at most window-1 candidates per left doc")
+  }
+
   test("containment flags a quote-expansion superset Jaccard misses") {
     val quote = "colorless green ideas sleep furiously every night"
     val page = "editorial context before the famous line " + quote +

@@ -526,6 +526,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("c6_eval_leak_report: eval grams broadcast; corpus text never shuffles") {
+    val p = plan("c6_eval_leak_report")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"the eval gram set must broadcast into the corpus stream:\n$p")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"), p)
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
+      s"corpus text must never shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
   test("m5_media_phash: banded equi candidate join; blobs never shuffle") {
     val p = plan("m5_media_phash")
     assert(!p.contains("CartesianProduct"),
