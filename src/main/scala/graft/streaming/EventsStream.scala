@@ -348,6 +348,61 @@ object EventsStream {
       .toDF("user_id", "cur", "nxt")
   }
 
+  /** State for [[latestWinsStream]]: the current winning version per key
+    * plus how many versions have arrived — O(1) per key, the whole
+    * streaming-upsert store.
+    */
+  case class LatestState(tsUs: Long, eventId: Long, value: Double,
+      props: String, nVersions: Long)
+
+  /** x6's STREAMING twin: SCD-1 latest-wins compaction as a
+    * mapGroupsWithState upsert view — per (user_id, event_type) key the
+    * state is the single current winner under the same total order the
+    * batch aggregate uses ((ts, event_id) lexicographic, max wins), and
+    * each microbatch emits the key's refreshed current row (Update
+    * mode). This is the continuously-maintained snapshot a CDC consumer
+    * reads; the batch x6 recomputes the same table from the full log,
+    * and the streaming≡batch spec holds the two equal.
+    *
+    * State boundedness: one tiny case class per LIVE KEY — the store
+    * tracks the keyed table's cardinality, not the log's length.
+    */
+  def latestWinsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"), col("props"))
+      .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double, String)],
+         state: GroupState[LatestState]) =>
+          var cur = state.getOption
+          var n = cur.map(_.nVersions).getOrElse(0L)
+          rows.foreach { case (_, _, id, ts, v, p) =>
+            val tsUs = micros(ts)
+            n += 1
+            // same total order as the batch max(struct(ts, event_id, ...))
+            if (cur.forall(c =>
+                tsUs > c.tsUs || (tsUs == c.tsUs && id > c.eventId)))
+              cur = Some(LatestState(tsUs, id, v, p, n))
+          }
+          val out = cur.get.copy(nVersions = n)
+          state.update(out)
+          // full µs reconstruction — the batch twin carries µs precision
+          val t = new java.sql.Timestamp(out.tsUs / 1000000L * 1000L)
+          t.setNanos(((out.tsUs % 1000000L) * 1000L).toInt)
+          (key._1, key._2, out.nVersions, t, out.eventId,
+            out.value, out.props)
+      }
+      .toDF("user_id", "event_type", "n_versions", "ts", "event_id",
+        "value", "props")
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * feed and return the result via a memory sink. Update mode so
     * mapGroupsWithState emissions surface immediately.

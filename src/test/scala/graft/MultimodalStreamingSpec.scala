@@ -392,6 +392,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming latest-wins upsert view matches the batch x6 compaction") {
+    val stream = EventsStream.latestWinsStream(
+      EventsStream.readEvents(spark, sf))
+    // Update mode appends one refreshed row per (key, microbatch); the
+    // CURRENT view is each key's last emission = the max-n_versions row
+    val got = EventsStream.runToMemory(stream, "latest_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5),
+          r.getString(6)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col("ts"), col("event_id"), col("value"), col("props")))
+          .as("w"))
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        col("w.ts"), col("w.event_id"), col("w.value"), col("w.props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5),
+          r.getString(6)))
+      .toMap
+    assert(got == batch)
+  }
+
   test("durable parquet sink: exactly-once commit log, same rows as batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val deduped = EventsStream.dedupStream(
