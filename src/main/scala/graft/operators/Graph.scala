@@ -155,6 +155,53 @@ object Graph {
     labels
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on `seeds` instead of spread uniformly — the
+    * seed-relative relevance ranking behind "more docs like this set"
+    * retrieval expansion and seed-based corpus slicing. Rank starts
+    * uniform over the seed set; each damped iteration teleports
+    * `(1−damping)/|seeds|` back to every seed (0 elsewhere), so mass
+    * stays concentrated around the seeds' neighborhood. Same
+    * distributed shape and determinism discipline as [[pageRank]]:
+    * one shuffle per round on the source id, decimal-routed
+    * contributions, degree/N broadcast, replayable by an unrolled SQL
+    * oracle.
+    */
+  def personalizedPageRank(vertices: DataFrame, pairs: DataFrame,
+      seeds: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val seedSet = seeds.select(col("doc_id")).distinct()
+    val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
+    val teleport = vertices
+      .join(seedSet.withColumn("is_seed", lit(1)), Seq("doc_id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("doc_id"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)).as("t"))
+    var ranks = teleport.select(col("doc_id"), col("t").as("r"))
+    (1 to iters).foreach { _ =>
+      val sums = edges
+        .join(ranks, edges("doc_a") === ranks("doc_id"))
+        .join(broadcast(deg), Seq("doc_a"))
+        .select(col("doc_b"),
+          (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
+        .groupBy(col("doc_b"))
+        .agg(sum(col("c")).cast("double").as("m"))
+      ranks = teleport
+        .join(sums, teleport("doc_id") === sums("doc_b"), "left")
+        .select(teleport("doc_id"),
+          (lit(1.0 - damping) * col("t")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
   /** k-core decomposition, `rounds` unrolled peel iterations: each round
     * drops every vertex whose degree in the SURVIVING subgraph is below
     * `k`, then restricts the edge set to survivor×survivor. Returns

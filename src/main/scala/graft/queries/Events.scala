@@ -257,6 +257,28 @@ object Events {
         .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    "e14_rolling_window" -> { (s, dir) =>
+      // trailing-24h rolling aggregates per user — the sliding-window
+      // feature-engineering primitive e2's ROW frames can't express: a
+      // RANGE frame over epoch seconds includes every event within the
+      // trailing day regardless of row count. Partitioned by user (a
+      // user's history fits a task); the frame bound is integer seconds
+      // (floor-of-epoch, ≡ DuckDB's boundary-counting date_diff) and the
+      // value sum routes through decimal, so every row is bit-exact.
+      // Tied timestamps are RANGE-frame peers in both engines —
+      // deterministic without needing a unique order key.
+      val e = Tables.load(s, dir, "events").filter(col("user_id") < 50)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es")).rangeBetween(-86399L, 0L)
+      e.select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("es"))
+        .select(col("user_id"), col("event_id"), col("es"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("v_24h"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 
@@ -402,6 +424,19 @@ object Events {
         |SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset,
         |  count(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e14_rolling_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id, es,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -884,6 +884,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "g5_ppr" -> { (s, dir) =>
+      // personalized PageRank — seed-relative relevance over the
+      // similarity graph: teleport mass returns to the SEED set (docs
+      // ≡ 0 mod 25) instead of spreading uniformly, so rank concentrates
+      // in the seeds' neighborhood — the "more docs like this set"
+      // retrieval-expansion / corpus-slicing primitive g1's global
+      // centrality can't express. Same unrolled-3-round, decimal-routed,
+      // persisted-pair-index discipline as g1.
+      val d = Tables.load(s, dir, "documents")
+      val seeds = d.filter(col("doc_id") % 25 === 0).select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.personalizedPageRank(d.select(col("doc_id")), p, seeds,
+        iters = 3, damping = 0.85)
+        .orderBy(col("doc_id"))
+    },
+
     "g2_triangle_count" -> { (s, dir) =>
       // per-document triangle count over the t14 similarity graph — the
       // local-clustering signal (a doc inside a dense clique of mutually
@@ -3068,6 +3085,68 @@ object Pipeline {
         |    FROM edges e JOIN r2 p ON e.doc_a = p.doc_id
         |    JOIN deg g ON e.doc_a = g.doc_a
         |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b)
+        |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin,
+
+    "g5_ppr" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+        |sd AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |ns AS (SELECT count(*) AS n_seeds FROM sd),
+        |tp AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN s.doc_id IS NOT NULL
+        |      THEN CAST(1.0 AS DOUBLE) / ns.n_seeds
+        |      ELSE CAST(0.0 AS DOUBLE) END AS t
+        |  FROM documents d CROSS JOIN ns LEFT JOIN sd s ON d.doc_id = s.doc_id),
+        |r0 AS (SELECT doc_id, t AS r FROM tp),
+        |r1 AS (
+        |  SELECT tp.doc_id, CAST(0.15 AS DOUBLE) * tp.t
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p2.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r0 p2 ON e.doc_a = p2.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON tp.doc_id = s.doc_b),
+        |r2 AS (
+        |  SELECT tp.doc_id, CAST(0.15 AS DOUBLE) * tp.t
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p2.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r1 p2 ON e.doc_a = p2.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON tp.doc_id = s.doc_b),
+        |r3 AS (
+        |  SELECT tp.doc_id, CAST(0.15 AS DOUBLE) * tp.t
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+        |  FROM tp LEFT JOIN (
+        |    SELECT e.doc_b,
+        |      CAST(sum(CAST(p2.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+        |    FROM edges e JOIN r2 p2 ON e.doc_a = p2.doc_id
+        |    JOIN deg g ON e.doc_a = g.doc_a
+        |    GROUP BY e.doc_b) s ON tp.doc_id = s.doc_b)
         |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin,
 
     "g2_triangle_count" ->

@@ -76,7 +76,9 @@ class GoldenPlanSpec extends AnyFunSuite {
     "e13_decay",           // 1-row max broadcast, shift-exact weights
     "x8_source_drift",     // TakeOrdered head vocab, broadcast grid
     "m5_media_phash",      // banded equi join over codegen'd aHash keys
-    "c6_eval_leak_report") // broadcast eval grams, per-eval rollup
+    "c6_eval_leak_report", // broadcast eval grams, per-eval rollup
+    "e14_rolling_window",  // user-partitioned RANGE frame
+    "g5_ppr")              // seeded teleport, per-round edge⋈rank shuffle
   // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
   // the full query's plan text varies with the JVM's cache-manager state
   // (each peel round persists its edge frame), the d8 situation exactly.

@@ -205,6 +205,59 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("personalized pagerank: mass stays in the seed's component") {
+    // two disconnected 3-cliques; seed in the first — the second
+    // component's rank must be exactly 0 every round
+    val c1 = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val c2 = Seq((3L, 4L), (4L, 5L), (3L, 5L))
+    val seeds = Seq(0L).toDF("doc_id")
+    val got = Graph.personalizedPageRank(verticesDf(6), pairsDf(c1 ++ c2),
+        seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((3L to 5L).forall(v => got(v) == 0.0),
+      s"unreachable component must hold zero mass: $got")
+    assert(got(0L) > got(1L) && got(1L) == got(2L),
+      s"seed outranks its symmetric neighbors: $got")
+    val total = got.values.sum
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"no dangling nodes => mass conserved: $total")
+  }
+
+  test("personalized pagerank: uniform seeds over ALL vertices equals global pagerank") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (_ <- 1 to 40) yield {
+      val a = rnd.nextInt(10); val b = rnd.nextInt(10)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // every vertex has an edge with high probability under this seed;
+    // make it certain by adding a ring
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val all = (edges ++ ring).distinct
+    val seeds = (0L until 10L).toDF("doc_id")
+    val ppr = Graph.personalizedPageRank(verticesDf(10), pairsDf(all),
+        seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(verticesDf(10), pairsDf(all), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 10L).foreach { v =>
+      assert(math.abs(ppr(v) - pr(v)) < 1e-12,
+        s"uniform teleport must reduce to global pagerank at $v: ${ppr(v)} vs ${pr(v)}")
+    }
+  }
+
+  test("personalized pagerank: rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(verticesDf(2), pairsDf(Seq((0L, 1L))),
+        Seq(0L).toDF("doc_id"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(verticesDf(2), pairsDf(Seq((0L, 1L))),
+        Seq(0L).toDF("doc_id"), iters = 1, damping = 1.5)
+    }
+  }
+
   private def runKCore(n: Int, edges: Seq[(Long, Long)], k: Int,
       rounds: Int): Map[Long, (Boolean, Long)] =
     Graph.kCore(verticesDf(n), pairsDf(edges), k, rounds)

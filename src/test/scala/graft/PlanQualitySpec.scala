@@ -526,6 +526,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("g5_ppr: per-round edge join on source id; seeds/deg broadcast; no cartesian") {
+    val p = plan("g5_ppr")
+    assert(p.contains("tfidf_pairs"),
+      s"edges must come from the materialized pair index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"rank updates are joins+aggregates, never a window:\n$p")
+  }
+
+  test("e14_rolling_window: range-frame window partitioned by user") {
+    val p = plan("e14_rolling_window")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(user_id#")),
+      s"the rolling frame must be user-partitioned, never global:\n$p")
+    assert(p.contains("RangeFrame"),
+      s"the trailing-24h frame must be a RANGE frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c6_eval_leak_report: eval grams broadcast; corpus text never shuffles") {
     val p = plan("c6_eval_leak_report")
     assert(nodeCount(p, "BroadcastHashJoin") >= 1,
