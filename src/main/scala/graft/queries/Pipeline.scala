@@ -103,13 +103,20 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
   private def fittedIvfPath(s: SparkSession, dir: String,
       nlist: Int): String =
-    ivfMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
-      val path = s"${Tables.modelsDir(dir)}/ivf_centroids.parquet"
+    // keyed by (dir, nlist): a second call site with a different nlist
+    // must never be served the first caller's index
+    ivfMemo.computeIfAbsent(s"$dir#$nlist", _ => new ModelHolder(() => {
+      val path = s"${Tables.modelsDir(dir)}/ivf_centroids_$nlist.parquet"
+      // expected dimensionality from the live corpus — a stale index
+      // with wrong-length centroids (dim change, old format) must refit,
+      // not feed wrong-length literals into the assignment expression
+      val dim = Tables.load(s, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).head.getInt(0)
       val ok =
         try {
           val rows = s.read.parquet(path).collect()
           rows.length == nlist && rows.forall(
-            _.getAs[scala.collection.Seq[Double]]("centroid").nonEmpty)
+            _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) Similarity.saveIvfIndex(
         Similarity.lloydCentroids(Tables.load(s, dir, "embeddings"),
@@ -2051,14 +2058,17 @@ object Pipeline {
       // first-order Markov transition matrix over per-user event
       // sequences — the behavioral-model fit behind next-event
       // prediction and anomaly scoring. Successor pairs come from ONE
-      // window pass PARTITIONED BY user (ordered by (ts, event_id) so
-      // ties are deterministic; never an unpartitioned window — a user's
-      // history fits a task, the global event stream does not); counts
-      // aggregate map-combinably and the row probability is a single
-      // scaled integer division (ppm), so the whole matrix is bit-exact.
+      // window pass PARTITIONED BY user, ordered by event_id — the
+      // Events.scala invariant: the raw ts column is ns-precision
+      // parquet truncated to µs, so two engines could order same-µs
+      // events differently; event_id is the safe cross-engine total
+      // order (never an unpartitioned window — a user's history fits a
+      // task, the global event stream does not). Counts aggregate
+      // map-combinably and the row probability is a single scaled
+      // integer division (ppm), so the whole matrix is bit-exact.
       val e = Tables.load(s, dir, "events")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
       val trans = e
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("nxt", lead(col("event_type"), 1).over(w))
@@ -2212,13 +2222,15 @@ object Pipeline {
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val totals = dl.agg(sum(col("dl")).as("bigl"),
         count(lit(1)).as("n_docs"))
+      // qterms carries df with it (a 3-row broadcast) so the scoring
+      // join never ships the full O(vocabulary) df table — the s6/u1
+      // Heaps'-law broadcast discipline
       val qterms = graft.plans.TopKPerKey(
           tf.filter(col("doc_id") === 0).join(dfreq, Seq("tok")),
           Seq(col("doc_id")),
           Seq(col("tf").desc, col("df").asc, col("tok").asc), 3)
-        .select(col("tok"))
+        .select(col("tok"), col("df"))
       tf.join(broadcast(qterms), Seq("tok"))
-        .join(broadcast(dfreq), Seq("tok"))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(totals))
         .select(col("doc_id"),
@@ -4031,7 +4043,7 @@ object Pipeline {
     "e12_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
         |  FROM events),
         |c AS (
         |  SELECT event_type AS cur, nxt, count(*) AS n_trans

@@ -303,10 +303,15 @@ object EventsStream {
     *
     * State boundedness: an idle user's state times out `idleMinutes`
     * after their last event (event time), so the store never outgrows
-    * the active-user set — the 100 TB-survival property. Semantics
-    * note: a gap longer than the horizon RESTARTS the user's chain
-    * (that transition is not emitted) — the deliberate price of bounded
-    * state, mirroring how sessionize closes idle sessions.
+    * the active-user set — the 100 TB-survival property. Two documented
+    * divergences from the batch lead() twin, both the deliberate price
+    * of O(1) state: a gap longer than the horizon RESTARTS the user's
+    * chain (that transition is not emitted), and a late event arriving
+    * in a later microbatch BEHIND the chain head is DROPPED rather than
+    * retro-inserted (the chain stays monotone — emitting against a
+    * stale head would produce inverted pairs the batch order never
+    * contains). Within a microbatch rows sort, so in-order feeds match
+    * the batch twin exactly.
     */
   def transitionPairsStream(events: DataFrame,
       idleMinutes: Int = 60): DataFrame = {
@@ -328,15 +333,22 @@ object EventsStream {
             state.remove()
             Iterator.empty
           } else {
-            // (ts, event_id) is the batch query's total order within a user
+            // event_id is the batch query's total order within a user
+            // (the Events.scala header invariant — raw ts is ns-precision
+            // parquet truncated to µs, so it is not a safe cross-engine
+            // order)
             val sorted = rows0.map(r => (micros(r._3), r._2, r._4)).toSeq
-              .sortBy(r => (r._1, r._2))
+              .sortBy(_._2)
             val out = scala.collection.mutable.ArrayBuffer
               .empty[(Long, String, String)]
             var last = state.getOption
             sorted.foreach { case (tsUs, id, tpe) =>
-              last.foreach(l => out += ((user, l.eventType, tpe)))
-              last = Some(LastEvent(tsUs, id, tpe))
+              // drop events behind the chain head (late cross-batch
+              // arrivals) — never emit against a stale head
+              if (last.forall(l => id > l.eventId)) {
+                last.foreach(l => out += ((user, l.eventType, tpe)))
+                last = Some(LastEvent(tsUs, id, tpe))
+              }
             }
             last.foreach { l =>
               state.update(l)

@@ -381,8 +381,7 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.OutputMode.Append())
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .groupBy(identity).view.mapValues(_.size).toMap
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val batch = Tables.load(spark, sf, "events")
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
       .filter(col("nxt").isNotNull)
