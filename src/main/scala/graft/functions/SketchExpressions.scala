@@ -1519,6 +1519,241 @@ case class HllEstimate(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact-replayable Bloom filter state: k = 3 probe positions per key,
+  * each parsed from a disjoint 8-hex-char slice of md5(key) mod m — the
+  * SAME arithmetic DuckDB computes as
+  * `CAST('0x' || substr(md5(key), 8i+1, 8) AS BIGINT) % m`, so the set
+  * bit positions (and therefore the whole filter image) replay exactly
+  * in an oracle, unlike Spark's built-in `BloomFilterImpl` (c3's
+  * prefilter, whose murmur layout is JVM-private). Fixed m-bit state
+  * per group, bit-OR merge — idempotent, order-insensitive, the
+  * membership-shard primitive of the k4/k8 sketch-cube family.
+  */
+final class BloomBuffer(val m: Int) {
+  val bits: Array[Byte] = new Array[Byte]((m + 7) / 8)
+
+  def add(key: String): Unit = {
+    val hex = BloomHash.md5Hex(key)
+    var i = 0
+    while (i < 3) {
+      val v = java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
+      val p = (v % m).toInt
+      bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+      i += 1
+    }
+  }
+
+  def merge(other: BloomBuffer): Unit = {
+    require(other.m == m, s"Bloom size mismatch: $m vs ${other.m}")
+    var i = 0
+    while (i < bits.length) {
+      bits(i) = (bits(i) | other.bits(i)).toByte
+      i += 1
+    }
+  }
+
+  /** Sorted set-bit positions — the oracle surface. */
+  def positions: Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = 0
+    while (p < m) {
+      if ((bits(p >> 3) & (1 << (p & 7))) != 0) out += p
+      p += 1
+    }
+    out.toArray
+  }
+}
+
+object BloomHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lowercase 32-char md5 hex of the UTF-8 bytes — ≡ `md5(col)` in both
+    * Spark and DuckDB.
+    */
+  def md5Hex(key: String): String = {
+    val digest = md.get()
+    digest.reset()
+    val bytes = digest.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+object BloomCodec {
+  def write(buf: BloomBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.bits.length)
+    bb.putInt(buf.m).put(buf.bits)
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): BloomBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val m = bb.getInt
+    val buf = new BloomBuffer(m)
+    bb.get(buf.bits)
+    buf
+  }
+}
+
+/** `graft_bloom_state(key, m)` → binary: m-bit Bloom image over the
+  * group's keys (k = 3 md5-slice probes). O(m/8) bytes per group at any
+  * cardinality.
+  */
+case class BloomState(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_state needs a string input, got ${child.dataType.simpleString}")
+    else if (m < 8 || m > (1 << 24)) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_state needs 8 <= m <= ${1 << 24} bits, got $m")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(m)
+
+  override def update(buf: BloomBuffer, input: InternalRow): BloomBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: BloomBuffer, other: BloomBuffer): BloomBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: BloomBuffer): Any = BloomCodec.write(buf)
+  override def serialize(buf: BloomBuffer): Array[Byte] = BloomCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): BloomBuffer = BloomCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): BloomState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomState = copy(child = newChildren.head)
+  override def prettyName: String = "graft_bloom_state"
+}
+
+/** `graft_bloom_merge(state, m)` → binary: bit-OR of stored Bloom
+  * images — order-insensitive and idempotent (the k4/k8 rollup
+  * contract).
+  */
+case class BloomMerge(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_merge needs a binary state input, got ${child.dataType.simpleString}")
+    else if (m < 8 || m > (1 << 24)) TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_merge needs 8 <= m <= ${1 << 24} bits, got $m")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(m)
+
+  override def update(buf: BloomBuffer, input: InternalRow): BloomBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(BloomCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: BloomBuffer, other: BloomBuffer): BloomBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: BloomBuffer): Any = BloomCodec.write(buf)
+  override def serialize(buf: BloomBuffer): Array[Byte] = BloomCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): BloomBuffer = BloomCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): BloomMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomMerge = copy(child = newChildren.head)
+  override def prettyName: String = "graft_bloom_merge"
+}
+
+/** `graft_bloom_positions(state)` → array<int>: sorted set-bit
+  * positions — the gate surface (integers all the way down; DuckDB
+  * recomputes each member's 3 probe positions directly).
+  */
+case class BloomPositions(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_positions needs a binary state, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(state: Any): Any = {
+    val buf = BloomCodec.read(state.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.positions)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
+/** `graft_bloom_contains(state, key)` → boolean: membership probe — all
+  * 3 md5-slice positions set. The serving-side expression of the
+  * persisted membership shard.
+  */
+case class BloomProbeContains(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_bloom_contains needs (binary state, string key), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(state: Any, key: Any): Any = {
+    val buf = BloomCodec.read(state.asInstanceOf[Array[Byte]])
+    val hex = BloomHash.md5Hex(key.toString)
+    var i = 0
+    var ok = true
+    while (i < 3 && ok) {
+      val v = java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
+      val p = (v % buf.m).toInt
+      ok = (buf.bits(p >> 3) & (1 << (p & 7))) != 0
+      i += 1
+    }
+    ok
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeContains =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1632,6 +1867,26 @@ object SketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_estimate",
       exprs => HllEstimate(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_state",
+      exprs => BloomState(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_bloom_state"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_merge",
+      exprs => BloomMerge(
+        exprs(0), TextExprFunctions.intArg(exprs(1), "graft_bloom_merge"))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_positions",
+      exprs => BloomPositions(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomProbeContains(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_union",

@@ -2394,6 +2394,237 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
       Graph.kCore(docs, tfidfPairsShared(s, dir), k = 140, rounds = 3)
         .orderBy(col("doc_id"))
+    },
+
+    "x9_source_overlap" -> { (s, dir) =>
+      // pairwise source-level vocabulary overlap — the corpus-governance
+      // matrix ("how much of wiki's vocabulary does crawl already
+      // cover?") behind mixture design and source pruning. The corpus
+      // reduces map-side to DISTINCT (source, token) postings; the
+      // pair step is a self-equi-join ON TOKEN, so each token fans out
+      // to at most C(n_sources, 2) pairs REGARDLESS of corpus size —
+      // the output grid is O(sources²) and sources are few by
+      // definition (they're ingest feeds, not documents). Jaccard and
+      // containment are each one exact scaled integer division; the
+      // per-source vocabulary sizes ride in on a broadcast.
+      val d = Tables.load(s, dir, "documents")
+      val st = d.select(col("source"),
+          explode(TextFunctions.tokenSet(col("text"))).as("w"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      val inter = st.as("a").join(st.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("nt").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("nt").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_inter"),
+          expr("(1000000 * n_inter) div (n1 + n2 - n_inter)")
+            .as("jaccard_ppm"),
+          expr("(1000000 * n_inter) div least(n1, n2)")
+            .as("containment_ppm"))
+        .orderBy(col("s1"), col("s2"))
+    },
+
+    "s8_temperature_mix" -> { (s, dir) =>
+      // temperature-scaled source mixture allocation — the multilingual
+      // sampling rule of mT5/XLM-R (p_i ∝ n_i^(1/τ)) at τ = 2, where
+      // the weight is floor(sqrt(n_i)): IEEE-754 sqrt is correctly
+      // rounded and n_i < 2^53 is exact in a double, so floor∘sqrt is
+      // bit-identical across engines — the one transcendental-free way
+      // to carry a fractional power through an exact gate. The fixed
+      // budget B = 100000 is apportioned by largest-remainder (Hamilton
+      // method): base_i = B·w_i div W, leftover seats to the largest
+      // remainders, ties to the smaller source name. One map-combinable
+      // count is the only corpus-sized stage; everything after runs on
+      // the O(sources) frame (the row_number window is over that
+      // provably tiny frame, not the corpus).
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      // the ONE corpus-sized stage; everything below runs on the
+      // O(sources) aggregate, re-referenced via whole-frame windows so
+      // the corpus is scanned exactly once (agg+crossJoin would re-scan
+      // per reference)
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double"))).cast("long").as("wt"))
+      counts
+        .withColumn("wtot", sum(col("wt")).over(wnd.partitionBy()))
+        .select(col("source"), col("n_docs"), col("wt"),
+          expr("(100000 * wt) div wtot").as("base_n"),
+          expr("(100000 * wt) % wtot").as("rem"))
+        .withColumn("leftover",
+          lit(100000L) - sum(col("base_n")).over(wnd.partitionBy()))
+        .withColumn("rk", row_number().over(
+          wnd.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_docs"), col("wt"),
+          (col("base_n") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("source"))
+    },
+
+    "t20_novelty" -> { (s, dir) =>
+      // temporal n-gram novelty — the freshness score an incremental
+      // crawl gives each incoming document: the fraction of its
+      // DISTINCT trigrams never seen in the base snapshot (x4's
+      // deterministic snapshot convention: base = doc_id % 4 != 0, the
+      // incoming drop = % 4 == 0). The base reduces to a DISTINCT
+      // trigram frame; incoming trigrams left-join it and novelty is
+      // one exact scaled integer division. The gate joins on RAW
+      // trigram strings (the d13 collision-freedom discipline); the
+      // 100 TB path would join on xxhash64(gram) so only fixed-width
+      // longs shuffle — same plan shape, documented trade of a
+      // 2^-64-per-pair collision for an 8-byte shuffle key. Docs with
+      // fewer than 3 tokens have no trigrams and drop out, matching
+      // the oracle's inner grouping.
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      def grams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("toks"), 3)).as("g"))
+          .distinct()
+      val baseG = grams(toks.filter(col("doc_id") % 4 =!= 0))
+        .select(col("g")).distinct().withColumn("seen", lit(1L))
+      val newG = grams(toks.filter(col("doc_id") % 4 === 0))
+      newG.join(baseG, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_tri"), col("n_novel"),
+          expr("(1000000 * n_novel) div n_tri").as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d15_winnowing" -> { (s, dir) =>
+      // winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+      // SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+      // token 3-gram, slide a w=4 window over the hash sequence, keep
+      // the minimum hash per window (RIGHTMOST position on ties — the
+      // paper's robust-winnowing rule), dedupe selections. Guarantees:
+      // any shared run of ≥ w+k-1 tokens yields a shared fingerprint,
+      // and ~2/(w+1) of grams are selected — the bounded-density local
+      // dedup index d10's global spans can't give. Everything is ONE
+      // window pass PARTITIONED by doc (a doc's grams fit a task at any
+      // corpus size) over md5 grams — md5 is the cross-engine hash, and
+      // min(struct(fp, -pos)) is the total order both engines share.
+      // The output IS the fingerprint index you'd persist for serving.
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val kg = toks.filter(size(col("toks")) >= 6) // k + w - 1
+        .select(col("doc_id"), (size(col("toks")) - 2).as("n_kg"),
+          posexplode(TextFunctions.wordShingles(col("toks"), 3)))
+        .select(col("doc_id"), col("n_kg"), (col("pos") + 1).as("pos"),
+          md5(col("col")).as("fp"))
+      kg.withColumn("sel",
+          min(struct(col("fp"), (-col("pos")).as("np"))).over(wnd))
+        .filter(col("pos") <= col("n_kg") - 3) // full windows only
+        .select(col("doc_id"), (-col("sel.np")).as("fp_pos"),
+          col("sel.fp").as("fp"))
+        .distinct()
+        .orderBy(col("doc_id"), col("fp_pos"))
+    },
+
+    "e15_mad_outliers" -> { (s, dir) =>
+      // robust per-user anomaly counting — median/MAD outlier detection
+      // (the Hampel filter a telemetry pipeline runs per entity), made
+      // cross-engine EXACT by using the LOWER median: the element at
+      // rank (n+1) div 2 under the total order (value, event_id) — pure
+      // SELECTION, no interpolation arithmetic, so both engines pick
+      // the identical stored double. MAD = lower median of |v − med|
+      // ordered by (deviation, event_id); an event is an outlier when
+      // |v − med| > 3·MAD (one IEEE multiply — bit-identical). All
+      // windows and joins are keyed by user_id — a user's history fits
+      // a task at any corpus size; never a global sort.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val n = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val med = e
+        .withColumn("rn", row_number().over(wnd.partitionBy(col("user_id"))
+          .orderBy(col("value"), col("event_id"))))
+        .join(n, Seq("user_id"))
+        .filter(col("rn") === expr("(n_events + 1) div 2"))
+        .select(col("user_id"), col("value").as("med"))
+      val dev = e.join(med, Seq("user_id"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev
+        .withColumn("rn", row_number().over(wnd.partitionBy(col("user_id"))
+          .orderBy(col("adev"), col("event_id"))))
+        .join(n, Seq("user_id"))
+        .filter(col("rn") === expr("(n_events + 1) div 2"))
+        .select(col("user_id"), col("adev").as("mad"))
+      dev.join(mad, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("user_id"))
+    },
+
+    "v7_truncation_recall" -> { (s, dir) =>
+      // Matryoshka-style dimension-truncation evaluation: recall@10 of
+      // the 16-dim-prefix cosine ranking against the full-dim ranking,
+      // per query — the measurement that decides how many dimensions a
+      // cheap ANN serving tier can drop. Both rankings reuse the a1
+      // machinery (broadcast queries, fused codegen'd cosine,
+      // bounded-heap TopKPerKey — never a per-query sort); the overlap
+      // join meets two ≤ 10-rows-per-query frames. slice() keeps the
+      // float array, so the truncated side widens float→double exactly
+      // like the full side — DuckDB replays as cast-then-slice, which
+      // is element-wise identical.
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      def trunc(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.bruteForceTopK(e, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cut = Similarity.bruteForceTopK(trunc(e), trunc(queries), k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      full.join(cut, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          expr("(1000000 * n_overlap) div 10").as("recall_ppm"))
+        .orderBy(col("query_id"))
+    },
+
+    "k9_bloom" -> { (s, dir) =>
+      // membership-shard Bloom cube — "which documents does each source
+      // shard contain", the set-membership column a cross-shard dedup
+      // or decontamination pass probes before touching bodies. Per
+      // (source, shard) m=4096-bit states (the 516-byte binary column a
+      // daily pipeline persists), bit-OR-merged per source, then rolled
+      // up to one corpus-level filter — the k4/k8 sketch-cube contract
+      // at the Bloom memory point. The gate dumps SET BIT POSITIONS:
+      // each is md5-slice arithmetic DuckDB recomputes exactly (unlike
+      // Spark's built-in BloomFilterImpl, whose murmur layout is
+      // JVM-private — the reason c3's prefilter is gated on its OUTPUT
+      // while this sketch is gated on its STATE).
+      val d = Tables.load(s, dir, "documents")
+      val states = d
+        .withColumn("shard", (col("doc_id") % 4).cast("int"))
+        .groupBy(col("source"), col("shard"))
+        .agg(call_function("graft_bloom_state", col("text"),
+          lit(4096)).as("st"))
+      val bySource = states.groupBy(col("source"))
+        .agg(call_function("graft_bloom_merge", col("st"), lit(4096)).as("st"))
+      val all = bySource.groupBy()
+        .agg(call_function("graft_bloom_merge", col("st"), lit(4096)).as("st"))
+        .select(lit("__all__").as("source"), col("st"))
+      bySource.unionByName(all)
+        .select(col("source"),
+          explode(call_function("graft_bloom_positions", col("st"))).as("pos"))
+        .orderBy(col("source"), col("pos"))
     }
   )
 
@@ -4299,6 +4530,181 @@ object Pipeline {
         |FROM documents d
         |LEFT JOIN a3 ON d.doc_id = a3.v
         |LEFT JOIN d3 ON d.doc_id = d3.v
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "x9_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source,
+        |      unnest(list_distinct(list_filter(
+        |        string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |        x -> len(x) > 0))) AS w
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS nt FROM st GROUP BY source),
+        |iv AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+        |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, CAST(n_inter AS BIGINT) AS n_inter,
+        |  (1000000 * n_inter) // (z1.nt + z2.nt - n_inter) AS jaccard_ppm,
+        |  (1000000 * n_inter) // least(z1.nt, z2.nt) AS containment_ppm
+        |FROM iv
+        |JOIN sz z1 ON iv.s1 = z1.source
+        |JOIN sz z2 ON iv.s2 = z2.source
+        |ORDER BY s1, s2""".stripMargin,
+
+    "s8_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS wtot FROM c),
+        |b AS (
+        |  SELECT source, n_docs, wt,
+        |    (100000 * wt) // t.wtot AS base_n,
+        |    (100000 * wt) % t.wtot AS rem
+        |  FROM c, t),
+        |l AS (SELECT 100000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b)
+        |SELECT source, n_docs, wt,
+        |  CAST(base_n + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r, l ORDER BY source""".stripMargin,
+
+    "t20_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+        |      FROM idx),
+        |base AS (SELECT DISTINCT gg.g FROM g gg WHERE gg.doc_id % 4 <> 0),
+        |newg AS (SELECT * FROM g WHERE doc_id % 4 = 0)
+        |SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  (1000000 * CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS novelty_ppm
+        |FROM newg n LEFT JOIN base b ON n.g = b.g
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
+
+    "d15_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, len(toks) - 2 AS n_kg,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 6),
+        |kg AS (
+        |  SELECT doc_id, n_kg, i AS pos,
+        |    md5(array_to_string(toks[i:i+2], ' ')) AS fp
+        |  FROM idx),
+        |sel AS (
+        |  SELECT doc_id, n_kg, pos,
+        |    min({'fp': fp, 'np': -pos}) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |  FROM kg)
+        |SELECT DISTINCT doc_id, -((s).np) AS fp_pos, (s).fp AS fp
+        |FROM sel WHERE pos <= n_kg - 3
+        |ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "e15_mad_outliers" ->
+      """WITH e AS (SELECT user_id, event_id, value FROM events),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY user_id),
+        |r1 AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value, event_id) AS rn
+        |  FROM e),
+        |med AS (
+        |  SELECT r1.user_id, r1.value AS med
+        |  FROM r1 JOIN n USING (user_id)
+        |  WHERE r1.rn = (n.n_events + 1) // 2),
+        |dev AS (
+        |  SELECT e.user_id, e.event_id, e.value, med.med,
+        |    abs(e.value - med.med) AS adev
+        |  FROM e JOIN med USING (user_id)),
+        |r2 AS (
+        |  SELECT user_id, adev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY adev, event_id) AS rn
+        |  FROM dev),
+        |mad AS (
+        |  SELECT r2.user_id, r2.adev AS mad
+        |  FROM r2 JOIN n USING (user_id)
+        |  WHERE r2.rn = (n.n_events + 1) // 2)
+        |SELECT dev.user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(dev.med) AS med, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (user_id)
+        |GROUP BY dev.user_id ORDER BY dev.user_id""".stripMargin,
+
+    "v7_truncation_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |fs AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |fr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM fs),
+        |ft AS (SELECT query_id, neighbor_id FROM fr WHERE rank <= 10),
+        |ts AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv[1:16], cv[1:16]) /
+        |      (sqrt(list_dot_product(qv[1:16], qv[1:16])) *
+        |       sqrt(list_dot_product(cv[1:16], cv[1:16]))) AS sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |tr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM ts),
+        |tt AS (SELECT query_id, neighbor_id, 1 AS hit FROM tr WHERE rank <= 10)
+        |SELECT ft.query_id,
+        |  CAST(sum(coalesce(tt.hit, 0)) AS BIGINT) AS n_overlap,
+        |  (1000000 * CAST(sum(coalesce(tt.hit, 0)) AS BIGINT)) // 10
+        |    AS recall_ppm
+        |FROM ft LEFT JOIN tt USING (query_id, neighbor_id)
+        |GROUP BY ft.query_id ORDER BY ft.query_id""".stripMargin,
+
+    "k9_bloom" ->
+      """WITH fp AS (SELECT source, md5(text) AS h FROM documents),
+        |pos AS (
+        |  SELECT source,
+        |    CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS INTEGER)
+        |      AS pos FROM fp
+        |  UNION ALL
+        |  SELECT source,
+        |    CAST(CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4096 AS INTEGER)
+        |    FROM fp
+        |  UNION ALL
+        |  SELECT source,
+        |    CAST(CAST('0x' || substr(h, 17, 8) AS BIGINT) % 4096 AS INTEGER)
+        |    FROM fp),
+        |per AS (SELECT DISTINCT source, pos FROM pos),
+        |allp AS (SELECT DISTINCT '__all__' AS source, pos FROM pos)
+        |SELECT source, pos FROM per
+        |UNION ALL SELECT source, pos FROM allp
+        |ORDER BY source, pos""".stripMargin
   )
 }

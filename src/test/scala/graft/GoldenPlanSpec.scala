@@ -78,7 +78,14 @@ class GoldenPlanSpec extends AnyFunSuite {
     "m5_media_phash",      // banded equi join over codegen'd aHash keys
     "c6_eval_leak_report", // broadcast eval grams, per-eval rollup
     "e14_rolling_window",  // user-partitioned RANGE frame
-    "g5_ppr")              // seeded teleport, per-round edge⋈rank shuffle
+    "g5_ppr",              // seeded teleport, per-round edge⋈rank shuffle
+    "x9_source_overlap",   // distinct postings, token-keyed equi self-join
+    "s8_temperature_mix",  // one corpus count, O(sources) apportionment
+    "t20_novelty",         // distinct trigram frames, gram-keyed left join
+    "d15_winnowing",       // doc-partitioned min-struct window, one scan
+    "e15_mad_outliers",    // user-keyed selection windows + equi joins
+    "v7_truncation_recall",// two bounded-heap rankings, broadcast queries
+    "k9_bloom")            // map-side partial bloom states, OR rollup
   // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
   // the full query's plan text varies with the JVM's cache-manager state
   // (each peel round persists its edge frame), the d8 situation exactly.

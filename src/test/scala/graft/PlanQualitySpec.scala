@@ -477,6 +477,103 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the cube rollup is pure aggregation:\n$p")
   }
 
+  test("x9_source_overlap: token-keyed equi self-join, sizes broadcast") {
+    val p = plan("x9_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the source-pair grid must come from the token equi join:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"postings self-join must be an equi join on the token:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-source vocabulary sizes must broadcast:\n$p")
+    // the DISTINCT (source, token) reduction partial-aggregates map-side
+    assert(p.contains("partial"), s"postings dedup must combine map-side:\n$p")
+  }
+
+  test("s8_temperature_mix: one corpus scan, O(sources) apportionment") {
+    val p = plan("s8_temperature_mix")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the per-source count is the ONLY corpus-sized stage:\n$p")
+    assert(p.contains("partial_count"),
+      s"the source count must combine map-side:\n$p")
+    // the apportionment windows rank/total the O(sources) frame — tiny
+    // by construction (sources are ingest feeds, not documents)
+    assert(nodeCount(p, "Window") <= 3 && nodeCount(p, "Window") >= 1,
+      s"bounded apportionment windows over the source frame only:\n$p")
+    assert(nodeCount(p, "Join") == 0,
+      s"totals ride whole-frame windows, never a rescan join:\n$p")
+  }
+
+  test("t20_novelty: gram-keyed equi left join, no cartesian") {
+    val p = plan("t20_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty membership must be a gram-keyed equi join:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"base-set membership must be an equi join:\n$p")
+    assert(p.contains("LeftOuter") || p.contains("LeftSemi") ||
+      p.contains("LeftAnti"),
+      s"incoming grams probe the base set with a left-flavored join:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"novelty is pure aggregation, no window:\n$p")
+  }
+
+  test("d15_winnowing: doc-partitioned selection window, one corpus scan") {
+    val p = plan("d15_winnowing")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the gram stream is built in one corpus pass:\n$p")
+    // the min-struct selection window is partitioned by doc — a doc's
+    // grams fit one task at any corpus size; never a global window
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      s"selection window must be partitioned by doc_id:\n$p")
+    assert(nodeCount(p, "Join") == 0,
+      s"winnowing is window+distinct, no join anywhere:\n$p")
+    // the fingerprint dedup rides the window's doc_id partitioning — the
+    // only exchanges are the window hash and the final order-by range
+    assert(nodeCount(p, "Exchange") == 2,
+      s"distinct must reuse the window's partitioning, not re-shuffle:\n$p")
+  }
+
+  test("e15_mad_outliers: user-keyed windows and equi joins only") {
+    val p = plan("e15_mad_outliers")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      s"both selection windows must be partitioned by user_id:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"median/MAD joins must stay user-keyed equi joins:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 3,
+      s"count/median/MAD frames join back on user_id:\n$p")
+  }
+
+  test("v7_truncation_recall: two bounded-heap rankings, queries broadcast") {
+    val p = plan("v7_truncation_recall")
+    assert(nodeCount(p, "TopKPerKey") >= 2,
+      s"both rankings must be bounded heaps, never a per-query sort:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere in the recall path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query side must broadcast into the scan:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") >= 2,
+      s"both corpus passes join the broadcast query set:\n$p")
+  }
+
+  test("k9_bloom: map-side partial bloom states before each exchange") {
+    val p = plan("k9_bloom")
+    assert(p.contains("partial_graft_bloom_state"),
+      s"bit images must build map-side:\n$p")
+    assert(p.contains("partial_graft_bloom_merge"),
+      s"the rollup must OR states map-side too:\n$p")
+    assert(nodeCount(p, "ObjectHashAggregate") >= 4,
+      s"expect partial+final pairs for the build and the rollup:\n$p")
+    assert(nodeCount(p, "Window") == 0 && nodeCount(p, "Join") == 0,
+      s"the membership cube is pure aggregation:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
