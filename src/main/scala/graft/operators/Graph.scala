@@ -258,4 +258,65 @@ object Graph {
       .join(alive, edges("doc_b") === alive("v"), "left_semi")
     (alive, restricted)
   }
+
+  /** k-truss decomposition (Cohen 2008): keep edges supported by at
+    * least k−2 triangles, recompute support on the restricted graph,
+    * repeat. Where k-core finds vertices with many neighbors, k-truss
+    * finds edges whose ENDPOINT NEIGHBORHOODS overlap — the stronger
+    * cohesion signal (every truss edge sits in k−2 closed wedges), the
+    * community-backbone extractor over the t14 similarity graph.
+    *
+    * `pairs` must be canonical `(doc_a < doc_b)`. Fixed `rounds` (the
+    * g1/g4 unrolled-fixpoint discipline) so the DuckDB oracle replays
+    * the identical prefix; each round persists its surviving edge set
+    * (the d8 lineage discipline). Returns the edges alive after the
+    * last round with that round's support.
+    *
+    * Scale: triangle enumeration here orients by id (smallest vertex
+    * anchors the wedge), adequate because the t14 df band caps degrees;
+    * a hub-heavy graph would swap in [[triangleCounts]]'s
+    * degree-ordered compact-forward orientation — same join shape.
+    */
+  def kTruss(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var edges = Dedup.persistPublic(
+      pairs.select(col("doc_a"), col("doc_b")))
+    var sup: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      sup = trussSupport(edges)
+      edges = Dedup.persistPublic(
+        sup.filter(col("support") >= k - 2)
+          .select(col("doc_a"), col("doc_b")))
+    }
+    sup.filter(col("support") >= k - 2)
+  }
+
+  /** One support round — the repeated unit [[kTruss]] persists per
+    * iteration: triangles from two wedge equi joins (anchor = smallest
+    * vertex, closure probed with a left-semi), each triangle credited
+    * to its three canonical edges, one map-combinable count, and a
+    * left join restoring support-0 edges. Factored out so the golden
+    * plan pins the round's shape cache-independently (the
+    * `d8_cc_round` / `g4_kcore_round` discipline).
+    */
+  private[graft] def trussSupport(edges: DataFrame): DataFrame = {
+    val tri = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.doc_a") === col("e2.doc_a") &&
+          col("e1.doc_b") < col("e2.doc_b"))
+      .select(col("e1.doc_a").as("u"), col("e1.doc_b").as("v"),
+        col("e2.doc_b").as("w"))
+      .join(edges.as("e3"),
+        col("v") === col("e3.doc_a") && col("w") === col("e3.doc_b"),
+        "left_semi")
+    val contrib = tri.select(col("u").as("doc_a"), col("v").as("doc_b"))
+      .union(tri.select(col("u").as("doc_a"), col("w").as("doc_b")))
+      .union(tri.select(col("v").as("doc_a"), col("w").as("doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("support"))
+    edges.join(contrib, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

@@ -2625,6 +2625,161 @@ object Pipeline {
         .select(col("source"),
           explode(call_function("graft_bloom_positions", col("st"))).as("pos"))
         .orderBy(col("source"), col("pos"))
+    },
+
+    "g6_ktruss" -> { (s, dir) =>
+      // k-truss community backbone over the t14 similarity graph —
+      // edges supported by ≥ k−2 triangles after two peel rounds:
+      // where g4's k-core keeps well-connected VERTICES, the truss
+      // keeps edges whose endpoint NEIGHBORHOODS overlap — boilerplate
+      // families survive, topic-bridge edges don't. k = 120 is tuned to
+      // the gate corpus's support distribution (median 111) so both
+      // rounds peel; 2 unrolled rounds (the g1/g4 fixed-round
+      // discipline) replay exactly in the oracle. The pair subtree is
+      // the persisted t14 index.
+      Graph.kTruss(tfidfPairsShared(s, dir), k = 120, rounds = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    "t21_rake" -> { (s, dir) =>
+      // RAKE keyword extraction (Rose et al. 2010): candidate phrases
+      // are maximal non-stopword runs (gaps-and-islands: run_id = the
+      // running stopword count, a window PARTITIONED by doc); word
+      // score = degree/freq over the doc's phrases carried as one
+      // scaled integer division; phrase score = Σ member word scores
+      // (exact longs); top-3 phrases per doc through the bounded-heap
+      // TopKPerKey — never a per-doc sort. Phrase text is rebuilt
+      // pos-ordered via array_sort(struct(pos, w)), so the unordered
+      // window collect is deterministic. Every window and join is
+      // keyed by doc_id — a doc's tokens fit one task at any scale.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+        "that", "for")
+      val d = Tables.load(s, dir, "documents")
+      val tk = d.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("w"),
+          col("col").isInCollection(stop).cast("long").as("is_stop"))
+      val runs = tk.withColumn("run_id",
+          sum(col("is_stop")).over(
+            wnd.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("is_stop") === 0)
+      val pw = wnd.partitionBy(col("doc_id"), col("run_id"))
+      val members = runs
+        .withColumn("phrase_len", count(lit(1)).over(pw))
+        .withColumn("phrase", array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("w"))).over(pw)),
+          x => x.getField("w")), " "))
+      val wscore = members.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
+        .select(col("doc_id"), col("w"),
+          expr("(1000000 * degree) div freq").as("wscore_ppm"))
+      val pscore = members.join(wscore, Seq("doc_id", "w"))
+        .groupBy(col("doc_id"), col("run_id"), col("phrase"))
+        .agg(sum(col("wscore_ppm")).as("score_ppm"))
+        .select(col("doc_id"), col("phrase"), col("score_ppm"))
+        .distinct()
+      graft.plans.TopKPerKey(pscore, Seq(col("doc_id")),
+          Seq(col("score_ppm").desc, col("phrase").asc), 3)
+        .select(col("doc_id"), col("rank"), col("phrase"), col("score_ppm"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    "u2_stupid_backoff" -> { (s, dir) =>
+      // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
+      // web-scale LM rule that skips discount normalization): per
+      // bigram occurrence, S(w2|w1) = c(w1 w2)/c(w1) when the bigram
+      // count survives the floor, else 0.4·c(w2)/N — the 0.4 carried
+      // EXACTLY as 2/5, every path one scaled integer division, the
+      // per-doc sum exact longs (t15's conditional score without its
+      // decimal routing — backoff keeps the whole gate in integers).
+      // Count tables frequency-floored ≥ 2 (u1's Heaps'-law bound) and
+      // broadcast; text never shuffles beyond the per-doc sum.
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .filter(col("cu") >= 2)
+      val tot = toks.select(explode(col("toks")).as("w"))
+        .agg(count(lit(1)).as("n_total"))
+      val occ = toks.select(col("doc_id"), explode(
+          TextFunctions.wordShingles(col("toks"), 2)).as("gram"))
+        .select(col("doc_id"),
+          substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+      val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 2)
+      occ
+        .join(broadcast(big), Seq("w1", "w2"), "left")
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+          Seq("w1"), "left")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          when(col("cb").isNotNull,
+            expr("(1000000 * cb) div c1"))
+          .when(col("c2").isNotNull,
+            expr("(2 * 1000000 * c2) div (5 * n_total)"))
+          .otherwise(lit(0L)).as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("score_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("score_sum"),
+          expr("score_sum div n_bigrams").as("mean_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t22_sentences" -> { (s, dir) =>
+      // sentence segmentation stats — the mean-sentence-length quality
+      // feature (short choppy sentences and unbroken walls of text both
+      // flag low quality): sentences = non-blank runs between [.!?]
+      // terminator groups, one regex split both engines interpret
+      // identically (no \s — the Java/RE2 divergence); tokens-per-
+      // sentence is one scaled integer division. Pure per-row map work —
+      // no shuffle beyond the final order.
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(filter(split(col("text"), "[.!?]+"),
+            x => length(regexp_replace(x, "[ \t\n\f\r]+", "")) > 0))
+            .cast("long").as("n_sent"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("n_sent"), col("n_tok"),
+          when(col("n_sent") > 0,
+            expr("(1000000 * n_tok) div n_sent")).otherwise(lit(0L))
+            .as("tok_per_sent_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    "x11_dataset_card" -> { (s, dir) =>
+      // dataset-card generator — the one-row governance summary a
+      // corpus release ships with, computed in ONE distributed
+      // aggregate pass (every statistic map-combinable or a standard
+      // two-level distinct) + one tiny unpivot: doc/token/vocab
+      // counts, language/source cardinalities, exact-dup rate (ppm of
+      // docs whose text appears more than once — derived from
+      // distinct-text count), and mean tokens/doc. All integers.
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"), col("lang"), col("source"),
+        col("text"), size(TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      val agg = toks.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      agg.select(expr(
+        """stack(6,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'dup_doc_ppm', (1000000 * (n_docs - n_distinct_texts)) div n_docs,
+          |  'mean_doc_tokens_ppm', (1000000 * n_tokens) div n_docs)
+          |  AS (stat, value)""".stripMargin))
+        .orderBy(col("stat"))
     }
   )
 
@@ -4705,6 +4860,183 @@ object Pipeline {
         |allp AS (SELECT DISTINCT '__all__' AS source, pos FROM pos)
         |SELECT source, pos FROM per
         |UNION ALL SELECT source, pos FROM allp
-        |ORDER BY source, pos""".stripMargin
+        |ORDER BY source, pos""".stripMargin,
+
+    "g6_ktruss" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |t1 AS (
+        |  SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+        |  FROM pairs e1 JOIN pairs e2
+        |    ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+        |  WHERE EXISTS (SELECT 1 FROM pairs e3
+        |                WHERE e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b)),
+        |c1 AS (
+        |  SELECT u AS a, v AS b FROM t1
+        |  UNION ALL SELECT u, w FROM t1
+        |  UNION ALL SELECT v, w FROM t1),
+        |s1 AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(c1.a) AS support
+        |  FROM pairs p2 LEFT JOIN c1 ON p2.doc_a = c1.a AND p2.doc_b = c1.b
+        |  GROUP BY p2.doc_a, p2.doc_b),
+        |e1r AS (SELECT doc_a, doc_b FROM s1 WHERE support >= 118),
+        |t2 AS (
+        |  SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+        |  FROM e1r e1 JOIN e1r e2
+        |    ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+        |  WHERE EXISTS (SELECT 1 FROM e1r e3
+        |                WHERE e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b)),
+        |c2 AS (
+        |  SELECT u AS a, v AS b FROM t2
+        |  UNION ALL SELECT u, w FROM t2
+        |  UNION ALL SELECT v, w FROM t2),
+        |s2 AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(c2.a) AS support
+        |  FROM e1r p2 LEFT JOIN c2 ON p2.doc_a = c2.a AND p2.doc_b = c2.b
+        |  GROUP BY p2.doc_a, p2.doc_b)
+        |SELECT doc_a, doc_b, CAST(support AS BIGINT) AS support
+        |FROM s2 WHERE support >= 118
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t21_rake" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS w,
+        |    CASE WHEN list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'],
+        |      toks[i]) THEN 1 ELSE 0 END AS is_stop
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS i FROM tok)),
+        |runs AS (
+        |  SELECT doc_id, pos, w, is_stop,
+        |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        |  FROM tk),
+        |mem AS (SELECT doc_id, run_id, pos, w FROM runs WHERE is_stop = 0),
+        |ph AS (
+        |  SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS phrase_len,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase
+        |  FROM mem GROUP BY doc_id, run_id),
+        |m2 AS (
+        |  SELECT mem.doc_id, mem.run_id, mem.w, ph.phrase_len, ph.phrase
+        |  FROM mem JOIN ph USING (doc_id, run_id)),
+        |ws AS (
+        |  SELECT doc_id, w,
+        |    (1000000 * CAST(sum(phrase_len) AS BIGINT)) // count(*)
+        |      AS wscore_ppm
+        |  FROM m2 GROUP BY doc_id, w),
+        |psc AS (
+        |  SELECT m2.doc_id, m2.run_id, m2.phrase,
+        |    CAST(sum(ws.wscore_ppm) AS BIGINT) AS score_ppm
+        |  FROM m2 JOIN ws ON m2.doc_id = ws.doc_id AND m2.w = ws.w
+        |  GROUP BY m2.doc_id, m2.run_id, m2.phrase),
+        |pd AS (SELECT DISTINCT doc_id, phrase, score_ppm FROM psc),
+        |rk AS (
+        |  SELECT doc_id, phrase, score_ppm,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, phrase ASC) AS rank
+        |  FROM pd)
+        |SELECT doc_id, rank, phrase, score_ppm FROM rk
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "u2_stupid_backoff" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(toks) AS w FROM tok)
+        |  GROUP BY w HAVING count(*) >= 2),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM (
+        |    SELECT unnest(toks) AS w FROM tok)),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |occ AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM occ
+        |  GROUP BY w1, w2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT occ.doc_id,
+        |    CASE
+        |      WHEN big.cb IS NOT NULL THEN (1000000 * big.cb) // u1.cu
+        |      WHEN u2.cu IS NOT NULL
+        |        THEN (2 * 1000000 * u2.cu) // (5 * tot.n_total)
+        |      ELSE 0 END AS sc
+        |  FROM occ
+        |  LEFT JOIN big ON occ.w1 = big.w1 AND occ.w2 = big.w2
+        |  LEFT JOIN uni u1 ON occ.w1 = u1.w
+        |  LEFT JOIN uni u2 ON occ.w2 = u2.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(sc) AS BIGINT) AS score_sum,
+        |  CAST(sum(sc) AS BIGINT) // count(*) AS mean_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t22_sentences" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0))
+        |    AS BIGINT) AS n_sent,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |  CASE WHEN len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0)) > 0
+        |  THEN (1000000 * CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> len(x) > 0)) AS BIGINT)) //
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0))
+        |      AS BIGINT)
+        |  ELSE 0 END AS tok_per_sent_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+        |  FROM t)
+        |SELECT stat, value FROM (
+        |  SELECT 'n_docs' AS stat, n_docs AS value FROM a
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |  UNION ALL SELECT 'n_langs', n_langs FROM a
+        |  UNION ALL SELECT 'n_sources', n_sources FROM a
+        |  UNION ALL SELECT 'dup_doc_ppm',
+        |    (1000000 * (n_docs - n_distinct_texts)) // n_docs FROM a
+        |  UNION ALL SELECT 'mean_doc_tokens_ppm',
+        |    (1000000 * n_tokens) // n_docs FROM a)
+        |ORDER BY stat""".stripMargin
   )
 }

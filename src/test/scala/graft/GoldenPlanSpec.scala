@@ -85,7 +85,18 @@ class GoldenPlanSpec extends AnyFunSuite {
     "d15_winnowing",       // doc-partitioned min-struct window, one scan
     "e15_mad_outliers",    // user-keyed selection windows + equi joins
     "v7_truncation_recall",// two bounded-heap rankings, broadcast queries
-    "k9_bloom")            // map-side partial bloom states, OR rollup
+    "k9_bloom",            // map-side partial bloom states, OR rollup
+    "t21_rake",            // doc-partitioned run windows, bounded-heap top-3
+    "u2_stupid_backoff",   // floored count tables broadcast, integer backoff
+    "t22_sentences")       // map-only segmentation, single order exchange
+  // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
+  // orders the multi-distinct Expand arms by attribute id, which varies
+  // with session registration order — the shape (one scan, Expand,
+  // two-level aggregate) is guarded by the targeted PlanQualitySpec
+  // assert instead.
+  // g6_ktruss is pinned as its repeated round unit (g6_truss_round
+  // below) — the full query's plan text varies with the JVM's
+  // cache-manager state, the d8/g4 situation exactly.
   // g4_kcore is pinned as its repeated round unit (g4_kcore_round below):
   // the full query's plan text varies with the JVM's cache-manager state
   // (each peel round persists its edge frame), the d8 situation exactly.
@@ -156,6 +167,21 @@ class GoldenPlanSpec extends AnyFunSuite {
     val labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
     val edges = docs.select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
     checkGolden("d8_cc_round", graft.operators.Dedup.ccRound(labels, edges))
+  }
+
+  test("golden plan: g6_truss_round") {
+    // pins the repeated support unit of the k-truss peel: two wedge
+    // equi joins (anchor = smallest vertex) with a left-semi closure
+    // probe, three-way triangle crediting, one map-combinable count,
+    // and the left join restoring support-0 edges. A regression to a
+    // cartesian wedge stage or a window-ranked support would surface
+    // here.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = docs.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + 1).as("doc_b"))
+    checkGolden("g6_truss_round",
+      graft.operators.Graph.trussSupport(edges))
   }
 
   test("golden plan: g4_kcore_round") {

@@ -319,4 +319,60 @@ class GraphSpec extends AnyFunSuite {
       Graph.kCore(verticesDf(2), pairsDf(Seq((0L, 1L))), 2, 0)
     }
   }
+
+  private def runKTruss(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[(Long, Long), Long] =
+    Graph.kTruss(pairsDf(edges), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("ktruss: K4 with a pendant triangle — the clique is the 4-truss") {
+    // 0-1-2-3 clique plus triangle 3-4-5: every K4 edge closes 2
+    // triangles, the pendant triangle's edges close only 1
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val tri = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val got = runKTruss(k4 ++ tri, k = 4, rounds = 2)
+    assert(got.keySet == k4.toSet, s"only the K4 edges survive: $got")
+    assert(got.values.forall(_ == 2L), "each K4 edge sits in 2 triangles")
+    // at k=3 everything with one triangle survives
+    val loose = runKTruss(k4 ++ tri, k = 3, rounds = 2)
+    assert(loose.keySet == (k4 ++ tri).toSet)
+  }
+
+  test("ktruss: one round only peels the current support-deficient edges") {
+    // two triangles sharing edge (1,2), plus a tail edge: the shared
+    // edge has support 2, the wing edges 1, the tail 0
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val r1 = runKTruss(g, k = 4, rounds = 1)
+    // round 1 peels wings (support 1) and the tail; (1,2) had support 2
+    assert(r1.keySet == Set((1L, 2L)))
+    // round 2 recomputes: (1,2) alone closes no triangle — gone
+    val r2 = runKTruss(g, k = 4, rounds = 2)
+    assert(r2.isEmpty)
+  }
+
+  test("ktruss: partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (_ <- 1 to 80) yield {
+      val a = rnd.nextInt(12); val b = rnd.nextInt(12)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val one = Graph.kTruss(pairsDf(edges).repartition(1), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val many = Graph.kTruss(pairsDf(edges).repartition(7), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(one == many)
+  }
+
+  test("ktruss: rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(pairsDf(Seq((0L, 1L))), 2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(pairsDf(Seq((0L, 1L))), 3, 0)
+    }
+  }
 }

@@ -566,6 +566,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming bloom state matches the batch image byte-for-byte") {
+    // bit-OR is commutative/associative/idempotent, so the Bloom image
+    // is micro-batch-split-invariant — the streamed membership shard
+    // must be the identical byte array the batch pass builds (the
+    // CMS/HLL grid discipline, at the k9 membership point).
+    import org.apache.spark.sql.functions.{base64, call_function, lit}
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .groupBy(col("lang"))
+      .agg(base64(call_function("graft_bloom_state",
+        col("text"), lit(2048))).as("st"))
+    val got = EventsStream.runToMemory(
+      agg(EventsStream.readDocuments(spark, sf)),
+      "bloom_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = agg(Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sketch-cube states match the batch cube (k4 shape)") {
     // the sketch-CUBE pattern under streaming: per-(lang, shard) binary
     // STATES aggregate in the stream, then a batch rollup merges them —

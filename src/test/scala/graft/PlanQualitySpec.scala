@@ -574,6 +574,57 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the membership cube is pure aggregation:\n$p")
   }
 
+  test("g6_ktruss: wedge + closure stay equi joins over the persisted index") {
+    val p = plan("g6_ktruss")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must be equi joins, never all-pairs:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the wedge closure must probe with a semi join:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"support is an aggregate, not a window rank:\n$p")
+  }
+
+  test("t21_rake: doc-partitioned windows, bounded-heap top-3") {
+    val p = plan("t21_rake")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      s"every window must be partitioned by doc_id:\n$p")
+    assert(nodeCount(p, "TopKPerKey") >= 1,
+      s"top-3 phrases must come from the bounded heap, not a sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"word-score join must stay doc-keyed equi:\n$p")
+  }
+
+  test("u2_stupid_backoff: count tables broadcast, no window") {
+    val p = plan("u2_stupid_backoff")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 3,
+      s"bigram/unigram tables must broadcast into the occurrence scan:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"backoff scoring is pure map + aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals may nested-loop:\n$p")
+  }
+
+  test("t22_sentences: map-only segmentation, one order exchange") {
+    val p = plan("t22_sentences")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"segmentation is per-row expression work:\n$p")
+    assert(nodeCount(p, "Exchange") == 1,
+      s"only the final order-by range exchange:\n$p")
+  }
+
+  test("x11_dataset_card: one corpus scan feeds the multi-distinct aggregate") {
+    val p = plan("x11_dataset_card")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"every statistic comes from ONE corpus pass:\n$p")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"the card is pure aggregation + unpivot:\n$p")
+    assert(p.contains("Expand") || p.contains("partial"),
+      s"multi-distinct must use the standard expand/partial path:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
