@@ -441,17 +441,21 @@ object Similarity {
     * 100 TB this is the PQ serving contract: the scan reads m bytes per
     * vector instead of dim·4.
     */
-  def pqAdcTopK(
-      queries: DataFrame,
-      codes: DataFrame,
-      model: PqModel,
-      k: Int): DataFrame = {
+  /** Per-query ADC lookup table: for every (query, subspace, code) the
+    * per-query-constant-dropped ‖q_block − c‖² = ‖c‖² − 2⟨q_block, c⟩,
+    * with both terms the same strict left-to-right fold the oracle's
+    * `list_dot_product` performs. O(\|queries\|·m·k) driver rows — the
+    * bounded-query-batch contract shared by [[pqAdcTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def adcLut(
+      queries: DataFrame, model: PqModel): Seq[(Long, Int, Int, Double)] = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qs = queries
       .select(col("vec_id"), asDouble(col("embedding")))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val lut = for {
+    for {
       (qid, qv) <- qs
       (book, sub) <- model.books.zipWithIndex
       (cid, c) <- book
@@ -464,11 +468,92 @@ object Similarity {
       while (i < c.length) { dp += qv(sub * model.dsub + i) * c(i); i += 1 }
       (qid, sub, cid, cc - 2.0 * dp)
     }
+  }
+
+  def pqAdcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      model: PqModel,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val lut = adcLut(queries, model)
     val long = codes.select(col("vec_id"), posexplode(
       array((0 until model.m).map(i => col(s"c$i")): _*)).as(Seq("sub", "code")))
     val scored = long
       .join(broadcast(lut.toDF("query_id", "sub", "code", "s")), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("s").cast("decimal(28,12)")).cast("double").as("adist"))
+    graft.plans.TopKPerKey(scored,
+        Seq(col("query_id")), Seq(col("adist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
+  /** IVF-PQ composed serving [Jégou et al., TPAMI'11 §IV] — the
+    * standard large-scale ANN deployment shape: the coarse quantizer
+    * prunes the corpus to the query's `nprobe` nearest cells, and only
+    * the CANDIDATES' m-byte codes are scored (asymmetric distance) —
+    * the scan cost at 100 TB is nprobe/nlist of the corpus × m bytes
+    * per vector, with neither full vectors nor non-candidate codes ever
+    * touched. ONE map-only projection computes each corpus vector's
+    * coarse cell AND its m codes (no join, no shuffle — the assignment
+    * discipline); candidates come from an equi join on the cell against
+    * the broadcast probe set; scoring is the a4 LUT join + decimal-
+    * routed sum; winners from the bounded heap.
+    *
+    * Exactness: cell assignment, codes, and LUT all reuse the
+    * oracle-replayable kernels (fused cosine, L2 argmin over persisted
+    * codebooks), so the whole composition hash-gates — unlike a2's
+    * pruned probe, whose recall is spec-measured, the IVF-PQ answer is
+    * deterministic GIVEN the persisted centroid + codebook tables.
+    */
+  def ivfPqTopK(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centArr = centroids
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val ids = centArr.map(_._1)
+    // ONE narrow projection: coarse cell + all m codes; the corpus is
+    // read once and never shuffled to learn either. element_at maps the
+    // argmax POSITION back to the stored centroid_id so the probe join
+    // key is id-stable even if ids are not 1..nlist.
+    val codeCols = model.books.zipWithIndex.map { case (cents, sub) =>
+      nearestCellL2Expr(
+        slice(asDouble(col("embedding")), sub * model.dsub + 1, model.dsub),
+        cents).as(s"c$sub")
+    }
+    val coded = corpus.select(
+      Seq(col("vec_id"),
+        element_at(typedLit(ids),
+          nearestCellExpr(col("embedding"), centArr)).as("cell")) ++
+        codeCols: _*)
+    // query → nprobe cells (a tiny frame: |queries| × nlist)
+    val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
+    val qScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cents)
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val qcells = graft.plans.TopKPerKey(qScored,
+        Seq(col("query_id")), Seq(col("csim").desc, col("centroid_id").asc),
+        nprobe, rankName = "crank")
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val cand = coded.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val long = cand.select(col("query_id"), col("vec_id"), posexplode(
+      array((0 until model.m).map(i => col(s"c$i")): _*)).as(Seq("sub", "code")))
+    val scored = long
+      .join(broadcast(adcLut(queries, model)
+        .toDF("query_id", "sub", "code", "s")), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("s").cast("decimal(28,12)")).cast("double").as("adist"))
     graft.plans.TopKPerKey(scored,

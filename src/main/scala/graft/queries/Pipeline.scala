@@ -686,6 +686,23 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "a6_ivf_pq" -> { (s, dir) =>
+      // IVF-PQ composed serving (the FAISS IVFPQ deployment shape):
+      // coarse centroids prune to the 4 nearest cells per query, ADC
+      // scores only those candidates' 8-byte codes — at 100 TB the
+      // scan touches nprobe/nlist of the corpus at m bytes/vector.
+      // Both models come from the persisted cross-JVM caches (the
+      // fit-once/serve-many discipline), and since cell assignment,
+      // codes, and LUT are all oracle-replayable kernels, the COMPOSED
+      // answer hash-gates — the approximate index with an exact gate.
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
+        e, e.filter(col("vec_id") < 5), fittedPq(s, dir),
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "a2p_ivf_full_probe" -> { (s, dir) =>
       // oracle gate for the IVF machinery: with nprobe = nlist every cell
       // is probed, so the candidate set is the full corpus and the result
@@ -3216,6 +3233,72 @@ object Pipeline {
         |SELECT vec_id, CAST(sub AS INTEGER) AS sub,
         |  CAST(centroid_id AS INTEGER) AS code
         |FROM rk WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "a6_ivf_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/ivf_centroids_16.parquet/*.parquet')),
+        |asn AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT v.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.v, c.centroid) /
+        |          (sqrt(list_dot_product(v.v, v.v)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT query_id, centroid_id AS cell FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, c.centroid) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM q, cent c) WHERE rn <= 4),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.query_id, m.sub, m.centroid_id AS code,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(q.qv[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM q, model m),
+        |cand AS (
+        |  SELECT qc.query_id, asn.vec_id
+        |  FROM qc JOIN asn ON qc.cell = asn.cell
+        |  WHERE asn.vec_id <> qc.query_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM cand
+        |  JOIN codes c2 ON cand.vec_id = c2.vec_id
+        |  JOIN lut l ON l.query_id = cand.query_id
+        |    AND l.sub = c2.sub AND l.code = c2.code
+        |  GROUP BY cand.query_id, cand.vec_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adist, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "a2p_ivf_full_probe" ->
       """WITH q AS (

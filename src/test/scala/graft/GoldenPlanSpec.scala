@@ -88,7 +88,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "k9_bloom",            // map-side partial bloom states, OR rollup
     "t21_rake",            // doc-partitioned run windows, bounded-heap top-3
     "u2_stupid_backoff",   // floored count tables broadcast, integer backoff
-    "t22_sentences")       // map-only segmentation, single order exchange
+    "t22_sentences",       // map-only segmentation, single order exchange
+    "a6_ivf_pq")           // fused cell+code projection, cell-pruned ADC
   // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
   // orders the multi-distinct Expand arms by attribute id, which varies
   // with session registration order — the shape (one scan, Expand,

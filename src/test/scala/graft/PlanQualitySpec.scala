@@ -625,6 +625,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"multi-distinct must use the standard expand/partial path:\n$p")
   }
 
+  test("a6_ivf_pq: one corpus projection, cell-pruned candidates, bounded heaps") {
+    val p = plan("a6_ivf_pq")
+    // cell + codes come from ONE narrow corpus projection — embeddings
+    // are scanned once for the corpus side (plus once for the query side)
+    assert(nodeCount(p, "Scan parquet") <= 2,
+      s"cell+codes must fuse into one corpus projection:\n$p")
+    assert(nodeCount(p, "TopKPerKey") >= 2,
+      s"probe ranking and final winners are bounded heaps:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"probe set and LUT must broadcast into the candidate join:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere in the serving path:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),

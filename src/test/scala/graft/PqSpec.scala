@@ -74,6 +74,49 @@ class PqSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted)
   }
 
+  test("ivf-pq with nprobe = nlist equals plain ADC exactly") {
+    // full probe ⇒ the candidate set is the whole corpus, so the
+    // composed IVF-PQ ranking must reproduce pqAdcTopK bit-for-bit —
+    // centroid assignment, probe ranking, the candidate equi join, and
+    // the LUT sum all sit on the checked path (the a2p discipline)
+    val c = corpus(400, 16, 8)
+    val queries = c.filter(col("vec_id") < 3)
+    val model = Similarity.fitPq(c, dim = 16, m = 2, k = 4, iters = 2)
+    val cents = Similarity.lloydCentroids(c, nlist = 4, iters = 1)
+    val full = Similarity.ivfPqTopK(cents, c, queries, model,
+        k = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val adc = Similarity.pqAdcTopK(queries, Similarity.pqEncode(c, model),
+        model, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(full == adc,
+      "nprobe = nlist must reduce IVF-PQ to the exhaustive ADC ranking")
+    assert(full.nonEmpty)
+  }
+
+  test("ivf-pq pruned probe returns a subset of candidates' adc scores") {
+    // with nprobe < nlist every returned neighbor must carry the SAME
+    // adist the exhaustive ADC assigns it (pruning changes the candidate
+    // set, never a surviving score)
+    val c = corpus(400, 16, 8)
+    val queries = c.filter(col("vec_id") < 3)
+    val model = Similarity.fitPq(c, dim = 16, m = 2, k = 4, iters = 2)
+    val cents = Similarity.lloydCentroids(c, nlist = 4, iters = 1)
+    val pruned = Similarity.ivfPqTopK(cents, c, queries, model,
+        k = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val adcAll = Similarity.pqAdcTopK(queries, Similarity.pqEncode(c, model),
+        model, k = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (key, d) =>
+      assert(adcAll(key) == d,
+        s"pruning must preserve the ADC score for $key")
+    }
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
