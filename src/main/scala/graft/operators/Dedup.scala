@@ -718,4 +718,61 @@ object Dedup {
         expr("(inter * 1000000) div uni").as("jacc_ppm"))
       .filter(col("jacc_ppm") >= minJaccPpm)
   }
+
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    * SIGMOD'03): md5 token-3-gram hashes, a w=4 sliding window keeps
+    * the minimum hash per window (rightmost position on ties — the
+    * robust-winnowing rule), selections deduped. ONE window pass
+    * PARTITIONED by doc (a doc's grams fit one task at any corpus
+    * size); md5 is the cross-engine hash and `min(struct(fp, −pos))`
+    * the shared total order, so the index replays exactly in SQL.
+    * Returns `(doc_id, fp_pos, fp)` — the persistable local
+    * fingerprint index (the d15 gate surface).
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 3)
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val kg = toks.filter(size(col("toks")) >= 6) // k + w - 1
+      .select(col("doc_id"), (size(col("toks")) - 2).as("n_kg"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), 3)))
+      .select(col("doc_id"), col("n_kg"), (col("pos") + 1).as("pos"),
+        md5(col("col")).as("fp"))
+    kg.withColumn("sel",
+        min(struct(col("fp"), (-col("pos")).as("np"))).over(wnd))
+      .filter(col("pos") <= col("n_kg") - 3) // full windows only
+      .select(col("doc_id"), (-col("sel.np")).as("fp_pos"),
+        col("sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the
+    * serving query over [[winnowFingerprints]]' index: postings
+    * (fingerprint → docs) are DF-CAPPED (fingerprints shared by more
+    * than `maxDf` docs are boilerplate and dropped — the d13/t13
+    * posting-cap discipline that bounds join fan-out at any corpus
+    * size), pairs from the capped equi self-join, kept when they share
+    * at least `minShared` selected fingerprints. By the winnowing
+    * guarantee a shared run of ≥ w+k−1 tokens forces ≥ 1 shared
+    * fingerprint, so recall on long verbatim overlaps is structural,
+    * not probabilistic.
+    */
+  def winnowPairs(docs: DataFrame, maxDf: Int = 20,
+      minShared: Long = 2L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnowFingerprints(docs)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val posting = fps.join(keep, Seq("fp"), "left_semi")
+    posting.as("x").join(posting.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -2530,24 +2530,48 @@ object Pipeline {
       // corpus size) over md5 grams — md5 is the cross-engine hash, and
       // min(struct(fp, -pos)) is the total order both engines share.
       // The output IS the fingerprint index you'd persist for serving.
-      val wnd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(0, 3)
-      val d = Tables.load(s, dir, "documents")
-      val toks = d.select(col("doc_id"),
-        TextFunctions.tokens(col("text")).as("toks"))
-      val kg = toks.filter(size(col("toks")) >= 6) // k + w - 1
-        .select(col("doc_id"), (size(col("toks")) - 2).as("n_kg"),
-          posexplode(TextFunctions.wordShingles(col("toks"), 3)))
-        .select(col("doc_id"), col("n_kg"), (col("pos") + 1).as("pos"),
-          md5(col("col")).as("fp"))
-      kg.withColumn("sel",
-          min(struct(col("fp"), (-col("pos")).as("np"))).over(wnd))
-        .filter(col("pos") <= col("n_kg") - 3) // full windows only
-        .select(col("doc_id"), (-col("sel.np")).as("fp_pos"),
-          col("sel.fp").as("fp"))
-        .distinct()
+      // (Selection lives in [[Dedup.winnowFingerprints]]; d16 serves
+      // candidate pairs from the same index.)
+      Dedup.winnowFingerprints(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("fp_pos"))
+    },
+
+    "d16_winnow_pairs" -> { (s, dir) =>
+      // near-dup candidates from shared winnowing fingerprints — d15's
+      // serving query: postings df-capped at 20 (boilerplate
+      // fingerprints drop — the d13/t13 posting-cap discipline bounding
+      // join fan-out at any corpus size), pairs from the capped equi
+      // self-join, kept at ≥ 2 shared fingerprints. The winnowing
+      // guarantee makes recall on ≥ w+k−1-token verbatim overlaps
+      // structural, not probabilistic.
+      Dedup.winnowPairs(Tables.load(s, dir, "documents"),
+        maxDf = 20, minShared = 2L)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "x12_source_cdf" -> { (s, dir) =>
+      // per-source exact CDF calibration — "what fraction of my
+      // source's documents are at most this long": the cross-source
+      // score-normalization primitive. The scalable shape: cumulative
+      // sums run over the DISTINCT (source, value) frame (bounded by
+      // value cardinality, NOT document count — a per-source
+      // percent_rank window would sort every source's documents in one
+      // task), then one equi join assigns every document its CDF. One
+      // scaled integer division; everything exact.
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = counts.withColumn("cum", sum(col("cnt")).over(wnd))
+      val tot = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n_src"))
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(cum.select(col("source"), col("n_chars"), col("cum")),
+          Seq("source", "n_chars"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(1000000 * cum) div n_src").as("cdf_ppm"))
+        .orderBy(col("doc_id"))
     },
 
     "e15_mad_outliers" -> { (s, dir) =>
@@ -4854,6 +4878,59 @@ object Pipeline {
         |SELECT DISTINCT doc_id, -((s).np) AS fp_pos, (s).fp AS fp
         |FROM sel WHERE pos <= n_kg - 3
         |ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "d16_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, len(toks) - 2 AS n_kg,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 6),
+        |kg AS (
+        |  SELECT doc_id, n_kg, i AS pos,
+        |    md5(array_to_string(toks[i:i+2], ' ')) AS fp
+        |  FROM idx),
+        |sel AS (
+        |  SELECT doc_id, n_kg, pos,
+        |    min({'fp': fp, 'np': -pos}) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |  FROM kg),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, (s).fp AS fp
+        |  FROM sel WHERE pos <= n_kg - 3),
+        |keep AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+        |posting AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM posting x JOIN posting y
+        |  ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin,
+
+    "x12_source_cdf" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source, n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) AS cum
+        |  FROM counts),
+        |tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
+        |  FROM counts GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  (1000000 * cum.cum) // tot.n_src AS cdf_ppm
+        |FROM documents d
+        |JOIN cum ON d.source = cum.source AND d.n_chars = cum.n_chars
+        |JOIN tot ON d.source = tot.source
+        |ORDER BY d.doc_id""".stripMargin,
 
     "e15_mad_outliers" ->
       """WITH e AS (SELECT user_id, event_id, value FROM events),

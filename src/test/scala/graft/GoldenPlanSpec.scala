@@ -89,7 +89,9 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t21_rake",            // doc-partitioned run windows, bounded-heap top-3
     "u2_stupid_backoff",   // floored count tables broadcast, integer backoff
     "t22_sentences",       // map-only segmentation, single order exchange
-    "a6_ivf_pq")           // fused cell+code projection, cell-pruned ADC
+    "a6_ivf_pq",           // fused cell+code projection, cell-pruned ADC
+    "d16_winnow_pairs",    // df-capped fingerprint postings, equi pairs
+    "x12_source_cdf")      // distinct-value cumsum, equi CDF assignment
   // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
   // orders the multi-distinct Expand arms by attribute id, which varies
   // with session registration order — the shape (one scan, Expand,

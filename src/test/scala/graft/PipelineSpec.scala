@@ -185,6 +185,41 @@ class DedupSpec extends AnyFunSuite {
       "at most window-1 candidates per left doc")
   }
 
+  test("winnowing pairs find a shared run; the df cap drops boilerplate") {
+    // docs 30/31 share a 12-token run (≥ w+k−1 = 6 ⇒ a shared
+    // fingerprint is STRUCTURAL); 32 is unrelated
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (30L, "unique opening words here " + run),
+      (31L, run + " and then a different continuation of text"),
+      (32L, "totally unrelated content about deep sea creatures and " +
+        "their bioluminescent displays in the midnight zone of oceans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(corpus, maxDf = 20, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((30L, 31L)), s"shared run must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 32L || p._2 == 32L),
+      s"unrelated doc must not pair: $pairs")
+    // df cap: a fingerprint present in EVERY doc is boilerplate — with
+    // maxDf = 2 a 3-doc-ubiquitous template line stops generating pairs
+    val boiler = "standard legal disclaimer applies to all documents here now"
+    val many = (0L until 3L).map(i =>
+      (40L + i, boiler + s" unique tail number $i with extra words " +
+        s"specific to document $i only")).toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(many, maxDf = 2, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.winnowPairs(many, maxDf = 20, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty, "shared boilerplate must pair when uncapped")
+    assert(capped.size < uncapped.size || capped.isEmpty,
+      s"the df cap must drop ubiquitous fingerprints: $capped vs $uncapped")
+    // validation
+    intercept[IllegalArgumentException] { Dedup.winnowPairs(corpus, maxDf = 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairs(corpus, minShared = 0L)
+    }
+  }
+
   test("containment flags a quote-expansion superset Jaccard misses") {
     val quote = "colorless green ideas sleep furiously every night"
     val page = "editorial context before the famous line " + quote +

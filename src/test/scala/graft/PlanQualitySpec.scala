@@ -639,6 +639,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no window anywhere in the serving path:\n$p")
   }
 
+  test("d16_winnow_pairs: df-capped postings, equi candidate join") {
+    val p = plan("d16_winnow_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the fingerprint equi join:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"postings must be df-cap-pruned with a semi join:\n$p")
+    // the only window is d15's doc-partitioned selection pass
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      s"selection window must stay partitioned by doc_id:\n$p")
+  }
+
+  test("x12_source_cdf: cumsum over the distinct-value frame, equi joins back") {
+    val p = plan("x12_source_cdf")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("source#")),
+      s"the cumulative window runs per source over DISTINCT values:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"CDF assignment must be an equi join:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"cum + totals join back onto the documents:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
