@@ -122,6 +122,16 @@ class GraftEngine(val spark: SparkSession) {
     df.toDF(df.columns.map(_.toLowerCase): _*)
   }
 
+  /** `read_json(path)` TVF body (extension — JSON lines, the log/event
+    * interchange format a pipeline ingests before columnarizing):
+    * schema inferred per Spark's JSONL reader, column names lowercased
+    * like the CSV/parquet paths. Real NULLs, no coalescing.
+    */
+  def readJson(path: String): DataFrame = {
+    val df = spark.read.json(path)
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+
   /** `COPY <table | (subquery)> TO 'path' (opts)` — the write sink
     * (extension: the reference REJECTS copy-to, bind_copy.rs:77-79; an
     * engine without a sink can't feed a pipeline). Spark-native semantics:
@@ -195,8 +205,9 @@ class GraftEngine(val spark: SparkSession) {
         val header = """(?i)header\s+false""".r.findFirstIn(opts).isEmpty
         w.option("header", header.toString).option("delimiter", delim).csv(path)
       case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
       case other => throw new IllegalArgumentException(
-        s"unsupported COPY TO format: $other (csv|parquet)")
+        s"unsupported COPY TO format: $other (csv|parquet|json)")
     }
   }
 
@@ -227,6 +238,9 @@ class GraftEngine(val spark: SparkSession) {
   private val ReadParquetCallRe =
     """(?i)read_parquet\s*\(\s*'([^']+)'\s*\)""".r
   private val BareParquetFromRe = """(?i)(from\s+)'([^']+\.parquet)'""".r
+  private val ReadJsonCallRe =
+    """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
+  private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
 
   /** Execute one or more `;`-separated statements; returns the LAST
     * statement's DataFrame (DDL/DML return an empty result, like the
@@ -415,6 +429,23 @@ class GraftEngine(val spark: SparkSession) {
       val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
         else s"parquet_$stem"
       readParquet(m.group(2)).createOrReplaceTempView(view)
+      m.group(1) + view
+    })
+    // read_json('p') TVF and bare `FROM 'file.json[l]'` — the log/event
+    // ingest surface (extension; same rewrite shape as csv/parquet)
+    sql = ReadJsonCallRe.replaceAllIn(sql, m => {
+      idx += 1
+      val view = s"__read_json_$idx"
+      readJson(m.group(1)).createOrReplaceTempView(view)
+      view
+    })
+    sql = BareJsonFromRe.replaceAllIn(sql, m => {
+      val stem = m.group(2).split("/").last
+        .stripSuffix(".jsonl").stripSuffix(".json")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
+        else s"json_$stem"
+      readJson(m.group(2)).createOrReplaceTempView(view)
       m.group(1) + view
     })
     val df =

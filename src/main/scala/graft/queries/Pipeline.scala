@@ -1112,6 +1112,38 @@ object Pipeline {
         .orderBy(col("doc_id"), col("seq_no"))
     },
 
+    "p4_chunk_overlap" -> { (s, dir) =>
+      // sliding-window chunking with overlap — the RAG / long-context
+      // chunker (width 64 tokens, stride 48 ⇒ 16-token overlap): every
+      // token is covered and consecutive chunks share the overlap so no
+      // boundary context is lost. Starts run 1, 49, … while
+      // s ≤ max(1, n − overlap); the final chunk truncates at the doc
+      // end. Pure per-doc arithmetic over `sequence` — no shuffle
+      // beyond the final order. Each chunk ships its md5 fingerprint so
+      // downstream chunk-level dedup joins fixed-width keys, never
+      // chunk text (the d1 bodies-never-move discipline).
+      val width = 64
+      val stride = 48
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(1L),
+            greatest(lit(1L), col("n") - (width - stride)),
+            lit(stride.toLong))).as("start"))
+        .select(col("doc_id"),
+          expr(s"(start - 1) div $stride").as("chunk_no"),
+          col("start"),
+          least(lit(width.toLong), col("n") - col("start") + 1)
+            .as("chunk_len"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("start").cast("int"), lit(width))))
+            .as("fp"))
+        .orderBy(col("doc_id"), col("start"))
+    },
+
     "t8_top_tokens" -> { (s, dir) =>
       // per-language top-5 vocabulary: corpus-stat query through the
       // custom bounded-heap TopKPerKey operator (not a window sort) — at
@@ -2547,6 +2579,68 @@ object Pipeline {
       Dedup.winnowPairs(Tables.load(s, dir, "documents"),
         maxDf = 20, minShared = 2L)
         .orderBy(col("a"), col("b"))
+    },
+
+    "t23_readability" -> { (s, dir) =>
+      // readability features (the Flesch-Kincaid inputs): words per
+      // sentence and vowel-groups per word — the syllable stand-in a
+      // regex both engines share ([aeiou]+ runs; no lookarounds, no \s).
+      // The composite FK grade is a fixed linear blend of these two
+      // ratios, so shipping the EXACT scaled ratios (one integer
+      // division each) keeps the gate transcendental-free and lets the
+      // caller blend with any coefficients. Pure per-row map work.
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+          size(filter(split(col("text"), "[.!?]+"),
+            x => length(regexp_replace(x, "[ \t\n\f\r]+", "")) > 0))
+            .cast("long").as("n_sent"),
+          size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+            .cast("long").as("n_vg"))
+        .select(col("doc_id"), col("n_tok"), col("n_sent"), col("n_vg"),
+          when(col("n_sent") > 0, expr("(1000000 * n_tok) div n_sent"))
+            .otherwise(lit(0L)).as("wps_ppm"),
+          when(col("n_tok") > 0, expr("(1000000 * n_vg) div n_tok"))
+            .otherwise(lit(0L)).as("spw_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    "v8_centroid_drift" -> { (s, dir) =>
+      // per-label embedding-centroid drift between corpus snapshots —
+      // the model-monitoring primitive ("did class 3's embedding
+      // distribution move?") run as cosine between each label's base
+      // and incoming-drop centroids (t20/x4's deterministic snapshot
+      // convention: base = vec_id % 4 != 0). Each centroid is the d7
+      // decimal-summed mean (partitioning-independent); the cosine's
+      // dot and norms are decimal-routed sums of IEEE products over
+      // the (label × dim)-bounded centroid frame — order-insensitive,
+      // so the doubles replay exactly. Two corpus passes, then
+      // O(labels × dims) everything.
+      val e = Tables.load(s, dir, "embeddings")
+      def cent(df: DataFrame, m: String, n: String): DataFrame =
+        df.select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(
+            (sum(col("v").cast("double").cast("decimal(28,12)"))
+              .cast("double") / count(lit(1))).as(m),
+            count(lit(1)).as(n))
+      val base = cent(e.filter(col("vec_id") % 4 =!= 0), "mb", "nb")
+      val drop = cent(e.filter(col("vec_id") % 4 === 0), "mn", "nn")
+      base.join(drop, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(
+          max(col("nb")).as("n_base"), max(col("nn")).as("n_new"),
+          sum((col("mb") * col("mn")).cast("decimal(28,12)"))
+            .cast("double").as("dot"),
+          sum((col("mb") * col("mb")).cast("decimal(28,12)"))
+            .cast("double").as("bb"),
+          sum((col("mn") * col("mn")).cast("decimal(28,12)"))
+            .cast("double").as("nn2"))
+        .select(col("label"), col("n_base"), col("n_new"),
+          (col("dot") / (sqrt(col("bb")) * sqrt(col("nn2"))))
+            .as("cos_sim"))
+        .orderBy(col("label"))
     },
 
     "x12_source_cdf" -> { (s, dir) =>
@@ -4912,6 +5006,87 @@ object Pipeline {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+
+    "p4_chunk_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |      FROM tok WHERE len(toks) > 0),
+        |st AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(1, greatest(1, n - 16), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  (start - 1) // 48 AS chunk_no,
+        |  CAST(start AS BIGINT) AS start,
+        |  least(64, n - start + 1) AS chunk_len,
+        |  md5(array_to_string(toks[start:start+63], ' ')) AS fp
+        |FROM st ORDER BY doc_id, start""".stripMargin,
+
+    "t23_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0))
+        |    AS BIGINT) AS n_sent,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |    AS BIGINT) AS n_vg,
+        |  CASE WHEN len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0)) > 0
+        |  THEN (1000000 * CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> len(x) > 0)) AS BIGINT)) //
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> len(regexp_replace(x, '[ \t\n\f\r]+', '', 'g')) > 0))
+        |      AS BIGINT)
+        |  ELSE 0 END AS wps_ppm,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> len(x) > 0)) > 0
+        |  THEN (1000000 * CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |    AS BIGINT)) //
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT)
+        |  ELSE 0 END AS spw_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v8_centroid_drift" ->
+      """WITH xb AS (
+        |  SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id % 4 <> 0),
+        |base AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*) AS mb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM xb GROUP BY label, pos),
+        |xn AS (
+        |  SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |nw AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*) AS mn,
+        |    CAST(count(*) AS BIGINT) AS nn
+        |  FROM xn GROUP BY label, pos),
+        |j AS (
+        |  SELECT b.label, b.mb, n.mn, b.nb, n.nn
+        |  FROM base b JOIN nw n ON b.label = n.label AND b.pos = n.pos)
+        |SELECT label,
+        |  CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nn) AS BIGINT) AS n_new,
+        |  CAST(sum(CAST(mb * mn AS DECIMAL(28,12))) AS DOUBLE) /
+        |    (sqrt(CAST(sum(CAST(mb * mb AS DECIMAL(28,12))) AS DOUBLE)) *
+        |     sqrt(CAST(sum(CAST(mn * mn AS DECIMAL(28,12))) AS DOUBLE)))
+        |    AS cos_sim
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "x12_source_cdf" ->
       """WITH counts AS (

@@ -229,6 +229,30 @@ class EngineSpec extends AnyFunSuite {
     assert(rows("select count(*) from rgn2").head.head == 5L)
   }
 
+  // ---- json source/sink surface (extension; log/event ingest) ----
+  test("read_json TVF, bare FROM 'file.jsonl', COPY TO json roundtrip") {
+    val base = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val f = new java.io.PrintWriter(s"$base/ev.jsonl")
+    f.println("""{"ID": 1, "Kind": "click", "V": 2.5}""")
+    f.println("""{"ID": 2, "Kind": "view", "V": 0.5}""")
+    f.println("""{"ID": 3, "Kind": "click", "V": 1.0}""")
+    f.close()
+    // TVF: schema inferred, names lowercased like csv/parquet
+    assert(rows(s"select count(*) from read_json('$base/ev.jsonl')").head.head == 3L)
+    assert(rows(s"select kind from read_json('$base/ev.jsonl') where id = 2")
+      .map(_.head) == Seq("view"))
+    // bare FROM 'file.jsonl' auto-binds like the csv/parquet surfaces
+    assert(rows(s"select count(*) from '$base/ev.jsonl' where kind = 'click'")
+      .head.head == 2L)
+    // COPY TO json writes JSONL the TVF reads back
+    engine.run("create table jt(id int, lang varchar)")
+    engine.run("insert into jt values (1,'en'),(2,'de')")
+    engine.run(s"copy jt to '$base/out' (FORMAT json)")
+    assert(rows(s"select count(*) from read_json('$base/out')").head.head == 2L)
+    assert(rows(s"select lang from read_json('$base/out') where id = 1")
+      .map(_.head) == Seq("en"))
+  }
+
   // ---- COPY TO sink (extension; the reference rejects copy-to) ----
   test("copy to parquet/csv roundtrip, subquery source, partition_by layout") {
     val base = java.nio.file.Files.createTempDirectory("graft_copyto").toString
@@ -248,7 +272,7 @@ class EngineSpec extends AnyFunSuite {
     assert(dirs.toSet == Set("lang=en", "lang=de", "lang=fr"))
     assert(rows(s"select count(*) from read_parquet('$base/part')").head.head == 4L)
     // unknown format rejected
-    intercept[Exception](engine.run(s"copy ct to '$base/x' (FORMAT json)"))
+    intercept[Exception](engine.run(s"copy ct to '$base/x' (FORMAT avro)"))
     // a literal containing "to '" in the subquery source must not mis-split
     engine.run(s"copy (select id, 'go to ' as note from ct) to '$base/lit.parquet'")
     assert(rows(s"select count(*) from read_parquet('$base/lit.parquet')").head.head == 4L)

@@ -91,7 +91,9 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t22_sentences",       // map-only segmentation, single order exchange
     "a6_ivf_pq",           // fused cell+code projection, cell-pruned ADC
     "d16_winnow_pairs",    // df-capped fingerprint postings, equi pairs
-    "x12_source_cdf")      // distinct-value cumsum, equi CDF assignment
+    "x12_source_cdf",      // distinct-value cumsum, equi CDF assignment
+    "t23_readability",     // map-only ratio features, single order exchange
+    "v8_centroid_drift")   // decimal-summed centroids, label-keyed drift
   // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
   // orders the multi-distinct Expand arms by attribute id, which varies
   // with session registration order — the shape (one scan, Expand,

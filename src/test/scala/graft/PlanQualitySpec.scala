@@ -665,6 +665,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cum + totals join back onto the documents:\n$p")
   }
 
+  test("t23_readability: map-only feature extraction, one order exchange") {
+    val p = plan("t23_readability")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"readability ratios are per-row expression work:\n$p")
+    assert(nodeCount(p, "Exchange") == 1,
+      s"only the final order-by range exchange:\n$p")
+  }
+
+  test("v8_centroid_drift: two decimal-summed passes meet on (label, pos)") {
+    val p = plan("v8_centroid_drift")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"centroid means must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"base and drop centroids meet in an equi join:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"drift is pure aggregation:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 2,
+      s"exactly the base and drop corpus passes:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
