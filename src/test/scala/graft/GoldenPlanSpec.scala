@@ -93,7 +93,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "d16_winnow_pairs",    // df-capped fingerprint postings, equi pairs
     "x12_source_cdf",      // distinct-value cumsum, equi CDF assignment
     "t23_readability",     // map-only ratio features, single order exchange
-    "v8_centroid_drift")   // decimal-summed centroids, label-keyed drift
+    "v8_centroid_drift",   // decimal-summed centroids, label-keyed drift
+    "p4_chunk_overlap")    // per-doc sequence explode, fp'd chunks, no shuffle
   // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
   // orders the multi-distinct Expand arms by attribute id, which varies
   // with session registration order — the shape (one scan, Expand,

@@ -587,6 +587,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming windowed heavy-hitters match the batch per-window sketch") {
+    // trending-monitor shape: event-time windows × a bounded SpaceSaving
+    // state per window — the per-window top list a live dashboard reads.
+    // The sketch buffer composes with the window aggregate exactly like
+    // the flat group-by cases above; per-window states must equal the
+    // batch pass however micro-batches split the stream.
+    import org.apache.spark.sql.functions.{call_function, lit, posexplode, window}
+    val agg = (d: org.apache.spark.sql.DataFrame) => d
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(call_function("graft_heavy_hitters",
+        col("event_type"), lit(3), lit(1024)).as("hh"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long").as("ws"),
+        posexplode(col("hh")).as(Seq("i", "s")))
+      .select(col("ws"), col("s.token"), col("s.cnt"), col("i"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val got = flat(EventsStream.runToMemory(
+      agg(EventsStream.readEvents(spark, sf)),
+      "hh_window_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete()))
+    val want = flat(agg(Tables.load(spark, sf, "events")))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sketch-cube states match the batch cube (k4 shape)") {
     // the sketch-CUBE pattern under streaming: per-(lang, shard) binary
     // STATES aggregate in the stream, then a batch rollup merges them —

@@ -686,6 +686,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exactly the base and drop corpus passes:\n$p")
   }
 
+  test("p4_chunk_overlap: per-doc chunk explode, no shuffle beyond the order") {
+    val p = plan("p4_chunk_overlap")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"chunking is per-document sequence arithmetic:\n$p")
+    assert(nodeCount(p, "Exchange") == 1,
+      s"only the final order-by range exchange:\n$p")
+    assert(nodeCount(p, "Generate") >= 1,
+      s"chunk starts come from an exploded sequence:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
