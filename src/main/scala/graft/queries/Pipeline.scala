@@ -235,8 +235,22 @@ object Pipeline {
         val fp = new org.apache.hadoop.fs.Path(finalPath)
         val tp = new org.apache.hadoop.fs.Path(tmpPath)
         val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(fp, true)
-        fs.rename(tp, fp)
+        // Hadoop's delete/rename report failure via their BOOLEAN, not
+        // an exception — and rename onto an EXISTING directory moves the
+        // tmp dir INSIDE it, after which a recursive parquet read would
+        // silently merge stale and fresh index files. Check both and
+        // fail loudly (cleaning the tmp) rather than memoize a corrupt
+        // or vanished path for the JVM lifetime.
+        if (fs.exists(fp) && !fs.delete(fp, true)) {
+          fs.delete(tp, true)
+          throw new java.io.IOException(
+            s"materializedIndex: could not replace existing $finalPath")
+        }
+        if (!fs.rename(tp, fp)) {
+          fs.delete(tp, true)
+          throw new java.io.IOException(
+            s"materializedIndex: rename $tmpPath -> $finalPath failed")
+        }
         finalPath
       }))
     s.read.parquet(holder.path)
@@ -2455,7 +2469,11 @@ object Pipeline {
       // the output grid is O(sources²) and sources are few by
       // definition (they're ingest feeds, not documents). Jaccard and
       // containment are each one exact scaled integer division; the
-      // per-source vocabulary sizes ride in on a broadcast.
+      // per-source vocabulary sizes ride in on a broadcast. The postings
+      // frame is referenced three times (sizes + both join sides) — at
+      // 100 TB you'd persist it once (the materializedIndex discipline)
+      // instead of re-scanning; at gate scale the three passes keep the
+      // plan cache-independent and pin-stable.
       val d = Tables.load(s, dir, "documents")
       val st = d.select(col("source"),
           explode(TextFunctions.tokenSet(col("text"))).as("w"))

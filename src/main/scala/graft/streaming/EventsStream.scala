@@ -282,7 +282,13 @@ object EventsStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+              // clamp to strictly-after-watermark (the
+              // transitionPairsStream discipline): a user whose open
+              // session trails the stream-wide watermark would compute
+              // an expiry in the past and setTimeoutTimestamp THROWS
+              state.setTimeoutTimestamp(math.max(
+                (s.endUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }
@@ -352,7 +358,15 @@ object EventsStream {
             }
             last.foreach { l =>
               state.update(l)
-              state.setTimeoutTimestamp((l.tsUs + idleUs) / 1000L)
+              // clamp to strictly-after-watermark: a group whose head is
+              // far behind the stream (other users advanced the
+              // watermark) would otherwise compute an expiry below the
+              // current watermark and setTimeoutTimestamp THROWS — a
+              // single stale-headed user must idle-out at the earliest
+              // legal instant, not kill the whole query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max((l.tsUs + idleUs) / 1000L, wm + 1L))
             }
             out.iterator
           }
