@@ -1126,6 +1126,96 @@ object Pipeline {
         .orderBy(col("doc_id"), col("seq_no"))
     },
 
+    "s9_hard_negatives" -> { (s, dir) =>
+      // hard-negative mining — the contrastive-training companion to
+      // s5's random negatives: for each query embedding, the 3 most
+      // COSINE-SIMILAR vectors with a DIFFERENT label (the negatives
+      // that actually move a contrastive loss; random negatives are
+      // mostly trivial). Reuses the a1 machinery: broadcast queries,
+      // fused codegen'd cosine, label filter BEFORE the bounded-heap
+      // TopKPerKey — never a per-query sort, and the corpus is scanned
+      // once.
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel")))
+      val scored = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("label").as("nlabel"))
+        .crossJoin(queries)
+        .filter(col("neighbor_id") =!= col("query_id") &&
+          col("nlabel") =!= col("qlabel"))
+        .select(col("query_id"), col("neighbor_id"), col("nlabel"),
+          Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+          Seq(col("sim").desc, col("neighbor_id").asc), 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("nlabel"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "c9_contam_spans" -> { (s, dir) =>
+      // contamination LOCALIZATION — c1 says "this doc is contaminated";
+      // c9 says WHERE, so a pipeline can excise the leaked span and keep
+      // the rest of the document (the span-surgery alternative to
+      // dropping whole docs). One row per (corpus doc, token position)
+      // whose 8-gram starting there appears verbatim in the eval set.
+      // Scale shape = c1's: the corpus streams against the BROADCAST
+      // distinct eval gram set (the eval side is benchmark-sized by
+      // contract); the gate joins RAW gram strings (collision-freedom
+      // pinned, the c1/d13 discipline).
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      def grams(df: DataFrame) = df.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.wordShingles(col("toks"), 8)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("g"))
+      val evalG = grams(toks.filter(col("doc_id") % 10 === 7))
+        .select(col("g")).distinct()
+      grams(toks.filter(col("doc_id") % 10 =!= 7))
+        .join(broadcast(evalG), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    "g7_modularity" -> { (s, dir) =>
+      // partition modularity of the similarity graph against the LANG
+      // labels — the assortativity measure ("do similarity edges stay
+      // within a language?") that validates a community structure:
+      // Q_c = L_c/m − (D_c/2m)², emitted per community as exact scaled
+      // terms (one integer division each; in_ppm − exp_ppm = the
+      // community's modularity contribution). Edges are the persisted
+      // t14 pair index; degrees one map-combinable count. Long headroom:
+      // 1e6·D_c² needs D_c < 3e6 (≈ sf1) — beyond that route the square
+      // through decimal(38,0) (the t19 discipline).
+      val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+      val lang = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val lin = pairs
+        .join(lang.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+          Seq("doc_a"))
+        .join(lang.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+          Seq("doc_b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lang")).agg(count(lit(1)).as("l_in"))
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      val dsum = deg.join(lang, Seq("doc_id"))
+        .groupBy(col("lang")).agg(sum(col("deg")).as("d_sum"))
+      dsum.join(lin, Seq("lang"), "left").crossJoin(broadcast(m))
+        .select(col("lang"), coalesce(col("l_in"), lit(0L)).as("l_in"),
+          col("d_sum"), col("m"))
+        .select(col("lang"), col("l_in"), col("d_sum"),
+          expr("(1000000 * l_in) div m").as("in_ppm"),
+          expr("(1000000 * d_sum * d_sum) div (4 * m * m)").as("exp_ppm"))
+        .withColumn("q_term_ppm", col("in_ppm") - col("exp_ppm"))
+        .orderBy(col("lang"))
+    },
+
     "p4_chunk_overlap" -> { (s, dir) =>
       // sliding-window chunking with overlap — the RAG / long-context
       // chunker (width 64 tokens, stride 48 ⇒ 16-token overlap): every
@@ -5024,6 +5114,96 @@ object Pipeline {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+
+    "s9_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    label AS nlabel
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, nlabel,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM c CROSS JOIN q
+        |  WHERE neighbor_id <> query_id AND nlabel <> qlabel),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, nlabel, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, nlabel, sim
+        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "c9_contam_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM tok WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM idx),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7)
+        |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+        |FROM g JOIN ev USING (g)
+        |WHERE g.doc_id % 10 <> 7
+        |ORDER BY g.doc_id, g.pos""".stripMargin,
+
+    "g7_modularity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |lin AS (
+        |  SELECT da.lang, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM pairs
+        |  JOIN documents da ON pairs.doc_a = da.doc_id
+        |  JOIN documents db ON pairs.doc_b = db.doc_id
+        |  WHERE da.lang = db.lang
+        |  GROUP BY da.lang),
+        |deg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b FROM pairs)
+        |  GROUP BY doc_id),
+        |ds AS (
+        |  SELECT d.lang, CAST(sum(deg.deg) AS BIGINT) AS d_sum
+        |  FROM deg JOIN documents d USING (doc_id)
+        |  GROUP BY d.lang)
+        |SELECT ds.lang,
+        |  coalesce(lin.l_in, 0) AS l_in,
+        |  ds.d_sum,
+        |  (1000000 * coalesce(lin.l_in, 0)) // mm.m AS in_ppm,
+        |  (1000000 * ds.d_sum * ds.d_sum) // (4 * mm.m * mm.m) AS exp_ppm,
+        |  (1000000 * coalesce(lin.l_in, 0)) // mm.m -
+        |    (1000000 * ds.d_sum * ds.d_sum) // (4 * mm.m * mm.m)
+        |    AS q_term_ppm
+        |FROM ds LEFT JOIN lin ON ds.lang = lin.lang
+        |CROSS JOIN mm ORDER BY ds.lang""".stripMargin,
 
     "p4_chunk_overlap" ->
       """WITH tok AS (

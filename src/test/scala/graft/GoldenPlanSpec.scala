@@ -94,7 +94,14 @@ class GoldenPlanSpec extends AnyFunSuite {
     "x12_source_cdf",      // distinct-value cumsum, equi CDF assignment
     "t23_readability",     // map-only ratio features, single order exchange
     "v8_centroid_drift",   // decimal-summed centroids, label-keyed drift
-    "p4_chunk_overlap")    // per-doc sequence explode, fp'd chunks, no shuffle
+    "p4_chunk_overlap",    // per-doc sequence explode, fp'd chunks, no shuffle
+    "c9_contam_spans",     // broadcast eval grams, semi-join localization
+    "s9_hard_negatives")   // broadcast queries, label-filtered bounded heap
+  // g7_modularity is NOT whole-plan-pinned: it scans the shared pair
+  // index, whose subtree flips to InMemoryTableScan when another suite
+  // has persisted the same relation in this JVM — the g4/g6 cache-state
+  // situation. The shape is guarded by the targeted PlanQualitySpec
+  // assert instead.
   // x11_dataset_card is NOT whole-plan-pinned: RewriteDistinctAggregates
   // orders the multi-distinct Expand arms by attribute id, which varies
   // with session registration order — the shape (one scan, Expand,

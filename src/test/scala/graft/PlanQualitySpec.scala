@@ -696,6 +696,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"chunk starts come from an exploded sequence:\n$p")
   }
 
+  test("c9_contam_spans: corpus streams against the broadcast eval gram set") {
+    val p = plan("c9_contam_spans")
+    assert(p.contains("BroadcastExchange"),
+      s"the eval gram set must broadcast — the corpus side never shuffles:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"localization is a semi-join membership probe:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram membership must be an equi join:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere in the localization path:\n$p")
+  }
+
+  test("g7_modularity: lang-keyed equi joins; only the 1-row m nested-loops") {
+    val p = plan("g7_modularity")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the one-row edge total may nested-loop in:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") >= 3,
+      s"endpoint langs and the degree rollup join equi:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"modularity is pure aggregation:\n$p")
+  }
+
+  test("s9_hard_negatives: broadcast queries, label filter before the heap") {
+    val p = plan("s9_hard_negatives")
+    assert(nodeCount(p, "TopKPerKey") >= 1,
+      s"winners come from the bounded heap, never a per-query sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the query batch must broadcast into the corpus scan:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere in the mining path:\n$p")
+    assert(nodeCount(p, "Scan parquet") <= 2,
+      s"one corpus pass plus the query-side read:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
