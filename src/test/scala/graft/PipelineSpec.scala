@@ -439,6 +439,30 @@ class DedupSpec extends AnyFunSuite {
       assert(recall >= 0.5, s"LSH recall too low: $recall (found ${found.size}/${trueDups.size})")
     }
   }
+
+  test("embedding LSH finds every planted exact duplicate") {
+    // this corpus has no natural cosine≥0.95 pairs (the d5p gate pins
+    // that emptiness as LSH soundness) — so the RECALL direction needs
+    // plants: an exact copy has cosine 1.0, identical hyperplane signs,
+    // hence the same bucket in EVERY band — detection is structural,
+    // not probabilistic
+    import spark.implicits._
+    val embs = Tables.load(spark, sf, "embeddings")
+    val copies = embs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val planted = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(copies)
+    val got = Dedup.embeddingCosinePairs(planted,
+        dim = 64, planes = 12, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = embs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    want.foreach { p =>
+      assert(got.contains(p), s"planted copy pair $p must be found")
+    }
+    assert(want.nonEmpty)
+  }
 }
 
 class DecontaminateSpec extends AnyFunSuite {
