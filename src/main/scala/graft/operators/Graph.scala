@@ -177,6 +177,15 @@ object Graph {
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
     val seedSet = seeds.select(col("doc_id")).distinct()
+    // the seed set is small by contract (it is the user's query); an
+    // empty one would silently return all-zero ranks (t = 0 everywhere
+    // fixes at 0), and a seed id absent from `vertices` would inflate
+    // n_seeds while contributing no teleport mass — both are caller
+    // bugs, surfaced here instead of as a zero/deflated "ranking"
+    require(!seedSet.isEmpty, "personalizedPageRank: seed set is empty")
+    require(seedSet.join(vertices.select(col("doc_id")), Seq("doc_id"),
+        "left_anti").isEmpty,
+      "personalizedPageRank: some seed ids are not in `vertices`")
     val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
     val teleport = vertices
       .join(seedSet.withColumn("is_seed", lit(1)), Seq("doc_id"), "left")

@@ -107,14 +107,16 @@ object Pipeline {
     // must never be served the first caller's index
     ivfMemo.computeIfAbsent(s"$dir#$nlist", _ => new ModelHolder(() => {
       val path = s"${Tables.modelsDir(dir)}/ivf_centroids_$nlist.parquet"
-      // expected dimensionality from the live corpus — a stale index
-      // with wrong-length centroids (dim change, old format) must refit,
-      // not feed wrong-length literals into the assignment expression
-      val dim = Tables.load(s, dir, "embeddings")
-        .select(size(col("embedding")).as("d")).head.getInt(0)
       val ok =
         try {
+          // read the cached index FIRST — only a successful load pays
+          // the corpus job that reads the expected dimensionality (a
+          // stale index with wrong-length centroids must refit, not
+          // feed wrong-length literals into the assignment expression);
+          // the fresh-fit path skips the validation job entirely
           val rows = s.read.parquet(path).collect()
+          lazy val dim = Tables.load(s, dir, "embeddings")
+            .select(size(col("embedding")).as("d")).head.getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
@@ -231,10 +233,19 @@ object Pipeline {
       _ => new IndexHolder(() => {
         val finalPath = s"${Tables.modelsDir(dir)}/$name.parquet"
         val tmpPath = s"$finalPath.tmp-${java.util.UUID.randomUUID()}"
-        build.write.mode("overwrite").parquet(tmpPath)
         val fp = new org.apache.hadoop.fs.Path(finalPath)
         val tp = new org.apache.hadoop.fs.Path(tmpPath)
         val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // a failed build must not leak its partial tmp dir — the lazy
+        // holder retries on next access with a FRESH uuid, so orphans
+        // would otherwise accumulate beside the live indexes
+        try build.write.mode("overwrite").parquet(tmpPath)
+        catch {
+          case e: Throwable =>
+            try fs.delete(tp, true)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
         // Hadoop's delete/rename report failure via their BOOLEAN, not
         // an exception — and rename onto an EXISTING directory moves the
         // tmp dir INSIDE it, after which a recursive parquet read would
@@ -1569,9 +1580,13 @@ object Pipeline {
       // perceptual near-dup media detection — what m4's exact
       // fingerprint can't see: a 64-bit average hash (aHash, the
       // classic pHash-family grid) over the payload's sample stream,
-      // banded into 4×16-bit keys for an equi candidate join (the
+      // banded into 8×8-bit keys for an equi candidate join (the
       // d3/d4 LSH discipline — never all-pairs), verified by exact
-      // Hamming distance ≤ 6 via bit_count(xor). The hash is the
+      // Hamming distance ≤ 6 via bit_count(xor). 8 bands, NOT d4's
+      // 4×16: 6 differing bits can dirty at most 6 of 8 bands
+      // (pigeonhole), so every pair the ≤ 6 verify accepts is
+      // GUARANTEED to share a clean band — recall is structural at
+      // the operator's own threshold, not best-effort. The hash is the
       // codegen'd `graft_ahash` kernel over the payload SLICE decoded
       // in place (blobs never shuffle — only (doc_id, two longs)
       // rows); for GRFT media the samples are the payload's code
@@ -1596,10 +1611,14 @@ object Pipeline {
         .select(col("doc_id"), col("h")(0).as("hi"), col("h")(1).as("lo"))
       val banded = hashed.select(col("doc_id"), col("hi"), col("lo"),
         explode(array(
-          struct(lit(0).as("band"), (col("hi") % 65536).as("bv")),
-          struct(lit(1).as("band"), expr("hi div 65536").as("bv")),
-          struct(lit(2).as("band"), (col("lo") % 65536).as("bv")),
-          struct(lit(3).as("band"), expr("lo div 65536").as("bv"))))
+          struct(lit(0).as("band"), (col("hi") % 256).as("bv")),
+          struct(lit(1).as("band"), expr("(hi div 256) % 256").as("bv")),
+          struct(lit(2).as("band"), expr("(hi div 65536) % 256").as("bv")),
+          struct(lit(3).as("band"), expr("hi div 16777216").as("bv")),
+          struct(lit(4).as("band"), (col("lo") % 256).as("bv")),
+          struct(lit(5).as("band"), expr("(lo div 256) % 256").as("bv")),
+          struct(lit(6).as("band"), expr("(lo div 65536) % 256").as("bv")),
+          struct(lit(7).as("band"), expr("lo div 16777216").as("bv"))))
           .as("bk"))
         .select(col("doc_id"), col("hi"), col("lo"),
           col("bk.band").as("band"), col("bk.bv").as("bv"))
@@ -4357,9 +4376,17 @@ object Pipeline {
         |  FROM bits GROUP BY doc_id),
         |banded AS (
         |  SELECT doc_id, hi, lo, bnd.band,
-        |    CASE bnd.band WHEN 0 THEN hi % 65536 WHEN 1 THEN hi // 65536
-        |                  WHEN 2 THEN lo % 65536 ELSE lo // 65536 END AS bv
-        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bnd),
+        |    CASE bnd.band
+        |      WHEN 0 THEN hi % 256
+        |      WHEN 1 THEN (hi // 256) % 256
+        |      WHEN 2 THEN (hi // 65536) % 256
+        |      WHEN 3 THEN hi // 16777216
+        |      WHEN 4 THEN lo % 256
+        |      WHEN 5 THEN (lo // 256) % 256
+        |      WHEN 6 THEN (lo // 65536) % 256
+        |      ELSE lo // 16777216 END AS bv
+        |  FROM h CROSS JOIN
+        |    (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) bnd),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
         |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob

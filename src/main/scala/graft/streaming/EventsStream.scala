@@ -16,6 +16,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Event-time µs from a JVM Timestamp — floorDiv so pre-epoch
+    * (negative) instants convert correctly; ONE definition shared by
+    * every stateful operator so they all assign the same event time to
+    * the same row.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
+
   /** File-fed stream of events with a proper timestamp column.
     * FileStreamSource only accepts directories; when pointed at a single
     * parquet file (the driver testdata layout) we stage a symlink inside a
@@ -243,10 +251,6 @@ object EventsStream {
         new java.sql.Timestamp(s.endUs / 1000000L * 1000L),
         s.value)
 
-    // the watermark column itself must survive projection up to the
-    // stateful operator — convert to micros inside the lambda instead
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
 
     events
       .withWatermark("ts", "10 minutes")
@@ -324,8 +328,6 @@ object EventsStream {
     val spark = events.sparkSession
     import spark.implicits._
     val idleUs = idleMinutes.toLong * 60 * 1000 * 1000
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
     events
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
@@ -396,8 +398,6 @@ object EventsStream {
   def latestWinsStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L % 1000000L
     events
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"), col("props"))
@@ -419,9 +419,15 @@ object EventsStream {
           }
           val out = cur.get.copy(nVersions = n)
           state.update(out)
-          // full µs reconstruction — the batch twin carries µs precision
-          val t = new java.sql.Timestamp(out.tsUs / 1000000L * 1000L)
-          t.setNanos(((out.tsUs % 1000000L) * 1000L).toInt)
+          // full µs reconstruction — the batch twin carries µs
+          // precision. floorDiv/floorMod, NOT / and %: a pre-epoch
+          // timestamp has a negative µs value, truncating division
+          // lands on the wrong second and setNanos THROWS on a
+          // negative remainder (micros() uses floorDiv for the same
+          // reason)
+          val t = new java.sql.Timestamp(
+            math.floorDiv(out.tsUs, 1000000L) * 1000L)
+          t.setNanos((math.floorMod(out.tsUs, 1000000L) * 1000L).toInt)
           (key._1, key._2, out.nVersions, t, out.eventId,
             out.value, out.props)
       }
