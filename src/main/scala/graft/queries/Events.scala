@@ -279,6 +279,32 @@ object Events {
           sum(col("value").cast("decimal(18,2)")).over(w)
             .cast("double").as("v_24h"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    "e16_burst_ratio" -> { (s, dir) =>
+      // burst detection per event type — each hour's event count
+      // against its trailing-24h hourly mean, the live-ops anomaly
+      // signal ("clicks are 4× their daily baseline"): burst_ppm =
+      // 1e6·c·n_hours div trail (exact integers; n_hours counts only
+      // OBSERVED buckets, so sparse hours don't deflate the baseline).
+      // The RANGE frame runs over epoch-second hour keys PARTITIONED
+      // by event_type (e14's discipline — a type's hourly series fits
+      // a task at any volume; the hourly pre-aggregate is the only
+      // corpus-sized stage and map-combines).
+      val e = Tables.load(s, dir, "events")
+      val hourly = e.select(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hs"))
+        .groupBy(col("event_type"), col("hs"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hs")).rangeBetween(-82800L, 0L) // trailing 24 buckets
+      hourly.select(col("event_type"), col("hs"), col("c"),
+          sum(col("c")).over(w).as("trail"),
+          count(lit(1)).over(w).as("n_hours"))
+        .select(col("event_type"), col("hs"), col("c"), col("trail"),
+          col("n_hours"),
+          expr("(1000000 * c * n_hours) div trail").as("burst_ppm"))
+        .orderBy(col("event_type"), col("hs"))
     }
   )
 
@@ -437,6 +463,23 @@ object Events {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "e16_burst_ratio" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |      date_trunc('hour', ts)) AS hs,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hs, c,
+        |  CAST(sum(c) OVER w AS BIGINT) AS trail,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_hours,
+        |  (1000000 * c * CAST(count(*) OVER w AS BIGINT)) //
+        |    CAST(sum(c) OVER w AS BIGINT) AS burst_ppm
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hs
+        |             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hs""".stripMargin
   )
 }

@@ -96,7 +96,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v8_centroid_drift",   // decimal-summed centroids, label-keyed drift
     "p4_chunk_overlap",    // per-doc sequence explode, fp'd chunks, no shuffle
     "c9_contam_spans",     // broadcast eval grams, semi-join localization
-    "s9_hard_negatives")   // broadcast queries, label-filtered bounded heap
+    "s9_hard_negatives",   // broadcast queries, label-filtered bounded heap
+    "e16_burst_ratio")     // hourly pre-agg, type-partitioned RANGE frame
   // g7_modularity is NOT whole-plan-pinned: it scans the shared pair
   // index, whose subtree flips to InMemoryTableScan when another suite
   // has persisted the same relation in this JVM — the g4/g6 cache-state

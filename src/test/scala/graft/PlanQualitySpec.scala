@@ -734,6 +734,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"one corpus pass plus the query-side read:\n$p")
   }
 
+  test("e16_burst_ratio: hourly pre-aggregate, type-partitioned RANGE frame") {
+    val p = plan("e16_burst_ratio")
+    assert(p.contains("partial_count"),
+      s"the hourly count must combine map-side before the exchange:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type#")),
+      s"the trailing frame must be partitioned by event_type:\n$p")
+    assert(nodeCount(p, "Join") == 0,
+      s"burst scoring is aggregate + window, no join:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
