@@ -1137,6 +1137,43 @@ object Pipeline {
         .orderBy(col("doc_id"), col("seq_no"))
     },
 
+    "x13_budget_waterfill" -> { (s, dir) =>
+      // cap-aware token-budget allocation (water-filling) — the
+      // scheduling rule s8's largest-remainder can't express: a
+      // language cannot contribute more tokens than it HAS, so capped
+      // languages saturate and their unused share redistributes to the
+      // others. Two unrolled rounds (the g1/g4 fixed-round discipline):
+      // round 1 gives everyone min(n_i, B div k); round 2 splits the
+      // leftover min(remaining capacity, leftover div k2) among the
+      // unsaturated. All integer divisions; the residual after round 2
+      // is reported, not hidden (no silent cap — the x8 discipline).
+      // One corpus-sized count; every window runs on the O(langs)
+      // frame.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.select(col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("cap"))
+      val base = counts
+        .withColumn("total", sum(col("cap")).over(wnd.partitionBy()))
+        .withColumn("k", count(lit(1)).over(wnd.partitionBy()))
+        .withColumn("budget", expr("total div 2"))
+        .withColumn("a1", least(col("cap"), expr("budget div k")))
+      val r2 = base
+        .withColumn("left1",
+          col("budget") - sum(col("a1")).over(wnd.partitionBy()))
+        .withColumn("k2", sum(when(col("cap") > col("a1"), 1L)
+          .otherwise(0L)).over(wnd.partitionBy()))
+        .withColumn("a2", when(col("cap") > col("a1"),
+            least(col("cap") - col("a1"), expr("left1 div k2")))
+          .otherwise(lit(0L)))
+      r2.withColumn("alloc", col("a1") + col("a2"))
+        .withColumn("residual",
+          col("budget") - sum(col("alloc")).over(wnd.partitionBy()))
+        .select(col("lang"), col("cap"), col("alloc"), col("residual"))
+        .orderBy(col("lang"))
+    },
+
     "s9_hard_negatives" -> { (s, dir) =>
       // hard-negative mining — the contrastive-training companion to
       // s5's random negatives: for each query embedding, the 3 most
@@ -5141,6 +5178,34 @@ object Pipeline {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+
+    "x13_budget_waterfill" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS cap
+        |      FROM tok GROUP BY lang),
+        |t AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS k FROM c),
+        |b AS (
+        |  SELECT lang, cap, total // 2 AS budget, k,
+        |    least(cap, (total // 2) // k) AS a1
+        |  FROM c, t),
+        |l AS (SELECT max(budget) - CAST(sum(a1) AS BIGINT) AS left1,
+        |             CAST(sum(CASE WHEN cap > a1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS k2
+        |      FROM b),
+        |r AS (
+        |  SELECT b.lang, b.cap, b.budget,
+        |    b.a1 + CASE WHEN b.cap > b.a1
+        |      THEN least(b.cap - b.a1, l.left1 // l.k2) ELSE 0 END AS alloc
+        |  FROM b, l)
+        |SELECT lang, cap, alloc,
+        |  (SELECT max(budget) FROM r) - (SELECT CAST(sum(alloc) AS BIGINT)
+        |    FROM r) AS residual
+        |FROM r ORDER BY lang""".stripMargin,
 
     "s9_hard_negatives" ->
       """WITH q AS (

@@ -97,7 +97,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "p4_chunk_overlap",    // per-doc sequence explode, fp'd chunks, no shuffle
     "c9_contam_spans",     // broadcast eval grams, semi-join localization
     "s9_hard_negatives",   // broadcast queries, label-filtered bounded heap
-    "e16_burst_ratio")     // hourly pre-agg, type-partitioned RANGE frame
+    "e16_burst_ratio",     // hourly pre-agg, type-partitioned RANGE frame
+    "x13_budget_waterfill")// one corpus count, O(langs) waterfill rounds
   // g7_modularity is NOT whole-plan-pinned: it scans the shared pair
   // index, whose subtree flips to InMemoryTableScan when another suite
   // has persisted the same relation in this JVM — the g4/g6 cache-state

@@ -745,6 +745,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"burst scoring is aggregate + window, no join:\n$p")
   }
 
+  test("x13_budget_waterfill: one corpus scan, O(langs) allocation rounds") {
+    val p = plan("x13_budget_waterfill")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the per-lang token count is the ONLY corpus-sized stage:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the token count must combine map-side:\n$p")
+    // the waterfill rounds run over the O(langs) aggregate via
+    // whole-frame windows (the s8 discipline), never a rescan join
+    assert(nodeCount(p, "Join") == 0,
+      s"totals ride whole-frame windows, never a rescan join:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
