@@ -1137,6 +1137,33 @@ object Pipeline {
         .orderBy(col("doc_id"), col("seq_no"))
     },
 
+    "t24_vocab_growth" -> { (s, dir) =>
+      // vocabulary growth curve (the Heaps'-law measurement behind
+      // every frequency-floor / broadcast-bound decision in this
+      // library): cumulative distinct-BIGRAM count at 10 equal corpus
+      // checkpoints (bigrams, not unigrams — the synthetic generator's
+      // unigram vocabulary saturates in the first bucket, while the
+      // bigram curve keeps growing, which is exactly the Heaps shape
+      // the floors defend against). Each gram reduces to its FIRST
+      // document (one map-combinable min per gram — never a cumulative
+      // distinct over documents), first-docs bucket to their
+      // checkpoint arithmetically, and the cumulative sum runs over
+      // the 10-row checkpoint frame. Exact integers end to end.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val n = d.agg(max(col("doc_id")).as("max_id"))
+      val first = d.select(col("doc_id"), explode(TextFunctions
+          .wordShingles(TextFunctions.tokens(col("text")), 2)).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      first.crossJoin(broadcast(n))
+        .select(expr(
+          "least(first_doc div ((max_id + 10) div 10), 9) + 1").as("cp"))
+        .groupBy(col("cp")).agg(count(lit(1)).as("new_tokens"))
+        .withColumn("vocab_size",
+          sum(col("new_tokens")).over(wnd.orderBy(col("cp"))))
+        .orderBy(col("cp"))
+    },
+
     "x13_budget_waterfill" -> { (s, dir) =>
       // cap-aware token-budget allocation (water-filling) — the
       // scheduling rule s8's largest-remainder can't express: a
@@ -5178,6 +5205,29 @@ object Pipeline {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+
+    "t24_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |f AS (
+        |  SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS w FROM idx)
+        |  GROUP BY w),
+        |b AS (
+        |  SELECT least(f.first_doc // ((n.max_id + 10) // 10), 9) + 1 AS cp
+        |  FROM f, n),
+        |g AS (SELECT cp, CAST(count(*) AS BIGINT) AS new_tokens
+        |      FROM b GROUP BY cp)
+        |SELECT cp, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY cp) AS BIGINT) AS vocab_size
+        |FROM g ORDER BY cp""".stripMargin,
 
     "x13_budget_waterfill" ->
       """WITH tok AS (

@@ -98,7 +98,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "c9_contam_spans",     // broadcast eval grams, semi-join localization
     "s9_hard_negatives",   // broadcast queries, label-filtered bounded heap
     "e16_burst_ratio",     // hourly pre-agg, type-partitioned RANGE frame
-    "x13_budget_waterfill")// one corpus count, O(langs) waterfill rounds
+    "x13_budget_waterfill",// one corpus count, O(langs) waterfill rounds
+    "t24_vocab_growth")    // per-gram first-doc min, 10-row checkpoint sum
   // g7_modularity is NOT whole-plan-pinned: it scans the shared pair
   // index, whose subtree flips to InMemoryTableScan when another suite
   // has persisted the same relation in this JVM — the g4/g6 cache-state

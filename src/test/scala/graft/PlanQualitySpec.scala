@@ -757,6 +757,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"totals ride whole-frame windows, never a rescan join:\n$p")
   }
 
+  test("t24_vocab_growth: per-gram first-doc reduction, tiny checkpoint frame") {
+    val p = plan("t24_vocab_growth")
+    assert(p.contains("partial_min"),
+      s"each gram's first doc must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the one-row max_id may nested-loop in:\n$p")
+    // the cumulative sum runs over the ≤10-row checkpoint frame — the
+    // single unpartitioned window in this plan is provably bounded
+    assert(nodeCount(p, "Window") == 1,
+      s"one bounded checkpoint window only:\n$p")
+  }
+
   test("t14_tfidf_simjoin serving: scans the persisted index, no joins") {
     val p = plan("t14_tfidf_simjoin")
     assert(nodeCount(p, "Scan parquet") == 1 && p.contains("tfidf_pairs"),
