@@ -1596,8 +1596,22 @@ object BloomCodec {
   }
 
   def read(bytes: Array[Byte]): BloomBuffer = {
+    // Defensive decode: state columns travel as opaque binary, so a
+    // truncated/foreign value must fail with a named error, not a
+    // BufferUnderflow / NegativeArraySize / %-by-zero surprise.
+    if (bytes == null || bytes.length < 4)
+      throw new IllegalArgumentException(
+        s"corrupt graft_bloom state: ${if (bytes == null) "null" else s"${bytes.length}-byte"} " +
+          "value is shorter than the 4-byte m header")
     val bb = ByteBuffer.wrap(bytes)
     val m = bb.getInt
+    if (m < 8 || m > (1 << 24))
+      throw new IllegalArgumentException(
+        s"corrupt graft_bloom state: m = $m outside [8, ${1 << 24}]")
+    val expected = 4 + (m + 7) / 8
+    if (bytes.length != expected)
+      throw new IllegalArgumentException(
+        s"corrupt graft_bloom state: m = $m implies $expected bytes, got ${bytes.length}")
     val buf = new BloomBuffer(m)
     bb.get(buf.bits)
     buf

@@ -72,6 +72,13 @@ object Dedup {
     */
   def persistPublic(df: DataFrame): DataFrame = persistTracked(df)
 
+  /** Tracked lineage truncation for external iterative callers (the
+    * graph fixpoints) — eager localCheckpoint, or reliable checkpoints
+    * when `spark.graft.checkpointDir` is set; checkpoint blocks are
+    * released by [[unpersistAll]] like the operator-internal frames.
+    */
+  def truncatePublic(df: DataFrame): DataFrame = truncateLineage(df)
+
   /** RDDs pinned by eager localCheckpoints ([[localCheckpointTracked]]);
     * checkpoint blocks are NOT CacheManager-managed, so df.unpersist can't
     * release them — the underlying RDD handle can.
@@ -721,8 +728,11 @@ object Dedup {
 
   /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
     * SIGMOD'03): md5 token-3-gram hashes, a w=4 sliding window keeps
-    * the minimum hash per window (rightmost position on ties — the
-    * robust-winnowing rule), selections deduped. ONE window pass
+    * the minimum hash per window with a rightmost-min tie-break —
+    * plain winnowing, NOT the paper's "robust" refinement (which also
+    * prefers re-selecting the previous window's minimum on ties to
+    * lower fingerprint density below the ~2/(w+1) expectation).
+    * Selections are deduped. ONE window pass
     * PARTITIONED by doc (a doc's grams fit one task at any corpus
     * size); md5 is the cross-engine hash and `min(struct(fp, −pos))`
     * the shared total order, so the index replays exactly in SQL.

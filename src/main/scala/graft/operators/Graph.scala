@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture:
   *  - PageRank: each iteration is one shuffle on the source id (the
-  *    edges ⋈ ranks join) plus a map-combinable per-target sum; degree
-  *    and vertex count are broadcast. Deep fixpoints should persist /
+  *    edges ⋈ ranks join) plus a map-combinable per-target sum. The
+  *    vertex count (1 row) is broadcast; the degree frame is
+  *    vertex-cardinality and therefore joined PLAIN — it co-partitions
+  *    with the edges ⋈ ranks exchange on `doc_a` for free, and the
+  *    plan survives billion-vertex graphs where a broadcast hint would
+  *    OOM the driver. Deep fixpoints should persist /
   *    checkpoint per round (the `Dedup.connectedComponents` lineage
   *    discipline); the shallow unrolled form here leaves lineage alone
   *    so the whole computation stays replayable by the oracle.
@@ -29,44 +33,141 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** One damped PageRank round: edges ⋈ ranks (one shuffle on the
+    * source id) + decimal-routed per-target sum, optionally plus the
+    * dangling-mass term (sum of rank held by out-degree-0 vertices,
+    * computed with an anti join against `deg` — a ONE-ROW frame, the
+    * only thing broadcast besides `n1`).
+    */
+  private def pageRankStep(vertices: DataFrame, edges: DataFrame,
+      deg: DataFrame, n1: DataFrame, ranks: DataFrame, damping: Double,
+      dangling: Boolean): DataFrame = {
+    val sums = edges
+      .join(ranks, edges("doc_a") === ranks("doc_id"))
+      .join(deg, Seq("doc_a"))
+      .select(col("doc_b"),
+        (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
+      .groupBy(col("doc_b"))
+      .agg(sum(col("c")).cast("double").as("m"))
+    val base =
+      if (!dangling) vertices.crossJoin(broadcast(n1))
+      else {
+        val dm = ranks
+          .join(deg, ranks("doc_id") === deg("doc_a"), "left_anti")
+          .agg(coalesce(sum(col("r").cast("decimal(28,18)")),
+            lit(0).cast("decimal(28,18)")).cast("double").as("dm"))
+        vertices.crossJoin(broadcast(n1)).crossJoin(broadcast(dm))
+      }
+    val mass =
+      if (dangling) coalesce(col("m"), lit(0.0)) + col("dm") / col("n")
+      else coalesce(col("m"), lit(0.0))
+    base.join(sums, base("doc_id") === sums("doc_b"), "left")
+      .select(base("doc_id"),
+        (lit(1.0 - damping) / col("n") + lit(damping) * mass).as("r"))
+  }
+
+  /** The `(doc_a, doc_b)` pair list as the edge frame PageRank walks:
+    * symmetrized (each undirected pair becomes two directed edges) or
+    * taken as-is (directed, so high-id vertices can be genuine sinks).
+    */
+  private def edgeFrame(pairs: DataFrame, symmetrize: Boolean): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    if (symmetrize)
+      p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    else p
+  }
+
   /** PageRank with `iters` unrolled damped iterations. Returns
     * `(doc_id, r)` for every vertex in `vertices` (isolated vertices
-    * converge to the teleport mass `(1-damping)/n`).
+    * converge to the teleport mass `(1-damping)/n` when `dangling` is
+    * off).
     *
     * Determinism: neighbor contributions are cast to `decimal(28,18)`
     * before the per-target sum, so accumulation is order-insensitive
     * and the result is bit-identical on any partitioning — replayable
-    * exactly by an unrolled SQL oracle. Dangling-mass redistribution is
-    * intentionally omitted (the standard simplified form); with
-    * symmetric edge lists every vertex with an edge has out-degree > 0.
+    * exactly by an unrolled SQL oracle.
+    *
+    * `dangling = true` adds the standard dangling-mass redistribution:
+    * each round the rank held by out-degree-0 vertices (a decimal-
+    * routed one-row sum) is spread uniformly, so total rank is
+    * conserved at exactly 1 even on directed graphs with sinks
+    * (`symmetrize = false`). The default (off) is the simplified form
+    * the g1 oracle replays: with a symmetric edge list every vertex
+    * with an edge has out-degree > 0, and only isolated-vertex teleport
+    * mass leaks.
     */
   def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, symmetrize: Boolean = true,
+      dangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(
-      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = edgeFrame(pairs, symmetrize)
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
     val n1 = vertices.agg(count(lit(1)).as("n"))
     var ranks = vertices.crossJoin(broadcast(n1))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
     (1 to iters).foreach { _ =>
-      val sums = edges
-        .join(ranks, edges("doc_a") === ranks("doc_id"))
-        .join(broadcast(deg), Seq("doc_a"))
-        .select(col("doc_b"),
-          (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
-        .groupBy(col("doc_b"))
-        .agg(sum(col("c")).cast("double").as("m"))
-      ranks = vertices.crossJoin(broadcast(n1))
-        .join(sums, vertices("doc_id") === sums("doc_b"), "left")
-        .select(col("doc_id"),
-          (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      ranks = pageRankStep(vertices, edges, deg, n1, ranks, damping, dangling)
     }
     ranks
+  }
+
+  /** Deep-fixpoint PageRank: iterate until the L1 rank delta falls at
+    * or below `tol` (or `maxIters` rounds), truncating lineage every
+    * round via the d8 checkpoint discipline (`Dedup.truncatePublic` —
+    * eager localCheckpoint, or reliable checkpoints when
+    * `spark.graft.checkpointDir` is set), so a real corpus can run 20+
+    * rounds without lineage blowup. The edge and degree frames are
+    * persisted once and reused by every round; release everything with
+    * `Dedup.unpersistAll()` after materializing the result.
+    *
+    * The convergence check is one extra join + one-row aggregate per
+    * round on the already-checkpointed rank frames — O(V) work, no
+    * driver-side data beyond the single delta value. Per-round results
+    * are bit-exact on any partitioning (decimal-routed sums), so a
+    * fixed-round run (`tol = 0, maxIters = k`) replays exactly in an
+    * unrolled SQL oracle — the g9 gate.
+    */
+  def pageRankConverged(vertices: DataFrame, pairs: DataFrame,
+      tol: Double, maxIters: Int = 50, damping: Double = 0.85,
+      symmetrize: Boolean = true, dangling: Boolean = true): DataFrame =
+    pageRankConvergedWithStats(vertices, pairs, tol, maxIters, damping,
+      symmetrize, dangling)._1
+
+  /** [[pageRankConverged]] plus `(rounds run, last L1 delta)` — the
+    * observability a convergence caller needs (and the spec asserts).
+    */
+  def pageRankConvergedWithStats(vertices: DataFrame, pairs: DataFrame,
+      tol: Double, maxIters: Int = 50, damping: Double = 0.85,
+      symmetrize: Boolean = true,
+      dangling: Boolean = true): (DataFrame, Int, Double) = {
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize))
+    val deg = Dedup.persistPublic(
+      edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")))
+    val n1 = vertices.agg(count(lit(1)).as("n"))
+    var ranks = Dedup.truncatePublic(vertices.crossJoin(broadcast(n1))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("r")))
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta > tol) {
+      val next = Dedup.truncatePublic(
+        pageRankStep(vertices, edges, deg, n1, ranks, damping, dangling))
+      val d = ranks.as("o")
+        .join(next.as("nw"), col("o.doc_id") === col("nw.doc_id"))
+        .agg(coalesce(sum(abs(col("nw.r") - col("o.r"))
+          .cast("decimal(28,18)")), lit(0).cast("decimal(28,18)"))
+          .cast("double"))
+        .head().getDouble(0)
+      delta = d
+      ranks = next
+      it += 1
+    }
+    (ranks, it, delta)
   }
 
   /** Per-vertex triangle counts. Returns `(doc_id, n_triangles)` for
@@ -83,7 +184,11 @@ object Graph {
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("doc_a", "v")
-    val rk = broadcast(deg)
+    // deg is vertex-cardinality — joined PLAIN, never broadcast: on a
+    // billion-vertex similarity graph a forced broadcast would exceed
+    // any driver budget. The equi join exchanges on the same key the
+    // wedge join needs anyway.
+    val rk = deg
     val d0 = und
       .join(rk, und("doc_a") === rk("v")).drop("v")
       .withColumnRenamed("deg", "sdeg")
@@ -164,8 +269,8 @@ object Graph {
     * stays concentrated around the seeds' neighborhood. Same
     * distributed shape and determinism discipline as [[pageRank]]:
     * one shuffle per round on the source id, decimal-routed
-    * contributions, degree/N broadcast, replayable by an unrolled SQL
-    * oracle.
+    * contributions, degree joined plain (vertex-cardinality — never
+    * broadcast), replayable by an unrolled SQL oracle.
     */
   def personalizedPageRank(vertices: DataFrame, pairs: DataFrame,
       seeds: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
@@ -197,7 +302,7 @@ object Graph {
     (1 to iters).foreach { _ =>
       val sums = edges
         .join(ranks, edges("doc_a") === ranks("doc_id"))
-        .join(broadcast(deg), Seq("doc_a"))
+        .join(deg, Seq("doc_a"))
         .select(col("doc_b"),
           (col("r") / col("deg")).cast("decimal(28,18)").as("c"))
         .groupBy(col("doc_b"))

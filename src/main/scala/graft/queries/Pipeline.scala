@@ -918,7 +918,10 @@ object Pipeline {
       // centrality signal that separates boilerplate-hub documents from
       // the periphery. Each iteration is the standard distributed shape:
       // edges ⋈ ranks (shuffle on the SOURCE id) + one map-combinable
-      // sum per target; degree and N broadcast. Neighbor contributions
+      // sum per target; N (1 row) broadcasts, the vertex-cardinality
+      // degree frame joins PLAIN (co-partitioned with the edge
+      // exchange — a broadcast hint there would OOM the driver on a
+      // billion-vertex graph). Neighbor contributions
       // route through decimal so per-target sums are order-insensitive;
       // every division is a single double op — the whole 3-round fixpoint
       // is bit-exact against DuckDB's unrolled replay. (Deeper fixpoints
@@ -947,6 +950,40 @@ object Pipeline {
         tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
       Graph.personalizedPageRank(d.select(col("doc_id")), p, seeds,
         iters = 3, damping = 0.85)
+        .orderBy(col("doc_id"))
+    },
+
+    "g8_pagerank_dangling" -> { (s, dir) =>
+      // DIRECTED PageRank with dangling-mass redistribution — the
+      // mass-conserving form g1's simplified symmetric variant omits.
+      // Edges keep only the canonical doc_a → doc_b orientation, so
+      // every doc never appearing as a source is a genuine sink; each
+      // round the rank held by sinks (a decimal-routed ONE-ROW sum —
+      // the only broadcast besides N) teleports back uniformly, so
+      // total rank is exactly 1 at every round. 3 unrolled rounds,
+      // bit-exact against DuckDB's replay.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.pageRank(docs, p, iters = 3, damping = 0.85,
+        symmetrize = false, dangling = true)
+        .orderBy(col("doc_id"))
+    },
+
+    "g9_pagerank_fixpoint" -> { (s, dir) =>
+      // the deep-fixpoint loop's fixed-round gate: pageRankConverged
+      // with tol = 0 and maxIters = 3 runs exactly 3 rounds THROUGH
+      // the checkpointed loop machinery (per-round d8 lineage
+      // truncation, persisted edge/degree frames, the L1-delta
+      // convergence probe) and must equal g8's unrolled replay
+      // bit-for-bit — decimal-routed sums make every round partition-
+      // and checkpoint-invariant, which is exactly what lets a real
+      // corpus run the 20+-round fixpoint the unrolled form can't.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.pageRankConverged(docs, p, tol = 0.0, maxIters = 3,
+        damping = 0.85, symmetrize = false, dangling = true)
         .orderBy(col("doc_id"))
     },
 
@@ -1650,7 +1687,18 @@ object Pipeline {
       // 4×16: 6 differing bits can dirty at most 6 of 8 bands
       // (pigeonhole), so every pair the ≤ 6 verify accepts is
       // GUARANTEED to share a clean band — recall is structural at
-      // the operator's own threshold, not best-effort. The hash is the
+      // the operator's own threshold, not best-effort. The trade: a
+      // band now has only 256 distinct values, so expected random
+      // collisions per band grow ~256× vs 16-bit bands — hence the
+      // d13-style posting cap below: (band, bv) buckets holding more
+      // than `m5BandCap` docs are dropped before the self-join (hot
+      // 8-bit buckets are band-value coincidence, not evidence), which
+      // bounds the candidate fan-out at cap²/2 per bucket × ≤2048
+      // buckets at ANY corpus size. A corpus hot enough to trip the
+      // cap everywhere has outgrown 8-bit banding and should serve
+      // near-dup media via m4 exact fingerprints or d3 MinHash
+      // instead. The cap is mirrored verbatim in the oracle, so the
+      // gate compares identical semantics. The hash is the
       // codegen'd `graft_ahash` kernel over the payload SLICE decoded
       // in place (blobs never shuffle — only (doc_id, two longs)
       // rows); for GRFT media the samples are the payload's code
@@ -1686,7 +1734,15 @@ object Pipeline {
           .as("bk"))
         .select(col("doc_id"), col("hi"), col("lo"),
           col("bk.band").as("band"), col("bk.bv").as("bv"))
-      val cand = banded.as("a").join(banded.as("b"),
+      // (band, bv) has ≤ 2048 distinct values — the count frame is
+      // O(1)-bounded and broadcastable at any corpus size.
+      val m5BandCap = 4096L
+      val bandN = banded.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= m5BandCap)
+        .select(col("band"), col("bv"))
+      val capped = banded.join(broadcast(bandN), Seq("band", "bv"))
+      val cand = capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
@@ -3114,6 +3170,78 @@ object Pipeline {
   // quality formula and language markers — t2/t3/p1 compose from these,
   // mirroring how the Spark side shares graft_text_stats) ----------------
 
+  /** Shared by g8 (unrolled) and g9 (the checkpointed fixpoint loop at
+    * tol = 0 / maxIters = 3): 3 rounds of DIRECTED PageRank with
+    * dangling-mass redistribution over the canonical doc_a → doc_b
+    * tf-idf pair edges — per round, `dl_k` is the decimal-routed rank
+    * sum over out-degree-0 vertices, teleported back uniformly.
+    */
+  private val PagerankDanglingSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM tok WHERE len(toks) >= 2),
+      |tf AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+      |    count(*) AS tf
+      |  FROM idx GROUP BY doc_id, gram),
+      |dfreq AS (
+      |  SELECT gram, count(*) AS df FROM tf
+      |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+      |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a, doc_b FROM pairs),
+      |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |r0 AS (SELECT d.doc_id, CAST(1.0 AS DOUBLE) / nn.n AS r
+      |       FROM documents d CROSS JOIN nn),
+      |dl0 AS (
+      |  SELECT CAST(coalesce(sum(CAST(p.r AS DECIMAL(28,18))), 0) AS DOUBLE) AS dm
+      |  FROM r0 p LEFT JOIN deg g ON p.doc_id = g.doc_a
+      |  WHERE g.doc_a IS NULL),
+      |r1 AS (
+      |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(s.m, 0.0) + dl0.dm / nn.n) AS r
+      |  FROM documents d CROSS JOIN nn CROSS JOIN dl0 LEFT JOIN (
+      |    SELECT e.doc_b,
+      |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+      |    FROM edges e JOIN r0 p ON e.doc_a = p.doc_id
+      |    JOIN deg g ON e.doc_a = g.doc_a
+      |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b),
+      |dl1 AS (
+      |  SELECT CAST(coalesce(sum(CAST(p.r AS DECIMAL(28,18))), 0) AS DOUBLE) AS dm
+      |  FROM r1 p LEFT JOIN deg g ON p.doc_id = g.doc_a
+      |  WHERE g.doc_a IS NULL),
+      |r2 AS (
+      |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(s.m, 0.0) + dl1.dm / nn.n) AS r
+      |  FROM documents d CROSS JOIN nn CROSS JOIN dl1 LEFT JOIN (
+      |    SELECT e.doc_b,
+      |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+      |    FROM edges e JOIN r1 p ON e.doc_a = p.doc_id
+      |    JOIN deg g ON e.doc_a = g.doc_a
+      |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b),
+      |dl2 AS (
+      |  SELECT CAST(coalesce(sum(CAST(p.r AS DECIMAL(28,18))), 0) AS DOUBLE) AS dm
+      |  FROM r2 p LEFT JOIN deg g ON p.doc_id = g.doc_a
+      |  WHERE g.doc_a IS NULL),
+      |r3 AS (
+      |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(s.m, 0.0) + dl2.dm / nn.n) AS r
+      |  FROM documents d CROSS JOIN nn CROSS JOIN dl2 LEFT JOIN (
+      |    SELECT e.doc_b,
+      |      CAST(sum(CAST(p.r / g.deg AS DECIMAL(28,18))) AS DOUBLE) AS m
+      |    FROM edges e JOIN r2 p ON e.doc_a = p.doc_id
+      |    JOIN deg g ON e.doc_a = g.doc_a
+      |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b)
+      |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin
+
   private val TokCte: String =
     """tok AS (
       |  SELECT doc_id, text,
@@ -3821,6 +3949,9 @@ object Pipeline {
         |SELECT doc_id, tok, tf, df, rank FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
 
+    "g8_pagerank_dangling" -> PagerankDanglingSql,
+    "g9_pagerank_fixpoint" -> PagerankDanglingSql,
+
     "g1_pagerank" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -4451,10 +4582,15 @@ object Pipeline {
         |      ELSE lo // 16777216 END AS bv
         |  FROM h CROSS JOIN
         |    (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) bnd),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT banded.*, count(*) OVER (PARTITION BY band, bv) AS bn
+        |    FROM banded)
+        |  WHERE bn <= 4096),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
         |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
-        |  FROM banded a JOIN banded b
+        |  FROM capped a JOIN capped b
         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT a, b,
         |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT)

@@ -99,4 +99,34 @@ class BloomSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("graft_bloom_state"))
   }
+
+  test("corrupt binary state fails with a named error, not an internal one") {
+    import graft.functions.BloomCodec
+    // shorter than the 4-byte header
+    val e1 = intercept[IllegalArgumentException] { BloomCodec.read(Array[Byte](1, 2)) }
+    assert(e1.getMessage.contains("graft_bloom"))
+    // header claims m = 0 → would be % 0 downstream
+    val e2 = intercept[IllegalArgumentException] {
+      BloomCodec.read(Array[Byte](0, 0, 0, 0))
+    }
+    assert(e2.getMessage.contains("graft_bloom"))
+    // header claims m = -16 → would be NegativeArraySize
+    val e3 = intercept[IllegalArgumentException] {
+      BloomCodec.read(Array[Byte](-1, -1, -1, -16))
+    }
+    assert(e3.getMessage.contains("graft_bloom"))
+    // valid m but truncated bit image
+    val e4 = intercept[IllegalArgumentException] {
+      BloomCodec.read(Array[Byte](0, 0, 0, 64, 1, 2, 3))
+    }
+    assert(e4.getMessage.contains("graft_bloom"))
+    // a probe against a corrupt state surfaces the same named error
+    val e5 = intercept[Exception] {
+      Seq(Array[Byte](9)).toDF("st")
+        .select(call_function("graft_bloom_contains", col("st"), lit("k")))
+        .collect()
+    }
+    assert(e5.getMessage.contains("graft_bloom") ||
+      e5.getCause != null && e5.getCause.getMessage.contains("graft_bloom"))
+  }
 }

@@ -56,7 +56,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "k7_join_card",        // two state aggs meet in a one-row nested loop
     "t14_tfidf_simjoin",   // df-banded postings self-join, n_docs broadcast
     "a4_pq_adc",           // LUT broadcast join + bounded-heap winners
-    "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg/N broadcast
+    "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg plain-joined, N broadcast
     "g2_triangle_count",   // persisted oriented edges, wedge + closure equi joins
     "t16_quality_probe",   // map-only margin over literal weights, no join
     "t17_topk_similar",    // two-phase TopKPerKey over symmetrized pairs
@@ -124,7 +124,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("lambda x_\\d+", "lambda x_n") // session-global counter
       .replaceAll("lambda y_\\d+", "lambda y_n") // zip_with's 2nd variable
-      .replaceAll("@[0-9a-f]{6,}", "@x")         // object identity hashes
+      .replaceAll("@[0-9a-f]{1,8}\\b", "@x")     // object identity hashes (Integer.toHexString is 1-8 chars)
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$x") // JVM lambda ids
       .replaceAll("file:[^\\]\\s,)]+", "file:PATH")
       .replaceAll("Location: .*", "Location: PATH")

@@ -148,6 +148,62 @@ class GraphSpec extends AnyFunSuite {
     val v = verticesDf(2); val p = pairsDf(Seq((0L, 1L)))
     intercept[IllegalArgumentException](Graph.pageRank(v, p, 0))
     intercept[IllegalArgumentException](Graph.pageRank(v, p, 1, damping = 1.0))
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(v, p, tol = -1.0))
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(v, p, tol = 0.1, maxIters = 0))
+  }
+
+  test("pagerank: dangling redistribution conserves total rank at exactly 1") {
+    // directed path 0→1→2 (2 is a sink) plus isolated vertex 3 — both
+    // hold dangling mass every round
+    val p = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    def total(dangling: Boolean): Double =
+      Graph.pageRank(verticesDf(4), p, iters = 5,
+          symmetrize = false, dangling = dangling)
+        .agg(sum(col("r"))).head().getDouble(0)
+    assert(math.abs(total(dangling = true) - 1.0) < 1e-9,
+      "with redistribution the rank vector must stay a distribution")
+    assert(total(dangling = false) < 1.0 - 1e-6,
+      "without redistribution sink+isolated mass must leak (the documented simplified form)")
+  }
+
+  test("pagerank fixpoint: fixed-round loop equals the unrolled form bit-for-bit") {
+    val rnd = new scala.util.Random(5)
+    val edges = (for (_ <- 1 to 40) yield {
+      val a = rnd.nextInt(10); val b = rnd.nextInt(10)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    try {
+      val loop = Graph.pageRankConverged(verticesDf(10), pairsDf(edges),
+          tol = 0.0, maxIters = 3, symmetrize = false, dangling = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val unrolled = Graph.pageRank(verticesDf(10), pairsDf(edges),
+          iters = 3, symmetrize = false, dangling = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(loop == unrolled,
+        "checkpointed loop rounds must replay the unrolled arithmetic exactly")
+    } finally Dedup.unpersistAll()
+  }
+
+  test("pagerank fixpoint: converges under tol before maxIters, mass conserved") {
+    val rnd = new scala.util.Random(9)
+    val edges = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(14); val b = rnd.nextInt(14)
+      (a.toLong, b.toLong)
+    }).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    try {
+      val (ranks, rounds, lastDelta) = Graph.pageRankConvergedWithStats(
+        verticesDf(14), pairsDf(edges), tol = 1e-7, maxIters = 100,
+        symmetrize = true, dangling = true)
+      assert(rounds < 100, s"must converge before maxIters, ran $rounds")
+      assert(rounds > 1, "a nontrivial graph needs more than one round")
+      assert(lastDelta <= 1e-7, s"loop must stop at the tol, delta=$lastDelta")
+      val total = ranks.agg(sum(col("r"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"mass must be conserved, got $total")
+    } finally Dedup.unpersistAll()
   }
 
   private def runLabelProp(n: Int, edges: Seq[(Long, Long)],

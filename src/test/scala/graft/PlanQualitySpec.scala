@@ -818,6 +818,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("g1/g2/g5: no broadcast hint on a vertex-cardinality aggregate") {
+    // The degree frame has one row per vertex with an edge — a forced
+    // broadcast hint there overrides the size threshold and OOMs the
+    // driver on a billion-vertex graph. Only 1-row GLOBAL aggregates
+    // (vertex count, seed count) may carry an explicit hint; grouped
+    // aggregates must join plain and let Catalyst size-pick the
+    // strategy. Checked on the analyzed LOGICAL plan: at test SF
+    // Catalyst may legitimately auto-broadcast the tiny frame, so the
+    // physical plan is not the right place to assert.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.UnaryNode
+    def rootAgg(p: LogicalPlan): Option[Aggregate] = p match {
+      case a: Aggregate => Some(a)
+      case u: UnaryNode => rootAgg(u.child)
+      case _ => None
+    }
+    for (name <- Seq("g1_pagerank", "g2_triangle_count", "g5_ppr")) {
+      val analyzed =
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      val offenders = analyzed.collect { case h: ResolvedHint =>
+        rootAgg(h.child)
+      }.flatten.filter(_.groupingExpressions.nonEmpty)
+      assert(offenders.isEmpty,
+        s"$name: broadcast hint wraps a grouped (vertex-cardinality) " +
+          s"aggregate — scale-killer:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("g5_ppr: per-round edge join on source id; seeds/deg broadcast; no cartesian") {
     val p = plan("g5_ppr")
     assert(p.contains("tfidf_pairs"),
