@@ -241,6 +241,8 @@ class GraftEngine(val spark: SparkSession) {
   private val ReadJsonCallRe =
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
+  private val GraftTvfRe =
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate)\s*\(([^()]*)\)""".r
 
   /** Execute one or more `;`-separated statements; returns the LAST
     * statement's DataFrame (DDL/DML return an empty result, like the
@@ -448,6 +450,17 @@ class GraftEngine(val spark: SparkSession) {
       readJson(m.group(2)).createOrReplaceTempView(view)
       m.group(1) + view
     })
+    // graft_* serving TVFs — the top extension operators surfaced through
+    // the SQL front door the way read_csv/read_parquet are (the reference
+    // is a SQL engine, client_context.rs:76 — a serving operator you can't
+    // reach from SQL isn't part of its user surface). Same rewrite shape:
+    // the call materializes as a temp view over the operator's DataFrame.
+    sql = GraftTvfRe.replaceAllIn(sql, m => {
+      idx += 1
+      val view = s"__graft_${m.group(1).toLowerCase}_$idx"
+      graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
+      view
+    })
     val df =
       try spark.sql(sql)
       catch {
@@ -457,6 +470,58 @@ class GraftEngine(val spark: SparkSession) {
       }
     rejectVarcharNumericComparison(df)
     df
+  }
+
+  /** One graft_* serving-TVF call → the operator's DataFrame.
+    * Relation arguments are either a single-quoted parquet path
+    * (`'/data/docs.parquet'`) or a bare table/view name from this
+    * engine's catalog; scalar options use the `name => value` TVF
+    * convention read_csv already follows.
+    *
+    *  - `graft_topk(corpus, queries, k => 10)` — exact cosine top-k
+    *    over (vec_id, embedding) relations → (query_id, neighbor_id,
+    *    sim, rank), served by the bounded-heap TopKPerKey operator.
+    *  - `graft_dedup_pairs(docs, threshold => 0.8)` — MinHash-LSH
+    *    near-duplicate pairs over (doc_id, text), exact-Jaccard
+    *    verified → (i, j).
+    *  - `graft_decontaminate(corpus, eval, n => 8)` — eval-set n-gram
+    *    contamination flags over (doc_id, text) → (doc_id, n_shared).
+    */
+  private def graftTvf(fn: String, argStr: String): DataFrame = {
+    val args = argStr.split(",").map(_.trim).filter(_.nonEmpty)
+    val (pos, namedRaw) = args.partition(!_.contains("=>"))
+    val named = namedRaw.map { a =>
+      val Array(k, v) = a.split("=>", 2).map(_.trim)
+      k.toLowerCase -> v
+    }.toMap
+    def rel(i: Int, what: String): DataFrame = {
+      require(pos.length > i,
+        s"graft_${fn.toLowerCase} needs a $what relation argument " +
+          "(quoted parquet path or table name)")
+      val a = pos(i)
+      if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
+        readParquet(a.substring(1, a.length - 1))
+      else spark.table(a.toLowerCase)
+    }
+    def intOpt(key: String, default: Int): Int = {
+      val v = named.get(key).map(_.toInt).getOrElse(default)
+      require(v >= 1, s"graft_${fn.toLowerCase}: $key must be >= 1, got $v")
+      v
+    }
+    fn.toLowerCase match {
+      case "topk" =>
+        graft.operators.Similarity.bruteForceTopK(
+          rel(0, "corpus"), rel(1, "queries"), k = intOpt("k", 10))
+      case "dedup_pairs" =>
+        val threshold = named.get("threshold").map(_.toDouble).getOrElse(0.8)
+        require(threshold > 0.0 && threshold <= 1.0,
+          s"graft_dedup_pairs: threshold must be in (0,1], got $threshold")
+        graft.operators.Dedup.minhashLshPairs(rel(0, "docs"),
+          threshold = threshold)
+      case "decontaminate" =>
+        graft.operators.Decontaminate.ngramOverlap(
+          rel(0, "corpus"), rel(1, "eval"), n = intOpt("n", 8))
+    }
   }
 
   /** Reference error semantics: `select 'abc' > 10` must fail to bind — the

@@ -42,6 +42,47 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Static-side eval-gram index for INCREMENTAL decontamination (the
+    * minhashIndex discipline): ONE row holding the eval set's deduped,
+    * ascending-sorted gram-hash array. Build once per eval-set snapshot,
+    * persist or write to parquet; it is a plain DataFrame, so the index
+    * survives as a table and serves any number of streaming jobs. Sorted
+    * because `graft_intersect_size` is a merge walk — the per-document
+    * probe is O(|doc grams| + |eval grams|) with zero allocation.
+    */
+  def evalGramIndex(evalSet: DataFrame, n: Int = 8): DataFrame =
+    evalSet
+      .select(explode(
+        call_function("graft_shingle_hashes", col("text"), lit(n))).as("g"))
+      .agg(array_sort(collect_set(col("g"))).as("eval_grams"))
+
+  /** Streaming twin of [[ngramOverlap]] — contamination flags for
+    * ARRIVING documents against a static eval-set index, per microbatch:
+    * `(doc_id, n_shared)` for every arriving doc sharing ≥ 1 verbatim
+    * n-gram with the eval set, n_shared counting its distinct
+    * contaminated grams — the batch operator's exact contract.
+    *
+    * Stateless by construction: each document carries its whole gram
+    * set in one row, so the flag is a map-only cross join against the
+    * ONE-ROW broadcast index plus one codegen'd sorted-merge intersect —
+    * no streaming aggregation, no watermark state, nothing retained
+    * across batches. The one-row index costs 8 bytes per eval gram
+    * (same budget as the batch broadcast); for eval sets beyond
+    * executor-broadcast scale, run the [[ngramOverlapBloom]] shape in
+    * `foreachBatch` instead — the bloom state is an order of magnitude
+    * smaller and the exact verify join prunes to near-empty input.
+    */
+  def streamFlags(docs: DataFrame, index: DataFrame, n: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(n)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .crossJoin(broadcast(index))
+      .select(col("doc_id"),
+        call_function("graft_intersect_size", col("hs"), col("eval_grams"))
+          .cast("long").as("n_shared"))
+      .filter(col("n_shared") > 0)
+
   /** [[ngramOverlap]] with a BLOOM-FILTER prefilter — the shape for when
     * the eval set is too large to broadcast as a hash relation. A hashed
     * relation costs ≥ 8 bytes per gram plus table overhead; the Bloom

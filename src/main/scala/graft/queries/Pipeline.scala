@@ -318,6 +318,25 @@ object Pipeline {
   private def ccComponentsShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "cc_components")(ccComponents(s, dir))
 
+  /** Forces every cross-JVM persisted model/index the serving queries
+    * read (PCA fit, IVF centroids, PQ codebooks, the tf-idf pair index,
+    * the connected-components map), so a bench pass can charge one-time
+    * fit cost to a separate `fit_sec` line instead of smearing it across
+    * whichever queries happen to run first (g1/t13/a2 in round 9's
+    * artifact). Idempotent and cheap when the models already exist on
+    * disk — every build sits behind a memoized load-or-fit holder.
+    * Returns the artifact names, for logging.
+    */
+  def prebuildModels(s: SparkSession, dir: String): Seq[String] = {
+    fittedPca(s, dir)
+    fittedIvfPath(s, dir, nlist = 16)
+    fittedPq(s, dir)
+    tfidfPairsShared(s, dir)
+    ccComponentsShared(s, dir)
+    Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
+    Seq("pca_fit", "ivf_centroids_16", "pq_model", "tfidf_pairs", "cc_components")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ---------------------------------------------------
     "d1_dedup_exact" -> { (s, dir) =>

@@ -459,6 +459,52 @@ class EngineSpec extends AnyFunSuite {
     assert(depth < 30, s"lineage should have been collapsed, plan has $depth nodes")
   }
 
+  // ---- graft_* serving TVFs (extension: the pipeline operators through
+  // the SQL front door, the read_csv rewrite shape) ----
+  test("graft_topk TVF: exact cosine top-k over parquet paths, SQL-composable") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val got = engine.run(
+      s"select query_id, neighbor_id, rank from graft_topk('$emb', '$emb', k => 3) " +
+        "where query_id < 2 order by query_id, rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every kept query returns exactly ranks 1..3, self-matches excluded
+    assert(got.length == 6, s"2 queries × k=3, got ${got.length}")
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 1, 2, 3))
+    assert(got.forall { case (q, nb, _) => q != nb })
+    // SQL result ≡ the Scala operator surface on the same inputs
+    val direct = graft.operators.Similarity.bruteForceTopK(
+        spark.read.parquet(emb), spark.read.parquet(emb), k = 3)
+      .filter(org.apache.spark.sql.functions.col("query_id") < 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    assert(got.toSeq == direct.toSeq)
+  }
+
+  test("graft_dedup_pairs / graft_decontaminate TVFs accept catalog tables") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    engine.run(s"create table nd_corpus_t as select doc_id, text from read_parquet('$docs')")
+    // planted: 2000000+id is a verbatim copy — every base doc with one is a pair
+    engine.run("create table nd_dup_t as " +
+      "select doc_id + 2000000 as doc_id, text from nd_corpus_t where doc_id % 10 = 0")
+    engine.run("create table nd_both_t as " +
+      "select * from nd_corpus_t union all select * from nd_dup_t")
+    val pairs = engine.run(
+      "select i, j from graft_dedup_pairs(nd_both_t, threshold => 0.9) order by i, j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter { case (i, j) => j == i + 2000000 }
+    assert(planted.nonEmpty, "verbatim planted copies must be found")
+    // contamination: eval set = 5 corpus docs verbatim → those docs flag
+    engine.run("create table nd_eval_t as " +
+      "select doc_id, text from nd_corpus_t where doc_id < 5 and length(text) > 200")
+    val flagged = engine.run(
+      "select doc_id from graft_decontaminate(nd_corpus_t, nd_eval_t, n => 8) order by doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val evalIds = engine.run("select doc_id from nd_eval_t")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds.subsetOf(flagged),
+      s"verbatim eval docs must self-flag: $evalIds vs $flagged")
+  }
+
   test("interval as a column type (types_v2/types.rs:9-26)") {
     engine.run("create table iv_t(d interval, ym interval year to month)")
     val s = engine.table("iv_t").schema

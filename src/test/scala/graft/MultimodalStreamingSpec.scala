@@ -467,6 +467,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
   }
 
+  test("stateless streaming contamination flags match the batch answer") {
+    import graft.operators.Decontaminate
+    // the c1 twin WITHOUT aggregate state: the eval set collapses to a
+    // one-row sorted gram-array index (built once, static), each arriving
+    // doc's flag is a map-only broadcast cross join + codegen'd merge
+    // intersect. Running in APPEND mode is itself the statelessness
+    // proof — Spark rejects unwatermarked streaming aggregates there, so
+    // this plan holds no state store at all.
+    val batchDocs = Tables.load(spark, sf, "documents")
+    val evalSet = batchDocs.filter(col("doc_id") % 10 === 7)
+    val index = Decontaminate.evalGramIndex(evalSet, n = 8)
+    val streamCorpus = EventsStream.readDocuments(spark, sf)
+      .filter(col("doc_id") % 10 =!= 7)
+    val got = EventsStream.runToMemory(
+      Decontaminate.streamFlags(streamCorpus, index, n = 8),
+      "decon_flags_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Decontaminate
+      .ngramOverlap(batchDocs.filter(col("doc_id") % 10 =!= 7), evalSet, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch,
+      "stateless flag stream must equal the batch gram-join answer exactly")
+    assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
+  }
+
   test("streaming heavy-hitters aggregate matches the batch sketch") {
     // the SpaceSaving TypedImperativeAggregate composes with Structured
     // Streaming: its buffer IS the streaming aggregation state, so a

@@ -106,6 +106,43 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("fallback boundary: maxHeapKeys exactly and ±1, tripped mid-partition") {
+    // The degrade path's edge: with threshold M, M-1 and M distinct keys
+    // must stay pure-heap, M+1 trips the sorter on the LAST key's first
+    // row — arriving mid-partition, after every earlier key already
+    // holds heap rows (which merge into the sorter) and before further
+    // rows for those same keys (which insert directly) — so each key's
+    // final top-k mixes rows that crossed the transition on both sides.
+    val M = 8
+    spark.conf.set("spark.graft.topk.maxHeapKeys", M.toString)
+    try {
+      def data(nKeys: Int): Seq[(Long, Long, Double)] = {
+        // 3 arrival passes over keys 0..nKeys-2, then the last key's
+        // first row, then 2 passes over ALL keys
+        val early = for (pass <- 0 until 3; key <- 0 until (nKeys - 1))
+          yield (key.toLong, (pass * 1000 + key).toLong,
+            ((pass * 1009 + key * 131) % 97).toDouble)
+        val trip = Seq(((nKeys - 1).toLong, 777000L, 50.0))
+        val late = for (pass <- 3 until 5; key <- 0 until nKeys)
+          yield (key.toLong, (pass * 1000 + key).toLong,
+            ((pass * 1009 + key * 131) % 97).toDouble)
+        early ++ trip ++ late
+      }
+      for (nKeys <- Seq(M - 1, M, M + 1)) {
+        // coalesce(1) preserves the local Seq's arrival order — the
+        // transition point inside the partition is deterministic
+        val d = data(nKeys).toDF("key", "id", "score").coalesce(1)
+        val got = collectSet(TopKPerKey(d, Seq(col("key")),
+          Seq(col("score").desc, col("id").asc), 3))
+        val want = collectSet(d.withColumn("rank", row_number().over(
+            Window.partitionBy(col("key"))
+              .orderBy(col("score").desc, col("id").asc)))
+          .filter(col("rank") <= 3))
+        assert(got == want, s"nKeys=$nKeys diverged: ${got.size} vs ${want.size}")
+      }
+    } finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
+  }
+
   test("expression keys work (not just column refs)") {
     val got = TopKPerKey(df, Seq(col("key") % 2), Seq(col("score").desc, col("id").asc), 3)
       .collect()
