@@ -54,6 +54,71 @@ object Tokenizer {
       .orderBy(col("cnt").desc, col("word"))
       .limit(fitCap)
 
+  /** Cap-free fully-DISTRIBUTED merge learning — [[learnBpeMerges]]'
+    * twin for corpora whose word vocabulary outgrows any driver
+    * `fitCap`: the frequency table never leaves the cluster. Per round:
+    * one map-combinable pair-count aggregate over the O(vocab)
+    * (word, freq, symbols) table (the corpus itself is scanned ONCE,
+    * for word counts), a ONE-ROW argmax (`orderBy(cnt desc, a, b)
+    * .limit(1)` — TakeOrderedAndProject, per-partition top-1, never a
+    * global sort) broadcast back, and a map-only left-to-right
+    * non-overlapping fold applying the merge inside each word's symbol
+    * array — a codegen'd `aggregate` HOF over a unit-separator (0x1F) delimited
+    * accumulator, no UDF. Same semantics as the driver loop: `</w>`
+    * sentinel appended, count ties break on the (a, b) pair
+    * lexicographically, so BOTH trainers learn the identical merge
+    * sequence on the same corpus. Exact long counts + deterministic
+    * fold = bit-exact on any partitioning, SQL-replayable.
+    *
+    * Returns one row per round: `(round, a, b, cnt, n_syms)` with
+    * `n_syms` the corpus symbol count AFTER the round's merge — the
+    * compression trace a tokenizer-training run monitors. The evolving
+    * symbol table is persisted per round ([[Dedup.persistPublic]];
+    * release with `Dedup.unpersistAll()`).
+    */
+  def distributedMergeRounds(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val us = String.valueOf(31.toChar)
+    val wf = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var syms = Dedup.persistPublic(wf.select(col("w"), col("f"),
+      concat(expr("regexp_extract_all(w, '.', 0)"),
+        array(lit(EndOfWord))).as("syms")))
+    val perRound = (1 to rounds).map { r =>
+      val pc = syms
+        .select(col("f"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+      val top = pc.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      val merged = syms.crossJoin(broadcast(top))
+        .select(col("w"), col("f"), col("a"), col("b"), col("cnt"),
+          split(aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            element_at(col("syms"), 1),
+            (acc, x) => when(
+              (acc === col("a") || acc.endsWith(concat(lit(us), col("a"))))
+                && x === col("b"),
+              concat(acc, col("b")))
+              .otherwise(concat(acc, lit(us), x))), us).as("syms"))
+      syms = Dedup.persistPublic(
+        merged.select(col("w"), col("f"), col("syms")))
+      // a/b/cnt are constant (one-row top) — the group collapses to the
+      // round's summary row while n_syms sums the post-merge table
+      merged.groupBy(col("a"), col("b"), col("cnt"))
+        .agg(sum(col("f") * size(col("syms"))).as("n_syms"))
+        .select(lit(r).as("round"), col("a"), col("b"), col("cnt"),
+          col("n_syms"))
+    }
+    perRound.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
   /** One symbol per Unicode CODE POINT (not UTF-16 unit), so non-BMP
     * characters — emoji, CJK extensions — stay whole instead of splitting
     * into lone surrogates that `UTF8String.fromString` would mangle into

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Probe, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Probe, Similarity, Tokenizer}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -3087,6 +3087,25 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    "u3_bpe_distributed" -> { (s, dir) =>
+      // cap-free DISTRIBUTED BPE merge learning (Sennrich ACL'16 at
+      // corpus scale) — the twin of t5's driver-side trainer for when
+      // the word vocabulary outgrows any driver fitCap: the frequency
+      // table never leaves the cluster. Per round: one map-combinable
+      // pair-count aggregate over the O(vocab) symbol table, a ONE-ROW
+      // argmax (TakeOrderedAndProject — per-partition top-1, no global
+      // sort) broadcast back, a codegen'd HOF fold applying the merge
+      // left-to-right non-overlapping inside each word. Same semantics
+      // as the driver loop (</w> sentinel, (a,b) tie-break) so both
+      // trainers learn identical merges; exact longs + deterministic
+      // fold = bit-exact replay. Gated on the en slice (per-language
+      // tokenizer — the production shape), 2 unrolled rounds: emits
+      // (round, a, b, cnt, n_syms), the compression trace.
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en")
+      Tokenizer.distributedMergeRounds(docs, rounds = 2)
+    },
+
     "u2_stupid_backoff" -> { (s, dir) =>
       // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
       // web-scale LM rule that skips discount normalization): per
@@ -5788,6 +5807,45 @@ object Pipeline {
         |  FROM pd)
         |SELECT doc_id, rank, phrase, score_ppm FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "u3_bpe_distributed" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS w
+        |  FROM documents WHERE lang = 'en'),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+        |s0 AS (SELECT w, f, regexp_extract_all(w, '.') || ['</w>'] AS syms FROM wf),
+        |pc1 AS (
+        |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM (SELECT f, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM s0)
+        |  GROUP BY a, b),
+        |top1 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (
+        |  SELECT s0.w, s0.f,
+        |    string_split(
+        |      list_reduce(s0.syms, (acc, x) -> CASE
+        |        WHEN (acc = t.a OR ends_with(acc, chr(31) || t.a)) AND x = t.b
+        |        THEN acc || t.b ELSE acc || chr(31) || x END),
+        |      chr(31)) AS syms
+        |  FROM s0 CROSS JOIN top1 t),
+        |n1 AS (SELECT CAST(sum(f * len(syms)) AS BIGINT) AS n_syms FROM s1),
+        |pc2 AS (
+        |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM (SELECT f, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM s1)
+        |  GROUP BY a, b),
+        |top2 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (
+        |  SELECT s1.w, s1.f,
+        |    string_split(
+        |      list_reduce(s1.syms, (acc, x) -> CASE
+        |        WHEN (acc = t.a OR ends_with(acc, chr(31) || t.a)) AND x = t.b
+        |        THEN acc || t.b ELSE acc || chr(31) || x END),
+        |      chr(31)) AS syms
+        |  FROM s1 CROSS JOIN top2 t),
+        |n2 AS (SELECT CAST(sum(f * len(syms)) AS BIGINT) AS n_syms FROM s2)
+        |SELECT CAST(1 AS INT) AS round, t.a, t.b, t.cnt, n1.n_syms FROM top1 t CROSS JOIN n1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), t.a, t.b, t.cnt, n2.n_syms FROM top2 t CROSS JOIN n2
+        |ORDER BY round""".stripMargin,
 
     "u2_stupid_backoff" ->
       """WITH tok AS (

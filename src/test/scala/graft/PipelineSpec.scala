@@ -1019,6 +1019,36 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.segmentWord(word, merges).mkString == word)
   }
 
+  test("distributed merge rounds learn the driver trainer's exact merges") {
+    import graft.operators.Dedup
+    // the cap-free cluster path must agree with the capped driver loop
+    // on a corpus where the cap doesn't bind — same sentinel, same
+    // (a, b) tie-break, same left-to-right non-overlapping application
+    val d = Tables.load(spark, sf, "documents").filter(col("lang") === "en")
+    try {
+      val rows = Tokenizer.distributedMergeRounds(d, rounds = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      val driver = Tokenizer.learnBpeMerges(d, numMerges = 3)
+      assert(rows.map(r => (r._2, r._3)).toSeq == driver,
+        s"distributed merges ${rows.toSeq} must equal driver $driver")
+      assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+      // each merge removes at most cnt symbols (exactly cnt when a ≠ b;
+      // self-overlapping a == b pairs can merge fewer) and at least one
+      rows.sliding(2).foreach { case Array(prev, next) =>
+        assert(next._5 < prev._5 && next._5 >= prev._5 - next._4,
+          s"n_syms must fall by ≤ cnt: $prev -> $next")
+      }
+      // partitioning invariance (decimal-free exact longs + fold)
+      val rep = Tokenizer.distributedMergeRounds(d.repartition(7), rounds = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      assert(rep.toSeq == rows.toSeq)
+    } finally Dedup.unpersistAll()
+  }
+
   test("priority-queue segmenter ≡ sequential rule application at ≥8k merges") {
     // production merge tables run 32k-100k rules; the PQ segmenter is
     // O(|word| log |word|) independent of table size, and must stay

@@ -818,6 +818,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("u3_bpe_distributed: per-round 1-row argmax, vocab stays distributed") {
+    val p = plan("u3_bpe_distributed")
+    assert(nodeCount(p, "TakeOrderedAndProject") >= 2,
+      s"each round's argmax must be per-partition top-1, not a global sort:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere in the merge loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only row-multiplying join is the broadcast 1-row top pair:\n$p")
+    // the O(vocab) symbol table must never sit under a broadcast hint —
+    // only the 1-row argmax may broadcast (checked logically, like the
+    // graph-family guard below: at test SF sizes Catalyst is free to
+    // size-pick broadcasts in the physical plan)
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, UnaryNode}
+    def rootLimit(q: LogicalPlan): Boolean = q match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case u: UnaryNode => rootLimit(u.child)
+      case _ => false
+    }
+    val analyzed =
+      SparkEntry.queries("u3_bpe_distributed")(spark, dir).queryExecution.analyzed
+    val hinted = analyzed.collect { case h: ResolvedHint => h.child }
+    assert(hinted.nonEmpty && hinted.forall(rootLimit),
+      "every broadcast hint must wrap the limit-1 argmax, never the vocab table")
+  }
+
   test("g1/g2/g5: no broadcast hint on a vertex-cardinality aggregate") {
     // The degree frame has one row per vertex with an edge — a forced
     // broadcast hint there overrides the size threshold and OOMs the
