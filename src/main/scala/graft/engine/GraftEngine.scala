@@ -242,7 +242,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|bpe_merges)\s*\(([^()]*)\)""".r
 
   /** Execute one or more `;`-separated statements; returns the LAST
     * statement's DataFrame (DDL/DML return an empty result, like the
@@ -486,6 +486,12 @@ class GraftEngine(val spark: SparkSession) {
     *    verified → (i, j).
     *  - `graft_decontaminate(corpus, eval, n => 8)` — eval-set n-gram
     *    contamination flags over (doc_id, text) → (doc_id, n_shared).
+    *  - `graft_pagerank(pairs, iters => 3, damping => 0.85,
+    *    dangling => false)` — PageRank over a (doc_a, doc_b) pair
+    *    relation; vertices are the pairs' distinct endpoints →
+    *    (doc_id, r).
+    *  - `graft_bpe_merges(docs, rounds => 2)` — distributed BPE merge
+    *    learning over (doc_id, text) → (round, a, b, cnt, n_syms).
     */
   private def graftTvf(fn: String, argStr: String): DataFrame = {
     val args = argStr.split(",").map(_.trim).filter(_.nonEmpty)
@@ -521,6 +527,19 @@ class GraftEngine(val spark: SparkSession) {
       case "decontaminate" =>
         graft.operators.Decontaminate.ngramOverlap(
           rel(0, "corpus"), rel(1, "eval"), n = intOpt("n", 8))
+      case "pagerank" =>
+        // vertices = the pair table's distinct endpoints (a TVF has one
+        // relation argument; isolated vertices are out of its view)
+        val pairs = rel(0, "pairs")
+        val verts = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val damping = named.get("damping").map(_.toDouble).getOrElse(0.85)
+        graft.operators.Graph.pageRank(verts, pairs,
+          iters = intOpt("iters", 3), damping = damping,
+          dangling = named.get("dangling").exists(_.toBoolean))
+      case "bpe_merges" =>
+        graft.operators.Tokenizer.distributedMergeRounds(
+          rel(0, "docs"), rounds = intOpt("rounds", 2))
     }
   }
 

@@ -505,6 +505,27 @@ class EngineSpec extends AnyFunSuite {
       s"verbatim eval docs must self-flag: $evalIds vs $flagged")
   }
 
+  test("graft_pagerank / graft_bpe_merges TVFs compose with plain SQL") {
+    // a tiny directed path as a VALUES-built pair table: 1→2→3
+    engine.run("create table pr_edges_t(doc_a bigint, doc_b bigint)")
+    engine.run("insert into pr_edges_t values (1, 2), (2, 3)")
+    val pr = engine.run(
+      "select doc_id, r from graft_pagerank(pr_edges_t, iters => 5, dangling => true) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pr.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // dangling redistribution conserves mass over the 3 visible vertices
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
+    try {
+      val docs = "/root/testdata/sf0.001/documents.parquet"
+      val merges = engine.run(
+        s"select round, a, b from graft_bpe_merges('$docs', rounds => 2) " +
+          "where cnt > 0 order by round")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(merges.length == 2 && merges.map(_._1).toSeq == Seq(1, 2))
+      assert(merges.forall(m => m._2.nonEmpty && m._3.nonEmpty))
+    } finally graft.operators.Dedup.unpersistAll()
+  }
+
   test("interval as a column type (types_v2/types.rs:9-26)") {
     engine.run("create table iv_t(d interval, ym interval year to month)")
     val s = engine.table("iv_t").schema

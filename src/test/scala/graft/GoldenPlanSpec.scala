@@ -79,6 +79,14 @@ class GoldenPlanSpec extends AnyFunSuite {
     "c6_eval_leak_report", // broadcast eval grams, per-eval rollup
     "e14_rolling_window",  // user-partitioned RANGE frame
     "g5_ppr",              // seeded teleport, per-round edge⋈rank shuffle
+    "g8_pagerank_dangling",// directed edges, 1-row dangling sum broadcast per round
+    // g9_pagerank_fixpoint is NOT whole-plan-pinned: its rounds pass
+    // through localCheckpoint, so the plan is a LogicalRDD with
+    // unstable ids — the loop is gated by its oracle (≡ g8's replay)
+    // and the GraphSpec loop≡unrolled property instead.
+    // u3_bpe_distributed is NOT whole-plan-pinned: its symbol tables are
+    // persistPublic frames, the d8/g4 cache-manager situation — guarded
+    // by targeted PlanQualitySpec asserts instead.
     "x9_source_overlap",   // distinct postings, token-keyed equi self-join
     "s8_temperature_mix",  // one corpus count, O(sources) apportionment
     "t20_novelty",         // distinct trigram frames, gram-keyed left join
