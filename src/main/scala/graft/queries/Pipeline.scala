@@ -1881,6 +1881,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x14_shard_manifest" -> { (s, dir) =>
+      // deterministic training-shard manifest — the handoff between
+      // curation and the training job: every doc maps to
+      // shard = md5-bucket(doc_id) % 16 (content-independent and stable
+      // across data refreshes, the s3 split discipline — a later corpus
+      // refresh never migrates a document between shards), and the
+      // per-shard manifest row carries what a loader needs to plan:
+      // doc/token/char totals and the id range. Map-only assignment +
+      // ONE map-combinable aggregate; output is O(shards) at any corpus
+      // size, all exact longs — bit-exact on any partitioning.
+      val d = Tables.load(s, dir, "documents")
+      d.select((TextFunctions.md5Bucket(col("doc_id")) % 16).as("shard"),
+          col("doc_id"), col("n_chars"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("shard"))
+    },
+
     "t15_bigram_pred" -> { (s, dir) =>
       // bigram predictability — u1's conditional counterpart and the
       // cheap stand-in for model perplexity: per doc, the mean of
@@ -4728,6 +4751,21 @@ object Pipeline {
         |       WHEN bucket < 250 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x14_shard_manifest" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |        x -> len(x) > 0)) AS n_toks,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS INTEGER) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
     "t15_bigram_pred" ->
       """WITH tok AS (

@@ -818,6 +818,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidates come from the window, not a join:\n$p")
   }
 
+  test("x14_shard_manifest: map-only assignment into one partial+final aggregate") {
+    val p = plan("x14_shard_manifest")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"the manifest is pure aggregation:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"shard totals must partial-aggregate map-side:\n$p")
+    assert(nodeCount(p, "Exchange") <= 2,
+      s"one shuffle for the shard aggregate (plus the final sort):\n$p")
+  }
+
   test("u3_bpe_distributed: per-round 1-row argmax, vocab stays distributed") {
     val p = plan("u3_bpe_distributed")
     assert(nodeCount(p, "TakeOrderedAndProject") >= 2,
