@@ -493,13 +493,60 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_bpe_merges(docs, rounds => 2)` — distributed BPE merge
     *    learning over (doc_id, text) → (round, a, b, cnt, n_syms).
     */
+  /** Option keys each graft_* TVF accepts — an unknown key is a caller
+    * typo (`treshold => 0.9`) and must error, not silently default.
+    */
+  private val GraftTvfOptions: Map[String, Set[String]] = Map(
+    "topk" -> Set("k"),
+    "dedup_pairs" -> Set("threshold"),
+    "decontaminate" -> Set("n"),
+    "pagerank" -> Set("iters", "damping", "dangling"),
+    "bpe_merges" -> Set("rounds"))
+
+  /** Positional (relation) arguments each TVF requires, by name — checked
+    * BEFORE any relation resolves, so a missing argument errors as an
+    * argument-count problem, not as a failed path/table lookup.
+    */
+  private val GraftTvfRelations: Map[String, Seq[String]] = Map(
+    "topk" -> Seq("corpus", "queries"),
+    "dedup_pairs" -> Seq("docs"),
+    "decontaminate" -> Seq("corpus", "eval"),
+    "pagerank" -> Seq("pairs"),
+    "bpe_merges" -> Seq("docs"))
+
+  /** Split a TVF argument list on top-level commas only — a comma inside
+    * a quoted path (`'a,b.parquet'`) is part of the argument.
+    */
+  private def splitTvfArgs(argStr: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    argStr.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def graftTvf(fn: String, argStr: String): DataFrame = {
-    val args = argStr.split(",").map(_.trim).filter(_.nonEmpty)
+    val args = splitTvfArgs(argStr)
     val (pos, namedRaw) = args.partition(!_.contains("=>"))
     val named = namedRaw.map { a =>
       val Array(k, v) = a.split("=>", 2).map(_.trim)
       k.toLowerCase -> v
     }.toMap
+    val allowed = GraftTvfOptions(fn.toLowerCase)
+    val unknown = named.keySet -- allowed
+    require(unknown.isEmpty,
+      s"graft_${fn.toLowerCase}: unknown option(s) ${unknown.mkString(", ")}; " +
+        s"accepted: ${allowed.toSeq.sorted.mkString(", ")}")
+    val wantRels = GraftTvfRelations(fn.toLowerCase)
+    require(pos.length == wantRels.length,
+      s"graft_${fn.toLowerCase} needs ${wantRels.length} relation argument(s) " +
+        s"(${wantRels.mkString(", ")} — each a quoted parquet path or a " +
+        s"table name), got ${pos.length}")
     def rel(i: Int, what: String): DataFrame = {
       require(pos.length > i,
         s"graft_${fn.toLowerCase} needs a $what relation argument " +

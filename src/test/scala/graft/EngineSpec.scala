@@ -526,6 +526,23 @@ class EngineSpec extends AnyFunSuite {
     } finally graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_* TVF argument validation: unknown options error, bad values error") {
+    val e1 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_pagerank(pr_edges_t, itres => 3)")
+    }
+    assert(e1.getMessage.contains("unknown option") &&
+      e1.getMessage.contains("itres"))
+    val e2 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_dedup_pairs(nd_both_t, threshold => 1.5)")
+    }
+    assert(e2.getMessage.contains("threshold"))
+    val e3 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_topk('/tmp/x.parquet')")
+    }
+    assert(e3.getMessage.contains("relation argument") &&
+      e3.getMessage.contains("queries"))
+  }
+
   test("interval as a column type (types_v2/types.rs:9-26)") {
     engine.run("create table iv_t(d interval, ym interval year to month)")
     val s = engine.table("iv_t").schema
