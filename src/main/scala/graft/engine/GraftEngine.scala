@@ -230,6 +230,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val CopyAnyRe = """(?is)\s*copy\s+.*""".r
   private val ShowTablesRe = """(?is)\s*show\s+tables\s*""".r
+  private val GraftReleaseRe = """(?is)\s*graft_release\s*(?:\(\s*\))?\s*""".r
   private val DescribeRe = """(?is)\s*describe\s+(\w+)\s*""".r
   private val ExplainRe = """(?is)\s*explain\s+(.*)""".r
   private val ReadCsvCallRe =
@@ -338,6 +339,14 @@ class GraftEngine(val spark: SparkSession) {
   }
 
   private def runStatement(sql: String): DataFrame = sql match {
+    case GraftReleaseRe() =>
+      // the SQL-surface release path for serving-TVF scratch state: the
+      // dedup/BPE TVFs pin tracked persisted frames per call (the caches
+      // their plans reuse WITHIN one execution), and a long-lived session
+      // would otherwise accumulate them without bound. Safe at any time —
+      // Spark recomputes if a released plan re-executes.
+      graft.operators.Dedup.unpersistAll()
+      emptyOk
     case ShowTablesRe() => showTables()
     case DescribeRe(t) => describe(t)
     case ExplainRe(q) => explainDf(q)
@@ -455,12 +464,22 @@ class GraftEngine(val spark: SparkSession) {
     // is a SQL engine, client_context.rs:76 — a serving operator you can't
     // reach from SQL isn't part of its user surface). Same rewrite shape:
     // the call materializes as a temp view over the operator's DataFrame.
-    sql = GraftTvfRe.replaceAllIn(sql, m => {
-      idx += 1
-      val view = s"__graft_${m.group(1).toLowerCase}_$idx"
-      graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
-      view
-    })
+    // ACTIVE-CODE ONLY: graftTvf eagerly resolves tables/paths, so a TVF
+    // mention inside a string literal or comment must pass through
+    // untouched instead of erroring on (or corrupting into) a view name.
+    sql = {
+      val mask = codeMask(sql)
+      GraftTvfRe.replaceAllIn(sql, m => {
+        if (m.start < mask.length && !mask(m.start))
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          idx += 1
+          val view = s"__graft_${m.group(1).toLowerCase}_$idx"
+          graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
+          view
+        }
+      })
+    }
     val df =
       try spark.sql(sql)
       catch {
@@ -492,6 +511,12 @@ class GraftEngine(val spark: SparkSession) {
     *    (doc_id, r).
     *  - `graft_bpe_merges(docs, rounds => 2)` — distributed BPE merge
     *    learning over (doc_id, text) → (round, a, b, cnt, n_syms).
+    *
+    * Lifecycle: the dedup/BPE operators persist tracked scratch frames
+    * their plans reuse within one execution; a long-lived serving
+    * session should issue the `graft_release` statement between serving
+    * batches to release them (Spark recomputes if a released plan is
+    * re-executed, so it is always safe).
     */
   /** Option keys each graft_* TVF accepts — an unknown key is a caller
     * typo (`treshold => 0.9`) and must error, not silently default.
@@ -533,10 +558,15 @@ class GraftEngine(val spark: SparkSession) {
   private def graftTvf(fn: String, argStr: String): DataFrame = {
     val args = splitTvfArgs(argStr)
     val (pos, namedRaw) = args.partition(!_.contains("=>"))
-    val named = namedRaw.map { a =>
+    val namedPairs = namedRaw.map { a =>
       val Array(k, v) = a.split("=>", 2).map(_.trim)
       k.toLowerCase -> v
-    }.toMap
+    }
+    val named = namedPairs.toMap
+    require(named.size == namedPairs.size,
+      s"graft_${fn.toLowerCase}: duplicate option(s) " +
+        namedPairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", "))
     val allowed = GraftTvfOptions(fn.toLowerCase)
     val unknown = named.keySet -- allowed
     require(unknown.isEmpty,
@@ -547,46 +577,68 @@ class GraftEngine(val spark: SparkSession) {
       s"graft_${fn.toLowerCase} needs ${wantRels.length} relation argument(s) " +
         s"(${wantRels.mkString(", ")} — each a quoted parquet path or a " +
         s"table name), got ${pos.length}")
-    def rel(i: Int, what: String): DataFrame = {
-      require(pos.length > i,
-        s"graft_${fn.toLowerCase} needs a $what relation argument " +
-          "(quoted parquet path or table name)")
-      val a = pos(i)
+    def rel(i: Int): DataFrame = {
+      val a = pos(i) // arity was checked against GraftTvfRelations above
       if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
         readParquet(a.substring(1, a.length - 1))
       else spark.table(a.toLowerCase)
     }
+    def badValue(key: String, v: String, want: String): Nothing =
+      throw new IllegalArgumentException(
+        s"graft_${fn.toLowerCase}: option $key needs $want, got '$v'")
     def intOpt(key: String, default: Int): Int = {
-      val v = named.get(key).map(_.toInt).getOrElse(default)
+      val v = named.get(key).map { raw =>
+        try raw.toInt catch { case _: NumberFormatException =>
+          badValue(key, raw, "an integer") }
+      }.getOrElse(default)
       require(v >= 1, s"graft_${fn.toLowerCase}: $key must be >= 1, got $v")
       v
     }
+    def doubleOpt(key: String, default: Double): Double =
+      named.get(key).map { raw =>
+        try raw.toDouble catch { case _: NumberFormatException =>
+          badValue(key, raw, "a number") }
+      }.getOrElse(default)
+    def boolOpt(key: String): Boolean =
+      named.get(key).exists { raw =>
+        try raw.toBoolean catch { case _: IllegalArgumentException =>
+          badValue(key, raw, "true or false") }
+      }
+    // options parse BEFORE relations resolve in every branch, so a bad
+    // option value reads as an option error even when a relation is also
+    // missing
     fn.toLowerCase match {
       case "topk" =>
-        graft.operators.Similarity.bruteForceTopK(
-          rel(0, "corpus"), rel(1, "queries"), k = intOpt("k", 10))
+        val k = intOpt("k", 10)
+        graft.operators.Similarity.bruteForceTopK(rel(0), rel(1), k = k)
       case "dedup_pairs" =>
-        val threshold = named.get("threshold").map(_.toDouble).getOrElse(0.8)
+        val threshold = doubleOpt("threshold", 0.8)
         require(threshold > 0.0 && threshold <= 1.0,
           s"graft_dedup_pairs: threshold must be in (0,1], got $threshold")
-        graft.operators.Dedup.minhashLshPairs(rel(0, "docs"),
-          threshold = threshold)
+        graft.operators.Dedup.minhashLshPairs(rel(0), threshold = threshold)
       case "decontaminate" =>
-        graft.operators.Decontaminate.ngramOverlap(
-          rel(0, "corpus"), rel(1, "eval"), n = intOpt("n", 8))
+        val n = intOpt("n", 8)
+        graft.operators.Decontaminate.ngramOverlap(rel(0), rel(1), n = n)
       case "pagerank" =>
         // vertices = the pair table's distinct endpoints (a TVF has one
-        // relation argument; isolated vertices are out of its view)
-        val pairs = rel(0, "pairs")
+        // relation argument; isolated vertices are out of its view).
+        // Served through the CHECKPOINTED loop, not the unrolled form:
+        // the TVF puts no bound on iters, and the unrolled dangling plan
+        // doubles per round — the loop is linear and bit-equal (the g9
+        // gate + the GraphSpec loop≡unrolled property).
+        val iters = intOpt("iters", 3)
+        val damping = doubleOpt("damping", 0.85)
+        val dangling = boolOpt("dangling")
+        val pairs = rel(0)
         val verts = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        val damping = named.get("damping").map(_.toDouble).getOrElse(0.85)
-        graft.operators.Graph.pageRank(verts, pairs,
-          iters = intOpt("iters", 3), damping = damping,
-          dangling = named.get("dangling").exists(_.toBoolean))
+        graft.operators.Graph.pageRankConverged(verts, pairs,
+          tol = 0.0, maxIters = iters, damping = damping,
+          dangling = dangling)
       case "bpe_merges" =>
-        graft.operators.Tokenizer.distributedMergeRounds(
-          rel(0, "docs"), rounds = intOpt("rounds", 2))
+        val rounds = intOpt("rounds", 2)
+        graft.operators.Tokenizer.distributedMergeRounds(rel(0),
+          rounds = rounds)
     }
   }
 

@@ -79,6 +79,20 @@ object Dedup {
     */
   def truncatePublic(df: DataFrame): DataFrame = truncateLineage(df)
 
+  /** Release one SPECIFIC truncated frame's checkpoint blocks (the
+    * iterative-loop discipline: a superseded round's ranks are never
+    * read again — holding all rounds until [[unpersistAll]] costs
+    * O(rounds × frame) executor storage). No-op for frames that were
+    * reliably checkpointed to `spark.graft.checkpointDir` (those files
+    * are owned by the directory) or never truncated.
+    */
+  def releasePublic(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        if (checkpointRdds.remove(l.rdd)) l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** RDDs pinned by eager localCheckpoints ([[localCheckpointTracked]]);
     * checkpoint blocks are NOT CacheManager-managed, so df.unpersist can't
     * release them — the underlying RDD handle can.

@@ -100,6 +100,14 @@ object Graph {
       damping: Double = 0.85, symmetrize: Boolean = true,
       dangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // with the dangling term each unrolled step references the previous
+    // rank frame TWICE (the edge join and the dangling anti-join sum),
+    // so the un-truncated logical plan DOUBLES per iteration — 2^iters
+    // analysis blowup. Shallow unrolls stay replayable by a SQL oracle;
+    // anything deeper belongs on the checkpointed loop.
+    require(!dangling || iters <= 8,
+      s"unrolled dangling PageRank doubles its plan per round — use " +
+        s"pageRankConverged for $iters iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     val edges = edgeFrame(pairs, symmetrize)
@@ -164,6 +172,10 @@ object Graph {
           .cast("double"))
         .head().getDouble(0)
       delta = d
+      // the superseded round is never read again — release its
+      // checkpoint blocks NOW, so a 50-round fixpoint pins at most two
+      // rank frames instead of all fifty
+      Dedup.releasePublic(ranks)
       ranks = next
       it += 1
     }

@@ -67,7 +67,9 @@ object Tokenizer {
     * accumulator, no UDF. Same semantics as the driver loop: `</w>`
     * sentinel appended, count ties break on the (a, b) pair
     * lexicographically, so BOTH trainers learn the identical merge
-    * sequence on the same corpus. Exact long counts + deterministic
+    * sequence on the same corpus (caveat: words containing U+001F — the
+    * accumulator delimiter — are excluded here and in the oracle; the
+    * driver loop would include them). Exact long counts + deterministic
     * fold = bit-exact on any partitioning, SQL-replayable.
     *
     * Returns one row per round: `(round, a, b, cnt, n_syms)` with
@@ -80,12 +82,20 @@ object Tokenizer {
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val us = String.valueOf(31.toChar)
+    // words carrying the U+001F accumulator delimiter are excluded (the
+    // documented corpus contract — mirrored in the oracle): the fold's
+    // delimited accumulator cannot represent them, and silently learning
+    // from a corrupted symbolization would be worse than skipping the
+    // (pathological) word. `(?s).` so EVERY code point symbolizes — Java's
+    // bare '.' skips U+0085/U+2028/U+2029, which RE2 and the driver
+    // trainer's codePointSymbols both keep.
     val wf = docs
       .select(explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(us))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
     var syms = Dedup.persistPublic(wf.select(col("w"), col("f"),
-      concat(expr("regexp_extract_all(w, '.', 0)"),
+      concat(expr("regexp_extract_all(w, '(?s).', 0)"),
         array(lit(EndOfWord))).as("syms")))
     val perRound = (1 to rounds).map { r =>
       val pc = syms

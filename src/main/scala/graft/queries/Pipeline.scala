@@ -5850,7 +5850,8 @@ object Pipeline {
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS w
         |  FROM documents WHERE lang = 'en'),
-        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+        |       WHERE NOT contains(w, chr(31)) GROUP BY w),
         |s0 AS (SELECT w, f, regexp_extract_all(w, '.') || ['</w>'] AS syms FROM wf),
         |pc1 AS (
         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt

@@ -526,14 +526,16 @@ class EngineSpec extends AnyFunSuite {
     } finally graft.operators.Dedup.unpersistAll()
   }
 
-  test("graft_* TVF argument validation: unknown options error, bad values error") {
+  test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
+    // all validation fires BEFORE any relation resolves, so made-up table
+    // names keep this test self-contained (no dependency on suite order)
     val e1 = intercept[IllegalArgumentException] {
-      engine.run("select * from graft_pagerank(pr_edges_t, itres => 3)")
+      engine.run("select * from graft_pagerank(no_such_t, itres => 3)")
     }
     assert(e1.getMessage.contains("unknown option") &&
       e1.getMessage.contains("itres"))
     val e2 = intercept[IllegalArgumentException] {
-      engine.run("select * from graft_dedup_pairs(nd_both_t, threshold => 1.5)")
+      engine.run("select * from graft_dedup_pairs(no_such_t, threshold => 1.5)")
     }
     assert(e2.getMessage.contains("threshold"))
     val e3 = intercept[IllegalArgumentException] {
@@ -541,6 +543,28 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("relation argument") &&
       e3.getMessage.contains("queries"))
+    // a non-numeric option value names the function and option, not a
+    // bare NumberFormatException
+    val e4 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_topk(no_such_t, no_such_q, k => ten)")
+    }
+    assert(e4.getMessage.contains("graft_topk") && e4.getMessage.contains("k"))
+    // duplicate options error instead of silently last-winning
+    val e5 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_pagerank(no_such_t, iters => 3, iters => 9)")
+    }
+    assert(e5.getMessage.contains("duplicate") && e5.getMessage.contains("iters"))
+  }
+
+  test("graft_* TVF mentions inside string literals pass through untouched") {
+    val got = rows(
+      "select 'docs: graft_topk(corpus, queries)' as help_text").head.head
+    assert(got == "docs: graft_topk(corpus, queries)")
+  }
+
+  test("graft_release releases serving scratch state and returns ok") {
+    assert(engine.run("graft_release").collect().isEmpty)
+    assert(engine.run("graft_release();").collect().isEmpty)
   }
 
   test("interval as a column type (types_v2/types.rs:9-26)") {
