@@ -187,6 +187,22 @@ class GraphSpec extends AnyFunSuite {
     } finally Dedup.unpersistAll()
   }
 
+  test("pagerank fixpoint: 30 forced rounds run with per-round release") {
+    // tol = 0 forces every round; each superseded round's checkpoint is
+    // released as soon as its delta is read — a mis-ordered release
+    // would surface as a missing-checkpoint-block failure here, and a
+    // missing release would pin 30 rank frames
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    try {
+      val (ranks, rounds, _) = Graph.pageRankConvergedWithStats(
+        verticesDf(5), pairs, tol = 0.0, maxIters = 30, dangling = true)
+      assert(rounds == 30)
+      val total = ranks.agg(sum(col("r"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9)
+    } finally Dedup.unpersistAll()
+  }
+
   test("pagerank fixpoint: converges under tol before maxIters, mass conserved") {
     val rnd = new scala.util.Random(9)
     val edges = (for (_ <- 1 to 60) yield {
