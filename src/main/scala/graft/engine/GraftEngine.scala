@@ -343,9 +343,13 @@ class GraftEngine(val spark: SparkSession) {
       // the SQL-surface release path for serving-TVF scratch state: the
       // dedup/BPE TVFs pin tracked persisted frames per call (the caches
       // their plans reuse WITHIN one execution), and a long-lived session
-      // would otherwise accumulate them without bound. Safe at any time —
-      // Spark recomputes if a released plan re-executes.
-      graft.operators.Dedup.unpersistAll()
+      // would otherwise accumulate them without bound. Releases CACHES
+      // only — always safe, Spark recomputes a released cache if a plan
+      // re-executes. Checkpoint blocks are deliberately NOT released: a
+      // checkpointed plan has no lineage to recompute from, so releasing
+      // them would break a still-registered view/CTAS over a fixpoint
+      // result.
+      graft.operators.Dedup.releaseCaches()
       emptyOk
     case ShowTablesRe() => showTables()
     case DescribeRe(t) => describe(t)
@@ -402,7 +406,7 @@ class GraftEngine(val spark: SparkSession) {
     }
     // read_csv('p', named=>args) table function → materialized temp view
     var idx = 0
-    sql = ReadCsvCallRe.replaceAllIn(sql, m => {
+    sql = maskedReplace(sql, ReadCsvCallRe) { m =>
       val path = m.group(1)
       val opts = Option(m.group(2)).getOrElse("")
       val header = """(?i)header\s*=>\s*true""".r.findFirstIn(opts).isDefined ||
@@ -413,44 +417,44 @@ class GraftEngine(val spark: SparkSession) {
       val view = s"__read_csv_$idx"
       readCsv(path, header, delim).createOrReplaceTempView(view)
       view
-    })
+    }
     // bare `FROM 'file.csv'` auto-binds to read_csv (defaults: header on).
     // The relation is named after the file stem so qualified references
     // work — `select t1.a from 'tests/csv/t1.csv'` binds t1 to the file
     // (bind_base_table_ref.rs:98-118 does the same).
-    sql = BareCsvFromRe.replaceAllIn(sql, m => {
+    sql = maskedReplace(sql, BareCsvFromRe) { m =>
       val stem = m.group(2).split("/").last.stripSuffix(".csv")
         .replaceAll("[^A-Za-z0-9_]", "_")
       val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
         else s"csv_$stem"
       readCsv(m.group(2), header = true, delim = ",").createOrReplaceTempView(view)
       m.group(1) + view
-    })
+    }
     // read_parquet('p') TVF and bare `FROM 'file.parquet'` — the columnar
     // twin of the CSV surface above (extension; the reference is CSV-only)
-    sql = ReadParquetCallRe.replaceAllIn(sql, m => {
+    sql = maskedReplace(sql, ReadParquetCallRe) { m =>
       idx += 1
       val view = s"__read_parquet_$idx"
       readParquet(m.group(1)).createOrReplaceTempView(view)
       view
-    })
-    sql = BareParquetFromRe.replaceAllIn(sql, m => {
+    }
+    sql = maskedReplace(sql, BareParquetFromRe) { m =>
       val stem = m.group(2).split("/").last.stripSuffix(".parquet")
         .replaceAll("[^A-Za-z0-9_]", "_")
       val view = if (stem.headOption.exists(c => c.isLetter || c == '_')) stem
         else s"parquet_$stem"
       readParquet(m.group(2)).createOrReplaceTempView(view)
       m.group(1) + view
-    })
+    }
     // read_json('p') TVF and bare `FROM 'file.json[l]'` — the log/event
     // ingest surface (extension; same rewrite shape as csv/parquet)
-    sql = ReadJsonCallRe.replaceAllIn(sql, m => {
+    sql = maskedReplace(sql, ReadJsonCallRe) { m =>
       idx += 1
       val view = s"__read_json_$idx"
       readJson(m.group(1)).createOrReplaceTempView(view)
       view
-    })
-    sql = BareJsonFromRe.replaceAllIn(sql, m => {
+    }
+    sql = maskedReplace(sql, BareJsonFromRe) { m =>
       val stem = m.group(2).split("/").last
         .stripSuffix(".jsonl").stripSuffix(".json")
         .replaceAll("[^A-Za-z0-9_]", "_")
@@ -458,7 +462,7 @@ class GraftEngine(val spark: SparkSession) {
         else s"json_$stem"
       readJson(m.group(2)).createOrReplaceTempView(view)
       m.group(1) + view
-    })
+    }
     // graft_* serving TVFs — the top extension operators surfaced through
     // the SQL front door the way read_csv/read_parquet are (the reference
     // is a SQL engine, client_context.rs:76 — a serving operator you can't
@@ -467,18 +471,11 @@ class GraftEngine(val spark: SparkSession) {
     // ACTIVE-CODE ONLY: graftTvf eagerly resolves tables/paths, so a TVF
     // mention inside a string literal or comment must pass through
     // untouched instead of erroring on (or corrupting into) a view name.
-    sql = {
-      val mask = codeMask(sql)
-      GraftTvfRe.replaceAllIn(sql, m => {
-        if (m.start < mask.length && !mask(m.start))
-          java.util.regex.Matcher.quoteReplacement(m.matched)
-        else {
-          idx += 1
-          val view = s"__graft_${m.group(1).toLowerCase}_$idx"
-          graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
-          view
-        }
-      })
+    sql = maskedReplace(sql, GraftTvfRe) { m =>
+      idx += 1
+      val view = s"__graft_${m.group(1).toLowerCase}_$idx"
+      graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
+      view
     }
     val df =
       try spark.sql(sql)
@@ -489,6 +486,21 @@ class GraftEngine(val spark: SparkSession) {
       }
     rejectVarcharNumericComparison(df)
     df
+  }
+
+  /** Literal/comment-safe regex rewrite: the replacement applies only to
+    * matches STARTING in active code (per [[codeMask]]) — a TVF call or
+    * file path mentioned inside a string literal or a comment passes
+    * through verbatim instead of being eagerly resolved or corrupted
+    * into a view name. Every source rewrite in [[runSelect]] goes
+    * through this one helper so literal-safety cannot drift per rewrite.
+    */
+  private def maskedReplace(sql: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val mask = codeMask(sql)
+    re.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.start < mask.length && !mask(m.start)) m.matched else f(m)))
   }
 
   /** One graft_* serving-TVF call → the operator's DataFrame.
@@ -622,19 +634,24 @@ class GraftEngine(val spark: SparkSession) {
       case "pagerank" =>
         // vertices = the pair table's distinct endpoints (a TVF has one
         // relation argument; isolated vertices are out of its view).
-        // Served through the CHECKPOINTED loop, not the unrolled form:
-        // the TVF puts no bound on iters, and the unrolled dangling plan
-        // doubles per round — the loop is linear and bit-equal (the g9
-        // gate + the GraphSpec loop≡unrolled property).
+        // Served through the LAZY unrolled form so the rewrite itself
+        // (and EXPLAIN over it) runs zero jobs; iters is therefore
+        // CAPPED — the unrolled plan grows linearly per round (and would
+        // double per round with dangling, capped tighter by the operator
+        // itself). Deep fixpoints belong on the Scala
+        // `Graph.pageRankConverged` API, whose checkpointed rounds the
+        // g9 gate pins bit-equal to this form.
         val iters = intOpt("iters", 3)
+        require(iters <= (if (boolOpt("dangling")) 8 else 20),
+          s"graft_pagerank: iters > ${if (boolOpt("dangling")) 8 else 20} " +
+            "unrolls too deep a plan — use Graph.pageRankConverged for deep fixpoints")
         val damping = doubleOpt("damping", 0.85)
         val dangling = boolOpt("dangling")
         val pairs = rel(0)
         val verts = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        graft.operators.Graph.pageRankConverged(verts, pairs,
-          tol = 0.0, maxIters = iters, damping = damping,
-          dangling = dangling)
+        graft.operators.Graph.pageRank(verts, pairs, iters = iters,
+          damping = damping, dangling = dangling)
       case "bpe_merges" =>
         val rounds = intOpt("rounds", 2)
         graft.operators.Tokenizer.distributedMergeRounds(rel(0),

@@ -138,10 +138,21 @@ object Dedup {
     * re-execute a dedup result DataFrame after calling this).
     */
   def unpersistAll(): Unit = {
-    var df = cachedFrames.poll()
-    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+    releaseCaches()
     var rdd = checkpointRdds.poll()
     while (rdd != null) { rdd.unpersist(blocking = false); rdd = checkpointRdds.poll() }
+  }
+
+  /** Release only the PERSISTED (cache) frames — never checkpoint
+    * blocks. Always safe: a released cache recomputes if its plan
+    * re-executes, whereas a localCheckpoint-truncated plan has no
+    * lineage to recompute from — releasing its blocks would break any
+    * still-registered lazy plan over it (a CTAS/view holding a
+    * fixpoint result). The `graft_release` SQL statement calls this.
+    */
+  def releaseCaches(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
   }
 
   /** Exact dedup: group identical text.
@@ -268,18 +279,12 @@ object Dedup {
     // superseded rounds free their checkpoint blocks immediately — at most
     // two label copies are pinned at any time, and the final one is
     // released by unpersistAll()
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
       val next = truncateLineage(ccRound(labels, edges))
       converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
-      freeCheckpoint(labels) // next is materialized; the old round is dead
+      releasePublic(labels) // next is materialized; the old round is dead
       labels = next.select(col("doc_id"), col("rep"))
       iters += 1
     }

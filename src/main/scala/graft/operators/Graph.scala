@@ -157,14 +157,18 @@ object Graph {
     val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize))
     val deg = Dedup.persistPublic(
       edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")))
-    val n1 = vertices.agg(count(lit(1)).as("n"))
-    var ranks = Dedup.truncatePublic(vertices.crossJoin(broadcast(n1))
+    // vertices and the N count feed EVERY round's separate job — persist
+    // both so a derived vertex frame (e.g. the TVF's distinct-endpoints
+    // union) is not re-scanned and re-shuffled once per round
+    val verts = Dedup.persistPublic(vertices.select(col("doc_id")))
+    val n1 = Dedup.persistPublic(verts.agg(count(lit(1)).as("n")))
+    var ranks = Dedup.truncatePublic(verts.crossJoin(broadcast(n1))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("r")))
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta > tol) {
       val next = Dedup.truncatePublic(
-        pageRankStep(vertices, edges, deg, n1, ranks, damping, dangling))
+        pageRankStep(verts, edges, deg, n1, ranks, damping, dangling))
       val d = ranks.as("o")
         .join(next.as("nw"), col("o.doc_id") === col("nw.doc_id"))
         .agg(coalesce(sum(abs(col("nw.r") - col("o.r"))
@@ -174,7 +178,11 @@ object Graph {
       delta = d
       // the superseded round is never read again — release its
       // checkpoint blocks NOW, so a 50-round fixpoint pins at most two
-      // rank frames instead of all fifty
+      // rank frames instead of all fifty. (localCheckpoint mode only:
+      // under `spark.graft.checkpointDir` the reliable-checkpoint files
+      // are owned by that job-scoped directory — per-round release is a
+      // deliberate no-op there, and the caller deletes the directory
+      // when the job ends.)
       Dedup.releasePublic(ranks)
       ranks = next
       it += 1

@@ -556,10 +556,21 @@ class EngineSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("duplicate") && e5.getMessage.contains("iters"))
   }
 
-  test("graft_* TVF mentions inside string literals pass through untouched") {
+  test("TVF mentions inside string literals pass through untouched") {
     val got = rows(
       "select 'docs: graft_topk(corpus, queries)' as help_text").head.head
     assert(got == "docs: graft_topk(corpus, queries)")
+    // the sibling source rewrites share the mask: a literal mentioning
+    // read_csv / a bare .csv path must not eagerly read a file
+    val csv = rows(
+      "select 'see read_csv(''missing.csv'') or from ''x.csv'' syntax' as h")
+      .head.head
+    assert(csv == "see read_csv('missing.csv') or from 'x.csv' syntax")
+    // comments too
+    val c = rows(
+      "select 1 as v -- read_parquet('nope.parquet') graft_pagerank(t)")
+      .head.head
+    assert(c == 1)
   }
 
   test("graft_release releases serving scratch state and returns ok") {
