@@ -493,6 +493,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 corpus should contain planted contamination")
   }
 
+  test("streaming shard manifest matches the batch x14 manifest") {
+    // state is keyed by the FIXED 16-value shard domain — the one
+    // unwindowed streaming aggregate whose state is bounded by its key
+    // space, not a watermark
+    val got = EventsStream.runToMemory(
+      EventsStream.shardManifestStream(EventsStream.readDocuments(spark, sf)),
+      "shard_manifest_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("x14_shard_manifest")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got == batch)
+    assert(got.map(_._1) == (0 until 16), "all 16 shards populated at this sf")
+  }
+
   test("streaming heavy-hitters aggregate matches the batch sketch") {
     // the SpaceSaving TypedImperativeAggregate composes with Structured
     // Streaming: its buffer IS the streaming aggregation state, so a
