@@ -244,6 +244,9 @@ class GraftEngine(val spark: SparkSession) {
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
     """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|bpe_merges)\s*\(([^()]*)\)""".r
+  private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
+  private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
+  private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
 
   /** Execute one or more `;`-separated statements; returns the LAST
     * statement's DataFrame (DDL/DML return an empty result, like the
@@ -395,14 +398,17 @@ class GraftEngine(val spark: SparkSession) {
     requireFromSubqueryAlias(sql)
     // sqlparser-rs accepts OFFSET before LIMIT (tests/slt/order.slt:2);
     // Spark's parser requires LIMIT first — swap the clause order
-    sql = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
-      .replaceAllIn(sql, m => s"limit ${m.group(2)} offset ${m.group(1)}")
+    // (mask-aware like every other rewrite: the phrase inside a string
+    // literal must not be reordered)
+    sql = maskedReplace(sql, OffsetLimitRe) { m =>
+      s"limit ${m.group(2)} offset ${m.group(1)}"
+    }
     if (sql.toLowerCase.contains("sqlrs_tables") ||
       sql.toLowerCase.contains("sqlrs_columns")) {
       sqlrsTables().createOrReplaceTempView("sqlrs_tables")
       sqlrsColumns().createOrReplaceTempView("sqlrs_columns")
-      sql = sql.replaceAll("(?i)sqlrs_tables\\s*\\(\\s*\\)", "sqlrs_tables")
-      sql = sql.replaceAll("(?i)sqlrs_columns\\s*\\(\\s*\\)", "sqlrs_columns")
+      sql = maskedReplace(sql, SqlrsTablesCallRe)(_ => "sqlrs_tables")
+      sql = maskedReplace(sql, SqlrsColumnsCallRe)(_ => "sqlrs_columns")
     }
     // read_csv('p', named=>args) table function → materialized temp view
     var idx = 0
@@ -642,11 +648,12 @@ class GraftEngine(val spark: SparkSession) {
         // `Graph.pageRankConverged` API, whose checkpointed rounds the
         // g9 gate pins bit-equal to this form.
         val iters = intOpt("iters", 3)
-        require(iters <= (if (boolOpt("dangling")) 8 else 20),
-          s"graft_pagerank: iters > ${if (boolOpt("dangling")) 8 else 20} " +
-            "unrolls too deep a plan — use Graph.pageRankConverged for deep fixpoints")
         val damping = doubleOpt("damping", 0.85)
         val dangling = boolOpt("dangling")
+        val cap = if (dangling) 8 else 20
+        require(iters <= cap,
+          s"graft_pagerank: iters > $cap unrolls too deep a plan — use " +
+            "Graph.pageRankConverged for deep fixpoints")
         val pairs = rel(0)
         val verts = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()

@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Training-shard manifest body — ONE definition shared by the batch
+    * x14 gate query and the streaming twin
+    * (`EventsStream.shardManifestStream`), so the shard rule and the
+    * manifest columns cannot drift between them. Every doc maps to
+    * shard = md5-bucket(doc_id) % nShards (content-independent,
+    * refresh-stable); the per-shard row carries doc/token/char totals
+    * and the id range. Map-only assignment + one map-combinable
+    * aggregate; output is O(nShards) at any corpus size, exact longs.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs
+      .select(
+        (graft.functions.TextFunctions.md5Bucket(col("doc_id")) % nShards)
+          .as("shard"),
+        col("doc_id"), col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
   /** Exact ROC-AUC of `scoreCol` against binary `labelCol` (1.0 =
     * positive), tie-aware (Mann-Whitney U with average ranks — ties
     * count half).

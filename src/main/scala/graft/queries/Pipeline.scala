@@ -1890,17 +1890,9 @@ object Pipeline {
       // per-shard manifest row carries what a loader needs to plan:
       // doc/token/char totals and the id range. Map-only assignment +
       // ONE map-combinable aggregate; output is O(shards) at any corpus
-      // size, all exact longs — bit-exact on any partitioning.
-      val d = Tables.load(s, dir, "documents")
-      d.select((TextFunctions.md5Bucket(col("doc_id")) % 16).as("shard"),
-          col("doc_id"), col("n_chars"),
-          size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"),
-          sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_doc_id"),
-          max(col("doc_id")).as("max_doc_id"))
+      // size, all exact longs — bit-exact on any partitioning. ONE body
+      // (operators.Stats.shardManifest) shared with the streaming twin.
+      graft.operators.Stats.shardManifest(Tables.load(s, dir, "documents"))
         .orderBy(col("shard"))
     },
 

@@ -97,23 +97,12 @@ object EventsStream {
     * keyed by the md5 shard — a FIXED 16-value key space — so the state
     * store is O(shards) forever, no watermark needed: this is the rare
     * unwindowed streaming aggregate that is legitimately bounded by its
-    * key domain. Same shard rule and columns as the batch query, so a
-    * complete-mode sink converges to exactly the batch manifest.
+    * key domain. The body is literally the batch query's
+    * (`operators.Stats.shardManifest` — one definition, no twin drift),
+    * so a complete-mode sink converges to exactly the batch manifest.
     */
   def shardManifestStream(docs: DataFrame): DataFrame =
-    docs
-      .select(
-        (graft.functions.TextFunctions.md5Bucket(col("doc_id")) % 16)
-          .as("shard"),
-        col("doc_id"), col("n_chars"),
-        size(graft.functions.TextFunctions.tokens(col("text")))
-          .cast("long").as("n_toks"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        sum(col("n_chars")).as("sum_chars"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"))
+    graft.operators.Stats.shardManifest(docs)
 
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
