@@ -453,4 +453,46 @@ object Graph {
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** HITS hubs/authorities (Kleinberg JACM'99) over the DIRECTED pair
+    * list `doc_a → doc_b` — the two-sided centrality PageRank's single
+    * score can't express: a hub points AT many good authorities, an
+    * authority is pointed at BY many good hubs. On a similarity/citation
+    * graph this separates "survey/template docs that reference
+    * everything" (hubs) from "docs everything references" (authorities).
+    *
+    * Kept UNNORMALIZED and integer-exact: with h₀ = 1, every round is
+    * a = Aᵀh then h = A·a — two map-combinable BIGINT sums per round,
+    * one shuffle each (by target, then by source); the usual per-round
+    * L2 normalization only rescales, so the RANKING is identical and
+    * the whole fixpoint replays bit-for-bit in a SQL oracle with no
+    * transcendentals. Scores grow ~(d_max²)^iters, so the exact form is
+    * capped at 4 rounds (a 100 TB graph with degree ≤ 10⁴ stays inside
+    * int64 at 4); normalize downstream if absolute values matter.
+    *
+    * Scale posture: the g1 discipline — no vertex-cardinality frame is
+    * ever broadcast; both joins exchange on the edge endpoint they
+    * aggregate by, and callers should persist `pairs` so the edge frame
+    * builds once (every round scans it twice).
+    */
+  def hits(vertices: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    var hub: DataFrame = vertices.select(col("doc_id"), lit(1L).as("h"))
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      auth = edges.join(hub, edges("doc_a") === hub("doc_id"))
+        .groupBy(col("doc_b")).agg(sum(col("h")).as("a"))
+        .select(col("doc_b").as("doc_id"), col("a"))
+      hub = edges.join(auth, edges("doc_b") === auth("doc_id"))
+        .groupBy(col("doc_a")).agg(sum(col("a")).as("h"))
+        .select(col("doc_a").as("doc_id"), col("h"))
+    }
+    vertices.select(col("doc_id"))
+      .join(auth, Seq("doc_id"), "left")
+      .join(hub, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+  }
 }

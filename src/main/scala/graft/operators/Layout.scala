@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed data-layout primitives that replace the single-partition
+  * idioms a laptop-scale pipeline reaches for. Companion to the
+  * file-layout helpers in `graft.functions.LayoutExprFunctions`
+  * (z-order); this object holds the ROW-layout side.
+  */
+object Layout {
+
+  /** Contiguous global ids 0..N-1 in `key` order — the training-data
+    * "assign every example a stable dense row id" primitive (shard
+    * offsets, example ids, negative-sampling index spaces) — WITHOUT
+    * the `row_number() OVER (ORDER BY key)` single-partition window
+    * that serializes the whole corpus through one task at 100 TB.
+    *
+    * Shape: value-derived bucketing. `bucket = key div bucketWidth`
+    * (floor division, so negative keys order correctly), then
+    *   1. one map-combinable count per bucket → the O(B) bucket frame,
+    *      B = key-range / bucketWidth;
+    *   2. exclusive prefix-sum offsets via a window over that O(B)
+    *      frame ONLY (the x12/x13 bounded-frame discipline — at 10¹²
+    *      rows and width 2²⁰ that window sees ~10⁶ rows, not 10¹²);
+    *   3. offsets broadcast back onto the bucketed rows;
+    *   4. `row_number` partitioned BY BUCKET — per-task frames are
+    *      bounded by bucketWidth rows for unique integral keys, so no
+    *      task ever sees more than `bucketWidth` rows regardless of
+    *      corpus size.
+    *
+    * Contract: `key` must be integral and UNIQUE (ids) — uniqueness
+    * makes the order total, hence the assignment deterministic and
+    * exactly replayable by a `row_number() OVER (ORDER BY key)` oracle.
+    * Gaps in the key space are fine (that is the point: gid is the
+    * RANK, not the key); empty buckets cost nothing (they never appear
+    * in the count frame).
+    */
+  def globalIds(df: DataFrame, key: Column, outCol: String = "gid",
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // floor division via pmod so key = -1 lands in bucket -1, not 0
+    val bucket = ((key.cast("long") - pmod(key.cast("long"), lit(bucketWidth)))
+      / lit(bucketWidth)).cast("long")
+    val bucketed = df.withColumn("__gid_b", bucket)
+    val counts = bucketed.groupBy(col("__gid_b"))
+      .agg(count(lit(1)).as("__gid_c"))
+    // exclusive prefix sum over the O(B) bucket frame — the only
+    // unpartitioned window, bounded by the bucket count, never by rows
+    val offs = counts
+      .withColumn("__gid_off",
+        sum(col("__gid_c")).over(Window.orderBy(col("__gid_b")))
+          - col("__gid_c"))
+      .select(col("__gid_b"), col("__gid_off"))
+    bucketed.join(broadcast(offs), Seq("__gid_b"))
+      .withColumn(outCol,
+        col("__gid_off") - 1 + row_number().over(
+          Window.partitionBy(col("__gid_b")).orderBy(key)))
+      .drop("__gid_b", "__gid_off")
+  }
+}

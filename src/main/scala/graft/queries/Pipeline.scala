@@ -1006,6 +1006,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "g10_hits" -> { (s, dir) =>
+      // HITS hubs/authorities over the DIRECTED t14 pair set (doc_a →
+      // doc_b, the canonical orientation) — the two-sided centrality
+      // g1's single PageRank score can't express: hubs point at many
+      // good authorities, authorities are pointed at by many good
+      // hubs. Two unrolled a = Aᵀh / h = A·a rounds, unnormalized so
+      // every score is an exact BIGINT sum (per-round normalization
+      // only rescales the ranking — documented in Graph.hits); pair
+      // subtree persisted (each round scans the edges twice — the g1
+      // discipline), no vertex-cardinality broadcast anywhere.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.hits(docs, p, iters = 2)
+        .orderBy(col("doc_id"))
+    },
+
     "g2_triangle_count" -> { (s, dir) =>
       // per-document triangle count over the t14 similarity graph — the
       // local-clustering signal (a doc inside a dense clique of mutually
@@ -1218,6 +1235,48 @@ object Pipeline {
         .withColumn("vocab_size",
           sum(col("new_tokens")).over(wnd.orderBy(col("cp"))))
         .orderBy(col("cp"))
+    },
+
+    "t26_blocklist" -> { (s, dir) =>
+      // blocklist filtering (the LDNOOBW-style bad-word gate every
+      // web-scale curation pipeline runs first): per doc, the count of
+      // token occurrences hitting a fixed blocklist, the blocked
+      // fraction in exact ppm, and the keep/drop verdict at a 5%
+      // threshold. The list rides as an ARRAY LITERAL inside one
+      // codegen'd `filter` lambda — map-only, zero shuffles, zero
+      // joins, whole-stage-codegen end to end; a list too big to
+      // inline (100k+ terms) would switch to the c3 discipline
+      // (driver-built Bloom broadcast + exact re-verify), same
+      // per-row cost. Integer divisions only — bit-exact.
+      val blocklist = Seq("dup", "spam", "junk", "noise")
+      val d = Tables.load(s, dir, "documents")
+      val bl = array(blocklist.map(lit): _*)
+      d.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(filter(TextFunctions.tokens(col("text")),
+            t => array_contains(bl, t))).cast("long").as("n_blocked"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("blocked_ppm",
+          expr("(1000000 * n_blocked) div n_tokens"))
+        .withColumn("keep", col("blocked_ppm") < 50000)
+        .orderBy(col("doc_id"))
+    },
+
+    "x15_global_ids" -> { (s, dir) =>
+      // contiguous global example ids over a GAPPY subset (the en
+      // slice) in doc_id order — the dense-row-id primitive shard
+      // manifests and negative-sampling index spaces need, produced
+      // WITHOUT `row_number() OVER (ORDER BY ...)`'s single-partition
+      // window: value-derived buckets (width 64 here so sf0.01 already
+      // exercises ~80 buckets), one count per bucket, an exclusive
+      // prefix sum over the O(B) bucket frame only, and a per-BUCKET
+      // row_number whose task frames are bounded by the bucket width
+      // at any corpus size. See operators/Layout.globalIds.
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"))
+      graft.operators.Layout.globalIds(d, col("doc_id"), bucketWidth = 64L)
+        .orderBy(col("doc_id"))
     },
 
     "x13_budget_waterfill" -> { (s, dir) =>
@@ -3119,6 +3178,34 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents")
         .filter(col("lang") === "en")
       Tokenizer.distributedMergeRounds(docs, rounds = 2)
+    },
+
+    "u4_bpe_encode" -> { (s, dir) =>
+      // BPE tokenizer APPLICATION at corpus scale — the serving half of
+      // the u3/t5 trainers: segment every document with a fixed merge
+      // table and report per-doc subword counts plus the
+      // subwords-per-word ratio (exact ppm) — the "how many training
+      // tokens is this corpus under MY tokenizer" question every data
+      // budget starts from. The table rides as a codegen reference
+      // object inside the rank-greedy Tokenizer.segment expression
+      // (O(numMerges) driver state, the Lloyd-centroid discipline), so
+      // the corpus side is ONE map-only fused pass — no join, no
+      // shuffle, no per-word vocabulary exchange. The merge table is a
+      // fixed literal chain (each rule consumes only chars or outputs
+      // of EARLIER rules — the learned-table property that makes
+      // rank-greedy ≡ sequential application), so DuckDB replays it
+      // with six list_reduce folds at the distinct-word level.
+      val merges = Seq(
+        ("s", "t"), ("a", "st"), ("f", "ast"),
+        ("h", "a"), ("ha", "s"), ("has", "h"))
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+          size(Tokenizer.segment(col("text"), merges)).cast("long")
+            .as("n_subwords"))
+        .filter(col("n_words") > 0)
+        .withColumn("spw_ppm", expr("(1000000 * n_subwords) div n_words"))
+        .orderBy(col("doc_id"))
     },
 
     "u2_stupid_backoff" -> { (s, dir) =>
@@ -5432,6 +5519,129 @@ object Pipeline {
         |SELECT cp, new_tokens,
         |  CAST(sum(new_tokens) OVER (ORDER BY cp) AS BIGINT) AS vocab_size
         |FROM g ORDER BY cp""".stripMargin,
+
+    "t26_blocklist" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['dup', 'spam', 'junk', 'noise'], x)))
+        |      AS BIGINT) AS n_blocked
+        |  FROM tok WHERE len(toks) > 0)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  (1000000 * n_blocked) // n_tokens AS blocked_ppm,
+        |  ((1000000 * n_blocked) // n_tokens) < 50000 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x15_global_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+
+    "u4_bpe_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |s0 AS (
+        |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS syms
+        |  FROM (SELECT DISTINCT w FROM occ)),
+        |s1 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 's' OR ends_with(acc, chr(31) || 's')) AND x = 't'
+        |      THEN acc || 't' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'a' OR ends_with(acc, chr(31) || 'a')) AND x = 'st'
+        |      THEN acc || 'st' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'f' OR ends_with(acc, chr(31) || 'f')) AND x = 'ast'
+        |      THEN acc || 'ast' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'h' OR ends_with(acc, chr(31) || 'h')) AND x = 'a'
+        |      THEN acc || 'a' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'ha' OR ends_with(acc, chr(31) || 'ha')) AND x = 's'
+        |      THEN acc || 's' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s4),
+        |s6 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'has' OR ends_with(acc, chr(31) || 'has')) AND x = 'h'
+        |      THEN acc || 'h' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s5),
+        |wl AS (
+        |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
+        |    AS n_sub
+        |  FROM s6),
+        |per_doc AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords
+        |  FROM occ o JOIN wl ON o.w = wl.w
+        |  GROUP BY o.doc_id)
+        |SELECT doc_id, n_words, n_subwords,
+        |  (1000000 * n_subwords) // n_words AS spw_ppm
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "g10_hits" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |a1 AS (SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS a
+        |       FROM edges GROUP BY doc_b),
+        |h1 AS (SELECT e.doc_a AS doc_id, CAST(sum(a1.a) AS BIGINT) AS h
+        |       FROM edges e JOIN a1 ON e.doc_b = a1.doc_id GROUP BY e.doc_a),
+        |a2 AS (SELECT e.doc_b AS doc_id, CAST(sum(h1.h) AS BIGINT) AS a
+        |       FROM edges e JOIN h1 ON e.doc_a = h1.doc_id GROUP BY e.doc_b),
+        |h2 AS (SELECT e.doc_a AS doc_id, CAST(sum(a2.a) AS BIGINT) AS h
+        |       FROM edges e JOIN a2 ON e.doc_b = a2.doc_id GROUP BY e.doc_a)
+        |SELECT d.doc_id, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth,
+        |  CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+        |FROM documents d
+        |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+        |LEFT JOIN h2 ON d.doc_id = h2.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x13_budget_waterfill" ->
       """WITH tok AS (

@@ -447,4 +447,72 @@ class GraphSpec extends AnyFunSuite {
       Graph.kTruss(pairsDf(Seq((0L, 1L))), 3, 0)
     }
   }
+
+  // ---- HITS ---------------------------------------------------------------
+
+  /** Driver-side replay of the unnormalized alternation: with h₀ = 1,
+    * iterate a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v).
+    */
+  private def bruteHits(n: Int, edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    var hub = (0L until n.toLong).map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long].withDefaultValue(0L)
+    (1 to iters).foreach { _ =>
+      auth = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub.getOrElse(e._1, 0L)).sum
+      }.withDefaultValue(0L)
+      hub = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum
+      }.withDefaultValue(0L)
+    }
+    (0L until n.toLong)
+      .map(v => v -> (auth(v), hub.getOrElse(v, 0L))).toMap
+  }
+
+  private def hitsMap(n: Int, edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] =
+    Graph.hits(verticesDf(n), pairsDf(edges), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: out-star — the center is the only hub, leaves the authorities") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = hitsMap(4, star, iters = 2)
+    // a1 = indegree (1 per leaf); h1(0) = 3; a2(leaf) = 3; h2(0) = 9
+    assert(got == Map(0L -> (0L, 9L), 1L -> (3L, 0L),
+      2L -> (3L, 0L), 3L -> (3L, 0L)))
+  }
+
+  test("hits: random graph equals the driver replay; isolated vertex is 0/0") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map { _ =>
+      val a = rnd.nextInt(30).toLong
+      val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b) + 1) // keep a < b, vertex 31+ unused
+    }.distinct
+    val got = hitsMap(33, edges, iters = 2)
+    assert(got == bruteHits(33, edges, iters = 2))
+    assert(got(32L) == (0L, 0L), "vertex with no edges scores 0/0")
+  }
+
+  test("hits: partition-invariant (exact integer sums)") {
+    val rnd = new scala.util.Random(9)
+    val edges = (0 until 200).map { _ =>
+      val a = rnd.nextInt(25).toLong
+      (a, a + 1 + rnd.nextInt(5).toLong)
+    }.distinct
+    val one = hitsMap(31, edges, iters = 3)
+    val many = Graph.hits(verticesDf(31), pairsDf(edges).repartition(11),
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one == many)
+  }
+
+  test("hits: rejects out-of-range iteration counts") {
+    intercept[IllegalArgumentException] {
+      Graph.hits(verticesDf(2), pairsDf(Seq((0L, 1L))), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(verticesDf(2), pairsDf(Seq((0L, 1L))), iters = 5)
+    }
+  }
 }

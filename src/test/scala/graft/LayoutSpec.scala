@@ -91,4 +91,59 @@ class LayoutSpec extends AnyFunSuite {
     }.collect()
     assert(sortedWithin.forall(identity), "partitions must be z-sorted")
   }
+
+  // ---- Layout.globalIds -------------------------------------------------
+
+  test("globalIds: gappy keys get contiguous rank ids in key order") {
+    val keys = Seq(3L, 64L, 65L, 129L, 1000L, 7L, 500L)
+    val got = graft.operators.Layout
+      .globalIds(keys.toDF("k"), col("k"), bucketWidth = 64L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }
+    assert(got == want.toMap)
+  }
+
+  test("globalIds: negative keys bucket by floor division, not toward zero") {
+    // -1 div-toward-zero would share bucket 0 with key 0 AND, worse,
+    // bucket -63..-1 would all collide at 0 — floor keeps bucket order
+    // aligned with key order so the prefix-sum offsets are correct
+    val keys = Seq(-130L, -65L, -64L, -1L, 0L, 1L, 63L, 64L)
+    val got = graft.operators.Layout
+      .globalIds(keys.toDF("k"), col("k"), bucketWidth = 64L)
+      .orderBy(col("gid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == (0L until keys.size).toSeq)
+    assert(got.map(_._1).toSeq == keys.sorted)
+  }
+
+  test("globalIds: ids are exactly 0..n-1 on a 20k random-gap frame") {
+    val rnd = new scala.util.Random(7)
+    val keys = scala.collection.mutable.LinkedHashSet[Long]()
+    while (keys.size < 20000) keys += rnd.nextLong() % 10000000L
+    val df = keys.toSeq.toDF("k").repartition(13)
+    val out = graft.operators.Layout
+      .globalIds(df, col("k"), bucketWidth = 1024L)
+    val ids = out.select(col("gid")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 20000L).toSeq)
+    // and order matches key order
+    val byKey = out.orderBy(col("k")).select(col("gid"))
+      .collect().map(_.getLong(0))
+    assert(byKey.toSeq == (0L until 20000L).toSeq)
+  }
+
+  test("globalIds: the row-level window is partitioned by bucket (no " +
+      "single-partition corpus window)") {
+    val df = (0L until 1000L).toDF("k")
+    val out = graft.operators.Layout.globalIds(df, col("k"), bucketWidth = 64L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__gid_b"),
+      s"expected the row_number exchange keyed on the bucket, got:\n$plan")
+  }
+
+  test("globalIds: rejects a non-positive bucket width") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.globalIds((0L to 3L).toDF("k"), col("k"),
+        bucketWidth = 0L)
+    }
+    assert(e.getMessage.contains("bucketWidth"))
+  }
 }

@@ -1099,4 +1099,41 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(got.mkString == "a😀b", s"UTF8String mangled: $got")
   }
+
+  test("u4's fixed merge table: rank-greedy equals sequential on every " +
+      "corpus word (the learned-chain property the oracle fold relies on)") {
+    // the u4_bpe_encode oracle replays the table as six sequential
+    // list_reduce folds; Tokenizer.segment applies rank-greedy — the two
+    // agree exactly when each rule consumes only chars or earlier rules'
+    // outputs, which this asserts corpus-wide (plus the planted words
+    // that exercise every chain)
+    val merges = Seq(("s", "t"), ("a", "st"), ("f", "ast"),
+      ("h", "a"), ("ha", "s"), ("has", "h"))
+    assert(Tokenizer.segmentWord("fast", merges) == Seq("fast"))
+    assert(Tokenizer.segmentWord("hash", merges) == Seq("hash"))
+    assert(Tokenizer.segmentWord("stream", merges) ==
+      Seq("st", "r", "e", "a", "m"))
+    val vocab = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(Tokenizer.segmentWord(w, merges) ==
+        Tokenizer.segmentWordSequential(w, merges),
+        s"greedy/sequential divergence on '$w'")
+    }
+  }
+
+  test("blocklist filter counts occurrences, not distinct hits") {
+    import spark.implicits._
+    val bl = array(Seq("dup", "spam").map(lit): _*)
+    val got = Seq((1L, "dup x dup spam y"), (2L, "clean text only"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => array_contains(bl, t))).as("n_blocked"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0))
+  }
 }
