@@ -243,7 +243,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|bpe_merges)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -527,6 +527,9 @@ class GraftEngine(val spark: SparkSession) {
     *    dangling => false)` — PageRank over a (doc_a, doc_b) pair
     *    relation; vertices are the pairs' distinct endpoints →
     *    (doc_id, r).
+    *  - `graft_hits(pairs, iters => 2)` — integer-exact unnormalized
+    *    HITS over a directed (doc_a, doc_b) pair relation; vertices are
+    *    the pairs' distinct endpoints → (doc_id, auth, hub).
     *  - `graft_bpe_merges(docs, rounds => 2)` — distributed BPE merge
     *    learning over (doc_id, text) → (round, a, b, cnt, n_syms).
     *
@@ -544,6 +547,7 @@ class GraftEngine(val spark: SparkSession) {
     "dedup_pairs" -> Set("threshold"),
     "decontaminate" -> Set("n"),
     "pagerank" -> Set("iters", "damping", "dangling"),
+    "hits" -> Set("iters"),
     "bpe_merges" -> Set("rounds"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
@@ -555,6 +559,7 @@ class GraftEngine(val spark: SparkSession) {
     "dedup_pairs" -> Seq("docs"),
     "decontaminate" -> Seq("corpus", "eval"),
     "pagerank" -> Seq("pairs"),
+    "hits" -> Seq("pairs"),
     "bpe_merges" -> Seq("docs"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
@@ -659,6 +664,15 @@ class GraftEngine(val spark: SparkSession) {
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         graft.operators.Graph.pageRank(verts, pairs, iters = iters,
           damping = damping, dangling = dangling)
+      case "hits" =>
+        // same vertex convention as graft_pagerank: the pair table's
+        // distinct endpoints. Graph.hits itself caps iters at 4 (the
+        // int64 score-overflow bound), so the TVF only floors it.
+        val iters = intOpt("iters", 2)
+        val pairs = rel(0)
+        val verts = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        graft.operators.Graph.hits(verts, pairs, iters = iters)
       case "bpe_merges" =>
         val rounds = intOpt("rounds", 2)
         graft.operators.Tokenizer.distributedMergeRounds(rel(0),

@@ -526,6 +526,23 @@ class EngineSpec extends AnyFunSuite {
     } finally graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_hits TVF: planted out-star through pure SQL") {
+    engine.run("create table hits_edges_t(doc_a bigint, doc_b bigint)")
+    engine.run("insert into hits_edges_t values (0, 1), (0, 2), (0, 3)")
+    val got = engine.run(
+      "select doc_id, auth, hub from graft_hits(hits_edges_t, iters => 2) " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // center: only hub (h2 = 9); leaves: only authorities (a2 = 3)
+    assert(got.toSeq == Seq((0L, 0L, 9L), (1L, 3L, 0L),
+      (2L, 3L, 0L), (3L, 3L, 0L)))
+    // the operator's own iteration cap surfaces through the TVF
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_hits(hits_edges_t, iters => 5)")
+    }
+    assert(e.getMessage.contains("4 rounds"))
+  }
+
   test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
     // all validation fires BEFORE any relation resolves, so made-up table
     // names keep this test self-contained (no dependency on suite order)

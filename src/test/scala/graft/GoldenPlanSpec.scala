@@ -107,7 +107,13 @@ class GoldenPlanSpec extends AnyFunSuite {
     "s9_hard_negatives",   // broadcast queries, label-filtered bounded heap
     "e16_burst_ratio",     // hourly pre-agg, type-partitioned RANGE frame
     "x13_budget_waterfill",// one corpus count, O(langs) waterfill rounds
-    "t24_vocab_growth")    // per-gram first-doc min, 10-row checkpoint sum
+    "t24_vocab_growth",    // per-gram first-doc min, 10-row checkpoint sum
+    "t26_blocklist",       // literal-array filter lambda, map-only scan
+    "u4_bpe_encode",       // merge-table expression, one fused corpus pass
+    "x15_global_ids")      // O(B) bucket offsets, bucket-partitioned ranks
+  // g10_hits is NOT whole-plan-pinned: it scans the shared pair index
+  // (the g7 cache-state situation) — guarded by the targeted
+  // PlanQualitySpec assert instead.
   // g7_modularity is NOT whole-plan-pinned: it scans the shared pair
   // index, whose subtree flips to InMemoryTableScan when another suite
   // has persisted the same relation in this JVM — the g4/g6 cache-state

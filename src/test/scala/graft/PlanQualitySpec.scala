@@ -870,7 +870,8 @@ class PlanQualitySpec extends AnyFunSuite {
       case u: UnaryNode => rootAgg(u.child)
       case _ => None
     }
-    for (name <- Seq("g1_pagerank", "g2_triangle_count", "g5_ppr")) {
+    for (name <- Seq("g1_pagerank", "g2_triangle_count", "g5_ppr",
+        "g10_hits")) {
       val analyzed =
         SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
       val offenders = analyzed.collect { case h: ResolvedHint =>
@@ -889,6 +890,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(nodeCount(p, "Window") == 0,
       s"rank updates are joins+aggregates, never a window:\n$p")
+  }
+
+  test("g10_hits: alternating equi joins + partial sums; no window, no cartesian") {
+    val p = plan("g10_hits")
+    assert(p.contains("tfidf_pairs"),
+      s"edges must come from the materialized pair index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"hub/authority updates are joins+aggregates, never a window:\n$p")
+    // the BIGINT sums must map-combine: every HashAggregate pairs
+    // partial/final, so a partial_sum appears in the plan
+    assert(p.contains("partial_sum"),
+      s"per-endpoint score sums must combine map-side:\n$p")
   }
 
   test("e14_rolling_window: range-frame window partitioned by user") {
