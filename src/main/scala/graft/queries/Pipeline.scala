@@ -1262,6 +1262,68 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "s11_dedup_discount" -> { (s, dir) =>
+      // duplicate-discounted sampling weights — the training-mix rule
+      // that keeps s1/s7's samplers from oversampling duplicated
+      // content WITHOUT dropping it (the soft alternative to d1's hard
+      // dedup, standard in web-corpus mixes): each doc weighs
+      // 1/n_copies of its exact-duplicate cluster, so every distinct
+      // text contributes total weight 1 no matter how often it was
+      // crawled. One md5-fingerprint window (the d1 shuffle — 128-bit
+      // keys, bodies never move); the weight is one scaled integer
+      // division, bit-exact.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
+        .withColumn("weight_ppm", expr("1000000 div n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
+    "x16_curation_funnel" -> { (s, dir) =>
+      // curation-funnel report — per-stage survival of docs AND tokens
+      // through the standard gate sequence (ingest → exact-dedup →
+      // length floor → blocklist), the governance artifact that tells
+      // you WHERE the corpus shrinks before a 100 TB run commits to a
+      // recipe. Flags for all stages compute in ONE pass over the
+      // corpus (the only shuffle is d1's md5-fingerprint window for
+      // the dedup flag); survival is a cumulative AND, so each stage's
+      // counts are conditional sums in a single aggregate, unpivoted
+      // to 4 rows with stack. No silent caps: stage 1 IS the
+      // unconditional total.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val bl = array(Seq("dup", "spam", "junk", "noise").map(lit): _*)
+      val flagged = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), t => array_contains(bl, t)))
+            .cast("long").as("n_blk"),
+          (min(col("doc_id")).over(w) === col("doc_id")).as("is_rep"))
+        .select(col("n_tok"),
+          col("is_rep").as("f2"),
+          (col("is_rep") && col("n_tok") >= 40).as("f3"),
+          (col("is_rep") && col("n_tok") >= 40 &&
+            expr("(1000000 * n_blk) div n_tok") < 50000).as("f4"))
+      flagged.agg(
+          count(lit(1)).as("d1"), sum(col("n_tok")).as("t1"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("d2"),
+          sum(when(col("f2"), col("n_tok")).otherwise(0L)).as("t2"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("d3"),
+          sum(when(col("f3"), col("n_tok")).otherwise(0L)).as("t3"),
+          sum(when(col("f4"), 1L).otherwise(0L)).as("d4"),
+          sum(when(col("f4"), col("n_tok")).otherwise(0L)).as("t4"))
+        .select(expr(
+          """stack(4,
+            |  1, 'ingest',    d1, t1,
+            |  2, 'dedup',     d2, t2,
+            |  3, 'length',    d3, t3,
+            |  4, 'blocklist', d4, t4) AS (stage_no, stage, n_docs, n_tokens)
+            |""".stripMargin))
+        .orderBy(col("stage_no"))
+    },
+
     "x15_global_ids" -> { (s, dir) =>
       // contiguous global example ids over a GAPPY subset (the en
       // slice) in doc_id order — the dense-row-id primitive shard
@@ -1368,6 +1430,46 @@ object Pipeline {
         .join(broadcast(evalG), Seq("g"), "left_semi")
         .select(col("doc_id"), col("pos"))
         .orderBy(col("doc_id"), col("pos"))
+    },
+
+    "c10_span_excise" -> { (s, dir) =>
+      // contamination SPAN SURGERY — the step c9 localizes for: excise
+      // every token covered by a leaked eval 8-gram and keep the rest
+      // of the document (vs c1's drop-the-doc). Same scale shape as
+      // c1/c9: the corpus streams against the BROADCAST distinct eval
+      // gram set; the only corpus shuffle is the (doc_id, pos) hit
+      // list collapsing to a per-doc covered-position ARRAY (ints,
+      // bounded by doc length — never text), which joins back on
+      // doc_id and drives ONE map-side indexed-filter rebuild
+      // (`filter(toks, (w, i) => …)` — order-preserving, no re-sort,
+      // no collect). Uncontaminated docs pass through the left join
+      // with an empty cover. Exact strings end to end.
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      def grams(df: DataFrame) = df.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.wordShingles(col("toks"), 8)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("g"))
+      val evalG = grams(toks.filter(col("doc_id") % 10 === 7))
+        .select(col("g")).distinct()
+      val corpus = toks.filter(col("doc_id") % 10 =!= 7)
+      val covers = grams(corpus)
+        .join(broadcast(evalG), Seq("g"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("i"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("i")).as("cov"))
+      corpus.join(covers, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          filter(col("toks"), (_, i) => !coalesce(
+            array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+          array_join(col("kept"), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
     },
 
     "g7_modularity" -> { (s, dir) =>
@@ -2465,6 +2567,37 @@ object Pipeline {
         .select(col("cur"), col("nxt"), col("n_trans"),
           expr("(n_trans * 1000000) div tot").as("p_ppm"))
         .orderBy(col("cur"), col("nxt"))
+    },
+
+    "e17_event_paths" -> { (s, dir) =>
+      // frequent 3-step behavioral paths — sequential-pattern mining
+      // one order up from e12's transition matrix: which (e1 → e2 → e3)
+      // journeys actually recur, with exact support and a ppm share of
+      // all observed triples. Same window discipline as e12: ONE pass
+      // PARTITIONED BY user (a user's history fits a task; the global
+      // stream never sorts), ordered by event_id — the Events.scala
+      // cross-engine total order (raw ts is ns-truncated-to-µs, so
+      // same-µs ties would order differently per engine). Two leads,
+      // a map-combinable count, a 1-row total broadcast, one scaled
+      // integer division — bit-exact; support floor ≥ 5 prunes the
+      // long tail (reported via the unconditional total, not hidden).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val e = Tables.load(s, dir, "events")
+      val triples = e
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("event_type").as("e1"), col("e2"), col("e3"))
+      val tot = triples.agg(count(lit(1)).as("n_total"))
+      triples.groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .filter(col("n_paths") >= 5)
+        .crossJoin(broadcast(tot))
+        .select(col("e1"), col("e2"), col("e3"), col("n_paths"),
+          expr("(n_paths * 1000000) div n_total").as("share_ppm"))
+        .orderBy(col("e1"), col("e2"), col("e3"))
     },
 
     "t18_collocations" -> { (s, dir) =>
@@ -5519,6 +5652,108 @@ object Pipeline {
         |SELECT cp, new_tokens,
         |  CAST(sum(new_tokens) OVER (ORDER BY cp) AS BIGINT) AS vocab_size
         |FROM g ORDER BY cp""".stripMargin,
+
+    "s11_dedup_discount" ->
+      """WITH g AS (
+        |  SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM documents GROUP BY text)
+        |SELECT d.doc_id, g.n_copies,
+        |  1000000 // g.n_copies AS weight_ppm
+        |FROM documents d JOIN g ON d.text IS NOT DISTINCT FROM g.text
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "x16_curation_funnel" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['dup', 'spam', 'junk', 'noise'], x)))
+        |      AS BIGINT) AS n_blk,
+        |    doc_id = min(doc_id) OVER (PARTITION BY text) AS is_rep
+        |  FROM tok),
+        |ff AS (
+        |  SELECT n_tok, is_rep AS f2,
+        |    is_rep AND n_tok >= 40 AS f3,
+        |    CASE WHEN is_rep AND n_tok >= 40
+        |      THEN ((1000000 * n_blk) // n_tok) < 50000
+        |      ELSE false END AS f4
+        |  FROM f),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d1,
+        |    CAST(sum(n_tok) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN f2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN f3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |    CAST(sum(CASE WHEN f4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+        |  FROM ff)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS stage_no, 'ingest' AS stage,
+        |    d1 AS n_docs, t1 AS n_tokens FROM a
+        |  UNION ALL SELECT CAST(2 AS INT), 'dedup', d2, t2 FROM a
+        |  UNION ALL SELECT CAST(3 AS INT), 'length', d3, t3 FROM a
+        |  UNION ALL SELECT CAST(4 AS INT), 'blocklist', d4, t4 FROM a)
+        |ORDER BY stage_no""".stripMargin,
+
+    "c10_span_excise" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, toks FROM tok WHERE doc_id % 10 <> 7),
+        |eg AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE doc_id % 10 = 7 AND len(toks) >= 8)),
+        |hits AS (
+        |  SELECT c.doc_id, c.i AS pos
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM corpus WHERE len(toks) >= 8) c
+        |  JOIN eg ON array_to_string(c.toks[c.i:c.i+7], ' ') = eg.g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(generate_series(pos, pos + 7)) AS i
+        |  FROM hits),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM corpus),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(c.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN ka ON c.doc_id = ka.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "e17_event_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS e2,
+        |    lead(event_type, 2)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS e3
+        |  FROM events),
+        |tr AS (SELECT e1, e2, e3 FROM t WHERE e3 IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tr),
+        |g AS (
+        |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM tr GROUP BY e1, e2, e3 HAVING count(*) >= 5)
+        |SELECT g.e1, g.e2, g.e3, g.n_paths,
+        |  (g.n_paths * 1000000) // tot.n_total AS share_ppm
+        |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
 
     "t26_blocklist" ->
       """WITH tok AS (
