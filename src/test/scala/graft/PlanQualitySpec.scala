@@ -1018,4 +1018,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"),
       s"survivor restriction must be a semi join:\n$p")
   }
+
+  test("s11_dedup_discount: one fp window, bodies never shuffle, no join") {
+    val p = plan("s11_dedup_discount")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(fp#")),
+      s"the copy count must ride the d1 md5-fingerprint window:\n$p")
+    assert(nodeCount(p, "Join") == 0,
+      s"the discount weight needs no join anywhere:\n$p")
+    assert(nodeCount(p, "Exchange") <= 2,
+      s"one fp exchange plus the final order only:\n$p")
+  }
+
+  test("x16_curation_funnel: one corpus scan, one fp window, partial agg") {
+    val p = plan("x16_curation_funnel")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"all four stages' flags compute in ONE corpus pass:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(fp#")),
+      s"the dedup flag is the only window, on the md5 fingerprint:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"the funnel totals must partial-aggregate map-side:\n$p")
+    assert(nodeCount(p, "Join") == 0,
+      s"survival is a cumulative AND inside one aggregate, never a join:\n$p")
+  }
+
+  test("c10_span_excise: eval grams broadcast; excision needs no cartesian") {
+    val p = plan("c10_span_excise")
+    assert(p.contains("BroadcastExchange"),
+      s"the eval gram set must broadcast — the corpus side never shuffles to probe it:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"cover localization is a semi-join membership probe (c9's shape):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every join in the surgery path is equi:\n$p")
+    assert(nodeCount(p, "Window") == 0,
+      s"no window anywhere — covers aggregate by doc_id:\n$p")
+  }
+
+  test("e17_event_paths: per-user window, partial agg, 1-row total broadcast") {
+    val p = plan("e17_event_paths")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(user_id#")),
+      s"the lead window must be partitioned by user — a user's history fits a task:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"path support must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
