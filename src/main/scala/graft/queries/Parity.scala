@@ -323,6 +323,24 @@ object Parity {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    "q30_pivot" -> { (s, dir) =>
+      // PIVOT — wide-format aggregation with a FIXED value list (the
+      // only scale-safe form: an inferred list is a full extra distinct
+      // pass AND an unbounded schema). Spark's relational pivot rewrites
+      // to one partial+final aggregate with CASE arms — exactly the
+      // conditional-count SQL the oracle replays; absent cells are
+      // coalesced to 0 so both engines agree on empty combinations.
+      val e = Tables.load(s, dir, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      e.select((col("user_id") % 5).as("bucket"), col("event_type"))
+        .groupBy(col("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("bucket") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("bucket"))
+    },
+
     "q29_grouping_sets" -> { (s, dir) =>
       // explicit GROUPING SETS with grouping_id disambiguation: (flag),
       // (status), and () — grouping_id distinguishes a rolled-up NULL
@@ -563,6 +581,15 @@ object Parity {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q30_pivot" ->
+      """SELECT user_id % 5 AS bucket,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q29_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1508,6 +1508,31 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "p5_pad_waste" -> { (s, dir) =>
+      // padding-waste report for length-bucketed batching — the
+      // throughput question a training loader asks BEFORE picking its
+      // bucket boundaries: pad every doc to the next power-of-2 token
+      // cap (floor 32) and report, per bucket, how many tokens are
+      // real vs padding. Bucket = 2^len(bin(n−1)) — pure integer bit
+      // arithmetic both engines share (no log2, whose exactness at
+      // powers of two is libm-dependent); one map-only pass into one
+      // map-combinable aggregate, O(buckets) output at any corpus
+      // size; zero-token docs are excluded up front (nothing to pad).
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      d.select(st.getField("n_tokens").cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+        .withColumn("cap", greatest(lit(32L),
+          expr("cast(power(2, length(bin(ntok - 1))) as bigint)")))
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("cap") - col("ntok")).as("pad_tokens"))
+        .withColumn("waste_ppm",
+          expr("(1000000 * pad_tokens) div (n_tokens + pad_tokens)"))
+        .orderBy(col("cap"))
+    },
+
     "p4_chunk_overlap" -> { (s, dir) =>
       // sliding-window chunking with overlap — the RAG / long-context
       // chunker (width 64 tokens, stride 48 ⇒ 16-token overlap): every
@@ -3078,6 +3103,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "v9_pair_sim_hist" -> { (s, dir) =>
+      // pairwise-similarity histogram over a deterministic fixed-size
+      // sample — the embedding-space health check ("is the space
+      // collapsing?"): a healthy space piles mass near 0, a collapsed
+      // one near 1. Sample = first 128 vectors in md5 order (the
+      // LloydFitCap discipline: TakeOrdered prefix, BOUNDED at any
+      // corpus size and shared verbatim by the oracle, unlike
+      // xxhash64), so the all-pairs stage is a broadcast self-join of
+      // a fixed 128-row frame — 8128 pairs whether the corpus is 4k
+      // vectors or 100 TB. Cosines run through the fused graft_cosine
+      // kernel (bit-identical to DuckDB's list_dot_product fold, the
+      // a1 gate); bin = floor(10·sim) on identical doubles.
+      val e = Tables.load(s, dir, "embeddings")
+      val sample = e
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(128)
+      val a = sample.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = sample.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("ida") < col("idb"))
+        .select(floor(Similarity.cosine(col("ea"), col("eb")) * 10)
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bin"))
+    },
+
     "v8_centroid_drift" -> { (s, dir) =>
       // per-label embedding-centroid drift between corpus snapshots —
       // the model-monitoring primitive ("did class 3's embedding
@@ -3311,6 +3362,38 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents")
         .filter(col("lang") === "en")
       Tokenizer.distributedMergeRounds(docs, rounds = 2)
+    },
+
+    "u5_tokenizer_fertility" -> { (s, dir) =>
+      // per-language tokenizer fertility under the u4 merge table —
+      // the "is MY tokenizer fair to language X" audit (fertility =
+      // subwords per word; bytes per subword = how much raw text one
+      // training token buys): the standard multilingual-tokenizer
+      // health check, and the input to x13-style per-language token
+      // budgets. Same fused map-only corpus pass as u4 (the merge
+      // table rides inside the codegen'd segment expression; byte
+      // totals fold over the token array in one codegen'd lambda),
+      // then ONE map-combinable O(langs) aggregate — exact longs and
+      // scaled integer divisions end to end.
+      val merges = Seq(
+        ("s", "t"), ("a", "st"), ("f", "ast"),
+        ("h", "a"), ("ha", "s"), ("has", "h"))
+      val d = Tables.load(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      d.select(col("lang"),
+          size(toks).cast("long").as("nw"),
+          size(Tokenizer.segment(col("text"), merges)).cast("long").as("ns"),
+          aggregate(toks, lit(0L), (acc, x) => acc + octet_length(x))
+            .as("nb"))
+        .filter(col("nw") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_subwords"), sum(col("nb")).as("n_bytes"))
+        .withColumn("fertility_ppm",
+          expr("(1000000 * n_subwords) div n_words"))
+        .withColumn("bytes_per_subword_ppm",
+          expr("(1000000 * n_bytes) div n_subwords"))
+        .orderBy(col("lang"))
     },
 
     "u4_bpe_encode" -> { (s, dir) =>
@@ -5778,6 +5861,75 @@ object Pipeline {
         |FROM documents WHERE lang = 'en'
         |ORDER BY doc_id""".stripMargin,
 
+    "u5_tokenizer_fertility" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, lang, unnest(toks) AS w FROM tok),
+        |s0 AS (
+        |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS syms
+        |  FROM (SELECT DISTINCT w FROM occ)),
+        |s1 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 's' OR ends_with(acc, chr(31) || 's')) AND x = 't'
+        |      THEN acc || 't' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'a' OR ends_with(acc, chr(31) || 'a')) AND x = 'st'
+        |      THEN acc || 'st' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'f' OR ends_with(acc, chr(31) || 'f')) AND x = 'ast'
+        |      THEN acc || 'ast' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'h' OR ends_with(acc, chr(31) || 'h')) AND x = 'a'
+        |      THEN acc || 'a' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'ha' OR ends_with(acc, chr(31) || 'ha')) AND x = 's'
+        |      THEN acc || 's' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s4),
+        |s6 AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = 'has' OR ends_with(acc, chr(31) || 'has')) AND x = 'h'
+        |      THEN acc || 'h' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM s5),
+        |wl AS (
+        |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
+        |    AS n_sub
+        |  FROM s6),
+        |per AS (
+        |  SELECT o.lang,
+        |    CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords,
+        |    CAST(sum(strlen(o.w)) AS BIGINT) AS n_bytes
+        |  FROM occ o JOIN wl ON o.w = wl.w
+        |  GROUP BY o.lang)
+        |SELECT lang, n_docs, n_words, n_subwords, n_bytes,
+        |  (1000000 * n_subwords) // n_words AS fertility_ppm,
+        |  (1000000 * n_bytes) // n_subwords AS bytes_per_subword_ppm
+        |FROM per ORDER BY lang""".stripMargin,
+
     "u4_bpe_encode" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -5996,6 +6148,26 @@ object Pipeline {
         |FROM ds LEFT JOIN lin ON ds.lang = lin.lang
         |CROSS JOIN mm ORDER BY ds.lang""".stripMargin,
 
+    "p5_pad_waste" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t AS (SELECT CAST(len(toks) AS BIGINT) AS ntok FROM tok
+        |      WHERE len(toks) > 0),
+        |b AS (SELECT ntok,
+        |        greatest(CAST(32 AS BIGINT),
+        |          CAST(power(2, length(bin(ntok - 1))) AS BIGINT)) AS cap
+        |      FROM t)
+        |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cap - ntok) AS BIGINT) AS pad_tokens,
+        |  (1000000 * CAST(sum(cap - ntok) AS BIGINT)) //
+        |    (CAST(sum(ntok) AS BIGINT) + CAST(sum(cap - ntok) AS BIGINT))
+        |    AS waste_ppm
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
+
     "p4_chunk_overlap" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -6041,6 +6213,22 @@ object Pipeline {
         |      x -> len(x) > 0)) AS BIGINT)
         |  ELSE 0 END AS spw_ppm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v9_pair_sim_hist" ->
+      """WITH sample AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 128),
+        |p AS (
+        |  SELECT a.v AS va, b.v AS vb
+        |  FROM sample a JOIN sample b ON a.vec_id < b.vec_id),
+        |s AS (
+        |  SELECT CAST(floor((list_dot_product(va, vb) /
+        |      (sqrt(list_dot_product(va, va)) *
+        |       sqrt(list_dot_product(vb, vb)))) * 10) AS BIGINT) AS bin
+        |  FROM p)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
 
     "v8_centroid_drift" ->
       """WITH xb AS (
