@@ -730,6 +730,29 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "a7_radius_search" -> { (s, dir) =>
+      // RADIUS (range) retrieval — the serving primitive top-k can't
+      // express: "everything within cosine ≥ τ of these queries",
+      // the shape behind near-dup candidate pulls, dedup-aware
+      // retrieval filters, and recall-safe ANN ground truth. Exact
+      // form: queries broadcast, ONE corpus scan through the fused
+      // graft_cosine kernel, a codegen'd filter at τ — no heap, no
+      // window, no shuffle of the corpus (the a1 posture; the result
+      // is output-bounded by construction because τ is a radius, not
+      // a count). The scale path at lower τ is a2's IVF cell pruning
+      // with τ-aware cell bounds — same candidates, fewer distances.
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qv"), col("cv")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
     "a6_ivf_pq" -> { (s, dir) =>
       // IVF-PQ composed serving (the FAISS IVFPQ deployment shape):
       // coarse centroids prune to the 4 nearest cells per query, ADC
@@ -1237,6 +1260,28 @@ object Pipeline {
         .orderBy(col("cp"))
     },
 
+    "t25_langid_confusion" -> { (s, dir) =>
+      // language-ID confusion matrix — the EVALUATION harness for the
+      // t3 heuristic against the corpus's labeled lang column: exact
+      // (true, predicted) counts plus each cell's ppm share, the
+      // artifact that says WHERE the classifier fails before anyone
+      // trusts t3-gated routing (x13 budgets, s2 mixes). One map-only
+      // pass through the fused graft_text_stats kernel, one
+      // map-combinable O(langs²) aggregate, a 1-row total broadcast,
+      // one scaled integer division.
+      val d = Tables.load(s, dir, "documents")
+      val pred = d.select(col("lang").as("true_lang"),
+        call_function("graft_text_stats", col("text"))
+          .getField("lang").as("pred_lang"))
+      val tot = pred.agg(count(lit(1)).as("n_total"))
+      pred.groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+          expr("(1000000 * n_docs) div n_total").as("share_ppm"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+
     "t26_blocklist" -> { (s, dir) =>
       // blocklist filtering (the LDNOOBW-style bad-word gate every
       // web-scale curation pipeline runs first): per doc, the count of
@@ -1278,6 +1323,36 @@ object Pipeline {
         .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
         .withColumn("weight_ppm", expr("1000000 div n_copies"))
         .orderBy(col("doc_id"))
+    },
+
+    "x17_source_scorecard" -> { (s, dir) =>
+      // per-source scorecard — the governance rollup a crawl-source
+      // review reads: doc/token totals plus exact-ppm rates for
+      // duplication (non-representatives of d1 fingerprint clusters),
+      // language-label disagreement (t3's prediction vs the labeled
+      // lang), and under-length docs. All flags compute in ONE corpus
+      // pass (the d1 fp window is the only row-scale shuffle), then
+      // one map-combinable O(sources) aggregate — integers end to end.
+      val d = Tables.load(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val st = call_function("graft_text_stats", col("text"))
+      val base = d.select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("fp"),
+          st.getField("n_tokens").cast("long").as("ntok"),
+          st.getField("lang").as("pred"))
+        .withColumn("is_dup", min(col("doc_id")).over(w) =!= col("doc_id"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L))
+            .as("n_mismatch"),
+          sum(when(col("ntok") < 40, 1L).otherwise(0L)).as("n_short"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(1000000 * n_dup) div n_docs").as("dup_ppm"),
+          expr("(1000000 * n_mismatch) div n_docs").as("mismatch_ppm"),
+          expr("(1000000 * n_short) div n_docs").as("short_ppm"))
+        .orderBy(col("source"))
     },
 
     "x16_curation_funnel" -> { (s, dir) =>
@@ -1469,6 +1544,43 @@ object Pipeline {
         .select(col("doc_id"), col("n_tokens"),
           (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
           array_join(col("kept"), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    "g11_louvain_move" -> { (s, dir) =>
+      // Louvain-style greedy merge round (Blondel et al. 2008, the
+      // singleton-start local move) — the community DETECTION step g7
+      // only measures: from the all-singletons partition, each vertex
+      // joins the neighbor whose pairwise merge yields the largest
+      // positive modularity delta. For two singletons u,v with one
+      // edge, ΔQ = (2m − deg_u·deg_v) / 2m² — sign and argmax depend
+      // only on the INTEGER numerator 2m − deg_u·deg_v, so the whole
+      // round is exact BIGINT arithmetic (ties → smallest neighbor id
+      // via struct-min, the labelPropagate discipline). Synchronous
+      // and replayable; one shuffle for degrees, one for the
+      // edge⋈degree scores, no vertex-cardinality broadcast (the g1
+      // discipline — m is the only broadcast, one row).
+      val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+      val und = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val deg = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      val m1 = pairs.agg(count(lit(1)).as("m"))
+      val scores = und
+        .join(deg.toDF("doc_a", "dv"), Seq("doc_a"))
+        .join(deg.toDF("doc_b", "du"), Seq("doc_b"))
+        .crossJoin(broadcast(m1))
+        .select(col("doc_a").as("v"), col("doc_b").as("u"),
+          (lit(2) * col("m") - col("dv") * col("du")).as("score"))
+      val best = scores.groupBy(col("v"))
+        .agg(min(struct((-col("score")).as("ns"), col("u").as("u"))).as("w"))
+        .select(col("v").as("doc_id"),
+          (-col("w.ns")).as("bs"), col("w.u").as("bu"))
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("bs") > 0, col("bu")).otherwise(col("doc_id"))
+            .as("comm"),
+          greatest(coalesce(col("bs"), lit(0L)), lit(0L)).as("gain_num"))
         .orderBy(col("doc_id"))
     },
 
@@ -1880,6 +1992,36 @@ object Pipeline {
         .select(col("doc_id"), col("rep"), col("n_copies"),
           (col("doc_id") =!= col("rep")).cast("int").as("is_dup"))
         .orderBy(col("doc_id"))
+    },
+
+    "m6_audio_energy" -> { (s, dir) =>
+      // audio feature-extraction PLUMBING — fixed-size framing plus
+      // per-frame energy and zero-crossing rate, the two features every
+      // audio curation gate starts from (silence/noise filtering, VAD
+      // pre-screening). The DECODE step is STUBBED: a real deployment
+      // maps the opaque audio binary through a codec in mapPartitions
+      // (the m2 imageio discipline — codecs can't live in an
+      // expression), but this container has no audio libs, so the PCM
+      // synth is a deterministic md5 expansion (8 frames × 32 nibble
+      // samples per doc) that BOTH engines replay bit-for-bit.
+      // Everything downstream of the stub — frame explode, per-frame
+      // codegen'd fold for energy (Σs²), adjacent-pair scan for ZCR —
+      // is the real Spark-side shape: map-only, one Generate, exact
+      // BIGINTs, no shuffle before the final order.
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      d.select(col("doc_id"),
+          explode(sequence(lit(0L), lit(7L))).as("frame_no"))
+        .withColumn("h", md5(concat_ws(":", col("doc_id"), col("frame_no"))))
+        .withColumn("nib", expr(
+          "transform(regexp_extract_all(h, '.', 0), " +
+            "c -> cast(locate(c, '0123456789abcdef') as bigint) - 1)"))
+        .select(col("doc_id"), col("frame_no"),
+          expr("aggregate(nib, cast(0 as bigint), (acc, x) -> acc + x * x)")
+            .as("energy"),
+          expr("cast(size(filter(sequence(1, 31), " +
+            "i -> (element_at(nib, i) < 8) != (element_at(nib, i + 1) < 8)))" +
+            " as bigint)").as("zcr"))
+        .orderBy(col("doc_id"), col("frame_no"))
     },
 
     "m5_media_phash" -> { (s, dir) =>
@@ -3066,6 +3208,66 @@ object Pipeline {
         .orderBy(col("doc_id"), col("fp_pos"))
     },
 
+    "d17_incremental_dedup" -> { (s, dir) =>
+      // incremental snapshot-probe dedup — the daily-crawl flow: does
+      // each INCOMING doc (the drop, doc_id % 4 == 0 — the x4/t20/v8
+      // snapshot convention) near-duplicate anything in the BASE
+      // corpus? d2's PPJoin machinery made asymmetric: df-ordered
+      // prefixes are built per side and only base-prefix × drop-prefix
+      // pairs are probed — the base never self-joins (at 100 TB the
+      // base's prefix index is built once and persisted; the daily
+      // drop probes it). Integer-exact throughout: t = 4/5, so the
+      // overlap bound is ceil(4·sz/5) = (4·sz+4) div 5 in INTEGER
+      // arithmetic — double ceil(0.8·sz) overshoots whenever 5 | sz
+      // (0.8 is not representable) and would shorten the prefix below
+      // the safe bound; the verify is 5·|A∩B| ≥ 4·|A∪B|, no floats.
+      val d = Tables.load(s, dir, "documents")
+      val toks = Dedup.persistPublic(d
+        .select(col("doc_id"), col("lang"),
+          call_function("graft_shingle_hashes", col("text"), lit(1))
+            .as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .filter(col("sz") > 0)
+        .withColumn("plen", col("sz") - expr("(4 * sz + 4) div 5") + 1))
+      val dfTab = toks.select(explode(col("toks")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
+      val prefixes = Dedup.persistPublic(toks
+        .select(col("doc_id"), col("lang"), col("plen"), col("sz"),
+          explode(col("toks")).as("p"))
+        .join(dfTab, Seq("p"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("plen"))
+        .select(col("doc_id"), col("lang"), col("p"), col("sz")))
+      val cand = prefixes.filter(col("doc_id") % 4 =!= 0)
+          .toDF("bid", "lang", "p", "bn")
+        .join(prefixes.filter(col("doc_id") % 4 === 0)
+          .toDF("did", "dlang", "p2", "dn"),
+          col("lang") === col("dlang") && col("p") === col("p2") &&
+            lit(5) * least(col("bn"), col("dn")) >=
+              lit(4) * greatest(col("bn"), col("dn")))
+        .select(col("bid"), col("did")).distinct()
+      val sets = toks.select(col("doc_id"), col("toks"))
+      val dups = cand
+        .join(sets.toDF("bid", "bt"), Seq("bid"))
+        .join(sets.toDF("did", "dt"), Seq("did"))
+        .withColumn("inter",
+          call_function("graft_intersect_size", col("bt"), col("dt"))
+            .cast("long"))
+        .filter(lit(5) * col("inter") >=
+          lit(4) * (size(col("bt")) + size(col("dt")) - col("inter")))
+        .groupBy(col("did"))
+        .agg(count(lit(1)).as("n_dups"), min(col("bid")).as("first_dup"))
+      d.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+        .join(dups, col("doc_id") === col("did"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("first_dup"), lit(-1L)).as("first_dup"),
+          col("did").isNull.as("is_new"))
+        .orderBy(col("doc_id"))
+    },
+
     "d16_winnow_pairs" -> { (s, dir) =>
       // near-dup candidates from shared winnowing fingerprints — d15's
       // serving query: postings df-capped at 20 (boilerplate
@@ -4027,6 +4229,24 @@ object Pipeline {
         |  CAST(centroid_id AS INTEGER) AS code
         |FROM rk WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
+    "a7_radius_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) *
+        |     sqrt(list_dot_product(cv, cv))) AS sim
+        |FROM c CROSS JOIN q
+        |WHERE neighbor_id <> query_id
+        |  AND list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) *
+        |     sqrt(list_dot_product(cv, cv))) >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
     "a6_ivf_pq" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4887,6 +5107,27 @@ object Pipeline {
         |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "m6_audio_energy" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, 7)) AS frame_no
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(frame_no AS VARCHAR)) AS hx
+        |  FROM f),
+        |n AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(regexp_extract_all(hx, '.'),
+        |      c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1) AS nib
+        |  FROM h)
+        |SELECT doc_id, frame_no,
+        |  CAST(list_sum(list_transform(nib, x -> x * x)) AS BIGINT)
+        |    AS energy,
+        |  CAST(len(list_filter(generate_series(1, 31),
+        |    i -> (nib[i] < 8) <> (nib[i+1] < 8))) AS BIGINT) AS zcr
+        |FROM n ORDER BY doc_id, frame_no""".stripMargin,
+
     "m5_media_phash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) > 0
@@ -5679,6 +5920,31 @@ object Pipeline {
         |FROM sel WHERE pos <= n_kg - 3
         |ORDER BY doc_id, fp_pos""".stripMargin,
 
+    "d17_incremental_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE len(toks) > 0),
+        |b AS (SELECT * FROM tk WHERE doc_id % 4 <> 0),
+        |dr AS (SELECT * FROM tk WHERE doc_id % 4 = 0),
+        |dups AS (
+        |  SELECT dr.doc_id AS did, CAST(count(*) AS BIGINT) AS n_dups,
+        |    CAST(min(b.doc_id) AS BIGINT) AS first_dup
+        |  FROM dr JOIN b ON b.lang = dr.lang
+        |    AND 5 * len(list_intersect(b.toks, dr.toks)) >=
+        |        4 * (len(b.toks) + len(dr.toks)
+        |             - len(list_intersect(b.toks, dr.toks)))
+        |  GROUP BY dr.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(dups.n_dups, 0) AS n_dups,
+        |  coalesce(dups.first_dup, -1) AS first_dup,
+        |  dups.did IS NULL AS is_new
+        |FROM documents d LEFT JOIN dups ON d.doc_id = dups.did
+        |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
     "d16_winnow_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -5744,6 +6010,36 @@ object Pipeline {
         |  1000000 // g.n_copies AS weight_ppm
         |FROM documents d JOIN g ON d.text IS NOT DISTINCT FROM g.text
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x17_source_scorecard" ->
+      s"""WITH $TokCte,
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    $LangScores
+        |  FROM tok),
+        |p AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+        |    $LangCase AS pred_lang
+        |  FROM s),
+        |f AS (
+        |  SELECT d.source, d.lang, p.ntok, p.pred_lang,
+        |    d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text) AS is_dup
+        |  FROM p JOIN documents d USING (doc_id)),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup,
+        |    CAST(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_mismatch,
+        |    CAST(sum(CASE WHEN ntok < 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short
+        |  FROM f GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  (1000000 * n_dup) // n_docs AS dup_ppm,
+        |  (1000000 * n_mismatch) // n_docs AS mismatch_ppm,
+        |  (1000000 * n_short) // n_docs AS short_ppm
+        |FROM a ORDER BY source""".stripMargin,
 
     "x16_curation_funnel" ->
       """WITH tok AS (
@@ -5837,6 +6133,27 @@ object Pipeline {
         |SELECT g.e1, g.e2, g.e3, g.n_paths,
         |  (g.n_paths * 1000000) // tot.n_total AS share_ppm
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
+
+    "t25_langid_confusion" ->
+      s"""WITH $TokCte,
+        |s AS (
+        |  SELECT doc_id,
+        |    $LangScores
+        |  FROM tok),
+        |p AS (
+        |  SELECT doc_id,
+        |    $LangCase AS pred_lang
+        |  FROM s),
+        |j AS (
+        |  SELECT d.lang AS true_lang, p.pred_lang
+        |  FROM p JOIN documents d USING (doc_id)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j),
+        |g AS (
+        |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM j GROUP BY 1, 2)
+        |SELECT g.true_lang, g.pred_lang, g.n_docs,
+        |  (1000000 * g.n_docs) // tot.n_total AS share_ppm
+        |FROM g CROSS JOIN tot ORDER BY true_lang, pred_lang""".stripMargin,
 
     "t26_blocklist" ->
       """WITH tok AS (
@@ -6099,6 +6416,53 @@ object Pipeline {
         |FROM g JOIN ev USING (g)
         |WHERE g.doc_id % 10 <> 7
         |ORDER BY g.doc_id, g.pos""".stripMargin,
+
+    "g11_louvain_move" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (
+        |  SELECT doc_a AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY doc_a),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |sc AS (
+        |  SELECT und.doc_a AS v, und.doc_b AS u,
+        |    2 * mm.m - dv.deg * du.deg AS score
+        |  FROM und
+        |  JOIN deg dv ON und.doc_a = dv.v
+        |  JOIN deg du ON und.doc_b = du.v
+        |  CROSS JOIN mm),
+        |best AS (
+        |  SELECT v, min({'ns': -score, 'u': u}) AS w FROM sc GROUP BY v),
+        |bb AS (
+        |  SELECT v, -struct_extract(w, 'ns') AS bs,
+        |    struct_extract(w, 'u') AS bu
+        |  FROM best)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN bb.bs > 0 THEN bb.bu ELSE d.doc_id END AS BIGINT)
+        |    AS comm,
+        |  CAST(greatest(coalesce(bb.bs, 0), 0) AS BIGINT) AS gain_num
+        |FROM documents d LEFT JOIN bb ON d.doc_id = bb.v
+        |ORDER BY d.doc_id""".stripMargin,
 
     "g7_modularity" ->
       """WITH tok AS (

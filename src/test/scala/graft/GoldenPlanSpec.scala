@@ -110,7 +110,24 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t24_vocab_growth",    // per-gram first-doc min, 10-row checkpoint sum
     "t26_blocklist",       // literal-array filter lambda, map-only scan
     "u4_bpe_encode",       // merge-table expression, one fused corpus pass
-    "x15_global_ids")      // O(B) bucket offsets, bucket-partitioned ranks
+    "x15_global_ids",      // O(B) bucket offsets, bucket-partitioned ranks
+    "s11_dedup_discount",  // one fp window, weight is integer arithmetic
+    "x16_curation_funnel", // one scan, one fp window, one funnel aggregate
+    "c10_span_excise",     // broadcast eval grams, cover agg, equi join back
+    "e17_event_paths",     // per-user lead window, 1-row total broadcast
+    "p5_pad_waste",        // map-only pow2 buckets, one partial aggregate
+    "u5_tokenizer_fertility", // fused segment pass, O(langs) aggregate
+    "v9_pair_sim_hist",    // TakeOrdered sample prefix, broadcast all-pairs
+    "q30_pivot",           // CASE-armed partial+final aggregate, no joins
+    "a7_radius_search",    // broadcast queries, codegen'd radius filter
+    "m6_audio_energy",     // md5 synth + frame explode, map-only features
+    "t25_langid_confusion",// fused langid pass, O(langs²) cells, 1-row total
+    "x17_source_scorecard")// one fp window, O(sources) scorecard aggregate
+  // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
+  // frames are persistPublic caches (the d8/g4 cache-manager situation)
+  // — guarded by targeted PlanQualitySpec asserts instead.
+  // g11_louvain_move is NOT whole-plan-pinned: it scans the shared
+  // tfidf_pairs index (the g7 situation) — targeted asserts instead.
   // g10_hits is NOT whole-plan-pinned: it scans the shared pair index
   // (the g7 cache-state situation) — guarded by the targeted
   // PlanQualitySpec assert instead.

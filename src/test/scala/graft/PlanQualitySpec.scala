@@ -1056,6 +1056,100 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no window anywhere — covers aggregate by doc_id:\n$p")
   }
 
+  test("p5_pad_waste: map-only buckets into one partial+final aggregate") {
+    val p = plan("p5_pad_waste")
+    assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
+      nodeCount(p, "Window") == 0,
+      s"bucketing is per-row arithmetic, the report one aggregate:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"bucket totals must partial-aggregate map-side:\n$p")
+  }
+
+  test("u5_tokenizer_fertility: one fused corpus pass, O(langs) aggregate") {
+    val p = plan("u5_tokenizer_fertility")
+    assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
+      nodeCount(p, "Window") == 0,
+      s"segmentation and byte totals ride ONE map-only pass:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"per-lang totals must partial-aggregate map-side:\n$p")
+  }
+
+  test("v9_pair_sim_hist: TakeOrdered sample prefix, broadcast all-pairs") {
+    val p = plan("v9_pair_sim_hist")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the md5-prefix sample must be per-partition top-n, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the fixed 128-row sample self-joins under broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && nodeCount(p, "Window") == 0, p)
+  }
+
+  test("q30_pivot: rewrites to one CASE-armed partial+final aggregate") {
+    val p = plan("q30_pivot")
+    assert(nodeCount(p, "Join") == 0,
+      s"a fixed-list pivot needs no value-discovery join:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"pivot cells must partial-aggregate map-side:\n$p")
+  }
+
+  test("a7_radius_search: queries broadcast, corpus scanned once, no heap") {
+    val p = plan("a7_radius_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query set must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct") && nodeCount(p, "Window") == 0 &&
+      !p.contains("TopKPerKey"),
+      s"a radius is a filter, not a ranking — no heap, no window:\n$p")
+  }
+
+  test("d17_incremental_dedup: prefix probe is equi, base never self-joins") {
+    val p = plan("d17_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates come from the (lang, prefix-token) equi join only:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.forall(_.contains("windowspecdefinition(doc_id#")),
+      s"the only window is the per-doc df-rank for prefixes:\n$p")
+  }
+
+  test("g11_louvain_move: scores from the pair index; only m broadcasts") {
+    val p = plan("g11_louvain_move")
+    assert(p.contains("tfidf_pairs"),
+      s"the edge set must come from the materialized pair index:\n$p")
+    assert(!p.contains("CartesianProduct") && nodeCount(p, "Window") == 0,
+      s"the move is joins + one struct-min aggregate, never a window:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row m frame may ride a nested-loop broadcast:\n$p")
+  }
+
+  test("m6_audio_energy: map-only synth + frame features, one order exchange") {
+    val p = plan("m6_audio_energy")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"framing and features are per-row arithmetic:\n$p")
+    assert(nodeCount(p, "Generate") >= 1,
+      s"frames come from one explode:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1,
+      s"nothing shuffles before the final order:\n$p")
+  }
+
+  test("t25_langid_confusion: map-only langid, O(langs squared) cells, no window") {
+    val p = plan("t25_langid_confusion")
+    assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"),
+      s"the confusion matrix is one aggregate plus a 1-row total:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"cells must partial-aggregate map-side:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row total may ride a nested-loop broadcast:\n$p")
+  }
+
+  test("x17_source_scorecard: one scan, one fp window, O(sources) aggregate") {
+    val p = plan("x17_source_scorecard")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"all scorecard flags compute in ONE corpus pass:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(fp#")),
+      s"the dup flag is the only window, on the md5 fingerprint:\n$p")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "HashAggregate") >= 2,
+      s"the rollup is one map-combinable aggregate, never a join:\n$p")
+  }
+
   test("e17_event_paths: per-user window, partial agg, 1-row total broadcast") {
     val p = plan("e17_event_paths")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
