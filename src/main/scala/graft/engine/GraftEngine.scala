@@ -243,7 +243,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -532,6 +532,13 @@ class GraftEngine(val spark: SparkSession) {
     *    the pairs' distinct endpoints → (doc_id, auth, hub).
     *  - `graft_bpe_merges(docs, rounds => 2)` — distributed BPE merge
     *    learning over (doc_id, text) → (round, a, b, cnt, n_syms).
+    *  - `graft_radius(corpus, queries, tau => 0.3)` — radius (range)
+    *    retrieval over (vec_id, embedding) relations: every corpus
+    *    vector within cosine ≥ tau of each query → (query_id,
+    *    neighbor_id, sim); no heap — the output is radius-bounded.
+    *  - `graft_louvain(pairs)` — one Louvain-style greedy merge round
+    *    over a (doc_a, doc_b) pair relation; vertices are the pairs'
+    *    distinct endpoints → (doc_id, comm, gain_num).
     *
     * Lifecycle: the dedup/BPE operators persist tracked scratch frames
     * their plans reuse within one execution; a long-lived serving
@@ -548,7 +555,9 @@ class GraftEngine(val spark: SparkSession) {
     "decontaminate" -> Set("n"),
     "pagerank" -> Set("iters", "damping", "dangling"),
     "hits" -> Set("iters"),
-    "bpe_merges" -> Set("rounds"))
+    "bpe_merges" -> Set("rounds"),
+    "radius" -> Set("tau"),
+    "louvain" -> Set.empty)
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -560,7 +569,9 @@ class GraftEngine(val spark: SparkSession) {
     "decontaminate" -> Seq("corpus", "eval"),
     "pagerank" -> Seq("pairs"),
     "hits" -> Seq("pairs"),
-    "bpe_merges" -> Seq("docs"))
+    "bpe_merges" -> Seq("docs"),
+    "radius" -> Seq("corpus", "queries"),
+    "louvain" -> Seq("pairs"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -677,6 +688,18 @@ class GraftEngine(val spark: SparkSession) {
         val rounds = intOpt("rounds", 2)
         graft.operators.Tokenizer.distributedMergeRounds(rel(0),
           rounds = rounds)
+      case "radius" =>
+        val tau = doubleOpt("tau", 0.3)
+        require(tau >= -1.0 && tau <= 1.0,
+          s"graft_radius: tau is a cosine bound in [-1, 1], got $tau")
+        graft.operators.Similarity.radiusSearch(rel(0), rel(1), tau = tau)
+      case "louvain" =>
+        // same vertex convention as graft_pagerank/graft_hits: the pair
+        // table's distinct endpoints
+        val pairs = rel(0)
+        val verts = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        graft.operators.Graph.louvainMove(verts, pairs)
     }
   }
 

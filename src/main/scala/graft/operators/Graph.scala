@@ -336,6 +336,44 @@ object Graph {
     ranks
   }
 
+  /** Louvain-style greedy merge round (Blondel et al. 2008's local move
+    * from the all-singletons start): each vertex joins the neighbor
+    * whose pairwise merge yields the largest positive modularity delta.
+    * For two singletons u, v with one edge, ΔQ = (2m − deg_u·deg_v)/2m²
+    * — sign and argmax depend only on the INTEGER numerator, so the
+    * whole round is exact BIGINT arithmetic (ties → smallest neighbor
+    * id via struct-min, the [[labelPropagate]] discipline), synchronous
+    * and replayable by a SQL oracle. Returns `(doc_id, comm, gain_num)`
+    * for every vertex — `comm = doc_id` and `gain_num = 0` when no
+    * neighbor merge is positive (or the vertex is isolated).
+    *
+    * Scale posture: one degree shuffle + one edge⋈degree shuffle + one
+    * struct-min aggregate; only the 1-row edge count broadcasts — no
+    * vertex-cardinality frame anywhere (the [[pageRank]] discipline).
+    */
+  def louvainMove(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val und = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val m1 = p.agg(count(lit(1)).as("m"))
+    val scores = und
+      .join(deg.toDF("doc_a", "dv"), Seq("doc_a"))
+      .join(deg.toDF("doc_b", "du"), Seq("doc_b"))
+      .crossJoin(broadcast(m1))
+      .select(col("doc_a").as("v"), col("doc_b").as("u"),
+        (lit(2) * col("m") - col("dv") * col("du")).as("score"))
+    val best = scores.groupBy(col("v"))
+      .agg(min(struct((-col("score")).as("ns"), col("u").as("u"))).as("w"))
+      .select(col("v").as("doc_id"),
+        (-col("w.ns")).as("bs"), col("w.u").as("bu"))
+    vertices.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("bs") > 0, col("bu")).otherwise(col("doc_id")).as("comm"),
+        greatest(coalesce(col("bs"), lit(0L)), lit(0L)).as("gain_num"))
+  }
+
   /** k-core decomposition, `rounds` unrolled peel iterations: each round
     * drops every vertex whose degree in the SURVIVING subgraph is below
     * `k`, then restricts the edge set to survivor×survivor. Returns

@@ -63,6 +63,29 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Radius (range) retrieval: every corpus vector within cosine ≥ `tau`
+    * of each query — the serving primitive top-k can't express (near-dup
+    * candidate pulls, dedup-aware retrieval filters, recall-safe ANN
+    * ground truth). Same posture as [[bruteForceTopK]] minus the heap:
+    * queries broadcast, ONE corpus pass through the fused cosine kernel,
+    * a codegen'd filter at the radius — output bounded by `tau`, not by
+    * a count, so no ranking stage exists at all. The low-`tau` scale
+    * path is [[ivfTopKWith]]'s cell pruning with radius-aware bounds.
+    */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0,
+      s"radiusSearch: tau is a cosine bound in [-1, 1], got $tau")
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qv")))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Deterministic centroid choice: a hash-ordered pseudo-random sample of
     * `nlist` corpus vectors. Stands in for a k-means fit; the IVF plumbing
     * (assignment, probe-side pruning) is identical either way, and

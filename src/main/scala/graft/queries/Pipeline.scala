@@ -742,14 +742,7 @@ object Pipeline {
       // a count). The scale path at lower τ is a2's IVF cell pruning
       // with τ-aware cell bounds — same candidates, fewer distances.
       val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-        .crossJoin(broadcast(q))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          Similarity.cosine(col("qv"), col("cv")).as("sim"))
-        .filter(col("sim") >= 0.3)
+      Similarity.radiusSearch(e, e.filter(col("vec_id") < 5), tau = 0.3)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
 
@@ -1561,26 +1554,8 @@ object Pipeline {
       // edge⋈degree scores, no vertex-cardinality broadcast (the g1
       // discipline — m is the only broadcast, one row).
       val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
-      val und = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val deg = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
-      val m1 = pairs.agg(count(lit(1)).as("m"))
-      val scores = und
-        .join(deg.toDF("doc_a", "dv"), Seq("doc_a"))
-        .join(deg.toDF("doc_b", "du"), Seq("doc_b"))
-        .crossJoin(broadcast(m1))
-        .select(col("doc_a").as("v"), col("doc_b").as("u"),
-          (lit(2) * col("m") - col("dv") * col("du")).as("score"))
-      val best = scores.groupBy(col("v"))
-        .agg(min(struct((-col("score")).as("ns"), col("u").as("u"))).as("w"))
-        .select(col("v").as("doc_id"),
-          (-col("w.ns")).as("bs"), col("w.u").as("bu"))
-      Tables.load(s, dir, "documents").select(col("doc_id"))
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("bs") > 0, col("bu")).otherwise(col("doc_id"))
-            .as("comm"),
-          greatest(coalesce(col("bs"), lit(0L)), lit(0L)).as("gain_num"))
+      Graph.louvainMove(
+          Tables.load(s, dir, "documents").select(col("doc_id")), pairs)
         .orderBy(col("doc_id"))
     },
 

@@ -543,6 +543,44 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("4 rounds"))
   }
 
+  test("graft_radius TVF: radius retrieval equals the Scala operator") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val got = engine.run(
+      s"select query_id, neighbor_id from graft_radius('$emb', '$emb', tau => 0.3) " +
+        "order by query_id, neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a query is never its own neighbor; SQL ≡ the Scala surface
+    assert(got.forall { case (q, nb) => q != nb })
+    val direct = graft.operators.Similarity.radiusSearch(
+        spark.read.parquet(emb), spark.read.parquet(emb), tau = 0.3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(got.toSeq == direct.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      engine.run(s"select * from graft_radius('$emb', '$emb', tau => 1.5)")
+    }
+    assert(e.getMessage.contains("[-1, 1]"))
+  }
+
+  test("graft_louvain TVF: planted two-triangle graph merges within triangles") {
+    engine.run("create table lv_edges_t(doc_a bigint, doc_b bigint)")
+    engine.run("insert into lv_edges_t values (0, 1), (0, 2), (1, 2), " +
+      "(3, 4), (3, 5), (4, 5), (2, 3)")
+    val got = engine.run(
+      "select doc_id, comm, gain_num from graft_louvain(lv_edges_t) " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // m = 7; every vertex has a positive-gain neighbor (2m = 14 >
+    // deg_u·deg_v ≤ 9 within triangles), so everyone moves; ties break
+    // to the smallest neighbor id
+    assert(got.forall { case (v, c, g) => g > 0 && c != v },
+      got.mkString(", "))
+    // vertices 0/1 (degree 2) prefer each other over the degree-3 hub 2
+    assert(got(0)._2 == 1L && got(1)._2 == 0L)
+    // vertices 4/5 prefer each other over the degree-3 hub 3
+    assert(got(4)._2 == 5L && got(5)._2 == 4L)
+  }
+
   test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
     // all validation fires BEFORE any relation resolves, so made-up table
     // names keep this test self-contained (no dependency on suite order)
