@@ -515,4 +515,71 @@ class GraphSpec extends AnyFunSuite {
       Graph.hits(verticesDf(2), pairsDf(Seq((0L, 1L))), iters = 5)
     }
   }
+
+  /** Driver-side replay of the singleton local move: for each vertex,
+    * the (2m − deg_u·deg_v)-best neighbor with smallest-id tie-break.
+    */
+  private def louvainBrute(n: Int,
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = edges.size.toLong
+    (0L until n.toLong).map { v =>
+      val nbrs = und.collect { case (a, u) if a == v => u }
+      if (nbrs.isEmpty) v -> (v, 0L)
+      else {
+        val scored = nbrs.map(u => (2 * m - deg(v) * deg(u), u))
+        val (bs, bu) = scored.maxBy { case (s, u) => (s, -u) }
+        if (bs > 0) v -> (bu, bs) else v -> (v, 0L)
+      }
+    }.toMap
+  }
+
+  private def louvainMap(n: Int,
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.louvainMove(verticesDf(n), pairsDf(edges))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("louvain move: two triangles with a bridge — low-degree partners win") {
+    // m = 7; inside each triangle the degree-2 vertices pick each other
+    // (score 14−4=10) over the degree-3 bridge endpoint (14−6=8)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val got = louvainMap(6, edges)
+    assert(got(0L) == (1L, 10L) && got(1L) == (0L, 10L))
+    assert(got(4L) == (5L, 10L) && got(5L) == (4L, 10L))
+    assert(got == louvainBrute(6, edges))
+  }
+
+  test("louvain move: dense hub pair — the hub-hub merge is negative") {
+    // two hubs joined to each other and to every leaf: m = 9, hub
+    // degree 5, leaf degree 2. hub↔hub scores 18 − 25 = −7 (the only
+    // negative option), hub↔leaf 18 − 10 = 8 — so hubs merge DOWN into
+    // leaves, never with each other, and leaves tie-break to hub 0.
+    val hubs = Seq((0L, 1L))
+    val leaves = (2L to 5L).flatMap(l => Seq((0L, l), (1L, l)))
+    val got = louvainMap(6, hubs ++ leaves)
+    assert(got == louvainBrute(6, hubs ++ leaves))
+    assert(got(2L) == (0L, 8L) && got(0L)._1 >= 2L)
+  }
+
+  test("louvain move: isolated vertex stays its own community at gain 0") {
+    val got = louvainMap(4, Seq((0L, 1L)))
+    assert(got(2L) == (2L, 0L) && got(3L) == (3L, 0L))
+    // the only edge joins two degree-1 vertices: score 2·1 − 1 = 1 > 0
+    assert(got(0L) == (1L, 1L) && got(1L) == (0L, 1L))
+  }
+
+  test("louvain move: random graph equals the driver replay; partition-invariant") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 160).map { _ =>
+      val a = rnd.nextInt(22).toLong
+      (a, a + 1 + rnd.nextInt(6).toLong)
+    }.distinct
+    val want = louvainBrute(28, edges)
+    assert(louvainMap(28, edges) == want)
+    val many = Graph.louvainMove(verticesDf(28), pairsDf(edges).repartition(13))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(many == want)
+  }
 }

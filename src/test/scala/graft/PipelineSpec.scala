@@ -631,6 +631,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("radius search: exactly the top-k prefix above tau, sim-bounded, no self") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val got = Similarity.radiusSearch(e, q, tau = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (qid, nid, sim) => qid != nid && sim >= 0.25 })
+    // radius ≡ the brute-force ranking filtered at tau (same kernel, no
+    // heap): every top-k hit above tau appears, nothing else does, for
+    // k large enough to cover the radius
+    val bf = Similarity.bruteForceTopK(e, q, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.25)
+    assert(got.toSet == bf.toSet, s"radius=${got.length} topk-filtered=${bf.length}")
+    intercept[IllegalArgumentException] {
+      Similarity.radiusSearch(e, q, tau = 1.5)
+    }
+  }
+
   test("IVF recall grows with nprobe (uniform-random data: recall ~ nprobe/nlist)") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 5)
