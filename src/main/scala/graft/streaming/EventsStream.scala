@@ -389,6 +389,75 @@ object EventsStream {
       .toDF("user_id", "cur", "nxt")
   }
 
+  /** State for [[pathTriplesStream]]: the user's last TWO events under
+    * the e12/e17 total order (event_id). `n` counts how many slots are
+    * valid — the older slot (1) is meaningful only at n = 2.
+    */
+  case class Last2Events(ts1Us: Long, id1: Long, t1: String,
+      ts2Us: Long, id2: Long, t2: String, n: Int)
+
+  /** e17's STREAMING twin: per-user 3-step paths as a
+    * flatMapGroupsWithState scan — the state is the user's last TWO
+    * events (O(1) per live user, idle-bounded exactly like
+    * [[transitionPairsStream]], same watermark clamp and stale-head
+    * drop); each arriving event with two predecessors emits its
+    * (e1, e2, e3) triple. The batch e17 aggregates these triples to
+    * supports and ppm shares, so holding the raw triple multisets equal
+    * (the streaming≡batch spec) carries the whole downstream report.
+    */
+  def pathTriplesStream(events: DataFrame,
+      idleMinutes: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleUs = idleMinutes.toLong * 60 * 1000 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows0: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[Last2Events]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows0.map(r => (micros(r._3), r._2, r._4)).toSeq
+              .sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, String, String)]
+            var st = state.getOption
+            sorted.foreach { case (tsUs, id, tpe) =>
+              // drop events behind the chain head (late cross-batch
+              // arrivals) — the transitionPairsStream discipline
+              if (st.forall(s => id > s.id2)) {
+                st match {
+                  case Some(s) if s.n == 2 =>
+                    out += ((user, s.t1, s.t2, tpe))
+                    st = Some(Last2Events(
+                      s.ts2Us, s.id2, s.t2, tsUs, id, tpe, 2))
+                  case Some(s) =>
+                    st = Some(Last2Events(
+                      s.ts2Us, s.id2, s.t2, tsUs, id, tpe, 2))
+                  case None =>
+                    st = Some(Last2Events(0L, 0L, "", tsUs, id, tpe, 1))
+                }
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // watermark clamp: see transitionPairsStream
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max((s.ts2Us + idleUs) / 1000L, wm + 1L))
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "e1", "e2", "e3")
+  }
+
   /** State for [[latestWinsStream]]: the current winning version per key
     * plus how many versions have arrived — O(1) per key, the whole
     * streaming-upsert store.

@@ -391,6 +391,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming 3-step path triples match the batch double-lead triples") {
+    import org.apache.spark.sql.expressions.Window
+    // horizon >> the data's time span so no chain restarts in the spec
+    // feed — the equivalence is exact, not gap-truncated
+    val stream = EventsStream.pathTriplesStream(
+      EventsStream.readEvents(spark, sf), idleMinutes = 60 * 24 * 365)
+    val got = EventsStream.runToMemory(stream, "paths_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(col("user_id"), col("event_type"), col("e2"), col("e3"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch)
+  }
+
   test("streaming latest-wins upsert view matches the batch x6 compaction") {
     val stream = EventsStream.latestWinsStream(
       EventsStream.readEvents(spark, sf))
