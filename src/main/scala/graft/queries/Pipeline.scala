@@ -1318,6 +1318,34 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x18_manifest_diff" -> { (s, dir) =>
+      // incremental manifest delta — what a training loader re-plans
+      // after a corpus refresh: per-shard doc/token deltas between the
+      // BASE snapshot (doc_id % 4 != 0, the x4/t20 convention) and the
+      // refreshed full corpus. Shards are x14's content-independent
+      // md5 buckets, so a refresh only ADDS to a shard — no document
+      // ever migrates and the delta is exactly the new docs'. Two
+      // map-combinable manifest aggregates (one corpus scan each, the
+      // x14 body shared), then an O(shards) join — exact longs.
+      val d = Tables.load(s, dir, "documents")
+      val base = graft.operators.Stats
+        .shardManifest(d.filter(col("doc_id") % 4 =!= 0))
+        .select(col("shard"), col("n_docs").as("base_docs"),
+          col("n_tokens").as("base_tokens"))
+      val full = graft.operators.Stats.shardManifest(d)
+        .select(col("shard"), col("n_docs").as("full_docs"),
+          col("n_tokens").as("full_tokens"))
+      full.join(base, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("base_docs"), lit(0L)).as("base_docs"),
+          col("full_docs"),
+          (col("full_docs") - coalesce(col("base_docs"), lit(0L)))
+            .as("d_docs"),
+          (col("full_tokens") - coalesce(col("base_tokens"), lit(0L)))
+            .as("d_tokens"))
+        .orderBy(col("shard"))
+    },
+
     "x17_source_scorecard" -> { (s, dir) =>
       // per-source scorecard — the governance rollup a crawl-source
       // review reads: doc/token totals plus exact-ppm rates for
@@ -3183,6 +3211,23 @@ object Pipeline {
         .orderBy(col("doc_id"), col("fp_pos"))
     },
 
+    "d18_dup_cluster_hist" -> { (s, dir) =>
+      // duplicate-cluster size histogram — dedup governance one level
+      // past x11's single dup-ppm: HOW duplication is distributed
+      // (many small pairs vs a few mega-clusters) decides the strategy
+      // (d1 alone vs d12 canonicalization) and the blast radius of a
+      // bad template. One fp aggregate (the d1 shuffle — 128-bit keys,
+      // bodies never move), then an O(distinct sizes) rollup; exact
+      // longs, output bounded by the largest cluster size.
+      val d = Tables.load(s, dir, "documents")
+      d.select(md5(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+
     "d17_incremental_dedup" -> { (s, dir) =>
       // incremental snapshot-probe dedup — the daily-crawl flow: does
       // each INCOMING doc (the drop, doc_id % 4 == 0 — the x4/t20/v8
@@ -3278,6 +3323,23 @@ object Pipeline {
           when(col("n_tok") > 0, expr("(1000000 * n_vg) div n_tok"))
             .otherwise(lit(0L)).as("spw_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    "v10_norm_hist" -> { (s, dir) =>
+      // embedding-norm histogram — the scale/collapse monitor v9's
+      // angular histogram is blind to (cosine normalizes the norm
+      // away): quarter-unit bins of each vector's L2 norm over the
+      // WHOLE corpus. The squared norm runs through the fused
+      // graft_dot kernel (bit-identical to DuckDB's list_dot_product
+      // fold, the a1 gate); sqrt and the ·4 floor act on identical
+      // doubles. One map-only pass into one map-combinable aggregate —
+      // O(bins) output at any corpus size.
+      val e = Tables.load(s, dir, "embeddings")
+      e.select(floor(sqrt(
+            Similarity.dot(col("embedding"), col("embedding"))) * 4)
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("bin"))
     },
 
     "v9_pair_sim_hist" -> { (s, dir) =>
@@ -5895,6 +5957,15 @@ object Pipeline {
         |FROM sel WHERE pos <= n_kg - 3
         |ORDER BY doc_id, fp_pos""".stripMargin,
 
+    "d18_dup_cluster_hist" ->
+      """WITH g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY text)
+        |SELECT sz AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
     "d17_incremental_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
@@ -5985,6 +6056,30 @@ object Pipeline {
         |  1000000 // g.n_copies AS weight_ppm
         |FROM documents d JOIN g ON d.text IS NOT DISTINCT FROM g.text
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x18_manifest_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |        x -> len(x) > 0)) AS n_toks,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16 AS shard
+        |  FROM documents),
+        |base AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS bd,
+        |    CAST(sum(n_toks) AS BIGINT) AS bt
+        |  FROM b WHERE doc_id % 4 <> 0 GROUP BY shard),
+        |f AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS fd,
+        |    CAST(sum(n_toks) AS BIGINT) AS ft
+        |  FROM b GROUP BY shard)
+        |SELECT CAST(f.shard AS INTEGER) AS shard,
+        |  coalesce(base.bd, 0) AS base_docs,
+        |  f.fd AS full_docs,
+        |  f.fd - coalesce(base.bd, 0) AS d_docs,
+        |  f.ft - coalesce(base.bt, 0) AS d_tokens
+        |FROM f LEFT JOIN base ON f.shard = base.shard
+        |ORDER BY shard""".stripMargin,
 
     "x17_source_scorecard" ->
       s"""WITH $TokCte,
@@ -6552,6 +6647,15 @@ object Pipeline {
         |      x -> len(x) > 0)) AS BIGINT)
         |  ELSE 0 END AS spw_ppm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v10_norm_hist" ->
+      """WITH n AS (
+        |  SELECT CAST(floor(sqrt(list_dot_product(
+        |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 4)
+        |    AS BIGINT) AS bin
+        |  FROM embeddings)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM n GROUP BY bin ORDER BY bin""".stripMargin,
 
     "v9_pair_sim_hist" ->
       """WITH sample AS (

@@ -122,7 +122,10 @@ class GoldenPlanSpec extends AnyFunSuite {
     "a7_radius_search",    // broadcast queries, codegen'd radius filter
     "m6_audio_energy",     // md5 synth + frame explode, map-only features
     "t25_langid_confusion",// fused langid pass, O(langs²) cells, 1-row total
-    "x17_source_scorecard")// one fp window, O(sources) scorecard aggregate
+    "x17_source_scorecard",// one fp window, O(sources) scorecard aggregate
+    "d18_dup_cluster_hist",// fp aggregate then O(sizes) rollup, no window
+    "x18_manifest_diff",   // two manifest aggregates, O(shards) join
+    "v10_norm_hist")       // fused dot kernel, one histogram aggregate
   // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
   // frames are persistPublic caches (the d8/g4 cache-manager situation)
   // — guarded by targeted PlanQualitySpec asserts instead.

@@ -1129,6 +1129,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nothing shuffles before the final order:\n$p")
   }
 
+  test("d18_dup_cluster_hist: fp aggregate then size rollup, no window") {
+    val p = plan("d18_dup_cluster_hist")
+    assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
+      nodeCount(p, "Window") == 0,
+      s"the histogram is two stacked aggregates over one scan:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 3,
+      s"both aggregate levels must partial-combine map-side:\n$p")
+  }
+
+  test("x18_manifest_diff: two manifest aggregates meet in an O(shards) join") {
+    val p = plan("x18_manifest_diff")
+    assert(nodeCount(p, "Scan parquet") == 2,
+      s"base and full manifests are one corpus scan each:\n$p")
+    assert(!p.contains("CartesianProduct") && nodeCount(p, "Window") == 0,
+      s"the delta is an equi join of two O(shards) frames:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 4,
+      s"both manifests must partial-aggregate map-side:\n$p")
+  }
+
+  test("v10_norm_hist: fused dot kernel into one histogram aggregate") {
+    val p = plan("v10_norm_hist")
+    assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
+      nodeCount(p, "Window") == 0,
+      s"norms are per-row kernel work, the histogram one aggregate:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"bins must partial-aggregate map-side:\n$p")
+  }
+
   test("t25_langid_confusion: map-only langid, O(langs squared) cells, no window") {
     val p = plan("t25_langid_confusion")
     assert(nodeCount(p, "Window") == 0 && !p.contains("CartesianProduct"),
