@@ -341,6 +341,24 @@ object Parity {
         .orderBy(col("bucket"))
     },
 
+    "q31_unpivot" -> { (s, dir) =>
+      // UNPIVOT (wide→long melt) — q30's inverse, the reshape a
+      // reporting layer runs constantly: per-source stats as one row
+      // per (source, metric). Spark's relational unpivot rewrites to
+      // an Expand over the already-aggregated O(sources) frame — the
+      // melt itself never touches corpus-scale data; value columns
+      // share one type (BIGINT) as unpivot requires.
+      val d = Tables.load(s, dir, "documents")
+      d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .unpivot(Array(col("source")),
+          Array(col("n_docs"), col("n_chars"), col("n_langs")),
+          "metric", "value")
+        .orderBy(col("source"), col("metric"))
+    },
+
     "q29_grouping_sets" -> { (s, dir) =>
       // explicit GROUPING SETS with grouping_id disambiguation: (flag),
       // (status), and () — grouping_id distinguishes a rolled-up NULL
@@ -590,6 +608,17 @@ object Parity {
         |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q31_unpivot" ->
+      """WITH w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL SELECT source, 'n_chars', n_chars FROM w
+        |UNION ALL SELECT source, 'n_langs', n_langs FROM w
+        |ORDER BY source, metric""".stripMargin,
 
     "q29_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

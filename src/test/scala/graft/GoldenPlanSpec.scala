@@ -125,7 +125,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "x17_source_scorecard",// one fp window, O(sources) scorecard aggregate
     "d18_dup_cluster_hist",// fp aggregate then O(sizes) rollup, no window
     "x18_manifest_diff",   // two manifest aggregates, O(shards) join
-    "v10_norm_hist")       // fused dot kernel, one histogram aggregate
+    "v10_norm_hist",       // fused dot kernel, one histogram aggregate
+    "q31_unpivot")         // melt via Expand over the O(sources) aggregate
   // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
   // frames are persistPublic caches (the d8/g4 cache-manager situation)
   // — guarded by targeted PlanQualitySpec asserts instead.

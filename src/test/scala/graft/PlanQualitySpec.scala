@@ -1129,6 +1129,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nothing shuffles before the final order:\n$p")
   }
 
+  test("q31_unpivot: melt is an Expand over the aggregated frame, no join") {
+    val p = plan("q31_unpivot")
+    assert(nodeCount(p, "Expand") >= 1,
+      s"unpivot must rewrite to Expand, not a union of rescans:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0,
+      s"the melt runs on the O(sources) aggregate, corpus scanned once:\n$p")
+  }
+
   test("d18_dup_cluster_hist: fp aggregate then size rollup, no window") {
     val p = plan("d18_dup_cluster_hist")
     assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
