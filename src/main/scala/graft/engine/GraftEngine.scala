@@ -536,6 +536,9 @@ class GraftEngine(val spark: SparkSession) {
     *    retrieval over (vec_id, embedding) relations: every corpus
     *    vector within cosine ≥ tau of each query → (query_id,
     *    neighbor_id, sim); no heap — the output is radius-bounded.
+    *    Self-pairs (equal vec_id) are excluded, the graft_topk
+    *    convention — re-key one side when probing with a distinct
+    *    query relation whose id space overlaps the corpus.
     *  - `graft_louvain(pairs)` — one Louvain-style greedy merge round
     *    over a (doc_a, doc_b) pair relation; vertices are the pairs'
     *    distinct endpoints → (doc_id, comm, gain_num).
@@ -638,6 +641,12 @@ class GraftEngine(val spark: SparkSession) {
         try raw.toBoolean catch { case _: IllegalArgumentException =>
           badValue(key, raw, "true or false") }
       }
+    // graph TVFs share one vertex convention: the pair table's distinct
+    // endpoints (a TVF has one relation argument; isolated vertices are
+    // out of its view)
+    def endpointVerts(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // options parse BEFORE relations resolve in every branch, so a bad
     // option value reads as an option error even when a relation is also
     // missing
@@ -654,8 +663,6 @@ class GraftEngine(val spark: SparkSession) {
         val n = intOpt("n", 8)
         graft.operators.Decontaminate.ngramOverlap(rel(0), rel(1), n = n)
       case "pagerank" =>
-        // vertices = the pair table's distinct endpoints (a TVF has one
-        // relation argument; isolated vertices are out of its view).
         // Served through the LAZY unrolled form so the rewrite itself
         // (and EXPLAIN over it) runs zero jobs; iters is therefore
         // CAPPED — the unrolled plan grows linearly per round (and would
@@ -671,19 +678,15 @@ class GraftEngine(val spark: SparkSession) {
           s"graft_pagerank: iters > $cap unrolls too deep a plan — use " +
             "Graph.pageRankConverged for deep fixpoints")
         val pairs = rel(0)
-        val verts = pairs.select(col("doc_a").as("doc_id"))
-          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        graft.operators.Graph.pageRank(verts, pairs, iters = iters,
-          damping = damping, dangling = dangling)
+        graft.operators.Graph.pageRank(endpointVerts(pairs), pairs,
+          iters = iters, damping = damping, dangling = dangling)
       case "hits" =>
-        // same vertex convention as graft_pagerank: the pair table's
-        // distinct endpoints. Graph.hits itself caps iters at 4 (the
-        // int64 score-overflow bound), so the TVF only floors it.
+        // Graph.hits itself caps iters at 4 (the int64 score-overflow
+        // bound), so the TVF only floors it.
         val iters = intOpt("iters", 2)
         val pairs = rel(0)
-        val verts = pairs.select(col("doc_a").as("doc_id"))
-          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        graft.operators.Graph.hits(verts, pairs, iters = iters)
+        graft.operators.Graph.hits(endpointVerts(pairs), pairs,
+          iters = iters)
       case "bpe_merges" =>
         val rounds = intOpt("rounds", 2)
         graft.operators.Tokenizer.distributedMergeRounds(rel(0),
@@ -694,12 +697,8 @@ class GraftEngine(val spark: SparkSession) {
           s"graft_radius: tau is a cosine bound in [-1, 1], got $tau")
         graft.operators.Similarity.radiusSearch(rel(0), rel(1), tau = tau)
       case "louvain" =>
-        // same vertex convention as graft_pagerank/graft_hits: the pair
-        // table's distinct endpoints
         val pairs = rel(0)
-        val verts = pairs.select(col("doc_a").as("doc_id"))
-          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        graft.operators.Graph.louvainMove(verts, pairs)
+        graft.operators.Graph.louvainMove(endpointVerts(pairs), pairs)
     }
   }
 

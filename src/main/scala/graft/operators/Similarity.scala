@@ -71,6 +71,13 @@ object Similarity {
     * a codegen'd filter at the radius — output bounded by `tau`, not by
     * a count, so no ranking stage exists at all. The low-`tau` scale
     * path is [[ivfTopKWith]]'s cell pruning with radius-aware bounds.
+    *
+    * Self-matches are excluded by `vec_id` equality (the
+    * [[bruteForceTopK]] convention) — callers probing a corpus with a
+    * DISTINCT query relation whose id space overlaps it must re-key one
+    * side first, or colliding ids read as self-pairs and drop. NULL
+    * `vec_id` rows never match anything (null-unsafe comparison), the
+    * id-column contract every a-family operator assumes.
     */
   def radiusSearch(corpus: DataFrame, queries: DataFrame,
       tau: Double): DataFrame = {

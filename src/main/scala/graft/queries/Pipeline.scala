@@ -3614,9 +3614,7 @@ object Pipeline {
       // totals fold over the token array in one codegen'd lambda),
       // then ONE map-combinable O(langs) aggregate — exact longs and
       // scaled integer divisions end to end.
-      val merges = Seq(
-        ("s", "t"), ("a", "st"), ("f", "ast"),
-        ("h", "a"), ("ha", "s"), ("has", "h"))
+      val merges = BpeMerges
       val d = Tables.load(s, dir, "documents")
       val toks = TextFunctions.tokens(col("text"))
       d.select(col("lang"),
@@ -3650,9 +3648,7 @@ object Pipeline {
       // of EARLIER rules — the learned-table property that makes
       // rank-greedy ≡ sequential application), so DuckDB replays it
       // with six list_reduce folds at the distinct-word level.
-      val merges = Seq(
-        ("s", "t"), ("a", "st"), ("f", "ast"),
-        ("h", "a"), ("ha", "s"), ("has", "h"))
+      val merges = BpeMerges
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
@@ -3836,6 +3832,82 @@ object Pipeline {
       |    JOIN deg g ON e.doc_a = g.doc_a
       |    GROUP BY e.doc_b) s ON d.doc_id = s.doc_b)
       |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin
+
+  /** Fixed BPE merge table shared by u4 (per-doc encode) and u5
+    * (per-lang fertility) — ONE source of truth so the two gates can
+    * never silently diverge on the tokenizer; a literal chain (each
+    * rule consumes only chars or outputs of earlier rules), which is
+    * what makes rank-greedy segmentation ≡ sequential application and
+    * lets DuckDB replay it with list_reduce folds.
+    */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    ("s", "t"), ("a", "st"), ("f", "ast"),
+    ("h", "a"), ("ha", "s"), ("has", "h"))
+
+  /** Shared u4/u5 oracle fragment: the six list_reduce folds (one per
+    * [[BpeMerges]] rule, learned order) over `occ`'s distinct words,
+    * ending in per-word subword counts `wl(w, n_sub)`. The caller's
+    * CTE list must define `occ(..., w)`.
+    */
+  private val BpeFoldCtes: String =
+    """s0 AS (
+      |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS syms
+      |  FROM (SELECT DISTINCT w FROM occ)),
+      |s1 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 's' OR ends_with(acc, chr(31) || 's')) AND x = 't'
+      |      THEN acc || 't' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s0),
+      |s2 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 'a' OR ends_with(acc, chr(31) || 'a')) AND x = 'st'
+      |      THEN acc || 'st' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 'f' OR ends_with(acc, chr(31) || 'f')) AND x = 'ast'
+      |      THEN acc || 'ast' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 'h' OR ends_with(acc, chr(31) || 'h')) AND x = 'a'
+      |      THEN acc || 'a' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 'ha' OR ends_with(acc, chr(31) || 'ha')) AND x = 's'
+      |      THEN acc || 's' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT w, string_split(
+      |    list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = 'has' OR ends_with(acc, chr(31) || 'has')) AND x = 'h'
+      |      THEN acc || 'h' ELSE acc || chr(31) || x END),
+      |    chr(31)) AS syms
+      |  FROM s5),
+      |wl AS (
+      |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
+      |    AS n_sub
+      |  FROM s6)""".stripMargin
+
+  /** Shared x14/x18 oracle fragment: the content-independent md5 shard
+    * bucket (two hex nibbles of md5(doc_id), mod 16) — byte-identical
+    * between the manifest and its delta so both replay
+    * Stats.shardManifest's assignment.
+    */
+  private val ShardExprSql: String =
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16"
 
   private val TokCte: String =
     """tok AS (
@@ -5326,12 +5398,11 @@ object Pipeline {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "x14_shard_manifest" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, n_chars,
         |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
         |        x -> len(x) > 0)) AS n_toks,
-        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16 AS shard
+        |    $ShardExprSql AS shard
         |  FROM documents)
         |SELECT CAST(shard AS INTEGER) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -6058,12 +6129,11 @@ object Pipeline {
         |ORDER BY d.doc_id""".stripMargin,
 
     "x18_manifest_diff" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
         |        x -> len(x) > 0)) AS n_toks,
-        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16 AS shard
+        |    $ShardExprSql AS shard
         |  FROM documents),
         |base AS (
         |  SELECT shard, CAST(count(*) AS BIGINT) AS bd,
@@ -6249,61 +6319,13 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin,
 
     "u5_tokenizer_fertility" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
         |                x -> len(x) > 0) AS toks
         |  FROM documents),
         |occ AS (SELECT doc_id, lang, unnest(toks) AS w FROM tok),
-        |s0 AS (
-        |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS syms
-        |  FROM (SELECT DISTINCT w FROM occ)),
-        |s1 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 's' OR ends_with(acc, chr(31) || 's')) AND x = 't'
-        |      THEN acc || 't' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s0),
-        |s2 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'a' OR ends_with(acc, chr(31) || 'a')) AND x = 'st'
-        |      THEN acc || 'st' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'f' OR ends_with(acc, chr(31) || 'f')) AND x = 'ast'
-        |      THEN acc || 'ast' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s2),
-        |s4 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'h' OR ends_with(acc, chr(31) || 'h')) AND x = 'a'
-        |      THEN acc || 'a' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s3),
-        |s5 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'ha' OR ends_with(acc, chr(31) || 'ha')) AND x = 's'
-        |      THEN acc || 's' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s4),
-        |s6 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'has' OR ends_with(acc, chr(31) || 'has')) AND x = 'h'
-        |      THEN acc || 'h' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s5),
-        |wl AS (
-        |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
-        |    AS n_sub
-        |  FROM s6),
+        |$BpeFoldCtes,
         |per AS (
         |  SELECT o.lang,
         |    CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
@@ -6318,61 +6340,13 @@ object Pipeline {
         |FROM per ORDER BY lang""".stripMargin,
 
     "u4_bpe_encode" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
         |                x -> len(x) > 0) AS toks
         |  FROM documents),
         |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
-        |s0 AS (
-        |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS syms
-        |  FROM (SELECT DISTINCT w FROM occ)),
-        |s1 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 's' OR ends_with(acc, chr(31) || 's')) AND x = 't'
-        |      THEN acc || 't' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s0),
-        |s2 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'a' OR ends_with(acc, chr(31) || 'a')) AND x = 'st'
-        |      THEN acc || 'st' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'f' OR ends_with(acc, chr(31) || 'f')) AND x = 'ast'
-        |      THEN acc || 'ast' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s2),
-        |s4 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'h' OR ends_with(acc, chr(31) || 'h')) AND x = 'a'
-        |      THEN acc || 'a' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s3),
-        |s5 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'ha' OR ends_with(acc, chr(31) || 'ha')) AND x = 's'
-        |      THEN acc || 's' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s4),
-        |s6 AS (
-        |  SELECT w, string_split(
-        |    list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = 'has' OR ends_with(acc, chr(31) || 'has')) AND x = 'h'
-        |      THEN acc || 'h' ELSE acc || chr(31) || x END),
-        |    chr(31)) AS syms
-        |  FROM s5),
-        |wl AS (
-        |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
-        |    AS n_sub
-        |  FROM s6),
+        |$BpeFoldCtes,
         |per_doc AS (
         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |    CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords

@@ -389,12 +389,14 @@ object EventsStream {
       .toDF("user_id", "cur", "nxt")
   }
 
-  /** State for [[pathTriplesStream]]: the user's last TWO events under
-    * the e12/e17 total order (event_id). `n` counts how many slots are
-    * valid — the older slot (1) is meaningful only at n = 2.
+  /** State for [[pathTriplesStream]]: the head (most recent) event's
+    * order/timestamp plus the TYPES of the last two events — only the
+    * older event's type is ever emitted, so its id/timestamp are not
+    * retained. `n` counts valid slots; `t1` is meaningful only at
+    * n = 2.
     */
-  case class Last2Events(ts1Us: Long, id1: Long, t1: String,
-      ts2Us: Long, id2: Long, t2: String, n: Int)
+  case class Last2Events(t1: String, ts2Us: Long, id2: Long, t2: String,
+      n: Int)
 
   /** e17's STREAMING twin: per-user 3-step paths as a
     * flatMapGroupsWithState scan — the state is the user's last TWO
@@ -435,13 +437,11 @@ object EventsStream {
                 st match {
                   case Some(s) if s.n == 2 =>
                     out += ((user, s.t1, s.t2, tpe))
-                    st = Some(Last2Events(
-                      s.ts2Us, s.id2, s.t2, tsUs, id, tpe, 2))
+                    st = Some(Last2Events(s.t2, tsUs, id, tpe, 2))
                   case Some(s) =>
-                    st = Some(Last2Events(
-                      s.ts2Us, s.id2, s.t2, tsUs, id, tpe, 2))
+                    st = Some(Last2Events(s.t2, tsUs, id, tpe, 2))
                   case None =>
-                    st = Some(Last2Events(0L, 0L, "", tsUs, id, tpe, 1))
+                    st = Some(Last2Events("", tsUs, id, tpe, 1))
                 }
               }
             }
