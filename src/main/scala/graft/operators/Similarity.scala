@@ -311,6 +311,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-pruned radius retrieval — [[radiusSearch]]'s scale path for
+    * selective `tau`: candidates come only from each query's `nprobe`
+    * nearest cells (the a2 probe shape — corpus cell assignment stays a
+    * map-only projection against literal centroids), then the exact
+    * codegen'd filter at the radius. Approximate like every
+    * nprobe < nlist IVF search — a qualifying neighbor whose cell is
+    * not probed is missed; at nprobe = nlist the candidate set is the
+    * full corpus and the result equals [[radiusSearch]] EXACTLY (the
+    * a2p full-probe gate shape). Self-pair and NULL-id semantics follow
+    * [[radiusSearch]].
+    */
+  def ivfRadius(
+      corpus: DataFrame,
+      queries: DataFrame,
+      tau: Double,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0,
+      s"ivfRadius: tau is a cosine bound in [-1, 1], got $tau")
+    val centArr = centroidArray(corpus, nlist, math.max(0, lloydIters))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cell", nearestCellExpr(col("cv"), centArr))
+    val qScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cents)
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val q = graft.plans.TopKPerKey(qScored,
+        Seq(col("query_id")), Seq(col("csim").desc, col("centroid_id").asc),
+        nprobe, rankName = "crank")
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim")) // a neighbor may appear via several probed cells
+      .filter(col("sim") >= tau)
+  }
+
   /** SemDeDup-shaped semantic dedup: Lloyd centroids partition the
     * embedding space, each vector joins its nearest cell in a MAP-ONLY
     * projection (no join/shuffle to learn the cell — the IVF assignment

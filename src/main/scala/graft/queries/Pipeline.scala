@@ -746,6 +746,31 @@ object Pipeline {
         .orderBy(col("query_id"), col("neighbor_id"))
     },
 
+    "a8_ivf_radius" -> { (s, dir) =>
+      // a7's SCALE path: radius retrieval with IVF cell pruning —
+      // candidates from each query's 4-of-16 nearest cells only, then
+      // the exact filter at τ. Approximate by construction (a
+      // qualifying neighbor in an unprobed cell is missed); recall vs
+      // the exact a7 is spec-measured, and the full-probe twin a8p
+      // hash-gates the whole machinery.
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfRadius(e, e.filter(col("vec_id") < 5), tau = 0.3,
+        nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
+    "a8p_ivf_radius_full" -> { (s, dir) =>
+      // oracle gate for the IVF radius machinery: with nprobe = nlist
+      // every cell is probed, so the result must equal exact radius
+      // search (a7's oracle SQL verbatim) — assignment, probe join,
+      // multi-cell dedup, and the radius filter all hash-checked (the
+      // a2p discipline).
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfRadius(e, e.filter(col("vec_id") < 5), tau = 0.3,
+        nlist = 8, nprobe = 8, lloydIters = 0)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
     "a6_ivf_pq" -> { (s, dir) =>
       // IVF-PQ composed serving (the FAISS IVFPQ deployment shape):
       // coarse centroids prune to the 4 nearest cells per query, ADC
@@ -4337,6 +4362,24 @@ object Pipeline {
         |SELECT vec_id, CAST(sub AS INTEGER) AS sub,
         |  CAST(centroid_id AS INTEGER) AS code
         |FROM rk WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "a8p_ivf_radius_full" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) *
+        |     sqrt(list_dot_product(cv, cv))) AS sim
+        |FROM c CROSS JOIN q
+        |WHERE neighbor_id <> query_id
+        |  AND list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) *
+        |     sqrt(list_dot_product(cv, cv))) >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "a7_radius_search" ->
       """WITH q AS (

@@ -649,6 +649,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF radius: full probe equals exact; pruned is a subset of exact") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(Similarity.radiusSearch(e, q, tau = 0.25))
+    val full = asSet(Similarity.ivfRadius(e, q, tau = 0.25,
+      nlist = 8, nprobe = 8, lloydIters = 0))
+    assert(full == exact, s"full probe must equal exact: ${full.size} vs ${exact.size}")
+    val pruned = asSet(Similarity.ivfRadius(e, q, tau = 0.25,
+      nlist = 8, nprobe = 2, lloydIters = 0))
+    assert(pruned.subsetOf(exact),
+      "pruning may only DROP qualifying neighbors, never invent or rescore them")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRadius(e, q, tau = -2.0)
+    }
+  }
+
   test("IVF recall grows with nprobe (uniform-random data: recall ~ nprobe/nlist)") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 5)
