@@ -328,10 +328,36 @@ object Similarity {
       tau: Double,
       nlist: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2): DataFrame =
+    ivfRadiusWith(centroidArray(corpus, nlist, math.max(0, lloydIters)),
+      corpus, queries, tau, nprobe)
+
+  /** [[ivfRadius]] against a PREFITTED centroid table (from
+    * [[lloydCentroids]] or [[loadIvfIndex]]) — the serving path where
+    * the fit is amortized across query batches (the [[ivfTopKWith]]
+    * discipline).
+    */
+  def ivfRadiusWith(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      tau: Double,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centArr = centroids.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    ivfRadiusWith(centArr, corpus, queries, tau, nprobe)
+  }
+
+  private def ivfRadiusWith(
+      centArr: Seq[(Int, Seq[Double])],
+      corpus: DataFrame,
+      queries: DataFrame,
+      tau: Double,
+      nprobe: Int): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0,
       s"ivfRadius: tau is a cosine bound in [-1, 1], got $tau")
-    val centArr = centroidArray(corpus, nlist, math.max(0, lloydIters))
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = broadcast(centArr.toDF("centroid_id", "centroid"))

@@ -753,9 +753,12 @@ object Pipeline {
       // qualifying neighbor in an unprobed cell is missed); recall vs
       // the exact a7 is spec-measured, and the full-probe twin a8p
       // hash-gates the whole machinery.
+      // served against the PERSISTED centroid index (fit-once,
+      // serve-many — the a2 discipline; the bench prebuild covers it)
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.ivfRadius(e, e.filter(col("vec_id") < 5), tau = 0.3,
-        nlist = 16, nprobe = 4)
+      Similarity.ivfRadiusWith(
+          Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
+          e, e.filter(col("vec_id") < 5), tau = 0.3, nprobe = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
 

@@ -24,6 +24,10 @@ class ParitySpec extends AnyFunSuite {
       // asserts agreement/recall against the exact twins.
       "d3_dedup_minhash_lsh", "d4_dedup_simhash",
       "d5_dedup_embedding_lsh", "a2_ann_ivf",
+      // IVF-pruned radius: cell pruning is not SQL-expressible; the
+      // full-probe twin a8p is oracle-checked ≡ a7's SQL, and
+      // SimilaritySpec pins full-probe≡exact + pruned⊆exact
+      "a8_ivf_radius",
       // hash-derived weighted sampling keys are not DuckDB-expressible;
       // WeightedSampleSpec pins determinism/bias/exactness
       "s1_weighted_sample",
