@@ -1129,6 +1129,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nothing shuffles before the final order:\n$p")
   }
 
+  test("a8_ivf_radius: map-only cell assignment, broadcast probe set, no heap") {
+    val p = plan("a8_ivf_radius")
+    assert(!p.contains("CartesianProduct"),
+      s"the probe is an equi join on cell:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the nprobe-cell query set must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("TopKPerKey") || p.contains("crank"),
+      s"no result heap — a radius is a filter; only the nprobe cell " +
+        s"ranking (crank) may use the bounded heap:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.isEmpty, s"no window anywhere in the radius path:\n$p")
+  }
+
   test("q31_unpivot: melt is an Expand over the aggregated frame, no join") {
     val p = plan("q31_unpivot")
     assert(nodeCount(p, "Expand") >= 1,
