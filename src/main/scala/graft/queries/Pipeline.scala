@@ -1596,6 +1596,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "g12_degree_hist" -> { (s, dir) =>
+      // degree distribution of the similarity graph — the graph-health
+      // governance d18 gives dedup clusters: a heavy tail says hub
+      // documents (templates/boilerplate) dominate the pair budget and
+      // the d13/t13 posting caps are load-bearing, a thin one says the
+      // df band is doing its job. One map-combinable degree aggregate
+      // over the persisted pair index, then an O(max degree) rollup —
+      // exact longs, output bounded by the largest degree.
+      val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+      pairs.select(col("doc_a").as("v"))
+        .union(pairs.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+        .orderBy(col("deg"))
+    },
+
     "g11_louvain_move" -> { (s, dir) =>
       // Louvain-style greedy merge round (Blondel et al. 2008, the
       // singleton-start local move) — the community DETECTION step g7
@@ -6506,6 +6522,34 @@ object Pipeline {
         |FROM g JOIN ev USING (g)
         |WHERE g.doc_id % 10 <> 7
         |ORDER BY g.doc_id, g.pos""".stripMargin,
+
+    "g12_degree_hist" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a AS v FROM pairs
+        |  UNION ALL SELECT doc_b FROM pairs),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY v)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
 
     "g11_louvain_move" ->
       """WITH tok AS (

@@ -1109,6 +1109,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the only window is the per-doc df-rank for prefixes:\n$p")
   }
 
+  test("g12_degree_hist: two stacked aggregates over the pair index") {
+    val p = plan("g12_degree_hist")
+    assert(p.contains("tfidf_pairs"),
+      s"degrees must come from the materialized pair index:\n$p")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"the histogram is aggregation only:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 3,
+      s"both aggregate levels must partial-combine map-side:\n$p")
+  }
+
   test("g11_louvain_move: scores from the pair index; only m broadcasts") {
     val p = plan("g11_louvain_move")
     assert(p.contains("tfidf_pairs"),
