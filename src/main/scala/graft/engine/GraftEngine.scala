@@ -243,7 +243,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -542,6 +542,11 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_louvain(pairs)` — one Louvain-style greedy merge round
     *    over a (doc_a, doc_b) pair relation; vertices are the pairs'
     *    distinct endpoints → (doc_id, comm, gain_num).
+    *  - `graft_incremental_dedup(base, probe, num => 4, den => 5)` —
+    *    snapshot-probe dedup over (doc_id, text, lang) relations: per
+    *    probe doc, how many base docs it near-duplicates at word
+    *    Jaccard ≥ num/den → (doc_id, n_dups, first_dup, is_new); the
+    *    base never self-joins.
     *
     * Lifecycle: the dedup/BPE operators persist tracked scratch frames
     * their plans reuse within one execution; a long-lived serving
@@ -560,7 +565,8 @@ class GraftEngine(val spark: SparkSession) {
     "hits" -> Set("iters"),
     "bpe_merges" -> Set("rounds"),
     "radius" -> Set("tau"),
-    "louvain" -> Set.empty)
+    "louvain" -> Set.empty,
+    "incremental_dedup" -> Set("num", "den"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -574,7 +580,8 @@ class GraftEngine(val spark: SparkSession) {
     "hits" -> Seq("pairs"),
     "bpe_merges" -> Seq("docs"),
     "radius" -> Seq("corpus", "queries"),
-    "louvain" -> Seq("pairs"))
+    "louvain" -> Seq("pairs"),
+    "incremental_dedup" -> Seq("base", "probe"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -699,6 +706,17 @@ class GraftEngine(val spark: SparkSession) {
       case "louvain" =>
         val pairs = rel(0)
         graft.operators.Graph.louvainMove(endpointVerts(pairs), pairs)
+      case "incremental_dedup" =>
+        // the rational-threshold contract (num/den, default 4/5) keeps
+        // the PPJoin prefix bound integer-exact — see
+        // Dedup.incrementalDedup for why a double threshold is unsafe
+        val num = intOpt("num", 4)
+        val den = intOpt("den", 5)
+        require(num <= den,
+          s"graft_incremental_dedup: threshold num/den must be <= 1, " +
+            s"got $num/$den")
+        graft.operators.Dedup.incrementalDedup(rel(0), rel(1),
+          num = num, den = den)
     }
   }
 

@@ -473,6 +473,87 @@ object Dedup {
     // pair-set consumers (the d4p gate) distinct() at their boundary
   }
 
+  /** Incremental snapshot-probe dedup — the daily-crawl flow: for each
+    * PROBE document, does it near-duplicate anything in the BASE corpus
+    * at word-level Jaccard ≥ `num/den`? [[ngramJaccardPairs]]'s PPJoin
+    * machinery made ASYMMETRIC: df-ordered prefixes are built per side
+    * and only base-prefix × probe-prefix pairs are candidates — the
+    * base never self-joins (at 100 TB the base's prefix index builds
+    * once and persists; the daily drop probes it).
+    *
+    * INTEGER-exact throughout, which is why the threshold is a rational
+    * `num/den` rather than a double: the overlap bound is
+    * ceil(num·sz/den) = (num·sz + den − 1) div den — a double
+    * ceil(t·sz) overshoots whenever t·sz is an unrepresentable exact
+    * multiple (e.g. 0.8·10) and silently shortens the prefix below the
+    * PPJoin-safe bound — and the verify is den·|A∩B| ≥ num·|A∪B|, no
+    * floats anywhere.
+    *
+    * Returns one row per probe doc: `(doc_id, n_dups, first_dup
+    * (-1 when none), is_new)`. Token-less probe docs are trivially new.
+    * Scratch frames are [[persistPublic]]-tracked — release with
+    * [[unpersistAll]].
+    */
+  def incrementalDedup(base: DataFrame, probe: DataFrame,
+      num: Int = 4, den: Int = 5,
+      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"incrementalDedup: threshold num/den must be a fraction in (0, 1], " +
+        s"got $num/$den")
+    def toks(docs: DataFrame, side: String) = docs
+      .select(col("doc_id"), struct(blockCols: _*).as("block"),
+        call_function("graft_shingle_hashes", col("text"), lit(1))
+          .as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+      .withColumn("plen",
+        col("sz") - expr(s"($num * sz + ${den - 1}) div $den") + 1)
+      .withColumn("side", lit(side))
+    val both = persistPublic(
+      toks(base, "b").unionByName(toks(probe, "p")))
+    val dfTab = both.select(explode(col("toks")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("side")).orderBy(col("df"), col("p"))
+    val prefixes = persistPublic(both
+      .select(col("doc_id"), col("side"), col("block"), col("plen"),
+        col("sz"), explode(col("toks")).as("p"))
+      .join(dfTab, Seq("p"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("side"), col("block"), col("p"),
+        col("sz")))
+    val cand = prefixes.filter(col("side") === "b")
+        .select(col("doc_id").as("bid"), col("block"), col("p"),
+          col("sz").as("bn"))
+      .join(prefixes.filter(col("side") === "p")
+          .select(col("doc_id").as("did"), col("block").as("dblock"),
+            col("p").as("p2"), col("sz").as("dn")),
+        col("block") === col("dblock") && col("p") === col("p2") &&
+          lit(den) * least(col("bn"), col("dn")) >=
+            lit(num) * greatest(col("bn"), col("dn")))
+      .select(col("bid"), col("did")).distinct()
+    val sets = both.select(col("doc_id"), col("side"), col("toks"))
+    val dups = cand
+      .join(sets.filter(col("side") === "b")
+        .select(col("doc_id").as("bid"), col("toks").as("bt")), Seq("bid"))
+      .join(sets.filter(col("side") === "p")
+        .select(col("doc_id").as("did"), col("toks").as("dt")), Seq("did"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("bt"), col("dt"))
+          .cast("long"))
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (size(col("bt")) + size(col("dt")) - col("inter")))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_dups"), min(col("bid")).as("first_dup"))
+    probe.select(col("doc_id"))
+      .join(dups, col("doc_id") === col("did"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("first_dup"), lit(-1L)).as("first_dup"),
+        col("did").isNull.as("is_new"))
+  }
+
   /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
     * PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity
     * Joins for Near Duplicate Detection", WWW'08): J(A,B) ≥ t implies

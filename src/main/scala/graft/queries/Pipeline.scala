@@ -3276,59 +3276,14 @@ object Pipeline {
       // incremental snapshot-probe dedup — the daily-crawl flow: does
       // each INCOMING doc (the drop, doc_id % 4 == 0 — the x4/t20/v8
       // snapshot convention) near-duplicate anything in the BASE
-      // corpus? d2's PPJoin machinery made asymmetric: df-ordered
-      // prefixes are built per side and only base-prefix × drop-prefix
-      // pairs are probed — the base never self-joins (at 100 TB the
-      // base's prefix index is built once and persisted; the daily
-      // drop probes it). Integer-exact throughout: t = 4/5, so the
-      // overlap bound is ceil(4·sz/5) = (4·sz+4) div 5 in INTEGER
-      // arithmetic — double ceil(0.8·sz) overshoots whenever 5 | sz
-      // (0.8 is not representable) and would shorten the prefix below
-      // the safe bound; the verify is 5·|A∩B| ≥ 4·|A∪B|, no floats.
+      // corpus at word Jaccard >= 4/5? The whole asymmetric PPJoin
+      // machinery (per-side df-ordered prefixes, base never
+      // self-joins, integer-exact bounds and verify) lives in
+      // Dedup.incrementalDedup — also the graft_incremental_dedup TVF.
       val d = Tables.load(s, dir, "documents")
-      val toks = Dedup.persistPublic(d
-        .select(col("doc_id"), col("lang"),
-          call_function("graft_shingle_hashes", col("text"), lit(1))
-            .as("toks"))
-        .withColumn("sz", size(col("toks")))
-        .filter(col("sz") > 0)
-        .withColumn("plen", col("sz") - expr("(4 * sz + 4) div 5") + 1))
-      val dfTab = toks.select(explode(col("toks")).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
-      val prefixes = Dedup.persistPublic(toks
-        .select(col("doc_id"), col("lang"), col("plen"), col("sz"),
-          explode(col("toks")).as("p"))
-        .join(dfTab, Seq("p"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= col("plen"))
-        .select(col("doc_id"), col("lang"), col("p"), col("sz")))
-      val cand = prefixes.filter(col("doc_id") % 4 =!= 0)
-          .toDF("bid", "lang", "p", "bn")
-        .join(prefixes.filter(col("doc_id") % 4 === 0)
-          .toDF("did", "dlang", "p2", "dn"),
-          col("lang") === col("dlang") && col("p") === col("p2") &&
-            lit(5) * least(col("bn"), col("dn")) >=
-              lit(4) * greatest(col("bn"), col("dn")))
-        .select(col("bid"), col("did")).distinct()
-      val sets = toks.select(col("doc_id"), col("toks"))
-      val dups = cand
-        .join(sets.toDF("bid", "bt"), Seq("bid"))
-        .join(sets.toDF("did", "dt"), Seq("did"))
-        .withColumn("inter",
-          call_function("graft_intersect_size", col("bt"), col("dt"))
-            .cast("long"))
-        .filter(lit(5) * col("inter") >=
-          lit(4) * (size(col("bt")) + size(col("dt")) - col("inter")))
-        .groupBy(col("did"))
-        .agg(count(lit(1)).as("n_dups"), min(col("bid")).as("first_dup"))
-      d.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
-        .join(dups, col("doc_id") === col("did"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          coalesce(col("first_dup"), lit(-1L)).as("first_dup"),
-          col("did").isNull.as("is_new"))
+      Dedup.incrementalDedup(
+          d.filter(col("doc_id") % 4 =!= 0),
+          d.filter(col("doc_id") % 4 === 0), num = 4, den = 5)
         .orderBy(col("doc_id"))
     },
 

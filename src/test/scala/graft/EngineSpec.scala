@@ -581,6 +581,35 @@ class EngineSpec extends AnyFunSuite {
     assert(got(4)._2 == 5L && got(5)._2 == 4L)
   }
 
+  test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
+    engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
+    engine.run("insert into inc_base_t values " +
+      "(1, 'alpha beta gamma delta epsilon', 'en'), " +
+      "(2, 'totally different content here now', 'en')")
+    engine.run("create table inc_probe_t(doc_id bigint, text varchar, lang varchar)")
+    engine.run("insert into inc_probe_t values " +
+      "(10, 'alpha beta gamma delta epsilon', 'en'), " +        // exact dup of 1
+      "(11, 'unrelated brand new words entirely', 'en'), " +    // fresh
+      "(12, 'alpha beta gamma delta epsilon', 'de')")           // lang-blocked
+    val got = engine.run(
+      "select doc_id, n_dups, first_dup, is_new from " +
+        "graft_incremental_dedup(inc_base_t, inc_probe_t) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((10L, 1L, 1L, false), (11L, 0L, -1L, true),
+      (12L, 0L, -1L, true)), got.mkString(", "))
+    // SQL ≡ the Scala operator surface on the same inputs
+    val direct = graft.operators.Dedup.incrementalDedup(
+        engine.table("inc_base_t"), engine.table("inc_probe_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == direct.toSeq)
+    graft.operators.Dedup.unpersistAll()
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_incremental_dedup(inc_base_t, inc_probe_t, num => 6, den => 5)")
+    }
+    assert(e.getMessage.contains("num/den"))
+  }
+
   test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
     // all validation fires BEFORE any relation resolves, so made-up table
     // names keep this test self-contained (no dependency on suite order)
