@@ -554,6 +554,55 @@ object Dedup {
         col("did").isNull.as("is_new"))
   }
 
+  /** Static base-side prefix index for STREAMING incremental dedup
+    * (`EventsStream.incrementalDedupStream` probes it): one row per
+    * df-ordered prefix token per base document — `(block, p, bid, bt,
+    * bn)` — the base doc's full token set riding along so the exact
+    * Jaccard verify runs inside the same microbatch (the
+    * [[minhashIndex]] contract). df is computed over the BASE alone:
+    * prefix filtering needs only a CONSISTENT total token order, not
+    * the probe's df (which hasn't arrived yet) — and the probe side
+    * compensates by probing with its FULL token set. One-sided prefix
+    * principle: J(A,B) ≥ num/den forces |A∩B| ≥ ceil(num·|A|/den),
+    * and an intersection that large cannot avoid A's
+    * (|A| − ceil(num·|A|/den) + 1)-prefix, whose tokens B (probed
+    * whole) then contains. Candidates are therefore a superset of the
+    * two-sided batch machinery's, and the verified result is IDENTICAL
+    * to [[incrementalDedup]]'s. Build once per base snapshot and
+    * persist or write to parquet — a plain DataFrame, so one index
+    * serves any number of streaming jobs. `maxTokenPosting > 0` drops
+    * prefix postings hotter than the cap (the [[minhashIndex]] skew
+    * trade — approximate; df-ascending prefixes already bias postings
+    * cold, so the cap only fires on degenerate token distributions).
+    */
+  def incrementalIndex(base: DataFrame, num: Int = 4, den: Int = 5,
+      blockCols: Seq[Column] = Seq(col("lang")),
+      maxTokenPosting: Int = 0): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"incrementalIndex: threshold num/den must be a fraction in (0, 1], " +
+        s"got $num/$den")
+    val toks = base
+      .select(col("doc_id").as("bid"), struct(blockCols: _*).as("block"),
+        call_function("graft_shingle_hashes", col("text"), lit(1)).as("bt"))
+      .withColumn("bn", size(col("bt")))
+      .filter(col("bn") > 0)
+      .withColumn("plen",
+        col("bn") - expr(s"($num * bn + ${den - 1}) div $den") + 1)
+    val dfTab = toks.select(explode(col("bt")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bid")).orderBy(col("df"), col("p"))
+    capBuckets(
+      toks
+        .select(col("bid"), col("block"), col("plen"), col("bt"), col("bn"),
+          explode(col("bt")).as("p"))
+        .join(dfTab, Seq("p"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("plen"))
+        .select(col("block"), col("p"), col("bid"), col("bt"), col("bn")),
+      Seq("block", "p"), maxTokenPosting)
+  }
+
   /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
     * PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity
     * Joins for Near Duplicate Detection", WWW'08): J(A,B) ≥ t implies

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -193,6 +193,48 @@ object EventsStream {
       .select(col("doc_id"), col("corpus_id"),
         (col("inter") / col("uni")).as("jaccard"))
   }
+
+  /** Streaming twin of [[graft.operators.Dedup.incrementalDedup]] — the
+    * daily-crawl flow run CONTINUOUSLY: new documents arrive as a
+    * stream, the base corpus's df-ordered prefix index
+    * ([[graft.operators.Dedup.incrementalIndex]], a plain table built
+    * once per base snapshot) sits on the static side, and every
+    * arriving document is flagged with the base documents it
+    * near-duplicates at word Jaccard ≥ `num/den`. The arriving side
+    * probes with its FULL token set (the one-sided prefix principle —
+    * see `incrementalIndex`), a stream-static equi join on
+    * (block, token) proposes candidates (STATELESS — Spark keeps no
+    * join state for the static side), and the batch operator's exact
+    * integer verify `den·|A∩B| ≥ num·|A∪B|` decides inside the
+    * microbatch. Output rows are `(doc_id, base_id, inter, uni)` —
+    * exact set sizes, no floats; a pair colliding on several prefix
+    * tokens appears once per token (the [[nearDupPairsStream]]
+    * per-band contract), consumers aggregate duplicate-insensitively
+    * or distinct downstream. The distinct verified pair set is
+    * IDENTICAL to the batch operator's `n_dups`/`first_dup` support.
+    */
+  def incrementalDedupStream(docs: DataFrame, index: DataFrame,
+      num: Int = 4, den: Int = 5,
+      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame =
+    docs
+      .select(col("doc_id"), struct(blockCols: _*).as("block"),
+        call_function("graft_shingle_hashes", col("text"), lit(1)).as("dt"))
+      .withColumn("dn", size(col("dt")))
+      .filter(col("dn") > 0)
+      .select(col("doc_id"), col("block"), col("dt"), col("dn"),
+        explode(col("dt")).as("p"))
+      .join(index, Seq("block", "p"))
+      // size-ratio prefilter, then the exact integer verify — both
+      // byte-identical to Dedup.incrementalDedup's predicates
+      .filter(lit(den) * least(col("bn"), col("dn")) >=
+        lit(num) * greatest(col("bn"), col("dn")))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("bt"), col("dt"))
+          .cast("long"))
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (col("bn").cast("long") + col("dn") - col("inter")))
+      .select(col("doc_id"), col("bid").as("base_id"), col("inter"),
+        (col("bn").cast("long") + col("dn") - col("inter")).as("uni"))
 
   /** Stream-stream interval join — the attribution shape: each purchase
     * credited to the same user's clicks in the preceding `gapMinutes`

@@ -767,4 +767,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "sf0.001 corpus should contain planted near-dups")
     } finally idx.unpersist()
   }
+
+  test("streaming incremental dedup vs static base index matches the batch flags") {
+    import graft.operators.Dedup
+    // the d17 snapshot convention: doc_id % 4 == 0 is the arriving drop,
+    // the rest is the base corpus whose prefix index is a static table.
+    // The streamed pair set, distinct'd and aggregated per probe doc,
+    // must equal the batch operator's (n_dups, first_dup) flags exactly —
+    // one-sided prefixes (base-df order, probe probes whole) generate a
+    // candidate superset and the identical integer verify decides.
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val probe = d.filter(col("doc_id") % 4 === 0)
+    val idx = Dedup.incrementalIndex(base).persist()
+    try {
+      val stream = EventsStream.readDocuments(spark, sf)
+        .filter(col("doc_id") % 4 === 0)
+      val pairs = EventsStream.runToMemory(
+        EventsStream.incrementalDedupStream(stream, idx),
+        "inc_dedup_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("doc_id"), col("base_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs.groupBy(_._1).map { case (did, ps) =>
+        (did, ps.size.toLong, ps.map(_._2).min) }.toSet
+      val want = Dedup.incrementalDedup(base, probe)
+        .filter(col("n_dups") > 0)
+        .select(col("doc_id"), col("n_dups"), col("first_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Dedup.unpersistAll()
+      assert(got == want, s"stream=${got.size} docs, batch=${want.size}")
+      assert(want.nonEmpty, "sf0.001 corpus should plant base-vs-drop near-dups")
+    } finally idx.unpersist()
+  }
 }
