@@ -504,9 +504,17 @@ object Graph {
     * one shuffle each (by target, then by source); the usual per-round
     * L2 normalization only rescales, so the RANKING is identical and
     * the whole fixpoint replays bit-for-bit in a SQL oracle with no
-    * transcendentals. Scores grow ~(d_max²)^iters, so the exact form is
-    * capped at 4 rounds (a 100 TB graph with degree ≤ 10⁴ stays inside
-    * int64 at 4); normalize downstream if absolute values matter.
+    * transcendentals. Scores are bounded by d_max^(2·iters) (each
+    * half-round multiplies the bound by d_max), so int64 holds only up
+    * to d_max = 234 at 4 rounds and ≈ 55,000 at 2 — and Spark's
+    * non-ANSI sum would WRAP silently past that, corrupting the
+    * ranking with no error. The precondition is therefore enforced:
+    * the constructor runs one O(E) degree aggregate and rejects a
+    * graph whose max degree puts d_max^(2·iters) past Long.MaxValue
+    * (checked in exact BigInt). Hub-heavier graphs need fewer rounds,
+    * a degree cap upstream (the t14 df-band discipline), or a
+    * normalized floating-point variant; normalize downstream if
+    * absolute values matter.
     *
     * Scale posture: the g1 discipline — no vertex-cardinality frame is
     * ever broadcast; both joins exchange on the edge endpoint they
@@ -517,6 +525,21 @@ object Graph {
     require(iters >= 1 && iters <= 4,
       s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
     val edges = pairs.select(col("doc_a"), col("doc_b"))
+    // overflow guard: scores reach d_max^(2·iters) in the worst case and
+    // the BIGINT sums below wrap silently past int64 — one eager O(E)
+    // degree aggregate (same cost as half a round) turns that silent
+    // ranking corruption into a constructor error. Exact BigInt check,
+    // no float log slop.
+    val dmax = edges.select(col("doc_a").as("v"))
+      .union(edges.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L)).as("m"))
+      .head().getLong(0)
+    require(dmax <= 1L ||
+        BigInt(dmax).pow(2 * iters) <= BigInt(Long.MaxValue),
+      s"exact integer HITS overflows int64: max degree $dmax at $iters " +
+        s"round(s) bounds scores by $dmax^${2 * iters} > 2^63-1 — lower " +
+        "iters, cap degrees upstream, or normalize")
     var hub: DataFrame = vertices.select(col("doc_id"), lit(1L).as("h"))
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>

@@ -40,9 +40,15 @@ object Layout {
   def globalIds(df: DataFrame, key: Column, outCol: String = "gid",
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    // floor division via pmod so key = -1 lands in bucket -1, not 0
-    val bucket = ((key.cast("long") - pmod(key.cast("long"), lit(bucketWidth)))
-      / lit(bucketWidth)).cast("long")
+    // floor division via pmod so key = -1 lands in bucket -1, not 0.
+    // The quotient MUST be integral `div`, not Column./ (double
+    // division): past 2^53 a double quotient can round into the wrong
+    // bucket for non-power-of-two widths, breaking the contiguous-rank
+    // contract. The numerator is an exact multiple of bucketWidth, so
+    // truncating integral division IS floor division here.
+    val k = key.cast("long")
+    val bucket = call_function("div", k - pmod(k, lit(bucketWidth)),
+      lit(bucketWidth))
     val bucketed = df.withColumn("__gid_b", bucket)
     val counts = bucketed.groupBy(col("__gid_b"))
       .agg(count(lit(1)).as("__gid_c"))

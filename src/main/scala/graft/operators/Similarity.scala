@@ -299,13 +299,16 @@ object Similarity {
         nprobe, rankName = "crank")
       .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
 
-    // probe: equi-join on cell — the pruning step that replaces a full scan
+    // probe: equi-join on cell — the pruning step that replaces a full
+    // scan. No pair-dedup aggregate is needed (or present): every corpus
+    // vector lives in EXACTLY ONE cell (nearestCellExpr is a total-order
+    // argmin) and TopKPerKey emits distinct (query, cell) rows, so a
+    // (query, neighbor) pair can only arrive once — an agg here would
+    // add a full candidate-set shuffle to the serving path for nothing.
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("sim")).as("sim")) // a neighbor may appear via several probed cells
     graft.plans.TopKPerKey(scored,
       Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
       .orderBy(col("query_id"), col("rank"))
@@ -373,12 +376,13 @@ object Similarity {
         Seq(col("query_id")), Seq(col("csim").desc, col("centroid_id").asc),
         nprobe, rankName = "crank")
       .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    // single-cell assignment + distinct probed cells ⇒ each (query,
+    // neighbor) pair arrives exactly once (see ivfTopKWith) — the radius
+    // path stays one map-side filter with NO extra exchange.
     c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("sim")).as("sim")) // a neighbor may appear via several probed cells
       .filter(col("sim") >= tau)
   }
 

@@ -516,6 +516,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: rejects a graph whose max degree would wrap int64 scores") {
+    // d_max = 235 at 4 rounds bounds scores by 235^8 ≈ 9.3e18 > 2^63-1 —
+    // the silent-wrap regime the eager degree guard must reject (234^8
+    // ≈ 8.99e18 still fits: the BigInt check is exact at the boundary)
+    val star = (1L to 235L).map(i => (0L, i))
+    intercept[IllegalArgumentException] {
+      Graph.hits(verticesDf(236), pairsDf(star), iters = 4)
+    }
+    // the same graph is safe at 2 rounds (235^4 ≈ 3e9 « 2^63)
+    val ok = Graph.hits(verticesDf(236), pairsDf(star), iters = 2)
+    assert(ok.filter(col("doc_id") === 0L).head().getLong(2) == 235L * 235L,
+      "h2(center) = d² on an out-star")
+  }
+
   /** Driver-side replay of the singleton local move: for each vertex,
     * the (2m − deg_u·deg_v)-best neighbor with smallest-id tie-break.
     */
