@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * schema is fixed so Catalyst can column-prune around the blob.
   *
   * The codec dispatches on magic bytes: PNG and JPEG decode through the
-  * JDK's own `javax.imageio` (headless, no external library), and `GRFT`
-  * remains the deterministic synthetic format — a 16-byte header (magic,
-  * width, height, channels) followed by the payload — used by the oracle-
-  * gated queries so expected metadata stays analytically computable.
-  * Audio/video codecs are still stubs (nothing in the JDK decodes them);
-  * they would slot into the same [[MediaCodecStub.decode]] dispatch.
+  * JDK's own `javax.imageio` (headless, no external library), WAV/RIFF
+  * PCM audio through a hand-rolled chunk walker (the format is public
+  * and simple enough that no library is needed — see [[MediaCodecStub
+  * .decodeWav]]), and `GRFT` remains the deterministic synthetic
+  * format — a 16-byte header (magic, width, height, channels) followed
+  * by the payload — used by the oracle-gated queries so expected
+  * metadata stays analytically computable. Compressed audio/video
+  * codecs (mp3/aac/h264) stay out of scope — nothing in the JDK
+  * decodes them; they would slot into the same
+  * [[MediaCodecStub.decode]] dispatch.
   */
 object Multimodal {
 
@@ -59,6 +63,10 @@ object Multimodal {
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
       else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+      else if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E') "wav"
       else "unknown"
 
     /** Decode: bytes → (metadata, raw sample payload). PNG/JPEG go through
@@ -98,9 +106,133 @@ object Multimodal {
             y += 1
           }
           (MediaMeta(docId, fmt, w, h, c, payload.length.toLong), payload)
+        case "wav" =>
+          val (meta, samples) = decodeWav(bytes)
+          // payload = the raw little-endian PCM data bytes, so the m4
+          // payload-slice fingerprint discipline (hash CONTENT, not
+          // container) applies to audio unchanged
+          val payload = new Array[Byte](samples.length * (meta.bitsPerSample / 8))
+          val pb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (meta.bitsPerSample == 16) samples.foreach(pb.putShort)
+          else samples.foreach(s => pb.put((s + 128).toByte)) // back to 8-bit unsigned
+          (MediaMeta(docId, "wav", meta.nFrames, meta.sampleRate,
+            meta.channels, payload.length.toLong), payload)
         case other =>
           throw new IllegalArgumentException(s"unsupported media format: $other")
       }
+
+    // ---- WAV / RIFF PCM -------------------------------------------------
+    // Public format, public knowledge: a RIFF container ("RIFF" <size>
+    // "WAVE") holding chunks; PCM audio needs exactly the "fmt " chunk
+    // (format tag 1 = integer PCM, channels, sample rate, bits/sample)
+    // and the "data" chunk (interleaved little-endian frames). Chunks
+    // are word-aligned: an odd-sized chunk is followed by one pad byte.
+
+    /** Parsed WAV facts: `nFrames` = samples per channel. */
+    case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+        nFrames: Int)
+
+    /** Encode interleaved 16-bit PCM samples as a canonical 44-byte-header
+      * WAV blob. Deterministic in (samples, sampleRate, channels).
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Int,
+        channels: Int = 1): Array[Byte] = {
+      require(channels >= 1, s"channels must be >= 1, got $channels")
+      require(samples.length % channels == 0,
+        s"${samples.length} samples do not interleave into $channels channel(s)")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(channels.toShort)
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2) // byte rate
+      bb.putShort((channels * 2).toShort) // block align
+      bb.putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode a WAV/RIFF PCM blob: walk the chunk list (skipping unknown
+      * chunks — LIST/INFO metadata is common in the wild — with odd-size
+      * pad bytes respected), parse "fmt ", and read "data" as interleaved
+      * samples. 16-bit samples are little-endian signed; 8-bit WAV is
+      * unsigned by spec and is centered to signed here (−128..127 scaled
+      * into the same Short range position). Malformed input — missing
+      * RIFF/WAVE magic, a truncated chunk, a compressed format tag, data
+      * before fmt, or unsupported bit depths — throws
+      * `IllegalArgumentException` naming the defect.
+      */
+    def decodeWav(bytes: Array[Byte]): (WavMeta, Array[Short]) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed WAV: $msg")
+      if (bytes.length < 12) fail(s"only ${bytes.length} bytes, need >= 12")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val riff = new Array[Byte](4); bb.get(riff)
+      if (!java.util.Arrays.equals(riff, "RIFF".getBytes("US-ASCII")))
+        fail("no RIFF magic")
+      val riffLen = bb.getInt // trusted only loosely; chunk walk re-checks
+      if (riffLen < 4) fail(s"RIFF size $riffLen cannot hold a WAVE form")
+      val wave = new Array[Byte](4); bb.get(wave)
+      if (!java.util.Arrays.equals(wave, "WAVE".getBytes("US-ASCII")))
+        fail("no WAVE form type")
+      var fmt: Option[WavMeta] = None
+      var data: Option[Array[Byte]] = None
+      while (data.isEmpty && bb.remaining() >= 8) {
+        val id = new Array[Byte](4); bb.get(id)
+        val size = bb.getInt
+        if (size < 0 || size > bb.remaining())
+          fail(s"chunk '${new String(id, "US-ASCII")}' claims $size bytes, " +
+            s"${bb.remaining()} remain")
+        new String(id, "US-ASCII") match {
+          case "fmt " =>
+            if (size < 16) fail(s"fmt chunk is $size bytes, PCM needs 16")
+            val p0 = bb.position()
+            val tag = bb.getShort & 0xffff
+            if (tag != 1) fail(s"format tag $tag is not integer PCM (1) — " +
+              "compressed WAV is out of scope")
+            val ch = bb.getShort & 0xffff
+            val rate = bb.getInt
+            bb.getInt // byte rate (derivable)
+            bb.getShort // block align (derivable)
+            val bits = bb.getShort & 0xffff
+            if (ch < 1) fail("zero channels")
+            if (rate <= 0) fail(s"sample rate $rate")
+            if (bits != 8 && bits != 16)
+              fail(s"$bits bits/sample (8 or 16 supported)")
+            fmt = Some(WavMeta(ch, rate, bits, nFrames = 0))
+            bb.position(p0 + size + (size & 1)) // skip extensions + pad
+          case "data" =>
+            val d = new Array[Byte](size); bb.get(d)
+            data = Some(d)
+          case _ => // LIST, fact, cue … — skip, word-aligned
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      val m = fmt.getOrElse(fail("no fmt chunk before data"))
+      val d = data.getOrElse(fail("no data chunk"))
+      val bytesPer = m.bitsPerSample / 8
+      if (d.length % (bytesPer * m.channels) != 0)
+        fail(s"data length ${d.length} is not a whole number of " +
+          s"${m.channels}-channel ${m.bitsPerSample}-bit frames")
+      val n = d.length / bytesPer
+      val out = new Array[Short](n)
+      val db = java.nio.ByteBuffer.wrap(d)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      if (m.bitsPerSample == 16) {
+        while (i < n) { out(i) = db.getShort; i += 1 }
+      } else {
+        while (i < n) { out(i) = ((db.get() & 0xff) - 128).toShort; i += 1 }
+      }
+      (m.copy(nFrames = n / m.channels), out)
+    }
 
     /** Encode raw interleaved samples back to PNG (lossless — JPEG input
       * also re-encodes as PNG so roundtrips stay bit-deterministic).
@@ -154,6 +286,78 @@ object Multimodal {
       .map { case (id, text) =>
         MediaRow(id, MediaCodecStub.encode(id, text.getBytes("UTF-8")))
       }
+  }
+
+  /** documents → (doc_id, REAL WAV blob): 16-bit mono PCM whose samples
+    * are a deterministic md5 expansion — frame f of doc d takes the 32
+    * hex nibbles of md5("d:f") and maps nibble → (nib − 8)·256 + 128,
+    * so the sample is negative exactly when nib < 8 (the m6 ZCR
+    * boundary) and the DuckDB oracle can replay every sample
+    * analytically. The CONTAINER is genuine RIFF ([[MediaCodecStub
+    * .encodeWav]]): header, fmt chunk, little-endian data chunk — what
+    * the decode side must actually parse.
+    */
+  def withFakeWav(docs: DataFrame, frames: Int = 8,
+      frameLen: Int = 32): Dataset[MediaRow] = {
+    require(frameLen >= 1 && frameLen <= 32,
+      s"frameLen draws from md5's 32 nibbles, got $frameLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val samples = new Array[Short](frames * frameLen)
+        var f = 0
+        while (f < frames) {
+          val dg = md.digest(s"$id:$f".getBytes("UTF-8"))
+          var i = 0
+          while (i < frameLen) {
+            val b = dg(i / 2) & 0xff
+            val nib = if (i % 2 == 0) b >> 4 else b & 0xf
+            samples(f * frameLen + i) = ((nib - 8) * 256 + 128).toShort
+            i += 1
+          }
+          f += 1
+        }
+        MediaRow(id, MediaCodecStub.encodeWav(samples, sampleRate = 16000))
+      }
+    }
+  }
+
+  /** Per-frame audio features over REAL WAV blobs — the silence/noise/
+    * VAD pre-screen every audio curation gate starts from, with the
+    * decode step now an actual RIFF chunk walk instead of a synth stub:
+    * each blob dispatches on magic bytes, parses fmt/data, and the
+    * decoded samples are framed into `frameLen`-sample windows scoring
+    * energy (Σ s², exact BIGINT) and zero-crossing rate (sign flips
+    * between adjacent samples). Map-only `flatMap` — blobs never
+    * shuffle, one (doc_id, frame, 2 longs) row per frame comes out; a
+    * trailing partial frame is dropped (standard framing semantics).
+    */
+  def wavFrameFeatures(media: Dataset[MediaRow], frameLen: Int = 32): DataFrame = {
+    require(frameLen >= 2, s"a frame needs >= 2 samples for ZCR, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      require(MediaCodecStub.detectFormat(row.media) == "wav",
+        s"doc ${row.doc_id}: not a WAV blob")
+      val (meta, samples) = MediaCodecStub.decodeWav(row.media)
+      require(meta.channels == 1,
+        s"doc ${row.doc_id}: frame features expect mono, got ${meta.channels}")
+      (0 until samples.length / frameLen).map { f =>
+        var energy = 0L
+        var zcr = 0L
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          energy += samples(i).toLong * samples(i)
+          if (i > f * frameLen && (samples(i) < 0) != (samples(i - 1) < 0))
+            zcr += 1
+          i += 1
+        }
+        (row.doc_id, f.toLong, energy, zcr)
+      }
+    }.toDF("doc_id", "frame_no", "energy", "zcr")
   }
 
   /** Partition-parallel decode: binary column → typed metadata rows.

@@ -2045,12 +2045,12 @@ object Pipeline {
       // audio feature-extraction PLUMBING — fixed-size framing plus
       // per-frame energy and zero-crossing rate, the two features every
       // audio curation gate starts from (silence/noise filtering, VAD
-      // pre-screening). The DECODE step is STUBBED: a real deployment
-      // maps the opaque audio binary through a codec in mapPartitions
-      // (the m2 imageio discipline — codecs can't live in an
-      // expression), but this container has no audio libs, so the PCM
-      // synth is a deterministic md5 expansion (8 frames × 32 nibble
-      // samples per doc) that BOTH engines replay bit-for-bit.
+      // pre-screening). The DECODE step here is expression-level synth
+      // (m7 below is the REAL-codec twin: genuine RIFF bytes through
+      // the chunk-walking WAV parser in mapPartitions — the m2 imageio
+      // discipline); this variant keeps the all-SQL-expressible shape:
+      // the PCM synth is a deterministic md5 expansion (8 frames × 32
+      // nibble samples per doc) that BOTH engines replay bit-for-bit.
       // Everything downstream of the stub — frame explode, per-frame
       // codegen'd fold for energy (Σs²), adjacent-pair scan for ZCR —
       // is the real Spark-side shape: map-only, one Generate, exact
@@ -2068,6 +2068,26 @@ object Pipeline {
           expr("cast(size(filter(sequence(1, 31), " +
             "i -> (element_at(nib, i) < 8) != (element_at(nib, i + 1) < 8)))" +
             " as bigint)").as("zcr"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+
+    "m7_wav_energy" -> { (s, dir) =>
+      // REAL audio decode on the execution path — m6 with the stub
+      // removed: each doc carries a genuine RIFF/WAV blob (canonical
+      // header + fmt chunk + little-endian 16-bit PCM data), and the
+      // feature pass decodes it through the magic-byte dispatch and
+      // the chunk-walking WAV parser (operators/Multimodal.decodeWav)
+      // inside mapPartitions — the m2 imageio discipline, audio
+      // edition. Samples are the m6 md5 expansion mapped to real PCM
+      // amplitudes ((nib−8)·256+128, negative exactly when nib<8), so
+      // DuckDB replays the EXPECTED samples analytically while Spark
+      // earns them by parsing actual WAV bytes: a broken header
+      // layout, endianness, chunk walk, or sample decode hash-
+      // mismatches the gate. Map-only end to end — blobs never
+      // shuffle; only (doc_id, frame, 2 BIGINTs) rows move before the
+      // final order.
+      val d = Tables.load(s, dir, "documents")
+      Multimodal.wavFrameFeatures(Multimodal.withFakeWav(d), frameLen = 32)
         .orderBy(col("doc_id"), col("frame_no"))
     },
 
@@ -5252,6 +5272,28 @@ object Pipeline {
         |    AS energy,
         |  CAST(len(list_filter(generate_series(1, 31),
         |    i -> (nib[i] < 8) <> (nib[i+1] < 8))) AS BIGINT) AS zcr
+        |FROM n ORDER BY doc_id, frame_no""".stripMargin,
+
+    "m7_wav_energy" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, 7)) AS frame_no
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(frame_no AS VARCHAR)) AS hx
+        |  FROM f),
+        |n AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(regexp_extract_all(hx, '.'),
+        |      c -> (CAST(strpos('0123456789abcdef', c) AS BIGINT) - 9)
+        |             * 256 + 128) AS s
+        |  FROM h)
+        |SELECT doc_id, frame_no,
+        |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+        |    AS energy,
+        |  CAST(len(list_filter(generate_series(1, 31),
+        |    i -> (s[i] < 0) <> (s[i+1] < 0))) AS BIGINT) AS zcr
         |FROM n ORDER BY doc_id, frame_no""".stripMargin,
 
     "m5_media_phash" ->

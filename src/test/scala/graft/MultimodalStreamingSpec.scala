@@ -134,6 +134,91 @@ class MultimodalSpec extends AnyFunSuite {
       s"16-bit samples must shift high bits: ${s16.toSeq} vs $expected")
   }
 
+  test("WAV roundtrip: encode → magic dispatch → chunk walk → same samples") {
+    import Multimodal.MediaCodecStub
+    val samples = Array.tabulate(96)(i => ((i * 37 - 1200) % 1800).toShort)
+    val wav = MediaCodecStub.encodeWav(samples, sampleRate = 8000)
+    assert(MediaCodecStub.detectFormat(wav) == "wav")
+    val (m, got) = MediaCodecStub.decodeWav(wav)
+    assert(m == MediaCodecStub.WavMeta(1, 8000, 16, 96))
+    assert(got.toSeq == samples.toSeq)
+    // through the generic decode dispatch: payload = raw PCM data bytes
+    val (meta, payload) = MediaCodecStub.decode(7L, wav)
+    assert(meta.format == "wav" && meta.width == 96 && meta.height == 8000 &&
+      meta.n_channels == 1 && meta.n_bytes == 192L)
+    assert(payload.toSeq == wav.takeRight(192).toSeq)
+  }
+
+  test("WAV decode skips unknown chunks (word-aligned) and handles stereo/8-bit") {
+    import Multimodal.MediaCodecStub
+    // hand-build: RIFF [LIST(odd size → pad)] fmt data — the in-the-wild
+    // layout where metadata precedes fmt
+    val samples = Array[Short](100, -100, 200, -200) // 2 frames of stereo
+    val canonical = MediaCodecStub.encodeWav(samples, 44100, channels = 2)
+    val fmtAndData = canonical.drop(12) // reuse the canonical chunks
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") ++ Array[Byte](0)
+    val body = list ++ fmtAndData
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body)
+    val (m, got) = MediaCodecStub.decodeWav(bb.array())
+    assert(m == MediaCodecStub.WavMeta(2, 44100, 16, 2))
+    assert(got.toSeq == samples.toSeq)
+    // 8-bit path: unsigned by spec, centered to signed on decode
+    val eight = Array[Byte](
+      'R', 'I', 'F', 'F', 33, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x40, 0x1f, 0, 0, 1, 0, 8, 0,
+      'd', 'a', 't', 'a', 3, 0, 0, 0, 0, 128.toByte, 255.toByte)
+    val (m8, s8) = MediaCodecStub.decodeWav(eight)
+    assert(m8 == MediaCodecStub.WavMeta(1, 8000, 8, 3))
+    assert(s8.toSeq == Seq[Short](-128, 0, 127))
+  }
+
+  test("malformed WAV blobs are rejected with the defect named") {
+    import Multimodal.MediaCodecStub
+    val good = MediaCodecStub.encodeWav(Array[Short](1, 2, 3, 4), 8000)
+    def msg(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](MediaCodecStub.decodeWav(bytes))
+        .getMessage
+    assert(msg(good.take(8)).contains("12"))                 // truncated header
+    assert(msg("RIFX".getBytes ++ good.drop(4)).contains("RIFF magic"))
+    assert(msg(good.take(8) ++ "WAVX".getBytes ++ good.drop(12))
+      .contains("WAVE"))
+    assert(msg(good.take(40) ++ Array[Byte](99, 0, 0, 0) ++ good.drop(44))
+      .contains("claims"))                                   // data longer than blob
+    val nonPcm = good.clone(); nonPcm(20) = 3                // IEEE float tag
+    assert(msg(nonPcm).contains("PCM"))
+    val noFmt = good.take(12) ++ good.drop(36)               // data with no fmt
+    assert(msg(noFmt).contains("fmt"))
+    val bits12 = good.clone(); bits12(34) = 12
+    assert(msg(bits12).contains("12 bits"))
+  }
+
+  test("wavFrameFeatures decodes real RIFF bytes and matches a scalar replay") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    val wavs = Multimodal.withFakeWav(docs)
+    val feats = Multimodal.wavFrameFeatures(wavs, frameLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(feats.size == 40 * 8)
+    // scalar replay straight from md5 — no WAV container involved
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.select(col("doc_id")).as[Long].collect().foreach { id =>
+      (0 until 8).foreach { f =>
+        val dg = md.digest(s"$id:$f".getBytes("UTF-8"))
+        val nibs = dg.flatMap(b => Seq((b & 0xff) >> 4, b & 0xf))
+        val s = nibs.map(n => (n - 8) * 256 + 128)
+        val energy = s.map(x => x.toLong * x).sum
+        val zcr = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+        assert(feats((id, f.toLong)) == (energy, zcr), s"doc $id frame $f")
+      }
+    }
+  }
+
   test("frame sampling emits every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
     val byDoc = frames.groupBy(col("doc_id")).count().collect()

@@ -1139,6 +1139,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nothing shuffles before the final order:\n$p")
   }
 
+  test("m7_wav_energy: real-codec path is map-only — blobs never shuffle") {
+    val p = plan("m7_wav_energy")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"decode + framing + features are per-row work:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"the WAV codec must run in the typed mapPartitions discipline:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1,
+      s"only the final order may exchange — WAV blobs must never " +
+        s"shuffle:\n$p")
+  }
+
   test("a8_ivf_radius: map-only cell assignment, broadcast probe set, no heap") {
     val p = plan("a8_ivf_radius")
     assert(!p.contains("CartesianProduct"),
