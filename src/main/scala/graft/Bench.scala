@@ -104,10 +104,14 @@ object Bench {
           System.err.println(
             s"bench: model prebuild failed (queries will fit inline): " +
               s"${e.getClass.getName}: ${e.getMessage}")
-          Seq.empty[String]
+          Seq.empty[(String, Double)]
       }
     val fitSec = math.rint((System.nanoTime() - fitT0) / 1e9 * 1000) / 1000
-    println(s"""{"fit_sec":$fitSec,"models":${built.size}}""")
+    // per-artifact fit lines (sum ≈ fit_sec modulo the prebuild harness
+    // overhead) — which model paid what, not just the scalar
+    val fitJson = built.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"fit_sec":$fitSec,"models":${built.size},"fit":$fitJson}""")
     Console.out.flush()
 
     // Warm-up: JVM/codegen/parquet-footer caches (not reported).
@@ -145,7 +149,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"fit":$fitJson,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     // The summary goes to BOTH streams: stdout arrives at the driver
     // wrapped in sbt's `[info] ` log decorator (its parser wants a line
     // STARTING with `{` — r6/r7/r8 all recorded `parsed: null`), while

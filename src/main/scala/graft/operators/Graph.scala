@@ -374,6 +374,143 @@ object Graph {
         greatest(coalesce(col("bs"), lit(0L)), lit(0L)).as("gain_num"))
   }
 
+  /** Multi-level Louvain (Blondel et al. 2008's pipeline shape:
+    * local move → coarsen → repeat), made synchronous-deterministic:
+    * each level applies [[louvainMove]]'s pairwise-ΔQ scoring to the
+    * CURRENT super-vertex graph and accepts exactly the MUTUAL best
+    * pairs with positive gain — the matching-based agglomeration of
+    * multilevel graph partitioning (Karypis & Kumar SC'95's heavy-edge
+    * matching, scored by modularity delta instead of raw weight).
+    * Mutual acceptance is what makes the synchronous round a valid
+    * partition update: g11's raw move can propose a→b while b→c
+    * (labels that name no consistent community), whereas a matching is
+    * conflict-free by construction, every accepted merge has
+    * ΔQ = (2m·w_AB − D_A·D_B)/2m² > 0, and disjoint merges make the
+    * level's total ΔQ exactly the sum of the accepted pairs' — so the
+    * reported modularity is NON-DECREASING per level and the whole
+    * fixpoint stays BIGINT-exact and SQL-replayable (struct-min ties →
+    * smallest partner id, the [[labelPropagate]] discipline). `levels`
+    * is a fixed unrolled bound (the g1/g4 discipline): a level with no
+    * positive mutual pair is a no-op, so reaching the true fixpoint
+    * early just repeats the final partition.
+    *
+    * Coarsening sums parallel edges (w_AB = cross-community edge count)
+    * and community degrees (D_A = Σ member original degree), both
+    * recomputed from the ORIGINAL edge list through the level's label
+    * map — self-loop bookkeeping never enters, and the per-level
+    * modularity report is literally g7's formula grouped by the level's
+    * labels. Score products route through decimal(38,0) (the t19
+    * headroom discipline: 2m·w and D_A·D_B exceed int64 past ~1.5e9
+    * edges); the REPORT keeps g7's int64 ppm arithmetic and inherits
+    * its documented D_c < 3e6 headroom bound.
+    *
+    * Scale posture: per level, one label⋈edge map (two equi joins on
+    * vertex id), one map-combinable weight aggregate over coarse pairs,
+    * one degree aggregate, one struct-min argmax, one self-join of the
+    * (coarse-cardinality) best table — no vertex-cardinality broadcast
+    * anywhere (only the 1-row edge count), labels persisted per level
+    * so the iterative lineage never doubles (the d8 discipline).
+    */
+  def louvainLevels(vertices: DataFrame, pairs: DataFrame,
+      levels: Int): DataFrame =
+    louvainRun(vertices, pairs, levels)._2
+
+  /** Final `(doc_id, comm)` labels after [[louvainLevels]]' merges —
+    * the assignment consumers join on (the spec-side surface for
+    * planted-community recovery).
+    */
+  def louvainCommunities(vertices: DataFrame, pairs: DataFrame,
+      levels: Int): DataFrame =
+    louvainRun(vertices, pairs, levels)._1
+
+  private def louvainRun(vertices: DataFrame, pairs: DataFrame,
+      levels: Int): (DataFrame, DataFrame) = {
+    require(levels >= 1 && levels <= 4,
+      s"unrolled multi-level Louvain is capped at 4 levels, got $levels")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val und = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val degV = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      .toDF("v", "deg")
+    val m1 = p.agg(count(lit(1)).as("m"))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("comm"))
+    var out = louvainLevelSummary(labels, p, degV, m1, 0)
+    (1 to levels).foreach { l =>
+      labels = Dedup.persistPublic(
+        louvainMatchRound(labels, p, degV, m1))
+      out = out.union(louvainLevelSummary(labels, p, degV, m1, l))
+    }
+    (labels.orderBy(col("doc_id")), out.orderBy(col("lvl")))
+  }
+
+  /** One mutual-best matching round over the coarse graph induced by
+    * `labels`: returns the updated `(doc_id, comm)` map. Factored out
+    * so specs can pin the round in isolation.
+    */
+  private[graft] def louvainMatchRound(labels: DataFrame, p: DataFrame,
+      degV: DataFrame, m1: DataFrame): DataFrame = {
+    val ce = p
+      .join(labels.toDF("doc_a", "ca"), Seq("doc_a"))
+      .join(labels.toDF("doc_b", "cb"), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("x"),
+        greatest(col("ca"), col("cb")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    val dC = labels.join(degV, labels("doc_id") === degV("v"), "left")
+      .groupBy(col("comm"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("d"))
+    val dir = ce.select(col("x").as("a"), col("y").as("b"), col("w"))
+      .union(ce.select(col("y").as("a"), col("x").as("b"), col("w")))
+    val sc = dir
+      .join(dC.toDF("a", "da"), Seq("a"))
+      .join(dC.toDF("b", "db"), Seq("b"))
+      .crossJoin(broadcast(m1))
+      .select(col("a"), col("b"),
+        (lit(2) * col("m").cast("decimal(38,0)") * col("w")
+          - col("da").cast("decimal(38,0)") * col("db")).as("score"))
+    val best = sc.groupBy(col("a"))
+      .agg(min(struct((-col("score")).as("ns"), col("b").as("u"))).as("bw"))
+      .select(col("a"), (-col("bw.ns")).as("bs"), col("bw.u").as("bu"))
+    val merged = best.as("l").join(best.as("r"),
+        col("l.bu") === col("r.a") && col("r.bu") === col("l.a")
+          && col("l.bs") > 0)
+      .select(col("l.a").as("oldc"),
+        least(col("l.a"), col("l.bu")).as("newc"))
+    labels.join(merged, labels("comm") === merged("oldc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("comm")).as("comm"))
+  }
+
+  /** g7's per-community modularity terms grouped by the level's labels,
+    * rolled up to one exact row: `(lvl, n_comms, l_in, q_ppm)` with
+    * q_ppm = Σ_c [(1e6·L_c) div m − (1e6·D_c²) div 4m²] — integer
+    * division per community, then summed, so a SQL oracle replays the
+    * identical rounding.
+    */
+  private def louvainLevelSummary(labels: DataFrame, p: DataFrame,
+      degV: DataFrame, m1: DataFrame, level: Int): DataFrame = {
+    val dC = labels.join(degV, labels("doc_id") === degV("v"), "left")
+      .groupBy(col("comm"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+    val lIn = p
+      .join(labels.toDF("doc_a", "ca"), Seq("doc_a"))
+      .join(labels.toDF("doc_b", "cb"), Seq("doc_b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("l_in"))
+      .toDF("comm", "l_in")
+    dC.join(lIn, Seq("comm"), "left").crossJoin(broadcast(m1))
+      .select(coalesce(col("l_in"), lit(0L)).as("l_in"),
+        col("d_sum"), col("m"))
+      .select(col("l_in"),
+        (expr("(1000000 * l_in) div m")
+          - expr("(1000000 * d_sum * d_sum) div (4 * m * m)"))
+          .as("q_term_ppm"))
+      .agg(count(lit(1)).as("n_comms"), sum(col("l_in")).as("l_in"),
+        sum(col("q_term_ppm")).as("q_ppm"))
+      .select(lit(level.toLong).as("lvl"), col("n_comms"),
+        col("l_in"), col("q_ppm"))
+  }
+
   /** k-core decomposition, `rounds` unrolled peel iterations: each round
     * drops every vertex whose degree in the SURVIVING subgraph is below
     * `k`, then restricts the edge set to survivor×survivor. Returns
@@ -508,39 +645,70 @@ object Graph {
     * half-round multiplies the bound by d_max), so int64 holds only up
     * to d_max = 234 at 4 rounds and ≈ 55,000 at 2 — and Spark's
     * non-ANSI sum would WRAP silently past that, corrupting the
-    * ranking with no error. The precondition is therefore enforced:
-    * the constructor runs one O(E) degree aggregate and rejects a
-    * graph whose max degree puts d_max^(2·iters) past Long.MaxValue
-    * (checked in exact BigInt). Hub-heavier graphs need fewer rounds,
-    * a degree cap upstream (the t14 df-band discipline), or a
-    * normalized floating-point variant; normalize downstream if
-    * absolute values matter.
+    * ranking with no error. The precondition is therefore enforced
+    * LAZILY: the plan folds one O(E) degree aggregate (same cost as
+    * half a round) into hub₀ and `raise_error`s at EXECUTION time when
+    * d_max^(2·iters) exceeds Long.MaxValue — plan construction stays
+    * side-effect-free (no driver-blocking job paid for a query that is
+    * never run), and the exactness of the bound is preserved by
+    * precomputing the largest safe degree in BigInt driver-side so the
+    * runtime check is a single codegen'd integer compare. The bound is
+    * INTENTIONALLY CONSERVATIVE: d_max is the max TOTAL (in+out)
+    * degree, which over-approximates the tight (inmax·outmax)^iters
+    * bound — it never admits wrapping, but a graph with high combined
+    * degree split across directions is rejected early. Hub-heavier
+    * graphs need fewer rounds, a degree cap upstream (the t14 df-band
+    * discipline), or a normalized floating-point variant; normalize
+    * downstream if absolute values matter.
     *
     * Scale posture: the g1 discipline — no vertex-cardinality frame is
     * ever broadcast; both joins exchange on the edge endpoint they
     * aggregate by, and callers should persist `pairs` so the edge frame
     * builds once (every round scans it twice).
     */
+  /** Largest max-degree d with d^(2·iters) ≤ Long.MaxValue — the exact
+    * int64-safety boundary for unnormalized integer HITS, computed in
+    * BigInt so there is no float log slop at the edge (234 at 4 rounds,
+    * 1448 at 3, 55108 at 2, 3037000499 at 1).
+    */
+  private[graft] def maxSafeHitsDegree(iters: Int): Long = {
+    val e = 2 * iters
+    val cap = BigInt(Long.MaxValue)
+    var lo = 1L
+    var hi = Long.MaxValue
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (BigInt(mid).pow(e) <= cap) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
   def hits(vertices: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4,
       s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
     val edges = pairs.select(col("doc_a"), col("doc_b"))
-    // overflow guard: scores reach d_max^(2·iters) in the worst case and
-    // the BIGINT sums below wrap silently past int64 — one eager O(E)
-    // degree aggregate (same cost as half a round) turns that silent
-    // ranking corruption into a constructor error. Exact BigInt check,
-    // no float log slop.
-    val dmax = edges.select(col("doc_a").as("v"))
-      .union(edges.select(col("doc_b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .agg(coalesce(max(col("d")), lit(0L)).as("m"))
-      .head().getLong(0)
-    require(dmax <= 1L ||
-        BigInt(dmax).pow(2 * iters) <= BigInt(Long.MaxValue),
-      s"exact integer HITS overflows int64: max degree $dmax at $iters " +
-        s"round(s) bounds scores by $dmax^${2 * iters} > 2^63-1 — lower " +
-        "iters, cap degrees upstream, or normalize")
-    var hub: DataFrame = vertices.select(col("doc_id"), lit(1L).as("h"))
+    // overflow guard, LAZY: scores reach d_max^(2·iters) in the worst
+    // case and the BIGINT sums below wrap silently past int64. The
+    // largest safe degree is exact BigInt arithmetic driver-side (a
+    // pure function of `iters`, no data touched), so the runtime check
+    // is one integer compare on a 1-row global aggregate folded into
+    // hub₀ — it executes with the query (never at plan construction)
+    // and raise_error turns silent ranking corruption into a named
+    // failure before any result row is emitted.
+    val safeDmax = maxSafeHitsDegree(iters)
+    val guard = broadcast(
+      edges.select(col("doc_a").as("v"))
+        .union(edges.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(max(col("d")), lit(0L)).as("dmax"))
+        .select(when(col("dmax") > safeDmax,
+            raise_error(format_string(
+              "exact integer HITS overflows int64: max degree %d at " +
+                s"$iters round(s) bounds scores by %d^${2 * iters} > " +
+                "2^63-1 — lower iters, cap degrees upstream, or normalize",
+              col("dmax"), col("dmax"))))
+          .otherwise(lit(1L)).as("h")))
+    var hub: DataFrame = vertices.select(col("doc_id")).crossJoin(guard)
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
       auth = edges.join(hub, edges("doc_a") === hub("doc_id"))

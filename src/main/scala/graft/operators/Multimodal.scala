@@ -15,14 +15,14 @@ import org.apache.spark.sql.functions._
   * The codec dispatches on magic bytes: PNG and JPEG decode through the
   * JDK's own `javax.imageio` (headless, no external library), WAV/RIFF
   * PCM audio through a hand-rolled chunk walker (the format is public
-  * and simple enough that no library is needed — see [[MediaCodecStub
+  * and simple enough that no library is needed — see [[MediaCodec
   * .decodeWav]]), and `GRFT` remains the deterministic synthetic
   * format — a 16-byte header (magic, width, height, channels) followed
   * by the payload — used by the oracle-gated queries so expected
   * metadata stays analytically computable. Compressed audio/video
   * codecs (mp3/aac/h264) stay out of scope — nothing in the JDK
   * decodes them; they would slot into the same
-  * [[MediaCodecStub.decode]] dispatch.
+  * [[MediaCodec.decode]] dispatch.
   */
 object Multimodal {
 
@@ -37,7 +37,7 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte])
 
-  object MediaCodecStub {
+  object MediaCodec {
     val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
 
     /** Encode a fake media blob: 16-byte header + payload. Deterministic in
@@ -207,12 +207,14 @@ object Multimodal {
             if (bits != 8 && bits != 16)
               fail(s"$bits bits/sample (8 or 16 supported)")
             fmt = Some(WavMeta(ch, rate, bits, nFrames = 0))
-            bb.position(p0 + size + (size & 1)) // skip extensions + pad
+            // skip extensions + pad; a trailing odd chunk may legally
+            // omit the pad byte, so clamp to the buffer end
+            bb.position(math.min(bb.limit(), p0 + size + (size & 1)))
           case "data" =>
             val d = new Array[Byte](size); bb.get(d)
             data = Some(d)
-          case _ => // LIST, fact, cue … — skip, word-aligned
-            bb.position(bb.position() + size + (size & 1))
+          case _ => // LIST, fact, cue … — skip, word-aligned, clamped
+            bb.position(math.min(bb.limit(), bb.position() + size + (size & 1)))
         }
       }
       val m = fmt.getOrElse(fail("no fmt chunk before data"))
@@ -284,7 +286,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        MediaRow(id, MediaCodecStub.encode(id, text.getBytes("UTF-8")))
+        MediaRow(id, MediaCodec.encode(id, text.getBytes("UTF-8")))
       }
   }
 
@@ -293,7 +295,7 @@ object Multimodal {
     * hex nibbles of md5("d:f") and maps nibble → (nib − 8)·256 + 128,
     * so the sample is negative exactly when nib < 8 (the m6 ZCR
     * boundary) and the DuckDB oracle can replay every sample
-    * analytically. The CONTAINER is genuine RIFF ([[MediaCodecStub
+    * analytically. The CONTAINER is genuine RIFF ([[MediaCodec
     * .encodeWav]]): header, fmt chunk, little-endian data chunk — what
     * the decode side must actually parse.
     */
@@ -319,7 +321,7 @@ object Multimodal {
           }
           f += 1
         }
-        MediaRow(id, MediaCodecStub.encodeWav(samples, sampleRate = 16000))
+        MediaRow(id, MediaCodec.encodeWav(samples, sampleRate = 16000))
       }
     }
   }
@@ -339,9 +341,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { row =>
-      require(MediaCodecStub.detectFormat(row.media) == "wav",
+      require(MediaCodec.detectFormat(row.media) == "wav",
         s"doc ${row.doc_id}: not a WAV blob")
-      val (meta, samples) = MediaCodecStub.decodeWav(row.media)
+      val (meta, samples) = MediaCodec.decodeWav(row.media)
       require(meta.channels == 1,
         s"doc ${row.doc_id}: frame features expect mono, got ${meta.channels}")
       (0 until samples.length / frameLen).map { f =>
@@ -367,7 +369,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { row =>
-      MediaCodecStub.decode(row.doc_id, row.media)._1
+      MediaCodec.decode(row.doc_id, row.media)._1
     })
   }
 
@@ -379,7 +381,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { row =>
-      val payload = MediaCodecStub.decode(row.doc_id, row.media)._2
+      val payload = MediaCodec.decode(row.doc_id, row.media)._2
       val hist = new Array[Long](bins)
       payload.foreach { b => hist(((b & 0xff) * bins) / 256) += 1 }
       val n = math.max(1L, payload.length.toLong)
@@ -398,7 +400,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { row =>
-      val (meta, payload) = MediaCodecStub.decode(row.doc_id, row.media)
+      val (meta, payload) = MediaCodec.decode(row.doc_id, row.media)
       meta.format match {
         case "GRFT" =>
           val out = new Array[Byte](newW * newH)
@@ -421,7 +423,7 @@ object Multimodal {
           }
           // keep the doc-derived channel count; dimensions are the new ones
           val bb = java.nio.ByteBuffer.allocate(16 + out.length)
-          bb.put(MediaCodecStub.Magic)
+          bb.put(MediaCodec.Magic)
           bb.putInt(newW); bb.putInt(newH); bb.putInt(meta.n_channels)
           bb.put(out)
           MediaRow(row.doc_id, bb.array())
@@ -445,7 +447,7 @@ object Multimodal {
             }
             y += 1
           }
-          MediaRow(row.doc_id, MediaCodecStub.encodePng(out, newW, newH, c))
+          MediaRow(row.doc_id, MediaCodec.encodePng(out, newW, newH, c))
       }
     })
   }
@@ -458,7 +460,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { row =>
-      val payload = MediaCodecStub.decode(row.doc_id, row.media)._2
+      val payload = MediaCodec.decode(row.doc_id, row.media)._2
       payload.grouped(frameSize).zipWithIndex
         .filter(_._2 % stride == 0)
         .map { case (chunk, i) => (row.doc_id, i, chunk) }

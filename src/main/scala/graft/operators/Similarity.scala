@@ -407,12 +407,28 @@ object Similarity {
       tau: Double = 0.95,
       maxCell: Int = 4096,
       saveCellsPath: Option[String] = None): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
     val cents = lloydCentroids(
       embs.select(col("vec_id"), col("embedding")), nlist, lloydIters)
     saveCellsPath.foreach(saveIvfIndex(cents, _))
-    val centArr = cents.as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    semanticDedupWith(cents, embs, tau, maxCell)
+  }
+
+  /** Semantic dedup against a PREFITTED cell table (from
+    * [[lloydCentroids]] or [[loadIvfIndex]]) — the serving path that
+    * mirrors [[ivfTopKWith]]: fit once on a corpus snapshot, persist the
+    * O(nlist·dim) cell parquet, then any later run (or JVM) replays the
+    * map-only assignment and within-cell pair predicate from the
+    * identical doubles without refitting.
+    */
+  def semanticDedupWith(
+      cells: DataFrame,
+      embs: DataFrame,
+      tau: Double = 0.95,
+      maxCell: Int = 4096): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centArr = cells.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     val v = embs.select(col("vec_id"), col("embedding"))
       .withColumn("cell", nearestCellExpr(col("embedding"), centArr))
     val bw = Window.partitionBy(col("cell"))

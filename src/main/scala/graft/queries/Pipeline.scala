@@ -126,6 +126,36 @@ object Pipeline {
       path
     })).value
 
+  /** d9's fitted Lloyd cell table, load-or-fit (the fittedIvfPath
+    * discipline, same validation: row count + centroid dimensionality,
+    * mismatch refits). The fit is deterministic per sf dir, the persisted
+    * parquet doubles as the CROSS-JVM cache AND the oracle's
+    * centroids-as-data input — a later JVM (Verify then Bench) serves
+    * [[Similarity.semanticDedupWith]] from it instead of re-running the
+    * inline Lloyd fit in the timed loop.
+    */
+  private val d9CellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
+  private def fittedD9CellsPath(s: SparkSession, dir: String): String = {
+    val nlist = 16
+    d9CellsMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
+      val path = s"${Tables.modelsDir(dir)}/cells_d9.parquet"
+      val ok =
+        try {
+          val rows = s.read.parquet(path).collect()
+          lazy val dim = Tables.load(s, dir, "embeddings")
+            .select(size(col("embedding")).as("d")).head.getInt(0)
+          rows.length == nlist && rows.forall(
+            _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) Similarity.saveIvfIndex(
+        Similarity.lloydCentroids(
+          Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          nlist = nlist, iters = 2), path)
+      path
+    })).value
+  }
+
   /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
     * (hash-prefix sample + decimal sums), so memoizing is transparent —
     * the pcaMemo discipline — and the persisted model parquet doubles as
@@ -327,14 +357,21 @@ object Pipeline {
     * disk — every build sits behind a memoized load-or-fit holder.
     * Returns the artifact names, for logging.
     */
-  def prebuildModels(s: SparkSession, dir: String): Seq[String] = {
-    fittedPca(s, dir)
-    fittedIvfPath(s, dir, nlist = 16)
-    fittedPq(s, dir)
-    tfidfPairsShared(s, dir)
-    ccComponentsShared(s, dir)
+  def prebuildModels(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(build: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      build
+      name -> math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+    }
+    val fits = Seq(
+      timed("pca_fit") { fittedPca(s, dir) },
+      timed("ivf_centroids_16") { fittedIvfPath(s, dir, nlist = 16) },
+      timed("pq_model") { fittedPq(s, dir) },
+      timed("cells_d9") { fittedD9CellsPath(s, dir) },
+      timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
+      timed("cc_components") { ccComponentsShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
-    Seq("pca_fit", "ivf_centroids_16", "pq_model", "tfidf_pairs", "cc_components")
+    fits
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -519,10 +556,11 @@ object Pipeline {
       // aggregation rather than vacuously matching an empty pair set;
       // production semantic dedup runs the 0.95 default, and the planted
       // near-dup behavior is spec-gated in SimilaritySpec.
-      Similarity.semanticDedup(
-        Tables.load(s, dir, "embeddings"),
-        nlist = 16, lloydIters = 2, tau = 0.4,
-        saveCellsPath = Some(s"${Tables.modelsDir(dir)}/cells_d9.parquet"))
+      // served from the persisted cell table (load-or-fit, the
+      // fittedIvfPath discipline) — the fit never lands in the timed loop
+      Similarity.semanticDedupWith(
+        Similarity.loadIvfIndex(s, fittedD9CellsPath(s, dir)),
+        Tables.load(s, dir, "embeddings"), tau = 0.4)
     },
 
     "d10_span_dedup" -> { (s, dir) =>

@@ -518,16 +518,32 @@ class GraphSpec extends AnyFunSuite {
 
   test("hits: rejects a graph whose max degree would wrap int64 scores") {
     // d_max = 235 at 4 rounds bounds scores by 235^8 ≈ 9.3e18 > 2^63-1 —
-    // the silent-wrap regime the eager degree guard must reject (234^8
-    // ≈ 8.99e18 still fits: the BigInt check is exact at the boundary)
+    // the silent-wrap regime the LAZY degree guard must reject (234^8
+    // ≈ 8.99e18 still fits: the boundary is BigInt-exact). Plan
+    // construction is side-effect-free; the failure fires at EXECUTION.
     val star = (1L to 235L).map(i => (0L, i))
-    intercept[IllegalArgumentException] {
-      Graph.hits(verticesDf(236), pairsDf(star), iters = 4)
-    }
+    val doomed = Graph.hits(verticesDf(236), pairsDf(star), iters = 4)
+    val ex = intercept[Exception] { doomed.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("overflows int64")),
+      s"expected the lazy overflow guard to fire, got: ${chain(ex)}")
     // the same graph is safe at 2 rounds (235^4 ≈ 3e9 « 2^63)
     val ok = Graph.hits(verticesDf(236), pairsDf(star), iters = 2)
     assert(ok.filter(col("doc_id") === 0L).head().getLong(2) == 235L * 235L,
       "h2(center) = d² on an out-star")
+  }
+
+  test("hits: the safe-degree boundary is BigInt-exact per round count") {
+    assert(Graph.maxSafeHitsDegree(4) == 234L)
+    assert(Graph.maxSafeHitsDegree(3) == 1448L)
+    assert(Graph.maxSafeHitsDegree(2) == 55108L)
+    assert(Graph.maxSafeHitsDegree(1) == 3037000499L)
+    for (it <- 1 to 4) {
+      val d = Graph.maxSafeHitsDegree(it)
+      assert(BigInt(d).pow(2 * it) <= BigInt(Long.MaxValue))
+      assert(BigInt(d + 1).pow(2 * it) > BigInt(Long.MaxValue))
+    }
   }
 
   /** Driver-side replay of the singleton local move: for each vertex,

@@ -58,7 +58,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("real PNGs decode through imageio and resize losslessly") {
     import spark.implicits._
-    import Multimodal.{MediaCodecStub, MediaRow}
+    import Multimodal.{MediaCodec, MediaRow}
     // author real PNGs in-memory: a deterministic RGB gradient per doc
     def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
       val samples = new Array[Byte](w * h * 3)
@@ -71,9 +71,9 @@ class MultimodalSpec extends AnyFunSuite {
           i += 3
         }
       }
-      MediaCodecStub.encodePng(samples, w, h, 3)
+      MediaCodec.encodePng(samples, w, h, 3)
     }
-    assert(MediaCodecStub.detectFormat(makePng(0, 4, 4)) == "png")
+    assert(MediaCodec.detectFormat(makePng(0, 4, 4)) == "png")
     val pngs = (0L until 20L).map(id => MediaRow(id, makePng(id, 12 + id.toInt % 5, 10)))
       .toDS().repartition(4)
     val meta = Multimodal.decodeMeta(pngs).collect().sortBy(_.doc_id)
@@ -84,7 +84,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.n_bytes == m.width.toLong * m.height * 3)
     }
     // decode returns the exact samples that were encoded (PNG is lossless)
-    val (m0, samples0) = MediaCodecStub.decode(3L, makePng(3L, 15, 10))
+    val (m0, samples0) = MediaCodec.decode(3L, makePng(3L, 15, 10))
     assert(samples0.length == 15 * 10 * 3)
     assert(samples0(0) == ((0 * 7 + 3) % 256).toByte)
     assert(m0.width == 15)
@@ -106,17 +106,17 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("gray+alpha (2-band) and 16-bit PNGs decode and re-encode correctly") {
     import spark.implicits._
-    import Multimodal.{MediaCodecStub, MediaRow}
+    import Multimodal.{MediaCodec, MediaRow}
     // 2-band gray+alpha roundtrip: encode → decode preserves both bands
     val ga = Array.tabulate(6 * 4 * 2)(i => ((i * 13) % 256).toByte)
-    val png2 = MediaCodecStub.encodePng(ga, 6, 4, 2)
-    val (m2, back2) = MediaCodecStub.decode(7L, png2)
+    val png2 = MediaCodec.encodePng(ga, 6, 4, 2)
+    val (m2, back2) = MediaCodec.decode(7L, png2)
     assert(m2.n_channels == 2 && m2.width == 6 && m2.height == 4)
     assert(back2.toSeq == ga.toSeq, "gray+alpha samples must roundtrip losslessly")
     // resize keeps the 2-band layout
     val resized = Multimodal.resize(
       Seq(MediaRow(7L, png2)).toDS(), newW = 3, newH = 2).collect().head
-    val (mr, _) = MediaCodecStub.decode(7L, resized.media)
+    val (mr, _) = MediaCodec.decode(7L, resized.media)
     assert(mr.n_channels == 2 && mr.width == 3 && mr.height == 2)
 
     // 16-bit grayscale: samples downscale by >>8, not low-byte truncation
@@ -127,7 +127,7 @@ class MultimodalSpec extends AnyFunSuite {
     })
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img16, "png", out)
-    val (m16, s16) = MediaCodecStub.decode(8L, out.toByteArray)
+    val (m16, s16) = MediaCodec.decode(8L, out.toByteArray)
     assert(m16.n_channels == 1)
     val expected = (0 until 16).map(i => ((i * 4096) >> 8).toByte)
     assert(s16.toSeq == expected,
@@ -135,26 +135,26 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("WAV roundtrip: encode → magic dispatch → chunk walk → same samples") {
-    import Multimodal.MediaCodecStub
+    import Multimodal.MediaCodec
     val samples = Array.tabulate(96)(i => ((i * 37 - 1200) % 1800).toShort)
-    val wav = MediaCodecStub.encodeWav(samples, sampleRate = 8000)
-    assert(MediaCodecStub.detectFormat(wav) == "wav")
-    val (m, got) = MediaCodecStub.decodeWav(wav)
-    assert(m == MediaCodecStub.WavMeta(1, 8000, 16, 96))
+    val wav = MediaCodec.encodeWav(samples, sampleRate = 8000)
+    assert(MediaCodec.detectFormat(wav) == "wav")
+    val (m, got) = MediaCodec.decodeWav(wav)
+    assert(m == MediaCodec.WavMeta(1, 8000, 16, 96))
     assert(got.toSeq == samples.toSeq)
     // through the generic decode dispatch: payload = raw PCM data bytes
-    val (meta, payload) = MediaCodecStub.decode(7L, wav)
+    val (meta, payload) = MediaCodec.decode(7L, wav)
     assert(meta.format == "wav" && meta.width == 96 && meta.height == 8000 &&
       meta.n_channels == 1 && meta.n_bytes == 192L)
     assert(payload.toSeq == wav.takeRight(192).toSeq)
   }
 
   test("WAV decode skips unknown chunks (word-aligned) and handles stereo/8-bit") {
-    import Multimodal.MediaCodecStub
+    import Multimodal.MediaCodec
     // hand-build: RIFF [LIST(odd size → pad)] fmt data — the in-the-wild
     // layout where metadata precedes fmt
     val samples = Array[Short](100, -100, 200, -200) // 2 frames of stereo
-    val canonical = MediaCodecStub.encodeWav(samples, 44100, channels = 2)
+    val canonical = MediaCodec.encodeWav(samples, 44100, channels = 2)
     val fmtAndData = canonical.drop(12) // reuse the canonical chunks
     val list = "LIST".getBytes("US-ASCII") ++
       Array[Byte](3, 0, 0, 0) ++ "abc".getBytes("US-ASCII") ++ Array[Byte](0)
@@ -163,8 +163,8 @@ class MultimodalSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
       .put("WAVE".getBytes("US-ASCII")).put(body)
-    val (m, got) = MediaCodecStub.decodeWav(bb.array())
-    assert(m == MediaCodecStub.WavMeta(2, 44100, 16, 2))
+    val (m, got) = MediaCodec.decodeWav(bb.array())
+    assert(m == MediaCodec.WavMeta(2, 44100, 16, 2))
     assert(got.toSeq == samples.toSeq)
     // 8-bit path: unsigned by spec, centered to signed on decode
     val eight = Array[Byte](
@@ -172,16 +172,16 @@ class MultimodalSpec extends AnyFunSuite {
       'f', 'm', 't', ' ', 16, 0, 0, 0,
       1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x40, 0x1f, 0, 0, 1, 0, 8, 0,
       'd', 'a', 't', 'a', 3, 0, 0, 0, 0, 128.toByte, 255.toByte)
-    val (m8, s8) = MediaCodecStub.decodeWav(eight)
-    assert(m8 == MediaCodecStub.WavMeta(1, 8000, 8, 3))
+    val (m8, s8) = MediaCodec.decodeWav(eight)
+    assert(m8 == MediaCodec.WavMeta(1, 8000, 8, 3))
     assert(s8.toSeq == Seq[Short](-128, 0, 127))
   }
 
   test("malformed WAV blobs are rejected with the defect named") {
-    import Multimodal.MediaCodecStub
-    val good = MediaCodecStub.encodeWav(Array[Short](1, 2, 3, 4), 8000)
+    import Multimodal.MediaCodec
+    val good = MediaCodec.encodeWav(Array[Short](1, 2, 3, 4), 8000)
     def msg(bytes: Array[Byte]): String =
-      intercept[IllegalArgumentException](MediaCodecStub.decodeWav(bytes))
+      intercept[IllegalArgumentException](MediaCodec.decodeWav(bytes))
         .getMessage
     assert(msg(good.take(8)).contains("12"))                 // truncated header
     assert(msg("RIFX".getBytes ++ good.drop(4)).contains("RIFF magic"))
