@@ -1669,6 +1669,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "g13_louvain_levels" -> { (s, dir) =>
+      // FULL multi-level Louvain (Blondel et al. 2008's pipeline shape)
+      // over the similarity graph — the community-detection fixpoint g11
+      // takes one step of: per level, score every coarse edge by the
+      // exact integer ΔQ numerator 2m·w_AB − D_A·D_B, accept the MUTUAL
+      // best pairs with positive gain (matching-based agglomeration —
+      // the conflict-free synchronous subset of the local move), coarsen
+      // by summing parallel edges, and report g7's modularity formula
+      // against the level's labels: (lvl, n_comms, l_in, q_ppm). Q is
+      // non-decreasing by construction (disjoint merges sum their ΔQ).
+      // Deterministic end to end (struct-min ties, integer division),
+      // replayable by a 2-level unrolled DuckDB oracle; labels persisted
+      // per level (the d8 lineage discipline), score products routed
+      // through decimal(38,0) for 100 TB edge-count headroom.
+      val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+      Graph.louvainLevels(
+        Tables.load(s, dir, "documents").select(col("doc_id")), pairs,
+        levels = 2)
+    },
+
     "g7_modularity" -> { (s, dir) =>
       // partition modularity of the similarity graph against the LANG
       // labels — the assortativity measure ("do similarity edges stay
@@ -6632,6 +6652,140 @@ object Pipeline {
         |  CAST(greatest(coalesce(bb.bs, 0), 0) AS BIGINT) AS gain_num
         |FROM documents d LEFT JOIN bb ON d.doc_id = bb.v
         |ORDER BY d.doc_id""".stripMargin,
+
+    "g13_louvain_levels" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS MATERIALIZED (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS MATERIALIZED (
+        |  SELECT doc_a AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY doc_a),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |lab0 AS MATERIALIZED (SELECT doc_id, doc_id AS comm FROM documents),
+        |ds0 AS MATERIALIZED (
+        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
+        |  FROM lab0 LEFT JOIN deg ON lab0.doc_id = deg.v GROUP BY comm),
+        |ce1 AS (
+        |  SELECT least(a.comm, b.comm) AS x, greatest(a.comm, b.comm) AS y,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM pairs
+        |  JOIN lab0 a ON pairs.doc_a = a.doc_id
+        |  JOIN lab0 b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
+        |dir1 AS (SELECT x AS a, y AS b, w FROM ce1
+        |         UNION ALL SELECT y, x, w FROM ce1),
+        |sc1 AS (
+        |  SELECT dir1.a, dir1.b,
+        |    2 * CAST(mm.m AS HUGEINT) * w
+        |      - CAST(da.d AS HUGEINT) * db.d AS score
+        |  FROM dir1 JOIN ds0 da ON dir1.a = da.comm
+        |  JOIN ds0 db ON dir1.b = db.comm CROSS JOIN mm),
+        |bb1 AS MATERIALIZED (
+        |  SELECT a, -struct_extract(w, 'ns') AS bs,
+        |    struct_extract(w, 'u') AS bu
+        |  FROM (SELECT a, min({'ns': -score, 'u': b}) AS w
+        |        FROM sc1 GROUP BY a)),
+        |mut1 AS (
+        |  SELECT l.a AS oldc, least(l.a, l.bu) AS newc
+        |  FROM bb1 l JOIN bb1 r ON l.bu = r.a AND r.bu = l.a
+        |  WHERE l.bs > 0),
+        |lab1 AS MATERIALIZED (
+        |  SELECT lab0.doc_id,
+        |    CAST(coalesce(mut1.newc, lab0.comm) AS BIGINT) AS comm
+        |  FROM lab0 LEFT JOIN mut1 ON lab0.comm = mut1.oldc),
+        |ds1 AS MATERIALIZED (
+        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
+        |  FROM lab1 LEFT JOIN deg ON lab1.doc_id = deg.v GROUP BY comm),
+        |ce2 AS (
+        |  SELECT least(a.comm, b.comm) AS x, greatest(a.comm, b.comm) AS y,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM pairs
+        |  JOIN lab1 a ON pairs.doc_a = a.doc_id
+        |  JOIN lab1 b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
+        |dir2 AS (SELECT x AS a, y AS b, w FROM ce2
+        |         UNION ALL SELECT y, x, w FROM ce2),
+        |sc2 AS (
+        |  SELECT dir2.a, dir2.b,
+        |    2 * CAST(mm.m AS HUGEINT) * w
+        |      - CAST(da.d AS HUGEINT) * db.d AS score
+        |  FROM dir2 JOIN ds1 da ON dir2.a = da.comm
+        |  JOIN ds1 db ON dir2.b = db.comm CROSS JOIN mm),
+        |bb2 AS MATERIALIZED (
+        |  SELECT a, -struct_extract(w, 'ns') AS bs,
+        |    struct_extract(w, 'u') AS bu
+        |  FROM (SELECT a, min({'ns': -score, 'u': b}) AS w
+        |        FROM sc2 GROUP BY a)),
+        |mut2 AS (
+        |  SELECT l.a AS oldc, least(l.a, l.bu) AS newc
+        |  FROM bb2 l JOIN bb2 r ON l.bu = r.a AND r.bu = l.a
+        |  WHERE l.bs > 0),
+        |lab2 AS MATERIALIZED (
+        |  SELECT lab1.doc_id,
+        |    CAST(coalesce(mut2.newc, lab1.comm) AS BIGINT) AS comm
+        |  FROM lab1 LEFT JOIN mut2 ON lab1.comm = mut2.oldc),
+        |ds2 AS MATERIALIZED (
+        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
+        |  FROM lab2 LEFT JOIN deg ON lab2.doc_id = deg.v GROUP BY comm),
+        |lin0 AS (
+        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM pairs JOIN lab0 a ON pairs.doc_a = a.doc_id
+        |  JOIN lab0 b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm = b.comm GROUP BY 1),
+        |lin1 AS (
+        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM pairs JOIN lab1 a ON pairs.doc_a = a.doc_id
+        |  JOIN lab1 b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm = b.comm GROUP BY 1),
+        |lin2 AS (
+        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM pairs JOIN lab2 a ON pairs.doc_a = a.doc_id
+        |  JOIN lab2 b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm = b.comm GROUP BY 1),
+        |t0 AS (
+        |  SELECT coalesce(l_in, 0) AS l_in,
+        |    (1000000 * coalesce(l_in, 0)) // mm.m
+        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
+        |  FROM ds0 LEFT JOIN lin0 USING (comm) CROSS JOIN mm),
+        |t1 AS (
+        |  SELECT coalesce(l_in, 0) AS l_in,
+        |    (1000000 * coalesce(l_in, 0)) // mm.m
+        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
+        |  FROM ds1 LEFT JOIN lin1 USING (comm) CROSS JOIN mm),
+        |t2 AS (
+        |  SELECT coalesce(l_in, 0) AS l_in,
+        |    (1000000 * coalesce(l_in, 0)) // mm.m
+        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
+        |  FROM ds2 LEFT JOIN lin2 USING (comm) CROSS JOIN mm)
+        |SELECT CAST(0 AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n_comms,
+        |  CAST(sum(l_in) AS BIGINT) AS l_in, CAST(sum(q) AS BIGINT) AS q_ppm
+        |FROM t0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(l_in) AS BIGINT), CAST(sum(q) AS BIGINT) FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(l_in) AS BIGINT), CAST(sum(q) AS BIGINT) FROM t2
+        |ORDER BY lvl""".stripMargin,
 
     "g7_modularity" ->
       """WITH tok AS (

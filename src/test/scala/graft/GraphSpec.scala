@@ -612,4 +612,89 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(many == want)
   }
+
+  /** Driver replay of the full multi-level mutual-matching Louvain:
+    * per level, coarse weights + community degrees from the ORIGINAL
+    * edges through the label map, exact BigInt ΔQ numerators, struct-min
+    * ties, mutual-positive merges only. Returns (final labels, per-level
+    * (lvl, n_comms, l_in, q_ppm) rows).
+    */
+  private def bruteLouvainLevels(n: Int, edges: Seq[(Long, Long)],
+      levels: Int): (Map[Long, Long], Seq[(Long, Long, Long, Long)]) = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val m = edges.size.toLong
+    var lab: Map[Long, Long] = (0L until n.toLong).map(v => v -> v).toMap
+    def summary(lvl: Long): (Long, Long, Long, Long) = {
+      val dsum = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      val lin = edges.filter(e => lab(e._1) == lab(e._2))
+        .groupBy(e => lab(e._1)).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      val q = dsum.toSeq.map { case (c, d) =>
+        (1000000L * lin(c)) / m - (1000000L * d * d) / (4 * m * m)
+      }.sum
+      (lvl, dsum.size.toLong, lin.values.sum, q)
+    }
+    val out = scala.collection.mutable.ArrayBuffer(summary(0L))
+    (1 to levels).foreach { l =>
+      val dsum = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      val ce = edges.map(e => (lab(e._1), lab(e._2)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dir = ce.toSeq.flatMap { case ((x, y), w) =>
+        Seq((x, y, w), (y, x, w)) }
+      val best = dir.map { case (a, b, w) =>
+        (a, b, BigInt(2) * m * w - BigInt(dsum(a)) * dsum(b)) }
+        .groupBy(_._1).view
+        .mapValues(ss => ss.map(s => (s._3, s._2)).minBy(t => (-t._1, t._2)))
+        .toMap
+      val mut = best.collect {
+        case (a, (s, b)) if s > 0 && best.get(b).exists(_._2 == a) =>
+          a -> math.min(a, b)
+      }
+      lab = lab.view.mapValues(c => mut.getOrElse(c, c)).toMap
+      out += summary(l.toLong)
+    }
+    (lab, out.toSeq)
+  }
+
+  test("louvain levels: planted two cliques merge to two communities") {
+    // K4 + K4 with one bridge (3,4): mutual-best matching doubles the
+    // communities per level, fully recovering each clique by level 3
+    val k4a = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k4b = for (i <- 4L to 7L; j <- i + 1 to 7L) yield (i, j)
+    val edges = (k4a ++ k4b :+ (3L, 4L)).toSeq
+    val lab = Graph.louvainCommunities(verticesDf(8), pairsDf(edges), levels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).map(lab).toSet.size == 1, s"clique 1 split: $lab")
+    assert((4L to 7L).map(lab).toSet.size == 1, s"clique 2 split: $lab")
+    assert(lab(0L) != lab(4L), s"cliques merged across the bridge: $lab")
+    val (wantLab, wantSum) = bruteLouvainLevels(8, edges, levels = 3)
+    assert(lab == wantLab)
+    val sums = Graph.louvainLevels(verticesDf(8), pairsDf(edges), levels = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sums.toSeq == wantSum)
+    // disjoint positive merges sum their ΔQ: Q never decreases per level
+    assert(sums.map(_._4).sliding(2).forall(w => w(1) >= w(0)))
+  }
+
+  test("louvain levels: random graph equals the driver replay; partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 140).map { _ =>
+      val a = rnd.nextInt(20).toLong
+      (a, a + 1 + rnd.nextInt(5).toLong)
+    }.distinct
+    val (wantLab, wantSum) = bruteLouvainLevels(26, edges, levels = 2)
+    val lab = Graph.louvainCommunities(verticesDf(26), pairsDf(edges), levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == wantLab)
+    val sums = Graph.louvainLevels(
+        verticesDf(26), pairsDf(edges).repartition(9), levels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sums.toSeq == wantSum)
+  }
 }

@@ -871,7 +871,7 @@ class PlanQualitySpec extends AnyFunSuite {
       case _ => None
     }
     for (name <- Seq("g1_pagerank", "g2_triangle_count", "g5_ppr",
-        "g10_hits")) {
+        "g10_hits", "g13_louvain_levels")) {
       val analyzed =
         SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
       val offenders = analyzed.collect { case h: ResolvedHint =>
@@ -903,6 +903,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // partial/final, so a partial_sum appears in the plan
     assert(p.contains("partial_sum"),
       s"per-endpoint score sums must combine map-side:\n$p")
+  }
+
+  test("g13_louvain_levels: label maps are equi joins; no window, no cartesian") {
+    val p = plan("g13_louvain_levels")
+    assert(p.contains("tfidf_pairs"),
+      s"edges must come from the materialized pair index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"coarse weights/degrees are joins+aggregates, never a window:\n$p")
+    // coarse-edge weights and community degrees must combine map-side
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"level aggregates must combine map-side:\n$p")
   }
 
   test("e14_rolling_window: range-frame window partitioned by user") {
