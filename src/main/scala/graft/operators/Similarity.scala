@@ -448,6 +448,98 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- Incremental index maintenance ------------------------------------
+
+  /** Map-only cell assignment of `vectors` against a PREFITTED centroid
+    * table — the APPEND half of incremental IVF maintenance: a new
+    * crawl drop joins the index by assignment alone (no refit, no
+    * shuffle, no job against the already-indexed base), so the
+    * persisted index artifact (centroids + assignment parquet) grows
+    * append-only between refits. Identical argmax/tie semantics to the
+    * fit-time assignment ([[nearestCellExpr]]: first max ⇒ smallest
+    * centroid_id), so appending a drop yields bit-for-bit what a full
+    * re-assignment of base ∪ drop would emit for those rows — the
+    * invariant the append contract rests on, pinned in SimilaritySpec.
+    */
+  def ivfAssign(cells: DataFrame, vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centArr = cells.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", nearestCellExpr(col("embedding"), centArr))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Per-cell drift of an incoming drop against the PERSISTED
+    * centroids — v8's centroid-drift measure turned into index
+    * maintenance: for every index cell, the cosine between the stored
+    * centroid and the decimal-summed mean of the drop members assigned
+    * to it (the d7/v8 partitioning-independent mean discipline; all
+    * double products route through decimal(28,12) so the doubles
+    * replay exactly in SQL). A LOW cosine means the vectors now
+    * landing in the cell no longer look like the centroid that claims
+    * them — the refit signal. Output `(cell, n_new, cos)` for every
+    * cell; `n_new = 0, cos` null where the drop left the cell empty.
+    * One map-only assignment pass + O(nlist·dim) aggregates.
+    */
+  def ivfDrift(cells: DataFrame, drop: DataFrame): DataFrame = {
+    val spark = drop.sparkSession
+    import spark.implicits._
+    val centArr = cells.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val assigned = drop.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", nearestCellExpr(col("embedding"), centArr))
+    val mu = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        (sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("mu"),
+        count(lit(1)).as("n"))
+    val ce = cells.select(col("centroid_id").cast("int").as("cell"),
+      posexplode(col("centroid")).as(Seq("pos", "c")))
+    val drift = mu.join(ce, Seq("cell", "pos"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_new"),
+        sum((col("mu") * col("c")).cast("decimal(28,12)"))
+          .cast("double").as("dot"),
+        sum((col("mu") * col("mu")).cast("decimal(28,12)"))
+          .cast("double").as("mm"),
+        sum((col("c") * col("c")).cast("decimal(28,12)"))
+          .cast("double").as("cc"))
+      .select(col("cell"), col("n_new"),
+        (col("dot") / (sqrt(col("mm")) * sqrt(col("cc")))).as("cos"))
+    cells.select(col("centroid_id").cast("int").as("cell"))
+      .join(drift, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("cos"))
+  }
+
+  /** Drift-triggered refit monitor: keep serving the persisted index
+    * while the drop still tracks the fitted distribution; refit on
+    * base ∪ drop when any populated cell's drift cosine falls below
+    * `minCos`. Returns `(cells', refitted)` — unchanged centroids and
+    * `false` when the index survives. This is a MAINTENANCE job (runs
+    * once per ingested drop, not per query), so the O(nlist) decision
+    * aggregate is a deliberate driver action — unlike the lazy hits
+    * guard, it gates a side-effecting refit, not a query plan.
+    */
+  def ivfMaintain(cells: DataFrame, corpus: DataFrame, drop: DataFrame,
+      nlist: Int, iters: Int = 2, minCos: Double = 0.98)
+      : (DataFrame, Boolean) = {
+    val worst = ivfDrift(cells, drop)
+      .filter(col("n_new") > 0)
+      .agg(coalesce(min(col("cos")), lit(1.0)).as("w"))
+      .head().getDouble(0)
+    if (worst < minCos)
+      (lloydCentroids(
+        corpus.select(col("vec_id"), col("embedding"))
+          .union(drop.select(col("vec_id"), col("embedding"))),
+        nlist, iters), true)
+    else (cells, false)
+  }
+
   // ---- Product quantization ---------------------------------------------
 
   /** Fitted PQ codebooks: `m` subspaces of `dsub` dims, each with its own

@@ -156,6 +156,36 @@ object Pipeline {
     })).value
   }
 
+  /** a9's BASE-fitted cell table (vec_id % 4 != 0 — the v8/x4 snapshot
+    * convention): the persisted index the incremental-append story
+    * serves, fit BEFORE the drop arrives so the drop's assignment is a
+    * genuine refit-free append. Load-or-fit with the fittedIvfPath
+    * validation discipline.
+    */
+  private val a9CellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
+  private def fittedA9CellsPath(s: SparkSession, dir: String): String = {
+    val nlist = 16
+    a9CellsMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
+      val path = s"${Tables.modelsDir(dir)}/cells_a9.parquet"
+      val ok =
+        try {
+          val rows = s.read.parquet(path).collect()
+          lazy val dim = Tables.load(s, dir, "embeddings")
+            .select(size(col("embedding")).as("d")).head.getInt(0)
+          rows.length == nlist && rows.forall(
+            _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) Similarity.saveIvfIndex(
+        Similarity.lloydCentroids(
+          Tables.load(s, dir, "embeddings")
+            .filter(col("vec_id") % 4 =!= 0)
+            .select(col("vec_id"), col("embedding")),
+          nlist = nlist, iters = 2), path)
+      path
+    })).value
+  }
+
   /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
     * (hash-prefix sample + decimal sums), so memoizing is transparent —
     * the pcaMemo discipline — and the persisted model parquet doubles as
@@ -368,6 +398,7 @@ object Pipeline {
       timed("ivf_centroids_16") { fittedIvfPath(s, dir, nlist = 16) },
       timed("pq_model") { fittedPq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
+      timed("cells_a9") { fittedA9CellsPath(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("cc_components") { ccComponentsShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
@@ -810,6 +841,29 @@ object Pipeline {
       Similarity.ivfRadius(e, e.filter(col("vec_id") < 5), tau = 0.3,
         nlist = 8, nprobe = 8, lloydIters = 0)
         .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
+    "a9_ivf_append" -> { (s, dir) =>
+      // incremental IVF maintenance (assign-only append + drift
+      // monitor): the index was fit on the BASE snapshot only
+      // (cells_a9, vec_id % 4 != 0 — the v8/x4 convention) and
+      // PERSISTED; the drop (vec_id % 4 == 0) then joins it by
+      // map-only assignment alone — no refit, no job against the
+      // base. Per cell: base occupancy, appended-drop occupancy, and
+      // the v8-style drift cosine between the stored centroid and the
+      // drop members' decimal-summed mean — the number ivfMaintain
+      // thresholds to decide refit-vs-serve. Fully oracle-backed via
+      // centroids-as-data: DuckDB replays the argmax assignment, the
+      // counts, and the decimal-routed mean/cosine bit-for-bit.
+      val e = Tables.load(s, dir, "embeddings")
+      val cells = Similarity.loadIvfIndex(s, fittedA9CellsPath(s, dir))
+      val nb = Similarity.ivfAssign(cells, e.filter(col("vec_id") % 4 =!= 0))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      Similarity.ivfDrift(cells, e.filter(col("vec_id") % 4 === 0))
+        .join(nb, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+          col("n_new"), col("cos"))
+        .orderBy(col("cell"))
     },
 
     "a6_ivf_pq" -> { (s, dir) =>
@@ -4352,6 +4406,62 @@ object Pipeline {
         |SELECT a.vec_id, a.cell, coalesce(min(p.i), a.vec_id) AS rep
         |FROM assign a LEFT JOIN pairs p ON a.vec_id = p.j
         |GROUP BY a.vec_id, a.cell ORDER BY a.vec_id""".stripMargin,
+
+    "a9_ivf_append" ->
+      """WITH cents AS (
+        |  SELECT CAST(centroid_id AS INTEGER) AS cell, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/cells_a9.parquet/*.parquet')),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored_b AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_dot_product(v.v, c.centroid) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+        |  FROM v CROSS JOIN cents c WHERE v.vec_id % 4 <> 0),
+        |ab AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+        |    FROM scored_b) t WHERE rk = 1),
+        |nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+        |       FROM ab GROUP BY cell),
+        |scored_d AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_dot_product(v.v, c.centroid) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+        |  FROM v CROSS JOIN cents c WHERE v.vec_id % 4 = 0),
+        |ad AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+        |    FROM scored_d) t WHERE rk = 1),
+        |xm AS (
+        |  SELECT ad.cell,
+        |    unnest(generate_series(0, len(v.v) - 1)) AS pos,
+        |    unnest(v.v) AS x
+        |  FROM ad JOIN v ON ad.vec_id = v.vec_id),
+        |mu AS (
+        |  SELECT cell, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM xm GROUP BY cell, pos),
+        |cx AS (
+        |  SELECT cell,
+        |    unnest(generate_series(0, len(centroid) - 1)) AS pos,
+        |    unnest(centroid) AS c
+        |  FROM cents),
+        |dr AS (
+        |  SELECT mu.cell, CAST(max(mu.n) AS BIGINT) AS n_new,
+        |    CAST(sum(CAST(mu.mu * cx.c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(mu.mu * mu.mu AS DECIMAL(28,12))) AS DOUBLE) AS mm,
+        |    CAST(sum(CAST(cx.c * cx.c AS DECIMAL(28,12))) AS DOUBLE) AS cc
+        |  FROM mu JOIN cx ON mu.cell = cx.cell AND mu.pos = cx.pos
+        |  GROUP BY mu.cell)
+        |SELECT cents.cell, CAST(coalesce(nb.n_base, 0) AS BIGINT) AS n_base,
+        |  CAST(coalesce(dr.n_new, 0) AS BIGINT) AS n_new,
+        |  dr.dot / (sqrt(dr.mm) * sqrt(dr.cc)) AS cos
+        |FROM cents LEFT JOIN nb ON cents.cell = nb.cell
+        |LEFT JOIN dr ON cents.cell = dr.cell
+        |ORDER BY cents.cell""".stripMargin,
 
     // a2p probes every cell (nprobe = nlist), so the IVF output contract
     // is exact top-k — the SAME brute-force SQL is its oracle

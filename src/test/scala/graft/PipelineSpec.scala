@@ -784,6 +784,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(inline == served,
       "a saved+reloaded index must serve identical results to the inline fit")
   }
+
+  test("ivfAssign append: drop assignment equals full re-assignment, via the persisted index") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val drop = e.filter(col("vec_id") % 4 === 0)
+    val cells = Similarity.lloydCentroids(
+      base.select(col("vec_id"), col("embedding")), nlist = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_a9").toString
+    Similarity.saveIvfIndex(cells, s"$tmp/idx")
+    val loaded = Similarity.loadIvfIndex(spark, s"$tmp/idx")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val appended = asMap(Similarity.ivfAssign(loaded, drop))
+    assert(appended == asMap(Similarity.ivfAssign(cells, drop)),
+      "the persisted index must assign bit-identically to the in-memory fit")
+    // append-only maintenance ≡ full re-assignment of base ∪ drop: the
+    // drop's appended rows are exactly what a from-scratch assignment
+    // emits for them, and base+drop partitions the union
+    val full = asMap(Similarity.ivfAssign(loaded, e))
+    assert(appended.forall { case (id, c) => full(id) == c })
+    val baseA = asMap(Similarity.ivfAssign(loaded, base))
+    assert(baseA.size + appended.size == full.size)
+  }
+
+  test("ivfMaintain: in-distribution drop keeps the index; shifted drop refits") {
+    import spark.implicits._
+    def planted(ids: Range, center: Int => Array[Double]) =
+      ids.map { i =>
+        val c = center(i)
+        (i.toLong, c.zipWithIndex.map { case (x, d) =>
+          x + (if (d == 2) 0.01 * ((i % 5) - 2) else 0.0) })
+      }.toDF("vec_id", "embedding")
+    val axis0 = Array(1.0, 0.0, 0.0, 0.0)
+    val axis1 = Array(0.0, 1.0, 0.0, 0.0)
+    val base = planted(0 until 40, i => if (i % 2 == 0) axis0 else axis1)
+    val cells = Similarity.lloydCentroids(base, nlist = 2, iters = 2)
+    // drop A: same two planted clusters — per-cell means track the
+    // stored centroids, the monitor keeps serving the existing index
+    val dropSame = planted(100 until 120, i => if (i % 2 == 0) axis0 else axis1)
+    val (kept, refit1) =
+      Similarity.ivfMaintain(cells, base, dropSame, nlist = 2, minCos = 0.9)
+    assert(!refit1 && (kept eq cells), "in-distribution drop must not refit")
+    // drop B: a SHIFTED distribution (third axis, tiny positive first
+    // component so every vector lands in one deterministic cell) — the
+    // populated cell's drift cosine collapses and the monitor refits
+    val dropShift = (200 until 220).map { i =>
+      (i.toLong, Array(0.001 * (i % 3 + 1), 0.0, 1.0, 0.0))
+    }.toDF("vec_id", "embedding")
+    val d = Similarity.ivfDrift(cells, dropShift).collect().sortBy(_.getInt(0))
+    assert(d.length == 2, "one drift row per index cell")
+    val (empty, hit) = d.partition(_.getLong(1) == 0L)
+    assert(empty.length == 1 && empty.head.isNullAt(2),
+      "the unhit cell reports n_new = 0 with a null cosine")
+    assert(hit.length == 1 && hit.head.getDouble(2) < 0.1,
+      s"shifted drop must show near-zero drift cosine: ${hit.toSeq}")
+    val (refitted, refit2) =
+      Similarity.ivfMaintain(cells, base, dropShift, nlist = 2, minCos = 0.9)
+    assert(refit2, "shifted drop must trigger a refit")
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[scala.collection.Seq[Double]]("centroid")).toSet
+    assert(cset(refitted) != cset(cells),
+      "the refit must actually move the centroids")
+  }
 }
 
 /** The round-4 corpus-curation additions: repetition signals, deterministic
