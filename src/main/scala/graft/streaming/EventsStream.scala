@@ -110,24 +110,73 @@ object EventsStream {
     * mapGroupsWithState. The state object is one tiny case class per key —
     * the shape any bespoke streaming accumulator (sessionizer, fraud
     * counter) takes.
+    *
+    * `idleTtlMs` (OFF by default) bounds the state store on unbounded
+    * key domains: with a horizon set, a key whose newest event falls
+    * `idleTtlMs` behind the watermark is SILENTLY evicted
+    * (EventTimeTimeout + state.remove, no tombstone row) — live keys'
+    * outputs are byte-identical to the NoTimeout path, and an evicted
+    * key that reappears restarts from zero. That trades exactness past
+    * the horizon for O(active keys) state — the only viable contract
+    * for a forever-running job over an unbounded user population; the
+    * default keeps NoTimeout's exact forever-totals for bounded key
+    * domains.
     */
-  def userTotals(events: DataFrame): Dataset[UserAgg] = {
+  def userTotals(events: DataFrame,
+      idleTtlMs: Option[Long] = None): Dataset[UserAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col("user_id"), col("value"))
-      .as[(Long, Double)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
-          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+    idleTtlMs match {
+      case None =>
+        events
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+              val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+              val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+                case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+              }
+              val next = UserAgg(user, n, v)
+              state.update(next)
+              next
           }
-          val next = UserAgg(user, n, v)
-          state.update(next)
-          next
-      }
+      case Some(ttl) =>
+        require(ttl > 0, s"idleTtlMs must be positive, got $ttl")
+        events
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("value"), col("ts"))
+          .as[(Long, Double, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(),
+              GroupStateTimeout.EventTimeTimeout()) {
+            (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+             state: GroupState[UserAgg]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+                var maxMs = Long.MinValue
+                var n = prev.n_events
+                var v = prev.total_value
+                rows.foreach { case (_, value, ts) =>
+                  n += 1; v += value
+                  val ms = math.floorDiv(micros(ts), 1000L)
+                  if (ms > maxMs) maxMs = ms
+                }
+                val next = UserAgg(user, n, v)
+                state.update(next)
+                // horizon = newest event this batch + TTL, clamped past
+                // the current watermark (setTimeoutTimestamp rejects a
+                // timestamp the watermark has already crossed)
+                state.setTimeoutTimestamp(
+                  math.max(maxMs, state.getCurrentWatermarkMs() + 1L) + ttl)
+                Iterator.single(next)
+              }
+          }
+    }
   }
 
   /** Streaming exact dedup — the training-pipeline ingest shape: drop
@@ -519,44 +568,96 @@ object EventsStream {
     * State boundedness: one tiny case class per LIVE KEY — the store
     * tracks the keyed table's cardinality, not the log's length.
     */
-  def latestWinsStream(events: DataFrame): DataFrame = {
+  /** Fold a microbatch's rows into the latest-wins state (same total
+    * order as the batch `max(struct(ts, event_id, …))`). Returns the
+    * updated state and the newest event-time ms seen (Long.MinValue on
+    * an empty iterator) — the TTL horizon base.
+    */
+  private def latestFold(
+      prev: Option[LatestState],
+      rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double, String)])
+      : (LatestState, Long) = {
+    var cur = prev
+    var n = cur.map(_.nVersions).getOrElse(0L)
+    var maxMs = Long.MinValue
+    rows.foreach { case (_, _, id, ts, v, p) =>
+      val tsUs = micros(ts)
+      n += 1
+      val ms = math.floorDiv(tsUs, 1000L)
+      if (ms > maxMs) maxMs = ms
+      if (cur.forall(c =>
+          tsUs > c.tsUs || (tsUs == c.tsUs && id > c.eventId)))
+        cur = Some(LatestState(tsUs, id, v, p, n))
+    }
+    (cur.get.copy(nVersions = n), maxMs)
+  }
+
+  /** Output-row reconstruction for [[latestWinsStream]]: full µs
+    * precision — the batch twin carries µs. floorDiv/floorMod, NOT /
+    * and %: a pre-epoch timestamp has a negative µs value, truncating
+    * division lands on the wrong second and setNanos THROWS on a
+    * negative remainder (micros() uses floorDiv for the same reason).
+    */
+  private def latestOut(key: (Long, String), out: LatestState)
+      : (Long, String, Long, java.sql.Timestamp, Long, Double, String) = {
+    val t = new java.sql.Timestamp(
+      math.floorDiv(out.tsUs, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(out.tsUs, 1000000L) * 1000L).toInt)
+    (key._1, key._2, out.nVersions, t, out.eventId, out.value, out.props)
+  }
+
+  /** `idleTtlMs` (OFF by default): same eviction contract as
+    * [[userTotals]] — a (user, type) key idle past the horizon is
+    * silently dropped (no tombstone), live keys' emissions are
+    * byte-identical, a reappearing key restarts its version count.
+    */
+  def latestWinsStream(events: DataFrame,
+      idleTtlMs: Option[Long] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val typed = events
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"), col("props"))
-      .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: (Long, String),
-         rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double, String)],
-         state: GroupState[LatestState]) =>
-          var cur = state.getOption
-          var n = cur.map(_.nVersions).getOrElse(0L)
-          rows.foreach { case (_, _, id, ts, v, p) =>
-            val tsUs = micros(ts)
-            n += 1
-            // same total order as the batch max(struct(ts, event_id, ...))
-            if (cur.forall(c =>
-                tsUs > c.tsUs || (tsUs == c.tsUs && id > c.eventId)))
-              cur = Some(LatestState(tsUs, id, v, p, n))
+    val cols = Seq("user_id", "event_type", "n_versions", "ts", "event_id",
+      "value", "props")
+    idleTtlMs match {
+      case None =>
+        typed
+          .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
+          .groupByKey(r => (r._1, r._2))
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+            (key: (Long, String),
+             rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double, String)],
+             state: GroupState[LatestState]) =>
+              val (out, _) = latestFold(state.getOption, rows)
+              state.update(out)
+              latestOut(key, out)
           }
-          val out = cur.get.copy(nVersions = n)
-          state.update(out)
-          // full µs reconstruction — the batch twin carries µs
-          // precision. floorDiv/floorMod, NOT / and %: a pre-epoch
-          // timestamp has a negative µs value, truncating division
-          // lands on the wrong second and setNanos THROWS on a
-          // negative remainder (micros() uses floorDiv for the same
-          // reason)
-          val t = new java.sql.Timestamp(
-            math.floorDiv(out.tsUs, 1000000L) * 1000L)
-          t.setNanos((math.floorMod(out.tsUs, 1000000L) * 1000L).toInt)
-          (key._1, key._2, out.nVersions, t, out.eventId,
-            out.value, out.props)
-      }
-      .toDF("user_id", "event_type", "n_versions", "ts", "event_id",
-        "value", "props")
+          .toDF(cols: _*)
+      case Some(ttl) =>
+        require(ttl > 0, s"idleTtlMs must be positive, got $ttl")
+        typed
+          .withWatermark("ts", "10 minutes")
+          .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroupsWithState(OutputMode.Update(),
+              GroupStateTimeout.EventTimeTimeout()) {
+            (key: (Long, String),
+             rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double, String)],
+             state: GroupState[LatestState]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val (out, maxMs) = latestFold(state.getOption, rows)
+                state.update(out)
+                state.setTimeoutTimestamp(
+                  math.max(maxMs, state.getCurrentWatermarkMs() + 1L) + ttl)
+                Iterator.single(latestOut(key, out))
+              }
+          }
+          .toDF(cols: _*)
+    }
   }
 
   /** Drive a streaming DataFrame to completion against the (finite) file

@@ -554,6 +554,80 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == batch)
   }
+
+  test("userTotals idle TTL: idle key evicted silently, live keys unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def drive(ttl: Option[Long], name: String): Seq[(Long, Long, Double)] = {
+      val in = MemoryStream[(Long, Double, java.sql.Timestamp)]
+      val events = in.toDF().toDF("user_id", "value", "ts")
+      val q = EventsStream.userTotals(events, ttl).toDF()
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      // batch 1: users 1 and 2 at 10:00 → both horizons land at 10:01
+      in.addData((1L, 1.0, ts(0)), (2L, 1.0, ts(0)))
+      q.processAllAvailable()
+      // batch 2: only user 2, 30 min later → watermark advances to
+      // 10:20 (10-min delay), past user 1's idle horizon → evicted
+      in.addData((2L, 1.0, ts(30)))
+      q.processAllAvailable()
+      // batch 3: user 1 reappears; user 2 keeps accumulating
+      in.addData((1L, 5.0, ts(31)), (2L, 1.0, ts(31)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val ttl = drive(Some(60000L), "ttl_totals")
+    // evicted key restarts from zero — and eviction emits NO tombstone
+    assert(ttl.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet ==
+      Set((1L, 1.0), (1L, 5.0)), s"user 1 must restart after eviction: $ttl")
+    // the live key's emission SEQUENCE is exactly the NoTimeout path's
+    val live = ttl.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    assert(live == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)), s"user 2: $ttl")
+    val off = drive(None, "nottl_totals")
+    assert(off.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet == live,
+      "a live key's outputs must be identical with and without the TTL")
+    // without the TTL the idle key keeps its state across the gap
+    assert(off.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet ==
+      Set((1L, 1.0), (2L, 6.0)), s"NoTimeout keeps exact totals: $off")
+  }
+
+  test("latestWinsStream idle TTL: idle (user, type) evicted, version count restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp, Double, String)]
+    val events = in.toDF()
+      .toDF("user_id", "event_type", "event_id", "ts", "value", "props")
+    val q = EventsStream.latestWinsStream(events, Some(60000L))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ttl_latest").start()
+    in.addData((1L, "click", 10L, ts(0), 1.0, "a"),
+      (2L, "view", 11L, ts(0), 1.0, "b"))
+    q.processAllAvailable()
+    in.addData((2L, "view", 12L, ts(30), 2.0, "c"))
+    q.processAllAvailable()
+    in.addData((1L, "click", 13L, ts(31), 3.0, "d"),
+      (2L, "view", 14L, ts(31), 4.0, "e"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ttl_latest").collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(4), r.getDouble(5))))
+    // (1, click) was idle through the 10:20 watermark → state dropped →
+    // its reappearance carries n_versions = 1, not 2
+    assert(rows.filter(_._1 == (1L, "click")).map(_._2).toSet ==
+      Set((1L, 10L, 1.0), (1L, 13L, 3.0)), s"evicted key: ${rows.toSeq}")
+    // the live key versions through uninterrupted: 1, 2, 3
+    assert(rows.filter(_._1 == (2L, "view")).map(_._2).toSet ==
+      Set((1L, 11L, 1.0), (2L, 12L, 2.0), (3L, 14L, 4.0)),
+      s"live key: ${rows.toSeq}")
+  }
+
   test("streaming decontamination matches the batch answer") {
     import graft.operators.Decontaminate
     // eval set is static/broadcast; the corpus arrives as a stream — the
