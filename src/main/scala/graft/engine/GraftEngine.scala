@@ -243,7 +243,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -566,7 +566,10 @@ class GraftEngine(val spark: SparkSession) {
     "bpe_merges" -> Set("rounds"),
     "radius" -> Set("tau"),
     "louvain" -> Set.empty,
-    "incremental_dedup" -> Set("num", "den"))
+    "incremental_dedup" -> Set("num", "den"),
+    "knn_label" -> Set("k"),
+    "semantic_decon" -> Set("tau"),
+    "asof" -> Set("key", "ord", "payload", "forward"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -581,7 +584,10 @@ class GraftEngine(val spark: SparkSession) {
     "bpe_merges" -> Seq("docs"),
     "radius" -> Seq("corpus", "queries"),
     "louvain" -> Seq("pairs"),
-    "incremental_dedup" -> Seq("base", "probe"))
+    "incremental_dedup" -> Seq("base", "probe"),
+    "knn_label" -> Seq("corpus", "queries"),
+    "semantic_decon" -> Seq("corpus", "eval"),
+    "asof" -> Seq("left", "right"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -717,6 +723,39 @@ class GraftEngine(val spark: SparkSession) {
             s"got $num/$den")
         graft.operators.Dedup.incrementalDedup(rel(0), rel(1),
           num = num, den = den)
+      case "knn_label" =>
+        val k = intOpt("k", 5)
+        graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)
+      case "semantic_decon" =>
+        val tau = doubleOpt("tau", 0.9)
+        require(tau >= -1.0 && tau <= 1.0,
+          s"graft_semantic_decon: tau is a cosine bound in [-1, 1], got $tau")
+        graft.operators.Decontaminate.semanticFlags(rel(0), rel(1), tau = tau)
+      case "asof" =>
+        // key/ord/payload are COLUMN NAMES, consumed through the
+        // DataFrame API (col(...)), never re-parsed as SQL text — the
+        // same literal-safety posture as the path arguments. `payload`
+        // accepts a quoted comma list ('value,props'); quotes around
+        // single names are optional.
+        def strOpt(key: String): String = {
+          val raw = named.getOrElse(key, throw new IllegalArgumentException(
+            s"graft_asof: option $key is required (a column name)"))
+          val v =
+            if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+              raw.substring(1, raw.length - 1)
+            else raw
+          require(v.nonEmpty, s"graft_asof: option $key is empty")
+          v
+        }
+        val key = strOpt("key")
+        val ord = strOpt("ord")
+        val payload = strOpt("payload").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(payload.nonEmpty, "graft_asof: payload names no columns")
+        if (boolOpt("forward"))
+          graft.operators.AsofJoin.forward(rel(0), rel(1), key, ord, payload)
+        else
+          graft.operators.AsofJoin.backward(rel(0), rel(1), key, ord, payload)
     }
   }
 

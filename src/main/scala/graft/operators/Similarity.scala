@@ -448,6 +448,27 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** kNN majority-vote labeling (the v6 query's operator form, one
+    * definition for the query, the spec, and the `graft_knn_label`
+    * TVF): each query takes the modal label of its k nearest corpus
+    * neighbors by cosine, ties to the smaller label — a total order,
+    * so the vote is deterministic. Composes the gate-checked
+    * brute-force top-k with a per-key vote aggregate; the winner is
+    * selected by TopKPerKey k=1, not a window, so no per-query sort
+    * materializes at any corpus size. `corpus` must carry
+    * (vec_id, embedding, label). Output (query_id, pred_label, votes).
+    */
+  def knnLabel(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val knn = bruteForceTopK(corpus, queries, k = k)
+    val lbl = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = knn.join(lbl, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    graft.plans.TopKPerKey(votes, Seq(col("query_id")),
+        Seq(col("votes").desc, col("label").asc), 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   // ---- Incremental index maintenance ------------------------------------
 
   /** Map-only cell assignment of `vectors` against a PREFITTED centroid

@@ -116,7 +116,7 @@ object Pipeline {
           // the fresh-fit path skips the validation job entirely
           val rows = s.read.parquet(path).collect()
           lazy val dim = Tables.load(s, dir, "embeddings")
-            .select(size(col("embedding")).as("d")).head.getInt(0)
+            .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
@@ -144,7 +144,7 @@ object Pipeline {
         try {
           val rows = s.read.parquet(path).collect()
           lazy val dim = Tables.load(s, dir, "embeddings")
-            .select(size(col("embedding")).as("d")).head.getInt(0)
+            .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
@@ -172,7 +172,7 @@ object Pipeline {
         try {
           val rows = s.read.parquet(path).collect()
           lazy val dim = Tables.load(s, dir, "embeddings")
-            .select(size(col("embedding")).as("d")).head.getInt(0)
+            .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
@@ -905,14 +905,7 @@ object Pipeline {
       // aggregate; the winner is selected by TopKPerKey k=1, not a
       // window, so no per-query sort materializes at any corpus size.
       val e = Tables.load(s, dir, "embeddings")
-      val knn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50), k = 5)
-      val lbl = e.select(col("vec_id").as("neighbor_id"), col("label"))
-      val votes = knn.join(lbl, Seq("neighbor_id"))
-        .groupBy(col("query_id"), col("label"))
-        .agg(count(lit(1)).as("votes"))
-      graft.plans.TopKPerKey(votes, Seq(col("query_id")),
-          Seq(col("votes").desc, col("label").asc), 1)
-        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      Similarity.knnLabel(e, e.filter(col("vec_id") < 50), k = 5)
         .orderBy(col("query_id"))
     },
 

@@ -610,6 +610,73 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("num/den"))
   }
 
+  test("graft_knn_label TVF: weak labels equal the Scala operator") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val got = engine.run(
+      s"select query_id, pred_label, votes from " +
+        s"graft_knn_label('$emb', '$emb', k => 5) order by query_id")
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Similarity.knnLabel(
+        spark.read.parquet(emb), spark.read.parquet(emb), k = 5)
+      .orderBy("query_id")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == direct)
+  }
+
+  test("graft_semantic_decon TVF: flags equal the Scala operator") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    engine.run("create table sem_corpus_t as " +
+      s"select * from read_parquet('$emb') where vec_id % 10 <> 7")
+    engine.run("create table sem_eval_t as " +
+      s"select * from read_parquet('$emb') where vec_id % 10 = 7")
+    val got = engine.run(
+      "select vec_id, n_eval_hits, max_sim from " +
+        "graft_semantic_decon(sem_corpus_t, sem_eval_t, tau => 0.35) " +
+        "order by vec_id")
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Decontaminate.semanticFlags(
+        engine.table("sem_corpus_t"), engine.table("sem_eval_t"), tau = 0.35)
+      .orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == direct)
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_semantic_decon(sem_corpus_t, sem_eval_t, tau => 1.5)")
+    }
+    assert(e.getMessage.contains("[-1, 1]"))
+  }
+
+  test("graft_asof TVF: backward and forward equal the Scala operator") {
+    engine.run("create table asof_l_t(user_id bigint, ts bigint, x varchar)")
+    engine.run("insert into asof_l_t values (1, 10, 'a'), (1, 20, 'b'), (2, 15, 'c')")
+    engine.run("create table asof_r_t(user_id bigint, ts bigint, value double)")
+    engine.run("insert into asof_r_t values (1, 5, 1.5), (1, 18, 2.5), (2, 30, 9.0)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val bwd = rows(engine.run(
+      "select user_id, ts, x, value from graft_asof(asof_l_t, asof_r_t, " +
+        "key => user_id, ord => ts, payload => value) order by user_id, ts"))
+    assert(bwd == Seq((1L, 10L, "a", Some(1.5)), (1L, 20L, "b", Some(2.5)),
+      (2L, 15L, "c", None)), bwd.mkString(", "))
+    val fwd = rows(engine.run(
+      "select user_id, ts, x, value from graft_asof(asof_l_t, asof_r_t, " +
+        "key => user_id, ord => ts, payload => 'value', forward => true) " +
+        "order by user_id, ts"))
+    assert(fwd == Seq((1L, 10L, "a", Some(2.5)), (1L, 20L, "b", None),
+      (2L, 15L, "c", Some(9.0))), fwd.mkString(", "))
+    // SQL ≡ the Scala operator surface on the same inputs
+    val direct = rows(graft.operators.AsofJoin.backward(
+        engine.table("asof_l_t"), engine.table("asof_r_t"),
+        "user_id", "ts", Seq("value"))
+      .orderBy("user_id", "ts"))
+    assert(bwd == direct)
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_asof(asof_l_t, asof_r_t, " +
+        "key => user_id, ord => ts)")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
     // all validation fires BEFORE any relation resolves, so made-up table
     // names keep this test self-contained (no dependency on suite order)
