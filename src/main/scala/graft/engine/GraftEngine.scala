@@ -176,6 +176,37 @@ class GraftEngine(val spark: SparkSession) {
       if (src.trim.startsWith("(") && src.trim.endsWith(")"))
         runSelect(src.trim.stripPrefix("(").stripSuffix(")"))
       else runSelect(s"select * from ${src.trim}")
+    // BUCKET_BY (col, ...) [BUCKETS n] [BUCKET_TABLE name]: the bucketed
+    // co-located-join layout (operators.Bucketing) through the SQL front
+    // door. A bucketed write is a catalog table by construction (the scan
+    // must report the bucket distribution to drop join exchanges), so it
+    // registers `name` (default: the path's last segment, sanitized) in
+    // the session catalog with data at `path`, parquet only, and owns the
+    // layout outright — SORT_BY (buckets sort by their keys already) and
+    // PARTITION_BY don't compose with it here and error instead of
+    // silently interacting.
+    val bucketBy = """(?i)bucket_by\s*\(([^)]*)\)""".r.findFirstMatchIn(opts)
+    bucketBy.foreach { m =>
+      val keys = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "COPY TO: BUCKET_BY names no columns")
+      for (bad <- Seq("sort_by", "partition_by", "format csv", "format json"))
+        require(!s"(?i)$bad".r.findFirstIn(opts).isDefined,
+          s"COPY TO: BUCKET_BY does not combine with ${bad.toUpperCase} " +
+            "(buckets are parquet, sorted by their keys)")
+      val buckets = """(?i)buckets\s+(\d+)""".r.findFirstMatchIn(opts)
+        .map(_.group(1).toInt).getOrElse(8)
+      require(buckets >= 1 && buckets <= 100000,
+        s"COPY TO: BUCKETS must be in [1, 100000], got $buckets")
+      val tname = """(?i)bucket_table\s+(\w+)""".r.findFirstMatchIn(opts)
+        .map(_.group(1).toLowerCase)
+        .getOrElse(path.split('/').filter(_.nonEmpty).lastOption
+          .map(_.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase)
+          .getOrElse(throw new IllegalArgumentException(
+            s"COPY TO: cannot derive a bucket table name from '$path' — " +
+              "pass BUCKET_TABLE name")))
+      graft.operators.Bucketing.writeBucketed(df, tname, path, buckets, keys)
+    }
+    if (bucketBy.isDefined) return
     """(?i)sort_by\s*\(([^)]*)\)""".r.findFirstMatchIn(opts).foreach { m =>
       val cols = m.group(1).split(",").map(c => col(c.trim)).toIndexedSeq
       // explicit partition count: a user-specified repartition is final

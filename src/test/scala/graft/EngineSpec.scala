@@ -677,6 +677,25 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("COPY TO BUCKET_BY: named bucket table roundtrips; bad combos error") {
+    engine.run("create table bkt_src_t(k bigint, v varchar)")
+    engine.run("insert into bkt_src_t values (1, 'a'), (2, 'b'), (3, 'c')")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy_bkt").toString
+    engine.run(s"copy bkt_src_t to '$tmp/bkt_out' " +
+      "(bucket_by (k), buckets 4, bucket_table bkt_named_t)")
+    assert(spark.table("bkt_named_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    for (bad <- Seq("sort_by (k)", "partition_by (v)", "format csv"))
+      assert(intercept[IllegalArgumentException] {
+        engine.run(s"copy bkt_src_t to '$tmp/bkt_bad' (bucket_by (k), $bad)")
+      }.getMessage.contains("BUCKET_BY does not combine"))
+    assert(intercept[IllegalArgumentException] {
+      engine.run(s"copy bkt_src_t to '$tmp/bkt_bad2' (bucket_by (), buckets 4)")
+    }.getMessage.contains("names no columns"))
+    spark.sql("drop table if exists bkt_named_t")
+  }
+
   test("graft_* TVF argument validation: typos, bad values, arity, duplicates") {
     // all validation fires BEFORE any relation resolves, so made-up table
     // names keep this test self-contained (no dependency on suite order)

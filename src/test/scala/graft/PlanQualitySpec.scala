@@ -274,6 +274,34 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.sql("drop table if exists l_bkt")
   }
 
+  test("COPY TO BUCKET_BY: SQL-written buckets co-locate the join, zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val e = new graft.engine.GraftEngine(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sql_buckets").toString
+    e.run(s"copy (select o_orderkey, o_orderpriority from '$dir/orders.parquet') " +
+      s"to '$tmp/o_sqlb' (bucket_by (o_orderkey), buckets 8)")
+    e.run(s"copy (select l_orderkey, l_quantity from '$dir/lineitem.parquet') " +
+      s"to '$tmp/l_sqlb' (bucket_by (l_orderkey), buckets 8)")
+    // same property as the Scala-surface test above, driven end to end
+    // through the SQL front door: the write registered catalog tables
+    // whose scans carry the bucket distribution → no exchange anywhere
+    val j = spark.table("l_sqlb").hint("merge")
+      .join(spark.table("o_sqlb"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_quantity"))
+    val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), s"expect a sort-merge join:\n$p")
+    assert(nodeCount(p, "Exchange") == 0 && !p.contains("hashpartitioning("),
+      s"SQL-bucketed join must plan zero exchanges:\n$p")
+    // roundtrip: the bucketed tables hold exactly the copied rows
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(spark.table("o_sqlb").count() == o.count())
+    assert(j.count() ==
+      l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql("drop table if exists o_sqlb")
+    spark.sql("drop table if exists l_sqlb")
+  }
+
   test("t9/s3/v1: map-only — at most the final-sort exchange, pruned scans") {
     Seq("t9_repetition" -> "text", "s3_split_assign" -> "doc_id",
         "v1_vec_quantize" -> "embedding").foreach { case (q, needed) =>
