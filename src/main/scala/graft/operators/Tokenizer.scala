@@ -27,6 +27,121 @@ object Tokenizer {
     */
   val EndOfWord = "</w>"
 
+  /** SentencePiece-style unigram-LM tokenizer trainer (Kudo ACL'18's
+    * pipeline shape: substring-seeded vocabulary → E-step best
+    * segmentation under the current piece scores → M-step re-score and
+    * prune), made INTEGER-EXACT and SQL-replayable end to end — the
+    * u3 discipline applied to the unigram model:
+    *
+    *  - Scores are BIT LENGTHS, not log probs: a piece with seed mass
+    *    S_p costs `(bits(N) − bits(S_p))·1024 + 1` per use (bits =
+    *    `length(bin(x))` — the engine-shared exact integer log2 the p5
+    *    query already relies on; +1 charges each piece so the DP
+    *    minimizes (surprisal, piece count) lexicographically, the 1024
+    *    scale keeping the two orthogonal for words ≤ 1024 pieces).
+    *    Doubles' libm `ln` is NOT cross-engine exact; `bin` is.
+    *  - The E-step Viterbi is RELATIONAL: min-plus rounds over the
+    *    (word, pos) DAG — `maxWordLen` unrolled join+struct-min rounds
+    *    (the g13 level pattern), each state carrying (cost, path) with
+    *    the path string as the total tie-break, so the argmin
+    *    segmentation is unique and both engines agree byte-for-byte.
+    *    Distributed throughout: the piece table joins by piece (one
+    *    shuffle), never rides the driver.
+    *  - The M-step keeps every single character (coverage) plus the
+    *    `vocabTarget` best multi-character pieces by (usage, piece) —
+    *    a TakeOrdered limit, deterministic.
+    *
+    * Trained at the DISTINCT-WORD level (the u4 oracle discipline):
+    * `fitCap` most frequent words, usage weighted by word count. Words
+    * longer than `maxWordLen` chars or containing U+001F (the path
+    * delimiter) are excluded from the trainer table — the documented
+    * corpus contract, mirrored in the oracle. Output: the pruned vocab
+    * `(piece, n_uses)` (Viterbi-weighted occurrences; kept single
+    * chars may carry 0).
+    */
+  def unigramLm(
+      docs: DataFrame,
+      textCol: String = "text",
+      fitCap: Int = 65536,
+      maxWordLen: Int = 12,
+      maxPieceLen: Int = 4,
+      seedCap: Int = 4096,
+      vocabTarget: Int = 2048): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"maxWordLen must be in [1, 32], got $maxWordLen")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"maxPieceLen must be in [1, maxWordLen], got $maxPieceLen")
+    val us = String.valueOf(31.toChar)
+    val wt = Dedup.persistPublic(
+      wordCounts(docs, textCol, fitCap)
+        .filter(length(col("word")) <= maxWordLen &&
+          !col("word").contains(us)))
+    // every substring occurrence of length 1..maxPieceLen, weighted by
+    // the word's corpus count — the seed mass
+    val spans = Dedup.persistPublic(wt
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("j"))
+      .select(col("word"), col("cnt"), col("j"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("j")))).as("l"))
+      .select(col("word"), col("cnt"), col("j"), col("l"),
+        expr("substring(word, j + 1, l)").as("piece")))
+    val seed = spans.groupBy(col("piece")).agg(sum(col("cnt")).as("s"))
+    // coverage: all single chars survive seeding; multi-char pieces cap
+    // at the seedCap best by (mass, piece) — TakeOrdered, deterministic
+    val vocab0 = Dedup.persistPublic(
+      seed.filter(length(col("piece")) === 1).union(
+        seed.filter(length(col("piece")) > 1)
+          .orderBy(col("s").desc, col("piece")).limit(seedCap)))
+    val n1 = vocab0.agg(sum(col("s")).as("n"))
+    val edges = Dedup.persistPublic(spans
+      .join(vocab0.select(col("piece"), col("s")), Seq("piece"))
+      .crossJoin(broadcast(n1))
+      .select(col("word"), col("j"), (col("j") + col("l")).as("k"),
+        col("piece"),
+        ((length(bin(col("n"))) - length(bin(col("s"))))
+          .cast("long") * 1024L + 1L).as("w")))
+    // relational Viterbi: maxWordLen min-plus rounds; each state is the
+    // best (cost, path) for (word, pos), path = US-delimited pieces.
+    // Each round references the previous round TWICE (stutter union +
+    // extension join), so the logical plan would double per round —
+    // localCheckpoint truncates the lineage each round (the
+    // connectedComponents/g9 fixpoint discipline; this is a TRAINER, so
+    // eager per-round jobs are fit cost, not query cost, and the state
+    // is O(fitCap·maxWordLen) rows regardless of corpus size).
+    var dist = wt.select(col("word"), lit(0).as("pos"),
+      lit(0L).as("cost"), lit("").as("path"))
+    (1 to maxWordLen).foreach { _ =>
+      val step = dist.as("d").join(edges.as("e"),
+          col("d.word") === col("e.word") && col("d.pos") === col("e.j"))
+        .select(col("d.word").as("word"), col("e.k").as("pos"),
+          (col("d.cost") + col("e.w")).as("cost"),
+          concat(col("d.path"), lit(us), col("e.piece")).as("path"))
+      dist = dist.union(step)
+        .groupBy(col("word"), col("pos"))
+        .agg(min(struct(col("cost"), col("path"))).as("b"))
+        .select(col("word"), col("pos"),
+          col("b.cost").as("cost"), col("b.path").as("path"))
+        .localCheckpoint()
+    }
+    val best = dist.join(wt, Seq("word"))
+      .filter(col("pos") === length(col("word")))
+    val usage = best
+      .select(col("cnt"),
+        explode(filter(split(col("path"), us),
+          (x: Column) => length(x) > 0)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_uses"))
+    // M-step prune: single chars always kept (coverage for the next
+    // round / unseen words), multi-char pieces keep the vocabTarget
+    // best by Viterbi usage — again a TakeOrdered limit
+    val chars = vocab0.filter(length(col("piece")) === 1)
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))
+    val multi = usage.filter(length(col("piece")) > 1)
+      .orderBy(col("n_uses").desc, col("piece")).limit(vocabTarget)
+    chars.union(multi).orderBy(col("piece"))
+  }
+
   /** Learn `numMerges` BPE merge rules from the corpus. Returns the rules
     * in application order, each a pair of adjacent symbols to fuse.
     */

@@ -3757,6 +3757,24 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "u6_unigram_lm" -> { (s, dir) =>
+      // SentencePiece-style unigram-LM tokenizer trainer (Kudo ACL'18)
+      // — the EM alternative to u3's BPE: substring-seeded vocabulary,
+      // a distributed RELATIONAL Viterbi E-step (min-plus rounds over
+      // the (word, pos) DAG, the g13 unroll pattern, one piece-table
+      // shuffle), and a prune M-step keeping chars + the vocabTarget
+      // most-used pieces. Integer-exact throughout: piece costs are
+      // BIT LENGTHS ((bits(N) − bits(S_p))·1024 + 1 — bin() is the
+      // engine-shared exact log2; libm ln is not), the DP tie-break is
+      // the (cost, path)-lexicographic struct-min, usage is weighted
+      // exact longs. Trained at the DISTINCT-WORD level (u4's oracle
+      // discipline) over the fitCap'd word table; words > maxWordLen
+      // chars or containing U+001F are excluded (documented contract,
+      // mirrored in the oracle). Per-round localCheckpoint bounds the
+      // DP lineage (trainer fit cost, the g9 discipline).
+      Tokenizer.unigramLm(Tables.load(s, dir, "documents"))
+    },
+
     "u4_bpe_encode" -> { (s, dir) =>
       // BPE tokenizer APPLICATION at corpus scale — the serving half of
       // the u3/t5 trainers: segment every document with a fixed merge
@@ -6558,6 +6576,194 @@ object Pipeline {
         |  (1000000 * n_subwords) // n_words AS fertility_ppm,
         |  (1000000 * n_bytes) // n_subwords AS bytes_per_subword_ppm
         |FROM per ORDER BY lang""".stripMargin,
+
+    "u6_unigram_lm" ->
+      """WITH wt AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS word
+        |    FROM documents) w
+        |  GROUP BY word ORDER BY cnt DESC, word LIMIT 65536),
+        |wtf AS MATERIALIZED (
+        |  SELECT word, cnt FROM wt
+        |  WHERE length(word) <= 12 AND NOT contains(word, chr(31))),
+        |sp0 AS MATERIALIZED (
+        |  SELECT word, cnt, unnest(generate_series(0, length(word) - 1)) AS j
+        |  FROM wtf),
+        |spans AS MATERIALIZED (
+        |  SELECT word, cnt, j, l, substring(word, CAST(j + 1 AS INTEGER),
+        |    CAST(l AS INTEGER)) AS piece
+        |  FROM (
+        |    SELECT word, cnt, j,
+        |      unnest(generate_series(1, least(4, length(word) - j))) AS l
+        |    FROM sp0) t),
+        |seed AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM spans GROUP BY piece),
+        |vocab0 AS MATERIALIZED (
+        |  SELECT piece, s FROM seed WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, s FROM (
+        |    SELECT piece, s FROM seed WHERE length(piece) > 1
+        |    ORDER BY s DESC, piece LIMIT 4096) m),
+        |nn AS (SELECT CAST(sum(s) AS BIGINT) AS n FROM vocab0),
+        |edges AS MATERIALIZED (
+        |  SELECT spans.word, spans.j, spans.j + spans.l AS k, spans.piece,
+        |    CAST(length(bin(nn.n)) - length(bin(v.s)) AS BIGINT) * 1024 + 1 AS w
+        |  FROM spans JOIN vocab0 v ON spans.piece = v.piece CROSS JOIN nn),
+        |d0 AS MATERIALIZED (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+        |    '' AS path
+        |  FROM wtf),
+        |d1 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d0
+        |      UNION ALL
+        |      SELECT d0.word, e.k AS pos, d0.cost + e.w AS cost,
+        |        d0.path || chr(31) || e.piece AS path
+        |      FROM d0 JOIN edges e ON d0.word = e.word AND d0.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d2 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d1
+        |      UNION ALL
+        |      SELECT d1.word, e.k AS pos, d1.cost + e.w AS cost,
+        |        d1.path || chr(31) || e.piece AS path
+        |      FROM d1 JOIN edges e ON d1.word = e.word AND d1.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d3 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d2
+        |      UNION ALL
+        |      SELECT d2.word, e.k AS pos, d2.cost + e.w AS cost,
+        |        d2.path || chr(31) || e.piece AS path
+        |      FROM d2 JOIN edges e ON d2.word = e.word AND d2.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d4 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d3
+        |      UNION ALL
+        |      SELECT d3.word, e.k AS pos, d3.cost + e.w AS cost,
+        |        d3.path || chr(31) || e.piece AS path
+        |      FROM d3 JOIN edges e ON d3.word = e.word AND d3.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d5 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d4
+        |      UNION ALL
+        |      SELECT d4.word, e.k AS pos, d4.cost + e.w AS cost,
+        |        d4.path || chr(31) || e.piece AS path
+        |      FROM d4 JOIN edges e ON d4.word = e.word AND d4.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d6 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d5
+        |      UNION ALL
+        |      SELECT d5.word, e.k AS pos, d5.cost + e.w AS cost,
+        |        d5.path || chr(31) || e.piece AS path
+        |      FROM d5 JOIN edges e ON d5.word = e.word AND d5.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d7 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d6
+        |      UNION ALL
+        |      SELECT d6.word, e.k AS pos, d6.cost + e.w AS cost,
+        |        d6.path || chr(31) || e.piece AS path
+        |      FROM d6 JOIN edges e ON d6.word = e.word AND d6.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d8 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d7
+        |      UNION ALL
+        |      SELECT d7.word, e.k AS pos, d7.cost + e.w AS cost,
+        |        d7.path || chr(31) || e.piece AS path
+        |      FROM d7 JOIN edges e ON d7.word = e.word AND d7.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d9 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d8
+        |      UNION ALL
+        |      SELECT d8.word, e.k AS pos, d8.cost + e.w AS cost,
+        |        d8.path || chr(31) || e.piece AS path
+        |      FROM d8 JOIN edges e ON d8.word = e.word AND d8.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d10 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d9
+        |      UNION ALL
+        |      SELECT d9.word, e.k AS pos, d9.cost + e.w AS cost,
+        |        d9.path || chr(31) || e.piece AS path
+        |      FROM d9 JOIN edges e ON d9.word = e.word AND d9.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d11 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d10
+        |      UNION ALL
+        |      SELECT d10.word, e.k AS pos, d10.cost + e.w AS cost,
+        |        d10.path || chr(31) || e.piece AS path
+        |      FROM d10 JOIN edges e ON d10.word = e.word AND d10.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |d12 AS MATERIALIZED (
+        |  SELECT word, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT word, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT word, pos, cost, path FROM d11
+        |      UNION ALL
+        |      SELECT d11.word, e.k AS pos, d11.cost + e.w AS cost,
+        |        d11.path || chr(31) || e.piece AS path
+        |      FROM d11 JOIN edges e ON d11.word = e.word AND d11.pos = e.j) u
+        |    GROUP BY word, pos) g),
+        |best AS MATERIALIZED (
+        |  SELECT wtf.word, wtf.cnt, d12.path
+        |  FROM d12 JOIN wtf ON d12.word = wtf.word AND d12.pos = length(wtf.word)),
+        |used AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_uses FROM (
+        |    SELECT cnt, unnest(list_filter(string_split(path, chr(31)),
+        |      x -> len(x) > 0)) AS piece
+        |    FROM best) u
+        |  GROUP BY piece)
+        |SELECT piece, CAST(coalesce(u.n_uses, 0) AS BIGINT) AS n_uses
+        |FROM (SELECT piece FROM vocab0 WHERE length(piece) = 1) c
+        |LEFT JOIN used u USING (piece)
+        |UNION ALL
+        |SELECT piece, n_uses FROM (
+        |  SELECT piece, n_uses FROM used WHERE length(piece) > 1
+        |  ORDER BY n_uses DESC, piece LIMIT 2048) m
+        |ORDER BY piece""".stripMargin,
 
     "u4_bpe_encode" ->
       s"""WITH tok AS (

@@ -120,6 +120,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v9_pair_sim_hist",    // TakeOrdered sample prefix, broadcast all-pairs
     "q30_pivot",           // CASE-armed partial+final aggregate, no joins
     "a7_radius_search",    // broadcast queries, codegen'd radius filter
+    "a9_ivf_append",       // persisted-cells assignment, O(nlist·dim) drift join
     "m6_audio_energy",     // md5 synth + frame explode, map-only features
     "t25_langid_confusion",// fused langid pass, O(langs²) cells, 1-row total
     "x17_source_scorecard",// one fp window, O(sources) scorecard aggregate
@@ -132,6 +133,9 @@ class GoldenPlanSpec extends AnyFunSuite {
   // — guarded by targeted PlanQualitySpec asserts instead.
   // g11_louvain_move is NOT whole-plan-pinned: it scans the shared
   // tfidf_pairs index (the g7 situation) — targeted asserts instead.
+  // g13_louvain_levels is NOT whole-plan-pinned: same shared pair index
+  // plus per-level persistPublic labels (the d8 cache-manager
+  // situation) — targeted PlanQualitySpec asserts instead.
   // g10_hits is NOT whole-plan-pinned: it scans the shared pair index
   // (the g7 cache-state situation) — guarded by the targeted
   // PlanQualitySpec assert instead.

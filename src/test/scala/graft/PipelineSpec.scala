@@ -1235,4 +1235,75 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 3, 2L -> 0))
   }
+
+  /** Driver replay of the unigram-LM round — same seed, bit-length
+    * weights, (cost, path)-lexicographic Viterbi, usage, and prune as
+    * the distributed trainer, in plain Scala.
+    */
+  private def bruteUnigram(words: Seq[(String, Long)], maxPieceLen: Int,
+      seedCap: Int, vocabTarget: Int): Seq[(String, Long)] = {
+    val spans = for {
+      (w, c) <- words
+      j <- 0 until w.length
+      l <- 1 to math.min(maxPieceLen, w.length - j)
+    } yield (w.substring(j, j + l), c)
+    val seedAll = spans.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val chars = seedAll.filter(_._1.length == 1)
+    val multi = seedAll.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, s) => (-s, p) }.take(seedCap)
+    val vocab = chars ++ multi
+    val n = vocab.values.sum
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length
+    val weight = vocab.map { case (p, s) =>
+      p -> ((bits(n) - bits(s)).toLong * 1024 + 1) }
+    val usage = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- words) {
+      val n0 = w.length
+      val best = Array.fill[(Long, String)](n0 + 1)((Long.MaxValue, ""))
+      best(0) = (0L, "")
+      for {
+        i <- 0 until n0
+        if best(i)._1 != Long.MaxValue
+        l <- 1 to math.min(maxPieceLen, n0 - i)
+      } {
+        val p = w.substring(i, i + l)
+        weight.get(p).foreach { wt =>
+          val cand = (best(i)._1 + wt, best(i)._2 + "" + p)
+          if (cand._1 < best(i + l)._1 ||
+              (cand._1 == best(i + l)._1 && cand._2 < best(i + l)._2))
+            best(i + l) = cand
+        }
+      }
+      best(n0)._2.split('').filter(_.nonEmpty)
+        .foreach(p => usage(p) += c)
+    }
+    val keptChars = chars.keys.map(p => p -> usage(p))
+    val keptMulti = usage.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, u) => (-u, p) }.take(vocabTarget)
+    (keptChars.toSeq ++ keptMulti).sortBy(_._1)
+  }
+
+  test("unigram LM: planted corpus equals the driver replay; partition-invariant") {
+    import spark.implicits._
+    val texts = Seq.fill(6)("banana band banana") ++
+      Seq("apple banana apple", "nab nab banana band")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Tokenizer.unigramLm(df, fitCap = 100, maxWordLen = 12,
+          maxPieceLen = 4, seedCap = 50, vocabTarget = 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val got = run(d)
+    val wcounts = texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+"))
+      .filter(w => w.nonEmpty && w.length <= 12 && !w.contains(''))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(100)
+    assert(got == bruteUnigram(wcounts, 4, 50, 20))
+    // the dominant repeat must be learned as a USED multi-char piece
+    assert(got.exists { case (p, u) => p.length > 1 && u > 0 }, got.toString)
+    assert(run(d.repartition(5)) == got,
+      "the trainer must be partitioning-independent")
+    graft.operators.Dedup.unpersistAll()
+  }
 }
