@@ -423,6 +423,123 @@ object Tokenizer {
     GraftSqlBridge.column(BpeSegment(
       GraftSqlBridge.expressionNoSpark(text), merges))
   }
+
+  /** Serving-side word-length contract shared with [[unigramLm]]'s
+    * trainer: words longer than this many code points skip the Viterbi
+    * and fall back to one-piece-per-character segmentation (the SQL
+    * oracle replays the DP with exactly this many unrolled min-plus
+    * rounds, so the cut keeps both engines total AND identical).
+    */
+  val UnigramMaxWordLen = 12
+
+  /** Unigram-LM Viterbi segmentation of one word under a fixed piece
+    * table — the serving half of [[unigramLm]], [[segmentWord]]'s
+    * analogue for the unigram model. Semantics (mirrored byte-for-byte
+    * by the u7 oracle's unrolled relational DP):
+    *
+    *  - the word is a sequence of CODE POINTS (a non-BMP char is one
+    *    symbol, never a lone surrogate — DuckDB `length`/`substring`
+    *    count code points too);
+    *  - every single code point is always segmentable at
+    *    `table.charCost` (full coverage — no word is unreachable);
+    *    explicit pieces (1..[[UnigramPieceTable.maxPieceLen]] symbols)
+    *    cost their table entry, single-symbol entries taking the MIN of
+    *    the two;
+    *  - the DP minimizes (total cost, US-delimited path) — the same
+    *    (cost, path)-lexicographic struct-min as the trainer, so the
+    *    argmin segmentation is unique cross-engine. Appending the same
+    *    ` piece` suffix preserves path order because the
+    *    delimiter sorts below every corpus character — the property
+    *    that makes keep-only-the-best-per-position DP valid under the
+    *    lexicographic tie-break;
+    *  - words longer than [[UnigramMaxWordLen]] code points return one
+    *    piece per code point (the documented long-tail fallback).
+    *
+    * With every table cost ≡ 1 (mod 1024) the piece COUNT of any
+    * min-cost path is `cost mod 1024` for words ≤ 12 pieces — counts
+    * are tie-invariant by construction.
+    */
+  def unigramSegmentWord(word: String, table: UnigramPieceTable): Seq[String] = {
+    val cps = codePoints(word)
+    val n = cps.length
+    if (n == 0) return Nil
+    if (n > UnigramMaxWordLen) return cps.toSeq
+    val INF = Long.MaxValue / 4
+    val cost = Array.fill(n + 1)(INF)
+    val path = Array.fill(n + 1)("")
+    cost(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (cost(i) < INF) {
+        val sb = new java.lang.StringBuilder
+        var l = 1
+        val lMax = math.min(table.maxPieceLen, n - i)
+        while (l <= lMax) {
+          sb.append(cps(i + l - 1))
+          val piece = sb.toString
+          val c = table.cost(piece)
+          if (c < INF) {
+            val cand = cost(i) + c
+            val candPath = path(i) + "" + piece
+            val j = i + l
+            if (cand < cost(j) ||
+                (cand == cost(j) && candPath.compareTo(path(j)) < 0)) {
+              cost(j) = cand
+              path(j) = candPath
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    path(n).split('').filter(_.nonEmpty).toSeq
+  }
+
+  /** Split a string into whole code points (surrogate pairs stay fused). */
+  private def codePoints(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      out += s.substring(i, i + w)
+      i += w
+    }
+    out.result()
+  }
+
+  /** Whole-document unigram segmentation for the imperative kernel:
+    * lowercased whitespace words, each Viterbi-segmented with the piece
+    * table, concatenated. Called from [[UnigramSegment]]'s generated
+    * code — one pass per document, the table resolved once per task via
+    * a codegen reference object.
+    */
+  def unigramSegmentDoc(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      table: UnigramPieceTable): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toLowerCase.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val out = Vector.newBuilder[org.apache.spark.unsafe.types.UTF8String]
+    words.foreach { w =>
+      unigramSegmentWord(w, table).foreach(s =>
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** Column form: `Tokenizer.unigramSegment(col("text"), pieces,
+    * charCost)` yields the unigram-LM subword array under a FIXED piece
+    * table (the u4 fixed-merge-table discipline applied to the unigram
+    * model). The table rides as a codegen reference object — O(vocab)
+    * driver state, one map-only fused corpus pass, no join/shuffle/
+    * vocabulary exchange.
+    */
+  def unigramSegment(
+      text: Column, pieces: Seq[(String, Long)], charCost: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(UnigramSegment(
+      GraftSqlBridge.expressionNoSpark(text), pieces, charCost))
+  }
 }
 
 /** Prebuilt rank lookup for a merge table: pair → index in learned order.
@@ -480,5 +597,82 @@ case class BpeSegment(
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): BpeSegment =
+    copy(child = newChild)
+}
+
+/** Fixed unigram piece table for serving: piece → per-use cost, plus the
+  * always-available single-code-point fallback cost (full coverage — any
+  * character segments at `charCost` even when it is not an explicit
+  * entry). Built once per task (ships as a codegen reference object);
+  * the map is transient-lazy so only the piece Seq serializes with the
+  * plan — the BpeMergeTable discipline.
+  */
+final class UnigramPieceTable(
+    val pieces: Seq[(String, Long)], val charCost: Long) extends Serializable {
+  require(charCost > 0, s"charCost must be positive, got $charCost")
+
+  /** Longest explicit piece, in code points — bounds the DP fan-in. */
+  @transient lazy val maxPieceLen: Int =
+    pieces.foldLeft(1) { case (m, (p, _)) =>
+      math.max(m, p.codePointCount(0, p.length)) }
+
+  @transient private lazy val costs: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) =>
+      require(c > 0, s"piece cost must be positive: ($p, $c)")
+      val prev = m.get(p)
+      // duplicate entries keep the cheapest — deterministic
+      if (prev == null || c < prev.longValue()) m.put(p, c)
+    }
+    m
+  }
+
+  /** Cost of using `piece`, or Long.MaxValue/4 when unavailable. A
+    * single code point is always available at min(entry, charCost).
+    */
+  def cost(piece: String): Long = {
+    val e = costs.get(piece)
+    val explicit =
+      if (e == null) Long.MaxValue / 4 else e.longValue()
+    if (piece.codePointCount(0, piece.length) == 1) math.min(explicit, charCost)
+    else explicit
+  }
+}
+
+/** `UnigramSegment(text, pieces, charCost)` → array<string>: unigram-LM
+  * Viterbi segmentation under a fixed piece table; see
+  * [[Tokenizer.unigramSegment]].
+  */
+case class UnigramSegment(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    pieces: Seq[(String, Long)],
+    charCost: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram segmentation requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table = new UnigramPieceTable(pieces, charCost)
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenizer.unigramSegmentDoc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramPieceTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Tokenizer.unigramSegmentDoc($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): UnigramSegment =
     copy(child = newChild)
 }

@@ -3801,6 +3801,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "u7_unigram_encode" -> { (s, dir) =>
+      // Unigram-LM tokenizer APPLICATION at corpus scale — the serving
+      // half of the u6 trainer, u4's shape for the unigram model:
+      // Viterbi-segment every document under a FIXED piece table and
+      // report per-doc piece counts plus the pieces-per-word ratio
+      // (exact ppm). The table rides as a codegen reference object
+      // inside the Tokenizer.unigramSegment expression (O(vocab)
+      // driver state), so the corpus side is ONE map-only fused pass —
+      // no join, no shuffle, no per-word vocabulary exchange. Total by
+      // construction: any character segments at the fallback charCost,
+      // and words past the 12-char trainer contract fall back to
+      // char-per-piece (both rules replayed exactly by the oracle's
+      // 12-round unrolled relational DP at the distinct-word level).
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+          size(Tokenizer.unigramSegment(col("text"), UnigramPieces,
+            UnigramCharCost)).cast("long").as("n_pieces"))
+        .filter(col("n_words") > 0)
+        .withColumn("ppw_ppm", expr("(1000000 * n_pieces) div n_words"))
+        .orderBy(col("doc_id"))
+    },
+
     "u2_stupid_backoff" -> { (s, dir) =>
       // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
       // web-scale LM rule that skips discount normalization): per
@@ -3985,6 +4008,90 @@ object Pipeline {
   private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     ("s", "t"), ("a", "st"), ("f", "ast"),
     ("h", "a"), ("ha", "s"), ("has", "h"))
+
+  /** Fixed unigram-LM piece table for u7 (per-doc unigram encode) —
+    * the u4 fixed-model discipline applied to the unigram serving
+    * half: piece → per-use cost, every cost ≡ 1 (mod 1024) so the
+    * piece count of any min-cost path is `cost mod 1024` (counts are
+    * tie-invariant); [[UnigramCharCost]] is the always-available
+    * single-character fallback, priced above every explicit piece's
+    * per-character share so learned pieces win where they apply. ONE
+    * source of truth: the Spark expression's reference object and the
+    * oracle's VALUES list are both generated from this Seq.
+    */
+  private[graft] val UnigramPieces: Seq[(String, Long)] = Seq(
+    ("ta" -> 7169L), ("tab" -> 8193L), ("le" -> 7169L),
+    ("val" -> 8193L), ("ue" -> 7169L), ("er" -> 7169L),
+    ("in" -> 7169L), ("st" -> 7169L), ("or" -> 7169L),
+    ("ow" -> 7169L), ("ro" -> 7169L), ("at" -> 7169L),
+    ("ar" -> 7169L), ("an" -> 7169L), ("me" -> 7169L),
+    ("scan" -> 9217L), ("fast" -> 9217L), ("data" -> 9217L),
+    ("part" -> 9217L), ("join" -> 9217L), ("sort" -> 9217L),
+    ("line" -> 9217L), ("hash" -> 9217L), ("wind" -> 9217L),
+    ("row" -> 8193L), ("key" -> 8193L), ("agg" -> 8193L),
+    ("the" -> 8193L), ("a" -> 5121L))
+
+  /** u7's single-code-point fallback cost (6·1024 + 1). */
+  private[graft] val UnigramCharCost: Long = 6145L
+
+  /** u7 oracle fragment: [[Tokenizer.UnigramMaxWordLen]] unrolled
+    * min-plus rounds of the relational Viterbi (the u6 DP shape) over
+    * `wshort(w)` distinct words with edges from the fixed
+    * [[UnigramPieces]] VALUES list + the char fallback, ending in
+    * per-word piece counts `wl(w, n_pieces)` (long words contribute
+    * one piece per character — the documented fallback). The caller's
+    * CTE list must define `occ(..., w)`.
+    */
+  private def unigramServeCtes: String = {
+    val vals = UnigramPieces
+      .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
+      .mkString(", ")
+    val rounds = (1 to graft.operators.Tokenizer.UnigramMaxWordLen).map { r =>
+      val prev = s"u${r - 1}"
+      s"""u$r AS MATERIALIZED (
+        |  SELECT w, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT w, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT w, pos, cost, path FROM $prev
+        |      UNION ALL
+        |      SELECT $prev.w, e.k AS pos, $prev.cost + e.cost AS cost,
+        |        $prev.path || chr(31) || e.piece AS path
+        |      FROM $prev JOIN uedges e ON $prev.w = e.w AND $prev.pos = e.j) q
+        |    GROUP BY w, pos) g)""".stripMargin
+    }.mkString(",\n")
+    s"""upieces(piece, pcost) AS (VALUES $vals),
+      |wd AS (SELECT DISTINCT w FROM occ),
+      |wshort AS (SELECT w FROM wd WHERE length(w) <= 12),
+      |usp AS MATERIALIZED (
+      |  SELECT w, j, l, substring(w, CAST(j + 1 AS INTEGER),
+      |    CAST(l AS INTEGER)) AS piece
+      |  FROM (
+      |    SELECT w, j, unnest(generate_series(1, least(4, length(w) - j))) AS l
+      |    FROM (
+      |      SELECT w, unnest(generate_series(0, length(w) - 1)) AS j
+      |      FROM wshort) t0) t1),
+      |uedges AS MATERIALIZED (
+      |  SELECT s.w, s.j, s.j + s.l AS k, s.piece,
+      |    CASE WHEN s.l = 1
+      |      THEN least(coalesce(p.pcost, 9223372036854775807), 6145)
+      |      ELSE p.pcost END AS cost
+      |  FROM usp s LEFT JOIN upieces p ON s.piece = p.piece
+      |  WHERE s.l = 1 OR p.piece IS NOT NULL),
+      |u0 AS MATERIALIZED (
+      |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+      |    '' AS path
+      |  FROM wshort),
+      |$rounds,
+      |wl AS (
+      |  SELECT uN.w, CAST(len(list_filter(string_split(uN.path, chr(31)),
+      |    x -> len(x) > 0)) AS BIGINT) AS n_pieces
+      |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
+      |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
+      |  UNION ALL
+      |  SELECT w, CAST(length(w) AS BIGINT) AS n_pieces
+      |  FROM wd WHERE length(w) > 12)""".stripMargin
+  }
 
   /** Shared u4/u5 oracle fragment: the six list_reduce folds (one per
     * [[BpeMerges]] rule, learned order) over `occ`'s distinct words,
@@ -6780,6 +6887,23 @@ object Pipeline {
         |  GROUP BY o.doc_id)
         |SELECT doc_id, n_words, n_subwords,
         |  (1000000 * n_subwords) // n_words AS spw_ppm
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u7_unigram_encode" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |$unigramServeCtes,
+        |per_doc AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(wl.n_pieces) AS BIGINT) AS n_pieces
+        |  FROM occ o JOIN wl ON o.w = wl.w
+        |  GROUP BY o.doc_id)
+        |SELECT doc_id, n_words, n_pieces,
+        |  (1000000 * n_pieces) // n_words AS ppw_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
 
     "g10_hits" ->

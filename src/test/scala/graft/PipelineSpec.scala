@@ -1306,4 +1306,90 @@ class TokenizerSpec extends AnyFunSuite {
       "the trainer must be partitioning-independent")
     graft.operators.Dedup.unpersistAll()
   }
+
+  /** Driver replay of the u7 serving Viterbi: same edges (explicit
+    * pieces + always-available char fallback, single-char entries take
+    * the min), same (cost, path)-lexicographic tie-break, same long-word
+    * char fallback as [[Tokenizer.unigramSegmentWord]] — but O(n²)
+    * naive, recomputing pieces from scratch.
+    */
+  private def bruteViterbi(word: String, pieces: Map[String, Long],
+      charCost: Long): Seq[String] = {
+    val cps = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    if (cps.length > 12) return cps.toSeq
+    val maxL = (pieces.keys.map(p => p.codePointCount(0, p.length)) ++ Seq(1)).max
+    val INF = Long.MaxValue / 4
+    def pieceCost(p: String): Long = {
+      val e = pieces.getOrElse(p, INF)
+      if (p.codePointCount(0, p.length) == 1) math.min(e, charCost) else e
+    }
+    val best = Array.fill[(Long, String)](cps.length + 1)((INF, ""))
+    best(0) = (0L, "")
+    for {
+      i <- 0 until cps.length
+      if best(i)._1 < INF
+      l <- 1 to math.min(maxL, cps.length - i)
+    } {
+      val p = cps.slice(i, i + l).mkString
+      val c = pieceCost(p)
+      if (c < INF) {
+        val cand = (best(i)._1 + c, best(i)._2 + "" + p)
+        if (cand._1 < best(i + l)._1 ||
+            (cand._1 == best(i + l)._1 && cand._2 < best(i + l)._2))
+          best(i + l) = cand
+      }
+    }
+    best(cps.length)._2.split('').filter(_.nonEmpty).toSeq
+  }
+
+  test("unigram serving: expression equals the naive driver Viterbi; fallbacks exact") {
+    import spark.implicits._
+    val pieces = Seq(("ab", 7169L), ("bc", 7169L), ("abc", 8193L),
+      ("cd", 7169L), ("a", 5121L), ("xyzw", 9217L))
+    val charCost = 6145L
+    val pmap = pieces.toMap
+    val words = Seq("abcd", "aabc", "abcabc", "q", "xyzwxyzw",
+      "aaaa", "cdcd", "zzz", "abcdefghijklmn", "ab😀cd")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Tokenizer.unigramSegment(col("text"), pieces, charCost).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == bruteViterbi(w, pmap, charCost),
+        s"word $w")
+    }
+    // hand-pinned cases: tie-break and fallback semantics
+    //  - abcd: ab+cd (7169+7169=14338) beats abc+d (8193+6145) and a+bc+d
+    assert(got(0L) == Seq("ab", "cd"))
+    //  - the 14-char word falls back to one piece per character
+    assert(got(8L) == "abcdefghijklmn".map(_.toString))
+    //  - q is not an explicit piece: charCost fallback still covers it
+    assert(got(3L) == Seq("q"))
+    //  - the non-BMP emoji is ONE symbol at charCost, never a surrogate
+    assert(got(9L) == Seq("ab", "😀", "cd"))
+    //  - multi-word doc: segmentation concatenates per-word results
+    val multi = Seq((0L, "abcd  q\txyzwxyzw")).toDF("doc_id", "text")
+      .select(Tokenizer.unigramSegment(col("text"), pieces, charCost))
+      .head.getSeq[String](0)
+    assert(multi == Seq("ab", "cd", "q", "xyzw", "xyzw"))
+  }
+
+  test("unigram serving: count is cost mod 1024 (tie-invariant) on random words") {
+    val pieces = Pipeline.UnigramPieces
+    val pmap = pieces.toMap
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val segs = bruteViterbi(w, pmap, Pipeline.UnigramCharCost)
+      val cost = segs.map(p => {
+        val e = pmap.getOrElse(p, Long.MaxValue / 4)
+        if (p.length == 1) math.min(e, Pipeline.UnigramCharCost) else e
+      }).sum
+      assert(segs.nonEmpty && cost % 1024 == segs.length,
+        s"count-in-cost invariant broke for $w: $segs")
+    }
+  }
 }
