@@ -274,7 +274,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -578,6 +578,13 @@ class GraftEngine(val spark: SparkSession) {
     *    probe doc, how many base docs it near-duplicates at word
     *    Jaccard ≥ num/den → (doc_id, n_dups, first_dup, is_new); the
     *    base never self-joins.
+    *  - `graft_incremental_minhash(base, probe, num => 4, den => 5)` —
+    *    the same snapshot-probe contract in the SHINGLE domain over
+    *    (doc_id, text) relations: a MinHash band index is built from
+    *    the base (persist the base index via the Scala
+    *    `Dedup.minhashIndex` for repeated serving), the probe joins it
+    *    on (band, bucket), and the exact integer verify decides →
+    *    (doc_id, n_dups, first_dup, is_new).
     *
     * Lifecycle: the dedup/BPE operators persist tracked scratch frames
     * their plans reuse within one execution; a long-lived serving
@@ -598,6 +605,7 @@ class GraftEngine(val spark: SparkSession) {
     "radius" -> Set("tau"),
     "louvain" -> Set.empty,
     "incremental_dedup" -> Set("num", "den"),
+    "incremental_minhash" -> Set("num", "den"),
     "knn_label" -> Set("k"),
     "semantic_decon" -> Set("tau"),
     "asof" -> Set("key", "ord", "payload", "forward"))
@@ -616,6 +624,7 @@ class GraftEngine(val spark: SparkSession) {
     "radius" -> Seq("corpus", "queries"),
     "louvain" -> Seq("pairs"),
     "incremental_dedup" -> Seq("base", "probe"),
+    "incremental_minhash" -> Seq("base", "probe"),
     "knn_label" -> Seq("corpus", "queries"),
     "semantic_decon" -> Seq("corpus", "eval"),
     "asof" -> Seq("left", "right"))
@@ -753,6 +762,15 @@ class GraftEngine(val spark: SparkSession) {
           s"graft_incremental_dedup: threshold num/den must be <= 1, " +
             s"got $num/$den")
         graft.operators.Dedup.incrementalDedup(rel(0), rel(1),
+          num = num, den = den)
+      case "incremental_minhash" =>
+        val num = intOpt("num", 4)
+        val den = intOpt("den", 5)
+        require(num <= den,
+          s"graft_incremental_minhash: threshold num/den must be <= 1, " +
+            s"got $num/$den")
+        graft.operators.Dedup.incrementalMinhash(
+          graft.operators.Dedup.minhashIndex(rel(0)), rel(1),
           num = num, den = den)
       case "knn_label" =>
         val k = intOpt("k", 5)

@@ -419,6 +419,76 @@ object Dedup {
       Seq("band", "bucket"), maxBandBucket)
   }
 
+  /** Incremental MinHash-LSH dedup — the daily-crawl flow in the SHINGLE
+    * domain (the word-level twin is [[incrementalDedup]]): for each PROBE
+    * document, does it near-duplicate anything in the BASE corpus at
+    * shingle Jaccard ≥ `num/den`? The base side is a PREBUILT
+    * [[minhashIndex]] (one row per (band, bucket) per corpus doc, hashed
+    * shingle set riding along) — built once per base snapshot, persisted
+    * as a table, probed by any number of drops; the base corpus never
+    * self-joins and never reshuffles. The probe side computes signatures
+    * map-side, candidates come from ONE equi join on (band, bucket), and
+    * every emitted duplicate passed the EXACT integer Jaccard check
+    * (LSH only proposes): den·|A∩B| ≥ num·|A∪B| — the [[incrementalDedup]]
+    * rational-threshold discipline, no floats anywhere. Candidate pairs
+    * colliding in several bands are deduped BEFORE the intersection runs,
+    * so the O(|A|+|B|) verify happens once per pair.
+    *
+    * Returns one row per probe doc: `(doc_id, n_dups, first_dup (-1 when
+    * none), is_new)` — the [[incrementalDedup]] output contract.
+    * Probe docs with an empty shingle set are trivially new. Self-pairs
+    * (a probe id also present in the index) are excluded, the
+    * `nearDupPairsStream` convention.
+    *
+    * Scale posture: index build is the one O(base) job (skew capped at
+    * `maxBandBucket` build time); serving shuffles ∝ drop size + matched
+    * postings. Recall is the standard LSH band bet — the same
+    * (bands, rows) family the batch d3 gate pins corpus-wide.
+    */
+  def incrementalMinhash(index: DataFrame, probe: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"incrementalMinhash: threshold num/den must be a fraction in " +
+        s"(0, 1], got $num/$den")
+    val rows = numHashes / bands
+    val probeBands = probe
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("ps"))
+      .withColumn("pn", size(col("ps")))
+      .filter(col("pn") > 0)
+      .withColumn("sig", call_function("graft_minhash", col("ps"), lit(numHashes)))
+      .select(col("doc_id").as("pid"), col("ps"), col("pn"),
+        posexplode(bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+    val idx = index.select(col("doc_id").as("bid"), col("hs").as("bs"),
+      col("n").as("bn"), col("band"), col("bucket"))
+    val verified = probeBands.join(idx, Seq("band", "bucket"))
+      .filter(col("pid") =!= col("bid"))
+      // size-ratio prefilter (J ≤ min/max), integer-exact like the verify
+      .filter(lit(den) * least(col("bn"), col("pn")) >=
+        lit(num) * greatest(col("bn"), col("pn")))
+      // all rows of a (pid, bid) pair carry identical sets once band and
+      // bucket are projected away — collapse the multi-band collisions
+      // before paying the intersection
+      .select(col("pid"), col("bid"), col("ps"), col("pn"),
+        col("bs"), col("bn"))
+      .dropDuplicates(Seq("pid", "bid"))
+      .withColumn("inter",
+        call_function("graft_intersect_size", col("bs"), col("ps")).cast("long"))
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (col("bn").cast("long") + col("pn").cast("long") - col("inter")))
+      .select(col("pid"), col("bid"))
+    val dups = verified.groupBy(col("pid"))
+      .agg(count(lit(1)).as("nd"), min(col("bid")).as("fd"))
+    val roster = probe.select(col("doc_id"))
+    roster.join(dups, roster("doc_id") === dups("pid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).as("n_dups"),
+        coalesce(col("fd"), lit(-1L)).as("first_dup"),
+        col("pid").isNull.as("is_new"))
+  }
+
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
     */

@@ -408,8 +408,10 @@ object Graph {
     * vertex id), one map-combinable weight aggregate over coarse pairs,
     * one degree aggregate, one struct-min argmax, one self-join of the
     * (coarse-cardinality) best table — no vertex-cardinality broadcast
-    * anywhere (only the 1-row edge count), labels persisted per level
-    * so the iterative lineage never doubles (the d8 discipline).
+    * anywhere (only the 1-row edge count), labels lineage-truncated per
+    * level so the iterative plan never compounds (the d8 discipline),
+    * the level's coarse frames persisted and shared between the match
+    * round and the modularity report.
     */
   def louvainLevels(vertices: DataFrame, pairs: DataFrame,
       levels: Int): DataFrame =
@@ -430,35 +432,74 @@ object Graph {
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val und = p.union(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val degV = und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
-      .toDF("v", "deg")
+    // vertex degrees are level-invariant: aggregate ONCE and persist —
+    // every level's community-degree rollup re-reads this table instead
+    // of re-shuffling the edge list (5 degree scans → 1 at levels=2)
+    val degV = Dedup.persistPublic(
+      und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+        .toDF("v", "deg"))
     val m1 = p.agg(count(lit(1)).as("m"))
     var labels = vertices.select(col("doc_id"), col("doc_id").as("comm"))
-    var out = louvainLevelSummary(labels, p, degV, m1, 0)
+    // per label state, ONE labels⋈edges map + ONE coarse aggregate
+    // serves both consumers: the x≠y slice is the match round's
+    // cross-community weights, the x=y slice is the report's
+    // within-community edge count — without the shared frame the round
+    // and the summary each redo the two equi joins and the aggregate
+    var agg = Dedup.persistPublic(coarsePairWeights(labels, p))
+    var dC = Dedup.persistPublic(commDegrees(labels, degV))
+    var out = louvainLevelSummary(agg, dC, m1, 0)
     (1 to levels).foreach { l =>
-      labels = Dedup.persistPublic(
-        louvainMatchRound(labels, p, degV, m1))
-      out = out.union(louvainLevelSummary(labels, p, degV, m1, l))
+      // labels must TRUNCATE (d8/g9's per-round eager checkpoint), not
+      // just persist: the merge references the previous level ~13× (two
+      // label⋈edge maps, the degree rollup, the best-table self-join),
+      // so a persist-only chain grows the PLAN TREE 13× per level —
+      // renderable at level 1, OOM by level 3. Eager rounds make this a
+      // construction-runs-jobs operator like g9's fixpoint: it is kept
+      // out of the plan-rendering specs (its round unit is pinned
+      // instead), and a 100 TB run pays one bounded job per level.
+      labels = Dedup.truncatePublic(
+        louvainMergeFrom(labels, agg, dC, m1))
+      agg = Dedup.persistPublic(coarsePairWeights(labels, p))
+      dC = Dedup.persistPublic(commDegrees(labels, degV))
+      out = out.union(louvainLevelSummary(agg, dC, m1, l))
     }
     (labels.orderBy(col("doc_id")), out.orderBy(col("lvl")))
   }
 
-  /** One mutual-best matching round over the coarse graph induced by
-    * `labels`: returns the updated `(doc_id, comm)` map. Factored out
-    * so specs can pin the round in isolation.
+  /** Coarse pair weights under `labels`: `(x=min(ca,cb), y=max(ca,cb),
+    * w=edge count)` over the ORIGINAL edges mapped through the label
+    * pair of equi joins. Cross-community rows (x≠y) feed the matching,
+    * within-community rows (x=y) feed the modularity report.
     */
-  private[graft] def louvainMatchRound(labels: DataFrame, p: DataFrame,
-      degV: DataFrame, m1: DataFrame): DataFrame = {
-    val ce = p
-      .join(labels.toDF("doc_a", "ca"), Seq("doc_a"))
+  private def coarsePairWeights(labels: DataFrame, p: DataFrame): DataFrame =
+    p.join(labels.toDF("doc_a", "ca"), Seq("doc_a"))
       .join(labels.toDF("doc_b", "cb"), Seq("doc_b"))
-      .filter(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("x"),
         greatest(col("ca"), col("cb")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-    val dC = labels.join(degV, labels("doc_id") === degV("v"), "left")
+
+  /** Community degree sums under `labels` from the persisted vertex
+    * degree table (left join keeps edge-less vertices as d=0 singleton
+    * communities — they count in n_comms).
+    */
+  private def commDegrees(labels: DataFrame, degV: DataFrame): DataFrame =
+    labels.join(degV, labels("doc_id") === degV("v"), "left")
       .groupBy(col("comm"))
       .agg(sum(coalesce(col("deg"), lit(0L))).as("d"))
+
+  /** One mutual-best matching round over the coarse graph induced by
+    * `labels`: returns the updated `(doc_id, comm)` map. Kept as the
+    * spec-facing single-round surface; [[louvainRun]] goes through
+    * [[louvainMergeFrom]] with the level's shared frames instead.
+    */
+  private[graft] def louvainMatchRound(labels: DataFrame, p: DataFrame,
+      degV: DataFrame, m1: DataFrame): DataFrame =
+    louvainMergeFrom(labels, coarsePairWeights(labels, p),
+      commDegrees(labels, degV), m1)
+
+  private def louvainMergeFrom(labels: DataFrame, agg: DataFrame,
+      dC: DataFrame, m1: DataFrame): DataFrame = {
+    val ce = agg.filter(col("x") =!= col("y"))
     val dir = ce.select(col("x").as("a"), col("y").as("b"), col("w"))
       .union(ce.select(col("y").as("a"), col("x").as("b"), col("w")))
     val sc = dir
@@ -481,24 +522,18 @@ object Graph {
         coalesce(col("newc"), col("comm")).as("comm"))
   }
 
-  /** g7's per-community modularity terms grouped by the level's labels,
-    * rolled up to one exact row: `(lvl, n_comms, l_in, q_ppm)` with
-    * q_ppm = Σ_c [(1e6·L_c) div m − (1e6·D_c²) div 4m²] — integer
+  /** g7's per-community modularity terms from the level's shared coarse
+    * frames, rolled up to one exact row: `(lvl, n_comms, l_in, q_ppm)`
+    * with q_ppm = Σ_c [(1e6·L_c) div m − (1e6·D_c²) div 4m²] — integer
     * division per community, then summed, so a SQL oracle replays the
     * identical rounding.
     */
-  private def louvainLevelSummary(labels: DataFrame, p: DataFrame,
-      degV: DataFrame, m1: DataFrame, level: Int): DataFrame = {
-    val dC = labels.join(degV, labels("doc_id") === degV("v"), "left")
-      .groupBy(col("comm"))
-      .agg(sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
-    val lIn = p
-      .join(labels.toDF("doc_a", "ca"), Seq("doc_a"))
-      .join(labels.toDF("doc_b", "cb"), Seq("doc_b"))
-      .filter(col("ca") === col("cb"))
-      .groupBy(col("ca")).agg(count(lit(1)).as("l_in"))
-      .toDF("comm", "l_in")
-    dC.join(lIn, Seq("comm"), "left").crossJoin(broadcast(m1))
+  private def louvainLevelSummary(agg: DataFrame, dC: DataFrame,
+      m1: DataFrame, level: Int): DataFrame = {
+    val lIn = agg.filter(col("x") === col("y"))
+      .select(col("x").as("comm"), col("w").as("l_in"))
+    dC.toDF("comm", "d_sum").join(lIn, Seq("comm"), "left")
+      .crossJoin(broadcast(m1))
       .select(coalesce(col("l_in"), lit(0L)).as("l_in"),
         col("d_sum"), col("m"))
       .select(col("l_in"),

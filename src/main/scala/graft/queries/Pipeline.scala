@@ -339,6 +339,20 @@ object Pipeline {
   private def tfidfPairsShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "tfidf_pairs")(tfidfPairs(s, dir))
 
+  /** The BASE-snapshot MinHash band index (docs outside the x4/t20/v8
+    * drop convention doc_id % 4 == 0) — deterministic per sf dir
+    * (xxhash64 shingles/minhash, whole-bucket skew cap), so it earns the
+    * materialized-index treatment: built once per base snapshot, read by
+    * the d19 batch drop probe and by `EventsStream.nearDupPairsStream`'s
+    * continuous twin alike.
+    */
+  private def minhashIndexShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "mh_index") {
+      Dedup.minhashIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        shingleLen = 3, numHashes = 32, bands = 8, maxBandBucket = 10000)
+    }
+
   /** Connected near-dup components over the exact ngram-Jaccard pair set —
     * the shared engine behind d8 (the raw component map) and d12 (the
     * keep-best canonicalization on top of it). One row per document with
@@ -399,6 +413,7 @@ object Pipeline {
       timed("pq_model") { fittedPq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
       timed("cells_a9") { fittedA9CellsPath(s, dir) },
+      timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("cc_components") { ccComponentsShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
@@ -3412,6 +3427,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d19_incremental_minhash" -> { (s, dir) =>
+      // incremental MinHash-LSH dedup — d17's daily-crawl flow in the
+      // SHINGLE domain: does each INCOMING doc (the drop, doc_id % 4 == 0)
+      // near-duplicate anything in the BASE corpus at 3-shingle Jaccard
+      // >= 4/5? The base side is the PERSISTED mh_index band index (one
+      // O(base) build per snapshot, shared with the streaming twin
+      // nearDupPairsStream); the drop probes it with one (band, bucket)
+      // equi join and an integer-exact verify — completing the
+      // incremental-maintenance triad: d17 exact-word, a9 embedding-IVF,
+      // d19 minhash-shingle.
+      val d = Tables.load(s, dir, "documents")
+      Dedup.incrementalMinhash(
+          minhashIndexShared(s, dir), d.filter(col("doc_id") % 4 === 0),
+          shingleLen = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        .orderBy(col("doc_id"))
+    },
+
     "d16_winnow_pairs" -> { (s, dir) =>
       // near-dup candidates from shared winnowing fingerprints — d15's
       // serving query: postings df-capped at 20 (boilerplate
@@ -6399,6 +6431,34 @@ object Pipeline {
         |    AND 5 * len(list_intersect(b.toks, dr.toks)) >=
         |        4 * (len(b.toks) + len(dr.toks)
         |             - len(list_intersect(b.toks, dr.toks)))
+        |  GROUP BY dr.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(dups.n_dups, 0) AS n_dups,
+        |  coalesce(dups.first_dup, -1) AS first_dup,
+        |  dups.did IS NULL AS is_new
+        |FROM documents d LEFT JOIN dups ON d.doc_id = dups.did
+        |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    "d19_incremental_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list(array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM idx GROUP BY doc_id),
+        |b AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+        |dr AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+        |dups AS (
+        |  SELECT dr.doc_id AS did, CAST(count(*) AS BIGINT) AS n_dups,
+        |    CAST(min(b.doc_id) AS BIGINT) AS first_dup
+        |  FROM dr JOIN b ON
+        |    5 * len(list_intersect(b.s, dr.s)) >=
+        |    4 * (len(b.s) + len(dr.s) - len(list_intersect(b.s, dr.s)))
         |  GROUP BY dr.doc_id)
         |SELECT d.doc_id,
         |  coalesce(dups.n_dups, 0) AS n_dups,

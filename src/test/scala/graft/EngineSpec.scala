@@ -610,6 +610,35 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("num/den"))
   }
 
+  test("graft_incremental_minhash TVF: shingle-domain drop probe via SQL") {
+    engine.run("create table mh_base_t(doc_id bigint, text varchar)")
+    engine.run("insert into mh_base_t values " +
+      "(1, 'the quick brown fox jumps over the lazy dog near the old stone bridge'), " +
+      "(2, 'totally different content about databases and indexes and planners')")
+    engine.run("create table mh_probe_t(doc_id bigint, text varchar)")
+    engine.run("insert into mh_probe_t values " +
+      "(10, 'the quick brown fox jumps over the lazy dog near the old stone bridge'), " + // exact dup of 1
+      "(11, 'unrelated brand new words entirely written here today'), " +                  // fresh
+      "(12, 'so')")                                                                        // < 3 tokens
+    val got = engine.run(
+      "select doc_id, n_dups, first_dup, is_new from " +
+        "graft_incremental_minhash(mh_base_t, mh_probe_t) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((10L, 1L, 1L, false), (11L, 0L, -1L, true),
+      (12L, 0L, -1L, true)), got.mkString(", "))
+    // SQL ≡ the Scala operator surface on the same inputs
+    val direct = graft.operators.Dedup.incrementalMinhash(
+        graft.operators.Dedup.minhashIndex(engine.table("mh_base_t")),
+        engine.table("mh_probe_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == direct.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_incremental_minhash(mh_base_t, mh_probe_t, num => 6, den => 5)")
+    }
+    assert(e.getMessage.contains("num/den"))
+  }
+
   test("graft_knn_label TVF: weak labels equal the Scala operator") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val got = engine.run(

@@ -134,9 +134,13 @@ class GoldenPlanSpec extends AnyFunSuite {
   // — guarded by targeted PlanQualitySpec asserts instead.
   // g11_louvain_move is NOT whole-plan-pinned: it scans the shared
   // tfidf_pairs index (the g7 situation) — targeted asserts instead.
+  // d19_incremental_minhash is NOT whole-plan-pinned: it scans the
+  // materialized mh_index (the g7 shared-index situation) — targeted
+  // PlanQualitySpec asserts instead.
   // g13_louvain_levels is NOT whole-plan-pinned: same shared pair index
-  // plus per-level persistPublic labels (the d8 cache-manager
-  // situation) — targeted PlanQualitySpec asserts instead.
+  // plus per-level eager checkpoint rounds at construction (LogicalRDDs
+  // with unstable ids, the g9 situation) — its round unit is pinned by
+  // targeted PlanQualitySpec asserts instead.
   // g10_hits is NOT whole-plan-pinned: it scans the shared pair index
   // (the g7 cache-state situation) — guarded by the targeted
   // PlanQualitySpec assert instead.

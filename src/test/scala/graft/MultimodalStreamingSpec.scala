@@ -927,6 +927,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("incremental minhash batch flags match the streaming probe's pair support") {
+    import graft.operators.Dedup
+    // d19's batch drop and nearDupPairsStream's continuous probe serve
+    // the SAME persisted base band index; the streamed (doc_id,
+    // corpus_id) pair set, distinct'd and aggregated per probe doc, must
+    // equal the batch (n_dups, first_dup) flags. This also pins the
+    // threshold-form agreement: the stream verifies inter/uni >= 0.8 in
+    // doubles, the batch verifies 5·inter >= 4·uni in integers — at any
+    // |A∪B| below ~1e10 the two predicates decide identically.
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val probe = d.filter(col("doc_id") % 4 === 0)
+    val idx = Dedup.minhashIndex(base).persist()
+    try {
+      val stream = EventsStream.readDocuments(spark, sf)
+        .filter(col("doc_id") % 4 === 0)
+      val pairs = EventsStream.runToMemory(
+        EventsStream.nearDupPairsStream(stream, idx, threshold = 0.8),
+        "inc_minhash_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("doc_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs.groupBy(_._1).map { case (did, ps) =>
+        (did, ps.size.toLong, ps.map(_._2).min) }.toSet
+      val want = Dedup.incrementalMinhash(idx, probe, num = 4, den = 5)
+        .filter(col("n_dups") > 0)
+        .select(col("doc_id"), col("n_dups"), col("first_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"stream=${got.size} docs, batch=${want.size}")
+      assert(want.nonEmpty,
+        "sf0.001 corpus should plant base-vs-drop shingle near-dups")
+    } finally idx.unpersist()
+  }
+
   test("streaming incremental dedup vs static base index matches the batch flags") {
     import graft.operators.Dedup
     // the d17 snapshot convention: doc_id % 4 == 0 is the arriving drop,

@@ -260,6 +260,42 @@ class DedupSpec extends AnyFunSuite {
     assert(rep(3L) == 3L, "unrelated doc must survive")
   }
 
+  test("incremental minhash: drop probes the base index at a rational threshold") {
+    // base text: 28 tokens → 26 distinct 3-shingles; the near-dup swaps
+    // one word, touching exactly 2 shingles → J = 24/28 ≈ 0.857
+    val baseText = "the quick brown fox jumps over the lazy dog while rain falls on the green hills and birds sing in the tall trees near the old stone bridge"
+    val other = "completely unrelated text about databases indexes transactions and query optimizers running on distributed clusters with fault tolerance"
+    val base = Seq((0L, baseText), (3L, other)).toDF("doc_id", "text")
+    val probe = Seq(
+      (4L, baseText), // exact dup of 0
+      (5L, baseText.replace("old stone bridge", "old wooden bridge")),
+      (6L, "tiny doc"), // < 3 tokens: empty shingle set, trivially new
+      (7L, "fresh document with entirely new words nobody wrote before today"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(base)
+    def flags(num: Int, den: Int) =
+      Dedup.incrementalMinhash(idx, probe, num = num, den = den)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+    val at45 = flags(4, 5) // 24/28 >= 4/5: the near-dup IS a dup
+    assert(at45(4L) == ((1L, 0L, false)), s"exact dup: ${at45(4L)}")
+    assert(at45(5L) == ((1L, 0L, false)), s"near-dup at 4/5: ${at45(5L)}")
+    assert(at45(6L) == ((0L, -1L, true)), s"short probe: ${at45(6L)}")
+    assert(at45(7L) == ((0L, -1L, true)), s"fresh probe: ${at45(7L)}")
+    val at910 = flags(9, 10) // 24/28 < 9/10: only the exact dup survives
+    assert(at910(5L) == ((0L, -1L, true)), s"near-dup at 9/10: ${at910(5L)}")
+    assert(at910(4L) == ((1L, 0L, false)))
+    // partition invariance: banding, probing, and the rollup are
+    // partitioning-independent
+    val many = Dedup.incrementalMinhash(
+        Dedup.minhashIndex(base.repartition(5)), probe.repartition(7))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(many == at45)
+  }
+
   test("simhash finds planted near-dup, spares unrelated") {
     val rep = Dedup.simhash(docs, maxHamming = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
