@@ -130,7 +130,13 @@ object Bench {
     }
     val probes = scala.collection.mutable.ArrayBuffer(probeSec())
 
+    // optional comma-separated subset (the SPARK_GRAFT_VERIFY_QUERIES
+    // convention) — for timing one operator while iterating; the driver
+    // never sets it, so artifact runs always cover everything
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == names.length / 2) probes += probeSec()
       val sec = run(name, fn)

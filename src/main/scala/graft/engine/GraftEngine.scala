@@ -274,7 +274,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -573,6 +573,13 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_louvain(pairs)` — one Louvain-style greedy merge round
     *    over a (doc_a, doc_b) pair relation; vertices are the pairs'
     *    distinct endpoints → (doc_id, comm, gain_num).
+    *  - `graft_louvain_levels(pairs, levels => 2)` — FULL multi-level
+    *    Louvain over a (doc_a, doc_b) pair relation: per-level mutual
+    *    best-pair coarsening with the exact integer ΔQ score →
+    *    (lvl, n_comms, l_in, q_ppm), one row per level including the
+    *    all-singletons level 0. Runs its per-level checkpoint rounds
+    *    when executed (the g9 fixpoint posture); levels is capped at 4
+    *    by the operator.
     *  - `graft_incremental_dedup(base, probe, num => 4, den => 5)` —
     *    snapshot-probe dedup over (doc_id, text, lang) relations: per
     *    probe doc, how many base docs it near-duplicates at word
@@ -604,6 +611,7 @@ class GraftEngine(val spark: SparkSession) {
     "bpe_merges" -> Set("rounds"),
     "radius" -> Set("tau"),
     "louvain" -> Set.empty,
+    "louvain_levels" -> Set("levels"),
     "incremental_dedup" -> Set("num", "den"),
     "incremental_minhash" -> Set("num", "den"),
     "knn_label" -> Set("k"),
@@ -623,6 +631,7 @@ class GraftEngine(val spark: SparkSession) {
     "bpe_merges" -> Seq("docs"),
     "radius" -> Seq("corpus", "queries"),
     "louvain" -> Seq("pairs"),
+    "louvain_levels" -> Seq("pairs"),
     "incremental_dedup" -> Seq("base", "probe"),
     "incremental_minhash" -> Seq("base", "probe"),
     "knn_label" -> Seq("corpus", "queries"),
@@ -752,6 +761,13 @@ class GraftEngine(val spark: SparkSession) {
       case "louvain" =>
         val pairs = rel(0)
         graft.operators.Graph.louvainMove(endpointVerts(pairs), pairs)
+      case "louvain_levels" =>
+        // Graph.louvainLevels caps levels at 4 (each level is an eager
+        // checkpoint round); the TVF only floors it
+        val levels = intOpt("levels", 2)
+        val pairs = rel(0)
+        graft.operators.Graph.louvainLevels(endpointVerts(pairs), pairs,
+          levels = levels)
       case "incremental_dedup" =>
         // the rational-threshold contract (num/den, default 4/5) keeps
         // the PPJoin prefix bound integer-exact — see

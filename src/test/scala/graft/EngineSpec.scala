@@ -581,6 +581,35 @@ class EngineSpec extends AnyFunSuite {
     assert(got(4)._2 == 5L && got(5)._2 == 4L)
   }
 
+  test("graft_louvain_levels TVF: per-level report equals the Scala operator") {
+    engine.run("create table lvl_edges_t(doc_a bigint, doc_b bigint)")
+    // two triangles + a bridge (the graft_louvain fixture)
+    engine.run("insert into lvl_edges_t values (0, 1), (0, 2), (1, 2), " +
+      "(3, 4), (3, 5), (4, 5), (2, 3)")
+    val got = engine.run(
+      "select lvl, n_comms, l_in, q_ppm from " +
+        "graft_louvain_levels(lvl_edges_t, levels => 2) order by lvl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3 && got(0)._1 == 0L && got(0)._2 == 6L
+      && got(0)._3 == 0L, got.mkString(", "))
+    // Q is non-decreasing per level (disjoint positive merges)
+    assert(got.map(_._4).sliding(2).forall(w => w(1) >= w(0)))
+    val direct = {
+      val pairs = engine.table("lvl_edges_t")
+      val verts = pairs.select(org.apache.spark.sql.functions.col("doc_a").as("doc_id"))
+        .union(pairs.select(org.apache.spark.sql.functions.col("doc_b").as("doc_id")))
+        .distinct()
+      graft.operators.Graph.louvainLevels(verts, pairs, levels = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    assert(got.toSeq == direct.toSeq)
+    graft.operators.Dedup.unpersistAll()
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_louvain_levels(lvl_edges_t, levels => 9)")
+    }
+    assert(e.getMessage.contains("capped at 4 levels"))
+  }
+
   test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
     engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
     engine.run("insert into inc_base_t values " +
