@@ -3305,6 +3305,33 @@ object Pipeline {
         .orderBy(col("s1"), col("s2"))
     },
 
+    "x19_syndication_matrix" -> { (s, dir) =>
+      // cross-source NEAR-DUPLICATION matrix — syndication/mirror
+      // detection, the document-level sibling of x9's vocabulary
+      // overlap: which ingest feeds carry (near-)verbatim copies of
+      // each other's documents? The verified d3 minhash pair set (every
+      // pair passed the EXACT 3-shingle Jaccard >= 0.8 check; LSH only
+      // proposes) is distinct'd at the boundary (the d3p per-band
+      // contract) and rolled up by the endpoints' unordered source
+      // pair. Within-source pairs stay in the matrix (source_a =
+      // source_b rows) — internal duplication is a governance signal
+      // too. Output is O(sources²); the pair machinery is the shared
+      // band-bucket pipeline whose skew caps and plan shape d3 pins.
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(d,
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .distinct()
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("i", "src_i"), Seq("i"))
+        .join(src.toDF("j", "src_j"), Seq("j"))
+        .select(least(col("src_i"), col("src_j")).as("source_a"),
+          greatest(col("src_i"), col("src_j")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     "s8_temperature_mix" -> { (s, dir) =>
       // temperature-scaled source mixture allocation — the multilingual
       // sampling rule of mT5/XLM-R (p_i ∝ n_i^(1/τ)) at τ = 2, where
@@ -6319,6 +6346,27 @@ object Pipeline {
         |LEFT JOIN a3 ON d.doc_id = a3.v
         |LEFT JOIN d3 ON d.doc_id = d3.v
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x19_syndication_matrix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tok WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    list_distinct(list(array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM idx GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "x9_source_overlap" ->
       """WITH st AS (

@@ -1013,6 +1013,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe text must be hashed map-side, never shuffled:\n${exchanged.mkString("\n")}")
   }
 
+  test("x19_syndication_matrix: band-join pairs, equi source maps, no cartesian") {
+    val p = plan("x19_syndication_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows are capBuckets' per-(band,bucket) skew caps —
+    // both sides of the banded self-join, never a global frame
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("band")),
+      s"only the band-bucket cap windows are allowed:\n$p")
+    // the rollup and the pair distinct must combine map-side
+    assert(p.contains("partial_count"),
+      s"the source-pair rollup must map-combine:\n$p")
+    // candidates come from the banded equi self-join (band, bucket keys
+    // in an exchange), never an all-pairs stage
+    assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning(") && l.contains("band")),
+      s"pair candidates must come from the band-bucket exchange:\n$p")
+  }
+
   test("e14_rolling_window: range-frame window partitioned by user") {
     val p = plan("e14_rolling_window")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
