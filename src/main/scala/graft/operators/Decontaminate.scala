@@ -208,8 +208,7 @@ object Decontaminate {
         posexplode(Dedup.bandBuckets(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
       .join(idx, Seq("band", "bucket"))
-      .filter(least(col("n"), col("e_n")).cast("double") >=
-        lit(threshold) * greatest(col("n"), col("e_n")).cast("double"))
+      .filter(Dedup.sizeRatioAtLeast(col("n"), col("e_n"), threshold))
       .withColumn("inter",
         call_function("graft_intersect_size", col("hs"), col("e_hs")).cast("double"))
       .withColumn("uni",

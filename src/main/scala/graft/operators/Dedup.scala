@@ -60,6 +60,18 @@ object Dedup {
     */
   private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Exact size-ratio necessary condition `min(a,b)/max(a,b) >= t`:
+    * the double form `least >= lit(t) * greatest` overshoots whenever
+    * t·max is an exact integer (double(0.8)·5 = 4.000000000000000222
+    * rejects a verify-passing J = 4/5 pair that the quadratic oracle
+    * emits). Routing t through its shortest-decimal rendering
+    * (BigDecimal.valueOf) and multiplying in DECIMAL keeps the prefilter
+    * a true superset of the verify for any realistic set size.
+    */
+  private[graft] def sizeRatioAtLeast(a: Column, b: Column,
+      t: Double): Column =
+    least(a, b) >= lit(java.math.BigDecimal.valueOf(t)) * greatest(a, b)
+
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     cachedFrames.add(p)
@@ -377,8 +389,7 @@ object Dedup {
     val verified = candidates
       .join(sets.toDF("i", "si", "ni"), Seq("i"))
       .join(sets.toDF("j", "sj", "nj"), Seq("j"))
-      .filter(least(col("ni"), col("nj")).cast("double") >=
-        lit(threshold) * greatest(col("ni"), col("nj")).cast("double"))
+      .filter(sizeRatioAtLeast(col("ni"), col("nj"), threshold))
       .withColumn("inter",
         call_function("graft_intersect_size", col("si"), col("sj")).cast("double"))
       .withColumn("uni", col("ni").cast("double") + col("nj").cast("double") - col("inter"))
@@ -704,9 +715,17 @@ object Dedup {
         struct(blockCols: _*).as("block"),
         call_function("graft_shingle_hashes", col("text"), lit(n)).as("toks"))
       .withColumn("sz", size(col("toks")))
-      // prefix length |A| − ⌈t·|A|⌉ + 1 (≥ the minimal safe length)
+      // prefix length |A| − ⌈t·|A|⌉ + 1 (≥ the minimal safe length).
+      // The ceiling is taken over an EXACT DECIMAL product: in doubles,
+      // t·sz overshoots whenever t·sz is an exact integer (0.95·20 =
+      // 19.000000000000004 → ceil 20), silently shortening the prefix
+      // BELOW the safe bound — and the quadratic oracle would then
+      // catch the one missed boundary pair as a gate failure. The
+      // shortest-decimal rendering of the double (BigDecimal.valueOf)
+      // recovers the caller's intended rational exactly.
       .withColumn("plen",
-        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+        col("sz") - ceil(lit(java.math.BigDecimal.valueOf(threshold))
+          * col("sz")).cast("int") + 1)
       .transform(persistTracked)
 
     // The global element order for prefixes is (document frequency, hash)
@@ -740,16 +759,14 @@ object Dedup {
     val candidates = l.join(r,
         col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
           col("l.doc_id") < col("r.doc_id") &&
-          least(col("l.sz"), col("r.sz")).cast("double") >=
-            lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double"))
+          sizeRatioAtLeast(col("l.sz"), col("r.sz"), threshold))
       .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
 
     val sets = toks.select(col("doc_id"), col("toks"), col("sz"))
     val pairs = candidates
       .join(sets.toDF("i", "ti", "ni"), Seq("i"))
       .join(sets.toDF("j", "tj", "nj"), Seq("j"))
-      .filter(least(col("ni"), col("nj")).cast("double") >=
-        lit(threshold) * greatest(col("ni"), col("nj")).cast("double"))
+      .filter(sizeRatioAtLeast(col("ni"), col("nj"), threshold))
       .withColumn("inter",
         call_function("graft_intersect_size", col("ti"), col("tj")).cast("double"))
       .withColumn("uni",
@@ -799,8 +816,10 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
     val prefixes = toks
       .select(col("doc_id"), col("block"), col("sz"),
-        (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-          .as("plen"),
+        // exact-decimal ceiling — see ngramJaccardPairs' plen note (the
+        // double form under-lengthens the prefix at t·sz boundaries)
+        (col("sz") - ceil(lit(java.math.BigDecimal.valueOf(threshold))
+          * col("sz")).cast("int") + 1).as("plen"),
         explode(col("toks")).as("p"))
       .join(dfTab, Seq("p"))
       .withColumn("rk", row_number().over(w))

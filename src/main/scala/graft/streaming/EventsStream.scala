@@ -231,9 +231,10 @@ object EventsStream {
     arriving.join(idx, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("corpus_id"))
       // size-ratio prefilter, then exact |A∩B| / |A∪B| — the identical
-      // predicate the batch minhashLshPairs verifies
-      .filter(least(col("s_n"), col("c_n")).cast("double") >=
-        lit(threshold) * greatest(col("s_n"), col("c_n")).cast("double"))
+      // predicates the batch minhashLshPairs verifies (incl. the exact
+      // decimal ratio — see Dedup.sizeRatioAtLeast)
+      .filter(graft.operators.Dedup.sizeRatioAtLeast(
+        col("s_n"), col("c_n"), threshold))
       .withColumn("inter",
         call_function("graft_intersect_size", col("s_hs"), col("c_hs")).cast("double"))
       .withColumn("uni",

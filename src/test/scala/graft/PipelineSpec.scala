@@ -303,6 +303,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rep(3L) == 3L)
   }
 
+  test("ngram jaccard: the exact-boundary J = 4/5 pair is found at t = 0.8") {
+    // A = {a,b,c,d}, B = {a,b,c,d,e}: J = 4/5 exactly, and the verify
+    // passes (4.0/5.0 and the 0.8 literal round to the SAME double).
+    // This pins two prior double-arithmetic hazards at once: the prefix
+    // bound (double ceil(0.8·5) = 5 shortened B's prefix to 1 — its only
+    // token was the unique 'e', so the pair had no shared prefix token)
+    // and the size-ratio prefilter (double 0.8·5 = 4.000000000000000222
+    // rejected least = 4). Both now run in exact decimal; the quadratic
+    // oracle emits this pair, so missing it is a gate failure.
+    val corpus = Seq(
+      (30L, "a b c d", "en"),
+      (31L, "a b c d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rep = Dedup.ngramJaccard(corpus, n = 1, threshold = 0.8,
+        blockCols = Seq(col("lang")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(30L -> 30L, 31L -> 30L), rep.toString)
+  }
+
   test("ngram jaccard merges near-dup at loose threshold") {
     val rep = Dedup.ngramJaccard(docs, n = 2, threshold = 0.8, blockCols = Seq(col("lang")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
