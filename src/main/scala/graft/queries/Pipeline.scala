@@ -2721,31 +2721,24 @@ object Pipeline {
       // d·(d+1)/2 rows per partition, nothing else, at any corpus size.
       // All sums are decimal-routed (the d7 discipline) so every double is
       // bit-identical across engines and partitionings.
-      // cost shape: the pair aggregation is the O(n·d²) hot loop, so it
-      // carries exactly ONE decimal conversion per product; the per-dim
-      // sums Σvi depend on a single dimension and come from a separate
-      // O(n·d) aggregate, broadcast-joined onto the 2080 pair rows — the
-      // same values bit-for-bit at a third of the decimal work, measured
-      // ~2× faster than folding all three sums into the pair pass
+      // cost shape: ONE fused pass — the codegen-era composable form
+      // (double posexplode → filter → 2080-group hash aggregate)
+      // materialized d² rows per vector before aggregating (4e12 rows
+      // at 1e9 vectors); graft_gram_moments walks each vector once,
+      // updating a primitive upper-triangle accumulator in place, and
+      // only the O(d²) state crosses the shuffle. Every term replicates
+      // cast(x as decimal(28,12)) bit-for-bit (shortest-decimal HALF_UP
+      // at scale 12, exact unscaled sums with a BigInteger overflow
+      // lane), so the output is byte-identical to the explode/groupBy
+      // decimal form on any partitioning — spec-pinned both ways.
       val e = Tables.load(s, dir, "embeddings")
-      val x = e.select(col("embedding"),
-        posexplode(col("embedding")).as(Seq("i", "vf")))
-      val pairs = x
-        .select(col("i"), col("vf").cast("double").as("vi"),
-          posexplode(col("embedding")).as(Seq("j", "wf")))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum((col("vi") * col("wf").cast("double")).cast("decimal(28,12)"))
-            .cast("double").as("sxy"))
-      val dims = x.groupBy(col("i"))
-        .agg(sum(col("vf").cast("double").cast("decimal(28,12)"))
-          .cast("double").as("s"))
-      pairs
-        .join(broadcast(dims.toDF("i", "sx")), Seq("i"))
-        .join(broadcast(dims.toDF("j", "sy")), Seq("j"))
-        .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"))
+      e.agg(call_function("graft_gram_moments",
+          col("embedding"), lit(64)).as("g"))
+        .select(explode(col("g")).as("r"))
+        .select(col("r.i").as("i"), col("r.j").as("j"), col("r.n").as("n"),
+          col("r.sxy").cast("double").as("sxy"),
+          col("r.sx").cast("double").as("sx"),
+          col("r.sy").cast("double").as("sy"))
         .orderBy(col("i"), col("j"))
     },
 

@@ -479,3 +479,88 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
   }
 }
+
+class GramMomentsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions.{explode, posexplode, count, sum}
+  import org.apache.spark.sql.DataFrame
+
+  private def fused(e: DataFrame, dim: Int) =
+    e.agg(call_function("graft_gram_moments", col("embedding"), lit(dim)).as("g"))
+      .select(explode(col("g")).as("r"))
+      .select(col("r.i"), col("r.j"), col("r.n"),
+        col("r.sxy").cast("double").as("sxy"),
+        col("r.sx").cast("double").as("sx"),
+        col("r.sy").cast("double").as("sy"))
+      .orderBy(col("i"), col("j"))
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+
+  /** The composable decimal-routed form the aggregate replaces — the
+    * bit-for-bit ground truth.
+    */
+  private def composable(e: DataFrame, dim: Int) = {
+    val x = e.select(col("embedding"),
+      posexplode(col("embedding")).as(Seq("i", "vf")))
+    val pairs = x
+      .select(col("i"), col("vf").cast("double").as("vi"),
+        posexplode(col("embedding")).as(Seq("j", "wf")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("vi") * col("wf").cast("double")).cast("decimal(28,12)"))
+          .cast("double").as("sxy"))
+    val dims = x.groupBy(col("i"))
+      .agg(sum(col("vf").cast("double").cast("decimal(28,12)"))
+        .cast("double").as("s"))
+    pairs
+      .join(dims.toDF("i", "sx"), Seq("i"))
+      .join(dims.toDF("j", "sy"), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"))
+      .orderBy(col("i"), col("j"))
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+  }
+
+  test("fused gram moments equal the decimal explode/groupBy form on real data") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(fused(e, 64) == composable(e, 64))
+  }
+
+  test("partition-invariant (merge path exercised)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(fused(e.repartition(13), 64) == fused(e.repartition(1), 64))
+  }
+
+  test("long-lane overflow folds into the BigInteger lane exactly") {
+    // values of 1e3 make each product's scale-12 unscaled term 1e18:
+    // two rows already wrap a signed long, so the sum is only right if
+    // the overflow lane engages — and it must still match the decimal
+    // groupBy ground truth bit-for-bit
+    val e = (0 until 40).map(_ => Tuple1(Array(1e3f, -1e3f)))
+      .toDF("embedding")
+    assert(fused(e, 2) == composable(e, 2))
+  }
+
+  test("null, wrong-length, and null-element rows are skipped whole") {
+    val rows = Seq(
+      Row(Seq(1.0f, 2.0f)),
+      Row(null),
+      Row(Seq(1.0f)),
+      Row(Seq(3.0f, null)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = fused(e, 2)
+    assert(got.forall(_._3 == 1L), s"only the clean row counts: $got")
+    assert(got.map(t => (t._1, t._2, t._4)) ==
+      Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)))
+  }
+}
