@@ -564,3 +564,59 @@ class GramMomentsSpec extends AnyFunSuite {
       Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)))
   }
 }
+
+/** Differential pins for the round-12 exactness contracts: the decimal
+  * size-ratio prefilter vs exact rational arithmetic, and the
+  * graft_gram_moments decimal replica vs Spark's own Cast — over dense
+  * boundary grids rather than one corpus, so the contracts hold by
+  * construction, not by data luck.
+  */
+class DecimalExactnessSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{explode, sum, count}
+
+  test("sizeRatioAtLeast equals exact rational min/max >= t on a dense grid") {
+    // every (a, b) in [1, 200]^2 at the thresholds the operators use —
+    // includes every exact-integer t*max boundary (the class the double
+    // form got wrong: double(0.8)*5 = 4.000000000000000222 rejected 4/5)
+    for (t <- Seq(0.7, 0.8, 0.9, 0.95, 0.98)) {
+      val td = java.math.BigDecimal.valueOf(t)
+      val rows = for (a <- 1 to 200; b <- a to 200) yield (a.toLong, b.toLong)
+      val got = rows.toDF("a", "b")
+        .filter(graft.operators.Dedup.sizeRatioAtLeast(col("a"), col("b"), t))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = rows.filter { case (a, b) =>
+        // min/max >= t  ⟺  min*10^scale >= t_unscaled*max, all integers
+        java.math.BigDecimal.valueOf(a).compareTo(
+          td.multiply(java.math.BigDecimal.valueOf(b))) >= 0
+      }.toSet
+      assert(got == want,
+        s"t=$t: spark-only=${(got -- want).take(3)} exact-only=${(want -- got).take(3)}")
+    }
+  }
+
+  test("gram-moment terms equal Spark's own cast(x as decimal(28,12)) sums") {
+    // random magnitudes across the float exponent range (incl. exact-half
+    // decimal boundaries via scaled integers): the aggregate's
+    // BigDecimal.valueOf+HALF_UP replica must reproduce sum(cast(...))
+    // for 1-dim vectors, where sxy = sum(cast(v*v)) and sx = sum(cast(v))
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 4000).map { i =>
+      if (i % 4 == 0) (rnd.nextInt(2000001) - 1000000).toFloat / 1000f // dense decimal grid
+      else (rnd.nextFloat() - 0.5f) * math.pow(2.0, rnd.nextInt(24) - 12).toFloat
+    }
+    val e = vals.map(v => Tuple1(Array(v))).toDF("embedding")
+    val got = e.agg(call_function("graft_gram_moments",
+        col("embedding"), lit(1)).as("g"))
+      .select(explode(col("g")).as("r"))
+      .select(col("r.sxy"), col("r.sx"))
+      .collect().map(r => (r.getDecimal(0), r.getDecimal(1))).head
+    val want = e.select(col("embedding")(0).cast("double").as("v"))
+      .agg(sum((col("v") * col("v")).cast("decimal(28,12)")).as("sxy"),
+        sum(col("v").cast("decimal(28,12)")).as("sx"))
+      .collect().map(r => (r.getDecimal(0), r.getDecimal(1))).head
+    assert(got._1.compareTo(want._1) == 0, s"sxy ${got._1} != ${want._1}")
+    assert(got._2.compareTo(want._2) == 0, s"sx ${got._2} != ${want._2}")
+  }
+}
