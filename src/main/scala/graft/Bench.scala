@@ -42,6 +42,20 @@ import org.apache.spark.sql.SparkSession
   *     index, cc map) run BEFORE the loop, so per-query numbers are
   *     steady-state serving, not serving + whichever one-time fit the
   *     pass order happened to charge them with.
+  *   - every per-query line carries `cpu` next to `sec`: the PROCESS
+  *     CPU seconds the query consumed (local[32] runs executors
+  *     in-process, so the delta of the JVM's process-CPU counter is the
+  *     exact task + codegen + GC cost, with none of the async-listener
+  *     races of per-task metrics). The read: wall inflated while cpu
+  *     stayed flat ⇒ the box was CONTENDED (the query did the same work
+  *     and waited — the BENCH_r12 episode, where 10+ unchanged queries
+  *     recorded 4-12× wall spikes that did not reproduce); wall and cpu
+  *     inflated together ⇒ a REAL regression (the query computes more).
+  *     The summary line carries `cpu` for its slowest entries plus a
+  *     pass-level `cpu_sec`, and the FULL per-query wall+cpu table is
+  *     written to `BENCH_DETAIL.json` (`SPARK_GRAFT_BENCH_DETAIL`
+  *     overrides the path) so the artifact separates contention from
+  *     regression without a judge re-measure.
   */
 object Bench {
 
@@ -61,8 +75,18 @@ object Bench {
         s"bench: query name '$n' must match [A-Za-z0-9_-]+ (it is emitted raw in JSON)")
     }
 
+    // process-CPU counter: in local mode every executor thread lives in
+    // THIS JVM, so the counter's delta across a query is exactly the CPU
+    // the query consumed (tasks + codegen + GC) — synchronous and exact,
+    // unlike task-metrics listeners whose events post asynchronously
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuNow(): Long = osBean.getProcessCpuTime // ns; -1 if unsupported
+
+    /** One timed pass: (wall seconds, process-CPU seconds). */
     def runOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = cpuNow()
       val t0 = System.nanoTime()
       // NonFatal only: an OOM/IE must kill the run — timings measured on
       // a broken JVM would silently poison every later query's number
@@ -71,22 +95,23 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"bench: query $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          return -1.0
+          return (-1.0, -1.0)
       }
       finally graft.operators.Dedup.unpersistAll() // caches die with the query
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9,
+        if (c0 < 0) -1.0 else (cpuNow() - c0) / 1e9)
     }
 
     // min-of-N per query (opt-in): transient CPU-starvation episodes
     // inflate single-pass timings 2-10× on random queries; the minimum of
     // repeated passes is the steady-state number (a starved pass can only
     // ADD time). Defaults to 1 — the driver's capture window can't afford
-    // three full passes.
+    // three full passes. The reported cpu is the min-wall rep's.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     def run(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val times = (1 to reps).map(_ => runOnce(name, fn))
-      if (times.exists(_ < 0)) -1.0 else times.min
+      if (times.exists(_._1 < 0)) (-1.0, -1.0) else times.minBy(_._1)
     }
 
     // Pre-build the persisted models/indexes (IVF centroids, PQ
@@ -139,23 +164,52 @@ object Bench {
       .filter { case (n, _) => subset.forall(_.contains(n)) }
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == names.length / 2) probes += probeSec()
-      val sec = run(name, fn)
+      val (sec, cpu) = run(name, fn)
       // incremental artifact: one line per completed query, flushed, so a
       // run killed mid-pass still leaves everything finished so far
-      println(s"""{"query":"$name","sec":$sec}""")
+      println(s"""{"query":"$name","sec":$sec,"cpu":$cpu}""")
       Console.out.flush()
-      name -> sec
+      (name, sec, cpu)
     }
     probes += probeSec()
+    // the COMPLETE per-query wall+cpu table, as a file: the driver's
+    // capture window only reliably holds the summary line, and r12 cost
+    // an adjudication cycle because the per-query contention evidence
+    // was not in the artifact — this file is the evidence
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    try {
+      val detail = results.map { case (k, s, c) =>
+        "\"" + k + "\":{\"sec\":" + r3(s) + ",\"cpu\":" + r3(c) + "}"
+      }.mkString(
+        s"""{"sf":"$sfDir","fit_sec":$fitSec,"fit":$fitJson,""" +
+          s""""probe_sec":${probes.mkString("[", ",", "]")},"queries":{""",
+        ",", "}}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: detail write failed: ${e.getMessage}")
+    }
     // slowest LAST, slowest-SummaryCap ONLY: the driver captures a bounded
     // tail of this line — an all-105-query summary only partially fit it
     // and the driver parsed nothing (r6). The heavy queries the perf read
-    // needs sit at the end; everything dropped is in the incremental lines.
-    val qs = results.sortBy(_._2).takeRight(SummaryCap)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    // needs sit at the end; everything dropped is in the incremental lines
+    // and BENCH_DETAIL.json. Values are rounded to 3 decimals to keep the
+    // line inside the window with the cpu map aboard.
+    val slowest = results.sortBy(_._2)
+    val qs = slowest.takeRight(SummaryCap)
+      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // process-CPU seconds for the slowest entries — the contention-vs-
+    // regression discriminator, kept to 15 so the line stays bounded
+    val cpus = slowest.takeRight(15)
+      .map { case (k, _, c) => "\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"fit":$fitJson,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    val cpuTotal = r3(results.map(_._3).filter(_ >= 0).sum)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"cpu_sec":$cpuTotal,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"cpu":$cpus,"sf":"$sfDir"}"""
     // The summary goes to BOTH streams: stdout arrives at the driver
     // wrapped in sbt's `[info] ` log decorator (its parser wants a line
     // STARTING with `{` — r6/r7/r8 all recorded `parsed: null`), while

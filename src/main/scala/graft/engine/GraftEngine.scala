@@ -189,10 +189,20 @@ class GraftEngine(val spark: SparkSession) {
     bucketBy.foreach { m =>
       val keys = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keys.nonEmpty, "COPY TO: BUCKET_BY names no columns")
-      for (bad <- Seq("sort_by", "partition_by", "format csv", "format json"))
+      for (bad <- Seq("sort_by", "partition_by"))
         require(!s"(?i)$bad".r.findFirstIn(opts).isDefined,
           s"COPY TO: BUCKET_BY does not combine with ${bad.toUpperCase} " +
             "(buckets are parquet, sorted by their keys)")
+      // the FORMAT value is PARSED, not substring-matched: a literal
+      // "format csv" guard let `FORMAT  CSV` (extra whitespace) or
+      // `format 'csv'` slip through and silently write parquet buckets,
+      // dropping the user's format with no error
+      """(?i)format\s+'?(\w+)'?""".r.findFirstMatchIn(opts).foreach { f =>
+        require(f.group(1).equalsIgnoreCase("parquet"),
+          s"COPY TO: BUCKET_BY does not combine with FORMAT " +
+            s"${f.group(1).toUpperCase} (buckets are parquet, sorted by " +
+            "their keys)")
+      }
       val buckets = """(?i)buckets\s+(\d+)""".r.findFirstMatchIn(opts)
         .map(_.group(1).toInt).getOrElse(8)
       require(buckets >= 1 && buckets <= 100000,
@@ -274,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -592,6 +602,28 @@ class GraftEngine(val spark: SparkSession) {
     *    `Dedup.minhashIndex` for repeated serving), the probe joins it
     *    on (band, bucket), and the exact integer verify decides →
     *    (doc_id, n_dups, first_dup, is_new).
+    *  - `graft_unigram_lm(docs, vocab => 2048)` — SentencePiece-style
+    *    unigram-LM tokenizer TRAINING over a (doc_id, text) relation
+    *    (Kudo ACL'18, the u6 operator): substring-seeded vocabulary,
+    *    relational Viterbi E-step, usage-pruned M-step → (piece,
+    *    n_uses), single chars always kept. Runs its per-round
+    *    checkpoint jobs when executed (the louvain_levels posture —
+    *    a trainer, not a serving query).
+    *  - `graft_unigram_encode(docs, pieces, char_cost => 6145)` —
+    *    unigram-LM tokenizer APPLICATION (the u7 operator): Viterbi-
+    *    segment every doc of a (doc_id, text) relation under the FIXED
+    *    piece table given by the (piece, cost) relation, single
+    *    characters always available at char_cost → (doc_id, n_words,
+    *    n_pieces, ppw_ppm); docs with no words are omitted. The piece
+    *    table collects driver-side (bounded — the codegen reference-
+    *    object discipline), so the corpus pass is map-only.
+    *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
+    *    (the a9 operator): assign-only append of a (vec_id, embedding)
+    *    drop against a PERSISTED (centroid_id, centroid) index
+    *    relation → per cell (cell, n_new, cos), where cos is the
+    *    drift cosine between the stored centroid and the drop members'
+    *    mean (null when the drop left the cell empty). Map-only
+    *    assignment; no job ever touches the base corpus.
     *
     * Lifecycle: the dedup/BPE operators persist tracked scratch frames
     * their plans reuse within one execution; a long-lived serving
@@ -616,7 +648,10 @@ class GraftEngine(val spark: SparkSession) {
     "incremental_minhash" -> Set("num", "den"),
     "knn_label" -> Set("k"),
     "semantic_decon" -> Set("tau"),
-    "asof" -> Set("key", "ord", "payload", "forward"))
+    "asof" -> Set("key", "ord", "payload", "forward"),
+    "unigram_lm" -> Set("vocab"),
+    "unigram_encode" -> Set("char_cost"),
+    "ivf_append" -> Set.empty)
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -636,7 +671,10 @@ class GraftEngine(val spark: SparkSession) {
     "incremental_minhash" -> Seq("base", "probe"),
     "knn_label" -> Seq("corpus", "queries"),
     "semantic_decon" -> Seq("corpus", "eval"),
-    "asof" -> Seq("left", "right"))
+    "asof" -> Seq("left", "right"),
+    "unigram_lm" -> Seq("docs"),
+    "unigram_encode" -> Seq("docs", "pieces"),
+    "ivf_append" -> Seq("index", "drop"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -788,6 +826,33 @@ class GraftEngine(val spark: SparkSession) {
         graft.operators.Dedup.incrementalMinhash(
           graft.operators.Dedup.minhashIndex(rel(0)), rel(1),
           num = num, den = den)
+      case "unigram_lm" =>
+        val vocab = intOpt("vocab", 2048)
+        graft.operators.Tokenizer.unigramLm(rel(0), vocabTarget = vocab)
+      case "unigram_encode" =>
+        val charCost = intOpt("char_cost", 6145).toLong
+        val docs = rel(0)
+        // the piece table ships as a codegen reference object (the
+        // u4/u7 fixed-model discipline) — cap the collect so a caller
+        // pointing a corpus-sized relation at the model slot fails
+        // fast instead of OOMing the driver
+        val pieceRows = rel(1)
+          .select(col("piece").cast("string"), col("cost").cast("long"))
+          .where(col("piece").isNotNull && col("cost").isNotNull)
+          .limit(65537).collect()
+        require(pieceRows.length <= 65536,
+          "graft_unigram_encode: pieces relation exceeds 65536 rows — " +
+            "a piece table is model state, not a corpus")
+        val pieces = pieceRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        docs.select(col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_words"),
+            size(graft.operators.Tokenizer.unigramSegment(
+              col("text"), pieces, charCost)).cast("long").as("n_pieces"))
+          .filter(col("n_words") > 0)
+          .withColumn("ppw_ppm", expr("(1000000 * n_pieces) div n_words"))
+      case "ivf_append" =>
+        graft.operators.Similarity.ivfDrift(rel(0), rel(1))
       case "knn_label" =>
         val k = intOpt("k", 5)
         graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)

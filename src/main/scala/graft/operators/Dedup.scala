@@ -222,6 +222,23 @@ object Dedup {
     * path ([[minhashIndex]] / `EventsStream.nearDupPairsStream`) so both
     * sides of an incremental dedup bucket IDENTICALLY.
     */
+  /** Rows per band = numHashes / bands, with the divisibility enforced:
+    * silent integer truncation (numHashes=32, bands=5 → 6-row bands
+    * covering 30 of 32 hashes) would change recall with no error — and,
+    * worse, an index and a probe built with DIFFERENT truncated
+    * bandings would join garbage buckets. Every banding caller routes
+    * through here so index and probe can never disagree.
+    */
+  private[graft] def bandRows(numHashes: Int, bands: Int, op: String): Int = {
+    require(bands >= 1 && numHashes >= 1,
+      s"$op: numHashes and bands must be >= 1, got $numHashes/$bands")
+    require(numHashes % bands == 0,
+      s"$op: numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        s"truncated bands would silently cover only " +
+        s"${numHashes / bands * bands} of $numHashes hashes")
+    numHashes / bands
+  }
+
   private[graft] def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
@@ -367,7 +384,7 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8,
       maxBandBucket: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands, "minhashLshPairs")
     // graft_shingle_hashes / graft_minhash are native codegen'd expressions
     // (one imperative pass per document, no intermediate arrays) — the
     // composable HOF pipeline they replace measured 10 s at sf0.1 alone
@@ -415,7 +432,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBandBucket: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands, "minhashIndex")
     val withSig = corpus
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("hs"))
@@ -462,7 +479,7 @@ object Dedup {
     require(num >= 1 && den >= 1 && num <= den,
       s"incrementalMinhash: threshold num/den must be a fraction in " +
         s"(0, 1], got $num/$den")
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands, "incrementalMinhash")
     val probeBands = probe
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("ps"))
@@ -577,13 +594,21 @@ object Dedup {
     */
   def incrementalDedup(base: DataFrame, probe: DataFrame,
       num: Int = 4, den: Int = 5,
-      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame = {
+      blockCols: Seq[Column] = Seq(col("lang")),
+      shingleLen: Int = 1): DataFrame = {
     require(num >= 1 && den >= 1 && num <= den,
       s"incrementalDedup: threshold num/den must be a fraction in (0, 1], " +
         s"got $num/$den")
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    // shingleLen = 1 is the word-Jaccard contract (d17); larger values
+    // run the SAME exact prefix-filter machinery in the n-shingle
+    // domain — the EXACT-recall twin of [[incrementalMinhash]]'s LSH
+    // probe (prefix filtering is pure pruning, so the verified result
+    // is the full exact answer, which is what lets a quadratic SQL
+    // oracle pin it structurally — the d19p gate discipline)
     def toks(docs: DataFrame, side: String) = docs
       .select(col("doc_id"), struct(blockCols: _*).as("block"),
-        call_function("graft_shingle_hashes", col("text"), lit(1))
+        call_function("graft_shingle_hashes", col("text"), lit(shingleLen))
           .as("toks"))
       .withColumn("sz", size(col("toks")))
       .filter(col("sz") > 0)

@@ -406,8 +406,10 @@ object Graph {
     *
     * Scale posture: per level, one label⋈edge map (two equi joins on
     * vertex id), one map-combinable weight aggregate over coarse pairs,
-    * one degree aggregate, one struct-min argmax, one self-join of the
-    * (coarse-cardinality) best table — no vertex-cardinality broadcast
+    * one COARSE-frame degree rollup (no per-level vertex-cardinality
+    * join — [[commDegreesFromCoarse]]), one struct-min argmax, one
+    * self-join of the (coarse-cardinality) best table — no
+    * vertex-cardinality broadcast
     * anywhere (only the 1-row edge count), labels lineage-truncated per
     * level so the iterative plan never compounds (the d8 discipline),
     * the level's coarse frames persisted and shared between the match
@@ -430,23 +432,17 @@ object Graph {
     require(levels >= 1 && levels <= 4,
       s"unrolled multi-level Louvain is capped at 4 levels, got $levels")
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val und = p.union(
-      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    // vertex degrees are level-invariant: aggregate ONCE and persist —
-    // every level's community-degree rollup re-reads this table instead
-    // of re-shuffling the edge list (5 degree scans → 1 at levels=2)
-    val degV = Dedup.persistPublic(
-      und.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
-        .toDF("v", "deg"))
     val m1 = p.agg(count(lit(1)).as("m"))
     var labels = vertices.select(col("doc_id"), col("doc_id").as("comm"))
     // per label state, ONE labels⋈edges map + ONE coarse aggregate
-    // serves both consumers: the x≠y slice is the match round's
+    // serves ALL three consumers: the x≠y slice is the match round's
     // cross-community weights, the x=y slice is the report's
-    // within-community edge count — without the shared frame the round
-    // and the summary each redo the two equi joins and the aggregate
+    // within-community edge count, and the per-endpoint w rollup is the
+    // community degree sum ([[commDegreesFromCoarse]]) — the level pays
+    // the two label⋈edge equi joins exactly once; no per-level
+    // vertex-cardinality join remains
     var agg = Dedup.persistPublic(coarsePairWeights(labels, p))
-    var dC = Dedup.persistPublic(commDegrees(labels, degV))
+    var dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
     var out = louvainLevelSummary(agg, dC, m1, 0)
     (1 to levels).foreach { l =>
       // labels must TRUNCATE (d8/g9's per-round eager checkpoint), not
@@ -460,7 +456,7 @@ object Graph {
       labels = Dedup.truncatePublic(
         louvainMergeFrom(labels, agg, dC, m1))
       agg = Dedup.persistPublic(coarsePairWeights(labels, p))
-      dC = Dedup.persistPublic(commDegrees(labels, degV))
+      dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
       out = out.union(louvainLevelSummary(agg, dC, m1, l))
     }
     (labels.orderBy(col("doc_id")), out.orderBy(col("lvl")))
@@ -480,12 +476,36 @@ object Graph {
 
   /** Community degree sums under `labels` from the persisted vertex
     * degree table (left join keeps edge-less vertices as d=0 singleton
-    * communities — they count in n_comms).
+    * communities — they count in n_comms). Spec-facing via
+    * [[louvainMatchRound]]; [[louvainRun]] derives the identical values
+    * from the level's coarse frame instead ([[commDegreesFromCoarse]]).
     */
   private def commDegrees(labels: DataFrame, degV: DataFrame): DataFrame =
     labels.join(degV, labels("doc_id") === degV("v"), "left")
       .groupBy(col("comm"))
       .agg(sum(coalesce(col("deg"), lit(0L))).as("d"))
+
+  /** Community degree sums derived from the level's COARSE `(x, y, w)`
+    * frame instead of a per-level vertex⋈vertex join: every original
+    * edge contributes one endpoint to each side's community, so
+    * D_c = Σ_{x=c} w + Σ_{y=c} w (an x=y row lands in both unions —
+    * 2w, both endpoints inside c). Identical values to [[commDegrees]]
+    * (D_c = Σ member original degree = the count of edge endpoints in
+    * c); the cost drops to one rollup over the already-persisted
+    * coarse frame plus one label aggregate. Edge-less vertices form
+    * zero-degree singleton communities that never reach the coarse
+    * frame — the distinct-label left join restores them as d=0 rows so
+    * n_comms still counts every community.
+    */
+  private def commDegreesFromCoarse(labels: DataFrame,
+      agg: DataFrame): DataFrame = {
+    val ends = agg.select(col("x").as("comm"), col("w"))
+      .union(agg.select(col("y").as("comm"), col("w")))
+      .groupBy(col("comm")).agg(sum(col("w")).as("de"))
+    labels.select(col("comm")).distinct()
+      .join(ends, Seq("comm"), "left")
+      .select(col("comm"), coalesce(col("de"), lit(0L)).as("d"))
+  }
 
   /** One mutual-best matching round over the coarse graph induced by
     * `labels`: returns the updated `(doc_id, comm)` map. Kept as the
@@ -676,44 +696,50 @@ object Graph {
     * one shuffle each (by target, then by source); the usual per-round
     * L2 normalization only rescales, so the RANKING is identical and
     * the whole fixpoint replays bit-for-bit in a SQL oracle with no
-    * transcendentals. Scores are bounded by d_max^(2·iters) (each
-    * half-round multiplies the bound by d_max), so int64 holds only up
-    * to d_max = 234 at 4 rounds and ≈ 55,000 at 2 — and Spark's
-    * non-ANSI sum would WRAP silently past that, corrupting the
-    * ranking with no error. The precondition is therefore enforced
-    * LAZILY: the plan folds one O(E) degree aggregate (same cost as
-    * half a round) into hub₀ and `raise_error`s at EXECUTION time when
-    * d_max^(2·iters) exceeds Long.MaxValue — plan construction stays
+    * transcendentals. Scores are bounded by (inmax·outmax)^iters —
+    * with h₀ = 1, a_k ≤ inmax·max(h_{k−1}) and h_k ≤ outmax·max(a_k),
+    * so each FULL round multiplies the bound by inmax·outmax (and
+    * a_iters ≤ inmax·(inmax·outmax)^(iters−1) ≤ the same bound once
+    * any edge exists) — and Spark's non-ANSI sum would WRAP silently
+    * past int64, corrupting the ranking with no error. The
+    * precondition is therefore enforced LAZILY: the plan folds one
+    * O(E) in/out-degree aggregate (same cost as half a round) into the
+    * FINAL output's 1-row broadcast and `raise_error`s at EXECUTION
+    * time when inmax·outmax exceeds the largest product whose
+    * iters-th power fits int64 — plan construction stays
     * side-effect-free (no driver-blocking job paid for a query that is
-    * never run), and the exactness of the bound is preserved by
-    * precomputing the largest safe degree in BigInt driver-side so the
-    * runtime check is a single codegen'd integer compare. The bound is
-    * INTENTIONALLY CONSERVATIVE: d_max is the max TOTAL (in+out)
-    * degree, which over-approximates the tight (inmax·outmax)^iters
-    * bound — it never admits wrapping, but a graph with high combined
-    * degree split across directions is rejected early. Hub-heavier
-    * graphs need fewer rounds, a degree cap upstream (the t14 df-band
-    * discipline), or a normalized floating-point variant; normalize
-    * downstream if absolute values matter.
+    * never run), the guard rides the OUTPUT (never hub₀'s iterated
+    * lineage, where the final plan's two references to the auth
+    * subtree re-evaluated it per branch — a measured ~8× regression),
+    * and the exactness of the boundary is preserved by precomputing
+    * the largest safe product in BigInt driver-side so the runtime
+    * check is a single codegen'd compare (decimal product: inmax and
+    * outmax are each ≤ E, so their int64 product could itself wrap).
+    * The bound is TIGHT in the directional maxima — a star that fans
+    * OUT 10⁶ edges from one hub is admitted (its scores stay linear in
+    * degree) where the old max-total-degree bound rejected it; graphs
+    * over the boundary need fewer rounds, a degree cap upstream (the
+    * t14 df-band discipline), or a normalized floating-point variant;
+    * normalize downstream if absolute values matter.
     *
     * Scale posture: the g1 discipline — no vertex-cardinality frame is
     * ever broadcast; both joins exchange on the edge endpoint they
     * aggregate by, and callers should persist `pairs` so the edge frame
     * builds once (every round scans it twice).
     */
-  /** Largest max-degree d with d^(2·iters) ≤ Long.MaxValue — the exact
-    * int64-safety boundary for unnormalized integer HITS, computed in
-    * BigInt so there is no float log slop at the edge (234 at 4 rounds,
-    * 1448 at 3, 55108 at 2, 3037000499 at 1).
+  /** Largest degree product P = inmax·outmax with P^iters ≤
+    * Long.MaxValue — the exact int64-safety boundary for unnormalized
+    * integer HITS, computed in BigInt so there is no float log slop at
+    * the edge (55108 at 4 rounds, 2097151 at 3, 3037000499 at 2,
+    * Long.MaxValue at 1).
     */
-  private[graft] def maxSafeHitsDegree(iters: Int): Long = {
-    val e = 2 * iters
+  private[graft] def maxSafeHitsProduct(iters: Int): Long = {
     val cap = BigInt(Long.MaxValue)
     var lo = 1L
     var hi = Long.MaxValue
     while (lo < hi) {
       val mid = lo + (hi - lo + 1) / 2
-      if (BigInt(mid).pow(e) <= cap) lo = mid else hi = mid - 1
+      if (BigInt(mid).pow(iters) <= cap) lo = mid else hi = mid - 1
     }
     lo
   }
@@ -722,28 +748,34 @@ object Graph {
     require(iters >= 1 && iters <= 4,
       s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
     val edges = pairs.select(col("doc_a"), col("doc_b"))
-    // overflow guard, LAZY: scores reach d_max^(2·iters) in the worst
+    // overflow guard, LAZY and attached to the FINAL output (see the
+    // operator doc): scores reach (inmax·outmax)^iters in the worst
     // case and the BIGINT sums below wrap silently past int64. The
-    // largest safe degree is exact BigInt arithmetic driver-side (a
-    // pure function of `iters`, no data touched), so the runtime check
-    // is one integer compare on a 1-row global aggregate folded into
-    // hub₀ — it executes with the query (never at plan construction)
-    // and raise_error turns silent ranking corruption into a named
-    // failure before any result row is emitted.
-    val safeDmax = maxSafeHitsDegree(iters)
+    // largest safe product is exact BigInt arithmetic driver-side (a
+    // pure function of `iters`, no data touched); the runtime check is
+    // one decimal compare on a 1-row global aggregate whose broadcast
+    // builds — and raises — before any result row is emitted.
+    val safeProd = maxSafeHitsProduct(iters)
     val guard = broadcast(
-      edges.select(col("doc_a").as("v"))
-        .union(edges.select(col("doc_b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .agg(coalesce(max(col("d")), lit(0L)).as("dmax"))
-        .select(when(col("dmax") > safeDmax,
+      edges.select(col("doc_a").as("v"), lit(1L).as("od"), lit(0L).as("id"))
+        .union(
+          edges.select(col("doc_b").as("v"), lit(0L).as("od"), lit(1L).as("id")))
+        .groupBy(col("v"))
+        .agg(sum(col("od")).as("odeg"), sum(col("id")).as("ideg"))
+        .agg(coalesce(max(col("odeg")), lit(0L)).as("omax"),
+          coalesce(max(col("ideg")), lit(0L)).as("imax"))
+        .select(when(
+            col("imax").cast("decimal(19,0)")
+              * col("omax").cast("decimal(19,0)") > lit(safeProd),
             raise_error(format_string(
-              "exact integer HITS overflows int64: max degree %d at " +
-                s"$iters round(s) bounds scores by %d^${2 * iters} > " +
-                "2^63-1 — lower iters, cap degrees upstream, or normalize",
-              col("dmax"), col("dmax"))))
-          .otherwise(lit(1L)).as("h")))
-    var hub: DataFrame = vertices.select(col("doc_id")).crossJoin(guard)
+              "exact integer HITS overflows int64: max in-degree %d x " +
+                s"max out-degree %d at $iters round(s) bounds scores by " +
+                s"their product^$iters > 2^63-1 — lower iters, cap " +
+                "degrees upstream, or normalize",
+              col("imax"), col("omax"))))
+          .otherwise(lit(1L)).as("g")))
+    var hub: DataFrame = vertices.select(col("doc_id"))
+      .withColumn("h", lit(1L))
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
       auth = edges.join(hub, edges("doc_a") === hub("doc_id"))
@@ -753,10 +785,13 @@ object Graph {
         .groupBy(col("doc_a")).agg(sum(col("a")).as("h"))
         .select(col("doc_a").as("doc_id"), col("h"))
     }
+    // g (always 1) multiplies into the output so column pruning can
+    // never drop the raise_error branch; values and schema unchanged
     vertices.select(col("doc_id"))
       .join(auth, Seq("doc_id"), "left")
       .join(hub, Seq("doc_id"), "left")
+      .crossJoin(guard)
       .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("auth"),
-        coalesce(col("h"), lit(0L)).as("hub"))
+        (coalesce(col("h"), lit(0L)) * col("g")).as("hub"))
   }
 }

@@ -65,4 +65,54 @@ object Layout {
           Window.partitionBy(col("__gid_b")).orderBy(key)))
       .drop("__gid_b", "__gid_off")
   }
+
+  /** Per-group INCLUSIVE running sum of `value` in `ord` order — the
+    * `sum(value) OVER (PARTITION BY part ORDER BY ord)` shape — WITHOUT
+    * the per-group single-task sort: a plain grouped window puts every
+    * row of a group in ONE task, and at 100 TB the dominant group (the
+    * majority language of a crawl, say 60%+) is a 60 TB sort on one
+    * executor. Same two-level prefix-sum discipline as [[globalIds]]:
+    *   1. value-derived bucketing (`ord div bucketWidth`, floor
+    *      division) splits each group into bounded runs;
+    *   2. one map-combinable sum per (group, bucket) → the O(B) bucket
+    *      frame;
+    *   3. exclusive per-group offsets via a window over that bounded
+    *      frame ONLY (ordered by bucket — B = ord-range/bucketWidth
+    *      rows per group, never row count);
+    *   4. offsets broadcast back; each task then runs the local
+    *      running sum over at most `bucketWidth` rows (unique integral
+    *      `ord`) and adds its bucket's offset.
+    *
+    * Contract: `ord` must be integral and UNIQUE within its group (the
+    * [[globalIds]] totality condition), `value` integral — long
+    * addition is associative, so the split-and-offset recomposition is
+    * BIT-IDENTICAL to the single-window form and replays in a plain
+    * `SUM() OVER ()` SQL oracle.
+    */
+  def groupedRunningSum(df: DataFrame, part: Column, ord: Column,
+      value: Column, outCol: String,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // floor division via pmod — the globalIds discipline (exact for
+    // negative keys, no double-division rounding past 2^53)
+    val k = ord.cast("long")
+    val bucket = call_function("div", k - pmod(k, lit(bucketWidth)),
+      lit(bucketWidth))
+    val bucketed = df.withColumn("__rs_b", bucket).withColumn("__rs_p", part)
+    val totals = bucketed.groupBy(col("__rs_p"), col("__rs_b"))
+      .agg(sum(value.cast("long")).as("__rs_t"))
+    // exclusive per-group prefix sum over the O(B) bucket frame — the
+    // only cross-bucket window, bounded by buckets per group
+    val offs = totals
+      .withColumn("__rs_off",
+        sum(col("__rs_t")).over(
+          Window.partitionBy(col("__rs_p")).orderBy(col("__rs_b")))
+          - col("__rs_t"))
+      .select(col("__rs_p"), col("__rs_b"), col("__rs_off"))
+    bucketed.join(broadcast(offs), Seq("__rs_p", "__rs_b"))
+      .withColumn(outCol,
+        col("__rs_off") + sum(value.cast("long")).over(
+          Window.partitionBy(col("__rs_p"), col("__rs_b")).orderBy(ord)))
+      .drop("__rs_b", "__rs_p", "__rs_off")
+  }
 }

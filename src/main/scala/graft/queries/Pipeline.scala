@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Multimodal, Probe, Similarity, Tokenizer}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Layout, Multimodal, Probe, Similarity, Tokenizer}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -1309,15 +1309,21 @@ object Pipeline {
       // pretraining sequence packing in the concat-then-chunk model: per
       // language, documents concatenate in doc_id order and split at
       // context-window boundaries (2048 tokens); seq_no is the window each
-      // document STARTS in. One running-sum window per language — a single
-      // shuffle keyed on lang, no driver loop, deterministic under any
-      // partitioning because the order (lang, doc_id) is total.
+      // document STARTS in. The per-language running sum goes through the
+      // Layout.groupedRunningSum two-level prefix sum (local cumsum within
+      // (lang, doc_id-bucket), O(buckets) exclusive offsets broadcast
+      // back) — a plain partitionBy(lang) window would sort the dominant
+      // language (60%+ of a real crawl) in ONE task at 100 TB. Long
+      // addition is associative, so the recomposition is bit-identical to
+      // the single-window form the DuckDB oracle replays, and
+      // deterministic under any partitioning because (lang, doc_id) is
+      // total.
       val d = Tables.load(s, dir, "documents")
       val st = call_function("graft_text_stats", col("text"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-      d.select(col("doc_id"), col("lang"), st.getField("n_tokens").as("ntok"))
-        .withColumn("cum", sum(col("ntok")).over(w))
+      Layout.groupedRunningSum(
+          d.select(col("doc_id"), col("lang"),
+            st.getField("n_tokens").as("ntok")),
+          col("lang"), col("doc_id"), col("ntok"), "cum")
         .withColumn("seq_no",
           floor((col("cum") - col("ntok")).cast("double") / 2048.0).cast("long"))
         .select(col("doc_id"), col("lang"), col("ntok"), col("seq_no"))
@@ -1329,17 +1335,18 @@ object Pipeline {
       // labels only the window each document STARTS in): one row per
       // (document × context window it overlaps) with the in-document token
       // offset and length of that chunk — the form a training loader
-      // consumes. Same single running-sum window as p2 (one shuffle keyed
-      // on lang); the chunk explode is per-document arithmetic over
-      // `sequence`, no extra wide stage. A document spanning w windows
-      // emits w rows; zero-token documents emit none.
+      // consumes. Same two-level prefix-sum running sum as p2 (no window
+      // ever partitions on lang alone — the skewed-key single-task sort);
+      // the chunk explode is per-document arithmetic over `sequence`, no
+      // extra wide stage. A document spanning w windows emits w rows;
+      // zero-token documents emit none.
       val d = Tables.load(s, dir, "documents")
       val st = call_function("graft_text_stats", col("text"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
       val win = 2048L
-      d.select(col("doc_id"), col("lang"), st.getField("n_tokens").as("ntok"))
-        .withColumn("cum", sum(col("ntok")).over(w))
+      Layout.groupedRunningSum(
+          d.select(col("doc_id"), col("lang"),
+            st.getField("n_tokens").as("ntok")),
+          col("lang"), col("doc_id"), col("ntok"), "cum")
         .withColumn("strt", col("cum") - col("ntok"))
         .filter(col("ntok") > 0)
         .select(col("doc_id"), col("lang"), col("strt"), col("cum"),
@@ -3310,10 +3317,39 @@ object Pipeline {
       // source_b rows) — internal duplication is a governance signal
       // too. Output is O(sources²); the pair machinery is the shared
       // band-bucket pipeline whose skew caps and plan shape d3 pins.
+      // NO ORACLE by design (the a2/d3 discipline): LSH recall is a
+      // band bet, so the matrix from LSH-proposed pairs is rows-only;
+      // x19p_syndication_exact carries the hash gate over the
+      // exact-recall prefix-filtered pair set.
       val d = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashLshPairs(d,
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
         .distinct()
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("i", "src_i"), Seq("i"))
+        .join(src.toDF("j", "src_j"), Seq("j"))
+        .select(least(col("src_i"), col("src_j")).as("source_a"),
+          greatest(col("src_i"), col("src_j")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    "x19p_syndication_exact" -> { (s, dir) =>
+      // oracle gate for the syndication matrix: the SAME source-pair
+      // rollup over the EXACT 3-shingle Jaccard >= 0.8 pair set, with
+      // candidates from the PPJoin prefix filter (pure pruning, exact
+      // recall — ngramJaccardPairs in the shingle domain, no blocking)
+      // instead of LSH bands, so DuckDB's quadratic replay must match
+      // bit-for-bit. x19's LSH-proposed matrix stays rows-only — the
+      // a2p/a8p twin discipline.
+      val d = Tables.load(s, dir, "documents")
+      // a pair sharing k prefix tokens is emitted k times by the PPJoin
+      // machinery (its rep-aggregation consumers are duplicate-
+      // insensitive) — distinct at the boundary, the d3p contract
+      val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.8,
+        blockCols = Seq(lit(true))).distinct()
       val src = d.select(col("doc_id"), col("source"))
       pairs
         .join(src.toDF("i", "src_i"), Seq("i"))
@@ -3456,11 +3492,33 @@ object Pipeline {
       // nearDupPairsStream); the drop probes it with one (band, bucket)
       // equi join and an integer-exact verify — completing the
       // incremental-maintenance triad: d17 exact-word, a9 embedding-IVF,
-      // d19 minhash-shingle.
+      // d19 minhash-shingle. NO ORACLE by design (the a2/d3 discipline):
+      // LSH banding has false negatives (~1.5%/pair at J = 0.8 with
+      // 8×4 bands), so a quadratic-Jaccard oracle would pin 100% recall
+      // the operator never promises and fail on a qualifying pair that
+      // misses all bands with no code bug. The exact-recall twin
+      // d19p_incremental_exact carries the hash gate.
       val d = Tables.load(s, dir, "documents")
       Dedup.incrementalMinhash(
           minhashIndexShared(s, dir), d.filter(col("doc_id") % 4 === 0),
           shingleLen = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    "d19p_incremental_exact" -> { (s, dir) =>
+      // oracle gate for the incremental shingle-dedup contract: the SAME
+      // drop-vs-base question and output schema as d19, with candidates
+      // from the EXACT-recall PPJoin prefix filter (pure pruning —
+      // incrementalDedup's machinery run in the 3-shingle domain, no
+      // blocking) instead of LSH bands. The verified result is the full
+      // exact answer, so DuckDB's quadratic replay must match
+      // bit-for-bit; d19's LSH path stays rows-only plus the planted
+      // recall/soundness specs, the a2p/a8p twin discipline.
+      val d = Tables.load(s, dir, "documents")
+      Dedup.incrementalDedup(
+          d.filter(col("doc_id") % 4 =!= 0),
+          d.filter(col("doc_id") % 4 === 0), num = 4, den = 5,
+          blockCols = Seq(lit(true)), shingleLen = 3)
         .orderBy(col("doc_id"))
     },
 
@@ -6340,7 +6398,7 @@ object Pipeline {
         |LEFT JOIN d3 ON d.doc_id = d3.v
         |ORDER BY d.doc_id""".stripMargin,
 
-    "x19_syndication_matrix" ->
+    "x19p_syndication_exact" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks
@@ -6480,7 +6538,7 @@ object Pipeline {
         |FROM documents d LEFT JOIN dups ON d.doc_id = dups.did
         |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
-    "d19_incremental_minhash" ->
+    "d19p_incremental_exact" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),

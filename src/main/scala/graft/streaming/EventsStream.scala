@@ -214,7 +214,8 @@ object EventsStream {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
+    val rows = graft.operators.Dedup.bandRows(numHashes, bands,
+      "nearDupPairsStream")
     val arriving = docs
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text"), lit(shingleLen)).as("s_hs"))
@@ -285,6 +286,102 @@ object EventsStream {
         lit(num) * (col("bn").cast("long") + col("dn") - col("inter")))
       .select(col("doc_id"), col("bid").as("base_id"), col("inter"),
         (col("bn").cast("long") + col("dn") - col("inter")).as("uni"))
+
+  /** Per-cell state for [[ivfDriftStream]]: occupancy plus the running
+    * DECIMAL component sums of the drop members assigned to the cell.
+    * Sums are carried as plain strings (`BigDecimal.toPlainString` at
+    * scale 12) so the state encoder round-trips them exactly — the
+    * partitioning-independent decimal-sum discipline of
+    * `Similarity.ivfDrift`, made incremental. One tiny object per
+    * POPULATED cell: state is O(nlist·dim) regardless of drop size.
+    */
+  case class IvfCellState(n: Long, sums: Array[String])
+
+  case class IvfDriftOut(cell: Int, n_new: Long, cos: Double)
+
+  /** Streaming twin of [[graft.operators.Similarity.ivfDrift]] — the a9
+    * incremental-ANN maintenance flow run CONTINUOUSLY: drop vectors
+    * arrive as a stream, the PERSISTED index centroids sit driver-side
+    * (O(nlist·dim) — the Lloyd-centroid discipline), each vector is
+    * assigned map-only by the SAME codegen'd argmax expression the
+    * batch path uses, and `mapGroupsWithState` keyed by cell maintains
+    * occupancy + exact decimal component sums. Every batch re-emits
+    * `(cell, n_new, cos)` for the cells it touched, where `cos` is the
+    * drift cosine between the stored centroid and the running mean of
+    * ALL drop members seen so far — BIT-IDENTICAL to what the batch
+    * `ivfDrift` reports on the same prefix of the drop, because the
+    * fold replays its arithmetic exactly: per-element
+    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` ≡ Spark's
+    * `cast(double as decimal(28,12))` (shortest-decimal rendering),
+    * decimal addition is exact, and the mean/dot/norm double math is
+    * the same `sqrt`/`/` sequence. Cells the drop never touches emit
+    * nothing (the batch form reports them as n_new = 0, cos null —
+    * reconcile with a left join over the index if needed).
+    *
+    * Scale posture: the stream side is one map-only assignment pass;
+    * state and every emission are O(nlist·dim); nothing joins or
+    * shuffles the drop beyond the cell-keyed state exchange.
+    */
+  def ivfDriftStream(vectors: DataFrame, cells: DataFrame)
+      : Dataset[IvfDriftOut] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centArr = cells
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    require(centArr.nonEmpty, "ivfDriftStream: the index has no cells")
+    // the assignment argmax is a 1-based array position; the batch
+    // ivfDrift equates it with centroid_id, which is exact only under
+    // lloydCentroids' 1..nlist id contract — enforce it here so the
+    // stream can never silently diverge from the batch twin
+    require(centArr.map(_._1) == (1 to centArr.length),
+      s"ivfDriftStream: centroid_id must be contiguous 1..nlist (the " +
+        s"lloydCentroids contract), got ${centArr.map(_._1).mkString(",")}")
+    val centMap = centArr.toMap
+    def dec12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    vectors
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("cell", graft.operators.Similarity
+        .nearestCellExpr(col("embedding"), centArr))
+      .select(col("cell"), col("embedding")).as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (cell: Int, rows: Iterator[(Int, Seq[Double])],
+         state: GroupState[IvfCellState]) =>
+          val cent = centMap(cell)
+          val dim = cent.length
+          val prev = state.getOption
+            .getOrElse(IvfCellState(0L, Array.fill(dim)("0")))
+          var n = prev.n
+          val sums = prev.sums.map(new java.math.BigDecimal(_))
+          rows.foreach { case (_, emb) =>
+            n += 1
+            var i = 0
+            while (i < dim) { sums(i) = sums(i).add(dec12(emb(i))); i += 1 }
+          }
+          state.update(IvfCellState(n, sums.map(_.toPlainString)))
+          // drift replay of ivfDrift's exact arithmetic: decimal sums →
+          // double mean, per-pos products re-routed through decimal,
+          // then the double cosine
+          var dot = java.math.BigDecimal.ZERO
+          var mm = java.math.BigDecimal.ZERO
+          var cc = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < dim) {
+            val mu = sums(i).doubleValue / n
+            dot = dot.add(dec12(mu * cent(i)))
+            mm = mm.add(dec12(mu * mu))
+            cc = cc.add(dec12(cent(i) * cent(i)))
+            i += 1
+          }
+          IvfDriftOut(cell, n,
+            dot.doubleValue / (math.sqrt(mm.doubleValue)
+              * math.sqrt(cc.doubleValue)))
+      }
+  }
 
   /** Stream-stream interval join — the attribution shape: each purchase
     * credited to the same user's clicks in the preceding `gapMinutes`

@@ -668,6 +668,84 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("num/den"))
   }
 
+  test("graft_unigram_lm TVF: trained pieces equal the Scala trainer") {
+    engine.run("create table ug_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into ug_docs_t values " +
+      "(1, 'fast scan fast scan table table'), " +
+      "(2, 'scan the table the fast row'), " +
+      "(3, 'row value row value scan')")
+    val got = engine.run(
+      "select piece, n_uses from graft_unigram_lm(ug_docs_t, vocab => 8) " +
+        "order by piece")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.operators.Dedup.unpersistAll()
+    val direct = graft.operators.Tokenizer
+      .unigramLm(engine.table("ug_docs_t"), vocabTarget = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.operators.Dedup.unpersistAll()
+    assert(got.toSeq == direct.toSeq, got.mkString(", "))
+    assert(got.nonEmpty && got.exists(_._1.length > 1),
+      s"expected at least one learned multi-char piece: ${got.mkString(", ")}")
+    val e = intercept[Exception] {
+      engine.run("select * from graft_unigram_lm(ug_docs_t, pieces => 9)")
+    }
+    assert(e.getMessage.contains("unknown option"))
+  }
+
+  test("graft_unigram_encode TVF: fixed-table Viterbi encode equals the Scala pass") {
+    engine.run("create table ue_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into ue_docs_t values " +
+      "(1, 'table scan data'), (2, 'the fast row'), (3, '')")
+    engine.run("create table ue_pieces_t(piece varchar, cost bigint)")
+    engine.run("insert into ue_pieces_t values " +
+      "('ta', 7169), ('tab', 8193), ('le', 7169), ('scan', 9217), " +
+      "('data', 9217), ('the', 8193), ('row', 8193), ('a', 5121)")
+    val got = engine.run(
+      "select doc_id, n_words, n_pieces, ppw_ppm from " +
+        "graft_unigram_encode(ue_docs_t, ue_pieces_t, char_cost => 6145) " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 has no words and must be omitted (the u7 contract)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), got.mkString(", "))
+    val pieces = Seq("ta" -> 7169L, "tab" -> 8193L, "le" -> 7169L,
+      "scan" -> 9217L, "data" -> 9217L, "the" -> 8193L, "row" -> 8193L,
+      "a" -> 5121L)
+    val direct = {
+      import org.apache.spark.sql.functions.{col, expr, size}
+      engine.table("ue_docs_t").select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_words"),
+          size(graft.operators.Tokenizer.unigramSegment(
+            col("text"), pieces, 6145L)).cast("long").as("n_pieces"))
+        .filter(col("n_words") > 0)
+        .withColumn("ppw_ppm", expr("(1000000 * n_pieces) div n_words"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    assert(got.toSeq == direct.toSeq, got.mkString(", "))
+  }
+
+  test("graft_ivf_append TVF: drift report equals the Scala operator") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+    val cellsPath = base.resolve("cells.parquet").toString
+    val dropPath = base.resolve("drop.parquet").toString
+    Seq((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid").write.parquet(cellsPath) // 1..nlist ids
+    Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.8)), (3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding").write.parquet(dropPath)
+    val got = engine.run(
+      s"select cell, n_new, cos from " +
+        s"graft_ivf_append('$cellsPath', '$dropPath') order by cell")
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Similarity.ivfDrift(
+        spark.read.parquet(cellsPath), spark.read.parquet(dropPath))
+      .orderBy("cell")
+      .collect().map(_.toString).toSeq
+    assert(got == direct, got.mkString(", "))
+    assert(got.size == 2, s"every index cell reports: $got")
+  }
+
   test("graft_knn_label TVF: weak labels equal the Scala operator") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val got = engine.run(
@@ -744,10 +822,18 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.table("bkt_named_t").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    for (bad <- Seq("sort_by (k)", "partition_by (v)", "format csv"))
+    // the format guard PARSES the option value — every spelling of an
+    // incompatible format errors instead of silently writing parquet
+    for (bad <- Seq("sort_by (k)", "partition_by (v)", "format csv",
+        "FORMAT  CSV", "format 'csv'", "format json", "format 'JSON'"))
       assert(intercept[IllegalArgumentException] {
         engine.run(s"copy bkt_src_t to '$tmp/bkt_bad' (bucket_by (k), $bad)")
       }.getMessage.contains("BUCKET_BY does not combine"))
+    // the explicit parquet spelling is the layout's own format — allowed
+    engine.run(s"copy bkt_src_t to '$tmp/bkt_pq' " +
+      "(bucket_by (k), buckets 2, bucket_table bkt_pq_t, format parquet)")
+    assert(spark.table("bkt_pq_t").count() == 3)
+    spark.sql("drop table if exists bkt_pq_t")
     assert(intercept[IllegalArgumentException] {
       engine.run(s"copy bkt_src_t to '$tmp/bkt_bad2' (bucket_by (), buckets 4)")
     }.getMessage.contains("names no columns"))

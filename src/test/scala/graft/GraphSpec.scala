@@ -516,33 +516,51 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("hits: rejects a graph whose max degree would wrap int64 scores") {
-    // d_max = 235 at 4 rounds bounds scores by 235^8 ≈ 9.3e18 > 2^63-1 —
-    // the silent-wrap regime the LAZY degree guard must reject (234^8
-    // ≈ 8.99e18 still fits: the boundary is BigInt-exact). Plan
-    // construction is side-effect-free; the failure fires at EXECUTION.
-    val star = (1L to 235L).map(i => (0L, i))
-    val doomed = Graph.hits(verticesDf(236), pairsDf(star), iters = 4)
+  test("hits: rejects a graph whose in/out-degree product wraps int64 scores") {
+    // complete bipartite 234 sources × 236 sinks: imax·omax = 55224 >
+    // 55108 = maxSafeHitsProduct(4), and actual scores reach
+    // (234·236)^4 ≈ 9.3e18 > 2^63-1 — the silent-wrap regime the LAZY
+    // guard must reject. Plan construction is side-effect-free; the
+    // failure fires at EXECUTION.
+    val doomed = Graph.hits(verticesDf(470),
+      pairsDf(for (u <- 0L until 234L; v <- 234L until 470L) yield (u, v)),
+      iters = 4)
     val ex = intercept[Exception] { doomed.collect() }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(ex).exists(_.contains("overflows int64")),
       s"expected the lazy overflow guard to fire, got: ${chain(ex)}")
-    // the same graph is safe at 2 rounds (235^4 ≈ 3e9 « 2^63)
-    val ok = Graph.hits(verticesDf(236), pairsDf(star), iters = 2)
-    assert(ok.filter(col("doc_id") === 0L).head().getLong(2) == 235L * 235L,
-      "h2(center) = d² on an out-star")
   }
 
-  test("hits: the safe-degree boundary is BigInt-exact per round count") {
-    assert(Graph.maxSafeHitsDegree(4) == 234L)
-    assert(Graph.maxSafeHitsDegree(3) == 1448L)
-    assert(Graph.maxSafeHitsDegree(2) == 55108L)
-    assert(Graph.maxSafeHitsDegree(1) == 3037000499L)
+  test("hits: admits graphs exactly up to the tight product boundary") {
+    // 234 × 235 bipartite sits ON the safe side (54990 ≤ 55108) with
+    // h₄(source) = (234·235)^4 ≈ 9.14e18 — within 1% of Long.MaxValue,
+    // so the admission is as tight as int64 allows
+    val ok = Graph.hits(verticesDf(469),
+      pairsDf(for (u <- 0L until 234L; v <- 234L until 469L) yield (u, v)),
+      iters = 4)
+    assert(ok.filter(col("doc_id") === 0L).head().getLong(2)
+        == 3023900100L * 3023900100L,
+      "h4(source) = (KL)^4 on complete bipartite K×L")
+    // the old max-TOTAL-degree bound falsely rejected hub-heavy graphs:
+    // a 235-leaf out-star is linear in degree (h4(center) = 235^4) and
+    // must be admitted at 4 rounds under the directional product bound
+    val star = (1L to 235L).map(i => (0L, i))
+    val hub = Graph.hits(verticesDf(236), pairsDf(star), iters = 4)
+    assert(hub.filter(col("doc_id") === 0L).head().getLong(2) == 3049800625L,
+      "h4(center) = d^4 on an out-star")
+  }
+
+  test("hits: the safe product boundary is BigInt-exact per round count") {
+    assert(Graph.maxSafeHitsProduct(4) == 55108L)
+    assert(Graph.maxSafeHitsProduct(3) == 2097151L)
+    assert(Graph.maxSafeHitsProduct(2) == 3037000499L)
+    assert(Graph.maxSafeHitsProduct(1) == Long.MaxValue)
     for (it <- 1 to 4) {
-      val d = Graph.maxSafeHitsDegree(it)
-      assert(BigInt(d).pow(2 * it) <= BigInt(Long.MaxValue))
-      assert(BigInt(d + 1).pow(2 * it) > BigInt(Long.MaxValue))
+      val p = Graph.maxSafeHitsProduct(it)
+      assert(BigInt(p).pow(it) <= BigInt(Long.MaxValue))
+      if (p < Long.MaxValue)
+        assert(BigInt(p + 1).pow(it) > BigInt(Long.MaxValue))
     }
   }
 
@@ -680,6 +698,37 @@ class GraphSpec extends AnyFunSuite {
     assert(sums.toSeq == wantSum)
     // disjoint positive merges sum their ΔQ: Q never decreases per level
     assert(sums.map(_._4).sliding(2).forall(w => w(1) >= w(0)))
+  }
+
+  test("louvain levels: planted hierarchy — per-level modularity never decreases") {
+    // the matching-per-level semantics, pinned formally: 4 planted
+    // triangles, pairs of triangles tied into two super-clusters by a
+    // 4-edge parallel bundle each (heavy enough that the merge has
+    // ΔQ > 0), one weak edge across the super-clusters. The matching
+    // recovers the hierarchy in 3 levels (12 → 6 → 4 → 2 communities)
+    // and level 4 is a no-op (the across-tie merge has ΔQ < 0);
+    // because every accepted merge is a DISJOINT pair with exact
+    // ΔQ > 0, the reported q_ppm is non-decreasing at EVERY level —
+    // the formal guarantee the single-match-per-level design trades
+    // Blondel's inner move-to-convergence loop for.
+    def tri(a: Long, b: Long, c: Long) = Seq((a, b), (a, c), (b, c))
+    val edges = tri(0L, 1L, 2L) ++ tri(3L, 4L, 5L) ++
+      tri(6L, 7L, 8L) ++ tri(9L, 10L, 11L) ++
+      Seq.fill(4)((2L, 5L)) ++ Seq.fill(4)((8L, 11L)) :+ (2L -> 8L)
+    val (wantLab, wantSum) = bruteLouvainLevels(12, edges, levels = 4)
+    val lab = Graph.louvainCommunities(verticesDf(12), pairsDf(edges), levels = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == wantLab)
+    assert((0L to 5L).map(lab).toSet.size == 1, s"super-cluster A split: $lab")
+    assert((6L to 11L).map(lab).toSet.size == 1, s"super-cluster B split: $lab")
+    assert(lab(0L) != lab(6L), s"super-clusters merged across the weak tie: $lab")
+    val sums = Graph.louvainLevels(verticesDf(12), pairsDf(edges), levels = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sums.toSeq == wantSum)
+    assert(sums.map(_._2).toSeq == Seq(12L, 6L, 4L, 2L, 2L),
+      s"expected 12 -> 6 -> 4 -> 2 -> 2 communities, got ${sums.map(_._2).toSeq}")
+    assert(sums.map(_._4).sliding(2).forall(w => w(1) >= w(0)),
+      s"q_ppm decreased across a level: ${sums.map(_._4).toSeq}")
   }
 
   test("louvain levels: random graph equals the driver replay; partition-invariant") {

@@ -146,4 +146,67 @@ class LayoutSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucketWidth"))
   }
+
+  // ---- Layout.groupedRunningSum -------------------------------------------
+
+  test("groupedRunningSum: bit-identical to the single grouped window") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 5000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextLong() % 100000L, rnd.nextInt(4000).toLong)
+    }
+    val df = rows.toDF("g", "k", "v")
+      .dropDuplicates(Seq("g", "k")) // ord must be unique within its group
+      .repartition(11)
+    val got = graft.operators.Layout
+      .groupedRunningSum(df, col("g"), col("k"), col("v"), "cum",
+        bucketWidth = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val want = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(_._2).scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, k, v)) =>
+          (g, k, acc + v)
+        }.drop(1).map { case (_, k, cum) => (g, k) -> cum }
+      }.toMap
+    assert(got == want)
+  }
+
+  test("groupedRunningSum: negative ord keys bucket by floor division") {
+    val df = Seq(("a", -130L, 1L), ("a", -65L, 2L), ("a", -64L, 3L),
+      ("a", -1L, 4L), ("a", 0L, 5L), ("a", 63L, 6L), ("a", 64L, 7L))
+      .toDF("g", "k", "v")
+    val got = graft.operators.Layout
+      .groupedRunningSum(df, col("g"), col("k"), col("v"), "cum",
+        bucketWidth = 64L)
+      .orderBy(col("k")).collect().map(_.getLong(3))
+    assert(got.toSeq == Seq(1L, 3L, 6L, 10L, 15L, 21L, 28L))
+  }
+
+  test("groupedRunningSum: no window ever partitions on the group alone") {
+    // the 100 TB contract: the row-level window is keyed on
+    // (group, bucket) — bounded by bucketWidth rows per task — and the
+    // only group-partitioned window runs over the O(buckets) offset
+    // frame, never the corpus
+    val df = (0L until 1000L).map(i => ("g", i, 1L)).toDF("g", "k", "v")
+    val out = graft.operators.Layout
+      .groupedRunningSum(df, col("g"), col("k"), col("v"), "cum",
+        bucketWidth = 64L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__rs_p") &&
+      plan.contains("__rs_b"),
+      s"expected the running-sum exchange keyed on (group, bucket), got:\n$plan")
+    assert(got10kContiguous(out), "running sum over unit values is the rank")
+  }
+
+  private def got10kContiguous(out: org.apache.spark.sql.DataFrame): Boolean =
+    out.orderBy(col("k")).select(col("cum")).collect()
+      .map(_.getLong(0)).toSeq == (1L to 1000L).toSeq
+
+  test("groupedRunningSum: rejects a non-positive bucket width") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.groupedRunningSum(
+        Seq(("a", 0L, 1L)).toDF("g", "k", "v"),
+        col("g"), col("k"), col("v"), "cum", bucketWidth = 0L)
+    }
+    assert(e.getMessage.contains("bucketWidth"))
+  }
 }

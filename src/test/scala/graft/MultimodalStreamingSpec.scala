@@ -595,6 +595,47 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, 1.0), (2L, 6.0)), s"NoTimeout keeps exact totals: $off")
   }
 
+  test("streaming IVF drift matches the batch ivfDrift bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cells = Seq((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid") // 1..nlist, the lloydCentroids contract
+    // batch 1 tracks the fitted distribution; batch 2 plants a drift on
+    // cell 1 (members pulled off the x axis)
+    val b1 = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.2, 0.7)), (3L, Seq(0.97, 0.02)))
+    val b2 = Seq((4L, Seq(0.55, 0.5)), (5L, Seq(0.6, 0.45)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = EventsStream.ivfDriftStream(
+        in.toDF().toDF("vec_id", "embedding"), cells)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("ivf_drift_stream").start()
+    def latest(): Map[Int, (Long, Double)] = spark.table("ivf_drift_stream")
+      .groupBy(col("cell"))
+      .agg(max(struct(col("n_new"), col("cos"))).as("s"))
+      .select(col("cell"), col("s.n_new"), col("s.cos"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def batchDrift(rows: Seq[(Long, Seq[Double])]): Map[Int, (Long, Double)] =
+      graft.operators.Similarity
+        .ivfDrift(cells, rows.toDF("vec_id", "embedding"))
+        .filter(col("n_new") > 0)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // every emission is the batch answer over the drop prefix seen so far
+    assert(latest() == batchDrift(b1), "prefix after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = latest()
+    assert(got == batchDrift(b1 ++ b2),
+      "final state must equal the batch ivfDrift over the whole drop, " +
+        "double-for-double")
+    // the planted drift is visible: cell 1's cosine dropped
+    assert(got(1)._2 < batchDrift(b1)(1)._2,
+      s"planted off-axis members must lower cell 1's drift cosine: $got")
+  }
+
   test("latestWinsStream idle TTL: idle (user, type) evicted, version count restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

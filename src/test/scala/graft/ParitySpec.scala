@@ -34,7 +34,12 @@ class ParitySpec extends AnyFunSuite {
       // an eigensolver is not SQL-expressible; PcaSpec pins fit
       // determinism, orthonormality, diagonalization and the bit-exact
       // column≡driver projection; the fit INPUT is the hash-gated v3
-      "v4_pca_project")
+      "v4_pca_project",
+      // LSH band recall is a probabilistic bet (a qualifying pair can
+      // miss all 8 bands), so a quadratic oracle would pin 100% recall
+      // these operators never promise; their exact-recall prefix-filter
+      // twins d19p/x19p carry the hash gates (round-13 ADVICE)
+      "d19_incremental_minhash", "x19_syndication_matrix")
     assert(noOracle == allowedRowsOnly, s"queries missing oracle: $noOracle")
   }
 

@@ -296,6 +296,21 @@ class DedupSpec extends AnyFunSuite {
     assert(many == at45)
   }
 
+  test("minhash banding rejects a numHashes not divisible by bands") {
+    // numHashes=32, bands=5 would truncate to 6-row bands covering 30 of
+    // 32 hashes — silently changed recall, and an index/probe pair built
+    // with different truncations would join garbage buckets
+    val probe = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    for (op <- Seq(
+        () => Dedup.minhashLshPairs(probe, numHashes = 32, bands = 5),
+        () => Dedup.minhashIndex(probe, numHashes = 32, bands = 5),
+        () => Dedup.incrementalMinhash(
+          Dedup.minhashIndex(probe), probe, numHashes = 32, bands = 5))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("divisible"), e.getMessage)
+    }
+  }
+
   test("simhash finds planted near-dup, spares unrelated") {
     val rep = Dedup.simhash(docs, maxHamming = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1347,6 +1347,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the rollup is one map-combinable aggregate, never a join:\n$p")
   }
 
+  test("p2/p3: no window partitions on the language alone (skew single-task)") {
+    // the running sum goes through Layout.groupedRunningSum's two-level
+    // prefix sum: a partitionBy(lang) row window would put every
+    // document of a language in ONE task — at 100 TB the dominant
+    // language is a single-executor sort. The row-level window must key
+    // on (group, bucket); the only group-only window runs over the
+    // O(buckets) offset frame.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("p2_sequence_packing", "p3_sequence_chunks")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec
+            .flatMap(_.references.toSeq).map(_.name).distinct == Seq("lang") => w
+      }
+      assert(offenders.isEmpty,
+        s"$name: a window partitions on lang alone — skewed-key " +
+          s"single-task sort at scale:\n${offenders.mkString("\n")}")
+      val p = plan(name)
+      assert(p.contains("hashpartitioning(__rs_p") && p.contains("__rs_b"),
+        s"$name: the running-sum exchange must key on (group, bucket):\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("e17_event_paths: per-user window, partial agg, 1-row total broadcast") {
     val p = plan("e17_event_paths")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
