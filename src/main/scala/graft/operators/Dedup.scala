@@ -517,6 +517,32 @@ object Dedup {
         col("pid").isNull.as("is_new"))
   }
 
+  /** License/restrictiveness propagation across near-dup components —
+    * the compliance rule of training-data curation: a copy of a
+    * restrictively-licensed document is just as restricted, so the MOST
+    * restrictive class inside a connected component governs every
+    * member. `comp` is a (doc_id, rep) component map (typically the
+    * persisted [[connectedComponents]] closure), `docs` carries the
+    * columns `rank` reads (a license-registry lookup in production);
+    * output is one row per doc: `(doc_id, rep, own_rank, comp_rank,
+    * n_members, upgraded)`. One equi join + one map-combinable
+    * groupBy(rep) max + one join back — no window, no
+    * vertex-cardinality broadcast; the governance twin of the d12
+    * quality-keeper canonicalization.
+    */
+  def licensePropagation(comp: DataFrame, docs: DataFrame,
+      rank: Column): DataFrame = {
+    val ranked = comp.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("rep"), rank.cast("int").as("own_rank"))
+    val compMax = ranked.groupBy(col("rep"))
+      .agg(max(col("own_rank")).as("comp_rank"),
+        count(lit(1)).as("n_members"))
+    ranked.join(compMax, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("own_rank"),
+        col("comp_rank"), col("n_members"),
+        (col("comp_rank") > col("own_rank")).as("upgraded"))
+  }
+
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
     */

@@ -725,6 +725,44 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  /** Two-stage retrieval: ADC shortlist + exact re-rank (the FAISS
+    * "refine" deployment shape, IndexRefineFlat): the compressed m-byte
+    * codes propose `shortlist` candidates per query through
+    * [[pqAdcTopK]]'s LUT join + bounded heap, then the TRUE cosine on
+    * the shortlist members' FULL vectors re-ranks to the served top
+    * `k`. This is how production ANN spends its IO budget: the
+    * quantized scan touches m bytes/vector corpus-wide, and full
+    * vectors are read for only |queries|·shortlist rows — the
+    * candidate and query frames are both bounded, so they BROADCAST
+    * onto one corpus scan (no corpus shuffle, no self-join).
+    *
+    * Exactness: the shortlist is deterministic (decimal-routed adist,
+    * ties to the smaller vec_id — the a4 gate), and the re-rank runs
+    * the fused a1-gated cosine kernel with the (sim desc, neighbor_id
+    * asc) total order — so the whole composition hash-gates end to end
+    * GIVEN the persisted codebooks, unlike recall-bet ANN. Re-ranking
+    * can only surface true neighbors the quantizer already shortlisted;
+    * recall vs exact top-k stays spec-measured (the a2 discipline).
+    */
+  def adcRerankTopK(corpus: DataFrame, codes: DataFrame, model: PqModel,
+      queries: DataFrame, shortlist: Int = 25, k: Int = 5): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    val cand = pqAdcTopK(queries, codes, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("sim"))
+    graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** IVF-PQ composed serving [Jégou et al., TPAMI'11 §IV] — the
     * standard large-scale ANN deployment shape: the coarse quantizer
     * prunes the corpus to the query's `nprobe` nearest cells, and only

@@ -461,6 +461,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x20_license_propagation" -> { (s, dir) =>
+      // license/restrictiveness propagation across near-dup clusters —
+      // the compliance rule of training-data curation: a copy of a
+      // restrictively-licensed document is just as restricted, so the
+      // MOST restrictive class inside a connected near-dup component
+      // governs every member. Components come from the persisted d8
+      // closure (cc_components, fit-once); the restrictiveness class is
+      // a deterministic engine-shared function of the source feed
+      // (length(source) % 4 stands in for the license-registry lookup a
+      // production pipeline plugs in here). One groupBy(rep) max + one
+      // join back — no window, no vertex-cardinality broadcast; the
+      // governance twin of d12's quality-keeper canonicalization.
+      Dedup.licensePropagation(
+          ccComponentsShared(s, dir),
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source")),
+          rank = length(col("source")) % 4)
+        .orderBy(col("doc_id"))
+    },
+
     "d8_dedup_connected" -> { (s, dir) =>
       // transitive closure over the exact ngram-Jaccard pair set: chains
       // A~B~C collapse onto one representative even when A !~ C. The
@@ -811,6 +831,24 @@ object Pipeline {
       val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
       val codes = Similarity.pqEncode(e, model)
       Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), codes, model, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "a10_adc_rerank" -> { (s, dir) =>
+      // two-stage retrieval (shortlist + exact re-rank — the FAISS
+      // "refine" deployment shape): the 8-byte PQ codes propose an ADC
+      // shortlist of 25 candidates per query, then the TRUE cosine on
+      // the shortlist's full vectors re-ranks to the served top-5. The
+      // production IO shape at 100 TB: the quantized scan reads m
+      // bytes/vector corpus-wide, full vectors only for the bounded
+      // |queries|×25 shortlist (broadcast onto ONE corpus scan). Both
+      // stages are oracle-replayable (a4's codes/LUT CTEs + the a1
+      // cosine), so the composition hash-gates end to end.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = fittedPq(s, dir)
+      val codes = Similarity.pqEncode(e, model)
+      Similarity.adcRerankTopK(e, codes, model,
+          e.filter(col("vec_id") < 10), shortlist = 25, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -4369,6 +4407,39 @@ object Pipeline {
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    "x20_license_propagation" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |ranked AS (
+        |  SELECT cc.doc_id, cc.rep,
+        |    CAST(len(d.source) % 4 AS INTEGER) AS own_rank
+        |  FROM cc JOIN documents d USING (doc_id)),
+        |cm AS (
+        |  SELECT rep, CAST(max(own_rank) AS INTEGER) AS comp_rank,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM ranked GROUP BY rep)
+        |SELECT r.doc_id, r.rep, r.own_rank, cm.comp_rank, cm.n_members,
+        |  cm.comp_rank > r.own_rank AS upgraded
+        |FROM ranked r JOIN cm USING (rep)
+        |ORDER BY r.doc_id""".stripMargin,
+
     "d12_dedup_canonical" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, lang,
@@ -4731,6 +4802,59 @@ object Pipeline {
         |  FROM sc)
         |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "a10_adc_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.query_id, m.sub, m.centroid_id AS code,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(q.qv[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM q, model m),
+        |sc AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id),
+        |short AS (
+        |  SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adist, vec_id) AS rank
+        |    FROM sc) WHERE rank <= 25),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_dot_product(q.qv, c.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM short s
+        |  JOIN q ON s.query_id = q.query_id
+        |  JOIN v c ON s.neighbor_id = c.vec_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM re)
+        |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "a3_pq_encode" ->
       """WITH v AS (

@@ -296,6 +296,21 @@ class DedupSpec extends AnyFunSuite {
     assert(many == at45)
   }
 
+  test("license propagation: the component max governs every member") {
+    // chain component {0,1,2} (max rank from doc 1), singleton {5}
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L))
+      .toDF("doc_id", "rep")
+    val meta = Seq((0L, 0), (1L, 3), (2L, 1), (5L, 2)).toDF("doc_id", "r")
+    val got = Dedup.licensePropagation(comp, meta, col("r"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(0L) == ((0, 3, 3L, true)), s"member upgraded to comp max: $got")
+    assert(got(1L) == ((3, 3, 3L, false)), s"the max member is unchanged: $got")
+    assert(got(2L) == ((1, 3, 3L, true)), got.toString)
+    assert(got(5L) == ((2, 2, 1L, false)), s"singleton keeps its own rank: $got")
+  }
+
   test("minhash banding rejects a numHashes not divisible by bands") {
     // numHashes=32, bands=5 would truncate to 6-row bands covering 30 of
     // 32 hashes — silently changed recall, and an index/probe pair built

@@ -1347,6 +1347,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the rollup is one map-combinable aggregate, never a join:\n$p")
   }
 
+  test("a10_adc_rerank: bounded shortlist broadcasts onto one corpus scan") {
+    val p = plan("a10_adc_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"both rankings are bounded heaps, never a window:\n$p")
+    // the rerank join reads full vectors for shortlist members only —
+    // the candidate and query frames must broadcast, never shuffle the
+    // corpus a second time
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"shortlist and query frames must broadcast onto the corpus scan:\n$p")
+    // both heap stages are the two-phase TopKPerKey (partial → final)
+    assert(p.contains("GraftTopKPartial") || p.contains("TopKPerKey") ||
+      nodeCount(p, "HashAggregate") >= 2, p)
+  }
+
+  test("x20 license rollup: equi joins + map-combine max; no window") {
+    // the FULL x20 query builds the persisted cc_components holder at
+    // construction (the d19/g13 situation) — pin the operator over
+    // synthetic frames instead
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("doc_id", "rep")
+    val docs = Seq((0L, "web"), (1L, "booksx"), (2L, "web"))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Dedup.licensePropagation(
+      comp, docs, length(col("source")) % 4)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"the component max is an aggregate, never a window:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-component max must combine map-side:\n$p")
+  }
+
   test("p2/p3: no window partitions on the language alone (skew single-task)") {
     // the running sum goes through Layout.groupedRunningSum's two-level
     // prefix sum: a partitionBy(lang) row window would put every

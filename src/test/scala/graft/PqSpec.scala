@@ -117,6 +117,44 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("adc rerank: true-cosine re-ranking of the ADC shortlist, driver-replayed") {
+    val c = corpus(400, 16, 8)
+    val model = Similarity.fitPq(c, dim = 16, m = 2, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(c, model)
+    val queries = c.filter(col("vec_id") < 4)
+    val got = Similarity
+      .adcRerankTopK(c, codes, model, queries, shortlist = 12, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 4 * 5)
+    // the served set is exactly the top-5 BY TRUE COSINE of the ADC
+    // shortlist — replay both stages on the driver
+    val shortMap = Similarity.pqAdcTopK(queries, codes, model, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = c.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val want = shortMap(q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(5)
+      val gotQ = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(gotQ.map(_._1) == want.map(_._1),
+        s"query $q: rerank order must be true-cosine over the shortlist")
+      // shortlist membership: rerank can only serve shortlisted ids
+      assert(gotQ.map(_._1).toSet.subsetOf(shortMap(q)))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.adcRerankTopK(c, codes, model, queries, shortlist = 3, k = 5)
+    }
+    assert(e.getMessage.contains("shortlist >= k"))
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
