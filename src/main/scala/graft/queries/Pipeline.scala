@@ -3437,6 +3437,79 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    "s12_dedup_mixture" -> { (s, dir) =>
+      // temperature-scaled mixture weights computed on the DEDUPED
+      // corpus — the correction s8 needs before it can be trusted: a
+      // syndicated/mirrored feed's copies inflate its raw document
+      // count, so computing p_i ∝ n_i^(1/2) on the undeduped corpus
+      // oversamples exactly the sources whose content is most
+      // duplicated. Counts come from d12's keepers (one
+      // highest-quality doc per d8 near-dup component, the persisted
+      // cc closure); the apportionment is s8's exact Hamilton
+      // largest-remainder over the O(sources) frame. Same output
+      // contract as s8 — diff the two allocations to see the
+      // duplication bias directly.
+      val comp = ccComponentsShared(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val scored = comp.join(d.select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      val keep = graft.plans.TopKPerKey(scored, Seq(col("rep")),
+          Seq(col("n_chars").desc, col("doc_id").asc), 1)
+        .select(col("doc_id"))
+      val counts = keep
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double"))).cast("long").as("wt"))
+      val wnd = org.apache.spark.sql.expressions.Window
+      counts
+        .withColumn("wtot", sum(col("wt")).over(wnd.partitionBy()))
+        .select(col("source"), col("n_docs"), col("wt"),
+          expr("(100000 * wt) div wtot").as("base_n"),
+          expr("(100000 * wt) % wtot").as("rem"))
+        .withColumn("leftover",
+          lit(100000L) - sum(col("base_n")).over(wnd.partitionBy()))
+        .withColumn("rk", row_number().over(
+          wnd.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_docs"), col("wt"),
+          (col("base_n") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("source"))
+    },
+
+    "v11_ann_recall" -> { (s, dir) =>
+      // recall@k of the quantized two-stage retrieval (a10) against the
+      // exact brute-force top-k (a1) — the acceptance eval every ANN
+      // deployment runs before trusting a compressed index: per query,
+      // how many of the true top-5 did the ADC-shortlist + re-rank path
+      // actually serve? Both sides are oracle-replayable, so the eval
+      // itself hash-gates (the recall NUMBER is exact even though the
+      // index is approximate — measuring the bet, not betting on it).
+      // One left-semi join + two O(queries) aggregates on top of the
+      // bounded retrieval frames; recall_ppm is one exact integer
+      // division.
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val model = fittedPq(s, dir)
+      val codes = Similarity.pqEncode(e, model)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity
+        .adcRerankTopK(e, codes, model, q, shortlist = 25, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("kk"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("kk"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hits) div kk"))
+        .drop("kk")
+        .orderBy(col("query_id"))
+    },
+
     "t20_novelty" -> { (s, dir) =>
       // temporal n-gram novelty — the freshness score an incremental
       // crawl gives each incoming document: the fraction of its
@@ -4855,6 +4928,77 @@ object Pipeline {
         |  FROM re)
         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "v11_ann_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.query_id, m.sub, m.centroid_id AS code,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(q.qv[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM q, model m),
+        |sc AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id),
+        |short AS (
+        |  SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adist, vec_id) AS rank
+        |    FROM sc) WHERE rank <= 25),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_dot_product(q.qv, c.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM short s
+        |  JOIN q ON s.query_id = q.query_id
+        |  JOIN v c ON s.neighbor_id = c.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM re) WHERE rank <= 5),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qv, c.v) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id ASC) AS rank
+        |    FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id) t
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ex e JOIN approx a USING (query_id, neighbor_id)
+        |  GROUP BY e.query_id),
+        |kk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS kk
+        |       FROM ex GROUP BY query_id)
+        |SELECT kk.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  (1000000 * coalesce(h.n_hits, 0)) // kk.kk AS recall_ppm
+        |FROM kk LEFT JOIN hits h USING (query_id)
+        |ORDER BY kk.query_id""".stripMargin,
 
     "a3_pq_encode" ->
       """WITH v AS (
@@ -6569,6 +6713,50 @@ object Pipeline {
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt
         |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS wtot FROM c),
+        |b AS (
+        |  SELECT source, n_docs, wt,
+        |    (100000 * wt) // t.wtot AS base_n,
+        |    (100000 * wt) % t.wtot AS rem
+        |  FROM c, t),
+        |l AS (SELECT 100000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b)
+        |SELECT source, n_docs, wt,
+        |  CAST(base_n + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r, l ORDER BY source""".stripMargin,
+
+    "s12_dedup_mixture" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |k AS (
+        |  SELECT doc_id FROM (
+        |    SELECT cc.rep, d.doc_id,
+        |      row_number() OVER (PARTITION BY cc.rep
+        |                         ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |    FROM cc JOIN documents d USING (doc_id)) WHERE rn = 1),
+        |c AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM k JOIN documents d USING (doc_id) GROUP BY d.source),
         |t AS (SELECT CAST(sum(wt) AS BIGINT) AS wtot FROM c),
         |b AS (
         |  SELECT source, n_docs, wt,

@@ -128,6 +128,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "d18_dup_cluster_hist",// fp aggregate then O(sizes) rollup, no window
     "x18_manifest_diff",   // two manifest aggregates, O(shards) join
     "v10_norm_hist",       // fused dot kernel, one histogram aggregate
+    "a10_adc_rerank",      // ADC shortlist + broadcast exact re-rank heaps
+    "v11_ann_recall",      // left-semi hit join over two bounded retrievals
     "q31_unpivot")         // melt via Expand over the O(sources) aggregate
   // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
   // frames are persistPublic caches (the d8/g4 cache-manager situation)

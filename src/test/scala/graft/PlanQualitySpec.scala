@@ -1362,6 +1362,15 @@ class PlanQualitySpec extends AnyFunSuite {
       nodeCount(p, "HashAggregate") >= 2, p)
   }
 
+  test("v11_ann_recall: hit detection is a semi join over bounded frames") {
+    val p = plan("v11_ann_recall")
+    assert(nodeCount(p, "Window") == 0,
+      s"both retrievals are bounded heaps; the eval is joins+aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("leftsemi"),
+      s"exact∩approx must be a semi join, never a full join + distinct:\n$p")
+  }
+
   test("x20 license rollup: equi joins + map-combine max; no window") {
     // the FULL x20 query builds the persisted cc_components holder at
     // construction (the d19/g13 situation) — pin the operator over
