@@ -3478,6 +3478,44 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    "v12_pq_distortion" -> { (s, dir) =>
+      // per-subspace PQ reconstruction error — the codebook-health
+      // monitor behind every quantized serving tier (and the number
+      // ivfMaintain-style refit policies threshold for PQ): the squared
+      // distance between each vector's block and its assigned centroid,
+      // rolled up per subspace as an exact decimal-routed SSE + MSE. A
+      // subspace whose MSE drifts up after an ingest is a stale
+      // codebook. Each error routes through the engine-shared identity
+      // ‖b−c‖² = b·b − 2·b·c + c·c (three fused graft_dot folds — the
+      // a3/a4 discipline, so DuckDB replays the doubles bit-for-bit
+      // from the persisted codebooks); the centroid table is O(m·k)
+      // and broadcasts; one corpus-scan join + one map-combinable
+      // aggregate, output O(m) rows at any corpus size.
+      val e = Tables.load(s, dir, "embeddings")
+      val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
+      val cents = s.read
+        .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+        .select(col("sub"), col("centroid_id").as("code"), col("centroid"))
+      val codes = Similarity.pqEncode(e, model)
+      codes
+        .join(e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
+        .select(col("v"),
+          posexplode(array((0 until model.m).map(i => col(s"c$i")): _*))
+            .as(Seq("sub", "code")))
+        .withColumn("b", slice(col("v"), col("sub") * 8 + 1, lit(8)))
+        .join(broadcast(cents), Seq("sub", "code"))
+        .select(col("sub"),
+          (Similarity.dot(col("b"), col("b"))
+            - lit(2) * Similarity.dot(col("b"), col("centroid"))
+            + Similarity.dot(col("centroid"), col("centroid"))).as("err"))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err").cast("decimal(28,12)")).cast("double").as("sse"))
+        .withColumn("mse", col("sse") / col("n_vecs"))
+        .orderBy(col("sub"))
+    },
+
     "v11_ann_recall" -> { (s, dir) =>
       // recall@k of the quantized two-stage retrieval (a10) against the
       // exact brute-force top-k (a1) — the acceptance eval every ANN
@@ -4928,6 +4966,40 @@ object Pipeline {
         |  FROM re)
         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "v12_pq_distortion" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |err AS (
+        |  SELECT c.sub,
+        |    list_dot_product(v.v[c.sub * 8 + 1 : c.sub * 8 + 8],
+        |                     v.v[c.sub * 8 + 1 : c.sub * 8 + 8])
+        |      - 2 * list_dot_product(v.v[c.sub * 8 + 1 : c.sub * 8 + 8],
+        |                             m.centroid)
+        |      + list_dot_product(m.centroid, m.centroid) AS e
+        |  FROM codes c
+        |  JOIN v ON c.vec_id = v.vec_id
+        |  JOIN model m ON m.sub = c.sub AND m.centroid_id = c.code)
+        |SELECT CAST(sub AS INTEGER) AS sub,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS sse,
+        |  CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mse
+        |FROM err GROUP BY sub ORDER BY sub""".stripMargin,
 
     "v11_ann_recall" ->
       """WITH v AS (

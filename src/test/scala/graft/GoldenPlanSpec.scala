@@ -130,6 +130,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v10_norm_hist",       // fused dot kernel, one histogram aggregate
     "a10_adc_rerank",      // ADC shortlist + broadcast exact re-rank heaps
     "v11_ann_recall",      // left-semi hit join over two bounded retrievals
+    "v12_pq_distortion",   // broadcast codebooks, decimal map-combine SSE
     "q31_unpivot")         // melt via Expand over the O(sources) aggregate
   // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
   // frames are persistPublic caches (the d8/g4 cache-manager situation)
