@@ -4083,6 +4083,34 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "u8_tokenizer_compare" -> { (s, dir) =>
+      // tokenizer-selection eval: per-language fertility of the u4 BPE
+      // table vs the u7 unigram-LM table over the SAME corpus — the
+      // side-by-side every "which tokenizer do we train with" decision
+      // reads (a tokenizer that is cheap on English and 2× on Thai
+      // taxes every Thai training token). BOTH segmenters run inside
+      // one fused map-only corpus pass (two codegen'd expressions over
+      // the same row — no second scan, no join, no shuffle beyond the
+      // O(langs) aggregate); fertilities and their delta are exact
+      // scaled integer divisions.
+      val merges = BpeMerges
+      val d = Tables.load(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      d.select(col("lang"),
+          size(toks).cast("long").as("nw"),
+          size(Tokenizer.segment(col("text"), merges)).cast("long").as("ns"),
+          size(Tokenizer.unigramSegment(col("text"), UnigramPieces,
+            UnigramCharCost)).cast("long").as("np"))
+        .filter(col("nw") > 0)
+        .groupBy(col("lang"))
+        .agg(sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_subwords"), sum(col("np")).as("n_pieces"))
+        .withColumn("bpe_ppm", expr("(1000000 * n_subwords) div n_words"))
+        .withColumn("uni_ppm", expr("(1000000 * n_pieces) div n_words"))
+        .withColumn("delta_ppm", expr("bpe_ppm - uni_ppm"))
+        .orderBy(col("lang"))
+    },
+
     "u2_stupid_backoff" -> { (s, dir) =>
       // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
       // web-scale LM rule that skips discount normalization): per
@@ -4301,7 +4329,13 @@ object Pipeline {
     * one piece per character — the documented fallback). The caller's
     * CTE list must define `occ(..., w)`.
     */
-  private def unigramServeCtes: String = {
+  private def unigramServeCtes: String = unigramServeCtes("wl")
+
+  /** Variant with a caller-chosen name for the final per-word
+    * piece-count CTE, so u8 can splice this chain and [[BpeFoldCtes]]
+    * (whose final CTE is also `wl`) into ONE oracle.
+    */
+  private def unigramServeCtes(wlName: String): String = {
     val vals = UnigramPieces
       .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
       .mkString(", ")
@@ -4342,7 +4376,7 @@ object Pipeline {
       |    '' AS path
       |  FROM wshort),
       |$rounds,
-      |wl AS (
+      |$wlName AS (
       |  SELECT uN.w, CAST(len(list_filter(string_split(uN.path, chr(31)),
       |    x -> len(x) > 0)) AS BIGINT) AS n_pieces
       |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
@@ -7448,6 +7482,29 @@ object Pipeline {
         |SELECT doc_id, n_words, n_pieces,
         |  (1000000 * n_pieces) // n_words AS ppw_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u8_tokenizer_compare" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, lang, unnest(toks) AS w FROM tok),
+        |$BpeFoldCtes,
+        |${unigramServeCtes("uwl")},
+        |per AS (
+        |  SELECT o.lang,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(b.n_sub) AS BIGINT) AS n_subwords,
+        |    CAST(sum(u.n_pieces) AS BIGINT) AS n_pieces
+        |  FROM occ o JOIN wl b ON o.w = b.w JOIN uwl u ON o.w = u.w
+        |  GROUP BY o.lang)
+        |SELECT lang, n_words, n_subwords, n_pieces,
+        |  (1000000 * n_subwords) // n_words AS bpe_ppm,
+        |  (1000000 * n_pieces) // n_words AS uni_ppm,
+        |  (1000000 * n_subwords) // n_words
+        |    - (1000000 * n_pieces) // n_words AS delta_ppm
+        |FROM per ORDER BY lang""".stripMargin,
 
     "g10_hits" ->
       """WITH tok AS (

@@ -118,6 +118,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "e17_event_paths",     // per-user lead window, 1-row total broadcast
     "p5_pad_waste",        // map-only pow2 buckets, one partial aggregate
     "u5_tokenizer_fertility", // fused segment pass, O(langs) aggregate
+    "u8_tokenizer_compare", // BOTH segmenters in one fused pass, no join
     "v9_pair_sim_hist",    // TakeOrdered sample prefix, broadcast all-pairs
     "q30_pivot",           // CASE-armed partial+final aggregate, no joins
     "a7_radius_search",    // broadcast queries, codegen'd radius filter

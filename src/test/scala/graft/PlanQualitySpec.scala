@@ -1362,6 +1362,16 @@ class PlanQualitySpec extends AnyFunSuite {
       nodeCount(p, "HashAggregate") >= 2, p)
   }
 
+  test("u8_tokenizer_compare: both segmenters in ONE fused corpus pass") {
+    val p = plan("u8_tokenizer_compare")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"BPE and unigram segmentation must share one corpus scan:\n$p")
+    assert(nodeCount(p, "Join") == 0 && nodeCount(p, "Window") == 0,
+      s"per-doc counts are map work; the rollup is one aggregate:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"the O(langs) rollup must partial-aggregate map-side:\n$p")
+  }
+
   test("v11_ann_recall: hit detection is a semi join over bounded frames") {
     val p = plan("v11_ann_recall")
     assert(nodeCount(p, "Window") == 0,
