@@ -287,6 +287,102 @@ object EventsStream {
       .select(col("doc_id"), col("bid").as("base_id"), col("inter"),
         (col("bn").cast("long") + col("dn") - col("inter")).as("uni"))
 
+  /** State for [[funnelStream]]: the chained stage anchors on the
+    * event_id axis, `Long.MinValue` = stage not reached. One tiny case
+    * class per user — O(active users) state forever.
+    */
+  case class FunnelState(vId: Long, cId: Long, pId: Long)
+
+  case class FunnelOut(user_id: Long, v_id: Option[Long],
+      c_id: Option[Long], p_id: Option[Long], stage: Int)
+
+  /** Streaming ordered funnel (view → click → purchase) — e9's RUNNING
+    * twin: per user, the chained stage anchors on the event_id axis
+    * (stage n+1 only counts events after stage n's anchor), carried
+    * across microbatches by `mapGroupsWithState` and re-emitted per
+    * touched user per batch. The fold is O(1) per event and the state
+    * O(1) per user, which is exactly what the batch form's three
+    * whole-partition windows cannot do incrementally.
+    *
+    * Ordering contract (the [[transitionPairsStream]] discipline):
+    * within a microbatch rows sort by event_id; an anchor, once set,
+    * never moves — so an IN-ORDER feed (ids ascending per user across
+    * batches, the CDC/replay shape) reproduces the batch e9 answer
+    * EXACTLY (the first view processed is the min view id, the first
+    * qualifying click after it is the min click above it, …), while a
+    * late cross-batch view with a smaller id than an already-set anchor
+    * is deliberately ignored rather than retro-lowering the chain
+    * (re-opening anchors would need the full per-user event history —
+    * unbounded state). `idleTtlMs` optionally evicts idle users' state
+    * on event-time timeout (the [[userTotals]] TTL contract: silent
+    * eviction, no tombstone; a returning user restarts their funnel).
+    */
+  def funnelStream(events: DataFrame,
+      idleTtlMs: Option[Long] = None): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    def fold(prev: FunnelState, rows: Seq[(Long, String)]): FunnelState = {
+      var v = prev.vId; var c = prev.cId; var p = prev.pId
+      rows.sortBy(_._1).foreach { case (id, tpe) =>
+        tpe match {
+          case "view" if v == unset => v = id
+          case "click" if v != unset && c == unset && id > v => c = id
+          case "purchase" if c != unset && p == unset && id > c => p = id
+          case _ =>
+        }
+      }
+      FunnelState(v, c, p)
+    }
+    def emit(user: Long, s: FunnelState): FunnelOut =
+      FunnelOut(user,
+        Some(s.vId).filter(_ != unset), Some(s.cId).filter(_ != unset),
+        Some(s.pId).filter(_ != unset),
+        Seq(s.vId, s.cId, s.pId).count(_ != unset))
+    val empty = FunnelState(unset, unset, unset)
+    idleTtlMs match {
+      case None =>
+        events
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, String)],
+             state: GroupState[FunnelState]) =>
+              val next = fold(state.getOption.getOrElse(empty),
+                rows.map(r => (r._2, r._3)).toSeq)
+              state.update(next)
+              emit(user, next)
+          }
+      case Some(ttl) =>
+        require(ttl > 0, s"idleTtlMs must be positive, got $ttl")
+        events
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"))
+          .as[(Long, Long, String, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(),
+              GroupStateTimeout.EventTimeTimeout()) {
+            (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+             state: GroupState[FunnelState]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val rs = rows.toSeq
+                val next = fold(state.getOption.getOrElse(empty),
+                  rs.map(r => (r._2, r._3)))
+                state.update(next)
+                val maxMs = rs.map(r => math.floorDiv(micros(r._4), 1000L)).max
+                state.setTimeoutTimestamp(
+                  math.max(maxMs, state.getCurrentWatermarkMs() + 1L) + ttl)
+                Iterator.single(emit(user, next))
+              }
+          }
+    }
+  }
+
   /** Per-cell state for [[ivfDriftStream]]: occupancy plus the running
     * DECIMAL component sums of the drop members assigned to the cell.
     * Sums are carried as plain strings (`BigDecimal.toPlainString` at

@@ -595,6 +595,51 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, 1.0), (2L, 6.0)), s"NoTimeout keeps exact totals: $off")
   }
 
+  test("streaming funnel matches the batch e9 stages") {
+    val ds = EventsStream.funnelStream(EventsStream.readEvents(spark, sf))
+    // one input batch → one emission per user, and the within-batch sort
+    // makes the feed in-order, so the running funnel IS the batch funnel
+    val got = EventsStream.runToMemory(ds.toDF(), "funnel_stream_test")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    val batch = graft.queries.Events.queries("e9_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    assert(got == batch)
+  }
+
+  test("streaming funnel: anchors chain across batches; late lower view ignored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val q = EventsStream.funnelStream(
+        in.toDF().toDF("user_id", "event_id", "event_type"))
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("funnel_chain_test").start()
+    // batch 1: user 1 views (id 10), clicks BEFORE the view (id 5 —
+    // must not count), user 2 views only
+    in.addData((1L, 10L, "view"), (1L, 5L, "click"), (2L, 3L, "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks after the view and purchases; a LATE view
+    // with a smaller id arrives and must NOT retro-lower the anchor
+    in.addData((1L, 2L, "view"), (1L, 12L, "click"), (1L, 15L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_chain_test")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSeq
+    // user 1 emissions: stage 1 after batch 1 (click id 5 < view id 10
+    // does not chain), stage 3 after batch 2 with the ORIGINAL view
+    // anchor 10 (the late id-2 view is ignored, the documented contract)
+    assert(rows.contains((1L, Some(10L), None, None, 1)), rows.toString)
+    assert(rows.contains((1L, Some(10L), Some(12L), Some(15L), 3)), rows.toString)
+    assert(rows.contains((2L, Some(3L), None, None, 1)), rows.toString)
+    assert(rows.count(_._1 == 1L) == 2, "one emission per touched batch")
+  }
+
   test("streaming IVF drift matches the batch ivfDrift bit-for-bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
