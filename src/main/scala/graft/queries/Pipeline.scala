@@ -4111,6 +4111,50 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    "u9_kneser_ney" -> { (s, dir) =>
+      // interpolated Kneser-Ney bigram estimation (Kneser & Ney
+      // ICASSP'95; Chen & Goodman's interpolated form) — the
+      // count-based LM trainer behind serious n-gram quality filters,
+      // where u2's stupid backoff is the cheap web-scale shortcut:
+      // P(w2|w1) = max(c12 − D, 0)/c1· + λ(w1)·P_cont(w2) with
+      // λ(w1) = D·N1+(w1·)/c1· and P_cont(w2) = N1+(·w2)/N1+(··) —
+      // the CONTINUATION count (how many distinct left contexts w2
+      // follows) replacing raw frequency, the fix for "Francisco is
+      // frequent but only ever follows San". The discount D = 3/4 is
+      // carried EXACTLY as the rational 3/4 (the u2/d17 discipline), so
+      // both additive terms are single scaled integer divisions and the
+      // whole table replays bit-for-bit in SQL. Every statistic is a
+      // map-combinable aggregate over the bigram-type frame (S(w1,w2)
+      // count, then S(w1)/S(w2) rollups — never a window, never a
+      // per-context sort); only the 1-row type total broadcasts.
+      // Int64 headroom: 3e6·N1+(w1·)·N1+(·w2) wraps past ~1.7e6 distinct
+      // types per side — decimal-route beyond (the t19/g7 discipline).
+      // Output floored at c12 >= 2 (the u1 Heaps'-law bound).
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(TextFunctions.tokens(col("text")).as("toks"))
+      val occ = toks.select(
+          explode(TextFunctions.wordShingles(col("toks"), 2)).as("gram"))
+        .select(substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+      val big = Dedup.persistPublic(
+        occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      val left = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1dot"), count(lit(1)).as("n1p_right"))
+      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_left"))
+      val totTypes = big.agg(count(lit(1)).as("n_types"))
+      big.filter(col("c12") >= 2)
+        .join(left, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(totTypes))
+        .select(col("w1"), col("w2"), col("c12"), col("c1dot"),
+          col("n1p_right"), col("n1p_left"),
+          expr("(1000000 * (4 * c12 - 3)) div (4 * c1dot)").as("disc_ppm"),
+          expr("(3000000 * n1p_right * n1p_left) div (4 * c1dot * n_types)")
+            .as("cont_ppm"))
+        .withColumn("p_ppm", col("disc_ppm") + col("cont_ppm"))
+        .orderBy(col("w1"), col("w2"))
+    },
+
     "u2_stupid_backoff" -> { (s, dir) =>
       // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
       // web-scale LM rule that skips discount normalization): per
@@ -7482,6 +7526,37 @@ object Pipeline {
         |SELECT doc_id, n_words, n_pieces,
         |  (1000000 * n_pieces) // n_words AS ppw_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u9_kneser_ney" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |occ AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM occ GROUP BY w1, w2),
+        |lft AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1dot,
+        |    CAST(count(*) AS BIGINT) AS n1p_right
+        |  FROM big GROUP BY w1),
+        |cont AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_left
+        |  FROM big GROUP BY w2),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM big)
+        |SELECT b.w1, b.w2, b.c12, l.c1dot, l.n1p_right, c.n1p_left,
+        |  (1000000 * (4 * b.c12 - 3)) // (4 * l.c1dot) AS disc_ppm,
+        |  (3000000 * l.n1p_right * c.n1p_left)
+        |    // (4 * l.c1dot * tt.n_types) AS cont_ppm,
+        |  (1000000 * (4 * b.c12 - 3)) // (4 * l.c1dot)
+        |    + (3000000 * l.n1p_right * c.n1p_left)
+        |      // (4 * l.c1dot * tt.n_types) AS p_ppm
+        |FROM big b JOIN lft l USING (w1) JOIN cont c USING (w2), tt
+        |WHERE b.c12 >= 2 ORDER BY b.w1, b.w2""".stripMargin,
 
     "u8_tokenizer_compare" ->
       s"""WITH tok AS (

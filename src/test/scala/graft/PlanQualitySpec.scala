@@ -1362,6 +1362,19 @@ class PlanQualitySpec extends AnyFunSuite {
       nodeCount(p, "HashAggregate") >= 2, p)
   }
 
+  test("u9_kneser_ney: count rollups only — no window, no per-context sort") {
+    // NOT golden-pinned: the bigram-type frame is persistPublic-shared
+    // (the d17/u3 cache-manager situation) — targeted asserts instead
+    val p = plan("u9_kneser_ney")
+    assert(nodeCount(p, "Window") == 0,
+      s"every KN statistic is a map-combinable aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"type/continuation counts must combine map-side:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row type total may ride a nested-loop broadcast:\n$p")
+  }
+
   test("u8_tokenizer_compare: both segmenters in ONE fused corpus pass") {
     val p = plan("u8_tokenizer_compare")
     assert(nodeCount(p, "Scan parquet") == 1,
