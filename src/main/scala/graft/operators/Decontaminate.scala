@@ -194,7 +194,9 @@ object Decontaminate {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
+    // divisibility-checked: a truncated banding here would probe the eval
+    // index with DIFFERENT buckets than the index was built with
+    val rows = Dedup.bandRows(numHashes, bands, "fuzzyPairs")
     val idx = broadcast(Dedup.minhashIndex(evalSet, shingleLen, numHashes, bands)
       .select(col("doc_id").as("eval_id"), col("hs").as("e_hs"),
         col("n").as("e_n"), col("band"), col("bucket")))
