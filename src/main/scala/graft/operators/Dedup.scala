@@ -543,6 +543,30 @@ object Dedup {
         (col("comp_rank") > col("own_rank")).as("upgraded"))
   }
 
+  /** NEAR-dup leakage across dataset-split boundaries — the
+    * eval-integrity check exact-fingerprint flags cannot see: a
+    * paraphrased copy of a training document sitting in val/test
+    * inflates every benchmark it touches. `comp` is a (doc_id, rep)
+    * component map (the persisted [[connectedComponents]] closure),
+    * `split` a (doc_id, split) assignment (s3's md5 buckets, or any
+    * deterministic labeling); a component whose members land in more
+    * than one split is leaky and EVERY member is flagged — train-side
+    * copies tell the curator what to drop, eval-side copies what is
+    * compromised. One groupBy(rep) distinct-split count (the split
+    * domain is tiny, so per-group state is bounded) + one join back —
+    * no window, no vertex-cardinality broadcast.
+    */
+  def crossSplitLeakage(comp: DataFrame, split: DataFrame): DataFrame = {
+    val joined = comp.join(split, Seq("doc_id"))
+    val per = joined.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_members"))
+    joined.join(per, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("split"),
+        col("n_members"), col("n_splits"),
+        (col("n_splits") > 1).as("leaky"))
+  }
+
   /** SimHash near-dup: 64-bit signature, 16-bit band blocking, exact
     * hamming-distance verification.
     */

@@ -2441,6 +2441,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x21_split_leakage_neardup" -> { (s, dir) =>
+      // NEAR-dup leakage across the train/val/test boundary — the
+      // eval-integrity check c5's exact-fingerprint flags cannot see: a
+      // paraphrased or lightly-edited copy of a training document
+      // sitting in val/test inflates every benchmark it touches. A d8
+      // near-dup component whose members land in MORE THAN ONE of s3's
+      // deterministic splits is leaky, and every member is flagged
+      // (train-side copies tell the curator what to drop; eval-side
+      // copies what is compromised). Components come from the persisted
+      // d8 closure (fit-once); the split is s3's md5-bucket assignment
+      // (map-only, content-independent). One groupBy(rep)
+      // distinct-split count + one join back — no window; the split
+      // column is a 3-value domain, so the distinct is a bounded
+      // per-group state.
+      val bucket = TextFunctions.md5Bucket(col("doc_id"))
+      Dedup.crossSplitLeakage(
+          ccComponentsShared(s, dir),
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              when(bucket < 245, lit("train"))
+                .when(bucket < 250, lit("val"))
+                .otherwise(lit("test")).as("split")))
+        .orderBy(col("doc_id"))
+    },
+
     "x14_shard_manifest" -> { (s, dir) =>
       // deterministic training-shard manifest — the handoff between
       // curation and the training job: every doc maps to
@@ -6269,6 +6294,47 @@ object Pipeline {
         |       WHEN bucket < 250 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x21_split_leakage_neardup" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 245 THEN 'train'
+        |         WHEN bucket < 250 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |    FROM documents)),
+        |j AS (SELECT cc.doc_id, cc.rep, sp.split
+        |      FROM cc JOIN sp ON cc.doc_id = sp.doc_id),
+        |per AS (
+        |  SELECT rep, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM j GROUP BY rep)
+        |SELECT j.doc_id, j.rep, j.split, per.n_members, per.n_splits,
+        |  per.n_splits > 1 AS leaky
+        |FROM j JOIN per USING (rep)
+        |ORDER BY j.doc_id""".stripMargin,
 
     "x14_shard_manifest" ->
       s"""WITH b AS (

@@ -311,6 +311,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == ((2, 2, 1L, false)), s"singleton keeps its own rank: $got")
   }
 
+  test("cross-split leakage: a component straddling splits flags every member") {
+    // component {0,1} straddles train/test → both flagged; {2} and {5}
+    // stay clean in their own splits
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 2L), (5L, 5L))
+      .toDF("doc_id", "rep")
+    val split = Seq((0L, "train"), (1L, "test"), (2L, "train"), (5L, "val"))
+      .toDF("doc_id", "split")
+    val got = Dedup.crossSplitLeakage(comp, split)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(0L) == (("train", 2L, 2L, true)), got.toString)
+    assert(got(1L) == (("test", 2L, 2L, true)),
+      s"every member of a leaky component is flagged: $got")
+    assert(got(2L) == (("train", 1L, 1L, false)), got.toString)
+    assert(got(5L) == (("val", 1L, 1L, false)), got.toString)
+  }
+
   test("minhash banding rejects a numHashes not divisible by bands") {
     // numHashes=32, bands=5 would truncate to 6-row bands covering 30 of
     // 32 hashes — silently changed recall, and an index/probe pair built
