@@ -785,13 +785,17 @@ object Graph {
         .groupBy(col("doc_a")).agg(sum(col("a")).as("h"))
         .select(col("doc_a").as("doc_id"), col("h"))
     }
-    // g (always 1) multiplies into the output so column pruning can
-    // never drop the raise_error branch; values and schema unchanged
+    // g (always 1) multiplies into BOTH output columns so column
+    // pruning can never drop the raise_error branch — a caller
+    // projecting only (doc_id, auth) must still evaluate the guard
+    // (auth is bounded by imax·(imax·omax)^(iters-1), which also wraps
+    // past the boundary); values and schema unchanged
     vertices.select(col("doc_id"))
       .join(auth, Seq("doc_id"), "left")
       .join(hub, Seq("doc_id"), "left")
       .crossJoin(guard)
-      .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("auth"),
+      .select(col("doc_id"),
+        (coalesce(col("a"), lit(0L)) * col("g")).as("auth"),
         (coalesce(col("h"), lit(0L)) * col("g")).as("hub"))
   }
 }

@@ -4153,7 +4153,10 @@ object Pipeline {
       // count, then S(w1)/S(w2) rollups — never a window, never a
       // per-context sort); only the 1-row type total broadcasts.
       // Int64 headroom: 3e6·N1+(w1·)·N1+(·w2) wraps past ~1.7e6 distinct
-      // types per side — decimal-route beyond (the t19/g7 discipline).
+      // types per side, so cont_ppm decimal-routes its factors (the
+      // t19/g7 discipline): decimal(38,0) carries the product exactly
+      // and ANSI overflow raises loudly instead of wrapping; `div` on
+      // decimals still yields BIGINT, so the output schema is unchanged.
       // Output floored at c12 >= 2 (the u1 Heaps'-law bound).
       val d = Tables.load(s, dir, "documents")
       val toks = d.select(TextFunctions.tokens(col("text")).as("toks"))
@@ -4174,7 +4177,8 @@ object Pipeline {
         .select(col("w1"), col("w2"), col("c12"), col("c1dot"),
           col("n1p_right"), col("n1p_left"),
           expr("(1000000 * (4 * c12 - 3)) div (4 * c1dot)").as("disc_ppm"),
-          expr("(3000000 * n1p_right * n1p_left) div (4 * c1dot * n_types)")
+          expr("(3000000 * cast(n1p_right as decimal(19,0)) * n1p_left)" +
+              " div (4 * cast(c1dot as decimal(19,0)) * n_types)")
             .as("cont_ppm"))
         .withColumn("p_ppm", col("disc_ppm") + col("cont_ppm"))
         .orderBy(col("w1"), col("w2"))

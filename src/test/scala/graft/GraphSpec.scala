@@ -532,6 +532,22 @@ class GraphSpec extends AnyFunSuite {
       s"expected the lazy overflow guard to fire, got: ${chain(ex)}")
   }
 
+  test("hits: the guard survives an auth-only projection (column pruning)") {
+    // a caller projecting just (doc_id, auth) lets Catalyst prune the
+    // hub column; the guard must ride BOTH outputs or pruning drops the
+    // raise_error branch and auth (bounded by imax·(imax·omax)^(iters-1),
+    // which also wraps past the boundary) silently corrupts
+    val doomed = Graph.hits(verticesDf(470),
+      pairsDf(for (u <- 0L until 234L; v <- 234L until 470L) yield (u, v)),
+      iters = 4)
+      .select(col("doc_id"), col("auth"))
+    val ex = intercept[Exception] { doomed.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("overflows int64")),
+      s"expected the guard to fire on the auth-only projection, got: ${chain(ex)}")
+  }
+
   test("hits: admits graphs exactly up to the tight product boundary") {
     // 234 × 235 bipartite sits ON the safe side (54990 ≤ 55108) with
     // h₄(source) = (234·235)^4 ≈ 9.14e18 — within 1% of Long.MaxValue,
