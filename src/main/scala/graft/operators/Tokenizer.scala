@@ -244,6 +244,42 @@ object Tokenizer {
     perRound.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  /** GPT-2's byte→printable-character remap (Radford et al. 2019,
+    * `encoder.py bytes_to_unicode` — public): the 188 bytes that are
+    * printable-and-not-space in Latin-1 (33..126, 161..172, 174..255)
+    * map to THEMSELVES as one-character strings; the other 68 (controls,
+    * space, 127..160, 173) map to U+0100.. in byte order. Every byte
+    * symbol is exactly one visible code point, so merge tables stay
+    * printable strings and the SQL oracle can carry them as literals —
+    * the reason production byte-level tokenizers use this remap too.
+    */
+  val ByteRemap: Array[String] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + n)); n += 1; s }
+    }
+  }
+
+  /** One symbol per UTF-8 BYTE of the word, each remapped through
+    * [[ByteRemap]] — the GPT-2/LLaMA-class byte-level symbol domain. On
+    * printable ASCII (33..126, which whitespace-tokenized words mostly
+    * are) this is identical to [[codePointSymbols]] because those bytes
+    * remap to themselves; a non-ASCII code point splits into its 2-4
+    * UTF-8 bytes (é → "Ã","©"), which is exactly the coverage argument
+    * for byte-level BPE — 256 base symbols reach EVERY string, where a
+    * code-point alphabet needs an open-ended vocabulary.
+    */
+  def byteSymbols(w: String): Vector[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) { out += ByteRemap(bytes(i) & 0xff); i += 1 }
+    out.result()
+  }
+
   /** One symbol per Unicode CODE POINT (not UTF-16 unit), so non-BMP
     * characters — emoji, CJK extensions — stay whole instead of splitting
     * into lone surrogates that `UTF8String.fromString` would mangle into
@@ -261,14 +297,36 @@ object Tokenizer {
     out.result()
   }
 
+  /** BYTE-LEVEL merge learning — [[learnBpeMerges]] with the symbol
+    * domain swapped to [[byteSymbols]] (the GPT-2/LLaMA-class trainer
+    * shape): same distributed word-count stage, same driver merge loop,
+    * same deterministic tie-breaks, so on a printable-ASCII corpus it
+    * learns the IDENTICAL merge sequence (byte symbols ≡ code points
+    * there — spec-pinned); on non-ASCII corpora the rules are over
+    * UTF-8 bytes, closing over every string with 256 base symbols.
+    */
+  def learnByteBpeMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 64,
+      fitCap: Int = 65536): Seq[(String, String)] = {
+    val counts = wordCounts(docs, textCol, fitCap)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    learnFromCounts(counts, numMerges, byteSymbols)
+  }
+
   /** Driver-side merge loop over the compact frequency table — pure
-    * function of the counts, no Spark.
+    * function of the counts, no Spark. `symbolize` picks the base
+    * alphabet: code points (default, the u3/u4 domain) or
+    * [[byteSymbols]] (the u10 byte-level domain).
     */
   def learnFromCounts(
-      wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    // each word as its symbol sequence: code points + </w>
+      wordCounts: Seq[(String, Long)], numMerges: Int,
+      symbolize: String => Vector[String] = codePointSymbols): Seq[(String, String)] = {
+    // each word as its symbol sequence: base symbols + </w>
     var words: Seq[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
-      (codePointSymbols(w) :+ EndOfWord, c)
+      (symbolize(w) :+ EndOfWord, c)
     }
     val merges = Vector.newBuilder[(String, String)]
     var i = 0
@@ -332,8 +390,25 @@ object Tokenizer {
   /** Hot-path form: the rank lookup is prebuilt once per task (the
     * [[BpeSegment]] reference object), not once per word.
     */
-  def segmentWord(word: String, table: BpeMergeTable): Seq[String] = {
-    val base = codePointSymbols(word) :+ EndOfWord
+  def segmentWord(word: String, table: BpeMergeTable): Seq[String] =
+    segmentBase(codePointSymbols(word) :+ EndOfWord, table)
+
+  /** BYTE-LEVEL segmentation of one word: the same rank-greedy PQ merge
+    * over [[byteSymbols]] instead of code points — [[segmentWord]]'s
+    * u10 twin. The rank-greedy ≡ sequential equivalence argument is
+    * symbol-domain-agnostic (a merge only creates pairs involving the
+    * NEW symbol, whose rules were learned later), so it holds here
+    * unchanged; on printable-ASCII words the two segmenters agree
+    * symbol-for-symbol under the same table (spec-pinned).
+    */
+  def byteSegmentWord(word: String, table: BpeMergeTable): Seq[String] =
+    segmentBase(byteSymbols(word) :+ EndOfWord, table)
+
+  /** Convenience form building the rank table per call (tests/driver). */
+  def byteSegmentWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    byteSegmentWord(word, new BpeMergeTable(merges))
+
+  private def segmentBase(base: Vector[String], table: BpeMergeTable): Seq[String] = {
     val n = base.length
     val sym = base.toArray
     // doubly-linked live list over the original positions; a merged symbol
@@ -395,6 +470,16 @@ object Tokenizer {
     syms.map(s => s.replace(EndOfWord, "")).filter(_.nonEmpty)
   }
 
+  /** [[segmentWordSequential]] over the byte symbol domain — the
+    * differential oracle for [[byteSegmentWord]].
+    */
+  private[graft] def byteSegmentWordSequential(
+      word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = byteSymbols(word) :+ EndOfWord
+    merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+    syms.map(s => s.replace(EndOfWord, "")).filter(_.nonEmpty)
+  }
+
   /** Whole-document segmentation for the imperative kernel: lowercased
     * whitespace words, each segmented with the merge table, concatenated.
     * Called from [[BpeSegment]]'s generated code — one pass per document,
@@ -421,6 +506,33 @@ object Tokenizer {
   def segment(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(BpeSegment(
+      GraftSqlBridge.expressionNoSpark(text), merges))
+  }
+
+  /** Whole-document BYTE-LEVEL segmentation for the imperative kernel:
+    * lowercased whitespace words, each byte-segmented with the merge
+    * table, concatenated — [[bpeSegment]]'s u10 twin, called from
+    * [[ByteBpeSegment]]'s generated code.
+    */
+  def byteBpeSegment(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      table: BpeMergeTable): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toLowerCase.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val out = Vector.newBuilder[org.apache.spark.unsafe.types.UTF8String]
+    words.foreach { w =>
+      byteSegmentWord(w, table).foreach(s =>
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** Column form of the BYTE-LEVEL segmenter — `Tokenizer.byteSegment(
+    * col("text"), merges)` yields the byte-symbol subword array under a
+    * fixed merge table; same fused map-only scale shape as [[segment]].
+    */
+  def byteSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ByteBpeSegment(
       GraftSqlBridge.expressionNoSpark(text), merges))
   }
 
@@ -597,6 +709,43 @@ case class BpeSegment(
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): BpeSegment =
+    copy(child = newChild)
+}
+
+/** `ByteBpeSegment(text, merges)` → array<string>: BYTE-LEVEL subword
+  * segmentation with a learned merge table over the GPT-2 remapped byte
+  * alphabet; see [[Tokenizer.byteBpeSegment]].
+  */
+case class ByteBpeSegment(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Seq[(String, String)])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte-level bpe segmentation requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table = new BpeMergeTable(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenizer.byteBpeSegment(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeTable", table,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Tokenizer.byteBpeSegment($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ByteBpeSegment =
     copy(child = newChild)
 }
 

@@ -4184,6 +4184,37 @@ object Pipeline {
         .orderBy(col("w1"), col("w2"))
     },
 
+    "u10_byte_bpe" -> { (s, dir) =>
+      // BYTE-LEVEL BPE encode at corpus scale (the GPT-2/LLaMA-class
+      // production tokenizer shape — Radford et al. 2019's
+      // bytes_to_unicode remap; Sennrich ACL'16 merges over the 256-
+      // symbol byte alphabet): u4's serving pass with the symbol domain
+      // swapped from code points to remapped UTF-8 bytes, closing the
+      // u-family's code-point-only gap. Byte-level is what production
+      // trainers ship because 256 base symbols reach EVERY string — no
+      // unknown-character escape hatch — at the cost of splitting
+      // non-ASCII code points into 2-4 byte symbols (the divergence the
+      // ASCII-equivalence spec pins). Same scale shape as u4: the merge
+      // table rides as a codegen reference object inside the rank-greedy
+      // Tokenizer.byteSegment expression, ONE map-only fused corpus pass,
+      // no join/shuffle/vocabulary exchange; per-doc byte counts fold in
+      // the same pass (octet_length ≡ UTF-8 byte count ≡ base symbol
+      // count before merging). bytes-per-subword is the byte-level
+      // compression ratio — THE tokenizer-quality headline number.
+      val d = Tables.load(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      d.select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(toks, lit(0L), (acc, x) => acc + octet_length(x))
+            .as("n_bytes"),
+          size(Tokenizer.byteSegment(col("text"), ByteBpeMerges)).cast("long")
+            .as("n_subwords"))
+        .filter(col("n_words") > 0)
+        .withColumn("spw_ppm", expr("(1000000 * n_subwords) div n_words"))
+        .withColumn("bps_ppm", expr("(1000000 * n_bytes) div n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+
     "u2_stupid_backoff" -> { (s, dir) =>
       // stupid-backoff bigram scoring (Brants et al. EMNLP'07 — the
       // web-scale LM rule that skips discount normalization): per
@@ -4369,6 +4400,20 @@ object Pipeline {
     ("s", "t"), ("a", "st"), ("f", "ast"),
     ("h", "a"), ("ha", "s"), ("has", "h"))
 
+  /** Fixed BYTE-LEVEL merge table for u10 — the u4 fixed-model
+    * discipline over the GPT-2 remapped byte alphabet
+    * ([[graft.operators.Tokenizer.ByteRemap]]). Each rule consumes only
+    * base byte symbols or outputs of EARLIER rules (the learned-table
+    * property that makes rank-greedy ≡ sequential application), and all
+    * rule strings are printable ASCII so the oracle carries them as
+    * plain SQL literals. Includes sentinel merges (`the</w>`, `ow</w>`)
+    * — the whole-word/suffix tokens a real learned table is full of.
+    */
+  private[graft] val ByteBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("i", "n"), ("o", "w"), ("ow", "</w>"),
+    ("w", "in"), ("win", "d"))
+
   /** Fixed unigram-LM piece table for u7 (per-doc unigram encode) —
     * the u4 fixed-model discipline applied to the unigram serving
     * half: piece → per-use cost, every cost ≡ 1 (mod 1024) so the
@@ -4514,6 +4559,56 @@ object Pipeline {
       |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
       |    AS n_sub
       |  FROM s6)""".stripMargin
+
+  /** u10 oracle fragment: BYTE-LEVEL symbolization — the GPT-2 remap as
+    * a 256-entry code-point list (generated from
+    * [[graft.operators.Tokenizer.ByteRemap]], ONE source of truth with
+    * the Spark expression's reference object) plus pure-SQL UTF-8
+    * encode arithmetic (cp<128 → 1 byte, <2048 → 2, <65536 → 3, else 4
+    * — the RFC 3629 split, exact integer `//`/`%`), followed by one
+    * list_reduce fold per [[ByteBpeMerges]] rule in learned order,
+    * ending in per-word byte-subword counts `wl(w, n_sub)`. The caller's
+    * CTE list must define `occ(..., w)`. Unlike the code-point folds,
+    * NO U+001F word exclusion is needed: remapped byte symbols are
+    * printable by construction, so the chr(31) accumulator delimiter
+    * can never collide with corpus content.
+    */
+  private def byteBpeFoldCtes: String = {
+    val mlist = graft.operators.Tokenizer.ByteRemap
+      .map(s => s.codePointAt(0)).mkString("[", ",", "]")
+    val folds = ByteBpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""b${i + 1} AS (
+        |  SELECT w, string_split(
+        |    list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = '$a' OR ends_with(acc, chr(31) || '$a')) AND x = '$b'
+        |      THEN acc || '$b' ELSE acc || chr(31) || x END),
+        |    chr(31)) AS syms
+        |  FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""rmap AS (SELECT $mlist AS m),
+      |b0 AS (
+      |  SELECT w, flatten(list_transform(regexp_extract_all(w, '.'),
+      |    ch -> CASE
+      |      WHEN unicode(ch) < 128 THEN [chr(m[unicode(ch) + 1])]
+      |      WHEN unicode(ch) < 2048 THEN
+      |        [chr(m[unicode(ch) // 64 + 193]), chr(m[unicode(ch) % 64 + 129])]
+      |      WHEN unicode(ch) < 65536 THEN
+      |        [chr(m[unicode(ch) // 4096 + 225]),
+      |         chr(m[(unicode(ch) // 64) % 64 + 129]),
+      |         chr(m[unicode(ch) % 64 + 129])]
+      |      ELSE
+      |        [chr(m[unicode(ch) // 262144 + 241]),
+      |         chr(m[(unicode(ch) // 4096) % 64 + 129]),
+      |         chr(m[(unicode(ch) // 64) % 64 + 129]),
+      |         chr(m[unicode(ch) % 64 + 129])]
+      |    END)) || ['</w>'] AS syms
+      |  FROM (SELECT DISTINCT w FROM occ) CROSS JOIN rmap),
+      |$folds,
+      |wl AS (
+      |  SELECT w,
+      |    CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT) AS n_sub
+      |  FROM b${ByteBpeMerges.size})""".stripMargin
+  }
 
   /** Shared x14/x18 oracle fragment: the content-independent md5 shard
     * bucket (two hex nibbles of md5(doc_id), mod 16) — byte-identical
@@ -7578,6 +7673,25 @@ object Pipeline {
         |  GROUP BY o.doc_id)
         |SELECT doc_id, n_words, n_subwords,
         |  (1000000 * n_subwords) // n_words AS spw_ppm
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u10_byte_bpe" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |$byteBpeFoldCtes,
+        |per_doc AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(strlen(o.w)) AS BIGINT) AS n_bytes,
+        |    CAST(sum(wl.n_sub) AS BIGINT) AS n_subwords
+        |  FROM occ o JOIN wl ON o.w = wl.w
+        |  GROUP BY o.doc_id)
+        |SELECT doc_id, n_words, n_bytes, n_subwords,
+        |  (1000000 * n_subwords) // n_words AS spw_ppm,
+        |  (1000000 * n_bytes) // n_subwords AS bps_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
 
     "u7_unigram_encode" ->

@@ -111,6 +111,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t26_blocklist",       // literal-array filter lambda, map-only scan
     "u4_bpe_encode",       // merge-table expression, one fused corpus pass
     "u7_unigram_encode",   // piece-table Viterbi expression, one fused pass
+    "u10_byte_bpe",        // byte-table expression, one fused corpus pass
     "x15_global_ids",      // O(B) bucket offsets, bucket-partitioned ranks
     "s11_dedup_discount",  // one fp window, weight is integer arithmetic
     "x16_curation_funnel", // one scan, one fp window, one funnel aggregate

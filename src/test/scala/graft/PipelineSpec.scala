@@ -1201,6 +1201,102 @@ class TokenizerSpec extends AnyFunSuite {
     assert(merges.size == 2)
   }
 
+  test("byte remap is GPT-2's bytes_to_unicode table exactly") {
+    // printable Latin-1 bytes (33..126, 161..172, 174..255) map to
+    // themselves; the other 68 map to U+0100.. in byte order — so byte
+    // 32 (space) is the 33rd non-printable and lands on U+0120 'Ġ',
+    // the marker every GPT-2-family vocab file is full of
+    assert(Tokenizer.ByteRemap.length == 256)
+    assert(Tokenizer.ByteRemap('a'.toInt) == "a")
+    assert(Tokenizer.ByteRemap(33) == "!")
+    assert(Tokenizer.ByteRemap(126) == "~")
+    assert(Tokenizer.ByteRemap(32) == "Ġ") // Ġ
+    assert(Tokenizer.ByteRemap(0) == "Ā")  // Ā
+    assert(Tokenizer.ByteRemap(173) == "Ń") // soft hyphen → Ń
+    assert(Tokenizer.ByteRemap(195) == "Ã")
+    assert(Tokenizer.ByteRemap.distinct.length == 256,
+      "the remap must be a bijection — decode depends on it")
+    assert(Tokenizer.ByteRemap.count(_.codePointAt(0) >= 256) == 68)
+  }
+
+  test("byte symbols: identity on printable ASCII, UTF-8 split beyond") {
+    // printable-ASCII words: byte symbols ≡ code-point symbols — the
+    // equivalence that makes byte-level a strict generalization
+    for (w <- Seq("fast", "window", "a", "hash-join", "x2!"))
+      assert(Tokenizer.byteSymbols(w) ==
+        w.split("").filter(_.nonEmpty).toVector, s"ascii word $w")
+    // non-ASCII divergence pinned: é = 0xC3 0xA9 → "Ã","©" (both
+    // printable bytes, self-mapped); 東 = 0xE6 0x9D 0xB1 with 0x9D
+    // non-printable → remapped to U+013F 'Ŀ'
+    assert(Tokenizer.byteSymbols("café") ==
+      Vector("c", "a", "f", "Ã", "©"))
+    assert(Tokenizer.byteSymbols("東") == Vector("æ", "Ŀ", "±"))
+    // a non-BMP code point is four byte symbols, never a lone surrogate
+    assert(Tokenizer.byteSymbols(new String(Character.toChars(0x1F600)))
+      .length == 4)
+  }
+
+  test("byte-level trainer ≡ code-point trainer on a pure-ASCII corpus") {
+    // same counts, same tie-breaks, identical symbol domain on ASCII ⇒
+    // the identical merge sequence — the byte≡code-point equivalence
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val cp = Tokenizer.learnFromCounts(counts, 5)
+    val by = Tokenizer.learnFromCounts(counts, 5, Tokenizer.byteSymbols)
+    assert(by == cp, "ASCII corpora must learn identical merges")
+    // and the segmenters agree word-for-word under the shared table
+    for (w <- Seq("lowest", "lower", "west", "analytics"))
+      assert(Tokenizer.byteSegmentWord(w, cp) ==
+        Tokenizer.segmentWord(w, cp))
+  }
+
+  test("byte-level trainer diverges from code-point on non-ASCII — pinned") {
+    // every word is 'éé': the code-point domain sees pairs (é,é) and
+    // (é,</w>) at count 3 each and the lexicographic tie-break picks
+    // (é,</w>) ('<' sorts below 'é'); the byte domain sees é's two
+    // bytes (Ã,©) TWICE per word — count 6 beats every count-3 pair, so
+    // it must merge the intra-code-point byte pair first. That
+    // sub-character merge is the divergence byte-level BPE is defined by.
+    val counts = Seq("éé" -> 3L)
+    val cp = Tokenizer.learnFromCounts(counts, 1)
+    val by = Tokenizer.learnFromCounts(counts, 1, Tokenizer.byteSymbols)
+    assert(cp == Seq(("é", "</w>")))
+    assert(by == Seq(("Ã", "©")))
+    // byte segmentation under a byte table reassembles the code point
+    // after enough merges: 4 byte symbols + </w> admits ("Ã©" twice,
+    // then fuse) — and the segment output is remapped BYTES, not chars
+    val full = Tokenizer.learnFromCounts(counts, 4, Tokenizer.byteSymbols)
+    assert(Tokenizer.byteSegmentWord("éé", full).mkString
+      .startsWith("Ã©"))
+  }
+
+  test("byte rank-greedy PQ ≡ sequential application (differential)") {
+    val counts = Seq("café" -> 4L, "naïve" -> 3L, "fast" -> 5L,
+      "東京" -> 2L, "low" -> 6L)
+    val merges = Tokenizer.learnFromCounts(counts, 12, Tokenizer.byteSymbols)
+    for (w <- Seq("café", "naïve", "fast", "東京", "low", "cafés", "naïveté"))
+      assert(Tokenizer.byteSegmentWord(w, merges) ==
+        Tokenizer.byteSegmentWordSequential(w, merges), s"word $w")
+    // lossless: concatenated byte subwords = the word's remapped bytes
+    for (w <- Seq("café", "東京", "fast"))
+      assert(Tokenizer.byteSegmentWord(w, merges).mkString ==
+        Tokenizer.byteSymbols(w).mkString)
+  }
+
+  test("byte column form matches the driver segmenter (incl. fixed u10 table)") {
+    val d = Tables.load(spark, sf, "documents")
+    val merges = graft.queries.Pipeline.ByteBpeMerges
+    val rows = d.limit(20)
+      .select(col("text"), Tokenizer.byteSegment(col("text"), merges).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val want = r.getString(0).toLowerCase.split("[ \t\n\f\r]+")
+        .filter(_.nonEmpty).toSeq
+        .flatMap(w => Tokenizer.byteSegmentWord(w, merges))
+      assert(r.getSeq[String](1) == want)
+    }
+  }
+
   test("distributed fit is partitioning-independent; column form matches driver") {
     val d = Tables.load(spark, sf, "documents")
     val merges = Tokenizer.learnBpeMerges(d, numMerges = 16)
