@@ -517,6 +517,65 @@ object Dedup {
         col("pid").isNull.as("is_new"))
   }
 
+  /** Duplicated-span EXCISION — the span-granular REWRITE behind Lee et
+    * al. ACL'22's ExactSubstr dedup (the scoring half is d10): every
+    * token position covered by an `n`-token span occurring in MORE THAN
+    * ONE document is removed and the document is kept, stripping
+    * boilerplate/template text that whole-document dedup cannot see.
+    * Documented divergence from the paper's keep-one-occurrence rule:
+    * ALL occurrences excise — cross-document boilerplate has no
+    * canonical owner, keep-one needs a global occurrence order, and for
+    * template text removing every copy is the curation intent.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, clean_text)` — one row per
+    * input document, `clean_text` the surviving tokens in order.
+    *
+    * Scale shape: span candidates are xxhash64'd MAP-SIDE so the
+    * doc-frequency aggregate and the qualify re-join shuffle fixed-width
+    * longs, never span text (the d1/d10 bodies-never-move discipline);
+    * covered positions collapse to a per-doc int array; the rebuild is a
+    * codegen'd order-preserving indexed filter, map-side. The one join
+    * that touches bodies — cover map back to documents — shuffles ONLY
+    * the cover side when `docs` carries a doc_id-co-partitioned layout
+    * (the bucketed-corpus posture, `Bucketing`/`bucketedDocsShared`);
+    * callers rewriting at corpus scale should pass the bucketed scan,
+    * which is exactly what d20 does (plan-asserted: text never enters a
+    * shuffle). Hash collisions would excise an innocent span; the d20
+    * oracle recomputes on raw span strings, so collision-freedom on the
+    * corpus is part of the gate (d10's discipline).
+    */
+  def spanExcise(docs: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+    // persisted (Dedup lifecycle): feeds the df aggregate AND the
+    // qualify join — without it the tokenize+shingle+hash pass that
+    // dominates the cost runs twice
+    val g = persistPublic(toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh")))
+    val dupSpans = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val covers = g.join(dupSpans, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    toks.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !coalesce(
+          array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** License/restrictiveness propagation across near-dup components —
     * the compliance rule of training-data curation: a copy of a
     * restrictively-licensed document is just as restricted, so the MOST

@@ -149,6 +149,43 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang")
   }
 
+  test("span excision removes cross-doc boilerplate, keeps unique content") {
+    // two docs share an 8-token boilerplate header; each has a unique
+    // tail; a third doc is fully unique. The shared header (and ONLY
+    // it) must excise from BOTH carriers; the unique doc passes through
+    // untouched (empty cover via the left join).
+    val header = "all rights reserved contact the site admin team"
+    val corpus = Seq(
+      (0L, s"$header alpha beta gamma"),
+      (1L, s"$header delta epsilon"),
+      (2L, "nothing here repeats anywhere across the corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExcise(corpus, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((11L, 8L, "alpha beta gamma")))
+    assert(got(1L) == ((10L, 8L, "delta epsilon")))
+    assert(got(2L) == ((9L, 0L, "nothing here repeats anywhere across the corpus at all")))
+    // overlapping covers union, they don't double-count: two docs
+    // sharing a 9-token run have every 8-gram of it duplicated — the
+    // cover is the 9 positions, removed once
+    val over = Seq(
+      (0L, "a b c d e f g h i tail one"),
+      (1L, "a b c d e f g h i tail two"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.spanExcise(over, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // shared 8-grams start at positions 1, 2 AND 3 ([3..10] =
+    // "c d e f g h i tail" appears in both docs — "tail" itself is
+    // inside a duplicated span even though the docs diverge right after
+    // it), so the cover is the UNION 1..10 and only the last token
+    // survives — exactly the overlap semantics Lee et al.'s span cover
+    // defines
+    assert(g2(0L) == ((11L, 10L, "one")))
+    assert(g2(1L) == ((11L, 10L, "two")))
+  }
+
   test("exact dedup groups identical text only") {
     val rep = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep(0L) == 0L && rep(2L) == 0L) // exact pair

@@ -1183,6 +1183,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no window anywhere — covers aggregate by doc_id:\n$p")
   }
 
+  test("d20_span_excise: text never shuffles — cover join-back rides the buckets") {
+    // the production rewrite posture: span candidates hash map-side (the
+    // d10 discipline), covers collapse to int arrays, and the join back
+    // to bodies uses the doc_id-BUCKETED scan's own hashpartitioning —
+    // only metadata exchanges, 100 TB of text stays put
+    val p = plan("d20_span_excise")
+    assert(p.contains("graft_docs_bkt"),
+      s"the rewrite must read the bucketed corpus, not the flat parquet:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty &&
+      shuffleLines.forall(l => !l.contains("text#") && !l.contains("toks#")
+        && !l.contains("kept#")),
+      s"document text/tokens must never shuffle:\n${shuffleLines.mkString("\n")}")
+    // and NOT just because the tiny-SF planner broadcast the covers: with
+    // auto-broadcast off (the 100 TB regime) the join-back must still keep
+    // text out of every exchange — the bucketed scan satisfies the doc_id
+    // distribution, so only the cover side exchanges
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val p2 = plan("d20_span_excise")
+      val sl2 = p2.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(sl2.forall(l => !l.contains("text#") && !l.contains("toks#")
+          && !l.contains("kept#")),
+        s"no-broadcast regime: text must ride the bucket distribution, " +
+          s"never an exchange:\n${sl2.mkString("\n")}")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("p5_pad_waste: map-only buckets into one partial+final aggregate") {
     val p = plan("p5_pad_waste")
     assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
