@@ -394,6 +394,16 @@ object Graph {
     * positive mutual pair is a no-op, so reaching the true fixpoint
     * early just repeats the final partition.
     *
+    * `movesPerLevel` is the bounded MULTI-MOVE inner loop — Blondel's
+    * move-to-convergence in the matching formulation: each level
+    * repeats the mutual-match round until no positive-gain pair is
+    * accepted (early stop) or the cap is hit, so one-round blind spots
+    * (A's best is B while B's best is C — not mutual THIS round,
+    * resolvable after (B,C) merges) close within the level. The default
+    * 1 keeps the single-match historical behavior; a no-op extra round
+    * recomputes identical labels, so a fixed-unroll SQL replay is
+    * value-identical to the early-stopping loop.
+    *
     * Coarsening sums parallel edges (w_AB = cross-community edge count)
     * and community degrees (D_A = Σ member original degree), both
     * recomputed from the ORIGINAL edge list through the level's label
@@ -416,21 +426,32 @@ object Graph {
     * round and the modularity report.
     */
   def louvainLevels(vertices: DataFrame, pairs: DataFrame,
-      levels: Int): DataFrame =
-    louvainRun(vertices, pairs, levels)._2
+      levels: Int, movesPerLevel: Int = 1): DataFrame =
+    louvainRun(vertices, pairs, levels, movesPerLevel)._2
 
   /** Final `(doc_id, comm)` labels after [[louvainLevels]]' merges —
     * the assignment consumers join on (the spec-side surface for
     * planted-community recovery).
     */
   def louvainCommunities(vertices: DataFrame, pairs: DataFrame,
-      levels: Int): DataFrame =
-    louvainRun(vertices, pairs, levels)._1
+      levels: Int, movesPerLevel: Int = 1): DataFrame =
+    louvainRun(vertices, pairs, levels, movesPerLevel)._1
 
   private def louvainRun(vertices: DataFrame, pairs: DataFrame,
-      levels: Int): (DataFrame, DataFrame) = {
+      levels: Int, movesPerLevel: Int): (DataFrame, DataFrame) = {
     require(levels >= 1 && levels <= 4,
       s"unrolled multi-level Louvain is capped at 4 levels, got $levels")
+    // the bounded MULTI-MOVE inner loop (Blondel's move-to-convergence,
+    // matching-formulated): each level repeats the mutual-match round up
+    // to `movesPerLevel` times, stopping EARLY when a round accepts no
+    // positive-gain pair — a one-round graph (A's best is B while B's
+    // best is C) resolves in later rounds after (B,C) merges. The cap
+    // keeps the unroll bounded and the SQL replay finite; the early
+    // stop is pure economy — a converged round recomputes identical
+    // labels, so fixed unconditional unrolling (what the oracle does)
+    // is value-identical.
+    require(movesPerLevel >= 1 && movesPerLevel <= 4,
+      s"moves per level capped at 4 (bounded unroll), got $movesPerLevel")
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val m1 = p.agg(count(lit(1)).as("m"))
     var labels = vertices.select(col("doc_id"), col("doc_id").as("comm"))
@@ -438,25 +459,38 @@ object Graph {
     // serves ALL three consumers: the x≠y slice is the match round's
     // cross-community weights, the x=y slice is the report's
     // within-community edge count, and the per-endpoint w rollup is the
-    // community degree sum ([[commDegreesFromCoarse]]) — the level pays
+    // community degree sum ([[commDegreesFromCoarse]]) — each move pays
     // the two label⋈edge equi joins exactly once; no per-level
     // vertex-cardinality join remains
     var agg = Dedup.persistPublic(coarsePairWeights(labels, p))
     var dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
     var out = louvainLevelSummary(agg, dC, m1, 0)
     (1 to levels).foreach { l =>
-      // labels must TRUNCATE (d8/g9's per-round eager checkpoint), not
-      // just persist: the merge references the previous level ~13× (two
-      // label⋈edge maps, the degree rollup, the best-table self-join),
-      // so a persist-only chain grows the PLAN TREE 13× per level —
-      // renderable at level 1, OOM by level 3. Eager rounds make this a
-      // construction-runs-jobs operator like g9's fixpoint: it is kept
-      // out of the plan-rendering specs (its round unit is pinned
-      // instead), and a 100 TB run pays one bounded job per level.
-      labels = Dedup.truncatePublic(
-        louvainMergeFrom(labels, agg, dC, m1))
-      agg = Dedup.persistPublic(coarsePairWeights(labels, p))
-      dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
+      var move = 0
+      var converged = false
+      while (move < movesPerLevel && !converged) {
+        val (merged, next) = louvainMergeParts(labels, agg, dC, m1)
+        // convergence probe: one job over the (coarse-cardinality,
+        // persisted-input) mutual-pair frame — O(communities), not
+        // O(corpus); a level at its match fixpoint skips its remaining
+        // moves AND the label/coarse rebuilds they would re-run
+        if (merged.isEmpty) converged = true
+        else {
+          // labels must TRUNCATE (d8/g9's per-round eager checkpoint),
+          // not just persist: the merge references the previous state
+          // ~13× (two label⋈edge maps, the degree rollup, the best-table
+          // self-join), so a persist-only chain grows the PLAN TREE 13×
+          // per move — renderable at move 1, OOM by move 3. Eager rounds
+          // make this a construction-runs-jobs operator like g9's
+          // fixpoint: it is kept out of the plan-rendering specs (its
+          // round unit is pinned instead), and a 100 TB run pays one
+          // bounded job per move.
+          labels = Dedup.truncatePublic(next)
+          agg = Dedup.persistPublic(coarsePairWeights(labels, p))
+          dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
+        }
+        move += 1
+      }
       out = out.union(louvainLevelSummary(agg, dC, m1, l))
     }
     (labels.orderBy(col("doc_id")), out.orderBy(col("lvl")))
@@ -518,7 +552,15 @@ object Graph {
       commDegrees(labels, degV), m1)
 
   private def louvainMergeFrom(labels: DataFrame, agg: DataFrame,
-      dC: DataFrame, m1: DataFrame): DataFrame = {
+      dC: DataFrame, m1: DataFrame): DataFrame =
+    louvainMergeParts(labels, agg, dC, m1)._2
+
+  /** The match round split into its accepted-pair set and the updated
+    * label map — the pair set drives [[louvainRun]]'s per-level
+    * convergence probe (empty ⇒ the level is at its match fixpoint).
+    */
+  private def louvainMergeParts(labels: DataFrame, agg: DataFrame,
+      dC: DataFrame, m1: DataFrame): (DataFrame, DataFrame) = {
     val ce = agg.filter(col("x") =!= col("y"))
     val dir = ce.select(col("x").as("a"), col("y").as("b"), col("w"))
       .union(ce.select(col("y").as("a"), col("x").as("b"), col("w")))
@@ -537,9 +579,10 @@ object Graph {
           && col("l.bs") > 0)
       .select(col("l.a").as("oldc"),
         least(col("l.a"), col("l.bu")).as("newc"))
-    labels.join(merged, labels("comm") === merged("oldc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("newc"), col("comm")).as("comm"))
+    (merged,
+      labels.join(merged, labels("comm") === merged("oldc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("newc"), col("comm")).as("comm")))
   }
 
   /** g7's per-community modularity terms from the level's shared coarse

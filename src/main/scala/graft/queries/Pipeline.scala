@@ -1844,14 +1844,20 @@ object Pipeline {
       // by summing parallel edges, and report g7's modularity formula
       // against the level's labels: (lvl, n_comms, l_in, q_ppm). Q is
       // non-decreasing by construction (disjoint merges sum their ΔQ).
-      // Deterministic end to end (struct-min ties, integer division),
-      // replayable by a 2-level unrolled DuckDB oracle; labels persisted
-      // per level (the d8 lineage discipline), score products routed
-      // through decimal(38,0) for 100 TB edge-count headroom.
+      // Each level runs the BOUNDED MULTI-MOVE inner loop (Blondel's
+      // move-to-convergence, matching-formulated): up to 2 mutual-match
+      // rounds per level with an early stop when a round accepts no
+      // positive pair — closing the one-round blind spot where A's best
+      // is B while B's best is C. Deterministic end to end (struct-min
+      // ties, integer division), replayable by a generated 2-level ×
+      // 2-move unrolled DuckDB oracle (no-op rounds replay identically,
+      // so the fixed unroll equals the early-stopping loop); labels
+      // persisted per move (the d8 lineage discipline), score products
+      // routed through decimal(38,0) for 100 TB edge-count headroom.
       val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.louvainLevels(
         Tables.load(s, dir, "documents").select(col("doc_id")), pairs,
-        levels = 2)
+        levels = 2, movesPerLevel = 2)
     },
 
     "g7_modularity" -> { (s, dir) =>
@@ -4617,6 +4623,108 @@ object Pipeline {
       |  SELECT w, CAST(len(list_filter(syms, x -> x <> '</w>')) AS BIGINT)
       |    AS n_sub
       |  FROM s6)""".stripMargin
+
+  /** g13 oracle, GENERATED for a `levels` × `moves` unroll (the
+    * multi-move inner loop made the hand-written 2-round chain a 4-round
+    * chain — generating it keeps ONE source of truth for the round
+    * shape). Replays `Graph.louvainLevels(levels, movesPerLevel=moves)`
+    * exactly: lab0/ds0 are the singleton start; each ROUND r maps the
+    * original pairs through lab(r-1), scores coarse edges by the HUGEINT
+    * ΔQ numerator 2m·w − D_a·D_b, takes the struct-min best per
+    * community, accepts mutual positive pairs, and rebuilds lab r/ds r.
+    * Levels are the summary checkpoints at label indexes 0, moves,
+    * 2·moves, …: g7's integer-division modularity terms grouped by the
+    * checkpoint's labels. A converged round's mut set is empty and the
+    * labels pass through unchanged — which is exactly why the Spark
+    * side's early stop needs no oracle-side counterpart.
+    */
+  private def g13LouvainOracle(levels: Int, moves: Int): String = {
+    val header =
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |p AS MATERIALIZED (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS MATERIALIZED (
+        |  SELECT doc_a AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY doc_a),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |lab0 AS MATERIALIZED (SELECT doc_id, doc_id AS comm FROM documents),
+        |ds0 AS MATERIALIZED (
+        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
+        |  FROM lab0 LEFT JOIN deg ON lab0.doc_id = deg.v GROUP BY comm)""".stripMargin
+    val rounds = (1 to levels * moves).map { r =>
+      val q = r - 1
+      s"""ce$r AS (
+        |  SELECT least(a.comm, b.comm) AS x, greatest(a.comm, b.comm) AS y,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM pairs
+        |  JOIN lab$q a ON pairs.doc_a = a.doc_id
+        |  JOIN lab$q b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
+        |dir$r AS (SELECT x AS a, y AS b, w FROM ce$r
+        |         UNION ALL SELECT y, x, w FROM ce$r),
+        |sc$r AS (
+        |  SELECT dir$r.a, dir$r.b,
+        |    2 * CAST(mm.m AS HUGEINT) * w
+        |      - CAST(da.d AS HUGEINT) * db.d AS score
+        |  FROM dir$r JOIN ds$q da ON dir$r.a = da.comm
+        |  JOIN ds$q db ON dir$r.b = db.comm CROSS JOIN mm),
+        |bb$r AS MATERIALIZED (
+        |  SELECT a, -struct_extract(w, 'ns') AS bs,
+        |    struct_extract(w, 'u') AS bu
+        |  FROM (SELECT a, min({'ns': -score, 'u': b}) AS w
+        |        FROM sc$r GROUP BY a)),
+        |mut$r AS (
+        |  SELECT l.a AS oldc, least(l.a, l.bu) AS newc
+        |  FROM bb$r l JOIN bb$r r ON l.bu = r.a AND r.bu = l.a
+        |  WHERE l.bs > 0),
+        |lab$r AS MATERIALIZED (
+        |  SELECT lab$q.doc_id,
+        |    CAST(coalesce(mut$r.newc, lab$q.comm) AS BIGINT) AS comm
+        |  FROM lab$q LEFT JOIN mut$r ON lab$q.comm = mut$r.oldc),
+        |ds$r AS MATERIALIZED (
+        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
+        |  FROM lab$r LEFT JOIN deg ON lab$r.doc_id = deg.v GROUP BY comm)""".stripMargin
+    }
+    val checkpoints = 0 +: (1 to levels).map(_ * moves)
+    val summaries = checkpoints.zipWithIndex.map { case (ri, lvl) =>
+      s"""lin$lvl AS (
+        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM pairs JOIN lab$ri a ON pairs.doc_a = a.doc_id
+        |  JOIN lab$ri b ON pairs.doc_b = b.doc_id
+        |  WHERE a.comm = b.comm GROUP BY 1),
+        |t$lvl AS (
+        |  SELECT coalesce(l_in, 0) AS l_in,
+        |    (1000000 * coalesce(l_in, 0)) // mm.m
+        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
+        |  FROM ds$ri LEFT JOIN lin$lvl USING (comm) CROSS JOIN mm)""".stripMargin
+    }
+    val select = checkpoints.indices.map { lvl =>
+      s"""SELECT CAST($lvl AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n_comms,
+        |  CAST(sum(l_in) AS BIGINT) AS l_in, CAST(sum(q) AS BIGINT) AS q_ppm
+        |FROM t$lvl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (Seq(header) ++ rounds ++ summaries).mkString(",\n") +
+      "\n" + select + "\nORDER BY lvl"
+  }
 
   /** u10 oracle fragment: BYTE-LEVEL symbolization — the GPT-2 remap as
     * a 256-entry code-point list (generated from
@@ -8037,139 +8145,7 @@ object Pipeline {
         |FROM documents d LEFT JOIN bb ON d.doc_id = bb.v
         |ORDER BY d.doc_id""".stripMargin,
 
-    "g13_louvain_levels" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |idx AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-        |  FROM tok WHERE len(toks) >= 2),
-        |tf AS MATERIALIZED (
-        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
-        |    count(*) AS tf
-        |  FROM idx GROUP BY doc_id, gram),
-        |dfreq AS (
-        |  SELECT gram, count(*) AS df FROM tf
-        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
-        |p AS MATERIALIZED (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
-        |pairs AS MATERIALIZED (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        |und AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |deg AS MATERIALIZED (
-        |  SELECT doc_a AS v, CAST(count(*) AS BIGINT) AS deg
-        |  FROM und GROUP BY doc_a),
-        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
-        |lab0 AS MATERIALIZED (SELECT doc_id, doc_id AS comm FROM documents),
-        |ds0 AS MATERIALIZED (
-        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
-        |  FROM lab0 LEFT JOIN deg ON lab0.doc_id = deg.v GROUP BY comm),
-        |ce1 AS (
-        |  SELECT least(a.comm, b.comm) AS x, greatest(a.comm, b.comm) AS y,
-        |    CAST(count(*) AS BIGINT) AS w
-        |  FROM pairs
-        |  JOIN lab0 a ON pairs.doc_a = a.doc_id
-        |  JOIN lab0 b ON pairs.doc_b = b.doc_id
-        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
-        |dir1 AS (SELECT x AS a, y AS b, w FROM ce1
-        |         UNION ALL SELECT y, x, w FROM ce1),
-        |sc1 AS (
-        |  SELECT dir1.a, dir1.b,
-        |    2 * CAST(mm.m AS HUGEINT) * w
-        |      - CAST(da.d AS HUGEINT) * db.d AS score
-        |  FROM dir1 JOIN ds0 da ON dir1.a = da.comm
-        |  JOIN ds0 db ON dir1.b = db.comm CROSS JOIN mm),
-        |bb1 AS MATERIALIZED (
-        |  SELECT a, -struct_extract(w, 'ns') AS bs,
-        |    struct_extract(w, 'u') AS bu
-        |  FROM (SELECT a, min({'ns': -score, 'u': b}) AS w
-        |        FROM sc1 GROUP BY a)),
-        |mut1 AS (
-        |  SELECT l.a AS oldc, least(l.a, l.bu) AS newc
-        |  FROM bb1 l JOIN bb1 r ON l.bu = r.a AND r.bu = l.a
-        |  WHERE l.bs > 0),
-        |lab1 AS MATERIALIZED (
-        |  SELECT lab0.doc_id,
-        |    CAST(coalesce(mut1.newc, lab0.comm) AS BIGINT) AS comm
-        |  FROM lab0 LEFT JOIN mut1 ON lab0.comm = mut1.oldc),
-        |ds1 AS MATERIALIZED (
-        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
-        |  FROM lab1 LEFT JOIN deg ON lab1.doc_id = deg.v GROUP BY comm),
-        |ce2 AS (
-        |  SELECT least(a.comm, b.comm) AS x, greatest(a.comm, b.comm) AS y,
-        |    CAST(count(*) AS BIGINT) AS w
-        |  FROM pairs
-        |  JOIN lab1 a ON pairs.doc_a = a.doc_id
-        |  JOIN lab1 b ON pairs.doc_b = b.doc_id
-        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
-        |dir2 AS (SELECT x AS a, y AS b, w FROM ce2
-        |         UNION ALL SELECT y, x, w FROM ce2),
-        |sc2 AS (
-        |  SELECT dir2.a, dir2.b,
-        |    2 * CAST(mm.m AS HUGEINT) * w
-        |      - CAST(da.d AS HUGEINT) * db.d AS score
-        |  FROM dir2 JOIN ds1 da ON dir2.a = da.comm
-        |  JOIN ds1 db ON dir2.b = db.comm CROSS JOIN mm),
-        |bb2 AS MATERIALIZED (
-        |  SELECT a, -struct_extract(w, 'ns') AS bs,
-        |    struct_extract(w, 'u') AS bu
-        |  FROM (SELECT a, min({'ns': -score, 'u': b}) AS w
-        |        FROM sc2 GROUP BY a)),
-        |mut2 AS (
-        |  SELECT l.a AS oldc, least(l.a, l.bu) AS newc
-        |  FROM bb2 l JOIN bb2 r ON l.bu = r.a AND r.bu = l.a
-        |  WHERE l.bs > 0),
-        |lab2 AS MATERIALIZED (
-        |  SELECT lab1.doc_id,
-        |    CAST(coalesce(mut2.newc, lab1.comm) AS BIGINT) AS comm
-        |  FROM lab1 LEFT JOIN mut2 ON lab1.comm = mut2.oldc),
-        |ds2 AS MATERIALIZED (
-        |  SELECT comm, CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS d
-        |  FROM lab2 LEFT JOIN deg ON lab2.doc_id = deg.v GROUP BY comm),
-        |lin0 AS (
-        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
-        |  FROM pairs JOIN lab0 a ON pairs.doc_a = a.doc_id
-        |  JOIN lab0 b ON pairs.doc_b = b.doc_id
-        |  WHERE a.comm = b.comm GROUP BY 1),
-        |lin1 AS (
-        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
-        |  FROM pairs JOIN lab1 a ON pairs.doc_a = a.doc_id
-        |  JOIN lab1 b ON pairs.doc_b = b.doc_id
-        |  WHERE a.comm = b.comm GROUP BY 1),
-        |lin2 AS (
-        |  SELECT a.comm AS comm, CAST(count(*) AS BIGINT) AS l_in
-        |  FROM pairs JOIN lab2 a ON pairs.doc_a = a.doc_id
-        |  JOIN lab2 b ON pairs.doc_b = b.doc_id
-        |  WHERE a.comm = b.comm GROUP BY 1),
-        |t0 AS (
-        |  SELECT coalesce(l_in, 0) AS l_in,
-        |    (1000000 * coalesce(l_in, 0)) // mm.m
-        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
-        |  FROM ds0 LEFT JOIN lin0 USING (comm) CROSS JOIN mm),
-        |t1 AS (
-        |  SELECT coalesce(l_in, 0) AS l_in,
-        |    (1000000 * coalesce(l_in, 0)) // mm.m
-        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
-        |  FROM ds1 LEFT JOIN lin1 USING (comm) CROSS JOIN mm),
-        |t2 AS (
-        |  SELECT coalesce(l_in, 0) AS l_in,
-        |    (1000000 * coalesce(l_in, 0)) // mm.m
-        |      - (1000000 * d * d) // (4 * mm.m * mm.m) AS q
-        |  FROM ds2 LEFT JOIN lin2 USING (comm) CROSS JOIN mm)
-        |SELECT CAST(0 AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n_comms,
-        |  CAST(sum(l_in) AS BIGINT) AS l_in, CAST(sum(q) AS BIGINT) AS q_ppm
-        |FROM t0
-        |UNION ALL
-        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
-        |  CAST(sum(l_in) AS BIGINT), CAST(sum(q) AS BIGINT) FROM t1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
-        |  CAST(sum(l_in) AS BIGINT), CAST(sum(q) AS BIGINT) FROM t2
-        |ORDER BY lvl""".stripMargin,
+    "g13_louvain_levels" -> g13LouvainOracle(levels = 2, moves = 2),
 
     "g7_modularity" ->
       """WITH tok AS (

@@ -654,7 +654,7 @@ class GraphSpec extends AnyFunSuite {
     * (lvl, n_comms, l_in, q_ppm) rows).
     */
   private def bruteLouvainLevels(n: Int, edges: Seq[(Long, Long)],
-      levels: Int): (Map[Long, Long], Seq[(Long, Long, Long, Long)]) = {
+      levels: Int, moves: Int = 1): (Map[Long, Long], Seq[(Long, Long, Long, Long)]) = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       .withDefaultValue(0L)
@@ -673,24 +673,30 @@ class GraphSpec extends AnyFunSuite {
     }
     val out = scala.collection.mutable.ArrayBuffer(summary(0L))
     (1 to levels).foreach { l =>
-      val dsum = lab.toSeq.groupBy(_._2).view
-        .mapValues(_.map(x => deg(x._1)).sum).toMap
-      val ce = edges.map(e => (lab(e._1), lab(e._2)))
-        .filter(p => p._1 != p._2)
-        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
-        .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val dir = ce.toSeq.flatMap { case ((x, y), w) =>
-        Seq((x, y, w), (y, x, w)) }
-      val best = dir.map { case (a, b, w) =>
-        (a, b, BigInt(2) * m * w - BigInt(dsum(a)) * dsum(b)) }
-        .groupBy(_._1).view
-        .mapValues(ss => ss.map(s => (s._3, s._2)).minBy(t => (-t._1, t._2)))
-        .toMap
-      val mut = best.collect {
-        case (a, (s, b)) if s > 0 && best.get(b).exists(_._2 == a) =>
-          a -> math.min(a, b)
+      var move = 0
+      var converged = false
+      while (move < moves && !converged) {
+        val dsum = lab.toSeq.groupBy(_._2).view
+          .mapValues(_.map(x => deg(x._1)).sum).toMap
+        val ce = edges.map(e => (lab(e._1), lab(e._2)))
+          .filter(p => p._1 != p._2)
+          .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val dir = ce.toSeq.flatMap { case ((x, y), w) =>
+          Seq((x, y, w), (y, x, w)) }
+        val best = dir.map { case (a, b, w) =>
+          (a, b, BigInt(2) * m * w - BigInt(dsum(a)) * dsum(b)) }
+          .groupBy(_._1).view
+          .mapValues(ss => ss.map(s => (s._3, s._2)).minBy(t => (-t._1, t._2)))
+          .toMap
+        val mut = best.collect {
+          case (a, (s, b)) if s > 0 && best.get(b).exists(_._2 == a) =>
+            a -> math.min(a, b)
+        }
+        if (mut.isEmpty) converged = true
+        else lab = lab.view.mapValues(c => mut.getOrElse(c, c)).toMap
+        move += 1
       }
-      lab = lab.view.mapValues(c => mut.getOrElse(c, c)).toMap
       out += summary(l.toLong)
     }
     (lab, out.toSeq)
@@ -714,6 +720,37 @@ class GraphSpec extends AnyFunSuite {
     assert(sums.toSeq == wantSum)
     // disjoint positive merges sum their ΔQ: Q never decreases per level
     assert(sums.map(_._4).sliding(2).forall(w => w(1) >= w(0)))
+  }
+
+  test("louvain multi-move: round 2 closes a round-1 mutual-match blind spot") {
+    // two triangles {1,2,3} {4,5,6} bridged by 3-4: round 1 pairs
+    // (1,2) and (5,6) mutually (score 10 beats 8), leaving 3 pointing
+    // at {1,2} and 4 at {5,6} — NOT mutual that round. Round 2's coarse
+    // graph makes ({1,2},{3}) and ({4},{5,6}) mutual (2·7·2 − 4·3 = 16
+    // > 0), recovering both triangles — the exact blind spot Blondel's
+    // move-to-convergence closes and one match per level leaves open.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val verts = verticesDf(7).filter(col("doc_id") >= 1)
+    def labs(moves: Int): Map[Long, Long] =
+      Graph.louvainCommunities(verts, pairsDf(edges), levels = 1,
+        movesPerLevel = moves)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = labs(1)
+    assert(one(1L) == one(2L) && one(3L) != one(1L),
+      s"single move must leave vertex 3 unmatched: $one")
+    val two = labs(2)
+    assert(Set(1L, 2L, 3L).map(two).size == 1, s"triangle A split: $two")
+    assert(Set(4L, 5L, 6L).map(two).size == 1, s"triangle B split: $two")
+    assert(two(1L) != two(4L), s"bridged triangles must not merge: $two")
+    // the level is converged after move 2 (the bridge merge has ΔQ =
+    // 2·7·1 − 7·7 < 0): a third move is a no-op — the early stop and
+    // the fixed unroll agree
+    assert(labs(3) == two, "converged level must be move-idempotent")
+    // and the driver replay agrees with the cluster path at every moves
+    for (mv <- 1 to 3)
+      assert(labs(mv) == bruteLouvainLevels(7, edges, levels = 1, moves = mv)
+        ._1.filter(_._1 >= 1L), s"driver replay diverged at moves=$mv")
   }
 
   test("louvain levels: planted hierarchy — per-level modularity never decreases") {
