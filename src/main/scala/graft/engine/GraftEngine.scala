@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -518,11 +518,20 @@ class GraftEngine(val spark: SparkSession) {
     // ACTIVE-CODE ONLY: graftTvf eagerly resolves tables/paths, so a TVF
     // mention inside a string literal or comment must pass through
     // untouched instead of erroring on (or corrupting into) a view name.
-    sql = maskedReplace(sql, GraftTvfRe) { m =>
-      idx += 1
-      val view = s"__graft_${m.group(1).toLowerCase}_$idx"
-      graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
-      view
+    // FIXPOINT: TVF calls COMPOSE — graft_license_propagation(
+    // graft_components(docs), docs, rank => r) — and the argument regex
+    // is paren-free, so an outer call only becomes matchable after the
+    // pass that rewrites its inner call into a view name; loop until no
+    // call rewrites (bounded: every pass consumes ≥ 1 call or stops).
+    var tvfPrev: String = null
+    while (tvfPrev != sql) {
+      tvfPrev = sql
+      sql = maskedReplace(sql, GraftTvfRe) { m =>
+        idx += 1
+        val view = s"__graft_${m.group(1).toLowerCase}_$idx"
+        graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
+        view
+      }
     }
     val df =
       try spark.sql(sql)
@@ -617,6 +626,17 @@ class GraftEngine(val spark: SparkSession) {
     *    n_pieces, ppw_ppm); docs with no words are omitted. The piece
     *    table collects driver-side (bounded — the codegen reference-
     *    object discipline), so the corpus pass is map-only.
+    *  - `graft_components(docs, n => 1, threshold => 0.95)` — the d8
+    *    near-dup closure as a front door: exact-duplicate clique
+    *    collapse, exact n-gram-Jaccard pairs within a language, min-label
+    *    connected components; returns `(doc_id, rep)` — the component
+    *    map the governance TVFs consume.
+    *  - `graft_license_propagation(comp, docs, rank => class_col)` —
+    *    most-restrictive-class-governs over components: `(doc_id, rep,
+    *    own_rank, comp_rank, n_members, upgraded)`.
+    *  - `graft_split_leakage(comp, split)` — near-dup components
+    *    straddling train/val/test: every member of a multi-split
+    *    component is flagged.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -643,7 +663,7 @@ class GraftEngine(val spark: SparkSession) {
     "bpe_merges" -> Set("rounds"),
     "radius" -> Set("tau"),
     "louvain" -> Set.empty,
-    "louvain_levels" -> Set("levels"),
+    "louvain_levels" -> Set("levels", "moves"),
     "incremental_dedup" -> Set("num", "den"),
     "incremental_minhash" -> Set("num", "den"),
     "knn_label" -> Set("k"),
@@ -651,7 +671,10 @@ class GraftEngine(val spark: SparkSession) {
     "asof" -> Set("key", "ord", "payload", "forward"),
     "unigram_lm" -> Set("vocab"),
     "unigram_encode" -> Set("char_cost"),
-    "ivf_append" -> Set.empty)
+    "ivf_append" -> Set.empty,
+    "components" -> Set("n", "threshold"),
+    "license_propagation" -> Set("rank"),
+    "split_leakage" -> Set.empty)
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -674,7 +697,10 @@ class GraftEngine(val spark: SparkSession) {
     "asof" -> Seq("left", "right"),
     "unigram_lm" -> Seq("docs"),
     "unigram_encode" -> Seq("docs", "pieces"),
-    "ivf_append" -> Seq("index", "drop"))
+    "ivf_append" -> Seq("index", "drop"),
+    "components" -> Seq("docs"),
+    "license_propagation" -> Seq("comp", "docs"),
+    "split_leakage" -> Seq("comp", "split"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -741,6 +767,19 @@ class GraftEngine(val spark: SparkSession) {
         try raw.toBoolean catch { case _: IllegalArgumentException =>
           badValue(key, raw, "true or false") }
       }
+    // column-name options (the asof posture): consumed through the
+    // DataFrame API (col(...)), never re-parsed as SQL text; quotes
+    // around single names are optional
+    def strOpt(key: String): String = {
+      val raw = named.getOrElse(key, throw new IllegalArgumentException(
+        s"graft_${fn.toLowerCase}: option $key is required (a column name)"))
+      val v =
+        if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+          raw.substring(1, raw.length - 1)
+        else raw
+      require(v.nonEmpty, s"graft_${fn.toLowerCase}: option $key is empty")
+      v
+    }
     // graph TVFs share one vertex convention: the pair table's distinct
     // endpoints (a TVF has one relation argument; isolated vertices are
     // out of its view)
@@ -800,12 +839,13 @@ class GraftEngine(val spark: SparkSession) {
         val pairs = rel(0)
         graft.operators.Graph.louvainMove(endpointVerts(pairs), pairs)
       case "louvain_levels" =>
-        // Graph.louvainLevels caps levels at 4 (each level is an eager
-        // checkpoint round); the TVF only floors it
+        // Graph.louvainLevels caps levels and moves at 4 each (every
+        // move is an eager checkpoint round); the TVF only floors them
         val levels = intOpt("levels", 2)
+        val moves = intOpt("moves", 1)
         val pairs = rel(0)
         graft.operators.Graph.louvainLevels(endpointVerts(pairs), pairs,
-          levels = levels)
+          levels = levels, movesPerLevel = moves)
       case "incremental_dedup" =>
         // the rational-threshold contract (num/den, default 4/5) keeps
         // the PPJoin prefix bound integer-exact — see
@@ -853,6 +893,23 @@ class GraftEngine(val spark: SparkSession) {
           .withColumn("ppw_ppm", expr("(1000000 * n_pieces) div n_words"))
       case "ivf_append" =>
         graft.operators.Similarity.ivfDrift(rel(0), rel(1))
+      case "components" =>
+        // the d8 near-dup closure as a front door: (doc_id, rep) over
+        // any (doc_id, lang, text) relation — the component map the
+        // governance TVFs below consume
+        val n = intOpt("n", 1)
+        val threshold = doubleOpt("threshold", 0.95)
+        require(threshold > 0.0 && threshold <= 1.0,
+          s"graft_components: threshold must be in (0,1], got $threshold")
+        graft.operators.Dedup.nearDupComponents(rel(0), n = n,
+          threshold = threshold)
+      case "license_propagation" =>
+        // rank is a COLUMN NAME in `docs` (an integer restrictiveness
+        // class — the license-registry lookup of a production pipeline)
+        val rank = strOpt("rank")
+        graft.operators.Dedup.licensePropagation(rel(0), rel(1), col(rank))
+      case "split_leakage" =>
+        graft.operators.Dedup.crossSplitLeakage(rel(0), rel(1))
       case "knn_label" =>
         val k = intOpt("k", 5)
         graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)
@@ -862,21 +919,8 @@ class GraftEngine(val spark: SparkSession) {
           s"graft_semantic_decon: tau is a cosine bound in [-1, 1], got $tau")
         graft.operators.Decontaminate.semanticFlags(rel(0), rel(1), tau = tau)
       case "asof" =>
-        // key/ord/payload are COLUMN NAMES, consumed through the
-        // DataFrame API (col(...)), never re-parsed as SQL text — the
-        // same literal-safety posture as the path arguments. `payload`
-        // accepts a quoted comma list ('value,props'); quotes around
-        // single names are optional.
-        def strOpt(key: String): String = {
-          val raw = named.getOrElse(key, throw new IllegalArgumentException(
-            s"graft_asof: option $key is required (a column name)"))
-          val v =
-            if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
-              raw.substring(1, raw.length - 1)
-            else raw
-          require(v.nonEmpty, s"graft_asof: option $key is empty")
-          v
-        }
+        // key/ord/payload are COLUMN NAMES (strOpt above). `payload`
+        // accepts a quoted comma list ('value,props').
         val key = strOpt("key")
         val ord = strOpt("ord")
         val payload = strOpt("payload").split(",").map(_.trim)

@@ -517,6 +517,48 @@ object Dedup {
         col("pid").isNull.as("is_new"))
   }
 
+  /** Connected near-dup components over the exact ngram-Jaccard pair
+    * set — one row per document with its component representative
+    * `(doc_id, rep)`. The shared engine behind d8 (the raw component
+    * map), d12 (keep-best canonicalization), the x20/x21 governance
+    * closures, and the `graft_components` SQL TVF. `docs` must carry
+    * `(doc_id, lang, text)`.
+    *
+    * Exact duplicates collapse to a per-(lang, md5) clique
+    * representative BEFORE pair generation — an m-copy template would
+    * otherwise inject m·(m−1)/2 identical-score edges into the pair
+    * stage (the d8 edge-blowup note); semantics-preserving because
+    * identical text has identical similarity to everything. Empty token
+    * sets stay singletons (Jaccard undefined). Pairs are blocked by
+    * language and prefix-filtered ([[ngramJaccardPairs]] — candidate
+    * generation is an equi join on a bounded block key, never
+    * all-pairs); the closure is [[connectedComponents]]' checkpointed
+    * min-label propagation.
+    */
+  def nearDupComponents(docs: DataFrame, n: Int = 1,
+      threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("fp"))
+    val withRep0 = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
+      .withColumn("rep0",
+        when(col("tsz") > 0, min(col("doc_id")).over(w))
+          .otherwise(col("doc_id")))
+    val reps = withRep0.filter(col("doc_id") === col("rep0"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cc = connectedComponents(reps,
+      ngramJaccardPairs(reps, n = n, threshold = threshold,
+        blockCols = Seq(col("lang"))), maxIters = maxIters)
+    // the rep0 map is consumed here AND feeds reps above — persist so
+    // the fingerprint window does not recompute for the final rejoin
+    val rep0Map = persistPublic(withRep0.select(col("doc_id"), col("rep0")))
+    rep0Map
+      .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
+      .select(col("doc_id"), col("rep"))
+  }
+
   /** Duplicated-span EXCISION — the span-granular REWRITE behind Lee et
     * al. ACL'22's ExactSubstr dedup (the scoring half is d10): every
     * token position covered by an `n`-token span occurring in MORE THAN

@@ -393,28 +393,8 @@ object Pipeline {
     * duplicates collapse BEFORE pair generation (m-clique edge blowup) and
     * why that collapse is semantics-preserving.
     */
-  private[graft] def ccComponents(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("fp"))
-    val withRep0 = d
-      .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("fp"),
-        size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
-      .withColumn("rep0",
-        when(col("tsz") > 0, min(col("doc_id")).over(w)).otherwise(col("doc_id")))
-    val reps = withRep0.filter(col("doc_id") === col("rep0"))
-      .select(col("doc_id"), col("lang"), col("text"))
-    val cc = Dedup.connectedComponents(reps,
-      Dedup.ngramJaccardPairs(reps, n = 1, threshold = 0.95,
-        blockCols = Seq(col("lang"))), maxIters = 8)
-    // the rep0 map is consumed here AND feeds reps above — persist so
-    // the fingerprint window does not recompute for the final rejoin
-    val rep0Map = Dedup.persistPublic(
-      withRep0.select(col("doc_id"), col("rep0")))
-    rep0Map
-      .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
-      .select(col("doc_id"), col("rep"))
-  }
+  private[graft] def ccComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupComponents(Tables.load(s, dir, "documents"))
 
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step

@@ -610,6 +610,79 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("capped at 4 levels"))
   }
 
+  test("governance TVFs: components → license_propagation / split_leakage in pure SQL") {
+    // a near-dup pair (1 ≈ 2: one-word edit on a long text), an exact
+    // copy of 1 (3), and an unrelated doc (4) — the component map the
+    // governance suite closes over, built and consumed entirely in SQL
+    engine.run("create table gov_docs_t(doc_id bigint, text varchar, " +
+      "lang varchar, rnk int, split varchar)")
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the green hills and birds sing in tall trees"
+    val near = base.replace("tall trees", "old trees")
+    engine.run("insert into gov_docs_t values " +
+      s"(1, '$base', 'en', 0, 'train'), " +
+      s"(2, '$near', 'en', 3, 'train'), " +
+      s"(3, '$base', 'en', 1, 'test'), " +
+      "(4, 'completely unrelated content about databases', 'en', 2, 'train')")
+    val comp = engine.run(
+      "select doc_id, rep from graft_components(gov_docs_t, threshold => 0.9) order by doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L) && comp(1L) == comp(3L),
+      s"near-dup trio must share a component: $comp")
+    assert(comp(4L) != comp(1L), s"unrelated doc joined the component: $comp")
+    // SQL ≡ the Scala operator on the same input
+    val compDirect = graft.operators.Dedup.nearDupComponents(
+        engine.table("gov_docs_t"), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == compDirect)
+    // license propagation: the component's max rank (doc 2's 3) governs
+    // all three members; doc 4 keeps its own rank
+    val lic = engine.run(
+      "select doc_id, own_rank, comp_rank, upgraded from " +
+        "graft_license_propagation(graft_components(gov_docs_t, threshold => 0.9), " +
+        "gov_docs_t, rank => rnk) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(lic.toSeq == Seq((1L, 0, 3, true), (2L, 3, 3, false),
+      (3L, 1, 3, true), (4L, 2, 2, false)), lic.mkString(", "))
+    val licDirect = graft.operators.Dedup.licensePropagation(
+        graft.operators.Dedup.nearDupComponents(engine.table("gov_docs_t"),
+          threshold = 0.9),
+        engine.table("gov_docs_t"), org.apache.spark.sql.functions.col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(lic.toSeq == licDirect.toSeq)
+    // split leakage: the trio straddles train/test (doc 3) — every
+    // member flags; doc 4's singleton train component is clean
+    val leak = engine.run(
+      "select doc_id, n_splits, leaky from " +
+        "graft_split_leakage(graft_components(gov_docs_t, threshold => 0.9), gov_docs_t) " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(leak.map(l => l._1 -> l._3).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> false),
+      leak.mkString(", "))
+    val leakDirect = graft.operators.Dedup.crossSplitLeakage(
+        graft.operators.Dedup.nearDupComponents(engine.table("gov_docs_t"),
+          threshold = 0.9),
+        engine.table("gov_docs_t").select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("split")))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(leak.toSeq == leakDirect.toSeq)
+    graft.operators.Dedup.unpersistAll()
+    // option hygiene: rank is required; threshold must be a probability
+    val e1 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_license_propagation(" +
+        "graft_components(gov_docs_t), gov_docs_t)")
+    }
+    assert(e1.getMessage.contains("rank is required"))
+    val e2 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_components(gov_docs_t, threshold => 1.5)")
+    }
+    assert(e2.getMessage.contains("threshold must be in (0,1]"))
+  }
+
   test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
     engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
     engine.run("insert into inc_base_t values " +
