@@ -663,6 +663,57 @@ object Similarity {
     corpus.select(col("vec_id") +: codeCols: _*)
   }
 
+  /** Per-(subspace, vector) PQ reconstruction error `(sub, err)` in ONE
+    * fused map-only corpus pass: the code assignment (the same
+    * [[nearestCellL2Expr]] projections [[pqEncode]] uses) and the block
+    * slice ride the same row, so no codes⋈vectors self-join exists —
+    * which is also what lets a STREAMING source run the identical chain
+    * (a stream cannot self-join on vec_id). `cells` is the persisted
+    * codebook relation `(sub, code, centroid)` — O(m·k), broadcast; the
+    * error routes through the engine-shared identity
+    * ‖b−c‖² = b·b − 2·b·c + c·c (three fused graft_dot folds, the a3/a4
+    * discipline, so DuckDB replays the doubles bit-for-bit).
+    */
+  def pqSubspaceErrors(corpus: DataFrame, model: PqModel,
+      cells: DataFrame): DataFrame = {
+    val perSub = (0 until model.m).map { sub =>
+      struct(lit(sub).as("sub"),
+        nearestCellL2Expr(
+          slice(col("v"), sub * model.dsub + 1, model.dsub),
+          model.books(sub)).as("code"),
+        slice(col("v"), sub * model.dsub + 1, model.dsub).as("b"))
+    }
+    corpus
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(explode(array(perSub: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.b").as("b"))
+      .join(broadcast(cells.select(col("sub"), col("code"), col("centroid"))),
+        Seq("sub", "code"))
+      .select(col("sub"),
+        (dot(col("b"), col("b"))
+          - lit(2) * dot(col("b"), col("centroid"))
+          + dot(col("centroid"), col("centroid"))).as("err"))
+  }
+
+  /** Per-subspace PQ codebook health `(sub, n_vecs, sse, mse)` — the
+    * reconstruction-error monitor behind every quantized serving tier
+    * (the PQ analogue of [[ivfDrift]]; a subspace whose MSE drifts up
+    * after an ingest is a stale codebook). One fused error pass
+    * ([[pqSubspaceErrors]]) + one map-combinable decimal-routed
+    * aggregate; output O(m) rows at any corpus size. The v12 serving
+    * query and the `EventsStream.pqDistortionStream` continuous twin
+    * both sit on [[pqSubspaceErrors]], so streaming ≡ batch reduces to
+    * the decimal-sum replay.
+    */
+  def pqDistortion(corpus: DataFrame, model: PqModel,
+      cells: DataFrame): DataFrame =
+    pqSubspaceErrors(corpus, model, cells)
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err").cast("decimal(28,12)")).cast("double").as("sse"))
+      .withColumn("mse", col("sse") / col("n_vecs"))
+
   /** PQ asymmetric-distance top-k (ADC serving): for each query, the k
     * corpus vectors with the smallest code-approximated L2 distance,
     * computed WITHOUT touching corpus vectors — only their m one-byte

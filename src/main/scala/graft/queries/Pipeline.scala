@@ -3558,30 +3558,18 @@ object Pipeline {
       // ‖b−c‖² = b·b − 2·b·c + c·c (three fused graft_dot folds — the
       // a3/a4 discipline, so DuckDB replays the doubles bit-for-bit
       // from the persisted codebooks); the centroid table is O(m·k)
-      // and broadcasts; one corpus-scan join + one map-combinable
-      // aggregate, output O(m) rows at any corpus size.
+      // and broadcasts. r14: the chain is Similarity.pqDistortion —
+      // code assignment and block slice fused onto ONE corpus scan
+      // (the old codes⋈vectors self-join is gone: one scan, no join
+      // beyond the broadcast, which is also what lets the
+      // pqDistortionStream continuous twin run the identical chain),
+      // then one map-combinable aggregate; O(m) rows at any scale.
       val e = Tables.load(s, dir, "embeddings")
       val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
       val cents = s.read
         .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
         .select(col("sub"), col("centroid_id").as("code"), col("centroid"))
-      val codes = Similarity.pqEncode(e, model)
-      codes
-        .join(e.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
-        .select(col("v"),
-          posexplode(array((0 until model.m).map(i => col(s"c$i")): _*))
-            .as(Seq("sub", "code")))
-        .withColumn("b", slice(col("v"), col("sub") * 8 + 1, lit(8)))
-        .join(broadcast(cents), Seq("sub", "code"))
-        .select(col("sub"),
-          (Similarity.dot(col("b"), col("b"))
-            - lit(2) * Similarity.dot(col("b"), col("centroid"))
-            + Similarity.dot(col("centroid"), col("centroid"))).as("err"))
-        .groupBy(col("sub"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("err").cast("decimal(28,12)")).cast("double").as("sse"))
-        .withColumn("mse", col("sse") / col("n_vecs"))
+      Similarity.pqDistortion(e, model, cents)
         .orderBy(col("sub"))
     },
 

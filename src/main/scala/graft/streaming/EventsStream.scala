@@ -479,6 +479,67 @@ object EventsStream {
       }
   }
 
+  /** Per-subspace state for [[pqDistortionStream]]: vector count plus
+    * the running DECIMAL SSE, carried as a plain string
+    * (`BigDecimal.toPlainString` at scale 12) so the state encoder
+    * round-trips it exactly — the [[IvfCellState]] discipline for the
+    * PQ monitor. One tiny object per subspace: state is O(m).
+    */
+  case class PqSubState(n: Long, sse: String)
+
+  case class PqDistortionOut(sub: Int, n_vecs: Long, sse: Double, mse: Double)
+
+  /** Streaming twin of [[graft.operators.Similarity.pqDistortion]] —
+    * the v12 codebook-health monitor run CONTINUOUSLY, completing the
+    * incremental index-maintenance family (d17/d19 dedup, a9 IVF via
+    * [[ivfDriftStream]], v12 PQ here): ingest vectors arrive as a
+    * stream, each row's per-subspace reconstruction error computes
+    * MAP-ONLY through the SAME fused `Similarity.pqSubspaceErrors`
+    * chain the batch query plans (codegen'd code-assignment argmax +
+    * the ‖b−c‖² dot identity; the O(m·k) codebook broadcasts as a
+    * stream-static join), and `mapGroupsWithState` keyed by subspace
+    * maintains count + the exact decimal SSE. Every batch re-emits
+    * `(sub, n_vecs, sse, mse)` for the subspaces it touched —
+    * BIT-IDENTICAL to batch `pqDistortion` over the same ingest prefix,
+    * because the fold replays its aggregate exactly: per-error
+    * `BigDecimal.valueOf(err).setScale(12, HALF_UP)` ≡ Spark's
+    * `cast(double as decimal(28,12))`, decimal addition is exact (and
+    * commutative — partitioning-independent), `.doubleValue` at emit ≡
+    * the final double cast, and mse is the same double division. A
+    * subspace whose mse climbs across emissions is a stale codebook —
+    * the refit trigger, PQ's ivfMaintain analogue.
+    *
+    * Scale posture: the stream side is one map-only fused pass; state
+    * and every emission are O(m); nothing joins or shuffles the ingest
+    * beyond the subspace-keyed state exchange (m groups).
+    */
+  def pqDistortionStream(vectors: DataFrame,
+      model: graft.operators.Similarity.PqModel,
+      cells: DataFrame): Dataset[PqDistortionOut] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def dec12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    graft.operators.Similarity.pqSubspaceErrors(vectors, model, cells)
+      .as[(Int, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (sub: Int, rows: Iterator[(Int, Double)],
+         state: GroupState[PqSubState]) =>
+          val prev = state.getOption.getOrElse(PqSubState(0L, "0"))
+          var n = prev.n
+          var sse = new java.math.BigDecimal(prev.sse)
+          rows.foreach { case (_, err) =>
+            n += 1
+            sse = sse.add(dec12(err))
+          }
+          state.update(PqSubState(n, sse.toPlainString))
+          val sseD = sse.doubleValue
+          PqDistortionOut(sub, n, sseD, sseD / n)
+      }
+  }
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * credited to the same user's clicks in the preceding `gapMinutes`
     * (purchase follows click). Both sides carry watermarks and the

@@ -681,6 +681,60 @@ class StreamingSpec extends AnyFunSuite {
       s"planted off-axis members must lower cell 1's drift cosine: $got")
   }
 
+  test("streaming PQ distortion matches the batch pqDistortion bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // m=2 subspaces of 2 dims, axis-aligned codebooks; batch 1 tracks
+    // the fitted distribution, batch 2 plants a STALE-codebook ingest on
+    // subspace 1 (blocks far from both of its centroids)
+    val model = graft.operators.Similarity.PqModel(2, 2, Seq(
+      Seq(1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0)),
+      Seq(1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0))))
+    val cells = Seq(
+      (0, 1, Seq(1.0, 0.0)), (0, 2, Seq(0.0, 1.0)),
+      (1, 1, Seq(1.0, 0.0)), (1, 2, Seq(0.0, 1.0)))
+      .toDF("sub", "code", "centroid")
+    val b1 = Seq((1L, Seq(0.9, 0.1, 0.05, 0.95)),
+      (2L, Seq(0.05, 0.9, 1.0, 0.1)))
+    val b2 = Seq((3L, Seq(0.8, 0.2, 3.0, 3.0)),
+      (4L, Seq(1.0, 0.0, -2.0, 2.5)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = EventsStream.pqDistortionStream(
+        in.toDF().toDF("vec_id", "embedding"), model, cells)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pq_dist_stream").start()
+    def latest(): Map[Int, (Long, Double, Double)] = spark.table("pq_dist_stream")
+      .groupBy(col("sub"))
+      .agg(max(struct(col("n_vecs"), col("sse"), col("mse"))).as("s"))
+      .select(col("sub"), col("s.n_vecs"), col("s.sse"), col("s.mse"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def batch(rows: Seq[(Long, Seq[Double])]): Map[Int, (Long, Double, Double)] =
+      graft.operators.Similarity
+        .pqDistortion(rows.toDF("vec_id", "embedding"), model, cells)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // every emission is the batch answer over the ingest prefix so far
+    assert(latest() == batch(b1), "prefix after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = latest()
+    assert(got == batch(b1 ++ b2),
+      "final state must equal the batch pqDistortion over the whole " +
+        "ingest, double-for-double")
+    // the planted staleness is visible exactly where it was planted
+    assert(got(1)._3 > batch(b1)(1)._3,
+      s"stale sub-1 blocks must raise subspace 1's mse: $got")
+    assert(math.abs(got(0)._3 - batch(b1)(0)._3) < 0.2,
+      s"subspace 0 stayed in-distribution: $got")
+  }
+
   test("latestWinsStream idle TTL: idle (user, type) evicted, version count restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
