@@ -618,6 +618,62 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** KEEP-ONE duplicated-span dedup — Lee et al. ACL'22's actual
+    * ExactSubstr rule, where [[spanExcise]] is the stricter
+    * template-removal variant: every `n`-token span occurring MORE THAN
+    * ONCE in the corpus (any repeat, INCLUDING within one document —
+    * count(*), not distinct-doc count) keeps exactly its CANONICAL
+    * occurrence — the (doc_id, pos)-minimum, a deterministic global
+    * order both engines share — and every other occurrence's positions
+    * excise. The corpus retains one copy of every repeated passage
+    * instead of losing it everywhere (the paper's "remove all but one").
+    *
+    * Overlap semantics (documented): covers are the UNION of non-keeper
+    * occurrence positions, so a keeper occurrence can still lose
+    * positions to a DIFFERENT span's non-keeper occurrence overlapping
+    * it — the span-cover composition rule, same as [[spanExcise]]/c10.
+    *
+    * Output and scale shape are [[spanExcise]]'s: `(doc_id, n_tokens,
+    * n_removed, clean_text)`; spans hash map-side (xxhash64 — bodies
+    * never move), the keeper election is ONE struct-min aggregate on
+    * the hashed key, covers are per-doc int arrays, and the join-back
+    * exchanges only the cover side when `docs` is doc_id-bucketed (the
+    * d20 posture — pass the bucketed scan at corpus scale).
+    */
+  def spanExciseKeepOne(docs: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+    val g = persistPublic(toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh")))
+    // keeper election: min (doc_id, pos) per duplicated span — one
+    // map-combinable struct-min over the hashed key
+    val dup = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("keep"))
+    val covers = g.join(dup, Seq("gh"))
+      .filter(!(col("doc_id") === col("keep.doc_id")
+        && col("pos") === col("keep.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    toks.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !coalesce(
+          array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** License/restrictiveness propagation across near-dup components —
     * the compliance rule of training-data curation: a copy of a
     * restrictively-licensed document is just as restricted, so the MOST

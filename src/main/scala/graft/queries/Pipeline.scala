@@ -706,6 +706,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d21_span_keep_one" -> { (s, dir) =>
+      // KEEP-ONE duplicated-span dedup — the Lee et al. ACL'22
+      // ExactSubstr rule exactly (d20 is the stricter remove-every-copy
+      // template variant): every 8-token span occurring more than once
+      // in the corpus (ANY repeat, including within one document —
+      // count(*), not d10's distinct-doc count) keeps its canonical
+      // (doc_id, pos)-minimum occurrence and every other occurrence
+      // excises, so the corpus retains ONE copy of each repeated
+      // passage. The keeper election is one struct-min aggregate on the
+      // map-side span hash; everything else is d20's machinery — the
+      // bucketed corpus scan, int cover arrays, the order-preserving
+      // indexed-filter rebuild, text never in a shuffle.
+      Dedup.spanExciseKeepOne(bucketedDocsShared(s, dir), n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "d11_fuzzy_join" -> { (s, dir) =>
       // typo-level record linkage: all pairs of corpus keys within
       // levenshtein distance 1, found by FuzzyJoin's deletion-neighborhood
@@ -7538,6 +7554,43 @@ object Pipeline {
         |SELECT g.e1, g.e2, g.e3, g.n_paths,
         |  (g.n_paths * 1000000) // tot.n_total AS share_ppm
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
+
+    "d21_span_keep_one" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE len(toks) >= 8)),
+        |dup AS (
+        |  SELECT g, min({'d': doc_id, 'p': pos}) AS kp
+        |  FROM sp GROUP BY g HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
+        |  FROM sp s JOIN dup ON s.g = dup.g
+        |  WHERE NOT (s.doc_id = struct_extract(dup.kp, 'd')
+        |             AND s.pos = struct_extract(dup.kp, 'p'))),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM tok),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM tok t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "d20_span_excise" ->
       """WITH tok AS (

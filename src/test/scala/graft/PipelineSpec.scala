@@ -186,6 +186,34 @@ class DedupSpec extends AnyFunSuite {
     assert(g2(1L) == ((11L, 10L, "two")))
   }
 
+  test("keep-one span dedup: canonical occurrence survives, repeats excise") {
+    val header = "all rights reserved contact the site admin team"
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val corpus = Seq(
+      (0L, s"$header alpha beta gamma"),  // canonical header owner
+      (1L, s"$header delta epsilon"),     // loses its header copy
+      (2L, s"$run mid $run"))             // WITHIN-doc repeat
+      .toDF("doc_id", "text")
+    val keep1 = Dedup.spanExciseKeepOne(corpus, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 holds the (doc_id, pos)-minimum occurrence — it KEEPS the
+    // header (the Lee et al. all-but-one rule); doc 1's copy excises
+    assert(keep1(0L) == ((11L, 0L, s"$header alpha beta gamma")))
+    assert(keep1(1L) == ((10L, 8L, "delta epsilon")))
+    // the within-doc repeat keeps its first occurrence only — d10's
+    // distinct-doc qualification can't even see this duplication
+    assert(keep1(2L) == ((17L, 8L, s"$run mid")))
+    // contrast with the remove-every-copy template variant: d20 leaves
+    // the within-doc repeat intact (one distinct doc) and strips the
+    // header from BOTH carriers
+    val all = Dedup.spanExcise(corpus, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(all(0L)._2 == 8L && all(1L)._2 == 8L)
+    assert(all(2L) == ((17L, 0L, s"$run mid $run")))
+  }
+
   test("exact dedup groups identical text only") {
     val rep = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep(0L) == 0L && rep(2L) == 0L) // exact pair

@@ -1216,6 +1216,22 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("d21_span_keep_one: keeper election on the hash; text never shuffles") {
+    val p = plan("d21_span_keep_one")
+    assert(p.contains("graft_docs_bkt"),
+      s"the rewrite must read the bucketed corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"the keeper election is a struct-min aggregate, never a window:\n$p")
+    val shuffleLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffleLines.nonEmpty &&
+      shuffleLines.forall(l => !l.contains("text#") && !l.contains("toks#")
+        && !l.contains("kept#")),
+      s"document text/tokens must never shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
   test("p5_pad_waste: map-only buckets into one partial+final aggregate") {
     val p = plan("p5_pad_waste")
     assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
