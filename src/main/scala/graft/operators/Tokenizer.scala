@@ -209,9 +209,53 @@ object Tokenizer {
         graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .filter(!col("w").contains(us))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    var syms = Dedup.persistPublic(wf.select(col("w"), col("f"),
+    val syms0 = wf.select(col("w"), col("f"),
       concat(expr("regexp_extract_all(w, '(?s).', 0)"),
-        array(lit(EndOfWord))).as("syms")))
+        array(lit(EndOfWord))).as("syms"))
+    mergeRoundsFrom(syms0, rounds)
+  }
+
+  /** BYTE-LEVEL cap-free distributed merge learning —
+    * [[distributedMergeRounds]] with the symbol domain swapped to
+    * remapped UTF-8 bytes (u10's domain; u11's trainer): the
+    * symbolization is composable built-ins only — `encode(w, 'UTF-8')`,
+    * per-index 1-byte `substring`, `conv(hex(b), 16, 10)` for the byte
+    * value, `element_at` into the 256-entry [[ByteRemap]] literal — so
+    * the whole round stays codegen'd SQL with zero custom expressions
+    * and the oracle replays it with the same arithmetic. NO U+001F word
+    * exclusion is needed (unlike the code-point form): remapped byte
+    * symbols are printable by construction, so the fold's chr(31)
+    * accumulator delimiter can never collide with corpus content — the
+    * byte domain's robustness argument, visible right here. Learns the
+    * same merges as [[learnByteBpeMerges]] on any corpus the driver cap
+    * doesn't bind (spec-pinned), and the identical sequence as the
+    * code-point trainers on printable-ASCII corpora.
+    */
+  def distributedByteMergeRounds(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wf = docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val remap = typedLit(ByteRemap.toSeq)
+    val syms0 = wf.select(col("w"), col("f"),
+      concat(
+        transform(sequence(lit(1), octet_length(col("w"))),
+          i => element_at(remap,
+            conv(hex(encode(col("w"), "UTF-8").substr(i, lit(1))),
+              16, 10).cast("int") + 1)),
+        array(lit(EndOfWord))).as("syms"))
+    mergeRoundsFrom(syms0, rounds)
+  }
+
+  /** The shared per-round merge loop over a symbolized word-frequency
+    * frame `(w, f, syms)`: pair counts, one-row argmax, HOF fold —
+    * see [[distributedMergeRounds]] for the semantics and scale notes.
+    */
+  private def mergeRoundsFrom(syms0: DataFrame, rounds: Int): DataFrame = {
+    val us = String.valueOf(31.toChar)
+    var syms = Dedup.persistPublic(syms0)
     val perRound = (1 to rounds).map { r =>
       val pc = syms
         .select(col("f"), explode(zip_with(

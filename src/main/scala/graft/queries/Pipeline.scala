@@ -4232,6 +4232,24 @@ object Pipeline {
         .orderBy(col("w1"), col("w2"))
     },
 
+    "u11_byte_merges" -> { (s, dir) =>
+      // cap-free DISTRIBUTED byte-level BPE merge learning — u3's
+      // cluster trainer in u10's symbol domain, completing byte-level
+      // parity end to end (driver trainer learnByteBpeMerges, codegen
+      // encoder byteSegment, and now the trainer for corpora whose word
+      // vocabulary outgrows any driver fitCap). Symbolization is
+      // composable built-ins only (encode → per-byte substr → conv(hex)
+      // → element_at into the 256-entry remap literal), so the whole
+      // round is codegen'd SQL and the oracle replays the identical
+      // arithmetic. NO U+001F exclusion — remapped byte symbols are
+      // printable by construction, the byte domain's robustness
+      // argument made visible. Gated on the en slice (per-language
+      // tokenizer), 2 unrolled rounds: (round, a, b, cnt, n_syms).
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en")
+      Tokenizer.distributedByteMergeRounds(docs, rounds = 2)
+    },
+
     "u10_byte_bpe" -> { (s, dir) =>
       // BYTE-LEVEL BPE encode at corpus scale (the GPT-2/LLaMA-class
       // production tokenizer shape — Radford et al. 2019's
@@ -4708,6 +4726,64 @@ object Pipeline {
     }.mkString("\nUNION ALL\n")
     (Seq(header) ++ rounds ++ summaries).mkString(",\n") +
       "\n" + select + "\nORDER BY lvl"
+  }
+
+  /** u11 oracle, GENERATED for a `rounds` unroll: byte-symbolize the en
+    * word-frequency table (the u10 rmap + pure-SQL UTF-8 encode — no
+    * U+001F exclusion, remapped byte symbols are printable by
+    * construction), then per round one pair-count aggregate, a one-row
+    * (cnt DESC, a, b) argmax, and the chr(31)-delimited list_reduce
+    * fold — u3's round shape in the byte domain.
+    */
+  private def u11ByteMergeOracle(rounds: Int): String = {
+    val mlist = graft.operators.Tokenizer.ByteRemap
+      .map(s => s.codePointAt(0)).mkString("[", ",", "]")
+    val roundCtes = (1 to rounds).map { r =>
+      val q = r - 1
+      s"""pc$r AS (
+        |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM (SELECT f, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM s$q)
+        |  GROUP BY a, b),
+        |top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+        |s$r AS (
+        |  SELECT s$q.w, s$q.f,
+        |    string_split(
+        |      list_reduce(s$q.syms, (acc, x) -> CASE
+        |        WHEN (acc = t.a OR ends_with(acc, chr(31) || t.a)) AND x = t.b
+        |        THEN acc || t.b ELSE acc || chr(31) || x END),
+        |      chr(31)) AS syms
+        |  FROM s$q CROSS JOIN top$r t),
+        |n$r AS (SELECT CAST(sum(f * len(syms)) AS BIGINT) AS n_syms FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, t.a, t.b, t.cnt, n$r.n_syms " +
+        s"FROM top$r t CROSS JOIN n$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS w
+      |  FROM documents WHERE lang = 'en'),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+      |rmap AS (SELECT $mlist AS m),
+      |s0 AS (
+      |  SELECT w, f, flatten(list_transform(regexp_extract_all(w, '.'),
+      |    ch -> CASE
+      |      WHEN unicode(ch) < 128 THEN [chr(m[unicode(ch) + 1])]
+      |      WHEN unicode(ch) < 2048 THEN
+      |        [chr(m[unicode(ch) // 64 + 193]), chr(m[unicode(ch) % 64 + 129])]
+      |      WHEN unicode(ch) < 65536 THEN
+      |        [chr(m[unicode(ch) // 4096 + 225]),
+      |         chr(m[(unicode(ch) // 64) % 64 + 129]),
+      |         chr(m[unicode(ch) % 64 + 129])]
+      |      ELSE
+      |        [chr(m[unicode(ch) // 262144 + 241]),
+      |         chr(m[(unicode(ch) // 4096) % 64 + 129]),
+      |         chr(m[(unicode(ch) // 64) % 64 + 129]),
+      |         chr(m[unicode(ch) % 64 + 129])]
+      |    END)) || ['</w>'] AS syms
+      |  FROM wf CROSS JOIN rmap),
+      |$roundCtes
+      |$selects
+      |ORDER BY round""".stripMargin
   }
 
   /** u10 oracle fragment: BYTE-LEVEL symbolization — the GPT-2 remap as
@@ -8547,6 +8623,8 @@ object Pipeline {
         |  FROM pd)
         |SELECT doc_id, rank, phrase, score_ppm FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "u11_byte_merges" -> u11ByteMergeOracle(rounds = 2),
 
     "u3_bpe_distributed" ->
       """WITH tok AS (

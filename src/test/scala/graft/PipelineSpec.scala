@@ -1348,6 +1348,31 @@ class TokenizerSpec extends AnyFunSuite {
         Tokenizer.byteSymbols(w).mkString)
   }
 
+  test("distributed byte merge rounds learn the driver byte trainer's merges") {
+    import graft.operators.Dedup
+    val d = Tables.load(spark, sf, "documents").filter(col("lang") === "en")
+    try {
+      val rows = Tokenizer.distributedByteMergeRounds(d, rounds = 3)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      val driver = Tokenizer.learnByteBpeMerges(d, numMerges = 3)
+      assert(rows.map(r => (r._2, r._3)).toSeq == driver,
+        s"distributed byte merges ${rows.toSeq} must equal driver $driver")
+      // this corpus is printable ASCII, so the byte rounds must ALSO
+      // equal the code-point rounds — the u10 equivalence at cluster scale
+      val cp = Tokenizer.distributedMergeRounds(d, rounds = 3)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == cp.toSeq,
+        "ASCII corpus: byte and code-point distributed trainers must agree")
+      // and on a planted non-ASCII corpus they must NOT: the byte
+      // trainer's first merge is é's intra-code-point byte pair
+      import spark.implicits._
+      val acc = Seq.fill(3)((1L, "éé")).toDF("doc_id", "text")
+      val by = Tokenizer.distributedByteMergeRounds(acc, rounds = 1)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(by == Seq(("Ã", "©")), s"expected the UTF-8 byte pair, got $by")
+    } finally Dedup.unpersistAll()
+  }
+
   test("byte column form matches the driver segmenter (incl. fixed u10 table)") {
     val d = Tables.load(spark, sf, "documents")
     val merges = graft.queries.Pipeline.ByteBpeMerges
