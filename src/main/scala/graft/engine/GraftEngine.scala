@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -637,6 +637,12 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_split_leakage(comp, split)` — near-dup components
     *    straddling train/val/test: every member of a multi-split
     *    component is flagged.
+    *  - `graft_span_excise(docs, n => 8, keep_one => false)` —
+    *    duplicated-span surgery: cross-document n-token spans excise
+    *    from every document (keep_one => true keeps the canonical
+    *    (doc_id, pos)-minimum occurrence — the ACL'22 all-but-one
+    *    rule); documents are KEPT, returning `(doc_id, n_tokens,
+    *    n_removed, clean_text)`.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -674,7 +680,8 @@ class GraftEngine(val spark: SparkSession) {
     "ivf_append" -> Set.empty,
     "components" -> Set("n", "threshold"),
     "license_propagation" -> Set("rank"),
-    "split_leakage" -> Set.empty)
+    "split_leakage" -> Set.empty,
+    "span_excise" -> Set("n", "keep_one"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -700,7 +707,8 @@ class GraftEngine(val spark: SparkSession) {
     "ivf_append" -> Seq("index", "drop"),
     "components" -> Seq("docs"),
     "license_propagation" -> Seq("comp", "docs"),
-    "split_leakage" -> Seq("comp", "split"))
+    "split_leakage" -> Seq("comp", "split"),
+    "span_excise" -> Seq("docs"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -910,6 +918,18 @@ class GraftEngine(val spark: SparkSession) {
         graft.operators.Dedup.licensePropagation(rel(0), rel(1), col(rank))
       case "split_leakage" =>
         graft.operators.Dedup.crossSplitLeakage(rel(0), rel(1))
+      case "span_excise" =>
+        // keep_one => true selects the ACL'22 all-but-one rule
+        // (spanExciseKeepOne); default is the remove-every-copy
+        // template variant (spanExcise). Callers rewriting at corpus
+        // scale should point `docs` at a doc_id-bucketed table so the
+        // cover join-back exchanges only the int cover side (the d20
+        // posture).
+        val n = intOpt("n", 8)
+        require(n >= 2, s"graft_span_excise: n must be >= 2, got $n")
+        if (boolOpt("keep_one"))
+          graft.operators.Dedup.spanExciseKeepOne(rel(0), n = n)
+        else graft.operators.Dedup.spanExcise(rel(0), n = n)
       case "knn_label" =>
         val k = intOpt("k", 5)
         graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)

@@ -469,9 +469,15 @@ object Graph {
       var move = 0
       var converged = false
       while (move < movesPerLevel && !converged) {
-        val (merged, next) = louvainMergeParts(labels, agg, dC, m1)
+        // the accepted-pair frame feeds BOTH the convergence probe and
+        // the label update — persist it (coarse-cardinality, cheap) so
+        // the score/argmax/self-join pipeline runs once per move, not
+        // twice
+        val merged = Dedup.persistPublic(
+          louvainMergeParts(labels, agg, dC, m1)._1)
+        val next = applyMerge(labels, merged)
         // convergence probe: one job over the (coarse-cardinality,
-        // persisted-input) mutual-pair frame — O(communities), not
+        // persisted) mutual-pair frame — O(communities), not
         // O(corpus); a level at its match fixpoint skips its remaining
         // moves AND the label/coarse rebuilds they would re-run
         if (merged.isEmpty) converged = true
@@ -486,7 +492,18 @@ object Graph {
           // round unit is pinned instead), and a 100 TB run pays one
           // bounded job per move.
           labels = Dedup.truncatePublic(next)
-          agg = Dedup.persistPublic(coarsePairWeights(labels, p))
+          // the next coarse frame FOLDS the previous one through the
+          // accepted-pair map instead of re-scanning the original edge
+          // list: every edge sits in exactly one (x, y, w) row, and
+          // remapping that row's endpoints then re-normalizing min/max
+          // lands it on the same coarse pair a direct rebuild would —
+          // so each move costs O(coarse graph), and only move 0 (the
+          // singleton start, before the loop) pays the O(edges) scan.
+          // TRUNCATED, not just persisted: the fold chains agg on agg
+          // and the merge/degree consumers reference each agg ~4×, so a
+          // persist-only chain multiplies the PLAN TREE per move (the
+          // labels lesson again — AQE's explainString OOMs by move 4)
+          agg = Dedup.truncatePublic(coarsenAgg(agg, merged))
           dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
         }
         move += 1
@@ -507,6 +524,28 @@ object Graph {
       .select(least(col("ca"), col("cb")).as("x"),
         greatest(col("ca"), col("cb")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+
+  /** Fold a coarse `(x, y, w)` frame through an accepted-pair map
+    * `(oldc, newc)`: remap both endpoints (communities that did not
+    * merge pass through), re-normalize min/max, and re-aggregate —
+    * VALUE-IDENTICAL to recomputing [[coarsePairWeights]] from the
+    * original edges under the updated labels (each edge lives in
+    * exactly one coarse row; remapping the row's endpoint SET equals
+    * remapping the edge's), at O(coarse graph) instead of O(edges) per
+    * move.
+    */
+  private def coarsenAgg(agg: DataFrame, merged: DataFrame): DataFrame =
+    agg
+      .join(merged.toDF("oldx", "newx"), col("x") === col("oldx"), "left")
+      .join(merged.toDF("oldy", "newy"), col("y") === col("oldy"), "left")
+      .select(
+        least(coalesce(col("newx"), col("x")),
+          coalesce(col("newy"), col("y"))).as("cx"),
+        greatest(coalesce(col("newx"), col("x")),
+          coalesce(col("newy"), col("y"))).as("cy"),
+        col("w"))
+      .groupBy(col("cx").as("x"), col("cy").as("y"))
+      .agg(sum(col("w")).as("w"))
 
   /** Community degree sums under `labels` from the persisted vertex
     * degree table (left join keeps edge-less vertices as d=0 singleton
@@ -579,11 +618,14 @@ object Graph {
           && col("l.bs") > 0)
       .select(col("l.a").as("oldc"),
         least(col("l.a"), col("l.bu")).as("newc"))
-    (merged,
-      labels.join(merged, labels("comm") === merged("oldc"), "left")
-        .select(col("doc_id"),
-          coalesce(col("newc"), col("comm")).as("comm")))
+    (merged, applyMerge(labels, merged))
   }
+
+  /** Apply an accepted-pair map `(oldc, newc)` to a label frame. */
+  private def applyMerge(labels: DataFrame, merged: DataFrame): DataFrame =
+    labels.join(merged, labels("comm") === merged("oldc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("comm")).as("comm"))
 
   /** g7's per-community modularity terms from the level's shared coarse
     * frames, rolled up to one exact row: `(lvl, n_comms, l_in, q_ppm)`

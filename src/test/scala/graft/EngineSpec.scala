@@ -683,6 +683,46 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("threshold must be in (0,1]"))
   }
 
+  test("graft_span_excise TVF: both excision rules equal the Scala operators") {
+    engine.run("create table spx_docs_t(doc_id bigint, text varchar)")
+    val header = "all rights reserved contact the site admin team"
+    engine.run("insert into spx_docs_t values " +
+      s"(0, '$header alpha beta gamma'), " +
+      s"(1, '$header delta epsilon'), " +
+      "(2, 'nothing here repeats anywhere across the corpus at all')")
+    val all = engine.run(
+      "select doc_id, n_removed, clean_text from " +
+        "graft_span_excise(spx_docs_t) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(all.toSeq == Seq((0L, 8L, "alpha beta gamma"),
+      (1L, 8L, "delta epsilon"),
+      (2L, 0L, "nothing here repeats anywhere across the corpus at all")),
+      all.mkString(", "))
+    val allDirect = graft.operators.Dedup.spanExcise(engine.table("spx_docs_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(all.toSeq == allDirect.toSeq)
+    // keep_one: doc 0 owns the canonical occurrence and keeps its header
+    val keep = engine.run(
+      "select doc_id, n_removed, clean_text from " +
+        "graft_span_excise(spx_docs_t, keep_one => true) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(keep.toSeq == Seq((0L, 0L, s"$header alpha beta gamma"),
+      (1L, 8L, "delta epsilon"),
+      (2L, 0L, "nothing here repeats anywhere across the corpus at all")),
+      keep.mkString(", "))
+    val keepDirect = graft.operators.Dedup
+      .spanExciseKeepOne(engine.table("spx_docs_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(keep.toSeq == keepDirect.toSeq)
+    graft.operators.Dedup.unpersistAll()
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_span_excise(spx_docs_t, n => 1)")
+    }
+    assert(e.getMessage.contains("n must be >= 2"))
+  }
+
   test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
     engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
     engine.run("insert into inc_base_t values " +
