@@ -674,6 +674,64 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** INCREMENTAL span excision — the daily-crawl form of
+    * [[spanExciseKeepOne]]: an arriving drop is excised against a BASE
+    * corpus's persisted span-hash index (every position of a drop
+    * document covered by an n-token span the base already contains is
+    * removed; the base's copy is the canonical occurrence, so this is
+    * the keep-one rule with the base as keeper). Within-drop
+    * duplication is deliberately out of scope (documented divergence —
+    * run [[spanExciseKeepOne]] over the accumulated corpus at
+    * compaction time); the per-document decision depends ONLY on the
+    * static index, which is what makes the flow stateless and gives it
+    * a zero-state streaming twin (`EventsStream.spanExciseStream`).
+    *
+    * `spanIndex` carries one `gh` column — the base's DISTINCT xxhash64
+    * span hashes, built once per snapshot (the mh_index/tfidf_pairs
+    * materialized-index lifecycle). Scale shape: drop spans hash
+    * map-side, the probe is ONE left-semi equi join on the hash (only
+    * (doc_id, pos, gh) rows shuffle — bodies never move), covers are
+    * per-doc int arrays, the rebuild is the shared order-preserving
+    * indexed filter.
+    */
+  def spanExciseAgainstIndex(drop: DataFrame, spanIndex: DataFrame,
+      n: Int = 8, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = drop.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+    val g = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh"))
+    val covers = g.join(spanIndex.select(col("gh")), Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    toks.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !coalesce(
+          array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** The base-snapshot span-hash index [[spanExciseAgainstIndex]]
+    * probes: one row per DISTINCT n-token span hash in `base`. Persist
+    * the result per corpus snapshot (the minhashIndex discipline).
+    */
+  def spanIndex(base: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    base.select(explode(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), n)).as("s"))
+      .select(xxhash64(col("s")).as("gh"))
+      .distinct()
+  }
+
   /** License/restrictiveness propagation across near-dup components —
     * the compliance rule of training-data curation: a copy of a
     * restrictively-licensed document is just as restricted, so the MOST

@@ -396,6 +396,19 @@ object Pipeline {
   private[graft] def ccComponents(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupComponents(Tables.load(s, dir, "documents"))
 
+  /** The BASE-snapshot span-hash index (docs outside the x4/t20/d19
+    * drop convention doc_id % 4 == 0) — deterministic per sf dir
+    * (xxhash64 over exact span strings), so it earns the
+    * materialized-index treatment: built once per base snapshot, read
+    * by the d22 batch drop excision and by
+    * `EventsStream.spanExciseStream`'s continuous twin alike.
+    */
+  private def spanIndexShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "span_index") {
+      Dedup.spanIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+    }
+
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step
     * partitioning-independent), so it shares the materialized-index
@@ -429,7 +442,8 @@ object Pipeline {
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("cc_components") { ccComponentsShared(s, dir) },
-      timed("docs_bkt") { bucketedDocsShared(s, dir) })
+      timed("docs_bkt") { bucketedDocsShared(s, dir) },
+      timed("span_index") { spanIndexShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
   }
@@ -719,6 +733,24 @@ object Pipeline {
       // bucketed corpus scan, int cover arrays, the order-preserving
       // indexed-filter rebuild, text never in a shuffle.
       Dedup.spanExciseKeepOne(bucketedDocsShared(s, dir), n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "d22_incremental_excise" -> { (s, dir) =>
+      // INCREMENTAL span excision — the daily-crawl form of d21: the
+      // arriving drop (doc_id % 4 == 0, the x4/d19 snapshot convention)
+      // is excised against the BASE corpus's persisted span-hash index
+      // (span_index, built once per snapshot): every drop position
+      // covered by an 8-token span the base already contains is
+      // removed — the base's copy is canonical, so this is keep-one
+      // with the base as keeper. Per-document decisions depend only on
+      // the static index (stateless — the property the streaming twin
+      // spanExciseStream runs on). One left-semi hash probe, int
+      // covers, the shared indexed-filter rebuild; within-drop
+      // duplication deferred to compaction-time d21 (documented).
+      val d = Tables.load(s, dir, "documents")
+      Dedup.spanExciseAgainstIndex(
+          d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
     },
 
@@ -7630,6 +7662,44 @@ object Pipeline {
         |SELECT g.e1, g.e2, g.e3, g.n_paths,
         |  (g.n_paths * 1000000) // tot.n_total AS share_ppm
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
+
+    "d22_incremental_excise" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base_sp AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE doc_id % 4 <> 0 AND len(toks) >= 8)),
+        |drop_t AS (SELECT doc_id, toks FROM tok WHERE doc_id % 4 = 0),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM drop_t WHERE len(toks) >= 8)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
+        |  FROM sp s JOIN base_sp b ON s.g = b.g),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM drop_t),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM drop_t t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "d21_span_keep_one" ->
       """WITH tok AS (

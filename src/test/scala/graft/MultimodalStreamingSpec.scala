@@ -681,6 +681,52 @@ class StreamingSpec extends AnyFunSuite {
       s"planted off-axis members must lower cell 1's drift cosine: $got")
   }
 
+  test("streaming span excision equals the batch operator per arriving doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val header = "all rights reserved contact the site admin team"
+    // the base snapshot carries the boilerplate header; its span index
+    // is the static side (built once, the d22 materialized index)
+    val base = Seq((100L, s"$header plus some base only tail words"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.spanIndex(base, n = 8)
+    // batch 1: one contaminated + one clean doc; batch 2: another
+    // contaminated doc — batches must neither see nor affect each other
+    val b1 = Seq((0L, s"$header alpha beta gamma"),
+      (1L, "totally novel content nothing shared with the base at all"))
+    val b2 = Seq((2L, s"$header delta epsilon"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = EventsStream.spanExciseStream(
+        in.toDF().toDF("doc_id", "text"), index, n = 8) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    def batchOp(rows: Seq[(Long, String)]): Seq[(Long, Long, Long, String)] =
+      graft.operators.Dedup.spanExciseAgainstIndex(
+          rows.toDF("doc_id", "text"), index, n = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sortBy(_._1)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(_._1).toSeq == batchOp(b1), "after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // cumulative stream output ≡ the batch operator over the union —
+    // the zero-state property (per-doc decisions ride the static index)
+    assert(got.sortBy(_._1).toSeq == batchOp(b1 ++ b2),
+      "cumulative stream output must equal batch over the whole arrival")
+    // and the excision itself is right: headers gone, novel text intact
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) == "alpha beta gamma" && byId(2L) == "delta epsilon")
+    assert(byId(1L) ==
+      "totally novel content nothing shared with the base at all")
+  }
+
   test("streaming PQ distortion matches the batch pqDistortion bit-for-bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
