@@ -719,6 +719,51 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** [[spanExciseAgainstIndex]] with a BLOOM prefilter on the probe —
+    * same output bit-for-bit (false positives die in the exact
+    * left-semi verify; the c3 `ngramOverlapBloom` discipline), sized
+    * for the 100 TB regime where the interesting drop is mostly CLEAN:
+    * the broadcast bloom (~1.2 bytes/span-hash at 1% fpp) rejects
+    * non-matching spans MAP-SIDE, so the verify shuffle carries only
+    * probable hits (~hit-rate + 1% of drop spans) instead of every span
+    * of every arriving document. The bloom builds from the persisted
+    * index in one aggregate — production persists it alongside the
+    * index, per snapshot.
+    */
+  def spanExciseAgainstIndexBloom(drop: DataFrame, spanIndex: DataFrame,
+      n: Int = 8, textCol: String = "text",
+      expectedSpans: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.{BloomContains, SerializableBloom}
+    val idx = spanIndex.select(col("gh"))
+    val bloom = SerializableBloom.from(
+      idx.stat.bloomFilter("gh", expectedSpans, fpp))
+    val probe = GraftSqlBridge.column(
+      BloomContains(GraftSqlBridge.expressionNoSpark(col("gh")), bloom))
+    val toks = drop.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+    val g = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh"))
+      .filter(probe) // map-side: only probable hits reach the shuffle
+    val covers = g.join(idx, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    toks.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !coalesce(
+          array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** The base-snapshot span-hash index [[spanExciseAgainstIndex]]
     * probes: one row per DISTINCT n-token span hash in `base`. Persist
     * the result per corpus snapshot (the minhashIndex discipline).

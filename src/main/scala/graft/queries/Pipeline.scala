@@ -754,6 +754,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d22b_excise_bloom" -> { (s, dir) =>
+      // d22 through the BLOOM-prefiltered probe (c3's discipline for a
+      // static index too big to broadcast exactly): the ~1.2-bytes-per-
+      // hash bloom broadcasts, rejects non-matching drop spans MAP-SIDE,
+      // and the exact left-semi verify kills the ~1% false positives —
+      // output bit-identical to d22 (the SAME DuckDB oracle hash-gates
+      // both, so fp-immunity is part of the gate). At 100 TB the win is
+      // the verify shuffle carrying only probable hits instead of every
+      // span of every arriving document.
+      val d = Tables.load(s, dir, "documents")
+      Dedup.spanExciseAgainstIndexBloom(
+          d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "d11_fuzzy_join" -> { (s, dir) =>
       // typo-level record linkage: all pairs of corpus keys within
       // levenshtein distance 1, found by FuzzyJoin's deletion-neighborhood
@@ -4760,6 +4775,48 @@ object Pipeline {
       "\n" + select + "\nORDER BY lvl"
   }
 
+  /** d22/d22b shared replay: the bloom path is bit-identical by
+    * construction (false positives die in the exact verify), so ONE
+    * oracle gates both — fp-immunity is itself hash-checked.
+    */
+  private val D22ExciseOracle: String =
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base_sp AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE doc_id % 4 <> 0 AND len(toks) >= 8)),
+        |drop_t AS (SELECT doc_id, toks FROM tok WHERE doc_id % 4 = 0),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM drop_t WHERE len(toks) >= 8)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
+        |  FROM sp s JOIN base_sp b ON s.g = b.g),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM drop_t),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM drop_t t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+
   /** u11 oracle, GENERATED for a `rounds` unroll: byte-symbolize the en
     * word-frequency table (the u10 rmap + pure-SQL UTF-8 encode — no
     * U+001F exclusion, remapped byte symbols are printable by
@@ -7663,43 +7720,12 @@ object Pipeline {
         |  (g.n_paths * 1000000) // tot.n_total AS share_ppm
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
 
-    "d22_incremental_excise" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |base_sp AS (
-        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks) - 7)) AS i
-        |        FROM tok WHERE doc_id % 4 <> 0 AND len(toks) >= 8)),
-        |drop_t AS (SELECT doc_id, toks FROM tok WHERE doc_id % 4 = 0),
-        |sp AS (
-        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks) - 7)) AS i
-        |        FROM drop_t WHERE len(toks) >= 8)),
-        |cov AS (
-        |  SELECT DISTINCT s.doc_id,
-        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
-        |  FROM sp s JOIN base_sp b ON s.g = b.g),
-        |tp AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
-        |  FROM drop_t),
-        |kept AS (
-        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
-        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
-        |  WHERE cov.i IS NULL),
-        |ka AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |    string_agg(w, ' ' ORDER BY i) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
-        |  coalesce(ka.clean_text, '') AS clean_text
-        |FROM drop_t t LEFT JOIN ka ON t.doc_id = ka.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+    "d22_incremental_excise" -> D22ExciseOracle,
+
+    // bit-identical output by construction (bloom false positives die
+    // in the exact verify) — the SAME replay gates both paths, so
+    // fp-immunity is itself hash-checked
+    "d22b_excise_bloom" -> D22ExciseOracle,
 
     "d21_span_keep_one" ->
       """WITH tok AS (
