@@ -2247,6 +2247,50 @@ object Pipeline {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    "s13_mixture_manifest" -> { (s, dir) =>
+      // the mixture MATERIALIZED: s8's temperature apportionment
+      // (p_i ∝ √n_i, Hamilton largest-remainder, budget B = 1000)
+      // turned into the actual per-source pick list a training run
+      // consumes — for each source, its alloc_i documents in
+      // deterministic md5 order (md5 is engine-shared, so unlike s1's
+      // xxhash ranking this manifest is fully DuckDB-replayable; ties
+      // by doc_id). Selection is the bounded-heap TopKPerKey at k = B
+      // (alloc_i ≤ B by construction): the map-side partial heap caps
+      // shuffle input at B rows per (partition × source) — no per-source
+      // global sort, no skewed-source single-task window (the s4
+      // discipline). The O(sources) alloc table broadcasts onto the
+      // ranked rows; rank ≤ alloc_i trims each source to its seat
+      // count. B is the TopKPerKey memory knob: a bigger budget at
+      // 100 TB pairs the same machinery with a hash-threshold prefilter.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double"))).cast("long").as("wt"))
+      val alloc = counts
+        .withColumn("wtot", sum(col("wt")).over(wnd.partitionBy()))
+        .select(col("source"),
+          expr("(1000 * wt) div wtot").as("base_n"),
+          expr("(1000 * wt) % wtot").as("rem"))
+        .withColumn("leftover",
+          lit(1000L) - sum(col("base_n")).over(wnd.partitionBy()))
+        .withColumn("rk", row_number().over(
+          wnd.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("base_n") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+      val hashed = d.select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      graft.plans.TopKPerKey(hashed, Seq(col("source")),
+          Seq(col("h").asc, col("doc_id").asc), k = 1000)
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rank") <= col("alloc"))
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"))
+        .orderBy(col("source"), col("rank"))
+    },
+
     "s2_mixture_weights" -> { (s, dir) =>
       // temperature-scaled data-mixing weights: w_lang = sqrt(token share)
       // (α = 0.5 upweights low-resource languages). Arithmetic chosen for
@@ -4295,6 +4339,39 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents")
         .filter(col("lang") === "en")
       Tokenizer.distributedByteMergeRounds(docs, rounds = 2)
+    },
+
+    "u12_tokenizer_coverage" -> { (s, dir) =>
+      // unigram-table COVERAGE audit, per language: the fraction of
+      // distinct (lang, word) types whose Viterbi segmentation applies
+      // NO learned multi-character piece — pure char-fallback words are
+      // tokenizer dead weight (every such word costs len(word) pieces),
+      // and a language whose fallback share is high is being taxed by a
+      // vocabulary fit elsewhere (the coverage half of u5's fertility
+      // audit; the number a vocab-size/retrain decision reads). Words
+      // past the 12-char serving contract fall back by construction and
+      // count as uncovered (documented, same rule as u7). One distinct
+      // type frame, the codegen'd segmenter map-side, one O(langs)
+      // aggregate — piece lengths fold in the same pass. Piece-length
+      // test uses length() (UTF-16 units) as the code-point proxy — the
+      // unigramLm trainer's own single-char convention; exact on any
+      // BMP corpus, and the UnigramPieces table is ASCII so a learned
+      // piece always has length > 1 in both engines.
+      val d = Tables.load(s, dir, "documents")
+      val types = d.select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .distinct()
+      types.select(col("lang"),
+          (size(filter(
+            Tokenizer.unigramSegment(col("w"), UnigramPieces,
+              UnigramCharCost),
+            p => length(p) > 1)) === 0).as("fb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("fb"), 1L).otherwise(0L)).as("n_fallback"))
+        .withColumn("fallback_ppm",
+          expr("(1000000 * n_fallback) div n_types"))
+        .orderBy(col("lang"))
     },
 
     "u10_byte_bpe" -> { (s, dir) =>
@@ -7338,6 +7415,34 @@ object Pipeline {
         |JOIN sz z2 ON iv.s2 = z2.source
         |ORDER BY s1, s2""".stripMargin,
 
+    "s13_mixture_manifest" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS wtot FROM c),
+        |b AS (
+        |  SELECT source, (1000 * wt) // t.wtot AS base_n,
+        |    (1000 * wt) % t.wtot AS rem
+        |  FROM c, t),
+        |l AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b),
+        |al AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS alloc
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |        FROM b) r, l),
+        |rkd AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM documents)
+        |SELECT rkd.source, rkd.rank, rkd.doc_id
+        |FROM rkd JOIN al ON rkd.source = al.source
+        |WHERE rkd.rank <= al.alloc
+        |ORDER BY rkd.source, rkd.rank""".stripMargin,
+
     "s8_temperature_mix" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -8086,6 +8191,31 @@ object Pipeline {
         |  (1000000 * n_subwords) // n_words AS spw_ppm,
         |  (1000000 * n_bytes) // n_subwords AS bps_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u12_tokenizer_coverage" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT DISTINCT lang, w
+        |  FROM (SELECT lang, unnest(toks) AS w FROM tok)),
+        |${unigramServeCtes("wl_unused")},
+        |fbw AS (
+        |  SELECT uN.w,
+        |    CASE WHEN len(list_filter(string_split(uN.path, chr(31)),
+        |                              x -> len(x) > 1)) > 0
+        |      THEN 0 ELSE 1 END AS fb
+        |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
+        |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
+        |  UNION ALL
+        |  SELECT w, 1 AS fb FROM wd WHERE length(w) > 12)
+        |SELECT o.lang, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(f.fb) AS BIGINT) AS n_fallback,
+        |  (1000000 * CAST(sum(f.fb) AS BIGINT)) // count(*) AS fallback_ppm
+        |FROM occ o JOIN fbw f ON o.w = f.w
+        |GROUP BY o.lang ORDER BY o.lang""".stripMargin,
 
     "u7_unigram_encode" ->
       s"""WITH tok AS (

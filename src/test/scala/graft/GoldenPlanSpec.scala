@@ -112,6 +112,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "u4_bpe_encode",       // merge-table expression, one fused corpus pass
     "u7_unigram_encode",   // piece-table Viterbi expression, one fused pass
     "u10_byte_bpe",        // byte-table expression, one fused corpus pass
+    "u12_tokenizer_coverage", // distinct types, fused segmenter, O(langs) agg
+    "s13_mixture_manifest",   // bounded-heap per-source prefix, O(sources) alloc broadcast
     "x15_global_ids",      // O(B) bucket offsets, bucket-partitioned ranks
     "s11_dedup_discount",  // one fp window, weight is integer arithmetic
     "x16_curation_funnel", // one scan, one fp window, one funnel aggregate

@@ -1232,6 +1232,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"document text/tokens must never shuffle:\n${shuffleLines.mkString("\n")}")
   }
 
+  test("s13_mixture_manifest: bounded-heap selection, no corpus-sized window") {
+    val p = plan("s13_mixture_manifest")
+    assert(p.contains("TopKPerKey"),
+      s"per-source selection must be the bounded-heap operator:\n$p")
+    assert(p.contains("TopKPerKeyPartial"),
+      s"the map-side partial heap must cap shuffle input at B rows per " +
+        s"(partition x source):\n$p")
+    // the ONLY windows run on the O(sources) apportionment frame, whose
+    // lineage is the grouped count — never on per-document rows
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"the O(sources) alloc table must broadcast onto the ranked rows:\n$p")
+  }
+
   test("p5_pad_waste: map-only buckets into one partial+final aggregate") {
     val p = plan("p5_pad_waste")
     assert(nodeCount(p, "Scan parquet") == 1 && nodeCount(p, "Join") == 0 &&
