@@ -409,6 +409,30 @@ object Pipeline {
         Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
     }
 
+  /** The BASE-snapshot tf-idf POSTINGS index (docs outside the x4 drop
+    * convention) — `(gram, doc_id, tf, w)` with the df band and the
+    * n_docs/df weight both computed on the base: the serving half of
+    * t14's pair build for the incremental flow (g14), where the pair
+    * table itself (tfidf_pairs) is the batch product. Deterministic per
+    * sf dir, so it earns the materialized-index lifecycle.
+    */
+  private def tfidfPostingsShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "tfidf_postings") {
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0)
+      val tf = d.select(col("doc_id"), explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 25))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, Seq("gram"))
+        .crossJoin(broadcast(n))
+        .select(col("gram"), col("doc_id"), col("tf"),
+          (col("n_docs").cast("double") / col("df")).as("w"))
+    }
+
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step
     * partitioning-independent), so it shares the materialized-index
@@ -443,7 +467,8 @@ object Pipeline {
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("cc_components") { ccComponentsShared(s, dir) },
       timed("docs_bkt") { bucketedDocsShared(s, dir) },
-      timed("span_index") { spanIndexShared(s, dir) })
+      timed("span_index") { spanIndexShared(s, dir) },
+      timed("tfidf_postings") { tfidfPostingsShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
   }
@@ -1840,6 +1865,40 @@ object Pipeline {
           (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
           array_join(col("kept"), " ").as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    "g14_incremental_pairs" -> { (s, dir) =>
+      // INCREMENTAL similarity-graph maintenance — the missing member
+      // of the index-maintenance family (d17/d19/d22 dedup, a9 IVF,
+      // v12 PQ; this one keeps the t14 pair graph that g1-g13 serve
+      // from current between refits): a new drop's edges INTO the base
+      // are computed against the persisted base POSTINGS index
+      // (tfidf_postings — gram, doc_id, tf, w with base df band and
+      // base weights) without re-running the base×base build. Drop tf
+      // computes map-side per doc; ONE gram-keyed equi join against the
+      // df-banded postings (the t14 fan-out discipline — df ≤ 25 bounds
+      // per-gram postings, so candidate fan-out ∝ drop size); per-pair
+      // terms replay t14's exact multiplication order and decimal-route
+      // the sum. Frozen-index approximation documented: drop grams
+      // weight by the BASE's df/N (df drift accrues to the next refit —
+      // the a9/d19 contract), and drop×drop edges are deferred to that
+      // refit too. Output: (base_id, drop_id, n_shared, score).
+      val d = Tables.load(s, dir, "documents")
+      val idx = tfidfPostingsShared(s, dir)
+      val dropTf = d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("drop_id"), explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("gram"))
+        .groupBy(col("drop_id"), col("gram"))
+        .agg(count(lit(1)).as("tf_d"))
+      idx.join(dropTf, Seq("gram"))
+        .select(col("doc_id").as("base_id"), col("drop_id"),
+          (((col("tf") * col("tf_d")).cast("double") * col("w")) * col("w"))
+            .cast("decimal(28,12)").as("term"))
+        .groupBy(col("base_id"), col("drop_id"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("term")).cast("double").as("score"))
+        .orderBy(col("base_id"), col("drop_id"))
     },
 
     "g12_degree_hist" -> { (s, dir) =>
@@ -6227,6 +6286,39 @@ object Pipeline {
         |  FROM l1 LEFT JOIN w2 ON l1.doc_id = w2.doc_id)
         |SELECT doc_id, coalesce(label, 'unlabeled') AS label
         |FROM l2 ORDER BY doc_id""".stripMargin,
+
+    "g14_incremental_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tfa AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |base_tf AS (SELECT * FROM tfa WHERE doc_id % 4 <> 0),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM base_tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 4 <> 0),
+        |p AS (
+        |  SELECT base_tf.doc_id, base_tf.gram, base_tf.tf,
+        |    CAST(n.n_docs AS DOUBLE) / dfreq.df AS w
+        |  FROM base_tf JOIN dfreq USING (gram), n),
+        |drop_tf AS (SELECT doc_id AS drop_id, gram, tf AS tf_d
+        |            FROM tfa WHERE doc_id % 4 = 0),
+        |pr AS (
+        |  SELECT p.doc_id AS base_id, d.drop_id,
+        |    CAST((CAST(p.tf * d.tf_d AS DOUBLE) * p.w) * p.w
+        |         AS DECIMAL(28,12)) AS term
+        |  FROM p JOIN drop_tf d USING (gram))
+        |SELECT base_id, drop_id, count(*) AS n_shared,
+        |  CAST(sum(term) AS DOUBLE) AS score
+        |FROM pr GROUP BY base_id, drop_id ORDER BY base_id, drop_id""".stripMargin,
 
     "t14_tfidf_simjoin" ->
       """WITH tok AS (

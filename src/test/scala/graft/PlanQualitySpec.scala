@@ -1232,6 +1232,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"document text/tokens must never shuffle:\n${shuffleLines.mkString("\n")}")
   }
 
+  test("g14_incremental_pairs: drop probes the persisted postings, no rebuild") {
+    val p = plan("g14_incremental_pairs")
+    assert(p.contains("tfidf_postings"),
+      s"edges must come from the materialized base postings index:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"pair scores are joins+aggregates, never a window:\n$p")
+    // the score rollup must map-combine before its shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-pair terms must combine map-side:\n$p")
+  }
+
   test("s13_mixture_manifest: bounded-heap selection, no corpus-sized window") {
     val p = plan("s13_mixture_manifest")
     assert(p.contains("TopKPerKey"),
