@@ -214,6 +214,29 @@ class DedupSpec extends AnyFunSuite {
     assert(all(2L) == ((17L, 0L, s"$run mid $run")))
   }
 
+  test("mixture manifest: dense per-source ranks, unique picks, budget bound") {
+    // s13's selection is a TOTAL order (md5, then doc_id) through
+    // TopKPerKey, so determinism is structural (and the DuckDB oracle
+    // pins it end to end); this spec pins the manifest INVARIANTS a
+    // training loader depends on
+    val s13 = graft.queries.Pipeline.queries("s13_mixture_manifest")
+    val dir = TestSpark.sf
+    val rows = s13(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._1)
+    // ranks are 1..alloc_i dense per source
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length.toLong),
+        s"ranks must be dense 1..alloc for $src")
+    }
+    assert(rows.map(_._3).distinct.length == rows.length,
+      "a document must appear at most once in the manifest")
+    // the alloc seats sum to the budget when no source is exhausted,
+    // and never exceed it otherwise
+    assert(rows.length <= 1000)
+  }
+
   test("exact dedup groups identical text only") {
     val rep = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep(0L) == 0L && rep(2L) == 0L) // exact pair
