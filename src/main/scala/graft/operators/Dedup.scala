@@ -777,6 +777,39 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL tf-idf pair maintenance — ONE definition shared by the
+    * g14 batch query and the streaming twin
+    * (`EventsStream.incrementalPairsStream`), the shardManifest
+    * discipline: a drop's weighted-overlap edges INTO the base computed
+    * against the persisted base POSTINGS index `(gram, doc_id, tf, w)`
+    * (base df band, base n_docs/df weights) without re-running the
+    * base×base build. Drop tf computes per (doc, gram) from the drop
+    * alone; ONE gram-keyed equi join probes the df-banded postings
+    * (df ≤ band bound ⇒ candidate fan-out ∝ drop size); per-pair terms
+    * replay t14's exact multiplication order and the sum decimal-routes
+    * — bit-identical to the slice of a full rebuild that touches the
+    * drop, under the FROZEN-INDEX approximation (drop grams weight by
+    * the base's df/N; df drift and drop×drop edges accrue to the next
+    * refit — the a9/d19 contract). Output: `(base_id, drop_id,
+    * n_shared, score)`.
+    */
+  def incrementalTfidfPairs(drop: DataFrame, postings: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val dropTf = drop
+      .select(col("doc_id").as("drop_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .groupBy(col("drop_id"), col("gram"))
+      .agg(count(lit(1)).as("tf_d"))
+    postings.join(dropTf, Seq("gram"))
+      .select(col("doc_id").as("base_id"), col("drop_id"),
+        (((col("tf") * col("tf_d")).cast("double") * col("w")) * col("w"))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("base_id"), col("drop_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("term")).cast("double").as("score"))
+  }
+
   /** License/restrictiveness propagation across near-dup components —
     * the compliance rule of training-data curation: a copy of a
     * restrictively-licensed document is just as restricted, so the MOST

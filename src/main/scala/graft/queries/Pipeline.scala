@@ -1884,20 +1884,8 @@ object Pipeline {
       // the a9/d19 contract), and drop×drop edges are deferred to that
       // refit too. Output: (base_id, drop_id, n_shared, score).
       val d = Tables.load(s, dir, "documents")
-      val idx = tfidfPostingsShared(s, dir)
-      val dropTf = d.filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id").as("drop_id"), explode(
-          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-          .as("gram"))
-        .groupBy(col("drop_id"), col("gram"))
-        .agg(count(lit(1)).as("tf_d"))
-      idx.join(dropTf, Seq("gram"))
-        .select(col("doc_id").as("base_id"), col("drop_id"),
-          (((col("tf") * col("tf_d")).cast("double") * col("w")) * col("w"))
-            .cast("decimal(28,12)").as("term"))
-        .groupBy(col("base_id"), col("drop_id"))
-        .agg(count(lit(1)).as("n_shared"),
-          sum(col("term")).cast("double").as("score"))
+      Dedup.incrementalTfidfPairs(
+          d.filter(col("doc_id") % 4 === 0), tfidfPostingsShared(s, dir))
         .orderBy(col("base_id"), col("drop_id"))
     },
 

@@ -567,6 +567,28 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Dedup.incrementalTfidfPairs]]
+    * — the g14 similarity-graph maintenance flow run CONTINUOUSLY:
+    * arriving documents gain their weighted-overlap edges into the base
+    * per microbatch via `foreachBatch` running the batch operator
+    * VERBATIM against the persisted base postings index (the d22 twin
+    * composition). A document's edges depend only on ITS OWN grams and
+    * the static index, so the flow holds ZERO streaming state and the
+    * cumulative output equals the batch operator over the union of
+    * arrivals exactly (spec-pinned); drop×drop edges and df drift
+    * accrue to the next index refit by the same documented contract as
+    * the batch form. `sink` receives each microbatch's edge frame
+    * `(base_id, drop_id, n_shared, score)`.
+    */
+  def incrementalPairsStream(docs: DataFrame, postings: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.incrementalTfidfPairs(
+          batch.toDF(), postings))
+      }
+      .start()
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * credited to the same user's clicks in the preceding `gapMinutes`
     * (purchase follows click). Both sides carry watermarks and the

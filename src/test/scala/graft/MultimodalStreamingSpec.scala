@@ -727,6 +727,61 @@ class StreamingSpec extends AnyFunSuite {
       "totally novel content nothing shared with the base at all")
   }
 
+  test("streaming incremental pairs equals the batch operator per arriving doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a tiny base whose postings carry real df-banded weights: grams
+    // "fast scan" / "scan joins" etc. shared by 2..3 base docs survive
+    // the [2, 25] band; singleton grams are banded away
+    val base = Seq(
+      (100L, "fast scan joins rows"),
+      (101L, "fast scan joins tables"),
+      (102L, "fast scan beats slow scan"))
+      .toDF("doc_id", "text")
+    val tf = base.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 25))
+    val n = base.agg(count(lit(1)).as("n_docs"))
+    val postings = tf.join(dfreq, Seq("gram")).crossJoin(broadcast(n))
+      .select(col("gram"), col("doc_id"), col("tf"),
+        (col("n_docs").cast("double") / col("df")).as("w"))
+      .cache()
+    postings.count() // materialize the static side once
+    val b1 = Seq((0L, "fast scan joins everywhere"),
+      (1L, "nothing in common here"))
+    val b2 = Seq((2L, "fast scan fast scan"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val q = EventsStream.incrementalPairsStream(
+        in.toDF().toDF("doc_id", "text"), postings) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }
+    def batchOp(rows: Seq[(Long, String)]): Seq[(Long, Long, Long, Double)] =
+      graft.operators.Dedup.incrementalTfidfPairs(
+          rows.toDF("doc_id", "text"), postings)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == batchOp(b1), "after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == batchOp(b1 ++ b2),
+      "cumulative stream edges must equal batch over the whole arrival")
+    // the clean doc gains no edges; the contaminated ones hit the base
+    assert(!got.exists(_._2 == 1L), s"doc 1 shares no banded gram: $got")
+    assert(got.exists(t => t._1 == 100L && t._2 == 0L),
+      s"doc 0 must edge into base 100 via 'fast scan'/'scan joins': $got")
+  }
+
   test("streaming PQ distortion matches the batch pqDistortion bit-for-bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
