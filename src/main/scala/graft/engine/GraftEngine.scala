@@ -453,6 +453,14 @@ class GraftEngine(val spark: SparkSession) {
     }
     // read_csv('p', named=>args) table function → materialized temp view
     var idx = 0
+    // per-call scratch views (__read_*/__graft_*): tracked and dropped
+    // once the statement's DataFrame is analyzed — spark.sql resolves
+    // and INLINES temp views at analysis time, so the result does not
+    // reference them afterwards, and a long-lived serving session must
+    // not accumulate one stale view (pinning its eagerly-resolved
+    // DataFrame) per TVF call. The bare-FROM stem views stay: their
+    // names are user-facing (qualified references bind to them).
+    val scratchViews = Seq.newBuilder[String]
     sql = maskedReplace(sql, ReadCsvCallRe) { m =>
       val path = m.group(1)
       val opts = Option(m.group(2)).getOrElse("")
@@ -463,6 +471,7 @@ class GraftEngine(val spark: SparkSession) {
       idx += 1
       val view = s"__read_csv_$idx"
       readCsv(path, header, delim).createOrReplaceTempView(view)
+      scratchViews += view
       view
     }
     // bare `FROM 'file.csv'` auto-binds to read_csv (defaults: header on).
@@ -483,6 +492,7 @@ class GraftEngine(val spark: SparkSession) {
       idx += 1
       val view = s"__read_parquet_$idx"
       readParquet(m.group(1)).createOrReplaceTempView(view)
+      scratchViews += view
       view
     }
     sql = maskedReplace(sql, BareParquetFromRe) { m =>
@@ -499,6 +509,7 @@ class GraftEngine(val spark: SparkSession) {
       idx += 1
       val view = s"__read_json_$idx"
       readJson(m.group(1)).createOrReplaceTempView(view)
+      scratchViews += view
       view
     }
     sql = maskedReplace(sql, BareJsonFromRe) { m =>
@@ -530,6 +541,7 @@ class GraftEngine(val spark: SparkSession) {
         idx += 1
         val view = s"__graft_${m.group(1).toLowerCase}_$idx"
         graftTvf(m.group(1), m.group(2)).createOrReplaceTempView(view)
+        scratchViews += view
         view
       }
     }
@@ -540,6 +552,7 @@ class GraftEngine(val spark: SparkSession) {
             if e.getMessage.contains("UNRESOLVED_COLUMN") =>
           rewriteAliasInWhere(sql).map(spark.sql).getOrElse(throw e)
       }
+      finally scratchViews.result().foreach(spark.catalog.dropTempView)
     rejectVarcharNumericComparison(df)
     df
   }

@@ -447,6 +447,35 @@ object Dedup {
       Seq("band", "bucket"), maxBandBucket)
   }
 
+  /** Serve-time skew cap for a persisted [[minhashIndex]]: drop
+    * (band, bucket) groups larger than `maxBucket` before the probe
+    * join — [[capBuckets]]' quadratic-stage guard applied when the
+    * index is READ rather than when it is written. Persisting the
+    * UNCAPPED rows and capping at serve time costs the degenerate
+    * buckets' storage (bounded — they are by definition few keys) and
+    * buys the delete path exactness: after [[minhashIndexDelete]]
+    * removes revoked documents, a bucket that was over the cap can
+    * fall UNDER it, and its surviving rows — never discarded — start
+    * serving again, precisely what a from-scratch rebuild would do.
+    * The count is a window over the same (band, bucket) key the probe
+    * join shuffles on, so the partitioning is reused — no extra
+    * exchange.
+    */
+  def minhashIndexCap(index: DataFrame, maxBucket: Int = 10000): DataFrame =
+    capBuckets(index, Seq("band", "bucket"), maxBucket)
+
+  /** TAKEDOWN on the MinHash band index: every index row belongs to
+    * exactly one document, so removal is ONE anti equi join on
+    * `doc_id` — no corpus read, no signature recompute. Bit-identical
+    * to `minhashIndex(survivors, maxBandBucket = 0)` row-for-row
+    * (signatures are per-document), and identical THROUGH the serve
+    * cap ([[minhashIndexCap]]) because the uncapped store retains
+    * over-cap buckets' rows for the cap to re-admit (IndexDeleteSpec
+    * pins both). `revoked` is a `(doc_id)` relation.
+    */
+  def minhashIndexDelete(index: DataFrame, revoked: DataFrame): DataFrame =
+    index.join(revoked.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** Incremental MinHash-LSH dedup — the daily-crawl flow in the SHINGLE
     * domain (the word-level twin is [[incrementalDedup]]): for each PROBE
     * document, does it near-duplicate anything in the BASE corpus at
@@ -719,6 +748,25 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** Build the Bloom prefilter [[spanExciseAgainstIndexBloom]] probes —
+    * one aggregate over the persisted span-hash index. Production
+    * builds this ONCE per index snapshot and persists/memoizes it
+    * alongside the index (the materialized-index lifecycle — see
+    * `Pipeline.spanBloomShared`): the build is an eager Spark action,
+    * so it must not hide inside a serving operator's construction.
+    * `expectedSpans <= 0` derives the capacity from the index itself
+    * (one count) instead of guessing — an undersized filter silently
+    * degrades fpp and with it the whole point of the prefilter.
+    */
+  def spanIndexBloom(spanIndex: DataFrame, expectedSpans: Long = 0L,
+      fpp: Double = 0.01): graft.functions.SerializableBloom = {
+    val idx = spanIndex.select(col("gh"))
+    val cap = if (expectedSpans > 0) expectedSpans
+      else math.max(1L, idx.count())
+    graft.functions.SerializableBloom.from(
+      idx.stat.bloomFilter("gh", cap, fpp))
+  }
+
   /** [[spanExciseAgainstIndex]] with a BLOOM prefilter on the probe —
     * same output bit-for-bit (false positives die in the exact
     * left-semi verify; the c3 `ngramOverlapBloom` discipline), sized
@@ -726,19 +774,20 @@ object Dedup {
     * the broadcast bloom (~1.2 bytes/span-hash at 1% fpp) rejects
     * non-matching spans MAP-SIDE, so the verify shuffle carries only
     * probable hits (~hit-rate + 1% of drop spans) instead of every span
-    * of every arriving document. The bloom builds from the persisted
-    * index in one aggregate — production persists it alongside the
-    * index, per snapshot.
+    * of every arriving document. `bloom` is the PREBUILT filter for the
+    * index snapshot ([[spanIndexBloom]] — built once, persisted/memoized
+    * beside the index): taking it as an argument keeps this operator's
+    * construction lazy (no hidden index scan when a plan is merely
+    * rendered) and keeps the one-build-per-snapshot cost out of every
+    * serving call.
     */
   def spanExciseAgainstIndexBloom(drop: DataFrame, spanIndex: DataFrame,
-      n: Int = 8, textCol: String = "text",
-      expectedSpans: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+      bloom: graft.functions.SerializableBloom,
+      n: Int = 8, textCol: String = "text"): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
     import org.apache.spark.sql.GraftSqlBridge
-    import graft.functions.{BloomContains, SerializableBloom}
+    import graft.functions.BloomContains
     val idx = spanIndex.select(col("gh"))
-    val bloom = SerializableBloom.from(
-      idx.stat.bloomFilter("gh", expectedSpans, fpp))
     val probe = GraftSqlBridge.column(
       BloomContains(GraftSqlBridge.expressionNoSpark(col("gh")), bloom))
     val toks = drop.select(col("doc_id"),
@@ -777,6 +826,67 @@ object Dedup {
       .distinct()
   }
 
+  /** The DELETE-CAPABLE form of [[spanIndex]]: one row per distinct
+    * span hash with its document frequency — `(gh, nd)`, nd = how many
+    * base documents contain the span. Serving probes project `gh` and
+    * see exactly [[spanIndex]]'s distinct-hash relation (the grouping
+    * key is unique), but the count is what makes TAKEDOWN possible
+    * without a rebuild: [[spanIndexDelete]] decrements `nd` by each
+    * revoked document's contribution and drops hashes that reach zero —
+    * a distinct-only index cannot know whether a surviving document
+    * still holds the span. Same build shape (map-side xxhash64, one
+    * groupBy on the hash — bodies never shuffle), one long column wider.
+    */
+  def spanIndexCounted(base: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    base.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("gh"))
+      .distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+  }
+
+  /** TAKEDOWN on the span-hash index — the compliance half of the
+    * incremental lifecycle (d22/`spanExciseStream` only ever APPEND
+    * probes; a revoked-document request must REMOVE the document's
+    * contribution without rebuilding over the surviving corpus): given
+    * the COUNTED index ([[spanIndexCounted]]) and the revoked documents
+    * themselves (`doc_id`, text — a takedown set is tiny and its bodies
+    * are at hand), recompute ONLY the revoked documents' distinct span
+    * hashes, decrement each hash's document frequency, and drop hashes
+    * whose count reaches zero. Bit-identical to
+    * `spanIndexCounted(survivors)` — pinned by IndexDeleteSpec and
+    * gated end-to-end by d23's oracle (DuckDB rebuilds from the
+    * surviving corpus's raw span STRINGS; Spark runs the delta
+    * arithmetic on the stale hashed index).
+    *
+    * Scale shape: the per-hash delta aggregates over the REVOKED set
+    * only (O(revoked text), map-side hashed); the merge is one equi
+    * join on `gh` against the index — the index never rebuilds and the
+    * surviving corpus is never read. `revoked` must be the revoked
+    * subset of the SAME base snapshot the index was built from (text
+    * included); revoking a document twice is a caller error the counts
+    * would silently absorb, so dedup the request set first.
+    */
+  def spanIndexDelete(index: DataFrame, revoked: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val delta = revoked.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("gh"))
+      .distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("rc"))
+    index.join(delta, Seq("gh"), "left")
+      .select(col("gh"),
+        (col("nd") - coalesce(col("rc"), lit(0L))).as("nd"))
+      .filter(col("nd") > 0)
+  }
+
   /** INCREMENTAL tf-idf pair maintenance — ONE definition shared by the
     * g14 batch query and the streaming twin
     * (`EventsStream.incrementalPairsStream`), the shardManifest
@@ -793,6 +903,58 @@ object Dedup {
     * refit — the a9/d19 contract). Output: `(base_id, drop_id,
     * n_shared, score)`.
     */
+  /** Serve-time df band over a FULL postings index
+    * (`(gram, doc_id, tf, df, n_docs)` — the unbanded inverted index
+    * the storage layer persists): keep grams with df in
+    * [`minDf`, `maxDf`] and weight them n_docs/df — the
+    * `(gram, doc_id, tf, w)` relation [[incrementalTfidfPairs]] probes.
+    * Banding at SERVE time (one codegen'd filter+projection over the
+    * scan — no shuffle) instead of build time is what makes the index
+    * delete-capable: after [[postingsDelete]] shifts df, a gram that
+    * fell INTO the band serves correctly because its rows were never
+    * discarded.
+    */
+  def postingsBand(full: DataFrame, minDf: Int = 2,
+      maxDf: Int = 25): DataFrame =
+    full.filter(col("df").between(minDf, maxDf))
+      .select(col("gram"), col("doc_id"), col("tf"),
+        (col("n_docs").cast("double") / col("df")).as("w"))
+
+  /** TAKEDOWN on the tf-idf postings index — remove a revoked document
+    * set's contribution from the persisted FULL index
+    * (`(gram, doc_id, tf, df, n_docs)`) without reading the surviving
+    * corpus: the revoked rows themselves carry every (gram, doc)
+    * posting being withdrawn, so the per-gram df delta is ONE aggregate
+    * over exactly those rows, n_docs drops by the revoked-document
+    * count (aggregated from the request relation, NOT derived from the
+    * index: documents too short to post any gram still count toward
+    * n_docs, so the index alone cannot know it — which is why the
+    * request must list every revoked base doc, posting or not), and
+    * the merge is one equi join on `gram`. Grams whose df reaches zero
+    * vanish with their last posting. Bit-identical to rebuilding the
+    * full index over the surviving corpus (IndexDeleteSpec), and
+    * end-to-end through the serve band DuckDB re-derives from raw text
+    * (the d23b gate).
+    *
+    * `revoked` is a `(doc_id)` relation of revoked BASE documents —
+    * distinct ids, each a member of the index's base snapshot (a doc
+    * revoked twice would double-decrement; a non-member would
+    * under-count n_docs).
+    */
+  def postingsDelete(full: DataFrame, revoked: DataFrame): DataFrame = {
+    val ids = revoked.select(col("doc_id"))
+    val gone = full.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("rc"))
+    val nRev = ids.agg(count(lit(1)).as("__n_rev"))
+    full.join(ids, Seq("doc_id"), "left_anti")
+      .join(gone, Seq("gram"), "left")
+      .crossJoin(broadcast(nRev))
+      .select(col("gram"), col("doc_id"), col("tf"),
+        (col("df") - coalesce(col("rc"), lit(0L))).as("df"),
+        (col("n_docs") - col("__n_rev")).as("n_docs"))
+      .filter(col("df") > 0)
+  }
+
   def incrementalTfidfPairs(drop: DataFrame, postings: DataFrame,
       textCol: String = "text"): DataFrame = {
     val dropTf = drop

@@ -344,8 +344,17 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def bucketedDocsShared(s: SparkSession, dir: String): DataFrame = {
     val tableName = bucketedDocsMemo.computeIfAbsent(dir, _ => {
+      // the memo keys by FULL path but the catalog name must too: two
+      // dirs sharing a basename (sf0.01 under different roots) would
+      // otherwise alias to one table and the second caller would
+      // silently rewrite against the first dir's corpus — a stable
+      // path-hash suffix makes distinct dirs never collide
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
       val name = "graft_docs_bkt_" +
-        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+        "_" + pathTag
       // the catalog is per-JVM (in-memory); the PATH outlives it. A
       // fresh JVM re-registers by rewriting — deterministic bytes, and
       // mode(overwrite) keeps a stale path from merging with fresh rows
@@ -379,12 +388,26 @@ object Pipeline {
     * the d19 batch drop probe and by `EventsStream.nearDupPairsStream`'s
     * continuous twin alike.
     */
-  private def minhashIndexShared(s: SparkSession, dir: String): DataFrame =
+  /** The UNCAPPED persisted mh_index bytes — what
+    * [[Dedup.minhashIndexDelete]] operates on. The skew cap is a
+    * PROBE-time guard ([[minhashIndexShared]] applies it on read), and
+    * keeping over-cap buckets' rows in the store is what lets a
+    * takedown delete re-admit a bucket that falls back under the cap —
+    * bit-identical to a rebuild (IndexDeleteSpec).
+    */
+  private def minhashIndexFullShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "mh_index") {
       Dedup.minhashIndex(
         Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
-        shingleLen = 3, numHashes = 32, bands = 8, maxBandBucket = 10000)
+        shingleLen = 3, numHashes = 32, bands = 8, maxBandBucket = 0)
     }
+
+  private def minhashIndexShared(s: SparkSession, dir: String): DataFrame =
+    // served rows are unchanged vs the previously-persisted capped
+    // form: the cap sees the same bucket counts whether applied at
+    // write or at read (the window reuses the probe join's
+    // (band, bucket) partitioning — no extra exchange)
+    Dedup.minhashIndexCap(minhashIndexFullShared(s, dir), maxBucket = 10000)
 
   /** Connected near-dup components over the exact ngram-Jaccard pair set —
     * the shared engine behind d8 (the raw component map) and d12 (the
@@ -405,9 +428,22 @@ object Pipeline {
     */
   private def spanIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "span_index") {
-      Dedup.spanIndex(
+      Dedup.spanIndexCounted(
         Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
     }
+
+  /** The span-hash Bloom prefilter d22b probes, built ONCE per index
+    * snapshot from the materialized [[spanIndexShared]] (capacity
+    * derived from the index itself — `Dedup.spanIndexBloom`) and
+    * memoized per sf dir: the build is an eager Spark action, so it
+    * lives in the model-prebuild lifecycle (charged to `fit_sec`), not
+    * inside a serving operator's construction.
+    */
+  private val spanBloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[graft.functions.SerializableBloom]]()
+  private[graft] def spanBloomShared(s: SparkSession, dir: String): graft.functions.SerializableBloom =
+    spanBloomMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
+      Dedup.spanIndexBloom(spanIndexShared(s, dir)))).value
 
   /** The BASE-snapshot tf-idf POSTINGS index (docs outside the x4 drop
     * convention) — `(gram, doc_id, tf, w)` with the df band and the
@@ -416,7 +452,18 @@ object Pipeline {
     * table itself (tfidf_pairs) is the batch product. Deterministic per
     * sf dir, so it earns the materialized-index lifecycle.
     */
-  private def tfidfPostingsShared(s: SparkSession, dir: String): DataFrame =
+  /** The persisted bytes are the UNBANDED inverted index
+    * `(gram, doc_id, tf, df, n_docs)` — the standard search-engine
+    * posture (an index stores every term; the df band is a SERVE-time
+    * filter), and the property that makes takedown possible: deleting
+    * documents shifts df, and a gram whose df sat just ABOVE the band
+    * falls INTO it — its tf rows must already be in the index or a
+    * delete path could never reproduce the rebuild (d23b's gate).
+    * n_docs rides as a constant column (RLE — free in parquet) because
+    * it is NOT derivable from the index: base documents too short to
+    * produce a 2-gram count toward it but post no rows.
+    */
+  private def tfidfPostingsFullShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "tfidf_postings") {
       val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0)
       val tf = d.select(col("doc_id"), explode(
@@ -425,13 +472,22 @@ object Pipeline {
         .groupBy(col("doc_id"), col("gram"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 25))
       val n = d.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, Seq("gram"))
         .crossJoin(broadcast(n))
-        .select(col("gram"), col("doc_id"), col("tf"),
-          (col("n_docs").cast("double") / col("df")).as("w"))
+        .select(col("gram"), col("doc_id"), col("tf"), col("df"),
+          col("n_docs"))
     }
+
+  /** The SERVED banded postings `(gram, doc_id, tf, w)` g14 probes —
+    * the df band [2, 25] and the n_docs/df weight applied as a lazy
+    * projection over the persisted full index (bit-identical to the
+    * previously-persisted banded form: same df counts, same one double
+    * division). Postings deletes run on the FULL index
+    * ([[Dedup.postingsDelete]]); this view re-derives after.
+    */
+  private[graft] def tfidfPostingsShared(s: SparkSession, dir: String): DataFrame =
+    Dedup.postingsBand(tfidfPostingsFullShared(s, dir))
 
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step
@@ -468,6 +524,7 @@ object Pipeline {
       timed("cc_components") { ccComponentsShared(s, dir) },
       timed("docs_bkt") { bucketedDocsShared(s, dir) },
       timed("span_index") { spanIndexShared(s, dir) },
+      timed("span_bloom") { spanBloomShared(s, dir) },
       timed("tfidf_postings") { tfidfPostingsShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
@@ -790,7 +847,8 @@ object Pipeline {
       // span of every arriving document.
       val d = Tables.load(s, dir, "documents")
       Dedup.spanExciseAgainstIndexBloom(
-          d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
+          d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir),
+          spanBloomShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
     },
 
