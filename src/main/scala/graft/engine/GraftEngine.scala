@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -656,6 +656,15 @@ class GraftEngine(val spark: SparkSession) {
     *    (doc_id, pos)-minimum occurrence — the ACL'22 all-but-one
     *    rule); documents are KEPT, returning `(doc_id, n_tokens,
     *    n_removed, clean_text)`.
+    *  - `graft_index_delete(index, revoked, kind => 'span', n => 8)` —
+    *    TAKEDOWN across the persisted serving indexes (the d23
+    *    compliance family): removes a revoked-document set's
+    *    contribution from a persisted index relation without a
+    *    rebuild. kind: 'span' (counted span-hash index; revoked
+    *    carries doc_id + text), 'postings' (unbanded tf-idf postings),
+    *    'minhash' (uncapped band index), 'prefix' (streaming prefix
+    *    index), 'ivf' (member table keyed by vec_id). Delete cost is
+    *    proportional to the takedown set, never the corpus.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -694,7 +703,8 @@ class GraftEngine(val spark: SparkSession) {
     "components" -> Set("n", "threshold"),
     "license_propagation" -> Set("rank"),
     "split_leakage" -> Set.empty,
-    "span_excise" -> Set("n", "keep_one"))
+    "span_excise" -> Set("n", "keep_one"),
+    "index_delete" -> Set("kind", "n"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -721,7 +731,8 @@ class GraftEngine(val spark: SparkSession) {
     "components" -> Seq("docs"),
     "license_propagation" -> Seq("comp", "docs"),
     "split_leakage" -> Seq("comp", "split"),
-    "span_excise" -> Seq("docs"))
+    "span_excise" -> Seq("docs"),
+    "index_delete" -> Seq("index", "revoked"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -943,6 +954,38 @@ class GraftEngine(val spark: SparkSession) {
         if (boolOpt("keep_one"))
           graft.operators.Dedup.spanExciseKeepOne(rel(0), n = n)
         else graft.operators.Dedup.spanExcise(rel(0), n = n)
+      case "index_delete" =>
+        // TAKEDOWN across the persisted serving indexes (the d23
+        // compliance family): remove a revoked-document set's
+        // contribution from a persisted index WITHOUT a rebuild.
+        // kind selects the store: 'span' (counted span-hash index —
+        // revoked must carry doc_id AND text; n is the span length),
+        // 'postings' (unbanded tf-idf postings — revoked is (doc_id)),
+        // 'minhash' (uncapped band index — revoked is (doc_id)),
+        // 'prefix' (streaming prefix index — revoked is (doc_id)),
+        // 'ivf' (IVF member table — revoked is (vec_id)).
+        val kindRaw = named.getOrElse("kind", "'span'")
+        val kind =
+          if (kindRaw.length >= 2 && kindRaw.startsWith("'") && kindRaw.endsWith("'"))
+            kindRaw.substring(1, kindRaw.length - 1).toLowerCase
+          else kindRaw.toLowerCase
+        kind match {
+          case "span" =>
+            val n = intOpt("n", 8)
+            require(n >= 2, s"graft_index_delete: n must be >= 2, got $n")
+            graft.operators.Dedup.spanIndexDelete(rel(0), rel(1), n = n)
+          case "postings" =>
+            graft.operators.Dedup.postingsDelete(rel(0), rel(1))
+          case "minhash" =>
+            graft.operators.Dedup.minhashIndexDelete(rel(0), rel(1))
+          case "prefix" =>
+            graft.operators.Dedup.prefixIndexDelete(rel(0), rel(1))
+          case "ivf" =>
+            graft.operators.Similarity.ivfMembersDelete(rel(0), rel(1))
+          case other => throw new IllegalArgumentException(
+            s"graft_index_delete: kind must be one of span, postings, " +
+              s"minhash, prefix, ivf — got '$other'")
+        }
       case "knn_label" =>
         val k = intOpt("k", 5)
         graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)

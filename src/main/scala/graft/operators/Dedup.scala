@@ -903,6 +903,29 @@ object Dedup {
     * refit — the a9/d19 contract). Output: `(base_id, drop_id,
     * n_shared, score)`.
     */
+  /** The FULL (unbanded) tf-idf postings index —
+    * `(gram, doc_id, tf, df, n_docs)`, one row per (doc, 2-gram), df
+    * over ALL grams, n_docs riding as a constant column (not derivable
+    * from the rows: docs too short to post any gram still count).
+    * This is the persisted store ([[postingsBand]] serves the banded
+    * view; [[postingsDelete]] runs takedowns on it). Build shape: one
+    * tf aggregate + one df aggregate + a broadcast 1-row count.
+    */
+  def tfidfPostingsFull(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("gram"))
+      .crossJoin(broadcast(n))
+      .select(col("gram"), col("doc_id"), col("tf"), col("df"),
+        col("n_docs"))
+  }
+
   /** Serve-time df band over a FULL postings index
     * (`(gram, doc_id, tf, df, n_docs)` — the unbanded inverted index
     * the storage layer persists): keep grams with df in
@@ -1213,6 +1236,23 @@ object Dedup {
         .select(col("block"), col("p"), col("bid"), col("bt"), col("bn")),
       Seq("block", "p"), maxTokenPosting)
   }
+
+  /** TAKEDOWN on the streaming prefix index ([[incrementalIndex]]):
+    * every posting row belongs to exactly one base document, so removal
+    * is ONE anti equi join on `bid`. The deleted index is NOT
+    * byte-identical to `incrementalIndex(survivors)` — df shifts with
+    * the deletion, and a rebuild would order prefixes under the NEW df —
+    * but it remains a VALID prefix index for the same threshold: the
+    * one-sided prefix guarantee needs only SOME consistent total token
+    * order, and the frozen (stale-df) order is one. Surviving documents
+    * keep prefixes at least as long as a rebuild would assign (plen
+    * depends only on the doc's own size), so candidates stay a superset
+    * and the exact verify makes the PROBE OUTPUT identical to serving
+    * the rebuilt index — the equality IndexDeleteSpec pins (the d19
+    * frozen-index contract: index bytes drift, served answers do not).
+    */
+  def prefixIndexDelete(index: DataFrame, revoked: DataFrame): DataFrame =
+    index.join(revoked.select(col("doc_id").as("bid")), Seq("bid"), "left_anti")
 
   /** Exact n-gram (word) Jaccard dedup inside blocking keys, with
     * PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity

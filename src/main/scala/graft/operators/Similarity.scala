@@ -492,6 +492,19 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** TAKEDOWN on the IVF member table — remove revoked vectors from the
+    * persisted `(vec_id, cell)` assignment relation: ONE anti equi join
+    * on `vec_id`, no corpus read, centroids untouched. Bit-identical to
+    * re-assigning the surviving corpus against the SAME persisted
+    * centroids ([[ivfAssign]] is per-row — one vector's cell never
+    * depends on another's; IndexDeleteSpec pins the equality). Centroid
+    * REFIT after heavy deletion is a separate, drift-gated maintenance
+    * decision — the [[ivfMaintain]]/[[ivfPartialRefit]] channel, exactly
+    * as for appends (the frozen-index contract: a9/d19).
+    */
+  def ivfMembersDelete(members: DataFrame, revoked: DataFrame): DataFrame =
+    members.join(revoked.select(col("vec_id")), Seq("vec_id"), "left_anti")
+
   /** Per-cell drift of an incoming drop against the PERSISTED
     * centroids — v8's centroid-drift measure turned into index
     * maintenance: for every index cell, the cosine between the stored

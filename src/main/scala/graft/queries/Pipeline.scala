@@ -465,18 +465,8 @@ object Pipeline {
     */
   private def tfidfPostingsFullShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "tfidf_postings") {
-      val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0)
-      val tf = d.select(col("doc_id"), explode(
-          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-          .as("gram"))
-        .groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val n = d.agg(count(lit(1)).as("n_docs"))
-      tf.join(dfreq, Seq("gram"))
-        .crossJoin(broadcast(n))
-        .select(col("gram"), col("doc_id"), col("tf"), col("df"),
-          col("n_docs"))
+      Dedup.tfidfPostingsFull(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
     }
 
   /** The SERVED banded postings `(gram, doc_id, tf, w)` g14 probes —
@@ -850,6 +840,53 @@ object Pipeline {
           d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir),
           spanBloomShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
+    },
+
+    "d23_index_delete" -> { (s, dir) =>
+      // INDEX TAKEDOWN, served end-to-end — the compliance operation
+      // the incremental suite (d17/d19/d22/g14) was missing: base docs
+      // with doc_id % 10 == 1 are revoked, their contribution is
+      // REMOVED from the persisted span-hash index by pure delta
+      // arithmetic (Dedup.spanIndexDelete — per-hash doc-frequency
+      // decrements computed from the revoked docs ALONE; the surviving
+      // corpus is never read, the index never rebuilds), and the d22
+      // drop then excises against the shrunk index. The oracle is the
+      // genuine differential: DuckDB REBUILDS the span set from the
+      // surviving corpus's raw strings, so a hash-green run proves
+      // delete-path ≡ from-scratch-rebuild through the full serve path
+      // (IndexDeleteSpec pins the index-level bit-identity per store).
+      // Scale: the delta is O(revoked text); the merge one equi join
+      // on the hash — takedown cost is proportional to the takedown,
+      // not the corpus.
+      val d = Tables.load(s, dir, "documents")
+      val revoked = d.filter(col("doc_id") % 4 =!= 0
+        && col("doc_id") % 10 === 1)
+      Dedup.spanExciseAgainstIndex(
+          d.filter(col("doc_id") % 4 === 0),
+          Dedup.spanIndexDelete(spanIndexShared(s, dir), revoked, n = 8),
+          n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "d23b_postings_delete" -> { (s, dir) =>
+      // TAKEDOWN on the tf-idf postings index, emitting the SERVED
+      // banded relation after the delete: revoked rows anti-join out,
+      // per-gram df decrements come from exactly those rows (the index
+      // itself carries every posting being withdrawn), n_docs drops by
+      // the request count, and the serve band re-derives — so a gram
+      // whose df sat just ABOVE 25 falls INTO the band and its
+      // never-discarded rows start serving, exactly what a rebuild
+      // would do (the reason the persisted index is UNBANDED). DuckDB
+      // rebuilds the banded postings from the surviving corpus's raw
+      // text — hash-green ⇒ delete ≡ rebuild including band
+      // migrations. One anti join + one gram-keyed merge; no corpus
+      // read.
+      val d = Tables.load(s, dir, "documents")
+      val revoked = d.filter(col("doc_id") % 4 =!= 0
+        && col("doc_id") % 10 === 1).select(col("doc_id"))
+      Dedup.postingsBand(
+          Dedup.postingsDelete(tfidfPostingsFullShared(s, dir), revoked))
+        .orderBy(col("gram"), col("doc_id"))
     },
 
     "d11_fuzzy_join" -> { (s, dir) =>
@@ -4961,17 +4998,24 @@ object Pipeline {
     * construction (false positives die in the exact verify), so ONE
     * oracle gates both — fp-immunity is itself hash-checked.
     */
-  private val D22ExciseOracle: String =
-      """WITH tok AS (
+  private val D22ExciseOracle: String = exciseOracle("doc_id % 4 <> 0")
+
+  /** The d22/d22b/d23 excision oracle, parameterized by the BASE
+    * predicate: d22 excises the drop against the full base; d23 against
+    * the base minus the revoked set (DuckDB rebuilds the span set from
+    * the surviving corpus's raw strings — the delete-path differential).
+    */
+  private def exciseOracle(basePred: String): String =
+      s"""WITH tok AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
         |                x -> len(x) > 0) AS toks
         |  FROM documents),
         |base_sp AS (
         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
         |  FROM (SELECT doc_id, toks,
         |          unnest(generate_series(1, len(toks) - 7)) AS i
-        |        FROM tok WHERE doc_id % 4 <> 0 AND len(toks) >= 8)),
+        |        FROM tok WHERE ($basePred) AND len(toks) >= 8)),
         |drop_t AS (SELECT doc_id, toks FROM tok WHERE doc_id % 4 = 0),
         |sp AS (
         |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
@@ -7964,6 +8008,37 @@ object Pipeline {
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
 
     "d22_incremental_excise" -> D22ExciseOracle,
+
+    // the delete-path differential: Spark excises against the STALE
+    // index shrunk by delta arithmetic; DuckDB rebuilds the span set
+    // from the surviving corpus's raw strings
+    "d23_index_delete" ->
+      exciseOracle("doc_id % 4 <> 0 AND doc_id % 10 <> 1"),
+
+    "d23b_postings_delete" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 4 <> 0 AND doc_id % 10 <> 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM d),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n AS (SELECT count(*) AS n_docs FROM d)
+        |SELECT tf.gram, tf.doc_id, tf.tf,
+        |  CAST(n.n_docs AS DOUBLE) / dfreq.df AS w
+        |FROM tf JOIN dfreq USING (gram), n
+        |ORDER BY tf.gram, tf.doc_id""".stripMargin,
 
     // bit-identical output by construction (bloom false positives die
     // in the exact verify) — the SAME replay gates both paths, so

@@ -723,6 +723,64 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n must be >= 2"))
   }
 
+  test("graft_index_delete TVF: takedown per store equals the Scala operators") {
+    import org.apache.spark.sql.functions.col
+    engine.run("create table idel_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into idel_docs_t values " +
+      "(1, 'w1 w2 w3 w4 w5 w6 w7 w8 tail one'), " +
+      "(2, 'w1 w2 w3 w4 w5 w6 w7 w8 tail two'), " +
+      "(3, 'u1 u2 u3 u4 u5 u6 u7 u8 unique'), " +
+      "(4, 'short doc')")
+    engine.run("create table idel_rev_t(doc_id bigint, text varchar)")
+    engine.run("insert into idel_rev_t values " +
+      "(2, 'w1 w2 w3 w4 w5 w6 w7 w8 tail two'), (4, 'short doc')")
+    val docs = engine.table("idel_docs_t")
+    val rev = engine.table("idel_rev_t")
+    // span store (default kind)
+    graft.operators.Dedup.spanIndexCounted(docs)
+      .createOrReplaceTempView("idel_span_idx")
+    val gotSpan = engine.run(
+      "select gh, nd from graft_index_delete(idel_span_idx, idel_rev_t) " +
+        "order by gh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantSpan = graft.operators.Dedup.spanIndexDelete(
+        graft.operators.Dedup.spanIndexCounted(docs), rev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(gotSpan == wantSpan && gotSpan.nonEmpty)
+    // postings store
+    graft.operators.Dedup.tfidfPostingsFull(docs)
+      .createOrReplaceTempView("idel_post_idx")
+    val gotPost = engine.run(
+      "select gram, doc_id, tf, df, n_docs from " +
+        "graft_index_delete(idel_post_idx, idel_rev_t, kind => 'postings') " +
+        "order by gram, doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val wantPost = graft.operators.Dedup.postingsDelete(
+        graft.operators.Dedup.tfidfPostingsFull(docs), rev.select(col("doc_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(gotPost == wantPost && gotPost.nonEmpty)
+    // n_docs dropped by BOTH revoked docs, including the gram-less one
+    assert(gotPost.forall(_._5 == 2L), gotPost.mkString(", "))
+    // minhash store
+    graft.operators.Dedup.minhashIndex(docs, maxBandBucket = 0)
+      .createOrReplaceTempView("idel_mh_idx")
+    val gotMh = engine.run(
+      "select doc_id, band, bucket from " +
+        "graft_index_delete(idel_mh_idx, idel_rev_t, kind => 'minhash') " +
+        "order by doc_id, band")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotMh.nonEmpty && !gotMh.exists(t => t._1 == 2L || t._1 == 4L))
+    // unknown kind errors
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_delete(" +
+        "idel_span_idx, idel_rev_t, kind => 'nope')")
+    }
+    assert(e.getMessage.contains("kind must be one of"))
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
     engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
     engine.run("insert into inc_base_t values " +

@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.EventsStream
+
+/** The d23 index-lifecycle contract: for every persisted serving index,
+  * the DELETE path (delta arithmetic on the stale index, cost
+  * proportional to the takedown set) must reproduce a from-scratch
+  * rebuild on the surviving corpus — bit-identical index content for
+  * the stores that promise it (span, postings, minhash, ivf members),
+  * identical SERVED ANSWERS for the one that promises output equality
+  * under a frozen token order (the streaming prefix index). Planted
+  * cases cover the regimes a random corpus may miss: a span losing one
+  * of two holders vs all holders, a gram falling INTO the serve band
+  * after deletion, a skew-capped bucket falling back UNDER the cap, a
+  * revoked gram-less document shifting n_docs.
+  */
+class IndexDeleteSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def spanRows(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("span index delete equals rebuild: planted holder regimes") {
+    val span8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$span8 tail one"), // shares span8 with 2 and 3
+      (2L, s"$span8 tail two more"),
+      (3L, span8), // exactly one span
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // spans unique to doc 4
+      (5L, "too short"), // no spans at all
+      (6L, s"r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "text")
+    val full = Dedup.spanIndexCounted(docs, n = 8)
+    // regime 1: one of three holders revoked — shared hashes survive
+    // with nd decremented; doc-4-unique hashes vanish with doc 4
+    val rev1 = docs.filter(col("doc_id").isin(2L, 4L))
+    val surv1 = docs.filter(!col("doc_id").isin(2L, 4L))
+    assert(spanRows(Dedup.spanIndexDelete(full, rev1, n = 8)) ==
+      spanRows(Dedup.spanIndexCounted(surv1, n = 8)))
+    // regime 2: EVERY holder of the shared span revoked — the hash
+    // must leave the index entirely (nd reaches zero)
+    val rev2 = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+    val surv2 = docs.filter(!col("doc_id").isin(1L, 2L, 3L))
+    val del2 = Dedup.spanIndexDelete(full, rev2, n = 8)
+    assert(spanRows(del2) == spanRows(Dedup.spanIndexCounted(surv2, n = 8)))
+    // regime 3: a doc repeating its own span counts ONCE (nd is a
+    // document frequency) — deleting it removes exactly one
+    val rev3 = docs.filter(col("doc_id") === 6L)
+    val surv3 = docs.filter(col("doc_id") =!= 6L)
+    assert(spanRows(Dedup.spanIndexDelete(full, rev3, n = 8)) ==
+      spanRows(Dedup.spanIndexCounted(surv3, n = 8)))
+    // revoking everything empties the index
+    assert(Dedup.spanIndexDelete(full, docs, n = 8).count() == 0L)
+  }
+
+  test("span index delete equals rebuild on the corpus, bit-for-bit") {
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val revoked = base.filter(col("doc_id") % 10 === 1)
+    val survivors = base.filter(col("doc_id") % 10 =!= 1)
+    val deleted = Dedup.spanIndexDelete(
+      Dedup.spanIndexCounted(base), revoked)
+    assert(spanRows(deleted) == spanRows(Dedup.spanIndexCounted(survivors)))
+  }
+
+  private def postingRows(df: DataFrame): Set[(String, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  private def bandedRows(df: DataFrame): Set[(String, Long, Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet
+
+  test("postings delete equals rebuild: band fall-in and n_docs shift") {
+    val docs = Seq(
+      (1L, "x y p q"), // grams: "x y", "y p", "p q"
+      (2L, "x y p q"),
+      (3L, "x y solo3"),
+      (7L, "solo") // one token: posts NOTHING but counts toward n_docs
+    ).toDF("doc_id", "text")
+    val full = Dedup.tfidfPostingsFull(docs)
+    // serve band [2, 2]: gram "x y" (df 3) is OUT of band before the
+    // delete; revoking doc 3 drops it to df 2 — IN band, and its
+    // never-discarded rows must serve. Revoking doc 7 (gram-less)
+    // shifts ONLY n_docs, i.e. every served weight.
+    val revoked = docs.filter(col("doc_id").isin(3L, 7L)).select(col("doc_id"))
+    val survivors = docs.filter(!col("doc_id").isin(3L, 7L))
+    val deleted = Dedup.postingsDelete(full, revoked)
+    val rebuilt = Dedup.tfidfPostingsFull(survivors)
+    assert(postingRows(deleted) == postingRows(rebuilt),
+      "full-index delete must be bit-identical to the rebuild")
+    assert(bandedRows(Dedup.postingsBand(deleted, 2, 2)) ==
+      bandedRows(Dedup.postingsBand(rebuilt, 2, 2)),
+      "the served band must re-admit grams whose df fell into range")
+    // the fall-in actually happened (the planted case is live)
+    assert(Dedup.postingsBand(deleted, 2, 2).filter(col("gram") === "x y")
+      .count() == 2L, "gram 'x y' must serve after falling into the band")
+    assert(Dedup.postingsBand(full, 2, 2).filter(col("gram") === "x y")
+      .count() == 0L, "gram 'x y' must NOT serve before the delete")
+    // a gram losing its last posting leaves the full index
+    val allGone = Dedup.postingsDelete(full, docs.select(col("doc_id")))
+    assert(allGone.count() == 0L)
+  }
+
+  test("postings delete equals rebuild on the corpus, bit-for-bit") {
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val revoked = base.filter(col("doc_id") % 10 === 1).select(col("doc_id"))
+    val survivors = base.filter(col("doc_id") % 10 =!= 1)
+    val deleted = Dedup.postingsDelete(Dedup.tfidfPostingsFull(base), revoked)
+    val rebuilt = Dedup.tfidfPostingsFull(survivors)
+    assert(postingRows(deleted) == postingRows(rebuilt))
+    assert(bandedRows(Dedup.postingsBand(deleted)) ==
+      bandedRows(Dedup.postingsBand(rebuilt)))
+  }
+
+  private def mhRows(df: DataFrame): Set[(Long, Int, Long, Int)] =
+    df.select(col("doc_id"), col("band"), col("bucket"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+
+  test("minhash delete equals rebuild through the serve cap (fall-in)") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup), // identical: every bucket holds 3
+      (4L, "totally different words that bucket on their own somewhere")
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashIndex(docs, maxBandBucket = 0)
+    // cap 2: the triplicate's buckets are capped OUT of serving. After
+    // revoking doc 3 they hold 2 rows — the cap must re-admit them,
+    // which only works because the store kept the over-cap rows.
+    assert(Dedup.minhashIndexCap(full, maxBucket = 2)
+      .filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0L,
+      "planted case: the triplicate must be capped out before the delete")
+    val revoked = Seq(3L).toDF("doc_id")
+    val deleted = Dedup.minhashIndexDelete(full, revoked)
+    val rebuilt = Dedup.minhashIndex(
+      docs.filter(col("doc_id") =!= 3L), maxBandBucket = 0)
+    assert(mhRows(deleted) == mhRows(rebuilt),
+      "uncapped delete must be bit-identical to the uncapped rebuild")
+    assert(mhRows(Dedup.minhashIndexCap(deleted, maxBucket = 2)) ==
+      mhRows(Dedup.minhashIndexCap(rebuilt, maxBucket = 2)),
+      "the serve cap must re-admit buckets that fell under it")
+    assert(Dedup.minhashIndexCap(deleted, maxBucket = 2)
+      .filter(col("doc_id").isin(1L, 2L)).count() > 0L,
+      "the surviving duplicates must serve again after the delete")
+  }
+
+  test("minhash delete equals rebuild on the corpus; probe answers match") {
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val revoked = base.filter(col("doc_id") % 10 === 1).select(col("doc_id"))
+    val survivors = base.filter(col("doc_id") % 10 =!= 1)
+    val deleted = Dedup.minhashIndexDelete(
+      Dedup.minhashIndex(base, maxBandBucket = 0), revoked)
+    val rebuilt = Dedup.minhashIndex(survivors, maxBandBucket = 0)
+    assert(mhRows(deleted) == mhRows(rebuilt))
+    // end-to-end: the d19 probe over the deleted index answers exactly
+    // as over the rebuilt index
+    val probe = d.filter(col("doc_id") % 4 === 0)
+    def answers(idx: DataFrame): Seq[(Long, Long, Long, Boolean)] =
+      Dedup.incrementalMinhash(Dedup.minhashIndexCap(idx), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq.sortBy(_._1)
+    assert(answers(deleted) == answers(rebuilt))
+  }
+
+  test("ivf member delete equals re-assigning the survivors") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cells = Similarity.lloydCentroids(e, nlist = 8, iters = 1)
+    val members = Similarity.ivfAssign(cells, e)
+    val revoked = e.filter(col("vec_id") % 10 === 1).select(col("vec_id"))
+    val deleted = Similarity.ivfMembersDelete(members, revoked)
+    val rebuilt = Similarity.ivfAssign(
+      cells, e.filter(col("vec_id") % 10 =!= 1))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(deleted) == rows(rebuilt))
+  }
+
+  test("prefix index delete: served answers equal the rebuilt index's") {
+    // the prefix index's BYTES legitimately drift from a rebuild (df
+    // shifts and a rebuild re-orders prefixes) — the contract is
+    // OUTPUT equality: candidates from the frozen-order index are a
+    // superset and the exact verify decides, so the distinct verified
+    // pair set matches serving the rebuilt index AND the batch
+    // operator over the survivors.
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val revoked = base.filter(col("doc_id") % 10 === 1).select(col("doc_id"))
+    val survivors = base.filter(col("doc_id") % 10 =!= 1)
+    val probe = d.filter(col("doc_id") % 4 === 0)
+    val deleted = Dedup.prefixIndexDelete(Dedup.incrementalIndex(base), revoked)
+    val rebuilt = Dedup.incrementalIndex(survivors)
+    def pairs(idx: DataFrame): Set[(Long, Long)] =
+      EventsStream.incrementalDedupStream(probe, idx)
+        .select(col("doc_id"), col("base_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(deleted)
+    assert(got == pairs(rebuilt),
+      "deleted-index serving must answer exactly as the rebuilt index")
+    val batch = Dedup.incrementalDedup(survivors, probe)
+      .filter(col("n_dups") > 0).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1) == batch,
+      "flagged probes must match the batch operator over the survivors")
+  }
+
+  test("streaming twins stay green against the shrunk (deleted) base") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val header = "all rights reserved contact the site admin team"
+    val base = Seq(
+      (100L, s"$header plus some base only tail words"),
+      (101L, "revoked boilerplate r1 r2 r3 r4 r5 r6 r7 r8 only here"))
+      .toDF("doc_id", "text")
+    val revoked = base.filter(col("doc_id") === 101L)
+    val index = Dedup.spanIndexDelete(
+      Dedup.spanIndexCounted(base, n = 8), revoked, n = 8)
+    // a doc matching ONLY the revoked base doc's spans must now pass
+    // through untouched; header contamination still excises
+    val b1 = Seq(
+      (0L, s"$header alpha beta"),
+      (1L, "revoked boilerplate r1 r2 r3 r4 r5 r6 r7 r8 probe tail"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = EventsStream.spanExciseStream(
+        in.toDF().toDF("doc_id", "text"), index, n = 8) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) == "alpha beta",
+      s"surviving-base spans must still excise: $byId")
+    assert(byId(1L) ==
+      "revoked boilerplate r1 r2 r3 r4 r5 r6 r7 r8 probe tail",
+      s"revoked-base spans must no longer excise: $byId")
+    // and the stream equals the batch operator over the SAME shrunk index
+    val batchGot = Dedup.spanExciseAgainstIndex(
+        b1.toDF("doc_id", "text"), index, n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == batchGot)
+  }
+
+  test("incremental pairs stream serves the deleted postings exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(
+      (100L, "fast scan joins rows"),
+      (101L, "fast scan joins tables"),
+      (102L, "fast scan beats slow scan"))
+      .toDF("doc_id", "text")
+    val revoked = Seq(102L).toDF("doc_id")
+    val deleted = Dedup.postingsBand(
+      Dedup.postingsDelete(Dedup.tfidfPostingsFull(base), revoked))
+    val rebuilt = Dedup.postingsBand(
+      Dedup.tfidfPostingsFull(base.filter(col("doc_id") =!= 102L)))
+    assert(bandedRows(deleted) == bandedRows(rebuilt))
+    val b1 = Seq((0L, "fast scan joins everywhere"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val q = EventsStream.incrementalPairsStream(
+        in.toDF().toDF("doc_id", "text"), deleted) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchGot = Dedup.incrementalTfidfPairs(
+        b1.toDF("doc_id", "text"), rebuilt)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == batchGot,
+      "stream over deleted postings must equal batch over rebuilt postings")
+    assert(!got.exists(_._1 == 102L),
+      s"the revoked base doc must gain no new edges: $got")
+  }
+}

@@ -1013,6 +1013,64 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe text must be hashed map-side, never shuffled:\n${exchanged.mkString("\n")}")
   }
 
+  test("d23 index deletes: delta joins on the key, no corpus re-read, no cartesian") {
+    // like d19, the serving queries scan materialized shared indexes
+    // (constructing them runs the holder's write job — the g9
+    // situation), so the DELETE operators are plan-pinned over
+    // pre-written /tmp indexes instead: same shapes, no suite-order
+    // cache perturbation
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d23_plan")
+    val docs = Tables.load(spark, dir, "documents")
+    val revoked = docs.filter(col("doc_id") % 10 === 1)
+    def render(df: DataFrame): String = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    // span delete: the delta aggregates the REVOKED docs only and the
+    // merge is one equi join on the hash — no span text in any exchange
+    val spanIdx = tmp.resolve("span_index.parquet").toString
+    graft.operators.Dedup.spanIndexCounted(docs.limit(50))
+      .write.mode("overwrite").parquet(spanIdx)
+    val pSpan = render(graft.operators.Dedup.spanIndexDelete(
+      spark.read.parquet(spanIdx), revoked))
+    assert(pSpan.contains("span_index"), pSpan)
+    assert(!pSpan.contains("CartesianProduct") &&
+      !pSpan.contains("BroadcastNestedLoopJoin"), pSpan)
+    assert(pSpan.linesIterator.filter(_.contains("hashpartitioning("))
+      .forall(l => !l.contains("text#") && !l.contains("s#")),
+      s"span strings must hash map-side, never shuffle:\n$pSpan")
+    // postings delete: the df delta comes from the index's OWN revoked
+    // rows — documents parquet is probed for ids only, text never read
+    val postIdx = tmp.resolve("tfidf_postings.parquet").toString
+    graft.operators.Dedup.tfidfPostingsFull(docs.limit(50))
+      .write.mode("overwrite").parquet(postIdx)
+    val pPost = render(graft.operators.Dedup.postingsDelete(
+      spark.read.parquet(postIdx), revoked.select(col("doc_id"))))
+    assert(pPost.contains("tfidf_postings"), pPost)
+    // the ONE nested-loop join allowed is the broadcast cross attaching
+    // the 1-row revoked-count aggregate (the scalar-attach shape every
+    // n_docs consumer uses); a second one would be a real regression
+    assert(!pPost.contains("CartesianProduct") &&
+      nodeCount(pPost, "BroadcastNestedLoopJoin") <= 1, pPost)
+    assert(pPost.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .forall(!_.contains("text")),
+      s"no scan in the delete may read document text:\n$pPost")
+    // the serve band over a deleted index stays a scan-side
+    // filter+projection — no added shuffle vs the raw index read
+    val pBand = render(graft.operators.Dedup.postingsBand(
+      graft.operators.Dedup.postingsDelete(
+        spark.read.parquet(postIdx), revoked.select(col("doc_id")))))
+    assert(nodeCount(pBand, "Window") == 0, pBand)
+    // minhash/ivf deletes are single anti equi joins
+    val mhIdx = tmp.resolve("mh_index.parquet").toString
+    graft.operators.Dedup.minhashIndex(docs.limit(50), maxBandBucket = 0)
+      .write.mode("overwrite").parquet(mhIdx)
+    val pMh = render(graft.operators.Dedup.minhashIndexDelete(
+      spark.read.parquet(mhIdx), revoked.select(col("doc_id"))))
+    assert(pMh.contains("LeftAnti"), pMh)
+    assert(!pMh.contains("CartesianProduct"), pMh)
+  }
+
   test("x19_syndication_matrix: band-join pairs, equi source maps, no cartesian") {
     val p = plan("x19_syndication_matrix")
     assert(!p.contains("CartesianProduct"), p)
