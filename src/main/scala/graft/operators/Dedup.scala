@@ -709,9 +709,10 @@ object Dedup {
     * document covered by an n-token span the base already contains is
     * removed; the base's copy is the canonical occurrence, so this is
     * the keep-one rule with the base as keeper). Within-drop
-    * duplication is deliberately out of scope (documented divergence —
-    * run [[spanExciseKeepOne]] over the accumulated corpus at
-    * compaction time); the per-document decision depends ONLY on the
+    * duplication is deliberately out of scope here (documented
+    * divergence — handled at ingest by the composed
+    * [[spanExciseAgainstIndexKeepOne]] (d22c) or at compaction by
+    * [[spanExciseKeepOne]]); the per-document decision depends ONLY on the
     * static index, which is what makes the flow stateless and gives it
     * a zero-state streaming twin (`EventsStream.spanExciseStream`).
     *
@@ -799,6 +800,74 @@ object Dedup {
         xxhash64(col("col")).as("gh"))
       .filter(probe) // map-side: only probable hits reach the shuffle
     val covers = g.join(idx, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    toks.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !coalesce(
+          array_contains(col("cov"), i + 1), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** [[spanExciseAgainstIndex]] COMPOSED with within-drop keep-one — the
+    * d22c rule closing d22's documented divergence (two copies of a new
+    * passage arriving in the SAME drop both survived to compaction): a
+    * drop position excises when its span is in the BASE index (the base
+    * is keeper — every drop occurrence goes), OR when the span is NOT
+    * in the base but occurs MORE THAN ONCE within the drop
+    * ([[spanExciseKeepOne]]'s count(*) rule over the drop alone) and
+    * this occurrence is not the drop-internal canonical
+    * (doc_id, pos)-minimum. Equivalent to running keep-one over
+    * base ∪ drop restricted to drop rows whenever the index is the
+    * base's span set — without ever touching base bodies.
+    *
+    * Scale shape: ONE left join against the index (the membership flag
+    * replaces d22's semi probe — unique `gh` by the
+    * [[spanIndexCounted]] contract), ONE struct-min keeper election
+    * over the drop's non-base spans (map-combinable, keyed on the
+    * hash), the shared int-cover aggregate and indexed-filter rebuild.
+    * Everything is keyed on `gh`/`doc_id` — bodies never shuffle.
+    *
+    * Streaming: the within-drop half is per-BATCH by construction (two
+    * copies in different microbatches cannot see each other — the
+    * documented streaming divergence, pinned by spec): the continuous
+    * twin applies the composed rule inside each arriving batch and
+    * equals this operator batch-for-batch; cumulative equality with
+    * one big batch holds exactly when duplicate copies co-arrive.
+    */
+  def spanExciseAgainstIndexKeepOne(drop: DataFrame, spanIndex: DataFrame,
+      n: Int = 8, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = drop.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+    // persisted (Dedup lifecycle): feeds the keeper election AND the
+    // cover union — the tokenize+shingle+hash+probe pass runs once
+    val g = persistPublic(toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordShingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh"))
+      .join(spanIndex.select(col("gh"), lit(1).as("inb")),
+        Seq("gh"), "left"))
+    val baseCov = g.filter(col("inb").isNotNull)
+      .select(col("doc_id"), col("pos"))
+    val dupInDrop = g.filter(col("inb").isNull)
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("keep"))
+    val dropCov = g.filter(col("inb").isNull)
+      .join(dupInDrop, Seq("gh"))
+      .filter(!(col("doc_id") === col("keep.doc_id")
+        && col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    val covers = baseCov.unionByName(dropCov)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))

@@ -574,6 +574,101 @@ object Similarity {
     else (cells, false)
   }
 
+  /** Drift-triggered PARTIAL refit — the maintenance action
+    * [[ivfMaintain]]'s full refit is too blunt for: when a drop's drift
+    * signal ([[ivfDrift]] — the a9 measure) condemns only a FEW cells,
+    * re-Lloyd just those. Cells whose drift cosine against the drop
+    * mean falls below `minCos` (and that the drop actually touched) are
+    * AFFECTED; their replacement centroids come from one Lloyd fit of
+    * k = |affected| centroids over the hash-prefix sample of the
+    * base ∪ drop vectors currently ASSIGNED to the affected cells (a
+    * map-only filter against the frozen centroids — the fit never sees
+    * the healthy cells' vectors and costs O(LloydFitCap · k · iters)
+    * regardless of corpus size). Healthy centroids pass through
+    * UNTOUCHED, which is what preserves every healthy cell's serving
+    * behavior bit-for-bit (spec-pinned) — a full refit would move all
+    * nlist centroids and invalidate the whole member table.
+    *
+    * Output: the new centroid table `(centroid_id, centroid, refit)` —
+    * same ids, affected rows replaced and flagged. New centroid i (in
+    * fit order) takes the i-th affected id (both sorted — a
+    * deterministic relabeling); a fit yielding fewer centroids than
+    * affected cells (degenerate tiny sample) leaves the tail's old
+    * centroids in place, the lloydCentroids empty-cell contract. No
+    * drifted cell ⇒ all rows pass through with `refit = false` (serve
+    * on — the [[ivfMaintain]] decision shape).
+    *
+    * The O(nlist) drift decision is a deliberate driver action, exactly
+    * like [[ivfMaintain]]: this is a per-drop MAINTENANCE job gating a
+    * side-effecting refit, not a query plan.
+    */
+  def ivfPartialRefit(cells: DataFrame, corpus: DataFrame, drop: DataFrame,
+      minCos: Double = 0.98, iters: Int = 2): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val centArr = cells.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val affected = ivfDrift(cells, drop)
+      .filter(col("n_new") > 0 && col("cos") < minCos)
+      .select(col("cell")).as[Int].collect().toSeq.sorted
+    if (affected.isEmpty)
+      return centArr.map { case (id, c) => (id, c, false) }
+        .toDF("centroid_id", "centroid", "refit")
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(drop.select(col("vec_id"), col("embedding")))
+      .filter(nearestCellExpr(col("embedding"), centArr)
+        .isin(affected.map(Int.box): _*))
+    val fitted = lloydCentroids(sample, nlist = affected.size, iters)
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .map(_._2)
+    val newById = affected.zip(fitted).toMap
+    centArr.map { case (id, c) =>
+      newById.get(id) match {
+        case Some(nc) => (id, nc, true)
+        case None => (id, c, false)
+      }
+    }.toDF("centroid_id", "centroid", "refit")
+  }
+
+  /** The reassignment half of [[ivfPartialRefit]] — ONE map-only pass,
+    * gated on cell id: each vector's FROZEN cell computes against the
+    * old centroids (the same narrow projection as [[ivfAssign]]); a
+    * vector whose frozen cell was refit re-scores against ONLY the
+    * refit centroids and moves to the best of them (containment: the
+    * healthy cells' membership is untouched, so their serving behavior
+    * is bit-identical — the property that makes the refit PARTIAL); a
+    * vector in a healthy cell keeps its assignment unread. Output
+    * `(vec_id, old_cell, cell)`. No join, no shuffle — at 100 TB this
+    * is the same single-pass cost as the original assignment, paid only
+    * once per refit.
+    */
+  def ivfReassignAfterRefit(oldCells: DataFrame, refitCells: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val oldArr = oldCells.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val refitArr = refitCells
+      .filter(col("refit"))
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val base = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("old_cell", nearestCellExpr(col("embedding"), oldArr))
+    if (refitArr.isEmpty)
+      return base.select(col("vec_id"), col("old_cell"),
+        col("old_cell").as("cell"))
+    val refitIds = refitArr.map(_._1)
+    // nearestCellExpr returns the 1-based POSITION in the given list;
+    // over the refit SUBSET that position remaps through the sorted id
+    // array (first-max tie ⇒ smallest position ⇒ smallest id, the
+    // ivfAssign determinism contract)
+    val newCell = element_at(typedLit(refitIds),
+      nearestCellExpr(col("embedding"), refitArr))
+    base.select(col("vec_id"), col("old_cell"),
+      when(col("old_cell").isin(refitIds.map(Int.box): _*), newCell)
+        .otherwise(col("old_cell")).as("cell"))
+  }
+
   // ---- Product quantization ---------------------------------------------
 
   /** Fitted PQ codebooks: `m` subspaces of `dsub` dims, each with its own

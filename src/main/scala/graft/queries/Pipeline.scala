@@ -186,6 +186,61 @@ object Pipeline {
     })).value
   }
 
+  /** v13's PLANTED drifted drop — the x4 drop vectors NEGATED (one
+    * deterministic map both engines replay exactly: negation of a
+    * double is sign-bit arithmetic): cosine against every fitted
+    * centroid flips sign, so the a9 drift monitor's per-cell cosine
+    * collapses far below any sane refit threshold — the distribution
+    * shift the v13 refit must detect and repair. ONE definition shared
+    * by the model build, the serving query, and (via the same SQL
+    * expression) the oracle.
+    */
+  private def v13DriftedDrop(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => -x)
+          .as("embedding"))
+
+  /** v13's PARTIAL-REFIT centroid table `(centroid_id, centroid,
+    * refit)` — `Similarity.ivfPartialRefit` of the persisted a9 base
+    * index against the planted drifted drop, wired to the a9 drift
+    * signal (cells the drop touched whose drift cosine fell below
+    * 0.98 re-Lloyd; healthy centroids pass through bit-identical).
+    * Load-or-fit with the fittedIvfPath validation discipline, plus:
+    * the refit column must exist and at least one cell must be flagged
+    * (a stale pre-refit table must refit, not serve).
+    */
+  private val v13CellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
+  private def fittedV13CellsPath(s: SparkSession, dir: String): String = {
+    val nlist = 16
+    v13CellsMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
+      val path = s"${Tables.modelsDir(dir)}/cells_v13.parquet"
+      val ok =
+        try {
+          val rows = s.read.parquet(path).collect()
+          lazy val dim = Tables.load(s, dir, "embeddings")
+            .select(size(col("embedding")).as("d")).head().getInt(0)
+          rows.length == nlist &&
+            rows.exists(_.getAs[Boolean]("refit")) &&
+            rows.forall(
+              _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) {
+        val base = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 4 =!= 0)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        Similarity.ivfPartialRefit(
+            s.read.parquet(fittedA9CellsPath(s, dir)),
+            base, v13DriftedDrop(s, dir), minCos = 0.98, iters = 2)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    })).value
+  }
+
   /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
     * (hash-prefix sample + decimal sums), so memoizing is transparent —
     * the pcaMemo discipline — and the persisted model parquet doubles as
@@ -509,6 +564,7 @@ object Pipeline {
       timed("pq_model") { fittedPq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
       timed("cells_a9") { fittedA9CellsPath(s, dir) },
+      timed("cells_v13") { fittedV13CellsPath(s, dir) },
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("cc_components") { ccComponentsShared(s, dir) },
@@ -839,6 +895,26 @@ object Pipeline {
       Dedup.spanExciseAgainstIndexBloom(
           d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir),
           spanBloomShared(s, dir), n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "d22c_excise_composed" -> { (s, dir) =>
+      // d22 COMPOSED with within-drop keep-one — closing d22's
+      // documented divergence (two copies of a new passage arriving in
+      // the same drop both survived to compaction): a drop position
+      // excises when its 8-token span is in the base index (base is
+      // keeper — every drop occurrence goes, d22's rule) OR when the
+      // span is new to the base but repeats within the drop and this
+      // occurrence is not the drop-internal (doc_id, pos)-minimum
+      // (d21's keep-one applied to the drop alone). ONE left probe of
+      // the persisted index (the membership flag replaces the semi
+      // join), one struct-min keeper election on the hash, the shared
+      // int-cover rebuild — bodies never shuffle. The streaming twin
+      // (spanExciseComposedStream) applies the rule per microbatch;
+      // cross-batch duplicate copies are the spec-pinned divergence.
+      val d = Tables.load(s, dir, "documents")
+      Dedup.spanExciseAgainstIndexKeepOne(
+          d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
     },
 
@@ -3822,6 +3898,33 @@ object Pipeline {
         .orderBy(col("sub"))
     },
 
+    "v13_partial_refit" -> { (s, dir) =>
+      // drift-triggered PARTIAL IVF refit, the action a9/v12's monitors
+      // could only signal: the planted drifted drop (x4 vectors
+      // NEGATED — cosine against every centroid flips sign, the
+      // distribution shift) condemns the cells it touches below the
+      // 0.98 drift threshold; ONLY those cells re-Lloyd on the
+      // hash-prefix sample of their own members (cells_v13, prebuilt —
+      // healthy centroids pass through bit-identical), and this query
+      // gates the REASSIGNMENT: one map-only pass where each vector's
+      // frozen cell computes against the OLD centroids and only
+      // refit-cell vectors re-score against the refit centroids
+      // (containment — healthy cells' membership untouched, the
+      // property the spec pins alongside recall recovery and a2p
+      // full-probe preservation). Output (vec_id, old_cell, cell) for
+      // base ∪ drifted drop; the oracle replays both argmaxes from the
+      // persisted old/new centroid parquets.
+      val e = Tables.load(s, dir, "embeddings")
+      val old = s.read.parquet(fittedA9CellsPath(s, dir))
+      val refit = s.read.parquet(fittedV13CellsPath(s, dir))
+      val vecs = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(v13DriftedDrop(s, dir))
+      Similarity.ivfReassignAfterRefit(old, refit, vecs)
+        .orderBy(col("vec_id"))
+    },
+
     "v11_ann_recall" -> { (s, dir) =>
       // recall@k of the quantized two-stage retrieval (a10) against the
       // exact brute-force top-k (a1) — the acceptance eval every ANN
@@ -5709,6 +5812,49 @@ object Pipeline {
         |  FROM re)
         |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the refit-assignment replay: old cell from the persisted a9
+    // centroids, refit-cell vectors re-argmax over ONLY the flagged
+    // v13 centroids (row_number ties on cell ≡ Spark's first-max /
+    // smallest-id contract)
+    "v13_partial_refit" ->
+      """WITH oldc AS (
+        |  SELECT CAST(centroid_id AS INTEGER) AS cell, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/cells_a9.parquet/*.parquet')),
+        |newc AS (
+        |  SELECT CAST(centroid_id AS INTEGER) AS cell, centroid, refit
+        |  FROM read_parquet('__GRAFT_MODELS__/cells_v13.parquet/*.parquet')),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |so AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_dot_product(v.v, c.centroid) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+        |  FROM v CROSS JOIN oldc c),
+        |olda AS (
+        |  SELECT vec_id, cell AS old_cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+        |    FROM so) t WHERE rk = 1),
+        |sn AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_dot_product(v.v, c.centroid) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+        |  FROM v CROSS JOIN newc c WHERE c.refit),
+        |newa AS (
+        |  SELECT vec_id, cell AS new_cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+        |    FROM sn) t WHERE rk = 1)
+        |SELECT o.vec_id, o.old_cell,
+        |  CASE WHEN o.old_cell IN (SELECT cell FROM newc WHERE refit)
+        |       THEN n.new_cell ELSE o.old_cell END AS cell
+        |FROM olda o LEFT JOIN newa n USING (vec_id)
+        |ORDER BY o.vec_id""".stripMargin,
 
     "v12_pq_distortion" ->
       """WITH v AS (
@@ -8008,6 +8154,62 @@ object Pipeline {
         |FROM g CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
 
     "d22_incremental_excise" -> D22ExciseOracle,
+
+    // the composed rule replayed on raw span strings: base-held spans
+    // cover every drop occurrence; drop-only repeated spans cover all
+    // but the struct-min keeper
+    "d22c_excise_composed" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base_sp AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE doc_id % 4 <> 0 AND len(toks) >= 8)),
+        |drop_t AS (SELECT doc_id, toks FROM tok WHERE doc_id % 4 = 0),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM drop_t WHERE len(toks) >= 8)),
+        |bcov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
+        |  FROM sp s JOIN base_sp b ON s.g = b.g),
+        |nb AS (
+        |  SELECT s.doc_id, s.pos, s.g
+        |  FROM sp s LEFT JOIN base_sp b ON s.g = b.g
+        |  WHERE b.g IS NULL),
+        |dup AS (
+        |  SELECT g, min({'d': doc_id, 'p': pos}) AS kp
+        |  FROM nb GROUP BY g HAVING count(*) > 1),
+        |dcov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 7)) AS i
+        |  FROM nb s JOIN dup ON s.g = dup.g
+        |  WHERE NOT (s.doc_id = struct_extract(dup.kp, 'd')
+        |             AND s.pos = struct_extract(dup.kp, 'p'))),
+        |cov AS (
+        |  SELECT doc_id, i FROM bcov UNION SELECT doc_id, i FROM dcov),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |  FROM drop_t),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS w
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM drop_t t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the delete-path differential: Spark excises against the STALE
     // index shrunk by delta arithmetic; DuckDB rebuilds the span set

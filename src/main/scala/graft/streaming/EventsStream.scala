@@ -567,6 +567,28 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of
+    * [[graft.operators.Dedup.spanExciseAgainstIndexKeepOne]] — the d22c
+    * composed rule (base probe + within-drop keep-one) run per
+    * microbatch. The base half stays stateless exactly like
+    * [[spanExciseStream]]; the within-drop half is per-BATCH by
+    * construction — duplicate copies co-arriving in one microbatch
+    * excise down to their canonical occurrence, copies split across
+    * microbatches both survive until the index refreshes or compaction
+    * runs (the documented streaming divergence, spec-pinned: each
+    * batch's output equals the batch operator over THAT batch; a
+    * one-batch arrival equals the batch operator over the union).
+    */
+  def spanExciseComposedStream(docs: DataFrame, spanIndex: DataFrame,
+      n: Int = 8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.spanExciseAgainstIndexKeepOne(
+          batch.toDF(), spanIndex, n))
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Dedup.incrementalTfidfPairs]]
     * — the g14 similarity-graph maintenance flow run CONTINUOUSLY:
     * arriving documents gain their weighted-overlap edges into the base

@@ -727,6 +727,62 @@ class StreamingSpec extends AnyFunSuite {
       "totally novel content nothing shared with the base at all")
   }
 
+  test("composed excision stream: per-batch keep-one, cross-batch divergence pinned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val header = "all rights reserved contact the site admin team"
+    val passage = "n1 n2 n3 n4 n5 n6 n7 n8" // NEW: not in the base
+    val base = Seq((100L, s"$header plus some base only tail words"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.spanIndexCounted(base, n = 8)
+    // batch 1: two co-arriving copies of the new passage + one
+    // header-contaminated doc; batch 2: a THIRD copy, alone
+    val b1 = Seq(
+      (0L, s"$passage first copy tail"),
+      (1L, s"$passage second copy tail"),
+      (2L, s"$header alpha beta"))
+    val b2 = Seq((3L, s"$passage third copy tail"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = EventsStream.spanExciseComposedStream(
+        in.toDF().toDF("doc_id", "text"), index, n = 8) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    def batchOp(rows: Seq[(Long, String)]): Seq[(Long, Long, Long, String)] =
+      graft.operators.Dedup.spanExciseAgainstIndexKeepOne(
+          rows.toDF("doc_id", "text"), index, n = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sortBy(_._1)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(_._1).toSeq == batchOp(b1),
+      "each microbatch must equal the batch operator over that batch")
+    val byId1 = got.map(r => r._1 -> r._4).toMap
+    // co-arriving copies excise down to the canonical (doc 0) copy;
+    // the header (base-held) excises from everyone
+    assert(byId1(0L) == s"$passage first copy tail", byId1.toString)
+    assert(byId1(1L) == "second copy tail", byId1.toString)
+    assert(byId1(2L) == "alpha beta", byId1.toString)
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r._4).toMap
+    // the DOCUMENTED cross-batch divergence: doc 3's copy arrives alone
+    // — the static index doesn't hold the passage and the within-batch
+    // count is 1, so it SURVIVES, whereas a one-batch arrival would
+    // have excised it (the batch operator over the union proves it)
+    assert(byId(3L) == s"$passage third copy tail", byId.toString)
+    val union = batchOp(b1 ++ b2).map(r => r._1 -> r._4).toMap
+    assert(union(3L) == "third copy tail",
+      "the union batch would have excised doc 3's copy — " +
+        "the divergence this spec pins must be real")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("streaming incremental pairs equals the batch operator per arriving doc") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -1038,6 +1038,86 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cset(refitted) != cset(cells),
       "the refit must actually move the centroids")
   }
+
+  test("ivfPartialRefit: planted drift refits ONLY the hit cell; recall recovers") {
+    import spark.implicits._
+    // base: two clusters on axis0/axis1 (nlist = 2); the drop arrives
+    // on axis2 with a tiny axis1 tilt, so every drop vector lands in
+    // the axis1 cell — exactly one cell drifts
+    def vecs(ids: Range, f: Int => Array[Double]) =
+      ids.map(i => (i.toLong, f(i).toSeq)).toDF("vec_id", "embedding")
+    val base = vecs(0 until 10, i => Array(1.0, 0.0, 0.0, 0.001 * (i % 3)))
+      .unionByName(
+        vecs(10 until 16, i => Array(0.0, 1.0, 0.0, 0.001 * (i % 3))))
+    val drop = vecs(100 until 120,
+      i => Array(0.0, 0.001, 1.0, 0.001 * (i % 3)))
+    val cells = Similarity.lloydCentroids(base, nlist = 2, iters = 2)
+    val refit = Similarity.ivfPartialRefit(cells, base, drop,
+      minCos = 0.9, iters = 2)
+    val flags = refit.collect()
+      .map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    assert(flags.values.count(identity) == 1,
+      s"exactly the drop-hit cell must refit: $flags")
+    // the healthy centroid passes through BIT-IDENTICAL
+    val oldC = cells.collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Double]]("centroid")).toMap
+    val newC = refit.collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Double]]("centroid")).toMap
+    flags.collect { case (id, false) => id }.foreach { id =>
+      assert(newC(id) == oldC(id), s"healthy cell $id must not move")
+    }
+    // recall@5 for FRESH drifted queries (axis2, slightly repelled from
+    // the axis1 cell so the pre-refit probe deterministically misses):
+    // near zero before, recovered after
+    val union = base.unionByName(drop)
+    val queries = vecs(900 until 904, _ => Array(0.0, -0.001, 1.0, 0.0))
+    val truth = Similarity.bruteForceTopK(union, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopKWith(
+          cents.select(col("centroid_id"), col("centroid")),
+          union, queries, k = 5, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val before = recall(cells)
+    val after = recall(refit)
+    assert(after >= before, s"refit must not lose recall: $before -> $after")
+    assert(before < 0.5 && after > 0.9,
+      s"the planted drift must be live (miss before, hit after): " +
+        s"$before -> $after")
+    // a2p preservation: FULL probe over the refit cells still equals
+    // brute force exactly (cell boundaries never affect an exhaustive
+    // probe)
+    val full = Similarity.ivfTopKWith(
+        refit.select(col("centroid_id"), col("centroid")),
+        union, queries, k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(union, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == bf, "full-probe equality must survive the refit")
+    // reassignment containment: healthy-cell members never move; refit-
+    // cell members stay within the refit set
+    val affected = flags.collect { case (id, true) => id }.toSet
+    val re = Similarity.ivfReassignAfterRefit(cells, refit, union).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(re.filter(t => !affected(t._2)).forall(t => t._3 == t._2),
+      "healthy-cell members must keep their assignment untouched")
+    assert(re.filter(t => affected(t._2)).forall(t => affected(t._3)),
+      "refit-cell members must land within the refit cells")
+    // no drift ⇒ pass-through with refit = false everywhere
+    val calm = Similarity.ivfPartialRefit(cells, base,
+      base.limit(4), minCos = 0.9)
+    assert(calm.filter(col("refit")).count() == 0L)
+    assert(calm.collect().map(r => r.getInt(0) ->
+      r.getAs[scala.collection.Seq[Double]]("centroid")).toMap == oldC)
+  }
 }
 
 /** The round-4 corpus-curation additions: repetition signals, deterministic
