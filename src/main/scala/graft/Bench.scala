@@ -234,12 +234,24 @@ object Bench {
       .take(SteadyCount).map { case (n, _, _, _) => n }
     val fnByName = names.toMap
     val steadyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_REPS", "2").toInt
+    // steady is the LOWER-BOUND channel — it must not pay debts the
+    // pass left behind, or a re-measure can read ABOVE its own
+    // first-pass wall (r14: g13 7.9 vs 6.9, d13 7.6 vs 4.9) and the
+    // three-signal read loses its tie-breaker. Before the loop: drop
+    // every cache the pass accumulated (model PARQUETS are files on
+    // disk — clearing the CacheManager costs nothing but stale pages);
+    // before EACH re-measure: collect the previous query's garbage
+    // OUTSIDE the timed region, so no steady window inherits another
+    // query's heap. The residual noise floor is documented in the
+    // README (container CPU jitter the min-of-N shears, JIT state —
+    // steady can still read ~0.1-0.3 s around a short query's wall).
+    spark.catalog.clearCache()
+    graft.operators.Dedup.unpersistAll()
     val steady: Map[String, Double] = steadyTargets.map { n =>
-      // min-of-N (default 2): a single re-measurement can itself land in
-      // a contention episode and read WORSE than the in-pass number —
-      // the minimum is the steady-state signal (a starved pass only adds)
-      val sec = (1 to steadyReps).map(_ => runOnce(n, fnByName(n))._1)
-        .filter(_ >= 0).reduceOption(_ min _).getOrElse(-1.0)
+      val sec = (1 to steadyReps).map { _ =>
+        System.gc()
+        runOnce(n, fnByName(n))._1
+      }.filter(_ >= 0).reduceOption(_ min _).getOrElse(-1.0)
       println(s"""{"query":"$n","steady":${r3(sec)}}""")
       Console.out.flush()
       n -> sec

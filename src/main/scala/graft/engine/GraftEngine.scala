@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|byte_bpe_merges|byte_encode)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -631,6 +631,19 @@ class GraftEngine(val spark: SparkSession) {
     *    n_uses), single chars always kept. Runs its per-round
     *    checkpoint jobs when executed (the louvain_levels posture —
     *    a trainer, not a serving query).
+    *  - `graft_byte_bpe_merges(docs, rounds => 2)` — distributed
+    *    BYTE-level BPE merge learning over a (doc_id, text) relation
+    *    (the u11 operator: GPT-2 byte→printable remap, per-round
+    *    pair-count aggregate + one-row argmax + fold) →
+    *    (round, a, b, cnt, n_syms). Runs its per-round persisted jobs
+    *    when executed (a trainer, not a serving query).
+    *  - `graft_byte_encode(docs, merges)` — byte-level BPE APPLICATION
+    *    (the u10 operator): rank-greedy segment every doc under the
+    *    FIXED (round, a, b) merge relation (round = BPE rank) →
+    *    (doc_id, n_words, n_bytes, n_subwords, spw_ppm, bps_ppm); the
+    *    table collects driver-side (bounded), the corpus pass is
+    *    map-only. Composes: graft_byte_encode(docs,
+    *    graft_byte_bpe_merges(docs, rounds => 3)).
     *  - `graft_unigram_encode(docs, pieces, char_cost => 6145)` —
     *    unigram-LM tokenizer APPLICATION (the u7 operator): Viterbi-
     *    segment every doc of a (doc_id, text) relation under the FIXED
@@ -665,6 +678,12 @@ class GraftEngine(val spark: SparkSession) {
     *    'minhash' (uncapped band index), 'prefix' (streaming prefix
     *    index), 'ivf' (member table keyed by vec_id). Delete cost is
     *    proportional to the takedown set, never the corpus.
+    *  - `graft_index_merge(index, drop, kind => 'span', n => 8)` —
+    *    COMPACTION, the append half of graft_index_delete: folds an
+    *    arriving drop's contribution into a persisted index (kind
+    *    'span' or 'postings') by delta arithmetic — the base corpus is
+    *    never re-read, and the result is bit-identical to rebuilding
+    *    over base ∪ drop (disjoint doc_ids).
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -704,7 +723,10 @@ class GraftEngine(val spark: SparkSession) {
     "license_propagation" -> Set("rank"),
     "split_leakage" -> Set.empty,
     "span_excise" -> Set("n", "keep_one"),
-    "index_delete" -> Set("kind", "n"))
+    "index_delete" -> Set("kind", "n"),
+    "index_merge" -> Set("kind", "n"),
+    "byte_bpe_merges" -> Set("rounds"),
+    "byte_encode" -> Set.empty)
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -732,7 +754,10 @@ class GraftEngine(val spark: SparkSession) {
     "license_propagation" -> Seq("comp", "docs"),
     "split_leakage" -> Seq("comp", "split"),
     "span_excise" -> Seq("docs"),
-    "index_delete" -> Seq("index", "revoked"))
+    "index_delete" -> Seq("index", "revoked"),
+    "index_merge" -> Seq("index", "drop"),
+    "byte_bpe_merges" -> Seq("docs"),
+    "byte_encode" -> Seq("docs", "merges"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -862,6 +887,47 @@ class GraftEngine(val spark: SparkSession) {
         val rounds = intOpt("rounds", 2)
         graft.operators.Tokenizer.distributedMergeRounds(rel(0),
           rounds = rounds)
+      case "byte_bpe_merges" =>
+        // u11's distributed BYTE-level trainer (GPT-2 remap symbols —
+        // Radford et al. 2019): per-round pair-count aggregate, one-row
+        // argmax, HOF fold. Runs its per-round persisted jobs when
+        // executed (the louvain_levels trainer posture). Output
+        // (round, a, b, cnt, n_syms) — feed it straight into
+        // graft_byte_encode (the TVF fixpoint composes the calls).
+        val rounds = intOpt("rounds", 2)
+        graft.operators.Tokenizer.distributedByteMergeRounds(rel(0),
+          rounds = rounds)
+      case "byte_encode" =>
+        // u10's byte-level BPE APPLICATION: segment every doc of a
+        // (doc_id, text) relation under the FIXED merge table given by
+        // the (round, a, b) relation — merge ORDER is the round column
+        // (BPE ranks are positional). The table ships as a codegen
+        // reference object (the unigram_encode bounded-collect
+        // discipline); the corpus pass is map-only. Output mirrors the
+        // u10 gate: (doc_id, n_words, n_bytes, n_subwords, spw_ppm,
+        // bps_ppm), docs with no words omitted.
+        val docs = rel(0)
+        val mergeRows = rel(1)
+          .select(col("round").cast("long").as("round"),
+            col("a").cast("string"), col("b").cast("string"))
+          .where(col("round").isNotNull && col("a").isNotNull
+            && col("b").isNotNull)
+          .orderBy(col("round"))
+          .limit(65537).collect()
+        require(mergeRows.length <= 65536,
+          "graft_byte_encode: merges relation exceeds 65536 rows — " +
+            "a merge table is model state, not a corpus")
+        val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        docs.select(col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            aggregate(toks, lit(0L), (acc, x) => acc + octet_length(x))
+              .as("n_bytes"),
+            size(graft.operators.Tokenizer.byteSegment(col("text"), merges))
+              .cast("long").as("n_subwords"))
+          .filter(col("n_words") > 0)
+          .withColumn("spw_ppm", expr("(1000000 * n_subwords) div n_words"))
+          .withColumn("bps_ppm", expr("(1000000 * n_bytes) div n_subwords"))
       case "radius" =>
         val tau = doubleOpt("tau", 0.3)
         require(tau >= -1.0 && tau <= 1.0,
@@ -985,6 +1051,31 @@ class GraftEngine(val spark: SparkSession) {
           case other => throw new IllegalArgumentException(
             s"graft_index_delete: kind must be one of span, postings, " +
               s"minhash, prefix, ivf — got '$other'")
+        }
+      case "index_merge" =>
+        // COMPACTION across the persisted serving indexes — the append
+        // half of graft_index_delete (same kind dispatch): fold an
+        // arriving drop's contribution into a persisted index without
+        // re-reading the base corpus. kind: 'span' (counted span-hash
+        // index — drop carries doc_id + text; n is the span length),
+        // 'postings' (unbanded tf-idf postings — drop carries doc_id +
+        // text). Drop doc_ids must be disjoint from the base's (the
+        // snapshot contract).
+        val kindRaw2 = named.getOrElse("kind", "'span'")
+        val kind2 =
+          if (kindRaw2.length >= 2 && kindRaw2.startsWith("'") && kindRaw2.endsWith("'"))
+            kindRaw2.substring(1, kindRaw2.length - 1).toLowerCase
+          else kindRaw2.toLowerCase
+        kind2 match {
+          case "span" =>
+            val n = intOpt("n", 8)
+            require(n >= 2, s"graft_index_merge: n must be >= 2, got $n")
+            graft.operators.Dedup.spanIndexMerge(rel(0), rel(1), n = n)
+          case "postings" =>
+            graft.operators.Dedup.postingsMerge(rel(0), rel(1))
+          case other => throw new IllegalArgumentException(
+            s"graft_index_merge: kind must be one of span, postings — " +
+              s"got '$other'")
         }
       case "knn_label" =>
         val k = intOpt("k", 5)

@@ -956,6 +956,72 @@ object Dedup {
       .filter(col("nd") > 0)
   }
 
+  /** MERGE a drop INTO the counted span-hash index — the compaction
+    * half of the store lifecycle ([[spanIndexDelete]] is the takedown
+    * half; d22/d22c only PROBE the index, they never advance it):
+    * per-hash document-frequency deltas aggregate over the DROP alone
+    * (map-side hashed — the delete path's delta shape with the sign
+    * flipped) and one full-outer merge on `gh` sums the counts.
+    * Bit-identical to `spanIndexCounted(base ∪ drop)` when the drop's
+    * doc_ids are disjoint from the base's (the snapshot contract;
+    * IndexDeleteSpec pins the equality AND the roundtrip
+    * `delete(merge(idx, drop), drop) ≡ idx`). Merge cost ∝ drop text +
+    * one index-keyed join — the base corpus is never read.
+    */
+  def spanIndexMerge(index: DataFrame, drop: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val delta = drop.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("gh"))
+      .distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("dd"))
+    index.join(delta, Seq("gh"), "full_outer")
+      .select(col("gh"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("nd"))
+  }
+
+  /** MERGE a drop INTO the full tf-idf postings index — the compaction
+    * half of [[postingsDelete]]: the drop's tf rows append, every
+    * touched gram's df rises by the drop's per-gram doc count, and
+    * n_docs rises by the drop size — all computed from the drop and
+    * the index alone (the base corpus is never read; the one
+    * index-wide aggregate is the O(1)-per-row-group `max` of the
+    * constant n_docs column, null ⇒ 0 so merging into an EMPTY index
+    * bootstraps it). Bit-identical to `tfidfPostingsFull(base ∪ drop)`
+    * for disjoint doc_ids — band migrations included, since the store
+    * is unbanded and [[postingsBand]] re-derives (IndexDeleteSpec pins
+    * the equality and the delete-roundtrip identity).
+    */
+  def postingsMerge(full: DataFrame, drop: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val dtf = drop.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val delta = dtf.groupBy(col("gram")).agg(count(lit(1)).as("dd"))
+    val nDrop = drop.agg(count(lit(1)).as("__n_drop"))
+    val n0 = full.agg(coalesce(max(col("n_docs")), lit(0L)).as("__n0"))
+    val oldDf = full.select(col("gram"), col("df")).distinct()
+    val updatedOld = full.join(delta, Seq("gram"), "left")
+      .select(col("gram"), col("doc_id"), col("tf"),
+        (col("df") + coalesce(col("dd"), lit(0L))).as("df"))
+    val fresh = dtf.join(delta, Seq("gram"))
+      .join(oldDf.select(col("gram"), col("df").as("df0")),
+        Seq("gram"), "left")
+      .select(col("gram"), col("doc_id"), col("tf"),
+        (coalesce(col("df0"), lit(0L)) + col("dd")).as("df"))
+    updatedOld.unionByName(fresh)
+      .crossJoin(broadcast(nDrop))
+      .crossJoin(broadcast(n0))
+      .select(col("gram"), col("doc_id"), col("tf"), col("df"),
+        (col("__n0") + col("__n_drop")).as("n_docs"))
+  }
+
   /** INCREMENTAL tf-idf pair maintenance — ONE definition shared by the
     * g14 batch query and the streaming twin
     * (`EventsStream.incrementalPairsStream`), the shardManifest

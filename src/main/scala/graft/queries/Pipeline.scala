@@ -918,6 +918,51 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d25_index_merge" -> { (s, dir) =>
+      // INDEX COMPACTION, served end-to-end — the append half d23's
+      // takedown completes (d22/d22c only PROBE the persisted index;
+      // this ADVANCES it): the base snapshot is split into an older
+      // index (doc_id % 10 <> 3) and an arriving compaction drop
+      // (doc_id % 10 == 3); Dedup.spanIndexMerge folds the drop's
+      // per-hash doc-frequency deltas into the stale index with one
+      // full-outer merge on the hash (the delete path's delta
+      // arithmetic, sign flipped — the base corpus is never re-read),
+      // and the x4 probe set then excises against the merged index.
+      // The oracle is d22's: DuckDB rebuilds the span set from the
+      // FULL base corpus — hash-green proves merge ≡ rebuild through
+      // the serve path (IndexDeleteSpec pins the index-level
+      // bit-identity and the delete-roundtrip
+      // delete(merge(idx, drop), drop) ≡ idx).
+      val d = Tables.load(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 4 =!= 0)
+      val older = Dedup.spanIndexCounted(
+        base.filter(col("doc_id") % 10 =!= 3))
+      val merged = Dedup.spanIndexMerge(
+        older, base.filter(col("doc_id") % 10 === 3))
+      Dedup.spanExciseAgainstIndex(
+          d.filter(col("doc_id") % 4 === 0), merged, n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "d25b_postings_merge" -> { (s, dir) =>
+      // compaction on the tf-idf postings store, emitting the SERVED
+      // banded relation after the merge: the drop's tf rows append,
+      // touched grams' df rises by the drop's per-gram doc count (a
+      // gram leaving the [2,25] band serves out, one entering serves
+      // in — the unbanded store makes both directions exact), n_docs
+      // rises by the drop size. DuckDB rebuilds the banded postings
+      // from the full base corpus — hash-green ⇒ merge ≡ rebuild
+      // including band migrations. Merge cost ∝ drop text + one
+      // gram-keyed join; the base corpus is never re-read.
+      val d = Tables.load(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 4 =!= 0)
+      val older = Dedup.tfidfPostingsFull(
+        base.filter(col("doc_id") % 10 =!= 3))
+      Dedup.postingsBand(Dedup.postingsMerge(
+          older, base.filter(col("doc_id") % 10 === 3)))
+        .orderBy(col("gram"), col("doc_id"))
+    },
+
     "d23_index_delete" -> { (s, dir) =>
       // INDEX TAKEDOWN, served end-to-end — the compliance operation
       // the incremental suite (d17/d19/d22/g14) was missing: base docs
@@ -8210,6 +8255,35 @@ object Pipeline {
         |  coalesce(ka.clean_text, '') AS clean_text
         |FROM drop_t t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the merge-path differential: Spark excises against the stale
+    // older index ADVANCED by delta arithmetic; DuckDB rebuilds the
+    // span set from the full base corpus — d22's oracle verbatim
+    "d25_index_merge" -> D22ExciseOracle,
+
+    "d25b_postings_merge" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM d),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n AS (SELECT count(*) AS n_docs FROM d)
+        |SELECT tf.gram, tf.doc_id, tf.tf,
+        |  CAST(n.n_docs AS DOUBLE) / dfreq.df AS w
+        |FROM tf JOIN dfreq USING (gram), n
+        |ORDER BY tf.gram, tf.doc_id""".stripMargin,
 
     // the delete-path differential: Spark excises against the STALE
     // index shrunk by delta arithmetic; DuckDB rebuilds the span set

@@ -723,6 +723,53 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n must be >= 2"))
   }
 
+  test("graft_byte_bpe_merges/byte_encode TVFs compose and equal the Scala chain") {
+    import org.apache.spark.sql.functions._
+    engine.run("create table byte_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into byte_docs_t values " +
+      "(1, 'the wind in the willows'), " +
+      "(2, 'the window shows the town'), " +
+      "(3, 'winter winds the winding road')")
+    val docs = engine.table("byte_docs_t")
+    // trainer TVF ≡ Scala trainer
+    val gotM = engine.run(
+      "select round, a, b, cnt, n_syms from " +
+        "graft_byte_bpe_merges(byte_docs_t, rounds => 2) order by round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val wantM = graft.operators.Tokenizer
+      .distributedByteMergeRounds(docs, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(gotM == wantM && gotM.length == 2)
+    // composed encode-under-learned-table TVF ≡ the Scala chain
+    val got = engine.run(
+      "select doc_id, n_words, n_bytes, n_subwords, spw_ppm, bps_ppm from " +
+        "graft_byte_encode(byte_docs_t, " +
+        "graft_byte_bpe_merges(byte_docs_t, rounds => 2)) order by doc_id")
+      .collect().map(_.toSeq).toSeq
+    val merges = wantM.sortBy(_._1).map(t => (t._2, t._3))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val want = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, x) => acc + octet_length(x))
+          .as("n_bytes"),
+        size(graft.operators.Tokenizer.byteSegment(col("text"), merges))
+          .cast("long").as("n_subwords"))
+      .withColumn("spw_ppm", expr("(1000000 * n_subwords) div n_words"))
+      .withColumn("bps_ppm", expr("(1000000 * n_bytes) div n_subwords"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.length == 3)
+    // merging actually compresses: fewer subwords than raw byte symbols
+    got.foreach { r =>
+      assert(r(3).asInstanceOf[Long] <
+        r(2).asInstanceOf[Long] + r(1).asInstanceOf[Long],
+        s"subwords must undercut bytes+EOW after 2 merges: $r")
+    }
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete TVF: takedown per store equals the Scala operators") {
     import org.apache.spark.sql.functions.col
     engine.run("create table idel_docs_t(doc_id bigint, text varchar)")
@@ -778,6 +825,17 @@ class EngineSpec extends AnyFunSuite {
         "idel_span_idx, idel_rev_t, kind => 'nope')")
     }
     assert(e.getMessage.contains("kind must be one of"))
+    // the merge TVF is the exact inverse: merging the revoked docs back
+    // into the deleted index restores the original, in pure SQL
+    val roundtrip = engine.run(
+      "select gh, nd from graft_index_merge(" +
+        "graft_index_delete(idel_span_idx, idel_rev_t), idel_rev_t) " +
+        "order by gh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val original = graft.operators.Dedup.spanIndexCounted(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(roundtrip == original,
+      "merge(delete(idx, rev), rev) must restore the index in SQL")
     graft.operators.Dedup.unpersistAll()
   }
 

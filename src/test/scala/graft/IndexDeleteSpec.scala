@@ -213,6 +213,62 @@ class IndexDeleteSpec extends AnyFunSuite {
       "flagged probes must match the batch operator over the survivors")
   }
 
+  test("span index merge equals rebuild; delete roundtrips it away") {
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val older = base.filter(col("doc_id") % 10 =!= 3)
+    val drop = base.filter(col("doc_id") % 10 === 3)
+    val idx = Dedup.spanIndexCounted(older)
+    val merged = Dedup.spanIndexMerge(idx, drop)
+    assert(spanRows(merged) == spanRows(Dedup.spanIndexCounted(base)),
+      "merge must be bit-identical to rebuilding over base ∪ drop")
+    // the lifecycle roundtrip: revoking the just-merged drop restores
+    // the original index exactly
+    assert(spanRows(Dedup.spanIndexDelete(merged, drop)) == spanRows(idx),
+      "delete(merge(idx, drop), drop) must equal idx")
+    // bootstrap: merging into an EMPTY index builds it from scratch
+    val empty = idx.filter(lit(false))
+    assert(spanRows(Dedup.spanIndexMerge(empty, drop)) ==
+      spanRows(Dedup.spanIndexCounted(drop)))
+  }
+
+  test("postings merge equals rebuild incl. band moves; delete roundtrips") {
+    val docs = Seq(
+      (1L, "x y p q"),
+      (2L, "x y p q"),
+      (7L, "solo") // gram-less: must still bump n_docs on merge
+    ).toDF("doc_id", "text")
+    val drop = Seq(
+      (3L, "x y fresh gram"), // pushes "x y" df 2 -> 3: OUT of a [2,2] band
+      (8L, "also")            // gram-less drop doc
+    ).toDF("doc_id", "text")
+    val merged = Dedup.postingsMerge(Dedup.tfidfPostingsFull(docs), drop)
+    val rebuilt = Dedup.tfidfPostingsFull(docs.unionByName(drop))
+    assert(postingRows(merged) == postingRows(rebuilt),
+      "merge must be bit-identical to the rebuild over base ∪ drop")
+    assert(bandedRows(Dedup.postingsBand(merged, 2, 2)) ==
+      bandedRows(Dedup.postingsBand(rebuilt, 2, 2)),
+      "band migrations in BOTH directions must serve identically")
+    // the planted out-migration is live
+    assert(Dedup.postingsBand(merged, 2, 2).filter(col("gram") === "x y")
+      .count() == 0L, "'x y' must leave the [2,2] band after the merge")
+    // roundtrip: revoking the merged drop restores the original store
+    assert(postingRows(Dedup.postingsDelete(merged,
+        drop.select(col("doc_id")))) ==
+      postingRows(Dedup.tfidfPostingsFull(docs)))
+    // bootstrap from empty
+    val empty = Dedup.tfidfPostingsFull(docs).filter(lit(false))
+    assert(postingRows(Dedup.postingsMerge(empty, drop)) ==
+      postingRows(Dedup.tfidfPostingsFull(drop)))
+    // corpus-level merge ≡ rebuild
+    val d = Tables.load(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 4 =!= 0)
+    val cm = Dedup.postingsMerge(
+      Dedup.tfidfPostingsFull(base.filter(col("doc_id") % 10 =!= 3)),
+      base.filter(col("doc_id") % 10 === 3))
+    assert(postingRows(cm) == postingRows(Dedup.tfidfPostingsFull(base)))
+  }
+
   test("streaming twins stay green against the shrunk (deleted) base") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -149,6 +149,69 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang")
   }
 
+  test("span-window fidelity: a duplicated run >= n is exactly its n-window union") {
+    // The formal containment property relating the fixed n-token-window
+    // family (d20/d21/d22) to Lee et al. ACL'22's character-level
+    // maximal-substring rule: ANY duplicated token run of length
+    // L >= n is exactly the union of its L-n+1 n-windows — every one
+    // of those windows is itself duplicated, so the WHOLE run excises
+    // (no partial survival), and conversely a position excises only
+    // inside some duplicated n-window. Pinned as a randomized
+    // differential: 40 seeded corpora, the operator's removed-position
+    // set must EQUAL the independent Scala replay (union of windows of
+    // n-grams with distinct-doc df > 1), and every planted shared run
+    // must excise in full from every carrier.
+    val n = 8
+    val rnd = new scala.util.Random(1513)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 40).foreach { trial =>
+      val run = Vector.fill(n + rnd.nextInt(6))(
+        "run" + rnd.nextInt(3) + "x" + rnd.nextInt(4))
+      def doc(): Vector[String] = {
+        val pre = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        val post = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        if (rnd.nextBoolean()) pre ++ run ++ post else pre ++ post
+      }
+      val toks: Map[Long, Vector[String]] =
+        (0L until 8L).map(i => i -> doc()).toMap
+      val corpus = toks.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // independent replay: df over distinct docs per n-gram, cover =
+      // union of duplicated windows
+      val grams = toks.toSeq.flatMap { case (id, t) =>
+        t.sliding(n).zipWithIndex.filter(_._1.size == n)
+          .map { case (g, i) => (g.mkString(" "), id, i) }
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+        .keySet
+      val expectCover: Map[Long, Set[Int]] = grams
+        .filter(g => dup(g._1))
+        .flatMap { case (_, id, i) => (i until i + n).map(id -> _) }
+        .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+      val got = Dedup.spanExcise(corpus, n = n).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      toks.foreach { case (id, t) =>
+        val cover = expectCover.getOrElse(id, Set.empty)
+        val kept = t.zipWithIndex.collect {
+          case (w, i) if !cover(i) => w
+        }.mkString(" ")
+        assert(got(id) == ((cover.size.toLong, kept)),
+          s"trial $trial doc $id: operator must equal the window-union " +
+            s"replay (cover $cover, toks $t)")
+        // the containment lemma made concrete: every planted shared
+        // run excises IN FULL from every doc that carries it (when at
+        // least two docs do)
+        val carriers = toks.filter(_._2.containsSlice(run)).keySet
+        if (carriers.size > 1 && carriers(id)) {
+          val start = t.indexOfSlice(run)
+          assert((start until start + run.size).forall(cover),
+            s"trial $trial doc $id: the shared run must excise in full")
+        }
+      }
+      Dedup.unpersistAll()
+    }
+  }
+
   test("span excision removes cross-doc boilerplate, keeps unique content") {
     // two docs share an 8-token boilerplate header; each has a unique
     // tail; a third doc is fully unique. The shared header (and ONLY
