@@ -233,23 +233,30 @@ object Bench {
     val steadyTargets = results.filter(_._2 >= 0).sortBy(-_._2)
       .take(SteadyCount).map { case (n, _, _, _) => n }
     val fnByName = names.toMap
-    val steadyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_REPS", "2").toInt
-    // steady is the LOWER-BOUND channel — it must not pay debts the
-    // pass left behind, or a re-measure can read ABOVE its own
-    // first-pass wall (r14: g13 7.9 vs 6.9, d13 7.6 vs 4.9) and the
-    // three-signal read loses its tie-breaker. Before the loop: drop
-    // every cache the pass accumulated (model PARQUETS are files on
-    // disk — clearing the CacheManager costs nothing but stale pages);
-    // before EACH re-measure: collect the previous query's garbage
-    // OUTSIDE the timed region, so no steady window inherits another
-    // query's heap. The residual noise floor is documented in the
-    // README (container CPU jitter the min-of-N shears, JIT state —
-    // steady can still read ~0.1-0.3 s around a short query's wall).
+    // min-of-3 by default (r15, up from 2): the steady channel is the
+    // artifact's LOWER BOUND, and on 4-5 s queries two reps leave
+    // ~±0.5 s of scheduler jitter unsheared — exactly the margin that
+    // made r14 steadies read ABOVE their own first-pass walls (g13
+    // 7.9 vs 6.9, d13 7.6 vs 4.9) and cost the read its tie-breaker.
+    val steadyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_REPS", "3").toInt
+    // Before the loop: drop every cache the pass accumulated (model
+    // PARQUETS are files on disk — clearing the CacheManager costs
+    // nothing but stale pages) and collect the pass's garbage ONCE,
+    // outside every timed window, so no steady measure inherits
+    // another query's heap. A PER-REP System.gc() was measured and
+    // rejected: it reads WORSE on scan-heavy queries (k5/t13 steady
+    // landed 0.5-0.8 s ABOVE wall with it, at/below wall without —
+    // the full collection evicts soft JVM state the scan path then
+    // rebuilds inside the window); it stays available as the
+    // SPARK_GRAFT_BENCH_STEADY_GC=1 opt-in for memory-pressure
+    // forensics. Residual noise floor ~0.1-0.3 s (README).
     spark.catalog.clearCache()
     graft.operators.Dedup.unpersistAll()
+    System.gc()
+    val steadyGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_GC", "0") == "1"
     val steady: Map[String, Double] = steadyTargets.map { n =>
       val sec = (1 to steadyReps).map { _ =>
-        System.gc()
+        if (steadyGc) System.gc()
         runOnce(n, fnByName(n))._1
       }.filter(_ >= 0).reduceOption(_ min _).getOrElse(-1.0)
       println(s"""{"query":"$n","steady":${r3(sec)}}""")
