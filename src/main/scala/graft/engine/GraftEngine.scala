@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|byte_bpe_merges|byte_encode)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -678,12 +678,20 @@ class GraftEngine(val spark: SparkSession) {
     *    'minhash' (uncapped band index), 'prefix' (streaming prefix
     *    index), 'ivf' (member table keyed by vec_id). Delete cost is
     *    proportional to the takedown set, never the corpus.
+    *  - `graft_components_delete(components, docs, revoked, n => 1,
+    *    threshold => 0.95)` — takedown on the near-dup component map:
+    *    untouched components pass through, affected components'
+    *    survivors re-close component-locally (splits included) —
+    *    bit-identical to rebuilding the closure over the survivors.
     *  - `graft_index_merge(index, drop, kind => 'span', n => 8)` —
     *    COMPACTION, the append half of graft_index_delete: folds an
     *    arriving drop's contribution into a persisted index (kind
-    *    'span' or 'postings') by delta arithmetic — the base corpus is
-    *    never re-read, and the result is bit-identical to rebuilding
-    *    over base ∪ drop (disjoint doc_ids).
+    *    'span', 'postings', 'minhash', or 'prefix') by delta
+    *    arithmetic or per-doc row union — the base corpus is never
+    *    re-read, and the result is bit-identical to rebuilding over
+    *    base ∪ drop (disjoint doc_ids; 'prefix' promises served-answer
+    *    equality under its frozen df order, the d19 contract). IVF
+    *    member appends go through graft_ivf_append.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -725,6 +733,7 @@ class GraftEngine(val spark: SparkSession) {
     "span_excise" -> Set("n", "keep_one"),
     "index_delete" -> Set("kind", "n"),
     "index_merge" -> Set("kind", "n"),
+    "components_delete" -> Set("n", "threshold"),
     "byte_bpe_merges" -> Set("rounds"),
     "byte_encode" -> Set.empty)
 
@@ -756,6 +765,7 @@ class GraftEngine(val spark: SparkSession) {
     "span_excise" -> Seq("docs"),
     "index_delete" -> Seq("index", "revoked"),
     "index_merge" -> Seq("index", "drop"),
+    "components_delete" -> Seq("components", "docs", "revoked"),
     "byte_bpe_merges" -> Seq("docs"),
     "byte_encode" -> Seq("docs", "merges"))
 
@@ -1052,6 +1062,19 @@ class GraftEngine(val spark: SparkSession) {
             s"graft_index_delete: kind must be one of span, postings, " +
               s"minhash, prefix, ivf — got '$other'")
         }
+      case "components_delete" =>
+        // TAKEDOWN on the near-dup component map — the graph store's
+        // delete, where revocation can SPLIT a component: untouched
+        // components pass through, affected components' survivors
+        // re-close over their own text (the d26 operator). Relations:
+        // the persisted (doc_id, rep) map, the corpus it was built
+        // from, and the revoked (doc_id) set.
+        val n = intOpt("n", 1)
+        val threshold = doubleOpt("threshold", 0.95)
+        require(threshold > 0.0 && threshold <= 1.0,
+          s"graft_components_delete: threshold must be in (0,1], got $threshold")
+        graft.operators.Dedup.componentsDelete(rel(0), rel(1), rel(2),
+          n = n, threshold = threshold)
       case "index_merge" =>
         // COMPACTION across the persisted serving indexes — the append
         // half of graft_index_delete (same kind dispatch): fold an
@@ -1073,9 +1096,15 @@ class GraftEngine(val spark: SparkSession) {
             graft.operators.Dedup.spanIndexMerge(rel(0), rel(1), n = n)
           case "postings" =>
             graft.operators.Dedup.postingsMerge(rel(0), rel(1))
+          case "minhash" =>
+            graft.operators.Dedup.minhashIndexMerge(rel(0), rel(1))
+          case "prefix" =>
+            graft.operators.Dedup.prefixIndexMerge(rel(0), rel(1))
           case other => throw new IllegalArgumentException(
-            s"graft_index_merge: kind must be one of span, postings — " +
-              s"got '$other'")
+            s"graft_index_merge: kind must be one of span, postings, " +
+              s"minhash, prefix — got '$other' (IVF appends go through " +
+              "graft_ivf_append — the member merge needs the centroid " +
+              "relation)")
         }
       case "knn_label" =>
         val k = intOpt("k", 5)

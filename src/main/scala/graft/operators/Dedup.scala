@@ -588,6 +588,45 @@ object Dedup {
       .select(col("doc_id"), col("rep"))
   }
 
+  /** TAKEDOWN on the near-dup COMPONENT map — the graph store's delete
+    * path, and the one where deletion can SPLIT what it touches: pull
+    * a revoked document out of an A~B~C chain and the survivors may no
+    * longer be connected. Component-LOCAL re-closure makes the repair
+    * exact without a corpus rebuild: near-dup edges exist only WITHIN
+    * original components (removing documents removes edges, never adds
+    * them), so components holding no revoked member pass through
+    * UNTOUCHED (same members ⇒ same pairs ⇒ same min-label rep), and
+    * the survivors of affected components re-run
+    * [[nearDupComponents]] over THEIR text alone — pair generation,
+    * clique collapse, and the min-label closure all confined to the
+    * affected membership. Bit-identical to
+    * `nearDupComponents(survivors)` (IndexDeleteSpec pins it, with a
+    * planted chain-split), at cost ∝ affected components' text plus
+    * two index-sized joins — never the corpus.
+    *
+    * `components` is the persisted `(doc_id, rep)` map; `docs` the
+    * corpus it was built from (the affected members' bodies are
+    * fetched by one semi join — pass the bucketed scan at corpus
+    * scale); `revoked` a `(doc_id)` relation ⊆ the map's documents.
+    */
+  def componentsDelete(components: DataFrame, docs: DataFrame,
+      revoked: DataFrame, n: Int = 1, threshold: Double = 0.95,
+      maxIters: Int = 8): DataFrame = {
+    val rev = revoked.select(col("doc_id"))
+    val aff = components.join(rev, Seq("doc_id"), "left_semi")
+      .select(col("rep")).distinct()
+    val untouched = components.join(aff, Seq("rep"), "left_anti")
+      .select(col("doc_id"), col("rep"))
+    val members = components.join(aff, Seq("rep"), "left_semi")
+      .join(rev, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val mdocs = docs.join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("text"))
+    untouched.unionByName(
+      nearDupComponents(mdocs, n = n, threshold = threshold,
+        maxIters = maxIters))
+  }
+
   /** Duplicated-span EXCISION — the span-granular REWRITE behind Lee et
     * al. ACL'22's ExactSubstr dedup (the scoring half is d10): every
     * token position covered by an `n`-token span occurring in MORE THAN
@@ -1021,6 +1060,34 @@ object Dedup {
       .select(col("gram"), col("doc_id"), col("tf"), col("df"),
         (col("__n0") + col("__n_drop")).as("n_docs"))
   }
+
+  /** MERGE a drop into the UNCAPPED MinHash band index — compaction for
+    * [[minhashIndexDelete]]'s store: signatures are per-document, so
+    * the merge is the drop's own (uncapped) index rows unioned in;
+    * bit-identical to `minhashIndex(base ∪ drop, maxBandBucket = 0)`
+    * for disjoint doc_ids, and the serve cap ([[minhashIndexCap]])
+    * re-derives — a bucket pushed OVER the cap by the merge stops
+    * serving, exactly as a rebuild would decide.
+    */
+  def minhashIndexMerge(index: DataFrame, drop: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    index.unionByName(minhashIndex(drop, shingleLen, numHashes, bands,
+      maxBandBucket = 0))
+
+  /** MERGE a drop into the streaming prefix index
+    * ([[incrementalIndex]]): the drop's postings compute under the
+    * drop's OWN df order and union in — like [[prefixIndexDelete]],
+    * the merged bytes drift from a rebuild (df orders differ) but the
+    * index stays VALID (each document's prefix length depends only on
+    * its own size, selected under A consistent order), so candidates
+    * remain a superset and served answers equal the rebuilt index's —
+    * the d19 frozen-index contract, same as the delete side.
+    */
+  def prefixIndexMerge(index: DataFrame, drop: DataFrame,
+      num: Int = 4, den: Int = 5,
+      blockCols: Seq[Column] = Seq(col("lang"))): DataFrame =
+    index.unionByName(incrementalIndex(drop, num, den, blockCols))
 
   /** INCREMENTAL tf-idf pair maintenance — ONE definition shared by the
     * g14 batch query and the streaming twin

@@ -505,6 +505,17 @@ object Similarity {
   def ivfMembersDelete(members: DataFrame, revoked: DataFrame): DataFrame =
     members.join(revoked.select(col("vec_id")), Seq("vec_id"), "left_anti")
 
+  /** MERGE a drop into the IVF member table — the a9 append written to
+    * the persisted store: the drop assigns against the FROZEN centroids
+    * ([[ivfAssign]]'s map-only projection) and unions in; bit-identical
+    * to re-assigning base ∪ drop for disjoint vec_ids (assignment is
+    * per-row). Centroid refit under drift stays the
+    * [[ivfPartialRefit]] channel.
+    */
+  def ivfMembersMerge(cells: DataFrame, members: DataFrame,
+      drop: DataFrame): DataFrame =
+    members.unionByName(ivfAssign(cells, drop))
+
   /** Per-cell drift of an incoming drop against the PERSISTED
     * centroids — v8's centroid-drift measure turned into index
     * maintenance: for every index cell, the cosine between the stored

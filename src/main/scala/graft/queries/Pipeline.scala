@@ -918,6 +918,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d26_components_delete" -> { (s, dir) =>
+      // TAKEDOWN on the persisted near-dup component map (cc_components
+      // — the graph store, where deletion can SPLIT a component: pull
+      // the middle out of an A~B~C chain and A,C disconnect):
+      // components holding no revoked member pass through UNTOUCHED
+      // (near-dup edges exist only within components, so their pairs
+      // and min-labels cannot change), and ONLY the affected
+      // components' survivors re-run the d8 closure over their own
+      // text — cost ∝ affected components, never the corpus. The
+      // oracle rebuilds the full recursive closure over the survivors,
+      // so hash-green proves splice ≡ rebuild including splits.
+      val d = Tables.load(s, dir, "documents")
+      val revoked = d.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"))
+      Dedup.componentsDelete(ccComponentsShared(s, dir), d, revoked)
+        .orderBy(col("doc_id"))
+    },
+
     "d25_index_merge" -> { (s, dir) =>
       // INDEX COMPACTION, served end-to-end — the append half d23's
       // takedown completes (d22/d22c only PROBE the persisted index;
@@ -5407,6 +5425,31 @@ object Pipeline {
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // the splice differential: Spark re-closes ONLY affected
+    // components on the stale map; DuckDB rebuilds the whole closure
+    // over the survivors
+    "d26_components_delete" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 1),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j AS u, i AS v FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |FROM d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "x20_license_propagation" ->

@@ -825,6 +825,21 @@ class EngineSpec extends AnyFunSuite {
         "idel_span_idx, idel_rev_t, kind => 'nope')")
     }
     assert(e.getMessage.contains("kind must be one of"))
+    // the component-map takedown composes in pure SQL too: delete the
+    // map built by graft_components, compare to the closure rebuilt
+    // over the survivors
+    engine.run("create table idel_cdocs_t(doc_id bigint, text varchar, lang varchar)")
+    engine.run("insert into idel_cdocs_t values " +
+      "(1, 'alpha beta gamma delta epsilon', 'en'), " +
+      "(2, 'alpha beta gamma delta epsilon', 'en'), " + // exact dup of 1
+      "(3, 'unrelated words entirely here now', 'en')")
+    val gotComp = engine.run(
+      "select doc_id, rep from graft_components_delete(" +
+        "graft_components(idel_cdocs_t), idel_cdocs_t, idel_rev_t) " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // revoking doc 2 (from idel_rev_t) leaves 1 and 3 as singletons
+    assert(gotComp == Seq((1L, 1L), (3L, 3L)), gotComp.toString)
     // the merge TVF is the exact inverse: merging the revoked docs back
     // into the deleted index restores the original, in pure SQL
     val roundtrip = engine.run(

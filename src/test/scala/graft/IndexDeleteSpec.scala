@@ -269,6 +269,101 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(postingRows(cm) == postingRows(Dedup.tfidfPostingsFull(base)))
   }
 
+  test("components delete: revoking a chain's middle splits it; rest untouched") {
+    // A~B~C at 0.95 word-Jaccard (A and C each differ from B by one
+    // token, from each other by two) — revoking B must SPLIT the
+    // survivors into singletons; the unrelated D~E pair must pass
+    // through byte-identical without its text ever being re-read
+    // semantically (the component-local property).
+    val ts = (1 to 40).map(i => s"tok$i")
+    val b = ts.mkString(" ")
+    val a = (ts.dropRight(1) :+ "xx").mkString(" ")
+    val c = (ts.take(38) ++ Seq("yy", ts.last)).mkString(" ")
+    val docs = Seq(
+      (1L, a, "en"), (2L, b, "en"), (3L, c, "en"),
+      (10L, "totally separate pair of documents one", "en"),
+      (11L, "totally separate pair of documents one", "en"),
+      (20L, "a singleton nothing like anything else here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val comp = Dedup.nearDupComponents(docs)
+    // sanity: the chain IS one component pre-delete
+    val pre = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre(1L) == 1L && pre(2L) == 1L && pre(3L) == 1L, pre.toString)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val revoked = Seq(2L).toDF("doc_id")
+    val got = rows(Dedup.componentsDelete(comp, docs, revoked))
+    val survivors = docs.filter(col("doc_id") =!= 2L)
+    assert(got == rows(Dedup.nearDupComponents(survivors)),
+      "splice must equal the full rebuild over the survivors")
+    // the split is live: A and C are singletons now
+    val after = got.toMap
+    assert(after(1L) == 1L && after(3L) == 3L,
+      s"revoking the chain's middle must split it: $after")
+    assert(after(10L) == 10L && after(11L) == 10L && after(20L) == 20L)
+    // a revocation that does NOT disconnect keeps the component merged
+    val got2 = rows(Dedup.componentsDelete(comp, docs,
+      Seq(3L).toDF("doc_id")))
+    assert(got2 == rows(Dedup.nearDupComponents(
+      docs.filter(col("doc_id") =!= 3L))))
+    assert(got2.toMap.apply(2L) == 1L, s"A~B must stay merged: $got2")
+    // corpus-level splice ≡ rebuild
+    val d = Tables.load(spark, sf, "documents")
+    val rev = d.filter(col("doc_id") % 10 === 1).select(col("doc_id"))
+    assert(rows(Dedup.componentsDelete(
+        Dedup.nearDupComponents(d), d, rev)) ==
+      rows(Dedup.nearDupComponents(d.filter(col("doc_id") % 10 =!= 1))))
+    Dedup.unpersistAll()
+  }
+
+  test("minhash/prefix/ivf merges equal their rebuilds (cap out-migration live)") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
+    val drop = Seq((3L, dup)).toDF("doc_id", "text")
+    val merged = Dedup.minhashIndexMerge(
+      Dedup.minhashIndex(base, maxBandBucket = 0), drop)
+    val rebuilt = Dedup.minhashIndex(base.unionByName(drop),
+      maxBandBucket = 0)
+    assert(mhRows(merged) == mhRows(rebuilt))
+    // the merge pushes the duplicate buckets OVER cap 2: they must stop
+    // serving, exactly as a rebuild decides
+    assert(Dedup.minhashIndexCap(Dedup.minhashIndex(base,
+      maxBandBucket = 0), maxBucket = 2).count() > 0L)
+    assert(mhRows(Dedup.minhashIndexCap(merged, maxBucket = 2)) ==
+      mhRows(Dedup.minhashIndexCap(rebuilt, maxBucket = 2)))
+    assert(Dedup.minhashIndexCap(merged, maxBucket = 2).count() == 0L,
+      "the planted cap out-migration must be live")
+    // roundtrip
+    assert(mhRows(Dedup.minhashIndexDelete(merged,
+      drop.select(col("doc_id")))) == mhRows(
+      Dedup.minhashIndex(base, maxBandBucket = 0)))
+    // prefix merge: served answers equal the rebuilt index's
+    val d = Tables.load(spark, sf, "documents")
+    val cbase = d.filter(col("doc_id") % 4 =!= 0)
+    val older = cbase.filter(col("doc_id") % 10 =!= 3)
+    val cdrop = cbase.filter(col("doc_id") % 10 === 3)
+    val probe = d.filter(col("doc_id") % 4 === 0)
+    def pairs(idx: DataFrame): Set[(Long, Long)] =
+      EventsStream.incrementalDedupStream(probe, idx)
+        .select(col("doc_id"), col("base_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.prefixIndexMerge(
+        Dedup.incrementalIndex(older), cdrop)) ==
+      pairs(Dedup.incrementalIndex(cbase)),
+      "merged prefix index must serve exactly as the rebuilt index")
+    // ivf member merge ≡ re-assignment of base ∪ drop
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cells = Similarity.lloydCentroids(e, nlist = 8, iters = 1)
+    val eb = e.filter(col("vec_id") % 4 =!= 0)
+    val ed = e.filter(col("vec_id") % 4 === 0)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(Similarity.ivfMembersMerge(cells,
+        Similarity.ivfAssign(cells, eb), ed)) ==
+      rows(Similarity.ivfAssign(cells, e)))
+  }
+
   test("streaming twins stay green against the shrunk (deleted) base") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
