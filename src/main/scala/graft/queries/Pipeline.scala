@@ -617,6 +617,52 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x22_takedown_audit" -> { (s, dir) =>
+      // TAKEDOWN AUDIT — the governance record a compliance officer
+      // asks for after a revocation: per persisted store, how many
+      // index rows existed before, remain after, and changed. Every
+      // number comes from the d23/d26 delete paths running on the
+      // STALE stores (delta arithmetic; the corpus is read only for
+      // the revoked slice), while DuckDB recomputes each store's
+      // before/after from raw text — so a hash-green audit certifies
+      // the deletes end-to-end in one artifact. Per-store n_changed
+      // semantics (documented): span/postings/minhash = rows removed;
+      // components = SURVIVING docs whose representative changed (a
+      // takedown can split components — d26). Span/postings/minhash
+      // audit their %4≠0 base snapshot; the component map covers the
+      // whole corpus (its store convention).
+      val d = Tables.load(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 4 =!= 0)
+      val revDocs = base.filter(col("doc_id") % 10 === 1)
+      val revIds = revDocs.select(col("doc_id"))
+      def audit(store: String, before: DataFrame, after: DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .select(lit(store).as("store"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_changed"))
+      val spanB = spanIndexShared(s, dir)
+      val postB = tfidfPostingsFullShared(s, dir)
+      val mhB = minhashIndexFullShared(s, dir)
+      val compB = ccComponentsShared(s, dir)
+      val compA = Dedup.componentsDelete(
+        compB, d, d.filter(col("doc_id") % 10 === 1).select(col("doc_id")))
+      val compRow = compA.join(compB.withColumnRenamed("rep", "rep0"),
+          Seq("doc_id"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("rep") =!= col("rep0"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .crossJoin(compB.agg(count(lit(1)).as("n_before")))
+        .select(lit("components").as("store"), col("n_before"),
+          col("n_after"), col("n_changed"))
+      audit("mh_index", mhB, Dedup.minhashIndexDelete(mhB, revIds))
+        .unionByName(audit("span_index", spanB,
+          Dedup.spanIndexDelete(spanB, revDocs)))
+        .unionByName(audit("tfidf_postings", postB,
+          Dedup.postingsDelete(postB, revIds)))
+        .unionByName(compRow)
+        .orderBy(col("store"))
+    },
+
     "x20_license_propagation" -> { (s, dir) =>
       // license/restrictiveness propagation across near-dup clusters —
       // the compliance rule of training-data curation: a copy of a
@@ -5426,6 +5472,76 @@ object Pipeline {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // the audit differential: Spark's numbers come from the delete
+    // paths running on the stale stores; DuckDB recomputes every
+    // store's before/after from raw text (incl. BOTH component
+    // closures)
+    "x22_takedown_audit" ->
+      """WITH RECURSIVE
+        |b AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 <> 0),
+        |sv AS (SELECT doc_id, lang, text FROM b WHERE doc_id % 10 <> 1),
+        |tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks FROM b),
+        |tsv AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks FROM sv),
+        |spb AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tb WHERE len(toks) >= 8)),
+        |spa AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tsv WHERE len(toks) >= 8)),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tb WHERE len(toks) >= 2))),
+        |pa AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tsv WHERE len(toks) >= 2))),
+        |mb AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tb WHERE len(toks) >= 3),
+        |ma AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tsv WHERE len(toks) >= 3),
+        |atok AS (SELECT doc_id, lang,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |apairs AS (
+        |  SELECT a.doc_id AS i, b2.doc_id AS j
+        |  FROM atok a JOIN atok b2 ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b2.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b2.toks))) AS DOUBLE) >= 0.95),
+        |aedges AS (SELECT i AS u, j AS v FROM apairs UNION SELECT j AS u, i AS v FROM apairs),
+        |areach(u, v) AS (
+        |  SELECT u, v FROM aedges
+        |  UNION
+        |  SELECT r.u, e.v FROM areach r JOIN aedges e ON r.v = e.u),
+        |cc0 AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN areach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |stok AS (SELECT doc_id, lang,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0)) AS toks
+        |  FROM documents WHERE doc_id % 10 <> 1),
+        |spairs AS (
+        |  SELECT a.doc_id AS i, b2.doc_id AS j
+        |  FROM stok a JOIN stok b2 ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b2.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b2.toks))) AS DOUBLE) >= 0.95),
+        |sedges AS (SELECT i AS u, j AS v FROM spairs UNION SELECT j AS u, i AS v FROM spairs),
+        |sreach(u, v) AS (
+        |  SELECT u, v FROM sedges
+        |  UNION
+        |  SELECT r.u, e.v FROM sreach r JOIN sedges e ON r.v = e.u),
+        |cc1 AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 1) d
+        |  LEFT JOIN sreach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |crow AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_before,
+        |    CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(CASE WHEN c1.rep <> c0.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |  FROM cc1 c1 JOIN cc0 c0 USING (doc_id))
+        |SELECT 'components' AS store, n_before, n_after, n_changed FROM crow
+        |UNION ALL SELECT 'mh_index', mb.n, ma.n, mb.n - ma.n FROM mb, ma
+        |UNION ALL SELECT 'span_index', spb.n, spa.n, spb.n - spa.n FROM spb, spa
+        |UNION ALL SELECT 'tfidf_postings', pb.n, pa.n, pb.n - pa.n FROM pb, pa
+        |ORDER BY store""".stripMargin,
 
     // the splice differential: Spark re-closes ONLY affected
     // components on the stale map; DuckDB rebuilds the whole closure

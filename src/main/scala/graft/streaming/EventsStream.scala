@@ -589,6 +589,30 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of the v13 maintenance loop
+    * ([[graft.operators.Similarity.ivfPartialRefit]]): every arriving
+    * vector microbatch is the drift probe — cells it condemns below
+    * `minCos` re-Lloyd on their own members, healthy centroids pass
+    * through bit-identical, and the emitted `(centroid_id, centroid,
+    * refit)` table is the refit DECISION for that batch (production
+    * swaps the persisted store when any row is flagged; a calm batch
+    * emits the pass-through with `refit = false` everywhere — the
+    * ivfMaintain serve-on shape). Each batch evaluates against the
+    * SAME persisted `cells`/`corpus` snapshot, so batch outputs are
+    * independent and each equals the batch operator over that drop
+    * exactly (spec-pinned); chaining refits across batches is the
+    * store-swap the caller owns, like every index twin here.
+    */
+  def ivfRefitStream(vectors: DataFrame, cells: DataFrame,
+      corpus: DataFrame, minCos: Double = 0.98, iters: Int = 2)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Similarity.ivfPartialRefit(
+          cells, corpus, batch.toDF(), minCos, iters))
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Dedup.incrementalTfidfPairs]]
     * — the g14 similarity-graph maintenance flow run CONTINUOUSLY:
     * arriving documents gain their weighted-overlap edges into the base

@@ -838,6 +838,58 @@ class StreamingSpec extends AnyFunSuite {
       s"doc 0 must edge into base 100 via 'fast scan'/'scan joins': $got")
   }
 
+  test("streaming IVF refit decision equals the batch partial refit per drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vecs(ids: Range, f: Int => Array[Double]) =
+      ids.map(i => (i.toLong, f(i).toSeq)).toDF("vec_id", "embedding")
+    val base = vecs(0 until 10, i => Array(1.0, 0.0, 0.0, 0.001 * (i % 3)))
+      .unionByName(
+        vecs(10 until 16, i => Array(0.0, 1.0, 0.0, 0.001 * (i % 3))))
+      .cache()
+    base.count()
+    val cells = graft.operators.Similarity.lloydCentroids(
+      base, nlist = 2, iters = 2)
+    // batch 1: an in-distribution drop (calm — pass-through, serve on);
+    // batch 2: the planted drifted drop (axis2 tilted into the axis1
+    // cell) — the refit must fire for exactly that cell
+    val calm = (100 until 104).map(i =>
+      (i.toLong, Seq(1.0, 0.0, 0.0, 0.001 * (i % 3))))
+    val drifted = (200 until 220).map(i =>
+      (i.toLong, Seq(0.0, 0.001, 1.0, 0.001 * (i % 3))))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Int, Seq[Double], Boolean)]]
+    val q = EventsStream.ivfRefitStream(
+        in.toDF().toDF("vec_id", "embedding"), cells, base,
+        minCos = 0.9, iters = 2) { out =>
+      emitted += out.collect().map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toSeq,
+        r.getBoolean(2))).toSeq.sortBy(_._1)
+    }
+    def batchOp(rows: Seq[(Long, Seq[Double])]): Seq[(Int, Seq[Double], Boolean)] =
+      graft.operators.Similarity.ivfPartialRefit(
+          cells, base, rows.toDF("vec_id", "embedding"),
+          minCos = 0.9, iters = 2)
+        .collect().map(r => (r.getInt(0),
+          r.getAs[scala.collection.Seq[Double]]("centroid").toSeq,
+          r.getBoolean(2))).toSeq.sortBy(_._1)
+    in.addData(calm: _*)
+    q.processAllAvailable()
+    in.addData(drifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.length == 2)
+    assert(emitted(0) == batchOp(calm), "calm batch must match the batch op")
+    assert(emitted(0).forall(!_._3), "calm batch must not flag a refit")
+    assert(emitted(1) == batchOp(drifted),
+      "drifted batch must match the batch op bit-for-bit")
+    assert(emitted(1).count(_._3) == 1,
+      s"exactly the drop-hit cell must refit: ${emitted(1).map(t => (t._1, t._3))}")
+    base.unpersist()
+  }
+
   test("streaming PQ distortion matches the batch pqDistortion bit-for-bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
