@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -692,6 +692,25 @@ class GraftEngine(val spark: SparkSession) {
     *    base ∪ drop (disjoint doc_ids; 'prefix' promises served-answer
     *    equality under its frozen df order, the d19 contract). IVF
     *    member appends go through graft_ivf_append.
+    *  - `graft_secret_scrub(docs, k => 3, run => 4)` — frequency-gated
+    *    secret redaction (the t27 k-anonymity scrub): digit-run tokens
+    *    in fewer than k distinct documents corpus-wide mask as
+    *    `<secret>`; returns `(doc_id, n_tokens, n_secrets, n_redacted,
+    *    clean_text)`. `graft_secret_frequencies(docs, run => 4)` emits
+    *    the persisted (tok, nd) candidate index, and
+    *    `graft_secret_scrub_incremental(drop, index, k => 3, run => 4)`
+    *    scrubs an arriving drop against it, combining base and
+    *    within-drop evidence against k — the calls compose through the
+    *    TVF fixpoint.
+    *  - `graft_retention_expiry(docs, policy, as_of => 359)` — the
+    *    scheduled delete's input (the x23 retention family): rows of
+    *    docs (which must carry `source` and `ingest_day`) whose age at
+    *    as_of reached their source's `retention_days` in the policy
+    *    relation, annotated with `age_days`/`retention_days`; a source
+    *    with no policy row never expires. The output is the
+    *    revoked-set shape graft_index_delete / graft_components_delete
+    *    consume — scheduled and request-driven deletion share one
+    *    lifecycle.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -735,7 +754,11 @@ class GraftEngine(val spark: SparkSession) {
     "index_merge" -> Set("kind", "n"),
     "components_delete" -> Set("n", "threshold"),
     "byte_bpe_merges" -> Set("rounds"),
-    "byte_encode" -> Set.empty)
+    "byte_encode" -> Set.empty,
+    "secret_scrub" -> Set("k", "run"),
+    "secret_frequencies" -> Set("run"),
+    "secret_scrub_incremental" -> Set("k", "run"),
+    "retention_expiry" -> Set("as_of"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -767,7 +790,11 @@ class GraftEngine(val spark: SparkSession) {
     "index_merge" -> Seq("index", "drop"),
     "components_delete" -> Seq("components", "docs", "revoked"),
     "byte_bpe_merges" -> Seq("docs"),
-    "byte_encode" -> Seq("docs", "merges"))
+    "byte_encode" -> Seq("docs", "merges"),
+    "secret_scrub" -> Seq("docs"),
+    "secret_frequencies" -> Seq("docs"),
+    "secret_scrub_incremental" -> Seq("drop", "index"),
+    "retention_expiry" -> Seq("docs", "policy"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -938,6 +965,38 @@ class GraftEngine(val spark: SparkSession) {
           .filter(col("n_words") > 0)
           .withColumn("spw_ppm", expr("(1000000 * n_subwords) div n_words"))
           .withColumn("bps_ppm", expr("(1000000 * n_bytes) div n_subwords"))
+      case "secret_scrub" =>
+        // t27's frequency-gated secret redaction (k-anonymity scrub):
+        // digit-run tokens rarer than k distinct docs corpus-wide mask
+        // as <secret>; frequent codes survive. run = minimum digit-run
+        // length that makes a token a candidate.
+        val k = intOpt("k", 3)
+        val run = intOpt("run", 4)
+        graft.operators.Privacy.secretScrub(rel(0), k = k, minDigitRun = run)
+      case "secret_frequencies" =>
+        // the persisted index shape for the incremental scrub: one row
+        // per candidate token with its distinct-doc count (counted rows
+        // — delete/merge-capable with the d23/d25 delta arithmetic)
+        val run = intOpt("run", 4)
+        graft.operators.Privacy.secretFrequencies(rel(0), minDigitRun = run)
+      case "secret_scrub_incremental" =>
+        // the daily-drop posture: the drop scrubs against a persisted
+        // graft_secret_frequencies index; base + within-drop evidence
+        // combine against k (the calls COMPOSE:
+        // graft_secret_scrub_incremental(drop, graft_secret_frequencies(base)))
+        val k = intOpt("k", 3)
+        val run = intOpt("run", 4)
+        graft.operators.Privacy.secretScrubAgainstIndex(rel(0), rel(1),
+          k = k, minDigitRun = run)
+      case "retention_expiry" =>
+        // the scheduled delete's input: docs past their source's
+        // retention as of the audit day. docs must carry (source,
+        // ingest_day, ...); policy is (source, retention_days). The
+        // output is the revoked-set shape graft_index_delete /
+        // graft_components_delete consume — the calls compose.
+        val asOf = intOpt("as_of", 359)
+        graft.operators.Privacy.retentionExpiry(rel(0), rel(1),
+          asOfDay = asOf.toLong)
       case "radius" =>
         val tau = doubleOpt("tau", 0.3)
         require(tau >= -1.0 && tau <= 1.0,

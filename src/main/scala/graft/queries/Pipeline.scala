@@ -1879,6 +1879,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "t27_secret_scrub" -> { (s, dir) =>
+      // frequency-gated secret redaction (Privacy.secretScrub) — the
+      // k-anonymity scrub t10's regexes cannot express: a digit-bearing
+      // token is redacted iff it appears in < 3 distinct documents
+      // corpus-wide, so shared codes survive and one-off keys die. The
+      // synthetic corpus carries no secrets, so each doc plants one
+      // SHARED pin (doc_id % 37 → ~13 docs each at 500 docs, clears
+      // k = 3 and survives) and one UNIQUE key (12-digit doc_id pad,
+      // df = 1, redacted) — no RNG, identical strings on both engines;
+      // natural digit-run tokens in the text participate live under the
+      // same gate. Only candidate tokens shuffle; the rewrite is a
+      // map-side transform against the per-doc rare array.
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val planted = concat(
+        lit("pin"), lpad((col("doc_id") % 37).cast("string"), 4, "0"),
+        lit(" key"), lpad(id, 12, "0"), lit(" "), col("text"))
+      graft.operators.Privacy.secretScrub(
+          d.select(col("doc_id"), planted.as("text")), k = 3)
+        .orderBy(col("doc_id"))
+    },
+
     "s11_dedup_discount" -> { (s, dir) =>
       // duplicate-discounted sampling weights — the training-mix rule
       // that keeps s1/s7's samplers from oversampling duplicated
@@ -3133,6 +3155,31 @@ object Pipeline {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    "x23_retention_sweep" -> { (s, dir) =>
+      // retention/TTL sweep report (Privacy.retentionSweep) — the
+      // SCHEDULED counterpart to the d23 takedown: per source, how much
+      // of the corpus is past its retention policy as of the audit day,
+      // and the oldest surviving ingest day. The corpus carries no
+      // timestamp, so ingest_day derives deterministically (doc_id %
+      // 360, the x4 planted-attribute convention) and the policy frame
+      // derives per source from the source string (60 + 45·(len % 5)
+      // days) — no RNG, both engines replay it; production passes its
+      // real ingest column and policy table. The expiry SET (the
+      // delete-path input) is the same machinery filtered
+      // (Privacy.retentionExpiry, spec-gated + TVF front door); this
+      // report is one broadcast policy join + one map-combinable
+      // O(sources) aggregate.
+      val d = Tables.load(s, dir, "documents")
+      val docs = d.select(col("doc_id"), col("source"),
+        (col("doc_id") % 360).cast("long").as("ingest_day"))
+      val policy = d.select(col("source")).distinct()
+        .select(col("source"),
+          (lit(60L) + lit(45L) * (length(col("source")) % 5).cast("long"))
+            .as("retention_days"))
+      graft.operators.Privacy.retentionSweep(docs, policy, asOfDay = 359L)
+        .orderBy(col("source"))
+    },
+
     "x5_probe_auc" -> { (s, dir) =>
       // did the learned filter rank well? Exact tie-aware ROC-AUC of the
       // t16 probe margin against its label, via Stats.rankSumAuc — the
@@ -3938,6 +3985,64 @@ object Pipeline {
             when(col("rk") <= col("leftover"), 1L).otherwise(0L))
             .as("alloc"))
         .orderBy(col("source"))
+    },
+
+    "s14_curriculum_schedule" -> { (s, dir) =>
+      // epoch-annealed mixture schedule — the curriculum form of s8:
+      // training mixes don't hold one allocation for the whole run,
+      // they ANNEAL from the temperature-flattened mix (upsampled
+      // low-resource sources — diversity early) to the proportional
+      // mix (natural distribution late; the mT5/XLM-R schedule read as
+      // a curriculum). Both endpoints are exact Hamilton apportionments
+      // of the B = 100000 budget (q_temp at τ = 2 — s8's floor∘sqrt
+      // weights — and q_prop at τ = 1); epoch e of E = 4 interpolates
+      // the QUOTAS linearly, r_i(e) = (3−e)·q_temp + e·q_prop (sums to
+      // 3B by construction), then re-apportions by largest remainder
+      // over the divisor 3 so every epoch's quotas sum to EXACTLY B —
+      // integer arithmetic end to end, no transcendental ever enters.
+      // Epochs 0 and 3 are bit-identical to the s8 and proportional
+      // allocations (spec-pinned). ONE corpus-sized aggregate; the
+      // interpolation and both apportionments run on the O(sources × E)
+      // frame (whole-frame/per-epoch windows over provably tiny
+      // frames).
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      def hamilton(wt: org.apache.spark.sql.Column, out: String) =
+        counts.select(col("source"), col("n_docs"), wt.as("wt"))
+          .withColumn("wtot", sum(col("wt")).over(wnd.partitionBy()))
+          .select(col("source"), col("n_docs"),
+            expr("(100000 * wt) div wtot").as("base_n"),
+            expr("(100000 * wt) % wtot").as("rem"))
+          .withColumn("leftover",
+            lit(100000L) - sum(col("base_n")).over(wnd.partitionBy()))
+          .withColumn("rk", row_number().over(
+            wnd.orderBy(col("rem").desc, col("source"))))
+          .select(col("source"), col("n_docs"),
+            (col("base_n") +
+              when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+              .as(out))
+      val qt = hamilton(
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"), "q_temp")
+      val qp = hamilton(col("n_docs"), "q_prop")
+        .select(col("source"), col("q_prop"))
+      val epochs = s.range(0, 4).select(col("id").as("epoch"))
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"))
+      qt.join(qp, Seq("source")).crossJoin(epochs)
+        .select(col("epoch"), col("source"), col("n_docs"),
+          ((lit(3L) - col("epoch")) * col("q_temp") +
+            col("epoch") * col("q_prop")).as("r"))
+        .select(col("epoch"), col("source"), col("n_docs"),
+          expr("r div 3").as("base_n"), expr("r % 3").as("rem"))
+        .withColumn("leftover", lit(100000L) - sum(col("base_n")).over(we))
+        .withColumn("rk", row_number().over(
+          we.orderBy(col("rem").desc, col("source"))))
+        .select(col("epoch"), col("source"), col("n_docs"),
+          (col("base_n") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy(col("epoch"), col("source"))
     },
 
     "s12_dedup_mixture" -> { (s, dir) =>
@@ -7472,6 +7577,30 @@ object Pipeline {
         |FROM documents d JOIN m USING (source)
         |ORDER BY d.doc_id""".stripMargin,
 
+    "x23_retention_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(doc_id % 360 AS BIGINT) AS ingest_day
+        |  FROM documents),
+        |pol AS (
+        |  SELECT source,
+        |    CAST(60 + 45 * (len(source) % 5) AS BIGINT) AS retention_days
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |j AS (
+        |  SELECT d.source, p.retention_days, d.ingest_day,
+        |    (359 - d.ingest_day) >= p.retention_days AS expired
+        |  FROM docs d LEFT JOIN pol p USING (source))
+        |SELECT source, retention_days,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired,
+        |  (1000000 * CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS expired_ppm,
+        |  min(CASE WHEN NOT expired THEN ingest_day END)
+        |    AS oldest_surviving_day
+        |FROM j GROUP BY source, retention_days
+        |ORDER BY source""".stripMargin,
+
     "x6_latest_wins" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, ts, event_id, value, props,
@@ -8038,6 +8167,56 @@ object Pipeline {
         |    AS BIGINT) AS alloc
         |FROM r, l ORDER BY source""".stripMargin,
 
+    "s14_curriculum_schedule" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt2
+        |  FROM documents GROUP BY source),
+        |t2 AS (SELECT CAST(sum(wt2) AS BIGINT) AS wtot FROM c),
+        |b2 AS (
+        |  SELECT source, n_docs,
+        |    (100000 * wt2) // t2.wtot AS base_n,
+        |    (100000 * wt2) % t2.wtot AS rem
+        |  FROM c, t2),
+        |l2 AS (SELECT 100000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b2),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM b2),
+        |qt AS (
+        |  SELECT source, n_docs,
+        |    CAST(base_n + CASE WHEN rk <= l2.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_temp
+        |  FROM r2, l2),
+        |tp AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wtot FROM c),
+        |bp AS (
+        |  SELECT source,
+        |    (100000 * n_docs) // tp.wtot AS base_n,
+        |    (100000 * n_docs) % tp.wtot AS rem
+        |  FROM c, tp),
+        |lp AS (SELECT 100000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM bp),
+        |rp AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM bp),
+        |qp AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= lp.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_prop
+        |  FROM rp, lp),
+        |e AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS epoch),
+        |x AS (
+        |  SELECT e.epoch, qt.source, qt.n_docs,
+        |    (3 - e.epoch) * qt.q_temp + e.epoch * qp.q_prop AS r
+        |  FROM qt JOIN qp USING (source), e),
+        |y AS (SELECT epoch, source, n_docs,
+        |        r // 3 AS base_n, r % 3 AS rem FROM x),
+        |lo AS (SELECT epoch, 100000 - CAST(sum(base_n) AS BIGINT) AS leftover
+        |       FROM y GROUP BY epoch),
+        |rr AS (SELECT y.*, row_number() OVER (PARTITION BY y.epoch
+        |         ORDER BY y.rem DESC, y.source) AS rk FROM y)
+        |SELECT rr.epoch, rr.source, rr.n_docs,
+        |  CAST(rr.base_n + CASE WHEN rr.rk <= lo.leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM rr JOIN lo USING (epoch)
+        |ORDER BY rr.epoch, rr.source""".stripMargin,
+
     "t20_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -8588,6 +8767,39 @@ object Pipeline {
         |  (1000000 * n_blocked) // n_tokens AS blocked_ppm,
         |  ((1000000 * n_blocked) // n_tokens) < 50000 AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t27_secret_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'pin' || lpad(CAST(doc_id % 37 AS VARCHAR), 4, '0') ||
+        |    ' key' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ||
+        |    ' ' || text AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM p),
+        |cand AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+        |  WHERE regexp_matches(tok, '[0-9]{4}')),
+        |rare AS (SELECT tok FROM cand GROUP BY tok HAVING count(*) < 3),
+        |rset AS (
+        |  SELECT doc_id, list(tok) AS rt
+        |  FROM cand JOIN rare USING (tok) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(len(r.rt), 0) AS BIGINT) AS n_secrets,
+        |  CAST(len(list_filter(t.toks,
+        |    x -> list_contains(coalesce(r.rt, CAST([] AS VARCHAR[])), x)))
+        |    AS BIGINT) AS n_redacted,
+        |  array_to_string(list_transform(t.toks,
+        |    x -> CASE WHEN list_contains(
+        |                 coalesce(r.rt, CAST([] AS VARCHAR[])), x)
+        |          THEN '<secret>' ELSE x END), ' ') AS clean_text
+        |FROM tok t LEFT JOIN rset r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "x15_global_ids" ->
       """SELECT doc_id,

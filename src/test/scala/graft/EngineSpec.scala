@@ -770,6 +770,74 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_secret_scrub TVFs: scrub, index, and incremental compose via SQL") {
+    engine.run("create table scrub_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into scrub_docs_t values " +
+      "(1, 'pin1111 key0001 alpha'), " +
+      "(2, 'pin1111 key0002 beta'), " +
+      "(3, 'pin1111 key0003 gamma'), " +
+      "(4, 'no digits here')")
+    val docs = engine.table("scrub_docs_t")
+    // full-corpus scrub TVF ≡ Scala operator: shared pin survives,
+    // unique keys redact
+    val got = engine.run(
+      "select doc_id, n_tokens, n_secrets, n_redacted, clean_text from " +
+        "graft_secret_scrub(scrub_docs_t, k => 3) order by doc_id")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Privacy.secretScrub(docs, k = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want && got.length == 4)
+    assert(got.head(4) == "pin1111 <secret> alpha")
+    // index TVF ≡ Scala frequencies
+    val gotIdx = engine.run(
+      "select tok, nd from graft_secret_frequencies(scrub_docs_t) " +
+        "order by tok").collect().map(_.toSeq).toSeq
+    val wantIdx = graft.operators.Privacy.secretFrequencies(docs)
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(gotIdx == wantIdx && gotIdx.nonEmpty)
+    // incremental composes through the TVF fixpoint: a drop re-using the
+    // base pin clears k on combined evidence; a fresh key does not
+    engine.run("create table scrub_drop_t(doc_id bigint, text varchar)")
+    engine.run("insert into scrub_drop_t values " +
+      "(10, 'pin1111 key9910 fresh')")
+    val gotInc = engine.run(
+      "select doc_id, clean_text from graft_secret_scrub_incremental(" +
+        "scrub_drop_t, graft_secret_frequencies(scrub_docs_t), k => 3) " +
+        "order by doc_id").collect().map(_.toSeq).toSeq
+    assert(gotInc == Seq(Seq(10L, "pin1111 <secret> fresh")))
+  }
+
+  test("graft_retention_expiry TVF: expiry set composes into graft_index_delete") {
+    engine.run("create table ret_docs_t(" +
+      "doc_id bigint, source varchar, ingest_day bigint, text varchar)")
+    engine.run("insert into ret_docs_t values " +
+      "(1, 'web', 50, 'aa bb cc dd aa bb cc dd'), " +   // expired (age 50)
+      "(2, 'web', 90, 'aa bb cc dd ee ff gg hh'), " +   // kept (age 10)
+      "(3, 'feed', 0, 'zz yy xx ww vv uu tt ss')")      // no policy → kept
+    engine.run("create table ret_policy_t(source varchar, retention_days bigint)")
+    engine.run("insert into ret_policy_t values ('web', 30)")
+    val got = engine.run(
+      "select doc_id, age_days, retention_days from " +
+        "graft_retention_expiry(ret_docs_t, ret_policy_t, as_of => 100) " +
+        "order by doc_id").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(1L, 50L, 30L)))
+    // composes: the expiry set feeds the span-index takedown and the
+    // result equals rebuilding the index over the survivors
+    val docs = engine.table("ret_docs_t")
+    val full = graft.operators.Dedup.spanIndexCounted(docs, n = 3)
+    full.createOrReplaceTempView("ret_span_idx")
+    val gotDel = engine.run(
+      "select gh, nd from graft_index_delete(ret_span_idx, " +
+        "graft_retention_expiry(ret_docs_t, ret_policy_t, as_of => 100), " +
+        "kind => 'span', n => 3) order by gh")
+      .collect().map(_.toSeq).toSeq
+    val survivors = docs.where("doc_id <> 1")
+    val want = graft.operators.Dedup.spanIndexCounted(survivors, n = 3)
+      .orderBy("gh").collect().map(_.toSeq).toSeq
+    assert(gotDel == want && gotDel.nonEmpty)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete TVF: takedown per store equals the Scala operators") {
     import org.apache.spark.sql.functions.col
     engine.run("create table idel_docs_t(doc_id bigint, text varchar)")

@@ -277,6 +277,49 @@ class DedupSpec extends AnyFunSuite {
     assert(all(2L) == ((17L, 0L, s"$run mid $run")))
   }
 
+  test("curriculum schedule: exact per-epoch budget, endpoints pin to s8/proportional") {
+    val dir = TestSpark.sf
+    val rows = graft.queries.Pipeline.queries("s14_curriculum_schedule")(
+        spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    // every epoch apportions the budget EXACTLY
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      assert(rs.map(_._3).sum == 100000L, s"epoch $e must sum to the budget")
+    }
+    // epoch 0 is bit-identical to s8's temperature allocation
+    val s8 = graft.queries.Pipeline.queries("s8_temperature_mix")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.filter(_._1 == 0L).foreach { case (_, src, q) =>
+      assert(q == s8(src), s"epoch 0 must equal s8 for $src")
+    }
+    // epoch 3 is the proportional Hamilton apportionment (driver replay)
+    val sources: Seq[String] = rows.map(_._2).distinct.sorted
+    val nBySrc = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wtot: Long = nBySrc.values.sum
+    val base: Map[String, Long] =
+      sources.map(s => s -> (100000L * nBySrc(s)) / wtot).toMap
+    val rem: Seq[(String, Long)] =
+      sources.map(s => s -> (100000L * nBySrc(s)) % wtot)
+    val leftover = (100000L - base.values.sum).toInt
+    val seats: Set[String] = rem.sortBy { case (s, r) => (-r, s) }
+      .take(leftover).map(_._1).toSet
+    rows.filter(_._1 == 3L).foreach { case (_, src, q) =>
+      val want = base(src) + (if (seats(src)) 1L else 0L)
+      assert(q == want, s"epoch 3 must be proportional for $src")
+    }
+    // interior epochs sit within 1 seat of the linear interpolation
+    val q0 = rows.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val q3 = rows.filter(_._1 == 3L).map(t => t._2 -> t._3).toMap
+    rows.foreach { case (e, src, q) =>
+      val interp = ((3 - e) * q0(src) + e * q3(src)).toDouble / 3.0
+      assert(math.abs(q - interp) <= 1.0,
+        s"epoch $e quota for $src strays from the interpolation")
+    }
+  }
+
   test("mixture manifest: dense per-source ranks, unique picks, budget bound") {
     // s13's selection is a TOTAL order (md5, then doc_id) through
     // TopKPerKey, so determinism is structural (and the DuckDB oracle
