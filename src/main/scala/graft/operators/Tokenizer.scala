@@ -696,6 +696,42 @@ object Tokenizer {
     GraftSqlBridge.column(UnigramSegment(
       GraftSqlBridge.expressionNoSpark(text), pieces, charCost))
   }
+
+  /** One EM re-estimation round for the unigram-LM tokenizer (Kudo
+    * ACL'18's iterate step, hard/Viterbi-EM form) — the loop [[unigramLm]]
+    * seeds: E-step = Viterbi-segment the corpus under the CURRENT piece
+    * table (the [[unigramSegment]] serving expression — one map-only
+    * fused corpus pass, the model rides as a codegen reference object)
+    * and count per-piece usage; M-step = re-estimate every used piece's
+    * cost from its usage share in the engine-shared exact bit-length
+    * metric, `(bits(N) − bits(n_uses))·1024 + 1` with `N` the total
+    * piece count (the u6 cost discipline — `bin()` is exact on both
+    * engines, libm ln is not). Pieces the Viterbi never uses DROP (the
+    * EM prune — their posterior mass is zero under the hard E-step);
+    * totality of the NEXT round is the serving expression's charCost
+    * fallback, so iterating is just feeding the output back in. The
+    * only corpus-sized stage is the one aggregate; the M-step runs on
+    * the O(vocab) frame (whole-frame window over a provably tiny
+    * frame).
+    *
+    * Returns `(piece, n_uses, cost)` — the re-estimated model, the
+    * same shape [[unigramSegment]] consumes.
+    */
+  def unigramEmStep(
+      docs: DataFrame,
+      pieces: Seq[(String, Long)],
+      charCost: Long = 6145L,
+      textCol: String = "text"): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .select(explode(unigramSegment(col(textCol), pieces, charCost))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
+      .withColumn("n", sum(col("n_uses")).over(wnd))
+      .select(col("piece"), col("n_uses"),
+        ((length(bin(col("n"))) - length(bin(col("n_uses"))))
+          .cast("long") * 1024L + 1L).as("cost"))
+  }
 }
 
 /** Prebuilt rank lookup for a merge table: pair → index in learned order.

@@ -4706,6 +4706,25 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "u13_unigram_em" -> { (s, dir) =>
+      // one EM re-estimation round for the unigram-LM tokenizer (Kudo
+      // ACL'18's iterate step, hard/Viterbi-EM form) — the loop u6
+      // seeds and u7 serves: E-step Viterbi usage under the FIXED
+      // UnigramPieces model (the u7 serving expression — one map-only
+      // fused corpus pass, model as codegen reference object), M-step
+      // costs re-estimated from usage share in the exact bit-length
+      // metric ((bits(N) − bits(n_uses))·1024 + 1 — the u6 cost
+      // discipline; bin() is engine-shared exact, libm ln is not).
+      // Never-used pieces drop (the EM prune — zero posterior mass
+      // under the hard E-step); the serving charCost fallback keeps
+      // the next round total, so iterating is feeding the output back
+      // in. One corpus-sized aggregate; the M-step runs on the
+      // O(vocab) frame.
+      Tokenizer.unigramEmStep(Tables.load(s, dir, "documents"),
+          UnigramPieces, UnigramCharCost)
+        .orderBy(col("piece"))
+    },
+
     "u8_tokenizer_compare" -> { (s, dir) =>
       // tokenizer-selection eval: per-language fertility of the u4 BPE
       // table vs the u7 unigram-LM table over the SAME corpus — the
@@ -5102,7 +5121,39 @@ object Pipeline {
     * piece-count CTE, so u8 can splice this chain and [[BpeFoldCtes]]
     * (whose final CTE is also `wl`) into ONE oracle.
     */
-  private def unigramServeCtes(wlName: String): String = {
+  private def unigramServeCtes(wlName: String): String =
+    s"""$unigramDpCtes,
+      |$wlName AS (
+      |  SELECT uN.w, CAST(len(list_filter(string_split(uN.path, chr(31)),
+      |    x -> len(x) > 0)) AS BIGINT) AS n_pieces
+      |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
+      |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
+      |  UNION ALL
+      |  SELECT w, CAST(length(w) AS BIGINT) AS n_pieces
+      |  FROM wd WHERE length(w) > 12)""".stripMargin
+
+  /** Variant ending in the per-word piece LIST `<plName>(w, pieces)`
+    * instead of a count — the u13 EM E-step needs piece IDENTITIES to
+    * aggregate usage (long words contribute their code points, the
+    * serving fallback).
+    */
+  private def unigramPieceListCtes(plName: String): String =
+    s"""$unigramDpCtes,
+      |$plName AS (
+      |  SELECT uN.w, list_filter(string_split(uN.path, chr(31)),
+      |    x -> len(x) > 0) AS pieces
+      |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
+      |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
+      |  UNION ALL
+      |  SELECT w, regexp_extract_all(w, '.') AS pieces
+      |  FROM wd WHERE length(w) > 12)""".stripMargin
+
+  /** The shared relational-Viterbi DP chain over `occ`'s distinct words
+    * under the fixed [[UnigramPieces]] table (edges + unrolled min-plus
+    * rounds, final state in `u<maxWordLen>`), with no result CTE — the
+    * serve/piece-list variants append their own tail.
+    */
+  private def unigramDpCtes: String = {
     val vals = UnigramPieces
       .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
       .mkString(", ")
@@ -5142,15 +5193,7 @@ object Pipeline {
       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
       |    '' AS path
       |  FROM wshort),
-      |$rounds,
-      |$wlName AS (
-      |  SELECT uN.w, CAST(len(list_filter(string_split(uN.path, chr(31)),
-      |    x -> len(x) > 0)) AS BIGINT) AS n_pieces
-      |  FROM u${graft.operators.Tokenizer.UnigramMaxWordLen} uN
-      |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
-      |  UNION ALL
-      |  SELECT w, CAST(length(w) AS BIGINT) AS n_pieces
-      |  FROM wd WHERE length(w) > 12)""".stripMargin
+      |$rounds""".stripMargin
   }
 
   /** Shared u4/u5 oracle fragment: the six list_reduce folds (one per
@@ -9093,6 +9136,27 @@ object Pipeline {
         |SELECT doc_id, n_words, n_pieces,
         |  (1000000 * n_pieces) // n_words AS ppw_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "u13_unigram_em" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |${unigramPieceListCtes("pl")},
+        |wcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |         FROM occ GROUP BY w),
+        |pu AS (
+        |  SELECT piece, CAST(sum(c) AS BIGINT) AS n_uses
+        |  FROM (SELECT pl.w, unnest(pl.pieces) AS piece FROM pl) z
+        |  JOIN wcnt USING (w)
+        |  GROUP BY piece),
+        |tot AS (SELECT CAST(sum(n_uses) AS BIGINT) AS n FROM pu)
+        |SELECT piece, n_uses,
+        |  CAST(length(bin(tot.n)) - length(bin(n_uses)) AS BIGINT) * 1024 + 1
+        |    AS cost
+        |FROM pu, tot ORDER BY piece""".stripMargin,
 
     "u9_kneser_ney" ->
       """WITH tok AS (

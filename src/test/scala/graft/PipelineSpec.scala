@@ -1873,6 +1873,49 @@ class TokenizerSpec extends AnyFunSuite {
     assert(multi == Seq("ab", "cd", "q", "xyzw", "xyzw"))
   }
 
+  test("unigram EM step: usage is the Viterbi count, costs are exact bit shares") {
+    import spark.implicits._
+    // abc → ab+c (1+10=11 beats a+b+c=30); ab → ab; c → c.
+    // usage: ab = 2, c = 2; zz never used → DROPPED (the EM prune)
+    val pieces = Seq(("ab", 1L), ("a", 10L), ("b", 10L), ("c", 10L),
+      ("zz", 5L))
+    val docs = Seq((1L, "abc ab c")).toDF("doc_id", "text")
+    val got = Tokenizer.unigramEmStep(docs, pieces, charCost = 6145L)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // N = 4 → bits = 3; n_uses = 2 → bits = 2; cost = (3−2)·1024+1
+    assert(got == Seq(("ab", 2L, 1025L), ("c", 2L, 1025L)))
+  }
+
+  test("unigram EM step: iterating stays total and within the used vocabulary") {
+    val dir = TestSpark.sf
+    val docs = Tables.load(spark, dir, "documents")
+    val step1 = Tokenizer.unigramEmStep(docs,
+        graft.queries.Pipeline.UnigramPieces,
+        graft.queries.Pipeline.UnigramCharCost)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(step1.nonEmpty)
+    // M-step monotone: more-used pieces never cost more
+    val byUse = step1.sortBy(-_._2)
+    byUse.sliding(2).foreach {
+      case Array((_, u1, c1), (_, u2, c2)) =>
+        assert(u1 >= u2 && c1 <= c2, "cost must be antitone in usage")
+      case _ =>
+    }
+    // feeding the output back in is a valid model: the next E-step is
+    // total, and its usage stays within step-1 pieces ∪ char fallback
+    val model2 = step1.map(t => (t._1, t._3)).toSeq
+    val step2 = Tokenizer.unigramEmStep(docs, model2,
+        graft.queries.Pipeline.UnigramCharCost)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(step2.nonEmpty)
+    val vocab1 = step1.map(_._1).toSet
+    step2.foreach { case (p, _) =>
+      assert(vocab1.contains(p) || p.codePointCount(0, p.length) == 1,
+        s"step-2 piece $p must be a step-1 piece or a char fallback")
+    }
+  }
+
   test("unigram serving: count is cost mod 1024 (tie-invariant) on random words") {
     val pieces = Pipeline.UnigramPieces
     val pmap = pieces.toMap
