@@ -589,6 +589,29 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of
+    * [[graft.operators.Privacy.secretScrubAgainstIndex]] — the t27
+    * k-anonymity scrub at ingest: each arriving microbatch scrubs
+    * against the PERSISTED (tok, nd) candidate-frequency index, with
+    * base + within-batch evidence combining against k. The base half
+    * is stateless (the [[spanExciseStream]] discipline); the
+    * within-batch half is per-BATCH by construction — a secret whose
+    * copies co-arrive in one microbatch pools their evidence, copies
+    * split across microbatches each count only their own batch (the
+    * CONSERVATIVE direction for a privacy gate: splitting evidence can
+    * only redact MORE, never leak a secret the batch operator would
+    * have caught — spec-pinned against the union batch).
+    */
+  def secretScrubStream(docs: DataFrame, freqIndex: DataFrame,
+      k: Int = 3, minDigitRun: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Privacy.secretScrubAgainstIndex(
+          batch.toDF(), freqIndex, k, minDigitRun))
+      }
+      .start()
+
   /** Streaming twin of the v13 maintenance loop
     * ([[graft.operators.Similarity.ivfPartialRefit]]): every arriving
     * vector microbatch is the drift probe — cells it condemns below

@@ -783,6 +783,60 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("secret scrub stream: per-batch rule exact, split evidence only over-redacts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the base holds pin8888 twice: one more sighting anywhere clears
+    // k = 3; fresh secrets need all their evidence in ONE batch
+    val base = Seq(
+      (100L, "pin8888 base one"),
+      (101L, "pin8888 base two"),
+      (102L, "plain base row")).toDF("doc_id", "text")
+    val index = graft.operators.Privacy.secretFrequencies(base)
+    // batch 1: a pin sighting (2+1 ⇒ survives) and two co-arriving
+    // copies of a fresh key (0+2 < 3 ⇒ both redact); batch 2: a third
+    // copy of that key, alone (0+1 < 3 ⇒ redacts)
+    val b1 = Seq(
+      (0L, "pin8888 rides the base"),
+      (1L, "key5555 first copy"),
+      (2L, "key5555 second copy"))
+    val b2 = Seq((3L, "key5555 third copy"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = EventsStream.secretScrubStream(
+        in.toDF().toDF("doc_id", "text"), index, k = 3) { batch =>
+      got ++= batch.collect().map(r => (r.getLong(0), r.getString(4)))
+    }
+    def batchOp(rows: Seq[(Long, String)]): Seq[(Long, String)] =
+      graft.operators.Privacy.secretScrubAgainstIndex(
+          rows.toDF("doc_id", "text"), index, k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(4)))
+        .toSeq.sortBy(_._1)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(_._1).toSeq == batchOp(b1),
+      "each microbatch must equal the batch operator over that batch")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.toMap
+    assert(byId(0L) == "pin8888 rides the base")
+    assert(byId(1L) == "<secret> first copy")
+    assert(byId(2L) == "<secret> second copy")
+    // the pinned divergence direction: the union batch would see
+    // key5555 in 3 docs (0 + 3 ⇒ SURVIVES), but split across batches
+    // each side counts only its own evidence — the stream REDACTS doc
+    // 3's copy too. For a privacy gate that is the safe direction:
+    // splitting evidence can only redact more, never leak.
+    assert(byId(3L) == "<secret> third copy")
+    val union = batchOp(b1 ++ b2).toMap
+    assert(union(1L) == "key5555 first copy" &&
+      union(3L) == "key5555 third copy",
+      "the union batch must clear k — the divergence this spec pins " +
+        "must be real, and in the over-redact direction only")
+  }
+
   test("streaming incremental pairs equals the batch operator per arriving doc") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
