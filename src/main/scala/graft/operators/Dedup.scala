@@ -686,6 +686,59 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** CHARACTER-granular duplicated-span excision — [[spanExcise]] at
+    * Lee et al. ACL'22's actual granularity: the paper removes
+    * duplicated substrings of >= 50 CHARACTERS, not token windows, so
+    * duplication that straddles token boundaries or lives inside long
+    * tokens (URLs, code, CJK text with no whitespace) is visible here
+    * and invisible to d20/d21. Every character position covered by an
+    * `n`-char window (of the LOWERCASED text, the engine's clean-text
+    * contract) occurring in MORE THAN ONE document excises; the union
+    * of qualifying n-windows is exactly the paper's maximal duplicated
+    * substring (the d21 window-fidelity property, restated in the
+    * character domain). Output `(doc_id, n_chars, n_removed,
+    * clean_text)`.
+    *
+    * Same machinery and 100 TB posture as [[spanExcise]] — windows
+    * xxhash64 map-side (substring enumeration; bodies never shuffle),
+    * ONE doc-frequency aggregate on the hash, per-doc int cover
+    * arrays, codegen'd indexed rebuild over the per-code-point array
+    * (`regexp_extract_all('(?s).')` — dot-matches-newline so the char
+    * array is exactly `length(t)` long on both engines; surrogate
+    * pairs stay fused, the u7 discipline). Candidate volume is
+    * ~mean-token-length× d20's (one window per CHARACTER position):
+    * the price of the finer granularity, still fixed-width rows on a
+    * bounded key — no all-pairs stage, no suffix array to build or
+    * shard.
+    */
+  def spanExciseChars(docs: DataFrame, n: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val base = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+    val g = persistPublic(base.filter(length(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("t")) - n)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(t, pos + 1, $n)")).as("gh")))
+    val dupSpans = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val covers = g.join(dupSpans, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    base.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        filter(expr("regexp_extract_all(t, '(?s).', 0)"), (_, i) =>
+          !coalesce(array_contains(col("cov"), i), lit(false))).as("kept"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "").as("clean_text"))
+  }
+
   /** KEEP-ONE duplicated-span dedup — Lee et al. ACL'22's actual
     * ExactSubstr rule, where [[spanExcise]] is the stricter
     * template-removal variant: every `n`-token span occurring MORE THAN

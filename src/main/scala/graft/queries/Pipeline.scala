@@ -894,6 +894,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d24_char_excise" -> { (s, dir) =>
+      // CHARACTER-granular span excision (Dedup.spanExciseChars) — Lee
+      // et al. ACL'22's actual granularity (>= 50-char substrings; 40
+      // here to live-fire on this corpus): duplication that straddles
+      // token boundaries or lives inside long tokens is visible at
+      // char level and invisible to d20/d21's token windows. Reads the
+      // BUCKETED corpus like d20 so the cover join-back exchanges only
+      // the cover side; windows hash map-side (one per char position —
+      // the granularity's price, documented), qualification is one
+      // distinct-doc count on the hash, the rebuild is the indexed
+      // per-code-point filter. The oracle regroups the actual 40-char
+      // SUBSTRINGS where Spark groups xxhash64 hashes — corpus
+      // collision-freedom is part of the gate (the d20 discipline).
+      Dedup.spanExciseChars(bucketedDocsShared(s, dir), n = 40)
+        .orderBy(col("doc_id"))
+    },
+
     "d21_span_keep_one" -> { (s, dir) =>
       // KEEP-ONE duplicated-span dedup — the Lee et al. ACL'22
       // ExactSubstr rule exactly (d20 is the stricter remove-every-copy
@@ -8769,6 +8786,40 @@ object Pipeline {
         |  FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM tok t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "d24_char_excise" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM tok WHERE length(t) >= 40)),
+        |dup AS (
+        |  SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 39)) AS i
+        |  FROM sp s JOIN dup USING (g)),
+        |ch AS (
+        |  SELECT doc_id, t, regexp_extract_all(t, '(?s).') AS cs FROM tok),
+        |tp AS (
+        |  SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i
+        |  FROM ch),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.cs[tp.i] AS c
+        |  FROM tp LEFT JOIN cov
+        |    ON tp.doc_id = cov.doc_id AND tp.i - 1 = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(c, '' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.t) AS BIGINT) AS n_chars,
+        |  CAST(length(t.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(ka.clean_text, '') AS clean_text
         |FROM tok t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,

@@ -320,6 +320,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("char-granular excision sees what token windows cannot") {
+    // a 40-char duplicated region that STRADDLES token boundaries with
+    // different surrounding tokens in each doc — and, in doc 2, lives
+    // INSIDE one long unbroken token (a URL-ish string): invisible to
+    // the 8-token window, exact at char level
+    val dup = "0123456789abcdefghijklmnopqrstuvwxyz-end" // 40 chars
+    val corpus = Seq(
+      (0L, s"prefix $dup suffix one"),
+      (1L, s"other lead-in $dup trailing words"),
+      (2L, s"solo http://x.example/$dup?q=1 tail"),
+      (3L, "entirely unrelated short text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExciseChars(corpus, n = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every copy excises (distinct-doc qualification), and the cover is
+    // the MAXIMAL shared substring, not just the planted region: docs 0
+    // and 1 both surround the dup with spaces, so " dup " (42 chars)
+    // repeats across them and windows reaching into the shared spaces
+    // qualify too — the union-of-windows = maximal-duplicated-run
+    // property, live at char granularity. Doc 2's URL context differs
+    // on both sides, so exactly the 40 dup chars go there.
+    assert(got(0L) == ((58L, 42L, "prefixsuffix one")))
+    assert(got(1L) == ((69L, 42L, "other lead-intrailing words")))
+    assert(got(2L) == ((71L, 40L, "solo http://x.example/?q=1 tail")))
+    assert(got(3L) == ((29L, 0L, "entirely unrelated short text")))
+    // the token-window operator misses ALL of it: no 8-token span
+    // repeats across these docs
+    val tokenView = Dedup.spanExcise(corpus, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tokenView.values.forall(_ == 0L),
+      "the straddling duplication must be invisible at token level")
+    Dedup.unpersistAll()
+  }
+
+  test("char excision: within-doc repeat alone does not qualify; short docs pass") {
+    val run = "zyxwvutsrqponmlkjihgfedcba9876543210-x40" // 40 chars
+    val corpus = Seq(
+      (0L, s"$run middle $run"),          // repeat, but ONE distinct doc
+      (1L, "short"))                      // under n chars entirely
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExciseChars(corpus, n = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == 0L, "distinct-doc rule: within-doc repeats survive")
+    assert(got(1L) == 0L, "short docs pass through untouched")
+    Dedup.unpersistAll()
+  }
+
   test("mixture manifest: dense per-source ranks, unique picks, budget bound") {
     // s13's selection is a TOTAL order (md5, then doc_id) through
     // TopKPerKey, so determinism is structural (and the DuckDB oracle
