@@ -883,4 +883,131 @@ object Graph {
         (coalesce(col("a"), lit(0L)) * col("g")).as("auth"),
         (coalesce(col("h"), lit(0L)) * col("g")).as("hub"))
   }
+
+  /** EXACT bounded-radius harmonic centrality — the ground truth the
+    * HyperBall sketch ([[harmonicCentralityHll]]) approximates:
+    * `H(v) = Σ_{u ≠ v, d(v,u) <= maxDist} 1/d(v,u)`, reported in exact
+    * ppm (`1000000 div d` per reached vertex — integers end to end, so
+    * the DuckDB recursive-BFS oracle replays it bit-for-bit; Boldi &
+    * Vigna 2014 motivate harmonic over closeness exactly because
+    * unreachable pairs contribute 0, which a distance cap preserves).
+    * Per round: one frontier ⋈ edges shuffle + one min-distance
+    * aggregate, lineage truncated per round (the g9 discipline). The
+    * distance table is O(V · reach) rows — tractable on near-dup/
+    * similarity graphs whose components are small, and the reason the
+    * SKETCH form exists for the 100 TB web graph where reach explodes.
+    */
+  def harmonicCentralityExact(vertices: DataFrame, pairs: DataFrame,
+      maxDist: Int = 4): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist")
+    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize = true))
+    var dist = vertices.select(col("doc_id").as("v"),
+      col("doc_id").as("u"), lit(0).as("d"))
+    (1 to maxDist).foreach { t =>
+      val step = dist.filter(col("d") === t - 1).as("p")
+        .join(edges.as("e"), col("p.u") === col("e.doc_a"))
+        .select(col("p.v").as("v"), col("e.doc_b").as("u"),
+          lit(t).as("d"))
+      dist = Dedup.truncatePublic(dist.union(step)
+        .groupBy(col("v"), col("u")).agg(min(col("d")).as("d")))
+    }
+    val scores = dist.filter(col("d") > 0)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 div d")).as("harmonic_ppm"))
+    vertices.select(col("doc_id"))
+      .join(scores, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("harmonic_ppm"), lit(0L)).as("harmonic_ppm"))
+  }
+
+  /** HyperBall (Boldi & Vigna WSDM'13): neighborhood-function and
+    * harmonic-centrality ESTIMATION by HLL-sketch propagation — the
+    * centrality that actually runs on a 100 TB-scale graph, where the
+    * exact form's O(V · reach) distance table is impossible. Every
+    * vertex carries an m-register HLL sketch of its ball `B(v, t)`;
+    * one round is sketch_{t+1}(v) = merge(sketch_t(v), sketch_t(w) for
+    * every neighbor w) — ONE edges ⋈ states shuffle plus one
+    * register-max aggregate on fixed-width binary states
+    * (`graft_hll_merge` — max per register is associative/commutative,
+    * so the propagation is bit-deterministic on any partitioning,
+    * which is what lets the g15 gate pin the REGISTER states against a
+    * DuckDB replay while the float estimator on top stays spec-gated —
+    * the k8 discipline). Returns per vertex the estimated reach and
+    * `H(v) ≈ Σ_t (|B(v,t)| − |B(v,t−1)|)/t`, per-term clamped at 0
+    * (register estimates are monotone in t by construction, but the
+    * bias correction is not — the clamp keeps a shrinking correction
+    * from paying negative mass).
+    */
+  def harmonicCentralityHll(vertices: DataFrame, pairs: DataFrame,
+      maxDist: Int = 4, m: Int = 256): DataFrame = {
+    val states = hyperBallStates(vertices, pairs, maxDist, m)
+    val ests = states.select(col("v"), col("t"),
+      call_function("graft_hll_estimate", col("st")).as("est"))
+    val deltas = ests.as("c").join(ests.as("p"),
+        col("c.v") === col("p.v") && col("c.t") === col("p.t") + 1)
+      .select(col("c.v").as("v"), col("c.t").as("t"),
+        greatest(lit(0.0), col("c.est") - col("p.est")).as("delta"))
+    val h = deltas
+      .groupBy(col("v"))
+      .agg(sum((col("delta") / col("t").cast("double"))
+        .cast("decimal(28,12)")).cast("double").as("harmonic_est"))
+    val reach = ests.filter(col("t") === maxDist)
+      .select(col("v"), col("est").as("n_ball_est"))
+    vertices.select(col("doc_id"))
+      .join(h, col("doc_id") === col("v"), "left").drop("v")
+      .join(reach, col("doc_id") === col("v"), "left").drop("v")
+      .select(col("doc_id"),
+        coalesce(col("harmonic_est"), lit(0.0)).as("harmonic_est"),
+        coalesce(col("n_ball_est"), lit(0.0)).as("n_ball_est"))
+  }
+
+  /** The HyperBall propagation itself: per vertex and round
+    * `t ∈ [0, maxDist]`, the HLL register state of the ball sketch —
+    * `(v, t, st)`. Shared by the estimator ([[harmonicCentralityHll]])
+    * and the register-level gate digests ([[hyperBallDigests]]).
+    * Per-round lineage truncation (trainer-loop discipline); release
+    * scratch with `Dedup.unpersistAll()`.
+    */
+  def hyperBallStates(vertices: DataFrame, pairs: DataFrame,
+      maxDist: Int, m: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist")
+    require(m >= 16 && m <= (1 << 16), s"m must be in [16, 65536], got $m")
+    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize = true))
+    // graft_hll_state is an AGGREGATE (the k8 shape) — seed each
+    // vertex's singleton sketch through a one-row-per-group aggregate
+    var st = vertices.select(col("doc_id").as("v"))
+      .groupBy(col("v"))
+      .agg(call_function("graft_hll_state",
+        col("v").cast("string"), lit(m)).as("st"))
+    var out = st.select(col("v"), lit(0).as("t"), col("st"))
+    (1 to maxDist).foreach { t =>
+      val nbr = st.as("s").join(edges.as("e"), col("s.v") === col("e.doc_a"))
+        .select(col("e.doc_b").as("v"), col("s.st").as("st"))
+      st = Dedup.truncatePublic(st.union(nbr)
+        .groupBy(col("v"))
+        .agg(call_function("graft_hll_merge", col("st"), lit(m)).as("st")))
+      out = out.union(st.select(col("v"), lit(t).as("t"), col("st")))
+    }
+    out
+  }
+
+  /** Integer register digests of the HyperBall propagation — the
+    * oracle-gated face (the k8 discipline: sketch STATE is exact
+    * integers and replays in SQL; the float estimator never enters an
+    * oracle): per `(doc_id, t)`, the sum of the m registers and the
+    * count of non-zero registers after round t.
+    */
+  def hyperBallDigests(vertices: DataFrame, pairs: DataFrame,
+      maxDist: Int = 4, m: Int = 64): DataFrame =
+    hyperBallStates(vertices, pairs, maxDist, m)
+      .select(col("v").as("doc_id"), col("t"),
+        call_function("graft_hll_registers", col("st")).as("regs"))
+      .select(col("doc_id"), col("t"),
+        expr("aggregate(regs, 0L, (a, x) -> a + x)").as("reg_sum"),
+        size(filter(col("regs"), x => x > 0)).cast("long")
+          .as("reg_nonzero"))
 }

@@ -111,6 +111,101 @@ object Probe {
     LinearModel(solve(a, b), lambda, pairCounts.head)
   }
 
+  /** Logistic-regression probe fit by IRLS (iteratively reweighted
+    * least squares — `iters` damped-free Newton steps on the
+    * L2-regularized logistic loss): the ACTUAL loss behind fastText-
+    * style quality filters, where [[fitRidge]] is the squared-loss
+    * shortcut. Per step: margins and sigmoids evaluate row-local
+    * against the CURRENT weights (literals — no join), the weighted
+    * Gram `XᵀRX` (R = diag(p(1−p))) and gradient `Xᵀ(y − p) − λw`
+    * collapse in ONE distributed aggregate each with decimal-routed
+    * product sums (per-row doubles are partition-independent, so the
+    * decimal sums make the whole fit bit-identical on any
+    * partitioning — the fitRidge discipline), and the `dim²` Newton
+    * system solves on the driver. The capped fit sample persists
+    * across steps (the trainer-fit-cost posture: `iters` small
+    * aggregates over ≤ fitCap rows, corpus-size-independent).
+    *
+    * Thresholding the returned margin ≡ thresholding the probability
+    * (sigmoid is monotone), so scoring needs no transcendental and the
+    * model-as-data oracle replays it exactly like the ridge probe's.
+    */
+  def fitLogistic(
+      xy: DataFrame,
+      dim: Int,
+      lambda: Double = 1e-3,
+      iters: Int = 3,
+      fitCap: Int = FitCap,
+      featuresCol: String = "features",
+      labelCol: String = "label",
+      idCol: String = "doc_id"): LinearModel = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(lambda > 0.0,
+      s"lambda must be > 0 for IRLS (the Newton system needs the ridge " +
+        s"term when a step separates the sample), got $lambda")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    require(fitCap >= 2, s"fitCap must be >= 2, got $fitCap")
+    val fitRaw =
+      if (fitCap == Int.MaxValue) xy
+      else {
+        require(xy.columns.contains(idCol),
+          s"fitLogistic: sampled fit orders by id column '$idCol', not " +
+            s"present in [${xy.columns.mkString(", ")}] — pass idCol or " +
+            "fitCap=Int.MaxValue")
+        xy.orderBy(xxhash64(col(idCol)), col(idCol)).limit(fitCap)
+      }
+    val fit = fitRaw.select(col(featuresCol).as("features"),
+      col(labelCol).cast("double").as("label")).persist()
+    try {
+      var w = Array.fill(dim)(0.0)
+      var n = 0L
+      (1 to iters).foreach { _ =>
+        val m = w.zipWithIndex.map { case (wi, i) =>
+          (element_at(col("features"), i + 1).cast("double") * lit(wi))
+            .cast("decimal(28,12)")
+        }.reduce(_ + _).cast("double")
+        val p = lit(1.0) / (lit(1.0) + exp(-m))
+        val x = fit.select(col("features"), col("label"), p.as("p"),
+          (p * (lit(1.0) - p)).as("r"),
+          posexplode(col("features")).as(Seq("i", "vf")))
+        val gram = x
+          .select(col("i"), col("vf").cast("double").as("vi"), col("r"),
+            posexplode(col("features")).as(Seq("j", "wf")))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("vi") * col("wf").cast("double") * col("r"))
+              .cast("decimal(28,12)")).cast("double").as("s"))
+          .collect()
+        val grad = x.groupBy(col("i"))
+          .agg(sum((col("vf").cast("double") * (col("label") - col("p")))
+            .cast("decimal(28,12)")).cast("double").as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        require(gram.nonEmpty,
+          "fitLogistic: no feature values to fit on — the corpus (or fit " +
+            "sample) is empty, or every feature array is NULL/empty")
+        val over = gram.iterator.map(_.getInt(1)).filter(_ >= dim).toSeq
+        require(over.isEmpty,
+          s"fitLogistic: features carry dimensions up to ${over.max} but " +
+            s"dim=$dim — pass the true feature width")
+        val missing = (0 until dim).filterNot(grad.contains)
+        require(missing.isEmpty,
+          s"fitLogistic: features cover ${grad.size} of dim=$dim dimensions")
+        val a = Array.ofDim[Double](dim, dim)
+        gram.foreach { r =>
+          val i = r.getInt(0); val j = r.getInt(1); val s = r.getDouble(3)
+          a(i)(j) = s; a(j)(i) = s
+        }
+        (0 until dim).foreach(i => a(i)(i) += lambda)
+        val b = Array.tabulate(dim)(i => grad(i) - lambda * w(i))
+        val delta = solve(a, b)
+        w = w.zip(delta).map { case (wi, di) => wi + di }
+        n = gram.map(_.getLong(2)).max
+      }
+      LinearModel(w, lambda, n)
+    } finally fit.unpersist()
+  }
+
   /** In-place-free Gaussian elimination with partial pivoting (first
     * max pivot on ties — deterministic). Rejects singular systems.
     */

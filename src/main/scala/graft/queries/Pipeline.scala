@@ -1536,6 +1536,41 @@ object Pipeline {
         .orderBy(col("gram"))
     },
 
+    "g15_hyperball" -> { (s, dir) =>
+      // HyperBall (Boldi & Vigna WSDM'13) over the t14 similarity
+      // graph — the neighborhood/centrality estimator that actually
+      // scales to a 100 TB web graph (g15p's exact BFS distance table
+      // is O(V·reach) and dies on a giant component; the sketch is
+      // O(V·m) forever). Gate face = the k8 discipline: per (doc_id,
+      // round) REGISTER digests (sum + nonzero count) — the sketch
+      // state is exact integers (md5 bucket, 33−bitlen rank, max-merge)
+      // and DuckDB replays the full 4-round propagation; the float
+      // estimator on top (Graph.harmonicCentralityHll) is spec-gated
+      // against the exact twin, transcendentals never enter the
+      // oracle. One edges ⋈ states shuffle + one register-max
+      // aggregate per round, fixed-width binary states.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.hyperBallDigests(docs, p, maxDist = 4, m = 64)
+        .orderBy(col("doc_id"), col("t"))
+    },
+
+    "g15p_harmonic_exact" -> { (s, dir) =>
+      // exact bounded-radius harmonic centrality — g15's ground truth
+      // at gate scale: H(v) = Σ 1/d(v,u) over u within 4 hops, in
+      // exact ppm (1000000 div d — integers end to end). Per round one
+      // frontier ⋈ edges shuffle + one min-distance aggregate with
+      // per-round lineage truncation; the oracle is DuckDB's recursive
+      // BFS over the same pair CTE. The O(V·reach) distance table is
+      // the documented reason the sketch form (g15) exists.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(
+        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      Graph.harmonicCentralityExact(docs, p, maxDist = 4)
+        .orderBy(col("doc_id"))
+    },
+
     "g1_pagerank" -> { (s, dir) =>
       // graph analytics over the document-similarity graph: 3 PageRank
       // iterations (damping 0.85) on the t14 tf-idf pair edges — the
@@ -3036,6 +3071,39 @@ object Pipeline {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("pred"), lit(0.0)).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t28_quality_logit" -> { (s, dir) =>
+      // learned quality filter under the ACTUAL loss: t16's ridge probe
+      // refit as L2-regularized LOGISTIC regression by IRLS
+      // (Probe.fitLogistic — 3 decimal-exact Newton steps over the same
+      // fused text-stat features, each one weighted-Gram + gradient
+      // aggregate and a 5×5 driver solve; lambda = 0.1 keeps the Newton
+      // steps tame on a near-separable label). Weights persist as
+      // parquet and the margin is the same transcendental-free
+      // Σ CAST(f·w AS DECIMAL) scoring — thresholding the margin ≡
+      // thresholding the probability (sigmoid is monotone), so the
+      // model-as-data oracle replays the gate end to end exactly like
+      // t16's (only the persisted model file differs — diff the two
+      // margins to see what the loss choice buys).
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val st = call_function("graft_text_stats", col("text"))
+      val feats = d.select(col("doc_id"),
+        array(lit(1.0),
+          st.getField("n_tokens").cast("double"),
+          st.getField("n_unique").cast("double"),
+          st.getField("mean_tok_len"),
+          st.getField("stop_ratio")).as("features"),
+        when(st.getField("lang") === "en", lit(1.0))
+          .otherwise(lit(0.0)).as("label"))
+      val model = Probe.fitLogistic(feats, dim = 5, lambda = 0.1, iters = 3)
+      model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+        .toDF("idx", "w").coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.modelsDir(dir)}/probe_logit.parquet")
+      feats.select(col("doc_id"), col("label"),
+          Probe.margin(col("features"), model).as("margin"))
         .orderBy(col("doc_id"))
     },
 
@@ -5124,6 +5192,35 @@ object Pipeline {
   /** u7's single-code-point fallback cost (6·1024 + 1). */
   private[graft] val UnigramCharCost: Long = 6145L
 
+  /** Shared similarity-graph oracle fragment (the g-series edge set):
+    * t14's tf-idf banded bigram pairs over `documents`, symmetrized to
+    * `edges(doc_a, doc_b)` — the CTE chain g1's oracle spells out,
+    * factored for the g15 family.
+    */
+  private val SimGraphCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM tok WHERE len(toks) >= 2),
+      |tf AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+      |    count(*) AS tf
+      |  FROM idx GROUP BY doc_id, gram),
+      |dfreq AS (
+      |  SELECT gram, count(*) AS df FROM tf
+      |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+      |p AS (SELECT tf.doc_id, tf.gram FROM tf JOIN dfreq USING (gram)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
   /** u7 oracle fragment: [[Tokenizer.UnigramMaxWordLen]] unrolled
     * min-plus rounds of the relational Viterbi (the u6 DP shape) over
     * `wshort(w)` distinct words with edges from the fixed
@@ -6668,6 +6765,90 @@ object Pipeline {
     "g8_pagerank_dangling" -> PagerankDanglingSql,
     "g9_pagerank_fixpoint" -> PagerankDanglingSql,
 
+    "g15_hyperball" ->
+      s"""WITH $SimGraphCtes,
+        |nodes AS (SELECT doc_id AS v FROM documents),
+        |hh AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM nodes),
+        |parsed AS (
+        |  SELECT v,
+        |    ( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS v1,
+        |    ( (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) AS v2
+        |  FROM hh),
+        |s0 AS (
+        |  SELECT v, CAST(v1 % 64 AS INTEGER) AS bucket,
+        |    CAST(33 - length(format('{:b}', v2)) AS INTEGER) AS reg
+        |  FROM parsed),
+        |s1 AS (SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT v, bucket, reg FROM s0
+        |    UNION ALL
+        |    SELECT e.doc_b AS v, s.bucket, s.reg
+        |    FROM s0 s JOIN edges e ON s.v = e.doc_a) u GROUP BY v, bucket),
+        |s2 AS (SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT v, bucket, reg FROM s1
+        |    UNION ALL
+        |    SELECT e.doc_b AS v, s.bucket, s.reg
+        |    FROM s1 s JOIN edges e ON s.v = e.doc_a) u GROUP BY v, bucket),
+        |s3 AS (SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT v, bucket, reg FROM s2
+        |    UNION ALL
+        |    SELECT e.doc_b AS v, s.bucket, s.reg
+        |    FROM s2 s JOIN edges e ON s.v = e.doc_a) u GROUP BY v, bucket),
+        |s4 AS (SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT v, bucket, reg FROM s3
+        |    UNION ALL
+        |    SELECT e.doc_b AS v, s.bucket, s.reg
+        |    FROM s3 s JOIN edges e ON s.v = e.doc_a) u GROUP BY v, bucket),
+        |dig AS (
+        |  SELECT v, 0 AS t, CAST(sum(reg) AS BIGINT) AS reg_sum,
+        |    CAST(count(*) AS BIGINT) AS reg_nonzero FROM s0 GROUP BY v
+        |  UNION ALL
+        |  SELECT v, 1, CAST(sum(reg) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM s1 GROUP BY v
+        |  UNION ALL
+        |  SELECT v, 2, CAST(sum(reg) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM s2 GROUP BY v
+        |  UNION ALL
+        |  SELECT v, 3, CAST(sum(reg) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM s3 GROUP BY v
+        |  UNION ALL
+        |  SELECT v, 4, CAST(sum(reg) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM s4 GROUP BY v)
+        |SELECT v AS doc_id, CAST(t AS INTEGER) AS t, reg_sum, reg_nonzero
+        |FROM dig ORDER BY doc_id, t""".stripMargin,
+
+    "g15p_harmonic_exact" ->
+      s"""WITH RECURSIVE $SimGraphCtes,
+        |walk(v, u, d) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION
+        |  SELECT w.v, e.doc_b, w.d + 1
+        |  FROM walk w JOIN edges e ON w.u = e.doc_a
+        |  WHERE w.d < 4),
+        |md AS (SELECT v, u, min(d) AS d FROM walk GROUP BY v, u),
+        |sc AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS n_reach,
+        |    CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm
+        |  FROM md WHERE d > 0 GROUP BY v)
+        |SELECT dd.doc_id,
+        |  coalesce(sc.n_reach, 0) AS n_reach,
+        |  coalesce(sc.harmonic_ppm, 0) AS harmonic_ppm
+        |FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.v
+        |ORDER BY dd.doc_id""".stripMargin,
+
     "g1_pagerank" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -7571,6 +7752,37 @@ object Pipeline {
         |  coalesce(s.pred, 0.0) AS pred
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t28_quality_logit" ->
+      s"""WITH $TokCte,
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    $LangScores
+        |  FROM tok),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS f1,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS f2,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f3,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+        |            CAST(len(toks) AS DOUBLE), 6) END AS f4,
+        |    CASE WHEN ($LangCase) = 'en'
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS label
+        |  FROM s),
+        |w AS (SELECT idx, w
+        |      FROM read_parquet('__GRAFT_MODELS__/probe_logit.parquet/*.parquet'))
+        |SELECT f.doc_id, f.label,
+        |  CAST(
+        |    CAST(CAST(1.0 AS DOUBLE) * (SELECT w FROM w WHERE idx = 0) AS DECIMAL(28,12)) +
+        |    CAST(f1 * (SELECT w FROM w WHERE idx = 1) AS DECIMAL(28,12)) +
+        |    CAST(f2 * (SELECT w FROM w WHERE idx = 2) AS DECIMAL(28,12)) +
+        |    CAST(f3 * (SELECT w FROM w WHERE idx = 3) AS DECIMAL(28,12)) +
+        |    CAST(f4 * (SELECT w FROM w WHERE idx = 4) AS DECIMAL(28,12))
+        |  AS DOUBLE) AS margin
+        |FROM f ORDER BY f.doc_id""".stripMargin,
 
     "t16_quality_probe" ->
       s"""WITH $TokCte,

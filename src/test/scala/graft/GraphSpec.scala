@@ -144,6 +144,85 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("harmonic exact: path + clique + isolated vertex, hand-computed ppm") {
+    // path 0-1-2-3-4, clique {10,11,12}, isolated 20
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val verts = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L)).toDF("doc_id")
+    val got = Graph.harmonicCentralityExact(verts, pairsDf(edges),
+        maxDist = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // path end 0: d = 1,2,3,4 → 1000000 + 500000 + 333333 + 250000
+    assert(got(0L) == ((4L, 2083333L)))
+    // path middle 2: d = 1 to {1,3}, d = 2 to {0,4}
+    assert(got(2L) == ((4L, 3000000L)))
+    // node 1: d=1 to {0,2}, d=2 to {3}, d=3 to {4}
+    assert(got(1L) == ((4L, 2833333L)))
+    // clique members: two neighbors at d = 1
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v) == ((2L, 2000000L))))
+    // isolated: nothing reached
+    assert(got(20L) == ((0L, 0L)))
+    Dedup.unpersistAll()
+  }
+
+  test("harmonic exact: distance cap excludes the far tail") {
+    // path 0-1-2-3-4-5: at maxDist 2, node 0 sees only {1, 2}
+    val edges = (0L until 5L).map(i => (i, i + 1))
+    val got = Graph.harmonicCentralityExact(
+        (0L to 5L).toDF("doc_id"), pairsDf(edges), maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0L) == ((2L, 1500000L)))
+    assert(got(2L) == ((4L, 3000000L)))
+    Dedup.unpersistAll()
+  }
+
+  test("hyperball: estimates track the exact ball and harmonic score") {
+    // two 24-cliques bridged by one edge — big enough for the m = 1024
+    // register estimate (~3% σ) to land inside a 15% band per node
+    val cliqueA = for (i <- 0L until 24L; j <- (i + 1) until 24L) yield (i, j)
+    val cliqueB = for (i <- 100L until 124L; j <- (i + 1) until 124L)
+      yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((0L, 100L))
+    val verts = ((0L until 24L) ++ (100L until 124L)).toDF("doc_id")
+    val exact = Graph.harmonicCentralityExact(verts, pairsDf(edges),
+        maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = Graph.harmonicCentralityHll(verts, pairsDf(edges),
+        maxDist = 3, m = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (v, ppm) =>
+      val want = ppm / 1e6
+      val got = est(v)
+      assert(math.abs(got - want) <= 0.15 * want,
+        s"node $v: est $got vs exact $want")
+    }
+    Dedup.unpersistAll()
+  }
+
+  test("hyperball digests: partition-invariant, monotone, round-0 seeds") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val verts = (0L to 4L).toDF("doc_id")
+    val a = Graph.hyperBallDigests(verts, pairsDf(edges), maxDist = 3,
+        m = 64).orderBy("doc_id", "t")
+      .collect().map(_.toSeq).toSeq
+    Dedup.unpersistAll()
+    val b = Graph.hyperBallDigests(verts.repartition(7),
+        pairsDf(edges).repartition(5), maxDist = 3, m = 64)
+      .orderBy("doc_id", "t")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "register digests must be partition-invariant")
+    // round 0 is the single-element seed: exactly one nonzero register
+    a.filter(_(1) == 0).foreach(r => assert(r(3) == 1L, r.toString))
+    // merging only raises registers: reg_sum monotone in t per vertex
+    a.groupBy(_.head).foreach { case (_, rows) =>
+      val sums = rows.sortBy(_(1).asInstanceOf[Int]).map(_(2).asInstanceOf[Long])
+      assert(sums == sums.sorted, s"reg_sum must be monotone: $sums")
+    }
+    Dedup.unpersistAll()
+  }
+
   test("pagerank: rejects bad iteration and damping arguments") {
     val v = verticesDf(2); val p = pairsDf(Seq((0L, 1L)))
     intercept[IllegalArgumentException](Graph.pageRank(v, p, 0))

@@ -98,6 +98,60 @@ class ProbeSpec extends AnyFunSuite {
       assert(math.abs(got(id) - y) < 1e-5, s"doc $id") }
   }
 
+  /** Noisy threshold rule for the logistic fit: y = 1 iff x1 > x2,
+    * features exactly representable. Linearly separable by w = (0, 1, −1)
+    * scaled.
+    */
+  private def logitPlanted(n: Int): Seq[(Long, Seq[Double], Double)] =
+    (0 until n).map { i =>
+      val x1 = (i % 8) * 0.25
+      val x2 = ((i / 8) % 8) * 0.25
+      (i.toLong, Seq(1.0, x1, x2), if (x1 > x2) 1.0 else 0.0)
+    }
+
+  test("IRLS separates a planted threshold rule in 3 steps") {
+    val df = logitPlanted(256).toDF("doc_id", "features", "label")
+    val m = Probe.fitLogistic(df, dim = 3, lambda = 0.1, iters = 3,
+      fitCap = Int.MaxValue)
+    // direction recovered: x1 up, x2 down
+    assert(m.weights(1) > 0.0 && m.weights(2) < 0.0, m.weights.toSeq.toString)
+    // margin-threshold classification is perfect on the separable rule
+    val got = df.select(col("label"),
+        Probe.margin(col("features"), m).as("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val correct = got.count { case (y, s) => (s > 0.0) == (y > 0.5) }
+    assert(correct == got.length,
+      s"only $correct/${got.length} classified under the fitted margin")
+  }
+
+  test("IRLS fit is partition-invariant bit-for-bit") {
+    val rows = logitPlanted(200)
+    val a = Probe.fitLogistic(rows.toDF("doc_id", "features", "label")
+      .repartition(1), dim = 3, lambda = 0.1)
+    val b = Probe.fitLogistic(rows.toDF("doc_id", "features", "label")
+      .repartition(17), dim = 3, lambda = 0.1)
+    assert(a.weights.toSeq == b.weights.toSeq)
+  }
+
+  test("IRLS regularizes: larger lambda, smaller non-intercept norm") {
+    val df = logitPlanted(256).toDF("doc_id", "features", "label")
+    def norm(l: Double): Double = {
+      val w = Probe.fitLogistic(df, dim = 3, lambda = l).weights
+      math.sqrt(w(1) * w(1) + w(2) * w(2))
+    }
+    assert(norm(10.0) < norm(0.01))
+  }
+
+  test("IRLS validation: lambda must be positive, iters bounded") {
+    val df = logitPlanted(16).toDF("doc_id", "features", "label")
+    intercept[IllegalArgumentException](
+      Probe.fitLogistic(df, dim = 3, lambda = 0.0))
+    intercept[IllegalArgumentException](
+      Probe.fitLogistic(df, dim = 3, iters = 0))
+    intercept[IllegalArgumentException](
+      Probe.fitLogistic(df, dim = 3, iters = 17))
+  }
+
   test("input validation: empty, ragged, undersized dim, missing id col") {
     val empty = Seq.empty[(Long, Seq[Double], Double)]
       .toDF("doc_id", "features", "label")
