@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -711,6 +711,16 @@ class GraftEngine(val spark: SparkSession) {
     *    revoked-set shape graft_index_delete / graft_components_delete
     *    consume — scheduled and request-driven deletion share one
     *    lifecycle.
+    *  - `graft_unigram_em(docs, pieces, char_cost => 6145)` — one
+    *    unigram-LM EM re-estimation round (u13) under the fixed
+    *    `(piece, cost)` relation; returns `(piece, n_uses, cost)`,
+    *    itself a valid pieces relation, so the call self-composes and
+    *    feeds graft_unigram_encode directly.
+    *  - `graft_hyperball(pairs, dist => 4, m => 256)` — HyperBall
+    *    harmonic-centrality/ball-size estimation over the pair
+    *    relation's endpoints (g15's serving face);
+    *    `graft_harmonic(pairs, dist => 4)` is the exact integer-ppm
+    *    ground truth (g15p) for graphs whose reach allows it.
     *  - `graft_ivf_append(index, drop)` — incremental IVF maintenance
     *    (the a9 operator): assign-only append of a (vec_id, embedding)
     *    drop against a PERSISTED (centroid_id, centroid) index
@@ -758,7 +768,10 @@ class GraftEngine(val spark: SparkSession) {
     "secret_scrub" -> Set("k", "run"),
     "secret_frequencies" -> Set("run"),
     "secret_scrub_incremental" -> Set("k", "run"),
-    "retention_expiry" -> Set("as_of"))
+    "retention_expiry" -> Set("as_of"),
+    "unigram_em" -> Set("char_cost"),
+    "hyperball" -> Set("dist", "m"),
+    "harmonic" -> Set("dist"))
 
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
@@ -794,7 +807,10 @@ class GraftEngine(val spark: SparkSession) {
     "secret_scrub" -> Seq("docs"),
     "secret_frequencies" -> Seq("docs"),
     "secret_scrub_incremental" -> Seq("drop", "index"),
-    "retention_expiry" -> Seq("docs", "policy"))
+    "retention_expiry" -> Seq("docs", "policy"),
+    "unigram_em" -> Seq("docs", "pieces"),
+    "hyperball" -> Seq("pairs"),
+    "harmonic" -> Seq("pairs"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -1058,6 +1074,49 @@ class GraftEngine(val spark: SparkSession) {
               col("text"), pieces, charCost)).cast("long").as("n_pieces"))
           .filter(col("n_words") > 0)
           .withColumn("ppw_ppm", expr("(1000000 * n_pieces) div n_words"))
+      case "unigram_em" =>
+        // u13's EM re-estimation round: E-step Viterbi usage under the
+        // FIXED (piece, cost) relation, M-step exact bit-length
+        // re-costing. Output (piece, n_uses, cost) is itself a valid
+        // pieces relation, so the call SELF-composes —
+        // graft_unigram_em(docs, graft_unigram_em(docs, pieces_t)) is
+        // two EM rounds — and feeds graft_unigram_encode directly.
+        val charCost = intOpt("char_cost", 6145).toLong
+        val docs = rel(0)
+        val pieceRows = rel(1)
+          .select(col("piece").cast("string"), col("cost").cast("long"))
+          .where(col("piece").isNotNull && col("cost").isNotNull)
+          .limit(65537).collect()
+        require(pieceRows.length <= 65536,
+          "graft_unigram_em: pieces relation exceeds 65536 rows — " +
+            "a piece table is model state, not a corpus")
+        graft.operators.Tokenizer.unigramEmStep(docs,
+          pieceRows.map(r => (r.getString(0), r.getLong(1))).toSeq,
+          charCost)
+      case "hyperball" =>
+        // g15's HyperBall estimator face: per endpoint vertex the
+        // HLL-estimated harmonic centrality and ball size within
+        // `dist` hops (the register-digest gate face is g15; the
+        // estimator is the serving face a SQL user wants). Runs its
+        // per-round persisted jobs when executed (trainer posture).
+        val dist = intOpt("dist", 4)
+        require(dist <= 8, s"graft_hyperball: dist must be <= 8, got $dist")
+        val m = intOpt("m", 256)
+        require(m >= 16 && m <= (1 << 16),
+          s"graft_hyperball: m must be in [16, 65536], got $m")
+        val pairs = rel(0)
+        graft.operators.Graph.harmonicCentralityHll(
+          endpointVerts(pairs), pairs, maxDist = dist, m = m)
+      case "harmonic" =>
+        // g15p's exact bounded-radius harmonic centrality (integer
+        // ppm) over the pair relation's endpoint vertices — the ground
+        // truth graft_hyperball approximates; O(V·reach) distance
+        // table, the documented reason the sketch face exists.
+        val dist = intOpt("dist", 4)
+        require(dist <= 8, s"graft_harmonic: dist must be <= 8, got $dist")
+        val pairs = rel(0)
+        graft.operators.Graph.harmonicCentralityExact(
+          endpointVerts(pairs), pairs, maxDist = dist)
       case "ivf_append" =>
         graft.operators.Similarity.ivfDrift(rel(0), rel(1))
       case "components" =>

@@ -933,6 +933,159 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Coarse-residual frame [Jégou et al., TPAMI'11 §IV-A]: each vector
+    * minus its assigned coarse centroid, plus the assignment —
+    * `(vec_id, cell, embedding = v − c_cell)` in ONE map-only
+    * projection (argmax + element_at + zip_with against literal
+    * centroids — no join, no shuffle, the assignment discipline).
+    * Residuals carry far less energy than raw vectors (the coarse
+    * quantizer already explains the cluster structure), which is why
+    * PQ codebooks trained on them quantize with lower distortion at
+    * the same bit budget — the actual IVFADC design.
+    */
+  def residualVectors(corpus: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val ids = cents.map(_._1)
+    val vecs = cents.map(_._2)
+    val pos = nearestCellExpr(col("embedding"), cents)
+    corpus.select(col("vec_id"),
+      element_at(typedLit(ids), pos).as("cell"),
+      zip_with(asDouble(col("embedding")),
+        element_at(typedLit(vecs), pos), (x, c) => x - c).as("embedding"))
+  }
+
+  /** PQ codebooks trained on the COARSE RESIDUALS (the IVFADC fit):
+    * [[fitPq]] over [[residualVectors]] — same sample cap, same
+    * per-subspace Lloyd machinery, same O(fitCap·k·iters·m) bound; the
+    * residual projection is map-only so the fit pass cost is
+    * unchanged.
+    */
+  def fitResidualPq(corpus: DataFrame, centroids: DataFrame,
+      dim: Int, m: Int, k: Int, iters: Int): PqModel = {
+    val centArr = collectCentroids(centroids)
+    fitPq(residualVectors(corpus, centArr)
+      .select(col("vec_id"), col("embedding")), dim, m, k, iters)
+  }
+
+  /** Per-(query, cell, subspace, code) ADC lookup table for the
+    * RESIDUAL form: the query's residual against EVERY cell's centroid
+    * scores each codeword — `s = c·c − 2·(q − c_cell)_sub·c` (the b·b
+    * term is per-(query, cell) constant; dropping it preserves both
+    * the per-cell ranking and, because ‖q − c_cell‖² is itself part of
+    * the true distance, the CROSS-cell ranking needs it back — so it
+    * is ADDED BACK per cell, making adist comparable across probed
+    * cells, which flat-PQ ADC never has to worry about). Driver-side
+    * deterministic double loops over the bounded query set (the adcLut
+    * discipline); |q|·nlist·m·k rows, broadcast.
+    */
+  private def residualAdcLut(queries: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      model: PqModel): Seq[(Long, Int, Int, Int, Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    for {
+      (qid, qv) <- qs
+      (cellId, cv) <- cents
+      (book, sub) <- model.books.zipWithIndex
+      (cid, c) <- book
+    } yield {
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      var dp = 0.0
+      i = 0
+      while (i < c.length) {
+        val j = sub * model.dsub + i
+        dp += (qv(j) - cv(j)) * c(i)
+        i += 1
+      }
+      // residual-energy term: Σ_sub over this subspace's slice of
+      // ‖q − c_cell‖² — added per (sub) so the per-code s values sum to
+      // ‖q − c_cell‖² + Σ (c·c − 2·r·c) = the true quantized distance
+      var rr = 0.0
+      i = 0
+      while (i < c.length) {
+        val j = sub * model.dsub + i
+        val r = qv(j) - cv(j)
+        rr += r * r
+        i += 1
+      }
+      (qid, cellId, sub, cid, rr + cc - 2.0 * dp)
+    }
+  }
+
+  private def collectCentroids(
+      centroids: DataFrame): Seq[(Int, Seq[Double])] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("centroid_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** IVFADC proper [Jégou et al., TPAMI'11 §IV-A] — [[ivfPqTopK]] with
+    * the codes on COARSE RESIDUALS: the corpus-side projection computes
+    * cell AND m residual codes in one map-only pass; the LUT is per
+    * (query, cell) because the query's residual differs per probed
+    * cell (the asymmetric distance includes the cell's own offset —
+    * `adist = ‖q − c_cell‖² + Σ_sub (c·c − 2·r·c)`, the true quantized
+    * distance, comparable ACROSS cells). Same shuffle shape as the
+    * flat form — candidates by one equi join on the cell against the
+    * broadcast probe set, scoring by a broadcast LUT join, winners
+    * from the bounded heap — at strictly lower quantization
+    * distortion for the same m (spec-pinned). Hash-gates end to end
+    * given the persisted centroid + residual-codebook tables.
+    */
+  def ivfPqResidualTopK(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centArr = collectCentroids(centroids)
+    val ids = centArr.map(_._1)
+    val pos = nearestCellExpr(col("embedding"), centArr)
+    val rv = zip_with(asDouble(col("embedding")),
+      element_at(typedLit(centArr.map(_._2)), pos), (x, c) => x - c)
+    val codeCols = model.books.zipWithIndex.map { case (cents, sub) =>
+      nearestCellL2Expr(slice(rv, sub * model.dsub + 1, model.dsub), cents)
+        .as(s"c$sub")
+    }
+    val coded = corpus.select(
+      Seq(col("vec_id"), element_at(typedLit(ids), pos).as("cell")) ++
+        codeCols: _*)
+    val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
+    val qScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cents)
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val qcells = graft.plans.TopKPerKey(qScored,
+        Seq(col("query_id")), Seq(col("csim").desc, col("centroid_id").asc),
+        nprobe, rankName = "crank")
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val cand = coded.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val long = cand.select(col("query_id"), col("vec_id"), col("cell"),
+      posexplode(array((0 until model.m).map(i => col(s"c$i")): _*))
+        .as(Seq("sub", "code")))
+    val scored = long
+      .join(broadcast(residualAdcLut(queries, centArr, model)
+          .toDF("query_id", "cell", "sub", "code", "s")),
+        Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("s").cast("decimal(28,12)")).cast("double").as("adist"))
+    graft.plans.TopKPerKey(scored,
+        Seq(col("query_id")), Seq(col("adist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
   /** IVF-PQ composed serving [Jégou et al., TPAMI'11 §IV] — the
     * standard large-scale ANN deployment shape: the coarse quantizer
     * prunes the corpus to the query's `nprobe` nearest cells, and only

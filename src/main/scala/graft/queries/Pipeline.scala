@@ -261,8 +261,26 @@ object Pipeline {
         savePqModel(s, dir, model)
         model
       })).value
+  /** a11's codebooks are trained on the COARSE RESIDUALS against the
+    * shared nlist=16 IVF index (the IVFADC fit) — same memo + cross-JVM
+    * parquet cache discipline as [[fittedPq]], distinct model file.
+    */
+  private val residPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[Similarity.PqModel]]()
+  private def fittedResidualPq(s: SparkSession,
+      dir: String): Similarity.PqModel =
+    residPqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
+      loadPqModel(s, dir, dim = 64, m = 8, k = 16,
+        name = "pq_resid_model").getOrElse {
+        val model = Similarity.fitResidualPq(
+          Tables.load(s, dir, "embeddings"),
+          Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
+          dim = 64, m = 8, k = 16, iters = 2)
+        savePqModel(s, dir, model, name = "pq_resid_model")
+        model
+      })).value
   private def savePqModel(s: SparkSession, dir: String,
-      model: Similarity.PqModel): Unit = {
+      model: Similarity.PqModel, name: String = "pq_model"): Unit = {
     import s.implicits._
     val rows = for {
       (book, sub) <- model.books.zipWithIndex
@@ -270,13 +288,14 @@ object Pipeline {
     } yield (sub, cid, c)
     rows.toDF("sub", "centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+      .parquet(s"${Tables.modelsDir(dir)}/$name.parquet")
   }
   private def loadPqModel(s: SparkSession, dir: String,
-      dim: Int, m: Int, k: Int): Option[Similarity.PqModel] = {
+      dim: Int, m: Int, k: Int,
+      name: String = "pq_model"): Option[Similarity.PqModel] = {
     val dsub = dim / m
     try {
-      val rows = s.read.parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
+      val rows = s.read.parquet(s"${Tables.modelsDir(dir)}/$name.parquet")
         .collect() // O(m·k) rows — driver-scale model state
       val books = rows.toSeq
         .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
@@ -562,6 +581,7 @@ object Pipeline {
       timed("pca_fit") { fittedPca(s, dir) },
       timed("ivf_centroids_16") { fittedIvfPath(s, dir, nlist = 16) },
       timed("pq_model") { fittedPq(s, dir) },
+      timed("pq_resid_model") { fittedResidualPq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
       timed("cells_a9") { fittedA9CellsPath(s, dir) },
       timed("cells_v13") { fittedV13CellsPath(s, dir) },
@@ -1355,6 +1375,26 @@ object Pipeline {
       Similarity.ivfPqTopK(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
         e, e.filter(col("vec_id") < 5), fittedPq(s, dir),
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "a11_ivf_pq_residual" -> { (s, dir) =>
+      // IVFADC proper (Jégou et al. TPAMI'11 §IV-A) — a6 with the PQ
+      // codebooks trained on COARSE RESIDUALS and the ADC distance
+      // carrying the per-(query, cell) residual energy, so adist is
+      // the true quantized distance and compares across probed cells.
+      // Residuals carry less energy than raw vectors, so the same
+      // 8-byte budget quantizes with strictly lower distortion
+      // (spec-pinned vs the flat fit). Same shuffle shape as a6 —
+      // cell equi join against the broadcast probe set, broadcast
+      // per-(query, cell) LUT join, bounded heap — and the whole
+      // composition hash-gates from the persisted centroid +
+      // residual-codebook parquets (models as data).
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqResidualTopK(
+        Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
+        e, e.filter(col("vec_id") < 5), fittedResidualPq(s, dir),
         k = 10, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -6540,6 +6580,85 @@ object Pipeline {
         |  FROM cand
         |  JOIN codes c2 ON cand.vec_id = c2.vec_id
         |  JOIN lut l ON l.query_id = cand.query_id
+        |    AND l.sub = c2.sub AND l.code = c2.code
+        |  GROUP BY cand.query_id, cand.vec_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adist, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "a11_ivf_pq_residual" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/ivf_centroids_16.parquet/*.parquet')),
+        |asn AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT v.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.v, c.centroid) /
+        |          (sqrt(list_dot_product(v.v, v.v)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |rv AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v.v[i] - c.centroid[i]) AS r
+        |  FROM asn a JOIN v USING (vec_id)
+        |  JOIN cent c ON a.cell = c.centroid_id),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_resid_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT rv.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(rv.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM rv, model m),
+        |codes AS (
+        |  SELECT vec_id, cell, sub, centroid_id AS code FROM (
+        |    SELECT sc.vec_id, rv.cell, sc.sub, sc.centroid_id,
+        |      row_number() OVER (PARTITION BY sc.vec_id, sc.sub
+        |                         ORDER BY sc.s, sc.centroid_id) AS rn
+        |    FROM scored sc JOIN rv ON sc.vec_id = rv.vec_id) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT query_id, centroid_id AS cell FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, c.centroid) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM q, cent c) WHERE rn <= 4),
+        |qres AS (
+        |  SELECT q.query_id, c.centroid_id AS cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> q.qv[i] - c.centroid[i]) AS r
+        |  FROM q, cent c),
+        |lut AS (
+        |  SELECT qres.query_id, qres.cell, m.sub, m.centroid_id AS code,
+        |    list_dot_product(qres.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                     qres.r[m.sub * 8 + 1 : m.sub * 8 + 8])
+        |      + list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(qres.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM qres, model m),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id, a.cell
+        |  FROM qc JOIN asn a ON qc.cell = a.cell
+        |  WHERE a.vec_id <> qc.query_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM cand
+        |  JOIN codes c2 ON cand.vec_id = c2.vec_id
+        |  JOIN lut l ON l.query_id = cand.query_id AND l.cell = cand.cell
         |    AND l.sub = c2.sub AND l.code = c2.code
         |  GROUP BY cand.query_id, cand.vec_id),
         |rk AS (

@@ -807,6 +807,72 @@ class EngineSpec extends AnyFunSuite {
     assert(gotInc == Seq(Seq(10L, "pin1111 <secret> fresh")))
   }
 
+  test("graft_unigram_em TVF: self-composes to two EM rounds; feeds encode") {
+    import org.apache.spark.sql.functions.col
+    engine.run("create table em_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into em_docs_t values " +
+      "(1, 'abc ab c'), (2, 'ab abc abc'), (3, 'cab cab a')")
+    engine.run("create table em_pieces_t(piece varchar, cost bigint)")
+    engine.run("insert into em_pieces_t values " +
+      "('ab', 1), ('a', 10), ('b', 10), ('c', 10), ('zz', 5)")
+    val docs = engine.table("em_docs_t")
+    val p0 = Seq(("ab", 1L), ("a", 10L), ("b", 10L), ("c", 10L),
+      ("zz", 5L))
+    // one round TVF ≡ Scala
+    val got1 = engine.run(
+      "select piece, n_uses, cost from graft_unigram_em(em_docs_t, " +
+        "em_pieces_t) order by piece").collect().map(_.toSeq).toSeq
+    val want1Df = graft.operators.Tokenizer.unigramEmStep(docs, p0)
+    val want1 = want1Df.orderBy("piece").collect().map(_.toSeq).toSeq
+    assert(got1 == want1 && got1.nonEmpty)
+    // self-composition = two Scala EM rounds
+    val got2 = engine.run(
+      "select piece, n_uses, cost from graft_unigram_em(em_docs_t, " +
+        "graft_unigram_em(em_docs_t, em_pieces_t)) order by piece")
+      .collect().map(_.toSeq).toSeq
+    val model1 = want1.map(r => (r(0).asInstanceOf[String],
+      r(2).asInstanceOf[Long]))
+    val want2 = graft.operators.Tokenizer.unigramEmStep(docs, model1)
+      .orderBy("piece").collect().map(_.toSeq).toSeq
+    assert(got2 == want2)
+    // and the re-estimated model drives the encoder through SQL
+    val enc = engine.run(
+      "select doc_id, n_pieces from graft_unigram_encode(em_docs_t, " +
+        "graft_unigram_em(em_docs_t, em_pieces_t)) order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(enc.length == 3 && enc.forall(_._2 > 0L))
+  }
+
+  test("graft_hyperball/graft_harmonic TVFs equal the Scala operators") {
+    import org.apache.spark.sql.functions.col
+    engine.run("create table hb_pairs_t(doc_a bigint, doc_b bigint)")
+    engine.run("insert into hb_pairs_t values " +
+      "(1, 2), (2, 3), (3, 4), (10, 11)")
+    val pairs = engine.table("hb_pairs_t")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L)
+    import spark.implicits._
+    val vdf = verts.toDF("doc_id")
+    val gotH = engine.run(
+      "select doc_id, n_reach, harmonic_ppm from " +
+        "graft_harmonic(hb_pairs_t, dist => 3) order by doc_id")
+      .collect().map(_.toSeq).toSeq
+    val wantH = graft.operators.Graph
+      .harmonicCentralityExact(vdf, pairs, maxDist = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotH == wantH && gotH.length == 6)
+    // path end 1: d=1,2,3 → 1000000+500000+333333
+    assert(gotH.head == Seq(1L, 3L, 1833333L))
+    val gotB = engine.run(
+      "select doc_id, harmonic_est, n_ball_est from " +
+        "graft_hyperball(hb_pairs_t, dist => 3, m => 64) order by doc_id")
+      .collect().map(_.toSeq).toSeq
+    val wantB = graft.operators.Graph
+      .harmonicCentralityHll(vdf, pairs, maxDist = 3, m = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotB == wantB && gotB.length == 6)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_retention_expiry TVF: expiry set composes into graft_index_delete") {
     engine.run("create table ret_docs_t(" +
       "doc_id bigint, source varchar, ingest_day bigint, text varchar)")

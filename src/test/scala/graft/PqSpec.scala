@@ -155,6 +155,82 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shortlist >= k"))
   }
 
+  /** Eight tight clusters with ORTHOGONAL directions (cluster c lives
+    * on dims [2c, 2c+2)) — the cosine coarse quantizer separates them,
+    * and with only k = 2 codes per subspace flat PQ cannot cover 8
+    * cluster patterns while the residuals are all near-zero noise.
+    */
+  private def clustered(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      val c = i % 8
+      (i.toLong,
+        (0 until dim).map { d =>
+          val noise = ((i * 7 + d * 3) % 13) / 13000.0f
+          if (d == 2 * c || d == 2 * c + 1)
+            1.0f + ((i * 13 + d * 5) % 17) / 1700.0f
+          else noise
+        })
+    }.toDF("vec_id", "embedding")
+
+  test("residual PQ quantizes clustered data with lower distortion than flat") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 2
+    val data = clustered(400, dim)
+    val cents = Similarity.lloydCentroids(data, nlist = 8, iters = 3)
+    val flat = Similarity.fitPq(data, dim, m, k, iters = 2)
+    val resid = Similarity.fitResidualPq(data, cents, dim, m, k, iters = 2)
+    // mean squared reconstruction error, computed driver-side from the
+    // persisted-model shapes (the distortion the spec pins)
+    def mse(model: Similarity.PqModel,
+        frame: org.apache.spark.sql.DataFrame): Double = {
+      val books = model.books
+      val rows = frame.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(r => r.getSeq[Double](1))
+      rows.map { v =>
+        (0 until model.m).map { sub =>
+          val block = v.slice(sub * model.dsub, (sub + 1) * model.dsub)
+          books(sub).map { case (_, c) =>
+            block.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+          }.min
+        }.sum
+      }.sum / rows.length
+    }
+    val flatMse = mse(flat, data)
+    val centArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1): Seq[Double])).toSeq
+    val residFrame = Similarity.residualVectors(data, centArr)
+      .select(col("vec_id"), col("embedding"))
+    val residMse = mse(resid, residFrame)
+    assert(residMse < flatMse / 4,
+      s"residual distortion $residMse must undercut flat $flatMse")
+  }
+
+  test("residual ivf-pq serving: deterministic, k rows per query, self excluded") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 2
+    val data = clustered(160, dim)
+    val cents = Similarity.lloydCentroids(data, nlist = 8, iters = 3)
+    val model = Similarity.fitResidualPq(data, cents, dim, m, k, iters = 2)
+    val queries = data.filter(col("vec_id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualTopK(cents, df, queries, model,
+          k = 5, nprobe = 8)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val a = run(data)
+    val b = run(data.repartition(13))
+    assert(a == b, "serving must be partition-invariant bit-for-bit")
+    assert(a.length == 15, "5 neighbors for each of 3 queries")
+    assert(a.forall(r => r(1) != r(0)), "a query never returns itself")
+    // nprobe = nlist(8) probes everything: adist is the TRUE quantized
+    // distance, so the nearest neighbor of a query must share its
+    // (orthogonal-direction) cluster
+    a.filter(_(3) == 1).foreach { r =>
+      val q = r(0).asInstanceOf[Long]; val n = r(1).asInstanceOf[Long]
+      assert((q % 8) == (n % 8), s"rank-1 neighbor of $q crossed clusters: $n")
+    }
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
