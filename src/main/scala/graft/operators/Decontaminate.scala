@@ -219,4 +219,46 @@ object Decontaminate {
       .select(col("doc_id"), col("eval_id"),
         (col("inter") / col("uni")).as("jaccard"))
   }
+
+  /** CHAR-granular decontamination SURGERY — d24's excision pointed at
+    * the eval set (the c9→c10 relationship at character level): every
+    * char position of a corpus document covered by an `n`-char window
+    * (of the lowercased text) that appears VERBATIM anywhere in the
+    * eval set is removed, and the document is kept. Catches leakage
+    * the token-window form cannot see — an eval string embedded in a
+    * URL, a code literal, or unsegmented text — which is exactly where
+    * benchmark answers hide in web corpora (the GPT-3/Lee et al.
+    * char-overlap decontamination regime). Union-of-windows = the
+    * maximal leaked substring, the d24 property.
+    *
+    * Scale shape: the eval side is benchmark-sized by contract, so its
+    * DISTINCT window strings broadcast (the c1/c9 discipline — the
+    * join is on RAW strings, no hash, collision-freedom by
+    * construction); the corpus side enumerates windows map-side and
+    * only (doc_id, pos) survivor rows reach the cover aggregate;
+    * the rebuild is the shared d24 indexed filter. Output
+    * `(doc_id, n_chars, n_removed, clean_text)` — one row per corpus
+    * document.
+    */
+  def charOverlapExcise(corpus: DataFrame, evalSet: DataFrame,
+      n: Int = 40, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"window length must be >= 2, got $n")
+    def windows(df: DataFrame) =
+      df.select(col("doc_id"), lower(col(textCol)).as("t"))
+        .filter(length(col("t")) >= n)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), length(col("t")) - n)).as("pos"),
+          col("t"))
+        .select(col("doc_id"), col("pos"),
+          expr(s"substring(t, pos + 1, $n)").as("g"))
+    val evalW = windows(evalSet).select(col("g")).distinct()
+    val covers = windows(corpus)
+      .join(broadcast(evalW), Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    Dedup.rebuildExcisedChars(
+      corpus.select(col("doc_id"), lower(col(textCol)).as("t")), covers)
+  }
 }

@@ -729,6 +729,18 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
+    rebuildExcisedChars(base, covers)
+  }
+
+  /** Shared char-domain rebuild: drop every 0-based position in the
+    * per-doc `cov` int array from `base(doc_id, t)` — the d24 indexed
+    * filter over the per-code-point array (`(?s).` so newlines count
+    * and the array is exactly `length(t)` long; surrogates stay
+    * fused). Used by [[spanExciseChars]] and the char-level
+    * decontamination surgery ([[Decontaminate.charOverlapExcise]]).
+    */
+  private[operators] def rebuildExcisedChars(base: DataFrame,
+      covers: DataFrame): DataFrame =
     base.join(covers, Seq("doc_id"), "left")
       .select(col("doc_id"),
         length(col("t")).cast("long").as("n_chars"),
@@ -737,7 +749,6 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"),
         (col("n_chars") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), "").as("clean_text"))
-  }
 
   /** KEEP-ONE duplicated-span dedup — Lee et al. ACL'22's actual
     * ExactSubstr rule, where [[spanExcise]] is the stricter

@@ -2195,6 +2195,24 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "c11_char_decon" -> { (s, dir) =>
+      // CHAR-granular decontamination surgery
+      // (Decontaminate.charOverlapExcise) — d24's excision pointed at
+      // the eval set: corpus char positions covered by a 40-char
+      // window appearing verbatim in the eval docs (doc_id % 10 = 7,
+      // the c-series planted-eval convention) excise; documents are
+      // kept. Catches eval strings hiding inside URLs/code/unsegmented
+      // text that c9/c10's token windows cannot see. Eval windows
+      // broadcast as RAW strings (benchmark-sized by contract —
+      // collision-freedom by construction); the oracle replays the
+      // same raw-string membership.
+      val d = Tables.load(s, dir, "documents")
+      Decontaminate.charOverlapExcise(
+          d.filter(col("doc_id") % 10 =!= 7),
+          d.filter(col("doc_id") % 10 === 7), n = 40)
+        .orderBy(col("doc_id"))
+    },
+
     "c9_contam_spans" -> { (s, dir) =>
       // contamination LOCALIZATION — c1 says "this doc is contaminated";
       // c9 says WHERE, so a pipeline can excise the leaked span and keep
@@ -9680,6 +9698,45 @@ object Pipeline {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, nlabel, sim
         |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "c11_char_decon" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 10 <> 7),
+        |ev AS (
+        |  SELECT lower(text) AS t FROM documents WHERE doc_id % 10 = 7),
+        |evw AS (
+        |  SELECT DISTINCT substring(t, i + 1, 40) AS g
+        |  FROM (SELECT t, unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM ev WHERE length(t) >= 40)),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM corpus WHERE length(t) >= 40)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 39)) AS i
+        |  FROM sp s JOIN evw ON s.g = evw.g),
+        |ch AS (
+        |  SELECT doc_id, t, regexp_extract_all(t, '(?s).') AS cs FROM corpus),
+        |tp AS (
+        |  SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i
+        |  FROM ch),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.cs[tp.i] AS c
+        |  FROM tp LEFT JOIN cov
+        |    ON tp.doc_id = cov.doc_id AND tp.i - 1 = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(c, '' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.t) AS BIGINT) AS n_chars,
+        |  CAST(length(t.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM corpus t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "c9_contam_spans" ->
       """WITH tok AS (

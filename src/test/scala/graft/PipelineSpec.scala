@@ -828,6 +828,31 @@ class DecontaminateSpec extends AnyFunSuite {
     (3L, "distributed query engines shuffle partitioned data across executor nodes")
   ).toDF("doc_id", "text")
 
+  test("char-level decon surgery: leaks inside tokens excise, clean text survives") {
+    // a 40-char eval answer string embedded INSIDE a URL token — no
+    // token window can match it, the char windows do
+    val answer = "the-answer-is-paris-0123456789abcdefghij" // 40 chars
+    val ev = Seq((1000L, s"benchmark answer: $answer end")).toDF("doc_id", "text")
+    val corp = Seq(
+      (1L, s"leak http://cheat.example/$answer?x=1 tail"),
+      (2L, "perfectly clean document with no benchmark content at all"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.charOverlapExcise(corp, ev, n = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the full 40-char leak excises exactly, surroundings intact,
+    // clean doc untouched
+    assert(got(1L)._2 == 40L, got(1L).toString)
+    assert(got(1L)._3 == "leak http://cheat.example/?x=1 tail")
+    assert(got(2L)._2 == 0L &&
+      got(2L)._3 == "perfectly clean document with no benchmark content at all")
+    // and the TOKEN-window decon is blind to it — the reason c11 exists
+    val tokenView = Decontaminate.ngramOverlap(corp, ev, n = 8)
+    assert(tokenView.count() == 0L,
+      "the in-URL leak must be invisible to token n-grams")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("flags verbatim 8-gram leaks, spares short overlaps and clean docs") {
     val flagged = Decontaminate.ngramOverlap(corpus, evalSet, n = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
