@@ -676,8 +676,10 @@ class GraftEngine(val spark: SparkSession) {
     *    rebuild. kind: 'span' (counted span-hash index; revoked
     *    carries doc_id + text), 'postings' (unbanded tf-idf postings),
     *    'minhash' (uncapped band index), 'prefix' (streaming prefix
-    *    index), 'ivf' (member table keyed by vec_id). Delete cost is
-    *    proportional to the takedown set, never the corpus.
+    *    index), 'ivf' (member table keyed by vec_id), 'secrets' (the
+    *    t27 candidate-frequency index; revoked carries doc_id + text,
+    *    run => the digit-run length). Delete cost is proportional to
+    *    the takedown set, never the corpus.
     *  - `graft_components_delete(components, docs, revoked, n => 1,
     *    threshold => 0.95)` — takedown on the near-dup component map:
     *    untouched components pass through, affected components'
@@ -686,7 +688,7 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_index_merge(index, drop, kind => 'span', n => 8)` —
     *    COMPACTION, the append half of graft_index_delete: folds an
     *    arriving drop's contribution into a persisted index (kind
-    *    'span', 'postings', 'minhash', or 'prefix') by delta
+    *    'span', 'postings', 'minhash', 'prefix', or 'secrets') by delta
     *    arithmetic or per-doc row union — the base corpus is never
     *    re-read, and the result is bit-identical to rebuilding over
     *    base ∪ drop (disjoint doc_ids; 'prefix' promises served-answer
@@ -760,8 +762,8 @@ class GraftEngine(val spark: SparkSession) {
     "license_propagation" -> Set("rank"),
     "split_leakage" -> Set.empty,
     "span_excise" -> Set("n", "keep_one"),
-    "index_delete" -> Set("kind", "n"),
-    "index_merge" -> Set("kind", "n"),
+    "index_delete" -> Set("kind", "n", "run"),
+    "index_merge" -> Set("kind", "n", "run"),
     "components_delete" -> Set("n", "threshold"),
     "byte_bpe_merges" -> Set("rounds"),
     "byte_encode" -> Set.empty,
@@ -1176,9 +1178,15 @@ class GraftEngine(val spark: SparkSession) {
             graft.operators.Dedup.prefixIndexDelete(rel(0), rel(1))
           case "ivf" =>
             graft.operators.Similarity.ivfMembersDelete(rel(0), rel(1))
+          case "secrets" =>
+            // t27's (tok, nd) candidate-frequency index — revoked
+            // carries doc_id + text; decrements from the revoked docs
+            // alone, tokens reaching nd = 0 drop
+            graft.operators.Privacy.secretIndexDelete(rel(0), rel(1),
+              minDigitRun = intOpt("run", 4))
           case other => throw new IllegalArgumentException(
             s"graft_index_delete: kind must be one of span, postings, " +
-              s"minhash, prefix, ivf — got '$other'")
+              s"minhash, prefix, ivf, secrets — got '$other'")
         }
       case "components_delete" =>
         // TAKEDOWN on the near-dup component map — the graph store's
@@ -1218,11 +1226,16 @@ class GraftEngine(val spark: SparkSession) {
             graft.operators.Dedup.minhashIndexMerge(rel(0), rel(1))
           case "prefix" =>
             graft.operators.Dedup.prefixIndexMerge(rel(0), rel(1))
+          case "secrets" =>
+            // t27's (tok, nd) candidate-frequency index — drop carries
+            // doc_id + text; run is the candidate digit-run length
+            graft.operators.Privacy.secretIndexMerge(rel(0), rel(1),
+              minDigitRun = intOpt("run", 4))
           case other => throw new IllegalArgumentException(
             s"graft_index_merge: kind must be one of span, postings, " +
-              s"minhash, prefix — got '$other' (IVF appends go through " +
-              "graft_ivf_append — the member merge needs the centroid " +
-              "relation)")
+              s"minhash, prefix, secrets — got '$other' (IVF appends go " +
+              "through graft_ivf_append — the member merge needs the " +
+              "centroid relation)")
         }
       case "knn_label" =>
         val k = intOpt("k", 5)

@@ -114,6 +114,45 @@ object Privacy {
     scrubWithRareSets(drop, rset, textCol)
   }
 
+  /** TAKEDOWN on the persisted secret-frequency index (the d23 delta
+    * arithmetic on the counted rows): per-token decrements come from
+    * the REVOKED documents alone (their per-doc DISTINCT candidates —
+    * each doc contributes at most 1 per token, so the decrement is
+    * exact), tokens reaching nd = 0 drop. Bit-identical to
+    * `secretFrequencies(survivors)` (spec-pinned); cost ∝ the takedown
+    * set, never the corpus. NOTE the privacy direction: deleting docs
+    * can only LOWER counts, so a previously-shared secret can fall
+    * back under k and future scrubs redact MORE — takedown never
+    * weakens the gate.
+    */
+  def secretIndexDelete(index: DataFrame, revoked: DataFrame,
+      minDigitRun: Int = 4, textCol: String = "text"): DataFrame = {
+    val deltas = secretFrequencies(revoked, minDigitRun, textCol)
+      .select(col("tok"), col("nd").as("dnd"))
+    index.join(deltas, Seq("tok"), "left")
+      .select(col("tok"),
+        (col("nd") - coalesce(col("dnd"), lit(0L))).as("nd"))
+      .filter(col("nd") > 0)
+  }
+
+  /** COMPACTION on the secret-frequency index — the append half (the
+    * d25 discipline): an arriving drop's per-token distinct-doc counts
+    * fold in with one full-outer merge on the token; the base corpus
+    * is never re-read. Bit-identical to rebuilding over base ∪ drop
+    * for disjoint doc_ids (the snapshot contract), and the lifecycle
+    * roundtrips: `delete(merge(idx, drop), drop) ≡ idx`. Merging into
+    * an EMPTY index bootstraps it.
+    */
+  def secretIndexMerge(index: DataFrame, drop: DataFrame,
+      minDigitRun: Int = 4, textCol: String = "text"): DataFrame = {
+    val deltas = secretFrequencies(drop, minDigitRun, textCol)
+      .select(col("tok"), col("nd").as("dnd"))
+    index.join(deltas, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("dnd"), lit(0L)))
+          .as("nd"))
+  }
+
   /** Retention/TTL expiry set — the SCHEDULED counterpart to the d23
     * takedown (takedown answers a request; retention enforces a
     * policy on a clock): given a per-source policy `(source,

@@ -805,6 +805,14 @@ class EngineSpec extends AnyFunSuite {
         "scrub_drop_t, graft_secret_frequencies(scrub_docs_t), k => 3) " +
         "order by doc_id").collect().map(_.toSeq).toSeq
     assert(gotInc == Seq(Seq(10L, "pin1111 <secret> fresh")))
+    // the index is lifecycle-capable through the shared kind dispatch:
+    // merge folds the drop in, delete takes it back out (roundtrip)
+    val rt = engine.run(
+      "select tok, nd from graft_index_delete(" +
+        "graft_index_merge(graft_secret_frequencies(scrub_docs_t), " +
+        "scrub_drop_t, kind => 'secrets'), scrub_drop_t, " +
+        "kind => 'secrets') order by tok").collect().map(_.toSeq).toSeq
+    assert(rt == gotIdx, "secrets merge→delete must roundtrip to the index")
   }
 
   test("graft_unigram_em TVF: self-composes to two EM rounds; feeds encode") {

@@ -107,6 +107,58 @@ class PrivacySpec extends AnyFunSuite {
     assert(got(3L) == "duo7777 z")
   }
 
+  private def freqRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("tok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("secret-index lifecycle: delete ≡ rebuild, merge ≡ rebuild, roundtrip") {
+    val base = Seq(
+      (1L, "pin1111 key0001 a"),
+      (2L, "pin1111 key0002 b"),
+      (3L, "pin1111 c")).toDF("doc_id", "text")
+    val drop = Seq(
+      (10L, "pin1111 key0010 fresh"),
+      (11L, "new9999 row")).toDF("doc_id", "text")
+    val idx = Privacy.secretFrequencies(base)
+    // merge ≡ rebuild over base ∪ drop (disjoint doc_ids)
+    val merged = Privacy.secretIndexMerge(idx, drop)
+    assert(freqRows(merged) ==
+      freqRows(Privacy.secretFrequencies(base.unionByName(drop))))
+    // delete ≡ rebuild over the survivors; a token whose only holders
+    // are revoked DROPS (nd = 0)
+    val revoked = base.filter(col("doc_id") === 1L)
+    val deleted = Privacy.secretIndexDelete(idx, revoked)
+    assert(freqRows(deleted) ==
+      freqRows(Privacy.secretFrequencies(base.filter(col("doc_id") =!= 1L))))
+    assert(!freqRows(deleted).exists(_._1 == "key0001"),
+      "a token held only by the revoked doc must drop from the index")
+    // lifecycle roundtrip: delete(merge(idx, drop), drop) ≡ idx
+    assert(freqRows(Privacy.secretIndexDelete(merged, drop)) == freqRows(idx))
+    // bootstrap: merging into an empty index builds it from scratch
+    val empty = Privacy.secretFrequencies(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(freqRows(Privacy.secretIndexMerge(empty, base)) == freqRows(idx))
+  }
+
+  test("takedown tightens the gate: post-delete scrub redacts at least as much") {
+    // pin5555 held by exactly k = 3 base docs survives the incremental
+    // gate; revoking one holder drops it under k and the SAME drop now
+    // redacts it — takedown can only tighten a privacy gate
+    val base = Seq(
+      (1L, "pin5555 a"), (2L, "pin5555 b"), (3L, "pin5555 c"))
+      .toDF("doc_id", "text")
+    val idx = Privacy.secretFrequencies(base)
+    val drop = Seq((10L, "pin5555 probe")).toDF("doc_id", "text")
+    val before = Privacy.secretScrubAgainstIndex(drop, idx, k = 4)
+      .collect().map(r => r.getString(4)).head
+    assert(before == "pin5555 probe") // 3 + 1 >= 4 → survives
+    val shrunk = Privacy.secretIndexDelete(idx,
+      base.filter(col("doc_id") === 3L))
+    val after = Privacy.secretScrubAgainstIndex(drop, shrunk, k = 4)
+      .collect().map(r => r.getString(4)).head
+    assert(after == "<secret> probe") // 2 + 1 < 4 → redacts
+  }
+
   private def retentionFixture = {
     // asOf = 100; policy: web keeps 30 days, books keeps 90, feed has
     // NO policy row (never expires)
