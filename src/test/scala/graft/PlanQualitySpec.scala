@@ -1583,4 +1583,75 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row total must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  /** Shuffle keys from the formatted plan's Exchange detail lines. */
+  private def shuffleKeyLines(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+
+  test("t27_secret_scrub: shuffles keyed on tokens/ids, never text; no window") {
+    val p = plan("t27_secret_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0,
+      s"the scrub needs no window — covers aggregate per doc:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty && keys.forall(!_.contains("text#")),
+      s"document text must never key a shuffle:\n${keys.mkString("\n")}")
+    // the frequency qualification partial-aggregates map-side
+    assert(nodeCount(p, "HashAggregate") >= 2, p)
+  }
+
+  test("d24_char_excise: shuffles carry window hashes/ids, never the text") {
+    val p = plan("d24_char_excise")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty &&
+      keys.forall(l => !l.contains("text#") && !l.contains("t#")),
+      s"char windows hash map-side — text never keys a shuffle:\n" +
+        keys.mkString("\n"))
+  }
+
+  test("c11_char_decon: eval windows broadcast; corpus text never keys a shuffle") {
+    val p = plan("c11_char_decon")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"the eval window set is benchmark-sized and must broadcast:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(l => !l.contains("text#")),
+      s"corpus text must never key a shuffle:\n${keys.mkString("\n")}")
+  }
+
+  test("a11_ivf_pq_residual: probe set + LUT broadcast; embeddings never key shuffles") {
+    val p = plan("a11_ivf_pq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"qcells and the per-cell LUT are bounded and must broadcast:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(!_.contains("embedding#")),
+      s"full vectors must never key a shuffle:\n${keys.mkString("\n")}")
+    assert(p.contains("TopKPerKey"),
+      s"winners come from the bounded heap, not a sort:\n$p")
+  }
+
+  test("x23_retention_sweep: policy broadcasts; one partial-agg rollup, no window") {
+    val p = plan("x23_retention_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"the O(sources) policy frame must broadcast:\n$p")
+    assert(nodeCount(p, "Window") == 0, s"the sweep needs no window:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"the rollup must partial-aggregate map-side:\n$p")
+  }
+
+  test("u13_unigram_em: one corpus aggregate; the M-step window sees O(vocab) rows") {
+    val p = plan("u13_unigram_em")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(!_.contains("text#")),
+      s"the E-step explodes pieces map-side — text never keys a shuffle:\n" +
+        keys.mkString("\n"))
+    // usage partial-aggregates before the shuffle; the whole-frame
+    // window runs AFTER the aggregate (on the O(vocab) frame)
+    assert(nodeCount(p, "HashAggregate") >= 2, p)
+    assert(nodeCount(p, "Window") == 1, p)
+  }
 }
