@@ -884,6 +884,53 @@ object Graph {
         (coalesce(col("h"), lit(0L)) * col("g")).as("hub"))
   }
 
+  /** WEIGHTED PageRank over a scored pair list — centrality where an
+    * edge's pull is its SIMILARITY, not its existence (the natural
+    * reading on the t14 tf-idf graph: a document tied to hubs by
+    * near-duplicate-strength edges outranks one tied by single shared
+    * bigrams, which binary [[pageRank]] cannot distinguish). The walk
+    * follows `w(v,u)/s(v)` with `s(v) = Σ_u w(v,u)` the out-strength:
+    * per round ONE edges ⋈ ranks shuffle + one map-combinable
+    * per-target sum, the strength frame joined PLAIN (vertex-
+    * cardinality, co-partitioned — the g1 no-broadcast discipline).
+    * Contributions route through decimal(28,18) (each term ≤ r(v) ≤ 1
+    * since the w/s row-weights sum to 1), so rounds are bit-exact on
+    * any partitioning and the unrolled SQL oracle replays them;
+    * uniform weights reduce BIT-FOR-BIT to [[pageRank]] (spec-pinned —
+    * w = 1 makes s the degree and r·w/s ≡ r/deg). Simplified dangling
+    * treatment matches g1's (documented).
+    */
+  def weightedPageRank(vertices: DataFrame, pairs: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"unrolled weighted PageRank: iters must be in [1, 8], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val p = pairs.select(col("doc_a"), col("doc_b"), col("score").as("w"))
+    val edges0 = p.union(p.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("w")))
+    val strength = edges0.groupBy(col("doc_a"))
+      .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("s"))
+    val edges = edges0.join(strength, Seq("doc_a"))
+    val n1 = vertices.agg(count(lit(1)).as("n"))
+    var ranks = vertices.crossJoin(broadcast(n1))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
+    (1 to iters).foreach { _ =>
+      val sums = edges
+        .join(ranks, edges("doc_a") === ranks("doc_id"))
+        .select(col("doc_b"),
+          (col("r") * col("w") / col("s")).cast("decimal(28,18)").as("c"))
+        .groupBy(col("doc_b"))
+        .agg(sum(col("c")).cast("double").as("m"))
+      val base = vertices.crossJoin(broadcast(n1))
+      ranks = base.join(sums, base("doc_id") === sums("doc_b"), "left")
+        .select(base("doc_id"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
   /** EXACT bounded-radius harmonic centrality — the ground truth the
     * HyperBall sketch ([[harmonicCentralityHll]]) approximates:
     * `H(v) = Σ_{u ≠ v, d(v,u) <= maxDist} 1/d(v,u)`, reported in exact

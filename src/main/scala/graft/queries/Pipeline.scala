@@ -1576,6 +1576,24 @@ object Pipeline {
         .orderBy(col("gram"))
     },
 
+    "g16_weighted_pagerank" -> { (s, dir) =>
+      // similarity-WEIGHTED PageRank (Graph.weightedPageRank) — g1
+      // with each edge's pull proportional to its t14 tf-idf score
+      // instead of its existence: a doc tied to hubs by near-dup-
+      // strength edges outranks one tied by single shared bigrams.
+      // Same per-round shape as g1 (edges ⋈ ranks shuffle + one
+      // map-combinable per-target sum; strength joined plain —
+      // vertex-cardinality, never broadcast); contributions ≤ r(v)
+      // route through decimal(28,18), so 3 unrolled rounds replay
+      // bit-for-bit in the oracle. Uniform weights reduce BIT-FOR-BIT
+      // to g1's operator (spec-pinned).
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val p = Dedup.persistPublic(tfidfPairsShared(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("score")))
+      Graph.weightedPageRank(docs, p, iters = 3, damping = 0.85)
+        .orderBy(col("doc_id"))
+    },
+
     "g15_hyperball" -> { (s, dir) =>
       // HyperBall (Boldi & Vigna WSDM'13) over the t14 similarity
       // graph — the neighborhood/centrality estimator that actually
@@ -6901,6 +6919,74 @@ object Pipeline {
 
     "g8_pagerank_dangling" -> PagerankDanglingSql,
     "g9_pagerank_fixpoint" -> PagerankDanglingSql,
+
+    "g16_weighted_pagerank" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM idx GROUP BY doc_id, gram),
+        |dfreq AS (
+        |  SELECT gram, count(*) AS df FROM tf
+        |  GROUP BY gram HAVING count(*) BETWEEN 2 AND 25),
+        |n0 AS (SELECT count(*) AS n_docs FROM documents),
+        |wdf AS (SELECT gram, CAST(n_docs AS DOUBLE) / df AS w FROM dfreq, n0),
+        |p AS (SELECT tf.doc_id, tf.gram, tf.tf, wdf.w
+        |      FROM tf JOIN wdf USING (gram)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST((CAST(a.tf * b.tf AS DOUBLE) * a.w) * b.w
+        |         AS DECIMAL(28,12)) AS term
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |prs AS (
+        |  SELECT doc_a, doc_b, CAST(sum(term) AS DOUBLE) AS w
+        |  FROM pr GROUP BY doc_a, doc_b),
+        |ed AS (
+        |  SELECT doc_a, doc_b, w FROM prs
+        |  UNION ALL SELECT doc_b, doc_a, w FROM prs),
+        |st AS (
+        |  SELECT doc_a, CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM ed GROUP BY doc_a),
+        |e2 AS (SELECT ed.doc_a, ed.doc_b, ed.w, st.s
+        |       FROM ed JOIN st USING (doc_a)),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |r0 AS (SELECT d.doc_id, CAST(1.0 AS DOUBLE) / nn.n AS r
+        |       FROM documents d CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e2.doc_b AS doc_id,
+        |      CAST(sum(CAST(r0.r * e2.w / e2.s AS DECIMAL(28,18)))
+        |        AS DOUBLE) AS m
+        |    FROM e2 JOIN r0 ON e2.doc_a = r0.doc_id
+        |    GROUP BY e2.doc_b) m ON d.doc_id = m.doc_id),
+        |r2 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e2.doc_b AS doc_id,
+        |      CAST(sum(CAST(r1.r * e2.w / e2.s AS DECIMAL(28,18)))
+        |        AS DOUBLE) AS m
+        |    FROM e2 JOIN r1 ON e2.doc_a = r1.doc_id
+        |    GROUP BY e2.doc_b) m ON d.doc_id = m.doc_id),
+        |r3 AS (
+        |  SELECT d.doc_id, CAST(0.15 AS DOUBLE) / nn.n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m.m, 0.0) AS r
+        |  FROM documents d CROSS JOIN nn LEFT JOIN (
+        |    SELECT e2.doc_b AS doc_id,
+        |      CAST(sum(CAST(r2.r * e2.w / e2.s AS DECIMAL(28,18)))
+        |        AS DOUBLE) AS m
+        |    FROM e2 JOIN r2 ON e2.doc_a = r2.doc_id
+        |    GROUP BY e2.doc_b) m ON d.doc_id = m.doc_id)
+        |SELECT doc_id, r FROM r3 ORDER BY doc_id""".stripMargin,
 
     "g15_hyperball" ->
       s"""WITH $SimGraphCtes,

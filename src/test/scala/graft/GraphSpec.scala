@@ -144,6 +144,35 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("weighted pagerank: uniform weights reduce bit-for-bit to unweighted") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 4L))
+    val verts = verticesDf(5)
+    val wp = pairsDf(edges).withColumn("score", lit(1.0))
+    val got = Graph.weightedPageRank(verts, wp, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Graph.pageRank(verts, pairsDf(edges), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, "w = 1 must reproduce the binary walk exactly")
+  }
+
+  test("weighted pagerank: the heavy edge pulls rank; partition-invariant") {
+    // star: center 0, spokes 1..4; spoke 1's edge carries 10x weight —
+    // the center's mass flows to it proportionally
+    val wp = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (0L, 3L, 1.0), (0L, 4L, 1.0))
+      .toDF("doc_a", "doc_b", "score")
+    val verts = verticesDf(5)
+    val got = Graph.weightedPageRank(verts, wp, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L),
+      got.toString)
+    // and the heavy spoke's pull is visible, not epsilon
+    assert(got(1L) > 2 * got(2L), got.toString)
+    val again = Graph.weightedPageRank(verts.repartition(7),
+        wp.repartition(3), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == again, "decimal-routed rounds must be partition-invariant")
+  }
+
   test("harmonic exact: path + clique + isolated vertex, hand-computed ppm") {
     // path 0-1-2-3-4, clique {10,11,12}, isolated 20
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
