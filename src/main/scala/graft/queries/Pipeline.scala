@@ -2768,6 +2768,66 @@ object Pipeline {
         .orderBy(col("source"), col("rank"))
     },
 
+    "s15_curriculum_manifests" -> { (s, dir) =>
+      // the CURRICULUM MATERIALIZED — s14's epoch-annealed quotas
+      // (B = 1000 here) turned into the per-epoch pick lists a training
+      // loader consumes, through s13's machinery: ONE md5-ordered
+      // ranking per source (TopKPerKey bounded heap at k = B, shared by
+      // all epochs) trimmed to each epoch's quota. Sharing the ranking
+      // makes the manifests PREFIX-STABLE across epochs (spec-pinned):
+      // when a source's quota grows from epoch e to e', epoch e's picks
+      // are exactly a prefix of e''s — the loader property that lets a
+      // curriculum switch epochs without reshuffling its shards. Fully
+      // DuckDB-replayable (md5 order, integer apportionments); one
+      // corpus count + one corpus ranking pass, everything else on
+      // O(sources × E) frames.
+      val wnd = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      def hamilton(wt: org.apache.spark.sql.Column, out: String) =
+        counts.select(col("source"), wt.as("wt"))
+          .withColumn("wtot", sum(col("wt")).over(wnd.partitionBy()))
+          .select(col("source"),
+            expr("(1000 * wt) div wtot").as("base_n"),
+            expr("(1000 * wt) % wtot").as("rem"))
+          .withColumn("leftover",
+            lit(1000L) - sum(col("base_n")).over(wnd.partitionBy()))
+          .withColumn("rk", row_number().over(
+            wnd.orderBy(col("rem").desc, col("source"))))
+          .select(col("source"),
+            (col("base_n") +
+              when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+              .as(out))
+      val qt = hamilton(
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"), "q_temp")
+      val qp = hamilton(col("n_docs"), "q_prop")
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"))
+      val quotas = qt.join(qp, Seq("source"))
+        .crossJoin(s.range(0, 4).select(col("id").as("epoch")))
+        .select(col("epoch"), col("source"),
+          ((lit(3L) - col("epoch")) * col("q_temp") +
+            col("epoch") * col("q_prop")).as("rr"))
+        .select(col("epoch"), col("source"),
+          expr("rr div 3").as("base_n"), expr("rr % 3").as("rem"))
+        .withColumn("leftover", lit(1000L) - sum(col("base_n")).over(we))
+        .withColumn("rk", row_number().over(
+          we.orderBy(col("rem").desc, col("source"))))
+        .select(col("epoch"), col("source"),
+          (col("base_n") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+      val hashed = d.select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      graft.plans.TopKPerKey(hashed, Seq(col("source")),
+          Seq(col("h").asc, col("doc_id").asc), k = 1000)
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rank") <= col("quota"))
+        .select(col("epoch"), col("source"),
+          col("rank").cast("long").as("rank"), col("doc_id"))
+        .orderBy(col("epoch"), col("source"), col("rank"))
+    },
+
     "s2_mixture_weights" -> { (s, dir) =>
       // temperature-scaled data-mixing weights: w_lang = sqrt(token share)
       // (α = 0.5 upweights low-resource languages). Arithmetic chosen for
@@ -8711,6 +8771,64 @@ object Pipeline {
         |    AS BIGINT) AS quota
         |FROM rr JOIN lo USING (epoch)
         |ORDER BY rr.epoch, rr.source""".stripMargin,
+
+    "s15_curriculum_manifests" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt2
+        |  FROM documents GROUP BY source),
+        |t2 AS (SELECT CAST(sum(wt2) AS BIGINT) AS wtot FROM c),
+        |b2 AS (
+        |  SELECT source,
+        |    (1000 * wt2) // t2.wtot AS base_n,
+        |    (1000 * wt2) % t2.wtot AS rem
+        |  FROM c, t2),
+        |l2 AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b2),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM b2),
+        |qt AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= l2.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_temp
+        |  FROM r2, l2),
+        |tp AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wtot FROM c),
+        |bp AS (
+        |  SELECT source,
+        |    (1000 * n_docs) // tp.wtot AS base_n,
+        |    (1000 * n_docs) % tp.wtot AS rem
+        |  FROM c, tp),
+        |lp AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM bp),
+        |rp AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM bp),
+        |qp AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= lp.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_prop
+        |  FROM rp, lp),
+        |e AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS epoch),
+        |x AS (
+        |  SELECT e.epoch, qt.source,
+        |    (3 - e.epoch) * qt.q_temp + e.epoch * qp.q_prop AS rr
+        |  FROM qt JOIN qp USING (source), e),
+        |y AS (SELECT epoch, source, rr // 3 AS base_n, rr % 3 AS rem FROM x),
+        |lo AS (SELECT epoch, 1000 - CAST(sum(base_n) AS BIGINT) AS leftover
+        |       FROM y GROUP BY epoch),
+        |rr2 AS (SELECT y.*, row_number() OVER (PARTITION BY y.epoch
+        |          ORDER BY y.rem DESC, y.source) AS rk FROM y),
+        |quotas AS (
+        |  SELECT rr2.epoch, rr2.source,
+        |    CAST(rr2.base_n + CASE WHEN rr2.rk <= lo.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS quota
+        |  FROM rr2 JOIN lo USING (epoch)),
+        |picks AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT q.epoch, p.source, CAST(p.rank AS BIGINT) AS rank, p.doc_id
+        |FROM picks p JOIN quotas q USING (source)
+        |WHERE p.rank <= q.quota
+        |ORDER BY q.epoch, p.source, p.rank""".stripMargin,
 
     "t20_novelty" ->
       """WITH tok AS (

@@ -368,6 +368,29 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("curriculum manifests: prefix-stable across epochs, quota-bounded") {
+    val rows = graft.queries.Pipeline.queries("s15_curriculum_manifests")(
+        spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows.nonEmpty)
+    // ranks dense 1..size per (epoch, source) — a loader can stream them
+    rows.groupBy(t => (t._1, t._2)).foreach { case (key, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.length.toLong), key.toString)
+    }
+    // PREFIX STABILITY: the doc at rank r is the SAME doc in every
+    // epoch that reaches rank r — one shared md5 order per source
+    rows.groupBy(t => (t._2, t._3)).foreach { case (key, rs) =>
+      assert(rs.map(_._4).distinct.length == 1,
+        s"rank slot $key must hold one document across epochs")
+    }
+    // per-epoch total ≤ B (= when no source exhausts its docs)
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      assert(rs.length <= 1000, s"epoch $e exceeds the budget")
+    }
+  }
+
   test("mixture manifest: dense per-source ranks, unique picks, budget bound") {
     // s13's selection is a TOTAL order (md5, then doc_id) through
     // TopKPerKey, so determinism is structural (and the DuckDB oracle
