@@ -933,6 +933,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Parametric OPQ state: the PERMUTED rotation rows `(w_r, c_r)` in
+    * output-dimension order (component vector + precomputed mean
+    * offset — the v4p model-as-data shape) plus the PQ codebooks fitted
+    * in the rotated space. O(dim² + m·k·dsub) driver state.
+    */
+  final case class OpqModel(
+      rotation: Seq[(Seq[Double], Double)], pq: PqModel)
+
+  /** Parametric Optimized Product Quantization [Ge et al., CVPR'13
+    * §4, OPQ_P]: rotate by the full PCA eigenbasis, then PERMUTE the
+    * eigen-dimensions into `m` buckets balancing the per-bucket
+    * eigenvalue log-products (the paper's closed-form solution under
+    * the Gaussian assumption — variance spread ACROSS subspaces is
+    * what plain PQ cannot exploit, because each codebook only sees its
+    * own slice), then fit the PQ codebooks in the rotated space. The
+    * rotation is orthogonal plus a mean shift, so L2 distances are
+    * PRESERVED — ADC in the rotated space ranks exactly like ADC on
+    * the originals would with a better quantizer. Fit = one [[fitPca]]
+    * (sample-capped covariance + Jacobi) + a deterministic O(dim log
+    * dim) driver assignment + one [[fitPq]] on the map-only rotated
+    * frame; serving reuses the a4 machinery verbatim on rotated
+    * columns (the projection is the fused v4p dot kernel — codegen'd,
+    * zero shuffle).
+    */
+  def fitOpqParametric(embs: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int, fitCap: Int = PcaFitCap): OpqModel = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split evenly into m=$m subspaces")
+    val pca = fitPca(embs, dim, k = dim, whiten = false, fitCap = fitCap)
+    val dsub = dim / m
+    // greedy balance: largest eigenvalue first, into the non-full
+    // bucket with the smallest log-product (ties to the lower index) —
+    // deterministic, and the classic 2-approximation to the balanced
+    // partition the paper's Gaussian bound wants
+    val order = pca.eigenvalues.zipWithIndex.sortBy { case (ev, i) =>
+      (-ev, i)
+    }
+    val logs = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    order.foreach { case (ev, i) =>
+      val b = (0 until m).filter(buckets(_).size < dsub)
+        .minBy(j => (logs(j), j))
+      logs(b) += math.log(math.max(ev, java.lang.Double.MIN_NORMAL))
+      buckets(b) = buckets(b) :+ i
+    }
+    val rows = buckets.toSeq.flatten.map { r =>
+      val w = pca.components(r)
+      var c = 0.0
+      var i = 0
+      while (i < w.length) { c += pca.means(i) * w(i); i += 1 }
+      (w.toSeq, c)
+    }
+    val rotated = embs.select(col("vec_id"),
+      rotateRows(col("embedding"), rows).as("embedding"))
+    OpqModel(rows, fitPq(rotated, dim, m, k, iters))
+  }
+
+  private def rotateRows(emb: Column,
+      rows: Seq[(Seq[Double], Double)]): Column =
+    array(rows.map { case (w, c) => dot(emb, typedLit(w)) - lit(c) }: _*)
+
+  /** Map-only OPQ rotation: the permuted PCA projection as an array
+    * column — `rotated[r] = x·w_r − c_r`, every coordinate through the
+    * fused v4p dot kernel, bit-replayable from the persisted rotation
+    * rows.
+    */
+  def opqRotate(emb: Column, model: OpqModel): Column =
+    rotateRows(emb, model.rotation)
+
+  /** ADC top-k in the OPQ-rotated space — [[pqAdcTopK]] verbatim over
+    * the rotated corpus codes and rotated queries (rotation preserves
+    * L2, so adist ranks the TRUE distances under the better
+    * quantizer). Hash-gates end to end from the persisted rotation +
+    * codebook parquets.
+    */
+  def opqAdcTopK(corpus: DataFrame, queries: DataFrame, model: OpqModel,
+      k: Int): DataFrame = {
+    val rc = corpus.select(col("vec_id"),
+      opqRotate(col("embedding"), model).as("embedding"))
+    val rq = queries.select(col("vec_id"),
+      opqRotate(col("embedding"), model).as("embedding"))
+    pqAdcTopK(rq, pqEncode(rc, model.pq), model.pq, k)
+  }
+
   /** Coarse-residual frame [Jégou et al., TPAMI'11 §IV-A]: each vector
     * minus its assigned coarse centroid, plus the assignment —
     * `(vec_id, cell, embedding = v − c_cell)` in ONE map-only
@@ -947,11 +1031,18 @@ object Similarity {
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val ids = cents.map(_._1)
     val vecs = cents.map(_._2)
-    val pos = nearestCellExpr(col("embedding"), cents)
-    corpus.select(col("vec_id"),
-      element_at(typedLit(ids), pos).as("cell"),
-      zip_with(asDouble(col("embedding")),
-        element_at(typedLit(vecs), pos), (x, c) => x - c).as("embedding"))
+    // STAGED projections: the coarse argmax is referenced twice (cell
+    // + residual) and lambda-bearing expressions are excluded from
+    // codegen CSE, so inlining would evaluate the nlist-fold argmax
+    // per reference; a non-cheap alias referenced more than once also
+    // blocks CollapseProject, so each stage's work runs ONCE per row.
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        nearestCellExpr(col("embedding"), cents).as("cpos"))
+      .select(col("vec_id"),
+        element_at(typedLit(ids), col("cpos")).as("cell"),
+        zip_with(col("v"), element_at(typedLit(vecs), col("cpos")),
+          (x, c) => x - c).as("embedding"))
   }
 
   /** PQ codebooks trained on the COARSE RESIDUALS (the IVFADC fit):
@@ -1048,17 +1139,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centArr = collectCentroids(centroids)
-    val ids = centArr.map(_._1)
-    val pos = nearestCellExpr(col("embedding"), centArr)
-    val rv = zip_with(asDouble(col("embedding")),
-      element_at(typedLit(centArr.map(_._2)), pos), (x, c) => x - c)
+    // the residual frame stages its projections (residualVectors) so
+    // the coarse argmax and the zip_with subtraction each run ONCE per
+    // row — inlined, the m code columns would re-evaluate both per
+    // subspace (lambda-bearing exprs are excluded from codegen CSE;
+    // the non-cheap multi-referenced aliases also block
+    // CollapseProject, keeping the stages separate)
+    val rvFrame = residualVectors(corpus, centArr)
     val codeCols = model.books.zipWithIndex.map { case (cents, sub) =>
-      nearestCellL2Expr(slice(rv, sub * model.dsub + 1, model.dsub), cents)
+      nearestCellL2Expr(
+        slice(col("embedding"), sub * model.dsub + 1, model.dsub), cents)
         .as(s"c$sub")
     }
-    val coded = corpus.select(
-      Seq(col("vec_id"), element_at(typedLit(ids), pos).as("cell")) ++
-        codeCols: _*)
+    val coded = rvFrame.select(
+      Seq(col("vec_id"), col("cell")) ++ codeCols: _*)
     val cents = broadcast(centArr.toDF("centroid_id", "centroid"))
     val qScored = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

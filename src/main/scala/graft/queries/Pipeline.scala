@@ -279,6 +279,46 @@ object Pipeline {
         savePqModel(s, dir, model, name = "pq_resid_model")
         model
       })).value
+  /** a12's parametric OPQ: PCA rotation + balanced permutation +
+    * rotated-space PQ codebooks — both halves persisted (rotation as
+    * (r, c, w) rows — the v4p model shape; books via the pq_model
+    * discipline) so DuckDB replays rotation AND quantization.
+    */
+  private val opqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[Similarity.OpqModel]]()
+  private def fittedOpq(s: SparkSession, dir: String): Similarity.OpqModel =
+    opqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
+      loadOpqModel(s, dir, dim = 64, m = 8, k = 16).getOrElse {
+        val model = Similarity.fitOpqParametric(
+          Tables.load(s, dir, "embeddings"), dim = 64, m = 8, k = 16,
+          iters = 2)
+        saveOpqModel(s, dir, model)
+        model
+      })).value
+  private def saveOpqModel(s: SparkSession, dir: String,
+      model: Similarity.OpqModel): Unit = {
+    import s.implicits._
+    model.rotation.zipWithIndex
+      .map { case ((w, c), r) => (r, c, w) }
+      .toDF("r", "c", "w")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${Tables.modelsDir(dir)}/opq_rotation.parquet")
+    savePqModel(s, dir, model.pq, name = "opq_pq_model")
+  }
+  private def loadOpqModel(s: SparkSession, dir: String,
+      dim: Int, m: Int, k: Int): Option[Similarity.OpqModel] =
+    try {
+      val rows = s.read
+        .parquet(s"${Tables.modelsDir(dir)}/opq_rotation.parquet")
+        .collect() // O(dim) rows — driver-scale model state
+        .sortBy(_.getAs[Int]("r"))
+        .map(r => (r.getAs[scala.collection.Seq[Double]]("w")
+          .toVector: Seq[Double], r.getAs[Double]("c")))
+      val ok = rows.length == dim && rows.forall(_._1.size == dim)
+      if (!ok) None
+      else loadPqModel(s, dir, dim, m, k, name = "opq_pq_model")
+        .map(pq => Similarity.OpqModel(rows.toSeq, pq))
+    } catch { case scala.util.control.NonFatal(_) => None }
   private def savePqModel(s: SparkSession, dir: String,
       model: Similarity.PqModel, name: String = "pq_model"): Unit = {
     import s.implicits._
@@ -582,6 +622,7 @@ object Pipeline {
       timed("ivf_centroids_16") { fittedIvfPath(s, dir, nlist = 16) },
       timed("pq_model") { fittedPq(s, dir) },
       timed("pq_resid_model") { fittedResidualPq(s, dir) },
+      timed("opq_model") { fittedOpq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
       timed("cells_a9") { fittedA9CellsPath(s, dir) },
       timed("cells_v13") { fittedV13CellsPath(s, dir) },
@@ -1396,6 +1437,24 @@ object Pipeline {
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
         e, e.filter(col("vec_id") < 5), fittedResidualPq(s, dir),
         k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "a12_opq_adc" -> { (s, dir) =>
+      // parametric OPQ (Ge et al. CVPR'13 — OPQ_P): a4's ADC with the
+      // vectors ROTATED first (full PCA eigenbasis, eigen-dims
+      // permuted to balance per-subspace eigenvalue log-products),
+      // so variance spread across subspaces — which plain PQ cannot
+      // exploit, each codebook seeing only its slice — concentrates
+      // where the codebooks can spend their bits. Rotation is
+      // orthogonal + mean shift ⇒ L2-preserving ⇒ adist ranks the
+      // true distances under the better quantizer. The rotation is the
+      // fused v4p dot kernel (map-only, codegen'd); serving is the a4
+      // machinery verbatim in the rotated space; BOTH model halves
+      // persist and DuckDB replays rotation + quantization end to end.
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.opqAdcTopK(e, e.filter(col("vec_id") < 5),
+          fittedOpq(s, dir), k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -6678,6 +6737,52 @@ object Pipeline {
         |  JOIN lut l ON l.query_id = cand.query_id
         |    AND l.sub = c2.sub AND l.code = c2.code
         |  GROUP BY cand.query_id, cand.vec_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adist, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "a12_opq_adc" ->
+      """WITH rot AS (
+        |  SELECT r, c, w
+        |  FROM read_parquet('__GRAFT_MODELS__/opq_rotation.parquet/*.parquet')),
+        |v0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |v AS (
+        |  SELECT vec_id,
+        |    list(list_dot_product(v0.v, rot.w) - rot.c ORDER BY rot.r) AS v
+        |  FROM v0, rot GROUP BY vec_id),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/opq_pq_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, model m),
+        |codes AS (
+        |  SELECT vec_id, sub, centroid_id AS code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT q.query_id, m.sub, m.centroid_id AS code,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(q.qv[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM q, model m),
+        |sc AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id),
         |rk AS (
         |  SELECT query_id, vec_id AS neighbor_id, adist,
         |    row_number() OVER (PARTITION BY query_id

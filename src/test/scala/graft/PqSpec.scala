@@ -231,6 +231,79 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  /** UNBALANCED variance: four independent high-variance dimensions
+    * all land in flat PQ's FIRST subspace (one codebook quantizing a
+    * 4-D cloud, three codebooks wasted on noise); OPQ's balanced
+    * eigen-permutation spreads them one per subspace, so each codebook
+    * quantizes an essentially 1-D manifold — the regime Ge et al.'s
+    * parametric solution is built for.
+    */
+  private def correlated(n: Int, dim: Int) = {
+    val primes = Seq(3, 7, 11, 13)
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map { d =>
+        if (d < 4) ((i * primes(d)) % 16) / 2.0f
+        else ((i * 7 + d * 3) % 11) / 1100.0f
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ: rotation is a balanced permutation of the eigenbasis") {
+    val dim = 16; val m = 4
+    val data = correlated(300, dim)
+    val model = Similarity.fitOpqParametric(data, dim, m, k = 4, iters = 2)
+    assert(model.rotation.length == dim)
+    assert(model.rotation.forall(_._1.length == dim))
+    // component rows are unit vectors (orthonormal eigenbasis rows)
+    model.rotation.foreach { case (w, _) =>
+      val n2 = w.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-8, s"component norm² $n2")
+    }
+  }
+
+  test("OPQ quantizes cross-subspace correlation with lower distortion than PQ") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 4
+    val data = correlated(400, dim)
+    val flat = Similarity.fitPq(data, dim, m, k, iters = 2)
+    val opq = Similarity.fitOpqParametric(data, dim, m, k, iters = 2)
+    def mse(model: Similarity.PqModel,
+        frame: org.apache.spark.sql.DataFrame): Double = {
+      val rows = frame.select(
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0))
+      rows.map { v =>
+        (0 until model.m).map { sub =>
+          val block = v.slice(sub * model.dsub, (sub + 1) * model.dsub)
+          model.books(sub).map { case (_, c) =>
+            block.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+          }.min
+        }.sum
+      }.sum / rows.length
+    }
+    val flatMse = mse(flat, data)
+    val rotated = data.select(col("vec_id"),
+      Similarity.opqRotate(col("embedding"), opq).as("embedding"))
+    val opqMse = mse(opq.pq, rotated)
+    assert(opqMse < flatMse / 2,
+      s"OPQ distortion $opqMse must undercut flat $flatMse")
+  }
+
+  test("OPQ ADC serving: deterministic and adist-faithful under rotation") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 4
+    val data = correlated(200, dim)
+    val model = Similarity.fitOpqParametric(data, dim, m, k, iters = 2)
+    val queries = data.filter(col("vec_id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.opqAdcTopK(df, queries, model, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val a = run(data)
+    assert(a.length == 15 && a.forall(r => r(1) != r(0)))
+    assert(a == run(data.repartition(11)),
+      "rotated serving must be partition-invariant bit-for-bit")
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
