@@ -715,11 +715,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
     val base = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
-    val g = persistPublic(base.filter(length(col("t")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), length(col("t")) - n)).as("pos"), col("t"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(expr(s"substring(t, pos + 1, $n)")).as("gh")))
+    val g = persistPublic(charWindowHashes(docs, n, textCol))
     val dupSpans = g.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -983,6 +979,96 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** Per-document char-window hash frame `(doc_id, pos, gh)` over the
+    * LOWERCASED text (0-based char positions, xxhash64 of each n-char
+    * window) — the shared map-side stage of the d24/d27 char family.
+    * Bodies never shuffle; only these fixed-width rows do.
+    */
+  private def charWindowHashes(docs: DataFrame, n: Int,
+      textCol: String): DataFrame =
+    docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("t")) - n)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(t, pos + 1, $n)")).as("gh"))
+
+  /** The delete-capable CHAR-window index — [[spanIndexCounted]] at
+    * d24's granularity: one row per distinct n-char window hash with
+    * its document frequency `(gh, nd)`. Same counted-rows contract:
+    * probes project `gh`, the count makes takedown
+    * ([[spanIndexCharsDelete]]) and compaction
+    * ([[spanIndexCharsMerge]]) possible without a rebuild.
+    */
+  def spanIndexCountedChars(base: DataFrame, n: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"window length must be >= 2, got $n")
+    charWindowHashes(base, n, textCol)
+      .select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+  }
+
+  /** Takedown on the char-window index — [[spanIndexDelete]]'s delta
+    * arithmetic at char granularity: decrements from the revoked docs'
+    * own windows, hashes reaching nd = 0 drop. Bit-identical to
+    * `spanIndexCountedChars(survivors)` (spec-pinned); cost ∝ revoked
+    * text, never the corpus.
+    */
+  def spanIndexCharsDelete(index: DataFrame, revoked: DataFrame,
+      n: Int = 40, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"window length must be >= 2, got $n")
+    val delta = charWindowHashes(revoked, n, textCol)
+      .select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("rc"))
+    index.join(delta, Seq("gh"), "left")
+      .select(col("gh"),
+        (col("nd") - coalesce(col("rc"), lit(0L))).as("nd"))
+      .filter(col("nd") > 0)
+  }
+
+  /** Compaction on the char-window index — [[spanIndexMerge]]'s
+    * full-outer fold at char granularity; bit-identical to rebuilding
+    * over base ∪ drop for disjoint doc_ids, and
+    * `delete(merge(idx, drop), drop) ≡ idx` roundtrips (spec-pinned).
+    */
+  def spanIndexCharsMerge(index: DataFrame, drop: DataFrame,
+      n: Int = 40, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"window length must be >= 2, got $n")
+    val delta = charWindowHashes(drop, n, textCol)
+      .select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("dc"))
+    index.join(delta, Seq("gh"), "full_outer")
+      .select(col("gh"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("nd"))
+  }
+
+  /** INCREMENTAL char-window excision — the daily-crawl form of
+    * [[spanExciseChars]] (exactly [[spanExciseAgainstIndex]]'s rule at
+    * d24's granularity): every char position of an arriving drop
+    * document covered by an n-char window the BASE index already holds
+    * is removed — the base's copy is canonical, so this is keep-one
+    * with the base as keeper. The per-document decision reads only the
+    * static index, so the flow is stateless and has a zero-state
+    * streaming twin (`EventsStream.charExciseStream`); within-drop
+    * duplication is out of scope here exactly as in d22 (handled at
+    * compaction by [[spanExciseChars]] over the merged corpus).
+    * One left-semi equi join on the hash; the rebuild is the shared
+    * d24 per-code-point indexed filter.
+    */
+  def spanExciseCharsAgainstIndex(drop: DataFrame, charIndex: DataFrame,
+      n: Int = 40, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"window length must be >= 2, got $n")
+    val covers = charWindowHashes(drop, n, textCol)
+      .join(charIndex.select(col("gh")), Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("cov"))
+    rebuildExcisedChars(
+      drop.select(col("doc_id"), lower(col(textCol)).as("t")), covers)
   }
 
   /** The base-snapshot span-hash index [[spanExciseAgainstIndex]]

@@ -972,6 +972,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "d27_char_excise_incremental" -> { (s, dir) =>
+      // d22 at d24's granularity: an arriving drop (doc_id % 4 = 0, the
+      // x4 snapshot convention) excises every char position covered by
+      // a 40-char window the BASE corpus's persisted counted index
+      // already holds — the base copy is canonical, keep-one with the
+      // base as keeper. ONE left-semi equi join on the hash (fixed-
+      // width rows; bodies never shuffle), the shared d24 rebuild; the
+      // decision reads only the static index, so the flow is stateless
+      // (zero-state twin EventsStream.charExciseStream, spec-pinned).
+      // The oracle is a genuine differential: DuckDB matches the
+      // actual 40-char STRINGS where Spark probes xxhash64 hashes —
+      // corpus collision-freedom is part of the gate.
+      val d = Tables.load(s, dir, "documents")
+      val idx = Dedup.spanIndexCountedChars(
+        d.filter(col("doc_id") % 4 =!= 0), n = 40)
+      Dedup.spanExciseCharsAgainstIndex(
+          d.filter(col("doc_id") % 4 === 0), idx, n = 40)
+        .orderBy(col("doc_id"))
+    },
+
     "d21_span_keep_one" -> { (s, dir) =>
       // KEEP-ONE duplicated-span dedup — the Lee et al. ACL'22
       // ExactSubstr rule exactly (d20 is the stricter remove-every-copy
@@ -9480,6 +9500,46 @@ object Pipeline {
         |  CAST(length(t.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(ka.clean_text, '') AS clean_text
         |FROM tok t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "d27_char_excise_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 4 <> 0),
+        |drop0 AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |bw AS (
+        |  SELECT DISTINCT substring(t, i + 1, 40) AS g
+        |  FROM (SELECT t, unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM base WHERE length(t) >= 40)),
+        |sp AS (
+        |  SELECT doc_id, i AS pos, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM drop0 WHERE length(t) >= 40)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    unnest(generate_series(s.pos, s.pos + 39)) AS i
+        |  FROM sp s JOIN bw ON s.g = bw.g),
+        |ch AS (
+        |  SELECT doc_id, t, regexp_extract_all(t, '(?s).') AS cs FROM drop0),
+        |tp AS (
+        |  SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i
+        |  FROM ch),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.cs[tp.i] AS c
+        |  FROM tp LEFT JOIN cov
+        |    ON tp.doc_id = cov.doc_id AND tp.i - 1 = cov.i
+        |  WHERE cov.i IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(c, '' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.t) AS BIGINT) AS n_chars,
+        |  CAST(length(t.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM drop0 t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
     "t25_langid_confusion" ->

@@ -590,6 +590,23 @@ object EventsStream {
       .start()
 
   /** Streaming twin of
+    * [[graft.operators.Dedup.spanExciseCharsAgainstIndex]] — d27's
+    * char-granular incremental excision at ingest: each microbatch
+    * probes the PERSISTED char-window index; the per-document decision
+    * reads only the static index, so the twin is zero-state exactly
+    * like [[spanExciseStream]] (cumulative stream output ≡ the batch
+    * operator over the union, spec-pinned).
+    */
+  def charExciseStream(docs: DataFrame, charIndex: DataFrame, n: Int = 40)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.spanExciseCharsAgainstIndex(
+          batch.toDF(), charIndex, n))
+      }
+      .start()
+
+  /** Streaming twin of
     * [[graft.operators.Privacy.secretScrubAgainstIndex]] — the t27
     * k-anonymity scrub at ingest: each arriving microbatch scrubs
     * against the PERSISTED (tok, nd) candidate-frequency index, with

@@ -26,6 +26,42 @@ class IndexDeleteSpec extends AnyFunSuite {
   private def spanRows(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("char-window index lifecycle: delete/merge equal rebuilds, roundtrip, probe") {
+    val run = "0123456789abcdefghijklmnopqrstuvwxyz-end" // 40 chars
+    val base = Seq(
+      (1L, s"alpha $run beta"),
+      (2L, s"gamma $run delta"),
+      (3L, "completely unrelated base document text here padded out")
+    ).toDF("doc_id", "text")
+    val drop = Seq(
+      (100L, s"leading words $run trailing words"),   // base-held → excises
+      (101L, "fresh drop content with no overlap at all against anyone")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.spanIndexCountedChars(base, n = 40)
+    // delete ≡ rebuild on survivors; sole-holder hashes vanish
+    val rev = base.filter(col("doc_id") === 1L)
+    assert(spanRows(Dedup.spanIndexCharsDelete(idx, rev, n = 40)) ==
+      spanRows(Dedup.spanIndexCountedChars(
+        base.filter(col("doc_id") =!= 1L), n = 40)))
+    // merge ≡ rebuild on base ∪ drop; the lifecycle roundtrips
+    val merged = Dedup.spanIndexCharsMerge(idx, drop, n = 40)
+    assert(spanRows(merged) ==
+      spanRows(Dedup.spanIndexCountedChars(base.unionByName(drop), n = 40)))
+    assert(spanRows(Dedup.spanIndexCharsDelete(merged, drop, n = 40)) ==
+      spanRows(idx))
+    // the incremental probe: base-held windows excise from the drop
+    // (the shared flanking spaces extend the cover — the d24 maximal-
+    // run property at the index boundary), fresh content passes
+    val got = Dedup.spanExciseCharsAgainstIndex(drop, idx, n = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(100L)._1 == 42L, got(100L).toString)
+    assert(got(100L)._2 == "leading wordstrailing words")
+    assert(got(101L) ==
+      ((0L, "fresh drop content with no overlap at all against anyone")))
+    Dedup.unpersistAll()
+  }
+
   test("span index delete equals rebuild: planted holder regimes") {
     val span8 = "w1 w2 w3 w4 w5 w6 w7 w8"
     val docs = Seq(

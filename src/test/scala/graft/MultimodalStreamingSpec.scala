@@ -783,6 +783,46 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("char excise stream: zero-state, cumulative output equals the union batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val run = "0123456789abcdefghijklmnopqrstuvwxyz-end" // 40 chars
+    val base = Seq((100L, s"base holds $run verbatim"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.spanIndexCountedChars(base, n = 40)
+    val b1 = Seq((0L, s"first $run copy"), (1L, "clean novel content row"))
+    val b2 = Seq((2L, s"second $run copy"))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = EventsStream.charExciseStream(
+        in.toDF().toDF("doc_id", "text"), index, n = 40) { batch =>
+      got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    def batchOp(rows: Seq[(Long, String)]) =
+      graft.operators.Dedup.spanExciseCharsAgainstIndex(
+          rows.toDF("doc_id", "text"), index, n = 40)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sortBy(_._1)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(_._1).toSeq == batchOp(b1), "after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // zero-state: cumulative stream ≡ the batch operator over the union
+    assert(got.sortBy(_._1).toSeq == batchOp(b1 ++ b2))
+    val byId = got.map(r => r._1 -> r._4).toMap
+    // base-held run excises (with its shared flanking spaces), clean
+    // text passes untouched
+    assert(byId(0L) == "firstcopy" && byId(2L) == "secondcopy", byId.toString)
+    assert(byId(1L) == "clean novel content row")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("secret scrub stream: per-batch rule exact, split evidence only over-redacts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
