@@ -1184,9 +1184,15 @@ class GraftEngine(val spark: SparkSession) {
             // alone, tokens reaching nd = 0 drop
             graft.operators.Privacy.secretIndexDelete(rel(0), rel(1),
               minDigitRun = intOpt("run", 4))
+          case "charspan" =>
+            // d27's counted char-window index (gh, nd) — revoked
+            // carries doc_id + text; n is the window length in CHARS
+            val n = intOpt("n", 40)
+            require(n >= 2, s"graft_index_delete: n must be >= 2, got $n")
+            graft.operators.Dedup.spanIndexCharsDelete(rel(0), rel(1), n = n)
           case other => throw new IllegalArgumentException(
             s"graft_index_delete: kind must be one of span, postings, " +
-              s"minhash, prefix, ivf, secrets — got '$other'")
+              s"minhash, prefix, ivf, secrets, charspan — got '$other'")
         }
       case "components_delete" =>
         // TAKEDOWN on the near-dup component map — the graph store's
@@ -1231,11 +1237,17 @@ class GraftEngine(val spark: SparkSession) {
             // doc_id + text; run is the candidate digit-run length
             graft.operators.Privacy.secretIndexMerge(rel(0), rel(1),
               minDigitRun = intOpt("run", 4))
+          case "charspan" =>
+            // d27's counted char-window index — drop carries doc_id +
+            // text; n is the window length in CHARS
+            val n2c = intOpt("n", 40)
+            require(n2c >= 2, s"graft_index_merge: n must be >= 2, got $n2c")
+            graft.operators.Dedup.spanIndexCharsMerge(rel(0), rel(1), n = n2c)
           case other => throw new IllegalArgumentException(
             s"graft_index_merge: kind must be one of span, postings, " +
-              s"minhash, prefix, secrets — got '$other' (IVF appends go " +
-              "through graft_ivf_append — the member merge needs the " +
-              "centroid relation)")
+              s"minhash, prefix, secrets, charspan — got '$other' (IVF " +
+              "appends go through graft_ivf_append — the member merge " +
+              "needs the centroid relation)")
         }
       case "knn_label" =>
         val k = intOpt("k", 5)

@@ -881,6 +881,33 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_index_delete/merge kind charspan: the d27 index lifecycle via SQL") {
+    engine.run("create table cs_base_t(doc_id bigint, text varchar)")
+    engine.run("insert into cs_base_t values " +
+      "(1, 'alpha 0123456789abcdefghijklmnopqrstuvwxyz-end beta'), " +
+      "(2, 'gamma 0123456789abcdefghijklmnopqrstuvwxyz-end delta')")
+    engine.run("create table cs_drop_t(doc_id bigint, text varchar)")
+    engine.run("insert into cs_drop_t values " +
+      "(100, 'fresh unrelated drop document body entirely new here')")
+    val base = engine.table("cs_base_t")
+    val drop = engine.table("cs_drop_t")
+    val idx = graft.operators.Dedup.spanIndexCountedChars(base, n = 40)
+    idx.createOrReplaceTempView("cs_idx")
+    def rows(sql: String) = engine.run(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // merge then delete roundtrips to the original index
+    val rt = rows("select gh, nd from graft_index_delete(" +
+      "graft_index_merge(cs_idx, cs_drop_t, kind => 'charspan'), " +
+      "cs_drop_t, kind => 'charspan') order by gh")
+    val want = idx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rt == want && want.nonEmpty)
+    // delete matches the Scala operator
+    val del = rows("select gh, nd from graft_index_delete(cs_idx, " +
+      "cs_base_t, kind => 'charspan')")
+    assert(del.isEmpty, "revoking every holder must empty the index")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_retention_expiry TVF: expiry set composes into graft_index_delete") {
     engine.run("create table ret_docs_t(" +
       "doc_id bigint, source varchar, ingest_day bigint, text varchar)")
