@@ -355,6 +355,35 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("char excision: non-BMP chars count once and never split in the rebuild") {
+    // the emoji is ONE code point: n_chars counts it once, and a cover
+    // ending next to it must excise whole code points, never leave a
+    // lone surrogate in clean_text (the u7 discipline at char level)
+    val dup = "0123456789abcdefghijklmnopqrstuvwxyz-end" // 40 chars
+    val corpus = Seq(
+      (0L, s"😀 $dup tail"),
+      (1L, s"lead $dup 😀"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExciseChars(corpus, n = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0: emoji(1) + space + 40 + " tail"(5) = 47 code points
+    assert(got(0L)._1 == 47L, got(0L).toString)
+    // the shared " dup " run (42 incl. flanking spaces) excises; the
+    // emoji survives INTACT on both sides
+    assert(got(0L)._3 == "😀tail", got(0L).toString)
+    assert(got(1L)._3 == "lead😀", got(1L).toString)
+    got.values.foreach { case (_, _, clean) =>
+      clean.toCharArray.zipWithIndex.foreach { case (c, i) =>
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < clean.length &&
+            Character.isLowSurrogate(clean.charAt(i + 1)),
+            s"lone surrogate in '$clean'")
+      }
+    }
+    Dedup.unpersistAll()
+  }
+
   test("char excision: within-doc repeat alone does not qualify; short docs pass") {
     val run = "zyxwvutsrqponmlkjihgfedcba9876543210-x40" // 40 chars
     val corpus = Seq(

@@ -1642,6 +1642,45 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the rollup must partial-aggregate map-side:\n$p")
   }
 
+  test("d27_char_excise_incremental: index probe is equi, text never keys shuffles") {
+    val p = plan("d27_char_excise_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty &&
+      keys.forall(l => !l.contains("text#") && !l.contains("t#")),
+      s"char windows hash map-side; bodies never key a shuffle:\n" +
+        keys.mkString("\n"))
+  }
+
+  test("a12_opq_adc: map-only rotation, LUT broadcast, bounded-heap winners") {
+    val p = plan("a12_opq_adc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"the ADC lookup table must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"winners come from the bounded heap, not a sort:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(!_.contains("embedding#")),
+      s"rotated vectors must never key a shuffle:\n${keys.mkString("\n")}")
+  }
+
+  test("g16_weighted_pagerank: strength joined plain, no vertex broadcast, no window") {
+    val p = plan("g16_weighted_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "Window") == 0, s"the walk needs no window:\n$p")
+    // per-target sums partial-aggregate map-side each round
+    assert(nodeCount(p, "HashAggregate") >= 2, p)
+  }
+
+  test("s15_curriculum_manifests: one bounded-heap ranking, quotas broadcast") {
+    val p = plan("s15_curriculum_manifests")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"),
+      s"the per-source ranking is the bounded heap, not a window sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the O(sources x epochs) quota frame must broadcast:\n$p")
+  }
+
   test("u13_unigram_em: one corpus aggregate; the M-step window sees O(vocab) rows") {
     val p = plan("u13_unigram_em")
     assert(!p.contains("CartesianProduct"), p)
