@@ -678,6 +678,59 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "x24_takedown_audit_ext" -> { (s, dir) =>
+      // x22's companion for the stores added SINCE it: the same
+      // one-artifact compliance record over the round-15 stores —
+      // the t27 secret-frequency index, the d27 counted char-window
+      // index, and the IVF member table. Every number comes from the
+      // DELETE PATHS running on the stale stores (delta arithmetic /
+      // anti join; the corpus is read only for the revoked slice)
+      // while DuckDB recomputes each store's before/after from raw
+      // data — a hash-green audit certifies these deletes end-to-end.
+      // n_changed semantics (documented): secrets/charspan = index
+      // rows removed (x22's counted-store convention); ivf_members =
+      // DISTINCT CELLS that lost at least one member (the serving-
+      // relevant blast radius — which probe lists shrank). Same
+      // planted secrets as t27 (deterministic rare/shared structure);
+      // same %4 base / %10 revocation slices as x22; vectors revoke by
+      // the same %10 rule on vec_id.
+      import graft.operators.Privacy
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val planted = concat(
+        lit("pin"), lpad((col("doc_id") % 37).cast("string"), 4, "0"),
+        lit(" key"), lpad(id, 12, "0"), lit(" "), col("text"))
+      val base = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), planted.as("text"))
+      val revDocs = base.filter(col("doc_id") % 10 === 1)
+      def audit(store: String, before: DataFrame, after: DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .select(lit(store).as("store"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_changed"))
+      val secB = Privacy.secretFrequencies(base)
+      val chB = Dedup.spanIndexCountedChars(base, n = 40)
+      val e = Tables.load(s, dir, "embeddings")
+      val memB = Similarity.ivfAssign(
+        Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)), e)
+      val revVecs = e.filter(col("vec_id") % 10 === 1)
+        .select(col("vec_id"))
+      val memA = Similarity.ivfMembersDelete(memB, revVecs)
+      val lostCells = memB.join(revVecs, Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct()
+      val memRow = memB.agg(count(lit(1)).as("n_before"))
+        .crossJoin(memA.agg(count(lit(1)).as("n_after")))
+        .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
+        .select(lit("ivf_members").as("store"), col("n_before"),
+          col("n_after"), col("n_changed"))
+      audit("charspan_index", chB,
+          Dedup.spanIndexCharsDelete(chB, revDocs, n = 40))
+        .unionByName(audit("secrets_index", secB,
+          Privacy.secretIndexDelete(secB, revDocs)))
+        .unionByName(memRow)
+        .orderBy(col("store"))
+    },
+
     "x22_takedown_audit" -> { (s, dir) =>
       // TAKEDOWN AUDIT — the governance record a compliance officer
       // asks for after a revocation: per persisted store, how many
@@ -5954,6 +6007,61 @@ object Pipeline {
     // paths running on the stale stores; DuckDB recomputes every
     // store's before/after from raw text (incl. BOTH component
     // closures)
+    "x24_takedown_audit_ext" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'pin' || lpad(CAST(doc_id % 37 AS VARCHAR), 4, '0') ||
+        |    ' key' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ||
+        |    ' ' || text AS text
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |lowb AS (SELECT doc_id, lower(text) AS t FROM p),
+        |cw AS (
+        |  SELECT DISTINCT doc_id, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM lowb WHERE length(t) >= 40)),
+        |chb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw),
+        |cha AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw
+        |        WHERE doc_id % 10 <> 1),
+        |tokc AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(t, '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS tok
+        |    FROM lowb) z
+        |  WHERE regexp_matches(tok, '[0-9]{4}')),
+        |seb AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM tokc),
+        |sea AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM tokc
+        |        WHERE doc_id % 10 <> 1),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |cent AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/ivf_centroids_16.parquet/*.parquet')),
+        |asn AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT v.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.v, c.centroid) /
+        |          (sqrt(list_dot_product(v.v, v.v)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |mb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asn),
+        |ma AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asn
+        |       WHERE vec_id % 10 <> 1),
+        |mc AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n FROM asn
+        |       WHERE vec_id % 10 = 1)
+        |SELECT * FROM (
+        |  SELECT 'charspan_index' AS store, chb.n AS n_before,
+        |    cha.n AS n_after, chb.n - cha.n AS n_changed FROM chb, cha
+        |  UNION ALL
+        |  SELECT 'ivf_members', mb.n, ma.n, mc.n FROM mb, ma, mc
+        |  UNION ALL
+        |  SELECT 'secrets_index', seb.n, sea.n, seb.n - sea.n
+        |  FROM seb, sea) u
+        |ORDER BY store""".stripMargin,
+
     "x22_takedown_audit" ->
       """WITH RECURSIVE
         |b AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 <> 0),
