@@ -775,6 +775,43 @@ class GraftEngine(val spark: SparkSession) {
     "hyperball" -> Set("dist", "m"),
     "harmonic" -> Set("dist"))
 
+  /** Per-KIND option subsets for the kind-dispatched lifecycle TVFs
+    * (graft_index_delete / graft_index_merge): the TVF-level option set
+    * is the union over kinds, so a kind-mismatched option (`n => 8`
+    * with kind => 'secrets', `run => 5` with kind => 'span') would
+    * otherwise be accepted and silently IGNORED — the default applies
+    * and the caller's typo is masked. Validated after kind resolution,
+    * before dispatch; an unknown kind falls through to the dispatch
+    * error (which names the valid kinds).
+    */
+  private val IndexKindOptions: Map[String, Set[String]] = Map(
+    "span" -> Set("n"),
+    "charspan" -> Set("n"),
+    "secrets" -> Set("run"),
+    "postings" -> Set.empty,
+    "minhash" -> Set.empty,
+    "prefix" -> Set.empty,
+    "ivf" -> Set.empty)
+
+  private def requireKindOptions(
+      fn: String, kind: String, given: Set[String]): Unit = {
+    // 'components' is the one kind whose delete and merge halves differ:
+    // delete is pure index arithmetic (no options), merge verifies new
+    // cross pairs and owns the shingle/threshold knobs
+    val allowedOpt = kind match {
+      case "components" =>
+        Some(if (fn == "index_merge") Set("n", "threshold") else Set.empty[String])
+      case k => IndexKindOptions.get(k)
+    }
+    allowedOpt.foreach { allowed =>
+      val bad = given - "kind" -- allowed
+      require(bad.isEmpty,
+        s"graft_$fn: option(s) ${bad.toSeq.sorted.mkString(", ")} do not " +
+          s"apply to kind '$kind'" + (if (allowed.isEmpty) ""
+          else s" (accepted for '$kind': ${allowed.toSeq.sorted.mkString(", ")})"))
+    }
+  }
+
   /** Positional (relation) arguments each TVF requires, by name — checked
     * BEFORE any relation resolves, so a missing argument errors as an
     * argument-count problem, not as a failed path/table lookup.
@@ -1064,6 +1101,12 @@ class GraftEngine(val spark: SparkSession) {
         val pieceRows = rel(1)
           .select(col("piece").cast("string"), col("cost").cast("long"))
           .where(col("piece").isNotNull && col("cost").isNotNull)
+          // duplicate piece rows with CONFLICTING costs would otherwise
+          // resolve in plan-dependent order (an unordered limit+collect)
+          // — take the min cost per piece and a canonical piece order so
+          // the shipped model is a deterministic function of the relation
+          .groupBy(col("piece")).agg(min(col("cost")).as("cost"))
+          .orderBy(col("piece"))
           .limit(65537).collect()
         require(pieceRows.length <= 65536,
           "graft_unigram_encode: pieces relation exceeds 65536 rows — " +
@@ -1088,6 +1131,12 @@ class GraftEngine(val spark: SparkSession) {
         val pieceRows = rel(1)
           .select(col("piece").cast("string"), col("cost").cast("long"))
           .where(col("piece").isNotNull && col("cost").isNotNull)
+          // duplicate piece rows with CONFLICTING costs would otherwise
+          // resolve in plan-dependent order (an unordered limit+collect)
+          // — take the min cost per piece and a canonical piece order so
+          // the shipped model is a deterministic function of the relation
+          .groupBy(col("piece")).agg(min(col("cost")).as("cost"))
+          .orderBy(col("piece"))
           .limit(65537).collect()
         require(pieceRows.length <= 65536,
           "graft_unigram_em: pieces relation exceeds 65536 rows — " +
@@ -1165,6 +1214,7 @@ class GraftEngine(val spark: SparkSession) {
           if (kindRaw.length >= 2 && kindRaw.startsWith("'") && kindRaw.endsWith("'"))
             kindRaw.substring(1, kindRaw.length - 1).toLowerCase
           else kindRaw.toLowerCase
+        requireKindOptions("index_delete", kind, named.keySet)
         kind match {
           case "span" =>
             val n = intOpt("n", 8)
@@ -1221,6 +1271,7 @@ class GraftEngine(val spark: SparkSession) {
           if (kindRaw2.length >= 2 && kindRaw2.startsWith("'") && kindRaw2.endsWith("'"))
             kindRaw2.substring(1, kindRaw2.length - 1).toLowerCase
           else kindRaw2.toLowerCase
+        requireKindOptions("index_merge", kind2, named.keySet)
         kind2 match {
           case "span" =>
             val n = intOpt("n", 8)

@@ -906,7 +906,22 @@ object Graph {
       s"unrolled weighted PageRank: iters must be in [1, 8], got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val p = pairs.select(col("doc_a"), col("doc_b"), col("score").as("w"))
+    // Weight validity is enforced IN the plan (map-side, codegen'd
+    // compare per edge — the hits() lazy-guard discipline): a null
+    // weight would contribute null and silently DROP from the sum, a
+    // zero/negative weight breaks the row-stochastic w/s normalization
+    // (s could be 0 or negative), and NaN poisons every rank it
+    // touches — all three must fail loudly like the iters/damping
+    // requires, not corrupt the walk.
+    val p = pairs.select(col("doc_a"), col("doc_b"),
+      when(col("score").isNull || !(col("score") > lit(0)) ||
+          col("score").cast("double").isNaN,
+        raise_error(format_string(
+          "weightedPageRank: edge (%s, %s) carries weight %s — edge " +
+            "weights must be non-null, positive, finite numbers (the " +
+            "w/s row-stochastic normalization is undefined otherwise)",
+          col("doc_a"), col("doc_b"), col("score"))))
+        .otherwise(col("score")).as("w"))
     val edges0 = p.union(p.select(col("doc_b").as("doc_a"),
       col("doc_a").as("doc_b"), col("w")))
     val strength = edges0.groupBy(col("doc_a"))

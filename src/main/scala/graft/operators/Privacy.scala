@@ -78,7 +78,11 @@ object Privacy {
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDigitRun >= 1, s"minDigitRun must be >= 1, got $minDigitRun")
-    val cand = candidateSecrets(docs, minDigitRun, textCol)
+    // the candidate frame feeds BOTH the frequency aggregate and the
+    // rare-set join-back — persist it (the spanExciseChars shared-map
+    // discipline, released by Dedup.unpersistAll between serving
+    // batches) so the tokenize+regex corpus pass runs once, not twice
+    val cand = Dedup.persistPublic(candidateSecrets(docs, minDigitRun, textCol))
     val rare = cand.groupBy(col("tok")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") < k).select(col("tok"))
     val rset = cand.join(rare, Seq("tok"), "left_semi")
@@ -102,7 +106,8 @@ object Privacy {
       k: Int = 3, minDigitRun: Int = 4,
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cand = candidateSecrets(drop, minDigitRun, textCol)
+    // persisted for the same two-consumer reason as secretScrub's
+    val cand = Dedup.persistPublic(candidateSecrets(drop, minDigitRun, textCol))
     val dropNd = cand.groupBy(col("tok")).agg(count(lit(1)).as("drop_nd"))
     val rare = dropNd
       .join(freqIndex.select(col("tok"), col("nd").as("base_nd")),

@@ -908,6 +908,48 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_index_delete/merge: kind-mismatched options error, never silently default") {
+    engine.run("create table ko_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into ko_docs_t values (1, 'one two three')")
+    val e1 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_delete(" +
+        "ko_docs_t, ko_docs_t, kind => 'secrets', n => 8)")
+    }
+    assert(e1.getMessage.contains("do not apply to kind 'secrets'"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_merge(" +
+        "ko_docs_t, ko_docs_t, kind => 'charspan', run => 5)")
+    }
+    assert(e2.getMessage.contains("do not apply to kind 'charspan'"),
+      e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_delete(" +
+        "ko_docs_t, ko_docs_t, kind => 'postings', n => 4)")
+    }
+    assert(e3.getMessage.contains("do not apply to kind 'postings'"),
+      e3.getMessage)
+  }
+
+  test("graft_unigram_em: conflicting duplicate piece rows resolve to min cost") {
+    engine.run("create table emd_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into emd_docs_t values (1, 'abc ab c'), (2, 'ab ab')")
+    engine.run("create table emd_pieces_t(piece varchar, cost bigint)")
+    // 'ab' appears twice with conflicting costs — an unordered collect
+    // would ship whichever row the plan surfaced first
+    engine.run("insert into emd_pieces_t values " +
+      "('ab', 9), ('ab', 3), ('a', 10), ('b', 10), ('c', 10)")
+    val got = engine.run(
+      "select piece, n_uses, cost from graft_unigram_em(" +
+        "emd_docs_t, emd_pieces_t) order by piece")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Tokenizer.unigramEmStep(
+        engine.table("emd_docs_t"),
+        Seq(("a", 10L), ("ab", 3L), ("b", 10L), ("c", 10L)))
+      .orderBy("piece").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("graft_retention_expiry TVF: expiry set composes into graft_index_delete") {
     engine.run("create table ret_docs_t(" +
       "doc_id bigint, source varchar, ingest_day bigint, text varchar)")

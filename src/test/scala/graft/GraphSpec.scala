@@ -173,6 +173,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got == again, "decimal-routed rounds must be partition-invariant")
   }
 
+  test("weighted pagerank: null/zero/negative/NaN weights fail loudly") {
+    val verts = verticesDf(3)
+    def run(w: java.lang.Double): Unit = {
+      val wp = Seq((0L, 1L, w), (1L, 2L, java.lang.Double.valueOf(1.0)))
+        .toDF("doc_a", "doc_b", "score")
+      Graph.weightedPageRank(verts, wp, iters = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    for (bad <- Seq(null: java.lang.Double, java.lang.Double.valueOf(0.0),
+        java.lang.Double.valueOf(-2.0),
+        java.lang.Double.valueOf(Double.NaN))) {
+      val e = intercept[Exception] { run(bad) }
+      assert(chain(e).exists(_.contains("weightedPageRank")),
+        s"weight $bad must raise the weight-validity error, got: $e")
+    }
+  }
+
   test("harmonic exact: path + clique + isolated vertex, hand-computed ppm") {
     // path 0-1-2-3-4, clique {10,11,12}, isolated 20
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
