@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components_index|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -678,8 +678,18 @@ class GraftEngine(val spark: SparkSession) {
     *    'minhash' (uncapped band index), 'prefix' (streaming prefix
     *    index), 'ivf' (member table keyed by vec_id), 'secrets' (the
     *    t27 candidate-frequency index; revoked carries doc_id + text,
-    *    run => the digit-run length). Delete cost is proportional to
-    *    the takedown set, never the corpus.
+    *    run => the digit-run length), 'components' (the near-dup graph
+    *    store from graft_components_index; revoked is (doc_id) —
+    *    clique relabel + edge splice + affected-component re-closure,
+    *    all index-only). Delete cost is proportional to the takedown
+    *    set, never the corpus.
+    *  - `graft_components_index(docs, n => 1, threshold => 0.95)` —
+    *    the d26 near-dup graph STORE build: member rows `(doc_id,
+    *    rep0, rep, lang, fp, tsz, toks)` (the clique map, the closed
+    *    component label, and the rep's hashed shingle evidence) plus
+    *    edge rows `(doc_id, dst)` (the verified rep-level pairs). The
+    *    serving map is `... WHERE dst IS NULL` → (doc_id, rep); the
+    *    store feeds graft_index_delete/merge kind => 'components'.
     *  - `graft_components_delete(components, docs, revoked, n => 1,
     *    threshold => 0.95)` — takedown on the near-dup component map:
     *    untouched components pass through, affected components'
@@ -688,12 +698,15 @@ class GraftEngine(val spark: SparkSession) {
     *  - `graft_index_merge(index, drop, kind => 'span', n => 8)` —
     *    COMPACTION, the append half of graft_index_delete: folds an
     *    arriving drop's contribution into a persisted index (kind
-    *    'span', 'postings', 'minhash', 'prefix', or 'secrets') by delta
-    *    arithmetic or per-doc row union — the base corpus is never
-    *    re-read, and the result is bit-identical to rebuilding over
-    *    base ∪ drop (disjoint doc_ids; 'prefix' promises served-answer
-    *    equality under its frozen df order, the d19 contract). IVF
-    *    member appends go through graft_ivf_append.
+    *    'span', 'postings', 'minhash', 'prefix', 'secrets',
+    *    'charspan', or 'components') by delta arithmetic or per-doc
+    *    row union — the base corpus is never re-read, and the result
+    *    is bit-identical to rebuilding over base ∪ drop (disjoint
+    *    doc_ids; 'prefix' promises served-answer equality under its
+    *    frozen df order, the d19 contract; 'components' verifies only
+    *    NEW cross pairs — drop carries doc_id + lang + text, and
+    *    n/threshold are its shingle knobs). IVF member appends go
+    *    through graft_ivf_append.
     *  - `graft_secret_scrub(docs, k => 3, run => 4)` — frequency-gated
     *    secret redaction (the t27 k-anonymity scrub): digit-run tokens
     *    in fewer than k distinct documents corpus-wide mask as
@@ -759,11 +772,12 @@ class GraftEngine(val spark: SparkSession) {
     "unigram_encode" -> Set("char_cost"),
     "ivf_append" -> Set.empty,
     "components" -> Set("n", "threshold"),
+    "components_index" -> Set("n", "threshold"),
     "license_propagation" -> Set("rank"),
     "split_leakage" -> Set.empty,
     "span_excise" -> Set("n", "keep_one"),
     "index_delete" -> Set("kind", "n", "run"),
-    "index_merge" -> Set("kind", "n", "run"),
+    "index_merge" -> Set("kind", "n", "run", "threshold"),
     "components_delete" -> Set("n", "threshold"),
     "byte_bpe_merges" -> Set("rounds"),
     "byte_encode" -> Set.empty,
@@ -835,6 +849,7 @@ class GraftEngine(val spark: SparkSession) {
     "unigram_encode" -> Seq("docs", "pieces"),
     "ivf_append" -> Seq("index", "drop"),
     "components" -> Seq("docs"),
+    "components_index" -> Seq("docs"),
     "license_propagation" -> Seq("comp", "docs"),
     "split_leakage" -> Seq("comp", "split"),
     "span_excise" -> Seq("docs"),
@@ -1180,6 +1195,17 @@ class GraftEngine(val spark: SparkSession) {
           s"graft_components: threshold must be in (0,1], got $threshold")
         graft.operators.Dedup.nearDupComponents(rel(0), n = n,
           threshold = threshold)
+      case "components_index" =>
+        // the d26 near-dup graph STORE build (member + edge rows) —
+        // the eighth lifecycle index: feed it to graft_index_delete /
+        // graft_index_merge with kind => 'components'; project the
+        // serving map with `... WHERE dst IS NULL` (doc_id, rep)
+        val n = intOpt("n", 1)
+        val threshold = doubleOpt("threshold", 0.95)
+        require(threshold > 0.0 && threshold <= 1.0,
+          s"graft_components_index: threshold must be in (0,1], got $threshold")
+        graft.operators.Dedup.componentsIndex(rel(0), n = n,
+          threshold = threshold)
       case "license_propagation" =>
         // rank is a COLUMN NAME in `docs` (an integer restrictiveness
         // class — the license-registry lookup of a production pipeline)
@@ -1240,9 +1266,16 @@ class GraftEngine(val spark: SparkSession) {
             val n = intOpt("n", 40)
             require(n >= 2, s"graft_index_delete: n must be >= 2, got $n")
             graft.operators.Dedup.spanIndexCharsDelete(rel(0), rel(1), n = n)
+          case "components" =>
+            // d26's near-dup graph store (member + edge rows) — revoked
+            // is (doc_id); the repair is pure index arithmetic (clique
+            // relabel + edge splice + affected-component re-closure),
+            // no text is read, so no shingle options apply
+            graft.operators.Dedup.componentsIndexDelete(rel(0), rel(1))
           case other => throw new IllegalArgumentException(
             s"graft_index_delete: kind must be one of span, postings, " +
-              s"minhash, prefix, ivf, secrets, charspan — got '$other'")
+              s"minhash, prefix, ivf, secrets, charspan, components — " +
+              s"got '$other'")
         }
       case "components_delete" =>
         // TAKEDOWN on the near-dup component map — the graph store's
@@ -1294,11 +1327,22 @@ class GraftEngine(val spark: SparkSession) {
             val n2c = intOpt("n", 40)
             require(n2c >= 2, s"graft_index_merge: n must be >= 2, got $n2c")
             graft.operators.Dedup.spanIndexCharsMerge(rel(0), rel(1), n = n2c)
+          case "components" =>
+            // d26's near-dup graph store — drop carries doc_id + lang +
+            // text; n/threshold are the shingle length and Jaccard bound
+            // for verifying NEW cross pairs (old×old never re-verifies —
+            // the stored edge set is already complete)
+            val nc = intOpt("n", 1)
+            val tc = doubleOpt("threshold", 0.95)
+            require(tc > 0.0 && tc <= 1.0,
+              s"graft_index_merge: threshold must be in (0,1], got $tc")
+            graft.operators.Dedup.componentsIndexMerge(rel(0), rel(1),
+              n = nc, threshold = tc)
           case other => throw new IllegalArgumentException(
             s"graft_index_merge: kind must be one of span, postings, " +
-              s"minhash, prefix, secrets, charspan — got '$other' (IVF " +
-              "appends go through graft_ivf_append — the member merge " +
-              "needs the centroid relation)")
+              s"minhash, prefix, secrets, charspan, components — got " +
+              s"'$other' (IVF appends go through graft_ivf_append — the " +
+              "member merge needs the centroid relation)")
         }
       case "knn_label" =>
         val k = intOpt("k", 5)

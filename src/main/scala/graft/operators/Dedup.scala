@@ -627,6 +627,421 @@ object Dedup {
         maxIters = maxIters))
   }
 
+  // ---- the COMPONENTS STORE: the near-dup graph as the eighth ----------
+  // ---- persisted lifecycle index (build / probe / delete / merge) ------
+
+  /** Canonical empty-marker columns for the two row kinds of the
+    * components store (see [[componentsIndex]]): a member row carries
+    * the clique/closure columns and a null `dst`; an edge row carries
+    * only its endpoints.
+    */
+  private def nullLong(name: String): Column =
+    lit(null).cast("bigint").as(name)
+
+  /** The store's canonical column order — Seq-based using-column joins
+    * move the key to the front, so every store-shaped output re-selects
+    * through this.
+    */
+  private val storeCols: Seq[Column] = Seq(col("doc_id"), col("rep0"),
+    col("rep"), col("lang"), col("fp"), col("tsz"), col("dst"), col("toks"))
+
+  /** The persisted NEAR-DUP COMPONENT STORE — the d8 closure plus the
+    * evidence that produced it, as one relation, so takedown can
+    * re-close from SURVIVING EDGES instead of re-shingling text (the
+    * r15 `componentsDelete` re-ran pair generation over affected
+    * components' bodies — correct, but a revocation touching the giant
+    * component every web corpus has re-shingled that whole component;
+    * this store makes the repair index-only). Two row kinds:
+    *
+    *  - MEMBER rows `(doc_id, rep0, rep, lang, fp, tsz, dst = null,
+    *    toks)` — one per corpus document: its exact-duplicate clique
+    *    representative `rep0` (min doc_id over the `(lang, fp =
+    *    md5(text))` clique for token-bearing docs, self for empty
+    *    ones — [[nearDupComponents]]' collapse), its closed component
+    *    label `rep`, and — ONLY on the clique rep's own row — `toks`,
+    *    the clique's hashed shingle set ([[ngramJaccardPairs]]'
+    *    exact-verification evidence, what lets [[componentsIndexMerge]]
+    *    verify new cross pairs without re-reading base text).
+    *  - EDGE rows `(doc_id = u, dst = v)` — the VERIFIED rep-level
+    *    near-dup pairs (i < j), exactly the edge set the closure ran
+    *    on. Rep-level, never doc-level: inside an m-clique of exact
+    *    duplicates a doc-level edge list would be quadratic.
+    *
+    * The member projection `(doc_id, rep)` is bit-identical to
+    * [[nearDupComponents]] (same computation, spec-pinned) — serving
+    * consumers read it through [[componentsFromIndex]].
+    *
+    * Scale shape: one corpus pass (the d8 build cost — this store
+    * REPLACES cc_components rather than sitting beside it); the store
+    * itself is index-sized (members ∝ docs as fixed-width rows plus
+    * one hashed token array per distinct text, edges ∝ verified
+    * pairs). Lifecycle cost after the build is the point:
+    * [[componentsIndexDelete]] ∝ takedown set + affected components'
+    * EDGES, [[componentsIndexMerge]] ∝ drop + matched postings —
+    * corpus text is never re-read.
+    */
+  def componentsIndex(docs: DataFrame, n: Int = 1,
+      threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("fp"))
+    val withRep0 = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
+      .withColumn("rep0",
+        when(col("tsz") > 0, min(col("doc_id")).over(w))
+          .otherwise(col("doc_id")))
+    // ONLY the slim projection persists (the nearDupComponents rep0Map
+    // discipline — caching the text-bearing frame would pin a
+    // corpus-sized cache at 100 TB); the reps branch re-derives its
+    // window pass over the raw scan instead
+    val memberBase = persistTracked(withRep0
+      .select(col("doc_id"), col("rep0"), col("lang"), col("fp"), col("tsz")))
+    val reps = withRep0.filter(col("doc_id") === col("rep0"))
+      .select(col("doc_id"), col("lang"), col("text"), col("tsz"))
+    // distinct: candidate generation emits one row per shared prefix
+    // token — closure is duplicate-insensitive, a persisted EDGE STORE
+    // is not
+    val pairs = persistTracked(ngramJaccardPairs(
+      reps.select(col("doc_id"), col("lang"), col("text")),
+      n = n, threshold = threshold, blockCols = Seq(col("lang"))).distinct())
+    val cc = connectedComponents(
+      reps.select(col("doc_id")), pairs, maxIters = maxIters)
+    val repToks = reps.filter(col("tsz") > 0)
+      .select(col("doc_id").as("tk_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(n)).as("tk"))
+    val memberRows = memberBase
+      .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
+      .join(repToks, col("doc_id") === col("tk_id"), "left")
+      .select(col("doc_id"), col("rep0"), col("rep"), col("lang"),
+        col("fp"), col("tsz"), nullLong("dst"), col("tk").as("toks"))
+    val edgeRows = pairs.select(col("i").as("doc_id"), nullLong("rep0"),
+      nullLong("rep"), lit(null).cast("string").as("lang"),
+      lit(null).cast("string").as("fp"), lit(null).cast("int").as("tsz"),
+      col("j").as("dst"), lit(null).cast("array<bigint>").as("toks"))
+    memberRows.unionByName(edgeRows)
+  }
+
+  /** The serving projection of [[componentsIndex]]: the `(doc_id, rep)`
+    * component map d8/d12/x20 consume — bit-identical to
+    * [[nearDupComponents]] over the corpus the store was built from.
+    */
+  def componentsFromIndex(store: DataFrame): DataFrame =
+    store.filter(col("dst").isNull).select(col("doc_id"), col("rep"))
+
+  /** TAKEDOWN on the components store, INDEX-ONLY — the repair
+    * [[componentsDelete]] did by re-shingling affected components'
+    * text, done from the store's own edges instead: near-dup edges
+    * exist only WITHIN components and deletion only REMOVES evidence,
+    * so components holding no revoked member pass through bit-identical
+    * (members, edges, labels all untouched), and an affected
+    * component's repair is pure graph surgery —
+    *
+    *  1. CLIQUE repair: a revoked doc leaves its exact-duplicate
+    *     clique; if the clique REP was revoked, the min surviving
+    *     member becomes the new rep (its text is identical, so every
+    *     edge and the stored shingle set transfer EXACTLY — no
+    *     re-verification is even possible to get wrong); a clique with
+    *     no survivors dies with its edges.
+    *  2. EDGE repair: endpoints relabel through the clique map; edges
+    *     touching dead cliques drop; orientation re-canonicalizes
+    *     (i < j — relabeling can reorder two cliques' rep ids).
+    *  3. RE-CLOSURE: min-label propagation ([[connectedComponents]])
+    *     over the affected components' SURVIVING reps and edges alone —
+    *     the one step where deletion can SPLIT what it touched.
+    *
+    * Bit-identical to `componentsIndex(survivors)` (IndexDeleteSpec
+    * pins it, planted chain-split included) at cost ∝ takedown set +
+    * affected components' edge lists — never corpus text, which is
+    * what retires the r15 giant-component re-shingle hazard.
+    */
+  def componentsIndexDelete(store: DataFrame, revoked: DataFrame,
+      maxIters: Int = 8): DataFrame = {
+    val rev = revoked.select(col("doc_id")).distinct()
+    val members = store.filter(col("dst").isNull).transform(persistTracked)
+    val edges = store.filter(col("dst").isNotNull)
+      .select(col("doc_id").as("u"), col("dst").as("v"))
+    // affected components (delta-sized): those holding a revoked member
+    // Delta frames are lineage-TRUNCATED, not merely persisted (the
+    // connectedComponents discipline): every downstream reference to a
+    // frame embeds a full COPY of its logical subtree, and the
+    // lifecycle ops compose (delete over merge over build in one SQL
+    // statement) — without truncation the tree multiplies per level
+    // (measured: a 2 GB plan string on the engine's nested-TVF
+    // roundtrip). Each truncated frame is takedown/affected-sized,
+    // never the corpus.
+    val affComps = truncateLineage(members.join(rev, Seq("doc_id"), "left_semi")
+      .select(col("rep")).distinct())
+    val untouched = members.join(affComps, Seq("rep"), "left_anti")
+      .select(storeCols: _*)
+    val affMembers = truncateLineage(
+      members.join(affComps, Seq("rep"), "left_semi")
+        .select(storeCols: _*))
+    val affSurv = affMembers.join(rev, Seq("doc_id"), "left_anti")
+    // clique repair: new rep0 = min SURVIVING member per (lang, fp)
+    // clique (token-bearing docs; empty-token docs stay self-cliques)
+    val newRep0 = affSurv.filter(col("tsz") > 0)
+      .groupBy(col("lang"), col("fp")).agg(min(col("doc_id")).as("nrep0"))
+    // old→new rep relabel map, over affected cliques only; a null nrep0
+    // marks a clique with no survivors (its edges die)
+    val repRelabel = truncateLineage(affMembers.filter(col("tsz") > 0)
+      .groupBy(col("lang"), col("fp")).agg(min(col("rep0")).as("orep"))
+      .join(newRep0, Seq("lang", "fp"), "left")
+      .select(col("orep"), col("nrep0")))
+    // the clique's stored shingle evidence rides on the OLD rep's row
+    // (which may itself be revoked) — identical text makes the transfer
+    // to the new rep exact by construction
+    val cliqueToks = affMembers
+      .filter(col("doc_id") === col("rep0") && col("tsz") > 0)
+      .select(col("lang").as("tl"), col("fp").as("tf"), col("toks").as("ctoks"))
+    // edge repair: affected components' edges relabel through the map
+    // (edges only ever connect token-bearing reps, so both endpoints
+    // resolve); dead-clique edges drop; orientation re-canonicalizes
+    val affOldReps = affMembers.filter(col("doc_id") === col("rep0"))
+      .select(col("doc_id").as("u"))
+    val affEdges = edges.join(affOldReps, Seq("u"), "left_semi")
+    val untouchedEdges = edges.join(affOldReps, Seq("u"), "left_anti")
+    val newEdges = truncateLineage(affEdges
+      .join(repRelabel.toDF("u", "nu"), Seq("u"))
+      .join(repRelabel.toDF("v", "nv"), Seq("v"))
+      .filter(col("nu").isNotNull && col("nv").isNotNull)
+      .select(least(col("nu"), col("nv")).as("i"),
+        greatest(col("nu"), col("nv")).as("j")))
+    // re-closure over the affected components' surviving reps + edges
+    val survM = affSurv
+      .join(newRep0, Seq("lang", "fp"), "left")
+      .select(col("doc_id"),
+        when(col("tsz") > 0, col("nrep0")).otherwise(col("doc_id"))
+          .as("rep0"),
+        col("lang"), col("fp"), col("tsz"))
+    val newReps = survM.select(col("rep0").as("doc_id")).distinct()
+    val cc = connectedComponents(newReps, newEdges, maxIters = maxIters)
+    val repairedMembers = survM
+      .join(cc.toDF("rid", "rep"), col("rep0") === col("rid"))
+      .join(cliqueToks,
+        col("lang") === col("tl") && col("fp") === col("tf"), "left")
+      .select(col("doc_id"), col("rep0"), col("rep"), col("lang"),
+        col("fp"), col("tsz"), nullLong("dst"),
+        when(col("doc_id") === col("rep0") && col("tsz") > 0,
+          col("ctoks")).as("toks"))
+    val edgeRows = untouchedEdges.select(col("u").as("i"), col("v").as("j"))
+      .unionByName(newEdges)
+      .select(col("i").as("doc_id"), nullLong("rep0"), nullLong("rep"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("fp"), lit(null).cast("int").as("tsz"),
+        col("j").as("dst"), lit(null).cast("array<bigint>").as("toks"))
+    untouched.unionByName(repairedMembers).unionByName(edgeRows)
+  }
+
+  /** COMPACTION on the components store — the append half of
+    * [[componentsIndexDelete]] (disjoint-doc_id snapshot contract, the
+    * d25 discipline): fold an arriving drop into the persisted graph
+    * WITHOUT re-reading base text. The index-only insight: old reps'
+    * texts are unchanged, so their pairwise similarity is unchanged —
+    * the base edge set is already COMPLETE for old×old, and the only
+    * pair generation the merge owes is new×new and new×old.
+    *
+    *  1. CLIQUE matching: drop docs collapse to `(lang, fp)` cliques;
+    *     a clique matching a base clique JOINS it (identical text —
+    *     the store's `fp` column exists for exactly this probe). A
+    *     drop doc with an id below the base rep takes over as rep —
+    *     pure relabeling, since identical text transfers every edge
+    *     and the shingle evidence exactly.
+    *  2. PAIR generation: new×new runs the standard two-sided PPJoin
+    *     over the drop reps' text ([[ngramJaccardPairs]]); new×old
+    *     uses the ONE-SIDED prefix filter (J(A,B) ≥ t ⇒ A's
+    *     (|A|−⌈t·|A|⌉+1)-prefix under ANY total order intersects B —
+    *     the [[containmentPairs]] probe shape): drop-side rarest-first
+    *     prefixes (base-df order for selectivity; correctness is
+    *     order-independent) probe the base-rep postings EXPLODED FROM
+    *     THE STORE'S OWN `toks` evidence, semi-join-pruned to prefix
+    *     tokens, and exact hashed-set Jaccard on (drop toks, stored
+    *     toks) decides. Base text never read.
+    *  3. RE-CLOSURE: components touched by a relabel or a new cross
+    *     pair — plus all new cliques — re-close over their (relabeled)
+    *     stored edges plus the new pairs; untouched components pass
+    *     through bit-identical, and a matched clique in an untouched
+    *     component just gains member rows under its existing labels.
+    *
+    * Bit-identical to `componentsIndex(base ∪ drop)` (spec-pinned,
+    * including the comp-bridging and rep-takeover cases), and the
+    * lifecycle roundtrips: `componentsIndexDelete(merge(idx, drop),
+    * drop) ≡ idx`. Cost ∝ drop + prefix-matched postings + affected
+    * components' edges; the store's one full-relation pass (the
+    * postings explode) is index-sized and map-side.
+    */
+  def componentsIndexMerge(store: DataFrame, drop: DataFrame, n: Int = 1,
+      threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+    val members = store.filter(col("dst").isNull).transform(persistTracked)
+    val edges = store.filter(col("dst").isNotNull)
+      .select(col("doc_id").as("u"), col("dst").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("fp"))
+    val dropAug = drop
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokenSet(col("text"))).as("tsz"))
+      .withColumn("dmin",
+        when(col("tsz") > 0, min(col("doc_id")).over(w))
+          .otherwise(col("doc_id")))
+      .transform(persistTracked)
+    // base cliques (token-bearing): rep0 is constant per clique, rep is
+    // the clique's component label
+    val baseCliques = members.filter(col("tsz") > 0)
+      .groupBy(col("lang"), col("fp"))
+      .agg(min(col("rep0")).as("brep0"), min(col("rep")).as("brep"))
+    // Drop-derived delta frames are lineage-TRUNCATED (see
+    // componentsIndexDelete's note): the lifecycle ops compose, and
+    // every downstream reference would otherwise copy the whole
+    // upstream subtree into the plan. Each is drop-sized.
+    val dropCliques = truncateLineage(dropAug.filter(col("tsz") > 0)
+      .select(col("lang"), col("fp"), col("dmin")).distinct()
+      .join(baseCliques, Seq("lang", "fp"), "left")
+      .withColumn("nrep0",
+        least(col("dmin"), coalesce(col("brep0"), col("dmin")))))
+    // rep takeover map: matched cliques whose min moved below the base rep
+    val rl = dropCliques
+      .filter(col("brep0").isNotNull && col("nrep0") =!= col("brep0"))
+      .select(col("brep0").as("orep"), col("nrep0"))
+    // genuinely NEW rep vertices: unmatched drop cliques' reps
+    val newCliques = dropCliques.filter(col("brep0").isNull)
+      .select(col("lang"), col("fp"), col("nrep0"))
+    val newRepDocs = truncateLineage(dropAug
+      .join(newCliques, Seq("lang", "fp"), "left_semi")
+      .filter(col("doc_id") === col("dmin"))
+      .select(col("doc_id"), col("lang"), col("text")))
+    // new×new: the standard two-sided PPJoin over drop-rep text
+    // (distinct — the build's edge-store discipline)
+    val nnPairs = truncateLineage(ngramJaccardPairs(newRepDocs, n = n,
+      threshold = threshold, blockCols = Seq(col("lang"))).distinct())
+    // new×old: one-sided prefix probe of the store's own evidence
+    val newToks = truncateLineage(newRepDocs
+      .select(col("doc_id"),  col("lang"),
+        call_function("graft_shingle_hashes", col("text"), lit(n)).as("toks"))
+      .withColumn("sz", size(col("toks"))))
+    val baseReps = members
+      .filter(col("doc_id") === col("rep0") && col("tsz") > 0)
+      .select(col("doc_id").as("bid"), col("lang").as("blang"),
+        col("toks").as("btoks"), size(col("toks")).as("bsz"))
+      .transform(persistTracked)
+    val basePost = baseReps.select(col("bid"), col("blang"), col("bsz"),
+      explode(col("btoks")).as("p"))
+    val dfTab = basePost.groupBy(col("p")).agg(count(lit(1)).as("df"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
+    val newPrefix = newToks
+      // exact-decimal ceiling — the ngramJaccardPairs plen note
+      .withColumn("plen",
+        col("sz") - ceil(lit(java.math.BigDecimal.valueOf(threshold))
+          * col("sz")).cast("int") + 1)
+      .select(col("doc_id"), col("lang"), col("sz"), col("plen"),
+        explode(col("toks")).as("p"))
+      .join(dfTab, Seq("p"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("lang"), col("sz"), col("p"))
+      .transform(truncateLineage)
+    // postings-side pruning (the containmentPairs discipline): only
+    // tokens appearing in some drop prefix can seed a candidate
+    val prefToks = newPrefix.select(col("lang").as("blang"), col("p")).distinct()
+    val prunedPost = basePost.join(prefToks, Seq("blang", "p"), "left_semi")
+    val cand = newPrefix.join(prunedPost,
+        newPrefix("lang") === prunedPost("blang") &&
+          newPrefix("p") === prunedPost("p") &&
+          sizeRatioAtLeast(col("sz"), col("bsz"), threshold))
+      .select(col("doc_id").as("nid"), col("bid")).distinct()
+    val noPairs = cand
+      .join(newToks.select(col("doc_id").as("nid"), col("toks").as("ntoks"),
+        col("sz").as("nsz")), Seq("nid"))
+      .join(baseReps.select(col("bid"), col("btoks"), col("bsz")), Seq("bid"))
+      .withColumn("inter", call_function("graft_intersect_size",
+        col("ntoks"), col("btoks")).cast("double"))
+      .withColumn("uni",
+        col("nsz").cast("double") + col("bsz").cast("double") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("nid"), col("bid"))
+      .transform(truncateLineage)
+    // affected components: a rep takeover or a new cross edge touches them
+    val affComps = truncateLineage(dropCliques
+      .filter(col("brep0").isNotNull && col("nrep0") =!= col("brep0"))
+      .select(col("brep").as("rep"))
+      .union(noPairs.select(col("bid").as("doc_id"))
+        .join(members.select(col("doc_id"), col("rep")), Seq("doc_id"))
+        .select(col("rep")))
+      .distinct())
+    val untouched = members.join(affComps, Seq("rep"), "left_anti")
+      .select(storeCols: _*)
+    // old edges split by component; affected ones relabel through the map
+    val repComp = members.filter(col("doc_id") === col("rep0"))
+      .select(col("doc_id").as("u"), col("rep"))
+    val affOldRepIds = repComp.join(affComps, Seq("rep"), "left_semi")
+      .select(col("u"))
+    val affE = edges.join(affOldRepIds, Seq("u"), "left_semi")
+    val keepE = edges.join(affOldRepIds, Seq("u"), "left_anti")
+    val affERl = affE
+      .join(rl.toDF("u", "nu"), Seq("u"), "left")
+      .join(rl.toDF("v", "nv"), Seq("v"), "left")
+      .select(least(coalesce(col("nu"), col("u")),
+          coalesce(col("nv"), col("v"))).as("i"),
+        greatest(coalesce(col("nu"), col("u")),
+          coalesce(col("nv"), col("v"))).as("j"))
+    val noPairsRl = noPairs
+      .join(rl.toDF("bid", "nb"), Seq("bid"), "left")
+      .select(least(col("nid"), coalesce(col("nb"), col("bid"))).as("i"),
+        greatest(col("nid"), coalesce(col("nb"), col("bid"))).as("j"))
+    val ccEdges = persistTracked(
+      affERl.unionByName(nnPairs.select(col("i"), col("j")))
+        .unionByName(noPairsRl))
+    // re-closure vertices: affected comps' reps (post-takeover) + new reps
+    val affOldM = members.join(affComps, Seq("rep"), "left_semi")
+      .join(rl.toDF("rep0", "nr"), Seq("rep0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nr"), col("rep0")).as("rep0"),
+        col("lang"), col("fp"), col("tsz"), col("toks"))
+      .transform(persistTracked)
+    val ccVerts = affOldM.select(col("rep0").as("doc_id"))
+      .union(newCliques.select(col("nrep0").as("doc_id"))).distinct()
+    val cc = connectedComponents(ccVerts, ccEdges, maxIters = maxIters)
+      .toDF("rid", "crep")
+    // old member rows of affected comps: relabeled rep0, re-closed rep;
+    // a taken-over rep's row is no longer the clique rep — its toks
+    // move to the drop-side takeover row (identical text, exact)
+    val affMembersOut = affOldM
+      .join(cc, col("rep0") === col("rid"))
+      .select(col("doc_id"), col("rep0"), col("crep").as("rep"),
+        col("lang"), col("fp"), col("tsz"), nullLong("dst"),
+        when(col("doc_id") === col("rep0"), col("toks")).as("toks"))
+    // drop member rows: clique labels via the (lang, fp) probe; comp
+    // label from the closure when their comp was re-closed, the stored
+    // label when they joined an untouched component, self for
+    // empty-token singletons
+    val dropM = dropAug
+      .join(dropCliques.select(col("lang"), col("fp"), col("nrep0"),
+        col("brep")), Seq("lang", "fp"), "left")
+      .select(col("doc_id"), col("lang"), col("fp"), col("tsz"),
+        col("text"),
+        when(col("tsz") > 0, col("nrep0")).otherwise(col("doc_id"))
+          .as("rep0"),
+        col("brep"))
+    val dropMembersOut = dropM
+      .join(cc, col("rep0") === col("rid"), "left")
+      .select(col("doc_id"), col("rep0"),
+        coalesce(col("crep"), col("brep"), col("doc_id")).as("rep"),
+        col("lang"), col("fp"), col("tsz"), nullLong("dst"),
+        when(col("doc_id") === col("rep0") && col("tsz") > 0,
+          call_function("graft_shingle_hashes", col("text"), lit(n)))
+          .as("toks"))
+    val edgeRows = keepE.select(col("u").as("i"), col("v").as("j"))
+      .unionByName(ccEdges)
+      .select(col("i").as("doc_id"), nullLong("rep0"), nullLong("rep"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("fp"), lit(null).cast("int").as("tsz"),
+        col("j").as("dst"), lit(null).cast("array<bigint>").as("toks"))
+    untouched.unionByName(affMembersOut).unionByName(dropMembersOut)
+      .unionByName(edgeRows)
+  }
+
   /** Duplicated-span EXCISION — the span-granular REWRITE behind Lee et
     * al. ACL'22's ExactSubstr dedup (the scoring half is d10): every
     * token position covered by an `n`-token span occurring in MORE THAN

@@ -523,16 +523,6 @@ object Pipeline {
     // (band, bucket) partitioning — no extra exchange)
     Dedup.minhashIndexCap(minhashIndexFullShared(s, dir), maxBucket = 10000)
 
-  /** Connected near-dup components over the exact ngram-Jaccard pair set —
-    * the shared engine behind d8 (the raw component map) and d12 (the
-    * keep-best canonicalization on top of it). One row per document with
-    * its component representative. See d8's scaladoc for why exact
-    * duplicates collapse BEFORE pair generation (m-clique edge blowup) and
-    * why that collapse is semantics-preserving.
-    */
-  private[graft] def ccComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupComponents(Tables.load(s, dir, "documents"))
-
   /** The BASE-snapshot span-hash index (docs outside the x4/t20/d19
     * drop convention doc_id % 4 == 0) — deterministic per sf dir
     * (xxhash64 over exact span strings), so it earns the
@@ -600,7 +590,20 @@ object Pipeline {
     * parquet, read back by d8 and d12.
     */
   private def ccComponentsShared(s: SparkSession, dir: String): DataFrame =
-    materializedIndex(s, dir, "cc_components")(ccComponents(s, dir))
+    Dedup.componentsFromIndex(componentsIndexShared(s, dir))
+
+  /** The persisted near-dup COMPONENT STORE (r16 — the eighth lifecycle
+    * index): [[Dedup.componentsIndex]]'s member + edge rows,
+    * materialized once per corpus snapshot. It SUBSUMES the former
+    * cc_components artifact — the serving map d8/d12/x20 read is its
+    * member projection ([[ccComponentsShared]], bit-identical by
+    * construction since the build runs the same clique collapse +
+    * PPJoin + closure) — and it is what d26's takedown and the x22/x25
+    * audits run their index-only delete against.
+    */
+  private[graft] def componentsIndexShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "components_index")(
+      Dedup.componentsIndex(Tables.load(s, dir, "documents")))
 
   /** Forces every cross-JVM persisted model/index the serving queries
     * read (PCA fit, IVF centroids, PQ codebooks, the tf-idf pair index,
@@ -628,7 +631,7 @@ object Pipeline {
       timed("cells_v13") { fittedV13CellsPath(s, dir) },
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
-      timed("cc_components") { ccComponentsShared(s, dir) },
+      timed("components_index") { componentsIndexShared(s, dir) },
       timed("docs_bkt") { bucketedDocsShared(s, dir) },
       timed("span_index") { spanIndexShared(s, dir) },
       timed("span_bloom") { spanBloomShared(s, dir) },
@@ -758,8 +761,11 @@ object Pipeline {
       val postB = tfidfPostingsFullShared(s, dir)
       val mhB = minhashIndexFullShared(s, dir)
       val compB = ccComponentsShared(s, dir)
-      val compA = Dedup.componentsDelete(
-        compB, d, d.filter(col("doc_id") % 10 === 1).select(col("doc_id")))
+      // index-only delete on the components STORE (r16) — the audit
+      // certifies the same path d26 serves
+      val compA = Dedup.componentsFromIndex(Dedup.componentsIndexDelete(
+        componentsIndexShared(s, dir),
+        d.filter(col("doc_id") % 10 === 1).select(col("doc_id"))))
       val compRow = compA.join(compB.withColumnRenamed("rep", "rep0"),
           Seq("doc_id"))
         .agg(count(lit(1)).as("n_after"),
@@ -816,7 +822,8 @@ object Pipeline {
       // token-size guard is constant within each). With those conditions
       // the component minimum over representatives IS the minimum over
       // documents: each rep0 is already its clique's min.
-      // (Body factored into [[ccComponents]], shared with d12.)
+      // (Served from the persisted components STORE's member projection
+      // — [[componentsIndexShared]], shared with d12/x20/d26.)
       ccComponentsShared(s, dir).orderBy(col("doc_id"))
     },
 
@@ -1116,20 +1123,24 @@ object Pipeline {
     },
 
     "d26_components_delete" -> { (s, dir) =>
-      // TAKEDOWN on the persisted near-dup component map (cc_components
-      // — the graph store, where deletion can SPLIT a component: pull
-      // the middle out of an A~B~C chain and A,C disconnect):
-      // components holding no revoked member pass through UNTOUCHED
-      // (near-dup edges exist only within components, so their pairs
-      // and min-labels cannot change), and ONLY the affected
-      // components' survivors re-run the d8 closure over their own
-      // text — cost ∝ affected components, never the corpus. The
-      // oracle rebuilds the full recursive closure over the survivors,
-      // so hash-green proves splice ≡ rebuild including splits.
+      // TAKEDOWN on the persisted near-dup COMPONENT STORE (the graph
+      // store, where deletion can SPLIT a component: pull the middle
+      // out of an A~B~C chain and A,C disconnect) — INDEX-ONLY since
+      // r16: the store carries the verified rep-level EDGE set beside
+      // the clique map, so the repair is clique relabel + edge splice
+      // + a min-label re-closure over the affected components'
+      // surviving edges. No text is read (r15 re-shingled affected
+      // components' bodies — a takedown touching the giant near-dup
+      // component every web corpus has re-shingled that whole
+      // component; this retires that hazard). Untouched components
+      // pass through bit-identical. The oracle rebuilds the full
+      // recursive closure over the survivors' raw text, so hash-green
+      // proves edge-splice ≡ rebuild including splits.
       val d = Tables.load(s, dir, "documents")
       val revoked = d.filter(col("doc_id") % 10 === 1)
         .select(col("doc_id"))
-      Dedup.componentsDelete(ccComponentsShared(s, dir), d, revoked)
+      Dedup.componentsFromIndex(
+          Dedup.componentsIndexDelete(componentsIndexShared(s, dir), revoked))
         .orderBy(col("doc_id"))
     },
 

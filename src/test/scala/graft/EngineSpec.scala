@@ -908,6 +908,46 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_components_index + index_delete/merge kind components: the d26 lifecycle via SQL") {
+    import org.apache.spark.sql.functions.col
+    engine.run("create table ci_docs_t(doc_id bigint, text varchar, lang varchar)")
+    val ts = (1 to 40).map(i => s"tok$i")
+    val tA = ts.mkString(" ")
+    val tA1 = (ts.dropRight(1) :+ "xx").mkString(" ")
+    engine.run("insert into ci_docs_t values " +
+      s"(1, '$tA', 'en'), (2, '$tA', 'en'), (3, '$tA1', 'en'), " +
+      "(10, 'a separate singleton document here', 'en')")
+    engine.run("create table ci_drop_t(doc_id bigint, text varchar, lang varchar)")
+    engine.run("insert into ci_drop_t values " +
+      s"(100, '$tA', 'en'), (101, 'fresh unrelated drop text', 'en')")
+    engine.run("create table ci_rev_t(doc_id bigint)")
+    engine.run("insert into ci_rev_t values (1)")
+    def m(sql: String) = engine.run(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // build: the member projection is the d8 closure
+    val got = m("select doc_id, rep from graft_components_index(ci_docs_t) " +
+      "where dst is null order by doc_id")
+    val want = graft.operators.Dedup
+      .nearDupComponents(engine.table("ci_docs_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // merge then delete roundtrips to the original served map
+    val rt = m("select doc_id, rep from graft_index_delete(" +
+      "graft_index_merge(graft_components_index(ci_docs_t), ci_drop_t, " +
+      "kind => 'components'), ci_drop_t, kind => 'components') " +
+      "where dst is null order by doc_id")
+    assert(rt == want, "components merge→delete must roundtrip")
+    // delete equals the Scala operator
+    val del = m("select doc_id, rep from graft_index_delete(" +
+      "graft_components_index(ci_docs_t), ci_rev_t, " +
+      "kind => 'components') where dst is null order by doc_id")
+    val wantDel = graft.operators.Dedup.nearDupComponents(
+        engine.table("ci_docs_t").filter(col("doc_id") =!= 1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(del == wantDel, s"$del vs $wantDel")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete/merge: kind-mismatched options error, never silently default") {
     engine.run("create table ko_docs_t(doc_id bigint, text varchar)")
     engine.run("insert into ko_docs_t values (1, 'one two three')")

@@ -352,6 +352,138 @@ class IndexDeleteSpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  private def compStoreRows(df: DataFrame): Set[(Long, Option[Long],
+      Option[Long], Option[String], Option[String], Option[Int],
+      Option[Long], Option[Seq[Long]])] =
+    df.collect().map { r =>
+      def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      def ii(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+      def a(i: Int) =
+        if (r.isNullAt(i)) None else Some(r.getSeq[Long](i).toSeq)
+      (r.getLong(0), l(1), l(2), s(3), s(4), ii(5), l(6), a(7))
+    }.toSet
+
+  test("components store: build subsumes the closure; delete is index-only ≡ rebuild") {
+    val ts = (1 to 40).map(i => s"tok$i")
+    val tA = ts.mkString(" ")                                // clique text
+    val tA1 = (ts.dropRight(1) :+ "xx").mkString(" ")        // ~A
+    val chB = (100 to 139).map(i => s"w$i").mkString(" ")
+    val chA = ((100 to 138).map(i => s"w$i") :+ "aa").mkString(" ")
+    val chC = ("cc" +: (101 to 139).map(i => s"w$i")).mkString(" ")
+    val docs = Seq(
+      (1L, tA, "en"), (2L, tA, "en"), (3L, tA, "en"),        // clique rep 1
+      (4L, tA1, "en"),                                       // edge (1,4)
+      (100L, chA, "en"), (101L, chB, "en"), (102L, chC, "en"), // chain
+      (200L, "an untouched pair of identical documents", "en"),
+      (201L, "an untouched pair of identical documents", "en"),
+      (300L, "", "en"))                                      // empty-token
+      .toDF("doc_id", "text", "lang")
+    val store = Dedup.componentsIndex(docs)
+    // the member projection IS the d8 closure
+    def mapRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mapRows(Dedup.componentsFromIndex(store)) ==
+      mapRows(Dedup.nearDupComponents(docs)))
+    // rep takeover: revoking the clique REP relabels 2 as rep, moves
+    // the stored shingle evidence, and relabels the (1,4) edge — the
+    // whole store (members, edges, toks) equals the rebuild
+    def del(rev: Seq[Long]) = Dedup.componentsIndexDelete(store,
+      rev.toDF("doc_id"))
+    def rebuild(rev: Seq[Long]) = Dedup.componentsIndex(
+      docs.filter(!col("doc_id").isInCollection(rev)))
+    assert(compStoreRows(del(Seq(1L))) == compStoreRows(rebuild(Seq(1L))))
+    // clique death: revoking every identical holder drops the clique
+    // and its edge; 4 becomes a singleton
+    val dead = del(Seq(1L, 2L, 3L))
+    assert(compStoreRows(dead) == compStoreRows(rebuild(Seq(1L, 2L, 3L))))
+    assert(Dedup.componentsFromIndex(dead).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(4L) == 4L)
+    // chain split: revoking the middle disconnects the ends
+    val split = del(Seq(101L))
+    assert(compStoreRows(split) == compStoreRows(rebuild(Seq(101L))))
+    val sm = Dedup.componentsFromIndex(split).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm(100L) == 100L && sm(102L) == 102L,
+      s"revoking the chain's middle must split it: $sm")
+    assert(sm(200L) == 200L && sm(201L) == 200L && sm(300L) == 300L)
+    Dedup.unpersistAll()
+  }
+
+  test("components store merge: takeover, bridge, new cliques ≡ rebuild; roundtrip") {
+    val ts = (1 to 40).map(i => s"tok$i")
+    val t1 = ts.mkString(" ")
+    val t1v = (ts.dropRight(1) :+ "xx").mkString(" ")          // ~t1
+    val t4 = (200 to 239).map(i => s"u$i").mkString(" ")       // bridge hub
+    val t2 = ("qq" +: (201 to 239).map(i => s"u$i")).mkString(" ") // ~t4
+    val t3 = ((200 to 238).map(i => s"u$i") :+ "rr").mkString(" ") // ~t4, !~t2
+    val tn = (300 to 339).map(i => s"v$i").mkString(" ")
+    val tnv = ((300 to 338).map(i => s"v$i") :+ "zz").mkString(" ")
+    val base = Seq(
+      (10L, t1, "en"), (11L, t1, "en"),   // clique rep 10
+      (12L, t1v, "en"),                   // edge (10,12), comp 10
+      (20L, t2, "en"), (21L, t2, "en"),   // clique rep 20, comp 20
+      (30L, t3, "en"),                    // singleton comp 30
+      (35L, "a base singleton unlike everything", "en"))
+      .toDF("doc_id", "text", "lang")
+    val drop = Seq(
+      (5L, t1, "en"),    // joins clique {10,11} and TAKES OVER (5 < 10)
+      (40L, t4, "en"),   // bridges comps 20 and 30 (near-dup of both)
+      (50L, "fresh unrelated drop content entirely new", "en"),
+      (51L, tn, "en"), (52L, tn, "en"),   // new clique rep 51
+      (53L, tnv, "en"),                   // new×new edge (51,53)
+      (60L, "", "en"))                    // empty-token singleton
+      .toDF("doc_id", "text", "lang")
+    val store = Dedup.componentsIndex(base)
+    val merged = Dedup.componentsIndexMerge(store, drop)
+    val rebuilt = Dedup.componentsIndex(base.unionByName(drop))
+    assert(compStoreRows(merged) == compStoreRows(rebuilt))
+    // the takeover and the bridge are live in the served map
+    val m = Dedup.componentsFromIndex(merged).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(10L) == 5L && m(11L) == 5L && m(12L) == 5L && m(5L) == 5L,
+      s"drop doc 5 must take over its clique's component: $m")
+    assert(m(20L) == 20L && m(30L) == 20L && m(40L) == 20L,
+      s"doc 40 must bridge components 20 and 30: $m")
+    assert(m(51L) == 51L && m(52L) == 51L && m(53L) == 51L && m(50L) == 50L)
+    assert(m(35L) == 35L && m(60L) == 60L)
+    // lifecycle roundtrip: revoking the merged drop restores the store
+    assert(compStoreRows(Dedup.componentsIndexDelete(merged,
+        drop.select(col("doc_id")))) == compStoreRows(store))
+    // bootstrap: merging into an empty store ≡ building from the drop
+    assert(compStoreRows(Dedup.componentsIndexMerge(
+        store.filter(lit(false)), drop)) ==
+      compStoreRows(Dedup.componentsIndex(drop)))
+    Dedup.unpersistAll()
+  }
+
+  test("components store at corpus scale: delete/merge equal rebuilds on sf docs") {
+    // the store is exercised PARQUET-BACKED — the serving posture
+    // (componentsIndexShared materializes it once per snapshot), and
+    // the shape that keeps the lifecycle plans store-rooted instead of
+    // dragging the whole build DAG into every delete/merge reference
+    val d = Tables.load(spark, sf, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_comp").toString
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      Dedup.unpersistAll()
+      spark.read.parquet(s"$tmp/$name")
+    }
+    val store = mat(Dedup.componentsIndex(d), "full")
+    val rev = d.filter(col("doc_id") % 10 === 1).select(col("doc_id"))
+    val delRebuild = mat(
+      Dedup.componentsIndex(d.filter(col("doc_id") % 10 =!= 1)), "surv")
+    assert(compStoreRows(Dedup.componentsIndexDelete(store, rev)) ==
+      compStoreRows(delRebuild))
+    Dedup.unpersistAll()
+    val older = mat(
+      Dedup.componentsIndex(d.filter(col("doc_id") % 10 =!= 3)), "older")
+    val mg = Dedup.componentsIndexMerge(
+      older, d.filter(col("doc_id") % 10 === 3))
+    assert(compStoreRows(mg) == compStoreRows(store))
+    Dedup.unpersistAll()
+  }
+
   test("minhash/prefix/ivf merges equal their rebuilds (cap out-migration live)") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
