@@ -680,6 +680,112 @@ object Similarity {
         .otherwise(col("old_cell")).as("cell"))
   }
 
+  /** Drift-triggered PARTIAL PQ codebook refit — [[ivfPartialRefit]]'s
+    * discipline moved to the quantizer, the action v12's distortion
+    * monitor could only signal: a subspace is STALE when the arriving
+    * drop's reconstruction MSE against its codebook exceeds
+    * `mseRatio` × the base corpus's (both via [[pqDistortion]]'s exact
+    * decimal-routed SSE — a subspace whose codebook still fits the
+    * drop has ratio ≈ 1); ONLY stale subspaces re-fit, on the
+    * hash-prefix-capped sample of the base ∪ drop SLICED blocks (the
+    * [[fitPq]] machinery with m = 1 — the fit never reads healthy
+    * subspaces' dims and costs O(LloydFitCap·k·iters) regardless of
+    * corpus size). Healthy codebooks pass through BIT-IDENTICAL, which
+    * preserves every untouched subspace's codes and ADC behavior
+    * exactly (spec-pinned) — a full refit would invalidate all m code
+    * columns corpus-wide.
+    *
+    * Output: the persistable codebook table `(sub, centroid_id,
+    * centroid, refit)` — same shape the pq_model parquet serves, with
+    * affected books replaced and flagged; no stale subspace ⇒ all rows
+    * pass through `refit = false` (serve on — the [[ivfMaintain]]
+    * decision shape). The O(m) drift decision is a deliberate driver
+    * action: a per-drop MAINTENANCE job gating a side-effecting refit,
+    * not a query plan.
+    */
+  def pqPartialRefit(model: PqModel, corpus: DataFrame, drop: DataFrame,
+      mseRatio: Double = 4.0, iters: Int = 2): DataFrame = {
+    require(mseRatio > 0.0, s"mseRatio must be positive, got $mseRatio")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = for {
+      (book, sub) <- model.books.zipWithIndex
+      (cid, c) <- book
+    } yield (sub, cid, c)
+    val cents = centRows.toDF("sub", "code", "centroid")
+    def mseBySub(df: DataFrame): Map[Int, Double] =
+      pqDistortion(df, model, cents)
+        .select(col("sub").cast("int"), col("mse"))
+        .as[(Int, Double)].collect().toMap
+    val baseMse = mseBySub(corpus)
+    val dropMse = mseBySub(drop)
+    val stale = (0 until model.m).filter { sub =>
+      val b = baseMse.getOrElse(sub, 0.0)
+      val d = dropMse.getOrElse(sub, 0.0)
+      // a perfectly-quantized base (b = 0) with any drop error is the
+      // extreme of the same drift; otherwise the ratio test
+      if (b == 0.0) d > 0.0 else d > mseRatio * b
+    }.toSet
+    val all = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(drop.select(col("vec_id"), col("embedding")))
+    val refitBooks: Map[Int, Seq[(Int, Seq[Double])]] = stale.map { sub =>
+      val sliced = all.select(col("vec_id"),
+        slice(asDouble(col("embedding")), sub * model.dsub + 1, model.dsub)
+          .as("embedding"))
+      sub -> fitPq(sliced, model.dsub, m = 1, k = model.books(sub).size,
+        iters = iters).books.head
+    }.toMap
+    val out = for {
+      (book, sub) <- model.books.zipWithIndex
+      (cid, c) <- refitBooks.getOrElse(sub, book)
+    } yield (sub, cid, c, stale.contains(sub))
+    out.toDF("sub", "centroid_id", "centroid", "refit")
+  }
+
+  /** The re-encode half of [[pqPartialRefit]] — ONE map-only pass,
+    * gated per subspace (the [[ivfReassignAfterRefit]] shape): every
+    * block's OLD code computes against the old books; a block whose
+    * subspace was refit re-scores against ONLY its refit book (the
+    * old-code expression is never re-evaluated for healthy subspaces —
+    * their codes are bit-identical by construction, the containment
+    * the spec pins). Output `(vec_id, sub, old_code, code)` — long
+    * form, m rows per vector; no join, no shuffle, the same
+    * single-pass cost as the original encode, paid once per refit.
+    */
+  def pqReencodeAfterRefit(oldModel: PqModel, refitTable: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val refitRows = refitTable
+      .select(col("sub").cast("int"), col("centroid_id").cast("int"),
+        col("centroid"), col("refit"))
+      .as[(Int, Int, Seq[Double], Boolean)].collect().toSeq
+    val staleSubs = refitRows.filter(_._4).map(_._1).toSet
+    val newBooks: Map[Int, Seq[(Int, Seq[Double])]] = refitRows
+      .filter(r => staleSubs.contains(r._1))
+      .groupBy(_._1)
+      .map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(r => (r._2, r._3))
+      }
+    val m = oldModel.m
+    val dsub = oldModel.dsub
+    def block(sub: Int): Column =
+      slice(asDouble(col("embedding")), sub * dsub + 1, dsub)
+    val pairCols = (0 until m).map { sub =>
+      val oldC = nearestCellL2Expr(block(sub), oldModel.books(sub))
+      val newC =
+        if (staleSubs.contains(sub))
+          nearestCellL2Expr(block(sub), newBooks(sub))
+        else lit(null).cast("int")
+      struct(oldC.as("oldc"), newC.as("newc"))
+    }
+    vectors
+      .select(col("vec_id"), posexplode(array(pairCols: _*))
+        .as(Seq("sub", "cc")))
+      .select(col("vec_id"), col("sub"), col("cc.oldc").as("old_code"),
+        coalesce(col("cc.newc"), col("cc.oldc")).as("code"))
+  }
+
   // ---- Product quantization ---------------------------------------------
 
   /** Fitted PQ codebooks: `m` subspaces of `dsub` dims, each with its own
@@ -959,6 +1065,19 @@ object Similarity {
     */
   def fitOpqParametric(embs: DataFrame, dim: Int, m: Int, k: Int,
       iters: Int, fitCap: Int = PcaFitCap): OpqModel = {
+    val rows = fitOpqRotation(embs, dim, m, fitCap)
+    OpqModel(rows, fitPq(rotateFrame(embs, rows), dim, m, k, iters))
+  }
+
+  /** The rotation half of [[fitOpqParametric]] alone — the permuted
+    * eigenbasis rows `(w_r, c_r)`, exposed so the OPQ+IVF+PQ stack
+    * (a13) can fit its coarse quantizer and residual codebooks in the
+    * SAME rotated space the a12 flat form uses (the FAISS
+    * OPQ-pretransform posture: one rotation trained on the raw corpus,
+    * shared by every index built behind it).
+    */
+  def fitOpqRotation(embs: DataFrame, dim: Int, m: Int,
+      fitCap: Int = PcaFitCap): Seq[(Seq[Double], Double)] = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split evenly into m=$m subspaces")
     val pca = fitPca(embs, dim, k = dim, whiten = false, fitCap = fitCap)
@@ -978,17 +1097,24 @@ object Similarity {
       logs(b) += math.log(math.max(ev, java.lang.Double.MIN_NORMAL))
       buckets(b) = buckets(b) :+ i
     }
-    val rows = buckets.toSeq.flatten.map { r =>
+    buckets.toSeq.flatten.map { r =>
       val w = pca.components(r)
       var c = 0.0
       var i = 0
       while (i < w.length) { c += pca.means(i) * w(i); i += 1 }
       (w.toSeq, c)
     }
-    val rotated = embs.select(col("vec_id"),
-      rotateRows(col("embedding"), rows).as("embedding"))
-    OpqModel(rows, fitPq(rotated, dim, m, k, iters))
   }
+
+  /** Map-only whole-frame OPQ rotation — `(vec_id, embedding)` with
+    * the embedding pushed through [[opqRotate]]'s fused dot kernels;
+    * the projection every stage of the rotated stack (coarse fit,
+    * residual fit, serving) shares.
+    */
+  def rotateFrame(df: DataFrame,
+      rotation: Seq[(Seq[Double], Double)]): DataFrame =
+    df.select(col("vec_id"),
+      rotateRows(col("embedding"), rotation).as("embedding"))
 
   private def rotateRows(emb: Column,
       rows: Seq[(Seq[Double], Double)]): Column =
@@ -1179,6 +1305,35 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist"), col("rank"))
   }
+
+  /** OPQ-rotated residual IVF-PQ — the production FAISS
+    * `OPQ_m,PCA + IVF_nlist + PQ_m` stack, composed from the repo's two
+    * halves (a12's parametric rotation, a11's residual machinery):
+    * rotate by the permuted eigenbasis, coarse-assign IN THE ROTATED
+    * SPACE, quantize rotated coarse residuals, serve rotated ADC. The
+    * rotation is orthogonal + mean shift, so L2 is preserved and the
+    * a11 per-(query, cell) residual LUT — including the cross-cell
+    * residual-energy term — carries over VERBATIM; the composition is
+    * [[ivfPqResidualTopK]] on [[rotateFrame]]'d corpus and queries
+    * against centroids/codebooks fitted in the same rotated space.
+    * Variance balanced ACROSS subspaces (rotation) on residuals that
+    * carry less energy (coarse quantizer): both distortion wins stack
+    * (PqSpec pins composed < residual-alone on planted
+    * unbalanced-variance clusters). Hash-gates end to end from the
+    * persisted rotation + rotated-centroid + residual-codebook
+    * parquets; same shuffle shape as a6/a11 — the rotation adds one
+    * map-only projection, nothing to the exchange plan.
+    */
+  def opqIvfPqResidualTopK(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      rotation: Seq[(Seq[Double], Double)],
+      model: PqModel,
+      k: Int,
+      nprobe: Int): DataFrame =
+    ivfPqResidualTopK(centroids, rotateFrame(corpus, rotation),
+      rotateFrame(queries, rotation), model, k, nprobe)
 
   /** IVF-PQ composed serving [Jégou et al., TPAMI'11 §IV] — the
     * standard large-scale ANN deployment shape: the coarse quantizer

@@ -241,6 +241,57 @@ object Pipeline {
     })).value
   }
 
+  /** v14's PLANTED stale-subspace drop — the x4 drop vectors with the
+    * FIRST subspace's dims (0..7) pushed through `x·3 + 2` (an affine
+    * map both engines replay bit-for-bit; the corpus lives in
+    * ±0.5, so the warped blocks land far outside every fitted
+    * code — subspace 0's drop MSE explodes past any sane ratio while
+    * the other seven subspaces' blocks are untouched and in
+    * distribution). ONE definition shared by the model build, the
+    * serving query, and (as the same SQL expression) the oracle.
+    */
+  private def v14StaleDrop(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i < 8, x * lit(3.0) + lit(2.0)).otherwise(x))
+          .as("embedding"))
+
+  /** v14's PARTIAL-REFIT codebook table `(sub, centroid_id, centroid,
+    * refit)` — `Similarity.pqPartialRefit` of the persisted a3/a4
+    * codebooks against the planted stale drop (subspace 0 re-fits on
+    * the capped base ∪ drop block sample; the seven healthy books pass
+    * through bit-identical). Load-or-fit with the fittedV13CellsPath
+    * validation discipline: shape, at least one refit flag, and at
+    * least one untouched book.
+    */
+  private val v14PqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
+  private def fittedV14PqPath(s: SparkSession, dir: String): String =
+    v14PqMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
+      val path = s"${Tables.modelsDir(dir)}/pq_v14_model.parquet"
+      val ok =
+        try {
+          val rows = s.read.parquet(path).collect()
+          rows.length == 8 * 16 &&
+            rows.exists(_.getAs[Boolean]("refit")) &&
+            rows.exists(!_.getAs[Boolean]("refit")) &&
+            rows.forall(
+              _.getAs[scala.collection.Seq[Double]]("centroid").size == 8)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) {
+        val base = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 4 =!= 0)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        Similarity.pqPartialRefit(fittedPq(s, dir), base,
+            v14StaleDrop(s, dir), mseRatio = 4.0, iters = 2)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      path
+    })).value
+
   /** a3/a4 share one PQ codebook set; the fit is deterministic per sf dir
     * (hash-prefix sample + decimal sums), so memoizing is transparent —
     * the pcaMemo discipline — and the persisted model parquet doubles as
@@ -295,6 +346,55 @@ object Pipeline {
         saveOpqModel(s, dir, model)
         model
       })).value
+  /** a13's coarse centroids, fitted IN THE ROTATED SPACE (the FAISS
+    * OPQ+IVF+PQ stack shares one rotation — [[fittedOpq]]'s — across
+    * the flat a12 index and this one): Lloyd over the rotated
+    * embeddings, persisted like [[fittedIvfPath]] (row count +
+    * dimensionality validated on load; mismatch refits).
+    */
+  private val opqIvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[String]]()
+  private def fittedOpqIvfPath(s: SparkSession, dir: String): String =
+    opqIvfMemo.computeIfAbsent(dir, _ => new ModelHolder(() => {
+      val nlist = 16
+      val path = s"${Tables.modelsDir(dir)}/opq_ivf_centroids_$nlist.parquet"
+      val ok =
+        try {
+          val rows = s.read.parquet(path).collect()
+          lazy val dim = Tables.load(s, dir, "embeddings")
+            .select(size(col("embedding")).as("d")).head().getInt(0)
+          rows.length == nlist && rows.forall(
+            _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) Similarity.saveIvfIndex(
+        Similarity.lloydCentroids(
+          Similarity.rotateFrame(Tables.load(s, dir, "embeddings"),
+            fittedOpq(s, dir).rotation),
+          nlist = nlist, iters = 2), path)
+      path
+    })).value
+
+  /** a13's residual codebooks — [[Similarity.fitResidualPq]] in the
+    * rotated space against the rotated coarse index; same memo +
+    * cross-JVM parquet discipline as [[fittedResidualPq]], distinct
+    * model file.
+    */
+  private val opqResidPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelHolder[Similarity.PqModel]]()
+  private def fittedOpqResidualPq(s: SparkSession,
+      dir: String): Similarity.PqModel =
+    opqResidPqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
+      loadPqModel(s, dir, dim = 64, m = 8, k = 16,
+        name = "opq_resid_model").getOrElse {
+        val model = Similarity.fitResidualPq(
+          Similarity.rotateFrame(Tables.load(s, dir, "embeddings"),
+            fittedOpq(s, dir).rotation),
+          Similarity.loadIvfIndex(s, fittedOpqIvfPath(s, dir)),
+          dim = 64, m = 8, k = 16, iters = 2)
+        savePqModel(s, dir, model, name = "opq_resid_model")
+        model
+      })).value
+
   private def saveOpqModel(s: SparkSession, dir: String,
       model: Similarity.OpqModel): Unit = {
     import s.implicits._
@@ -626,9 +726,12 @@ object Pipeline {
       timed("pq_model") { fittedPq(s, dir) },
       timed("pq_resid_model") { fittedResidualPq(s, dir) },
       timed("opq_model") { fittedOpq(s, dir) },
+      timed("opq_ivf_centroids") { fittedOpqIvfPath(s, dir) },
+      timed("opq_resid_model") { fittedOpqResidualPq(s, dir) },
       timed("cells_d9") { fittedD9CellsPath(s, dir) },
       timed("cells_a9") { fittedA9CellsPath(s, dir) },
       timed("cells_v13") { fittedV13CellsPath(s, dir) },
+      timed("pq_v14_model") { fittedV14PqPath(s, dir) },
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("components_index") { componentsIndexShared(s, dir) },
@@ -1539,6 +1642,24 @@ object Pipeline {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.opqAdcTopK(e, e.filter(col("vec_id") < 5),
           fittedOpq(s, dir), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "a13_opq_ivf_pq" -> { (s, dir) =>
+      // OPQ-rotated residual IVF-PQ — the production FAISS stack
+      // (OPQ pretransform + IVF + PQ on residuals), composed from
+      // a12's rotation and a11's residual machinery: one shared
+      // rotation (opq_rotation.parquet), coarse centroids fitted in
+      // the rotated space, codebooks on rotated coarse residuals,
+      // rotated per-(query, cell) ADC with the cross-cell residual
+      // energy term. All three model halves persist, so DuckDB
+      // replays rotation → assignment → residual LUT end to end —
+      // the approximate production index with an exact gate.
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.opqIvfPqResidualTopK(
+        Similarity.loadIvfIndex(s, fittedOpqIvfPath(s, dir)),
+        e, e.filter(col("vec_id") < 5), fittedOpq(s, dir).rotation,
+        fittedOpqResidualPq(s, dir), k = 10, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -4503,6 +4624,32 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    "v14_pq_partial_refit" -> { (s, dir) =>
+      // drift-triggered PARTIAL PQ codebook refit — the action v12's
+      // distortion monitor could only signal, mirroring v13's IVF
+      // form: the planted stale drop (x4 vectors with subspace 0's
+      // dims warped x·3+2 — far outside the fitted codes) trips the
+      // per-subspace MSE-ratio test for subspace 0 ALONE; only its
+      // codebook re-fits on the capped base ∪ drop block sample
+      // (pq_v14_model, prebuilt — the seven healthy books pass
+      // through bit-identical), and this query gates the RE-ENCODE:
+      // one map-only pass where every block's old code computes
+      // against the old books and only the stale subspace re-scores
+      // against its refit book (containment — healthy subspaces'
+      // codes untouched, the property the spec pins). Output
+      // (vec_id, sub, old_code, code) for base ∪ drop; the oracle
+      // replays both argmins from the persisted old/new codebook
+      // parquets.
+      val e = Tables.load(s, dir, "embeddings")
+      val vecs = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(v14StaleDrop(s, dir))
+      Similarity.pqReencodeAfterRefit(fittedPq(s, dir),
+          s.read.parquet(fittedV14PqPath(s, dir)), vecs)
+        .orderBy(col("vec_id"), col("sub"))
+    },
+
     "v11_ann_recall" -> { (s, dir) =>
       // recall@k of the quantized two-stage retrieval (a10) against the
       // exact brute-force top-k (a1) — the acceptance eval every ANN
@@ -6656,6 +6803,58 @@ object Pipeline {
         |FROM olda o LEFT JOIN newa n USING (vec_id)
         |ORDER BY o.vec_id""".stripMargin,
 
+    // v14 re-encode (row_number ties on centroid_id ≡ Spark's
+    // first-min / smallest-code contract); the warp x·3+2 on the
+    // first 8 dims is the one shared planted-drop definition
+    "v14_pq_partial_refit" ->
+      """WITH w0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |wv AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN i <= 8 THEN v0[i] * 3 + 2 ELSE v0[i] END) AS v
+        |  FROM w0),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 4 <> 0
+        |  UNION ALL SELECT vec_id, v FROM wv),
+        |oldm AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_model.parquet/*.parquet')),
+        |newm AS (
+        |  SELECT sub, centroid_id, centroid, refit
+        |  FROM read_parquet('__GRAFT_MODELS__/pq_v14_model.parquet/*.parquet')),
+        |so AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, oldm m),
+        |oldc AS (
+        |  SELECT vec_id, sub, centroid_id AS old_code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM so) WHERE rn = 1),
+        |sn AS (
+        |  SELECT v.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(v.v[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM v, newm m WHERE m.refit),
+        |newc AS (
+        |  SELECT vec_id, sub, centroid_id AS new_code FROM (
+        |    SELECT vec_id, sub, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY s, centroid_id) AS rn
+        |    FROM sn) WHERE rn = 1)
+        |SELECT o.vec_id, CAST(o.sub AS INTEGER) AS sub, o.old_code,
+        |  CASE WHEN o.sub IN (SELECT DISTINCT sub FROM newm WHERE refit)
+        |       THEN n.new_code ELSE o.old_code END AS code
+        |FROM oldc o LEFT JOIN newc n
+        |  ON o.vec_id = n.vec_id AND o.sub = n.sub
+        |ORDER BY o.vec_id, o.sub""".stripMargin,
+
     "v12_pq_distortion" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6922,6 +7121,92 @@ object Pipeline {
         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
         |  WHERE c.vec_id <> l.query_id
         |  GROUP BY l.query_id, c.vec_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adist, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "a13_opq_ivf_pq" ->
+      """WITH rot AS (
+        |  SELECT r, c, w
+        |  FROM read_parquet('__GRAFT_MODELS__/opq_rotation.parquet/*.parquet')),
+        |v0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |v AS (
+        |  SELECT vec_id,
+        |    list(list_dot_product(v0.v, rot.w) - rot.c ORDER BY rot.r) AS v
+        |  FROM v0, rot GROUP BY vec_id),
+        |cent AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/opq_ivf_centroids_16.parquet/*.parquet')),
+        |asn AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT v.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.v, c.centroid) /
+        |          (sqrt(list_dot_product(v.v, v.v)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |rv AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v.v[i] - c.centroid[i]) AS r
+        |  FROM asn a JOIN v USING (vec_id)
+        |  JOIN cent c ON a.cell = c.centroid_id),
+        |model AS (
+        |  SELECT sub, centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/opq_resid_model.parquet/*.parquet')),
+        |scored AS (
+        |  SELECT rv.vec_id, m.sub, m.centroid_id,
+        |    list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(rv.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM rv, model m),
+        |codes AS (
+        |  SELECT vec_id, cell, sub, centroid_id AS code FROM (
+        |    SELECT sc.vec_id, rv.cell, sc.sub, sc.centroid_id,
+        |      row_number() OVER (PARTITION BY sc.vec_id, sc.sub
+        |                         ORDER BY sc.s, sc.centroid_id) AS rn
+        |    FROM scored sc JOIN rv ON sc.vec_id = rv.vec_id) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT query_id, centroid_id AS cell FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, c.centroid) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM q, cent c) WHERE rn <= 4),
+        |qres AS (
+        |  SELECT q.query_id, c.centroid_id AS cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> q.qv[i] - c.centroid[i]) AS r
+        |  FROM q, cent c),
+        |lut AS (
+        |  SELECT qres.query_id, qres.cell, m.sub, m.centroid_id AS code,
+        |    list_dot_product(qres.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                     qres.r[m.sub * 8 + 1 : m.sub * 8 + 8])
+        |      + list_dot_product(m.centroid, m.centroid)
+        |      - 2 * list_dot_product(qres.r[m.sub * 8 + 1 : m.sub * 8 + 8],
+        |                             m.centroid) AS s
+        |  FROM qres, model m),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id, a.cell
+        |  FROM qc JOIN asn a ON qc.cell = a.cell
+        |  WHERE a.vec_id <> qc.query_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(sum(CAST(l.s AS DECIMAL(28,12))) AS DOUBLE) AS adist
+        |  FROM cand
+        |  JOIN codes c2 ON cand.vec_id = c2.vec_id
+        |  JOIN lut l ON l.query_id = cand.query_id AND l.cell = cand.cell
+        |    AND l.sub = c2.sub AND l.code = c2.code
+        |  GROUP BY cand.query_id, cand.vec_id),
         |rk AS (
         |  SELECT query_id, vec_id AS neighbor_id, adist,
         |    row_number() OVER (PARTITION BY query_id

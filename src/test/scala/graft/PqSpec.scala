@@ -304,6 +304,132 @@ class PqSpec extends AnyFunSuite {
       "rotated serving must be partition-invariant bit-for-bit")
   }
 
+  /** Clustered AND unbalanced: coarse cluster offsets live one-per-dim
+    * in the LAST subspace's dims, while the within-cluster variance
+    * concentrates — with distinct per-dim magnitudes — in flat PQ's
+    * FIRST subspace, so residual-alone PQ spends one k=2 codebook on a
+    * 4-D residual cloud and wastes the rest on noise; the balanced
+    * eigen-permutation spreads those directions one per subspace — the
+    * regime where the OPQ and IVFADC distortion wins STACK.
+    */
+  private def clusteredUnbalanced(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map { d =>
+        val noise = ((i * 7 + d * 3) % 13) / 13000.0f
+        val offset = if (d == 12 + c) 10.0f else 0.0f
+        val within =
+          if (d < 4) ((i * 13 + d * 5 + c) % 17) / 1.7f * (4 - d) / 4.0f
+          else 0.0f
+        offset + within + noise
+      })
+    }.toDF("vec_id", "embedding")
+
+  test("OPQ+IVF+PQ: composed stack undercuts residual-alone on unbalanced clusters") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 2
+    val data = clusteredUnbalanced(400, dim)
+    def mse(model: Similarity.PqModel,
+        frame: org.apache.spark.sql.DataFrame): Double = {
+      val rows = frame.select(
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0))
+      rows.map { v =>
+        (0 until model.m).map { sub =>
+          val block = v.slice(sub * model.dsub, (sub + 1) * model.dsub)
+          model.books(sub).map { case (_, c) =>
+            block.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+          }.min
+        }.sum
+      }.sum / rows.length
+    }
+    def centArr(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1): Seq[Double])).toSeq
+    // residual-alone (a11): coarse + residual codebooks in RAW space
+    val centsRaw = Similarity.lloydCentroids(data, nlist = 4, iters = 3)
+    val residAlone = Similarity.fitResidualPq(data, centsRaw, dim, m, k,
+      iters = 2)
+    val residMse = mse(residAlone,
+      Similarity.residualVectors(data, centArr(centsRaw))
+        .select(col("vec_id"), col("embedding")))
+    // composed (a13): rotate, coarse-assign and fit residual books in
+    // the ROTATED space (rotation is orthogonal + shift, so rotated-
+    // space reconstruction MSE is raw-space MSE — comparable directly)
+    val rot = Similarity.fitOpqRotation(data, dim, m)
+    val rdata = Similarity.rotateFrame(data, rot)
+    val centsRot = Similarity.lloydCentroids(rdata, nlist = 4, iters = 3)
+    val composed = Similarity.fitResidualPq(rdata, centsRot, dim, m, k,
+      iters = 2)
+    val composedMse = mse(composed,
+      Similarity.residualVectors(rdata, centArr(centsRot))
+        .select(col("vec_id"), col("embedding")))
+    assert(composedMse < residMse,
+      s"composed distortion $composedMse must undercut residual-alone $residMse")
+    // and the composed serving face is partition-invariant, k rows per
+    // query, self-excluded (the a11 serving contract under rotation)
+    val queries = data.filter(col("vec_id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.opqIvfPqResidualTopK(centsRot, df, queries, rot,
+          composed, k = 5, nprobe = 4)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val a = run(data)
+    assert(a.length == 15 && a.forall(r => r(1) != r(0)))
+    assert(a == run(data.repartition(11)),
+      "rotated residual serving must be partition-invariant bit-for-bit")
+  }
+
+  test("PQ partial refit: planted stale subspace refits alone; healthy books bit-identical") {
+    import org.apache.spark.sql.functions._
+    val dim = 16; val m = 4; val k = 2
+    val base = clustered(300, dim)
+    val model = Similarity.fitPq(base, dim, m, k, iters = 2)
+    // planted drift: warp ONLY subspace 0's dims far out of range
+    val drop = clustered(80, dim)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i < 4, x * lit(3.0) + lit(2.0)).otherwise(x))
+          .as("embedding"))
+    val refit = Similarity.pqPartialRefit(model, base, drop,
+      mseRatio = 4.0, iters = 2)
+    val rows = refit.collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getSeq[Double](2).toSeq, r.getBoolean(3)))
+    assert(rows.length == m * k)
+    val staleSubs = rows.filter(_._4).map(_._1).toSet
+    assert(staleSubs == Set(0), s"only subspace 0 may refit: $staleSubs")
+    // healthy books pass through bit-identical
+    (1 until m).foreach { sub =>
+      val got = rows.filter(_._1 == sub).sortBy(_._2)
+        .map(r => (r._2, r._3)).toSeq
+      assert(got == model.books(sub).map { case (id, c) => (id, c.toSeq) },
+        s"healthy subspace $sub must pass through untouched")
+    }
+    // no drift ⇒ all rows pass through refit = false (serve on)
+    val calm = Similarity.pqPartialRefit(model, base,
+      clustered(80, dim).select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding")), mseRatio = 4.0, iters = 2)
+    assert(calm.filter(col("refit")).count() == 0L)
+    // re-encode containment: healthy subspaces' codes unchanged, and
+    // the map-only pass is partition-invariant
+    val vecs = base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(drop)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqReencodeAfterRefit(model, refit, df)
+        .orderBy("vec_id", "sub").collect().map(_.toSeq).toSeq
+    val enc = run(vecs)
+    assert(enc == run(vecs.repartition(9)))
+    enc.foreach { r =>
+      val sub = r(1).asInstanceOf[Int]
+      if (sub != 0) assert(r(2) == r(3),
+        s"healthy subspace $sub must keep its code: $r")
+    }
+    // the stale subspace's refit is LIVE: warped drop blocks move code
+    assert(enc.exists { r =>
+      r(0).asInstanceOf[Long] >= 1000L && r(1).asInstanceOf[Int] == 0 &&
+        r(2) != r(3)
+    }, "the refit subspace must actually re-code the drifted blocks")
+  }
+
   test("invalid shapes are rejected") {
     val df = corpus(10, 16, 1)
     intercept[IllegalArgumentException] {
