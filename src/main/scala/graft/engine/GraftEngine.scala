@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components_index|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components_index|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic|takedown_audit)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -726,6 +726,15 @@ class GraftEngine(val spark: SparkSession) {
     *    revoked-set shape graft_index_delete / graft_components_delete
     *    consume — scheduled and request-driven deletion share one
     *    lifecycle.
+    *  - `graft_takedown_audit(docs, revoked, members, revoked_vecs,
+    *    n => 8, run => 4)` — the unified EIGHT-store takedown audit
+    *    (x25): one `(store, n_before, n_after, n_changed)` row per
+    *    lifecycle index (span, charspan, postings, minhash, prefix,
+    *    secrets, components, ivf_members), every number from the
+    *    delete paths on the stale stores. `revoked` takes full doc
+    *    rows — `graft_retention_expiry`'s output feeds it directly,
+    *    closing the retention → takedown → audit loop in one SQL
+    *    statement.
     *  - `graft_unigram_em(docs, pieces, char_cost => 6145)` — one
     *    unigram-LM EM re-estimation round (u13) under the fixed
     *    `(piece, cost)` relation; returns `(piece, n_uses, cost)`,
@@ -787,7 +796,8 @@ class GraftEngine(val spark: SparkSession) {
     "retention_expiry" -> Set("as_of"),
     "unigram_em" -> Set("char_cost"),
     "hyperball" -> Set("dist", "m"),
-    "harmonic" -> Set("dist"))
+    "harmonic" -> Set("dist"),
+    "takedown_audit" -> Set("n", "run"))
 
   /** Per-KIND option subsets for the kind-dispatched lifecycle TVFs
     * (graft_index_delete / graft_index_merge): the TVF-level option set
@@ -864,7 +874,8 @@ class GraftEngine(val spark: SparkSession) {
     "retention_expiry" -> Seq("docs", "policy"),
     "unigram_em" -> Seq("docs", "pieces"),
     "hyperball" -> Seq("pairs"),
-    "harmonic" -> Seq("pairs"))
+    "harmonic" -> Seq("pairs"),
+    "takedown_audit" -> Seq("docs", "revoked", "members", "revoked_vecs"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -1344,6 +1355,14 @@ class GraftEngine(val spark: SparkSession) {
               s"'$other' (IVF appends go through graft_ivf_append — the " +
               "member merge needs the centroid relation)")
         }
+      case "takedown_audit" =>
+        // the unified 8-store audit (x25): docs (doc_id, lang, text),
+        // revoked (full doc rows — graft_retention_expiry's output
+        // shape composes directly), the persisted IVF member table,
+        // and its revoked vec_ids. n => span length (tokens; charspan
+        // is fixed at its 40-char default), run => secret digit-run.
+        graft.operators.Audit.takedownAudit(rel(0), rel(1), rel(2), rel(3),
+          spanN = intOpt("n", 8), minDigitRun = intOpt("run", 4))
       case "knn_label" =>
         val k = intOpt("k", 5)
         graft.operators.Similarity.knnLabel(rel(0), rel(1), k = k)

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED takedown audit — one `(store, n_before, n_after,
+  * n_changed)` row per persisted lifecycle index, ALL EIGHT in one
+  * artifact (r15 split this across x22's four and x24's three, with
+  * per-query corpus conventions; a compliance officer wants one
+  * record): span, charspan, tf-idf postings, minhash, streaming
+  * prefix, secret-frequency, near-dup components, and IVF members.
+  *
+  * Every number comes from the DELETE PATHS running on the stale
+  * stores (delta arithmetic / anti joins / the components edge
+  * splice — the corpus is read only to build each index once and for
+  * the revoked slice), so a hash-green audit against an oracle that
+  * REBUILDS each store from surviving raw data certifies all eight
+  * deletes end-to-end in one statement.
+  *
+  * Per-store n_changed semantics (documented, the x22/x24
+  * conventions): counted/posting/prefix stores = index rows removed;
+  * components = SURVIVING docs whose representative changed (a
+  * takedown can split components); ivf_members = DISTINCT CELLS that
+  * lost at least one member (the serving-relevant blast radius —
+  * which probe lists shrank).
+  *
+  * Relations: `docs` carries (doc_id, lang, text) — one corpus, one
+  * convention, every text store audits the same snapshot; `revoked`
+  * carries full doc rows (doc_id + text — the span/charspan/secrets
+  * deletes compute their deltas from the revoked documents alone, and
+  * `Privacy.retentionExpiry`'s output is exactly this shape, so
+  * scheduled expiry feeds the audit directly); `members` is the
+  * persisted (vec_id, cell) IVF member table and `revokedVecs` its
+  * (vec_id) takedown set.
+  *
+  * Scale shape: each store build is the operator's own documented
+  * one-pass shape; each delete is ∝ the takedown set (components ∝
+  * affected components' edges); the audit itself is eight O(1)
+  * count aggregates unioned — nothing here adds a shuffle beyond the
+  * stores' own builds.
+  */
+object Audit {
+
+  private def countRow(store: String, before: DataFrame,
+      after: DataFrame): DataFrame =
+    before.agg(count(lit(1)).as("n_before"))
+      .crossJoin(after.agg(count(lit(1)).as("n_after")))
+      .select(lit(store).as("store"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_changed"))
+
+  def takedownAudit(docs: DataFrame, revoked: DataFrame,
+      members: DataFrame, revokedVecs: DataFrame,
+      spanN: Int = 8, charN: Int = 40, minDigitRun: Int = 4,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val revIds = revoked.select(col("doc_id"))
+    val revVecIds = revokedVecs.select(col("vec_id"))
+    val spanB = Dedup.spanIndexCounted(docs, n = spanN)
+    val chB = Dedup.spanIndexCountedChars(docs, n = charN)
+    val postB = Dedup.tfidfPostingsFull(docs)
+    val mhB = Dedup.minhashIndex(docs, maxBandBucket = 0)
+    val pfB = Dedup.incrementalIndex(docs, num = num, den = den)
+    val secB = Privacy.secretFrequencies(docs, minDigitRun)
+    val compStore = Dedup.componentsIndex(docs)
+    val compB = Dedup.componentsFromIndex(compStore)
+    val compA = Dedup.componentsFromIndex(
+      Dedup.componentsIndexDelete(compStore, revIds))
+    val compRow = compA
+      .join(compB.withColumnRenamed("rep", "rep_b"), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("rep") =!= col("rep_b"), 1L).otherwise(0L))
+          .as("n_changed"))
+      .crossJoin(compB.agg(count(lit(1)).as("n_before")))
+      .select(lit("components").as("store"), col("n_before"),
+        col("n_after"), col("n_changed"))
+    val memA = Similarity.ivfMembersDelete(members, revVecIds)
+    val lostCells = members.join(revVecIds, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+    val memRow = members.agg(count(lit(1)).as("n_before"))
+      .crossJoin(memA.agg(count(lit(1)).as("n_after")))
+      .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
+      .select(lit("ivf_members").as("store"), col("n_before"),
+        col("n_after"), col("n_changed"))
+    countRow("span_index", spanB,
+        Dedup.spanIndexDelete(spanB, revoked, n = spanN))
+      .unionByName(countRow("charspan_index", chB,
+        Dedup.spanIndexCharsDelete(chB, revoked, n = charN)))
+      .unionByName(countRow("tfidf_postings", postB,
+        Dedup.postingsDelete(postB, revIds)))
+      .unionByName(countRow("mh_index", mhB,
+        Dedup.minhashIndexDelete(mhB, revIds)))
+      .unionByName(countRow("prefix_index", pfB,
+        Dedup.prefixIndexDelete(pfB, revIds)))
+      .unionByName(countRow("secrets_index", secB,
+        Privacy.secretIndexDelete(secB, revoked, minDigitRun)))
+      .unionByName(compRow)
+      .unionByName(memRow)
+      .orderBy(col("store"))
+  }
+}

@@ -837,6 +837,36 @@ object Pipeline {
         .orderBy(col("store"))
     },
 
+    "x25_takedown_audit_full" -> { (s, dir) =>
+      // the UNIFIED takedown audit — all EIGHT lifecycle stores in one
+      // artifact over ONE corpus convention (x22 and x24 split this
+      // across two queries with two snapshot conventions): the planted
+      // base slice (a text-derived 'pinNNNN' prefix token — identical
+      // texts get identical pins, so exact-dup cliques survive into
+      // the components store, and the 97 pin classes give the secrets
+      // store a deterministic rare/common structure), revoked by the
+      // %10 rule, plus the IVF member table with its own %10 vec
+      // takedown. Every number comes from the eight DELETE PATHS on
+      // the stale stores (the components row via the r16 edge-splice —
+      // no text re-read) while DuckDB rebuilds every store from
+      // surviving raw data, including BOTH recursive component
+      // closures — one hash-green artifact certifying all eight
+      // deletes. Serves graft_takedown_audit's exact engine path.
+      val d = Tables.load(s, dir, "documents")
+      val planted = concat(lit("pin"),
+        lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
+        lit(" "), col("text"))
+      val base = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("lang"), planted.as("text"))
+      val revoked = base.filter(col("doc_id") % 10 === 1)
+      val e = Tables.load(s, dir, "embeddings")
+      val members = Similarity.ivfAssign(
+        Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)), e)
+      val revVecs = e.filter(col("vec_id") % 10 === 1)
+        .select(col("vec_id"))
+      graft.operators.Audit.takedownAudit(base, revoked, members, revVecs)
+    },
+
     "x22_takedown_audit" -> { (s, dir) =>
       // TAKEDOWN AUDIT — the governance record a compliance officer
       // asks for after a revocation: per persisted store, how many
@@ -6218,6 +6248,120 @@ object Pipeline {
         |  UNION ALL
         |  SELECT 'secrets_index', seb.n, sea.n, seb.n - sea.n
         |  FROM seb, sea) u
+        |ORDER BY store""".stripMargin,
+
+    // the unified 8-store audit: every store rebuilt from surviving
+    // planted text (both component closures recursive), vs Spark's
+    // eight delete paths on the stale stores
+    "x25_takedown_audit_full" ->
+      """WITH RECURSIVE
+        |b AS (SELECT doc_id, lang,
+        |  'pin' || lpad(CAST((length(text) * 7) % 97 AS VARCHAR), 4, '0') ||
+        |  ' ' || text AS text
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |sv AS (SELECT doc_id, lang, text FROM b WHERE doc_id % 10 <> 1),
+        |tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks FROM b),
+        |tsv AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks FROM sv),
+        |spb AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tb WHERE len(toks) >= 8)),
+        |spa AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tsv WHERE len(toks) >= 8)),
+        |lowb AS (SELECT doc_id, lower(text) AS t FROM b),
+        |cw AS (
+        |  SELECT DISTINCT doc_id, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM lowb WHERE length(t) >= 40)),
+        |chb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw),
+        |cha AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw
+        |        WHERE doc_id % 10 <> 1),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tb WHERE len(toks) >= 2))),
+        |pa AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tsv WHERE len(toks) >= 2))),
+        |mhb AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tb WHERE len(toks) >= 3),
+        |mha AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tsv WHERE len(toks) >= 3),
+        |pfb AS (SELECT CAST(sum(bn - ((4 * bn + 4) // 5) + 1) AS BIGINT) AS n
+        |  FROM (SELECT len(list_distinct(toks)) AS bn FROM tb) z WHERE bn > 0),
+        |pfa AS (SELECT CAST(sum(bn - ((4 * bn + 4) // 5) + 1) AS BIGINT) AS n
+        |  FROM (SELECT len(list_distinct(toks)) AS bn FROM tsv) z WHERE bn > 0),
+        |tokc AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM tb) z
+        |  WHERE regexp_matches(tok, '[0-9]{4}')),
+        |seb AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM tokc),
+        |sea AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM tokc
+        |        WHERE doc_id % 10 <> 1),
+        |atok AS (SELECT b.doc_id, b.lang, list_distinct(t.toks) AS toks
+        |  FROM b JOIN tb t USING (doc_id)),
+        |apairs AS (
+        |  SELECT a.doc_id AS i, b2.doc_id AS j
+        |  FROM atok a JOIN atok b2 ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b2.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b2.toks))) AS DOUBLE) >= 0.95),
+        |aedges AS (SELECT i AS u, j AS v FROM apairs UNION SELECT j AS u, i AS v FROM apairs),
+        |areach(u, v) AS (
+        |  SELECT u, v FROM aedges
+        |  UNION
+        |  SELECT r.u, e.v FROM areach r JOIN aedges e ON r.v = e.u),
+        |cc0 AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM b d LEFT JOIN areach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |stok AS (SELECT sv.doc_id, sv.lang, list_distinct(t.toks) AS toks
+        |  FROM sv JOIN tsv t USING (doc_id)),
+        |spairs AS (
+        |  SELECT a.doc_id AS i, b2.doc_id AS j
+        |  FROM stok a JOIN stok b2 ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b2.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.toks, b2.toks))) AS DOUBLE) >= 0.95),
+        |sedges AS (SELECT i AS u, j AS v FROM spairs UNION SELECT j AS u, i AS v FROM spairs),
+        |sreach(u, v) AS (
+        |  SELECT u, v FROM sedges
+        |  UNION
+        |  SELECT r.u, e.v FROM sreach r JOIN sedges e ON r.v = e.u),
+        |cc1 AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS rep
+        |  FROM sv d LEFT JOIN sreach r ON d.doc_id = r.u
+        |  GROUP BY d.doc_id),
+        |crow AS (
+        |  SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_before,
+        |    CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(CASE WHEN c1.rep <> c0.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |  FROM cc1 c1 JOIN cc0 c0 USING (doc_id)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |cent AS (
+        |  SELECT centroid_id, centroid
+        |  FROM read_parquet('__GRAFT_MODELS__/ivf_centroids_16.parquet/*.parquet')),
+        |asn AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT v.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.v, c.centroid) /
+        |          (sqrt(list_dot_product(v.v, v.v)) *
+        |           sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |imb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asn),
+        |ima AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asn
+        |        WHERE vec_id % 10 <> 1),
+        |imc AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n FROM asn
+        |        WHERE vec_id % 10 = 1)
+        |SELECT * FROM (
+        |  SELECT 'span_index' AS store, spb.n AS n_before, spa.n AS n_after,
+        |    spb.n - spa.n AS n_changed FROM spb, spa
+        |  UNION ALL SELECT 'charspan_index', chb.n, cha.n, chb.n - cha.n FROM chb, cha
+        |  UNION ALL SELECT 'tfidf_postings', pb.n, pa.n, pb.n - pa.n FROM pb, pa
+        |  UNION ALL SELECT 'mh_index', mhb.n, mha.n, mhb.n - mha.n FROM mhb, mha
+        |  UNION ALL SELECT 'prefix_index', pfb.n, pfa.n, pfb.n - pfa.n FROM pfb, pfa
+        |  UNION ALL SELECT 'secrets_index', seb.n, sea.n, seb.n - sea.n FROM seb, sea
+        |  UNION ALL SELECT 'components', n_before, n_after, n_changed FROM crow
+        |  UNION ALL SELECT 'ivf_members', imb.n, ima.n, imc.n FROM imb, ima, imc) u
         |ORDER BY store""".stripMargin,
 
     "x22_takedown_audit" ->

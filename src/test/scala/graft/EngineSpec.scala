@@ -948,6 +948,46 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_takedown_audit: all eight stores; retention expiry feeds it") {
+    engine.run("create table ta_docs_t(doc_id bigint, lang varchar, " +
+      "source varchar, ingest_day bigint, text varchar)")
+    engine.run("insert into ta_docs_t values " +
+      "(1, 'en', 'web', 10, 'alpha beta gamma delta code7777'), " +
+      "(2, 'en', 'web', 300, 'alpha beta gamma delta code7777'), " +
+      "(3, 'en', 'book', 300, 'unique text here nothing shared code9999')")
+    engine.run("create table ta_policy_t(source varchar, retention_days bigint)")
+    engine.run("insert into ta_policy_t values ('web', 100)")
+    engine.run("create table ta_mem_t(vec_id bigint, cell int)")
+    engine.run("insert into ta_mem_t values (1, 1), (2, 1), (3, 2)")
+    engine.run("create table ta_rv_t(vec_id bigint)")
+    engine.run("insert into ta_rv_t values (3)")
+    // expiry at day 359: doc 1 (web, age 349 >= 100) expires; doc 2
+    // (age 59) and doc 3 (book — no policy, never expires) survive
+    val got = engine.run("select store, n_before, n_after, n_changed " +
+      "from graft_takedown_audit(ta_docs_t, " +
+      "graft_retention_expiry(ta_docs_t, ta_policy_t, as_of => 359), " +
+      "ta_mem_t, ta_rv_t) order by store").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq("charspan_index", "components",
+      "ivf_members", "mh_index", "prefix_index", "secrets_index",
+      "span_index", "tfidf_postings"), got.mkString(", "))
+    // the clique {1,2} loses its rep: doc 2 takes over (its rep
+    // changes 1 → 2 — the one changed survivor)
+    assert(got.find(_._1 == "components").get ==
+      (("components", 3L, 2L, 1L)), got.mkString(", "))
+    assert(got.find(_._1 == "ivf_members").get ==
+      (("ivf_members", 3L, 2L, 1L)), got.mkString(", "))
+    // the SQL path is the Scala operator verbatim
+    val want = graft.operators.Audit.takedownAudit(
+        engine.table("ta_docs_t"),
+        graft.operators.Privacy.retentionExpiry(engine.table("ta_docs_t"),
+          engine.table("ta_policy_t"), 359L),
+        engine.table("ta_mem_t"), engine.table("ta_rv_t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete/merge: kind-mismatched options error, never silently default") {
     engine.run("create table ko_docs_t(doc_id bigint, text varchar)")
     engine.run("insert into ko_docs_t values (1, 'one two three')")
