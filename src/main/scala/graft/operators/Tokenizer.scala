@@ -732,6 +732,65 @@ object Tokenizer {
         ((length(bin(col("n"))) - length(bin(col("n_uses"))))
           .cast("long") * 1024L + 1L).as("cost"))
   }
+
+  /** Unigram EM to CONVERGENCE (u14) — [[unigramEmStep]] looped with
+    * the pageRankConverged converge-or-maxIters discipline: iterate
+    * the hard-EM round until the MODEL (the sorted `(piece, cost)`
+    * relation — everything segmentation depends on) reaches a
+    * fixpoint, or `maxIters` rounds have run. Fixpoint detection is
+    * exact and free: each round's O(vocab) model must be collected
+    * anyway (the next E-step ships it as a codegen reference object —
+    * the u4/u7 fixed-table discipline), so the loop state lives on
+    * the DRIVER and no lineage ever accumulates — this loop needs no
+    * checkpoints, unlike the rank fixpoints whose state is a
+    * vertex-cardinality frame. A stable model also fixes `n_uses`
+    * (same model ⇒ same Viterbi ⇒ same counts), so the last executed
+    * round's stats ARE the fixpoint's.
+    *
+    * `runToFixpoint = false` forces exactly `maxIters` rounds — the
+    * deterministic fixed-round form the hash gate runs (the g9
+    * tol-zero discipline; the oracle unrolls the relational Viterbi
+    * once per round). Monotone structure (spec-pinned): the
+    * MULTI-CHAR piece set can only SHRINK round over round (unused
+    * pieces drop; segmentation only ever uses model pieces), while
+    * single-char fallbacks may ENTER with their usage — char
+    * coverage, the Kudo discipline — so the vocab is bounded by the
+    * shrinking multi-char set plus the corpus's finite alphabet.
+    *
+    * Per round: one fused map-only corpus pass + one corpus-sized
+    * aggregate (the [[unigramEmStep]] shape) + one O(vocab) collect.
+    */
+  def unigramEmConverged(docs: DataFrame, pieces: Seq[(String, Long)],
+      charCost: Long = 6145L, maxIters: Int = 8,
+      runToFixpoint: Boolean = true, textCol: String = "text"): DataFrame =
+    unigramEmConvergedWithStats(docs, pieces, charCost, maxIters,
+      runToFixpoint, textCol)._1
+
+  /** [[unigramEmConverged]] plus `(rounds run, converged)` — the
+    * observability a convergence caller needs (and the spec asserts).
+    */
+  def unigramEmConvergedWithStats(docs: DataFrame,
+      pieces: Seq[(String, Long)], charCost: Long = 6145L,
+      maxIters: Int = 8, runToFixpoint: Boolean = true,
+      textCol: String = "text"): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = pieces.sortBy(_._1)
+    var lastRows: Seq[(String, Long, Long)] = Seq.empty
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      lastRows = unigramEmStep(docs, cur, charCost, textCol)
+        .select(col("piece"), col("n_uses"), col("cost"))
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+      val next = lastRows.map(r => (r._1, r._3))
+      if (runToFixpoint && next == cur) converged = true
+      cur = next
+      it += 1
+    }
+    (lastRows.toDF("piece", "n_uses", "cost"), it, converged)
+  }
 }
 
 /** Prebuilt rank lookup for a merge table: pair → index in learned order.

@@ -5266,6 +5266,24 @@ object Pipeline {
         .orderBy(col("piece"))
     },
 
+    "u14_unigram_em_converged" -> { (s, dir) =>
+      // unigram EM iterated (Kudo ACL'18's loop, not just u13's one
+      // round) — the FIXED-ROUND form for the gate (the g9 tol-zero
+      // discipline): exactly two EM rounds from the shared seed model,
+      // each a fused map-only corpus pass + one aggregate + an
+      // O(vocab) collect, the next round's model riding as a codegen
+      // reference object. The oracle is GENERATED by unrolling the
+      // relational Viterbi DP twice — the second chain's piece costs
+      // fed by the first chain's re-estimated model — so hash-green
+      // pins the loop arithmetic end to end. The converge-or-maxIters
+      // form (model-fixpoint detection, vocab monotonically
+      // shrinking) is spec-pinned loop ≡ unrolled.
+      Tokenizer.unigramEmConverged(Tables.load(s, dir, "documents"),
+          UnigramPieces, UnigramCharCost, maxIters = 2,
+          runToFixpoint = false)
+        .orderBy(col("piece"))
+    },
+
     "u8_tokenizer_compare" -> { (s, dir) =>
       // tokenizer-selection eval: per-language fertility of the u4 BPE
       // table vs the u7 unigram-LM table over the SAME corpus — the
@@ -5723,26 +5741,17 @@ object Pipeline {
     * rounds, final state in `u<maxWordLen>`), with no result CTE — the
     * serve/piece-list variants append their own tail.
     */
-  private def unigramDpCtes: String = {
-    val vals = UnigramPieces
-      .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
-      .mkString(", ")
-    val rounds = (1 to graft.operators.Tokenizer.UnigramMaxWordLen).map { r =>
-      val prev = s"u${r - 1}"
-      s"""u$r AS MATERIALIZED (
-        |  SELECT w, pos, struct_extract(b, 'cost') AS cost,
-        |    struct_extract(b, 'path') AS path
-        |  FROM (
-        |    SELECT w, pos, min({'cost': cost, 'path': path}) AS b FROM (
-        |      SELECT w, pos, cost, path FROM $prev
-        |      UNION ALL
-        |      SELECT $prev.w, e.k AS pos, $prev.cost + e.cost AS cost,
-        |        $prev.path || chr(31) || e.piece AS path
-        |      FROM $prev JOIN uedges e ON $prev.w = e.w AND $prev.pos = e.j) q
-        |    GROUP BY w, pos) g)""".stripMargin
-    }.mkString(",\n")
-    s"""upieces(piece, pcost) AS (VALUES $vals),
-      |wd AS (SELECT DISTINCT w FROM occ),
+  /** The VALUES literal for the seed [[UnigramPieces]] model. */
+  private def unigramPieceValues: String = UnigramPieces
+    .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
+    .mkString(", ")
+
+  /** Model-INDEPENDENT word/substring enumeration CTEs (wd, wshort,
+    * usp) — shared by every DP instance in one oracle (the u14
+    * unrolled-EM form runs two DP chains over the same words).
+    */
+  private val UnigramWordCtes: String =
+    """wd AS (SELECT DISTINCT w FROM occ),
       |wshort AS (SELECT w FROM wd WHERE length(w) <= 12),
       |usp AS MATERIALIZED (
       |  SELECT w, j, l, substring(w, CAST(j + 1 AS INTEGER),
@@ -5751,20 +5760,74 @@ object Pipeline {
       |    SELECT w, j, unnest(generate_series(1, least(4, length(w) - j))) AS l
       |    FROM (
       |      SELECT w, unnest(generate_series(0, length(w) - 1)) AS j
-      |      FROM wshort) t0) t1),
-      |uedges AS MATERIALIZED (
+      |      FROM wshort) t0) t1)""".stripMargin
+
+  /** One relational-Viterbi DP chain, parameterized by CTE prefix and
+    * the pieces RELATION `piecesRel(piece, pcost)` it scores against —
+    * `<px>edges`, `<px>0` … `<px>12`. Two instances with distinct
+    * prefixes compose in one WITH list (the u14 unrolled EM), the
+    * second's pieces fed by the first's re-estimated model.
+    */
+  private def unigramDpRounds(px: String, piecesRel: String): String = {
+    val rounds = (1 to graft.operators.Tokenizer.UnigramMaxWordLen).map { r =>
+      val prev = s"$px${r - 1}"
+      s"""$px$r AS MATERIALIZED (
+        |  SELECT w, pos, struct_extract(b, 'cost') AS cost,
+        |    struct_extract(b, 'path') AS path
+        |  FROM (
+        |    SELECT w, pos, min({'cost': cost, 'path': path}) AS b FROM (
+        |      SELECT w, pos, cost, path FROM $prev
+        |      UNION ALL
+        |      SELECT $prev.w, e.k AS pos, $prev.cost + e.cost AS cost,
+        |        $prev.path || chr(31) || e.piece AS path
+        |      FROM $prev JOIN ${px}edges e ON $prev.w = e.w AND $prev.pos = e.j) q
+        |    GROUP BY w, pos) g)""".stripMargin
+    }.mkString(",\n")
+    s"""${px}edges AS MATERIALIZED (
       |  SELECT s.w, s.j, s.j + s.l AS k, s.piece,
       |    CASE WHEN s.l = 1
       |      THEN least(coalesce(p.pcost, 9223372036854775807), 6145)
       |      ELSE p.pcost END AS cost
-      |  FROM usp s LEFT JOIN upieces p ON s.piece = p.piece
+      |  FROM usp s LEFT JOIN $piecesRel p ON s.piece = p.piece
       |  WHERE s.l = 1 OR p.piece IS NOT NULL),
-      |u0 AS MATERIALIZED (
+      |${px}0 AS MATERIALIZED (
       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
       |    '' AS path
       |  FROM wshort),
       |$rounds""".stripMargin
   }
+
+  private def unigramDpCtes: String =
+    s"""upieces(piece, pcost) AS (VALUES $unigramPieceValues),
+      |$UnigramWordCtes,
+      |${unigramDpRounds("u", "upieces")}""".stripMargin
+
+  /** One EM round's usage/cost tail over a completed DP chain `px`
+    * (the u13 E/M steps as CTEs): per-word piece lists, usage joined
+    * to `wcnt`, exact bit-length re-costing — ends in
+    * `<out>(piece, n_uses, cost)`, itself a valid pieces relation for
+    * the next chain.
+    */
+  private def unigramEmTail(px: String, out: String): String =
+    s"""${px}pl AS (
+      |  SELECT uN.w, list_filter(string_split(uN.path, chr(31)),
+      |    x -> len(x) > 0) AS pieces
+      |  FROM $px${graft.operators.Tokenizer.UnigramMaxWordLen} uN
+      |  JOIN wshort ws ON uN.w = ws.w AND uN.pos = length(ws.w)
+      |  UNION ALL
+      |  SELECT w, regexp_extract_all(w, '.') AS pieces
+      |  FROM wd WHERE length(w) > 12),
+      |${px}pu AS (
+      |  SELECT piece, CAST(sum(c) AS BIGINT) AS n_uses
+      |  FROM (SELECT z.w, unnest(z.pieces) AS piece FROM ${px}pl z) y
+      |  JOIN wcnt USING (w)
+      |  GROUP BY piece),
+      |${px}tot AS (SELECT CAST(sum(n_uses) AS BIGINT) AS n FROM ${px}pu),
+      |$out AS (
+      |  SELECT piece, n_uses,
+      |    CAST(length(bin(t.n)) - length(bin(n_uses)) AS BIGINT) * 1024 + 1
+      |      AS cost
+      |  FROM ${px}pu, ${px}tot t)""".stripMargin
 
   /** Shared u4/u5 oracle fragment: the six list_reduce folds (one per
     * [[BpeMerges]] rule, learned order) over `occ`'s distinct words,
@@ -10474,6 +10537,27 @@ object Pipeline {
         |  CAST(length(bin(tot.n)) - length(bin(n_uses)) AS BIGINT) * 1024 + 1
         |    AS cost
         |FROM pu, tot ORDER BY piece""".stripMargin,
+
+    // two EM rounds unrolled: round 2's DP chain (prefix v) scores
+    // against round 1's re-estimated model r1 — the generated-unroll
+    // oracle for the fixed-round loop
+    "u14_unigram_em_converged" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |wcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |         FROM occ GROUP BY w),
+        |upieces(piece, pcost) AS (VALUES $unigramPieceValues),
+        |$UnigramWordCtes,
+        |${unigramDpRounds("u", "upieces")},
+        |${unigramEmTail("u", "r1")},
+        |r1p AS (SELECT piece, cost AS pcost FROM r1),
+        |${unigramDpRounds("v", "r1p")},
+        |${unigramEmTail("v", "r2")}
+        |SELECT piece, n_uses, cost FROM r2 ORDER BY piece""".stripMargin,
 
     "u9_kneser_ney" ->
       """WITH tok AS (

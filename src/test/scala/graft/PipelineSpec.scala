@@ -1907,6 +1907,49 @@ class TokenizerSpec extends AnyFunSuite {
     (keptChars.toSeq ++ keptMulti).sortBy(_._1)
   }
 
+  test("unigram EM converged: loop ≡ unrolled, fixpoint detected, vocab shrinks") {
+    import spark.implicits._
+    val d = (Seq.fill(5)("banana band banana") ++
+      Seq("apple banana apple", "nab nab banana band"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val p0: Seq[(String, Long)] = Seq(("ba", 7169L), ("na", 7169L),
+      ("band", 9217L), ("app", 8193L), ("le", 7169L), ("zz", 5121L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // fixed-round loop ≡ manual unrolling of unigramEmStep
+    val looped = rowsOf(Tokenizer.unigramEmConverged(d, p0,
+      maxIters = 3, runToFixpoint = false))
+    val m1 = rowsOf(Tokenizer.unigramEmStep(d, p0)).map(r => (r._1, r._3))
+    val m2 = rowsOf(Tokenizer.unigramEmStep(d, m1)).map(r => (r._1, r._3))
+    val unrolled = rowsOf(Tokenizer.unigramEmStep(d, m2))
+    assert(looped == unrolled, "loop must equal the manual unroll")
+    // convergence: the fixpoint model is stable under one more step,
+    // and the loop reports it
+    val (fix, rounds, converged) =
+      Tokenizer.unigramEmConvergedWithStats(d, p0, maxIters = 10)
+    assert(converged && rounds <= 10, s"rounds=$rounds converged=$converged")
+    val fixModel = rowsOf(fix).map(r => (r._1, r._3))
+    assert(rowsOf(Tokenizer.unigramEmStep(d, fixModel))
+      .map(r => (r._1, r._3)) == fixModel,
+      "the detected fixpoint must be stable under one more EM step")
+    // the MULTI-CHAR vocab monotonically shrinks: unused pieces drop
+    // and new multi-char pieces never appear (segmentation only uses
+    // model pieces plus SINGLE-CHAR fallbacks, which may enter — char
+    // coverage, the Kudo discipline); the unused seed 'zz' drops
+    def multi(m: Seq[(String, Long)]) =
+      m.map(_._1).filter(_.length > 1).toSet
+    val v0 = multi(p0)
+    val v1 = multi(m1)
+    val v2 = multi(m2)
+    assert(v1.subsetOf(v0) && v2.subsetOf(v1), s"$v0 -> $v1 -> $v2")
+    assert(!v1.contains("zz"), "a never-used piece must drop in round 1")
+    assert(m1.map(_._1).exists(_.length == 1),
+      "char-fallback pieces enter the model with their usage")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("unigram LM: planted corpus equals the driver replay; partition-invariant") {
     import spark.implicits._
     val texts = Seq.fill(6)("banana band banana") ++
