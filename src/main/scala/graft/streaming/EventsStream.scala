@@ -606,6 +606,33 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Privacy.retentionExpiry]] —
+    * the x23 retention/TTL sweep as a CONTINUOUS gate at ingest: every
+    * arriving microbatch of documents (carrying `source` and
+    * `ingest_day`) evaluates against the BROADCAST policy relation at
+    * the fixed audit day, and the rows past their source's retention
+    * emit in exactly the revoked-set shape the takedown machinery
+    * consumes — so a daily-crawl pipeline makes its scheduled-delete
+    * decisions per batch and feeds them straight into
+    * `graft_index_delete` / the components edge splice / the x25
+    * audit, closing retention → takedown continuously. The per-row
+    * decision reads only the row itself plus the static policy, so
+    * the flow holds ZERO streaming state (the [[spanExciseStream]]
+    * discipline): per-batch outputs equal the batch operator on that
+    * batch, and the cumulative stream equals the batch operator over
+    * the union — exactly (spec-pinned, including the
+    * missing-policy-never-expires safe default).
+    */
+  def retentionExpiryStream(docs: DataFrame, policy: DataFrame,
+      asOfDay: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Privacy.retentionExpiry(
+          batch.toDF(), policy, asOfDay))
+      }
+      .start()
+
   /** Streaming twin of
     * [[graft.operators.Privacy.secretScrubAgainstIndex]] — the t27
     * k-anonymity scrub at ingest: each arriving microbatch scrubs

@@ -823,6 +823,62 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("retention expiry stream: stateless per-batch decisions feed the takedown") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val policy = Seq(("web", 100L), ("forum", 50L))
+      .toDF("source", "retention_days")
+    val asOf = 359L
+    // web: retention 100 — doc 1 (age 349) expires, doc 2 (age 59)
+    // survives; book: NO policy row — never expires (the safe
+    // default); forum: retention 50 — doc 4 (age 259) expires, doc 5
+    // (age 29) survives
+    val b1 = Seq((1L, "web", 10L, "alpha beta code1111 shared9999"),
+      (2L, "web", 300L, "gamma delta shared9999"),
+      (3L, "book", 5L, "no policy never expires code1111"))
+    val b2 = Seq((4L, "forum", 100L, "expired forum row key7777"),
+      (5L, "forum", 330L, "fresh forum row key7777"))
+    val in = MemoryStream[(Long, String, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val q = EventsStream.retentionExpiryStream(
+        in.toDF().toDF("doc_id", "source", "ingest_day", "text"),
+        policy, asOf) { batch =>
+      got ++= batch.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[Long]("age_days")))
+    }
+    def batchOp(rows: Seq[(Long, String, Long, String)]) =
+      graft.operators.Privacy.retentionExpiry(
+          rows.toDF("doc_id", "source", "ingest_day", "text"), policy, asOf)
+        .select(col("doc_id"), col("text"), col("age_days"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(got.sortBy(_._1).toSeq == batchOp(b1), "after batch 1")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // zero-state: cumulative stream ≡ the batch sweep over the union
+    assert(got.sortBy(_._1).toSeq == batchOp(b1 ++ b2))
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 4L),
+      s"exactly docs 1 and 4 are past retention: $got")
+    // and the emitted rows ARE the takedown shape: revoking them from
+    // a persisted secrets index equals rebuilding on the survivors
+    val all = (b1 ++ b2).toDF("doc_id", "source", "ingest_day", "text")
+    val idx = graft.operators.Privacy.secretFrequencies(all)
+    val revokedDf = got.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(graft.operators.Privacy.secretIndexDelete(idx, revokedDf)) ==
+      rows(graft.operators.Privacy.secretFrequencies(
+        all.filter(!col("doc_id").isInCollection(got.map(_._1))))),
+      "the stream's expiry set must drive the index delete exactly")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("secret scrub stream: per-batch rule exact, split evidence only over-redacts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
