@@ -786,7 +786,7 @@ class GraftEngine(val spark: SparkSession) {
     "split_leakage" -> Set.empty,
     "span_excise" -> Set("n", "keep_one"),
     "index_delete" -> Set("kind", "n", "run"),
-    "index_merge" -> Set("kind", "n", "run", "threshold"),
+    "index_merge" -> Set("kind", "n", "run", "threshold", "k"),
     "components_delete" -> Set("n", "threshold"),
     "byte_bpe_merges" -> Set("rounds"),
     "byte_encode" -> Set.empty,
@@ -825,6 +825,8 @@ class GraftEngine(val spark: SparkSession) {
     val allowedOpt = kind match {
       case "components" =>
         Some(if (fn == "index_merge") Set("n", "threshold") else Set.empty[String])
+      case "curriculum" =>
+        Some(if (fn == "index_merge") Set("k") else Set.empty[String])
       case k => IndexKindOptions.get(k)
     }
     allowedOpt.foreach { allowed =>
@@ -1283,10 +1285,15 @@ class GraftEngine(val spark: SparkSession) {
             // relabel + edge splice + affected-component re-closure),
             // no text is read, so no shingle options apply
             graft.operators.Dedup.componentsIndexDelete(rel(0), rel(1))
+          case "curriculum" =>
+            // s16's ranking store — revoked carries (doc_id, source);
+            // anti join + in-place re-rank + count decrement (the
+            // prefix contract: rank-for-rank the rebuild's prefix)
+            graft.operators.Curriculum.curriculumIndexDelete(rel(0), rel(1))
           case other => throw new IllegalArgumentException(
             s"graft_index_delete: kind must be one of span, postings, " +
-              s"minhash, prefix, ivf, secrets, charspan, components — " +
-              s"got '$other'")
+              s"minhash, prefix, ivf, secrets, charspan, components, " +
+              s"curriculum — got '$other'")
         }
       case "components_delete" =>
         // TAKEDOWN on the near-dup component map — the graph store's
@@ -1349,10 +1356,17 @@ class GraftEngine(val spark: SparkSession) {
               s"graft_index_merge: threshold must be in (0,1], got $tc")
             graft.operators.Dedup.componentsIndexMerge(rel(0), rel(1),
               n = nc, threshold = tc)
+          case "curriculum" =>
+            // s16's ranking store — drop carries (doc_id, source); the
+            // heap re-runs over index rows ∪ the drop's hashed rows
+            // (top-k of top-k(S) ∪ D = top-k(S ∪ D) — exact), counts
+            // fold per source; k is the per-source ranking depth
+            graft.operators.Curriculum.curriculumIndexMerge(rel(0), rel(1),
+              k = intOpt("k", 1000))
           case other => throw new IllegalArgumentException(
             s"graft_index_merge: kind must be one of span, postings, " +
-              s"minhash, prefix, secrets, charspan, components — got " +
-              s"'$other' (IVF appends go through graft_ivf_append — the " +
+              s"minhash, prefix, secrets, charspan, components, " +
+              s"curriculum — got '$other' (IVF appends go through graft_ivf_append — the " +
               "member merge needs the centroid relation)")
         }
       case "takedown_audit" =>

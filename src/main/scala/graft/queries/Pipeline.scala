@@ -3122,6 +3122,28 @@ object Pipeline {
         .orderBy(col("epoch"), col("source"), col("rank"))
     },
 
+    "s16_curriculum_incremental" -> { (s, dir) =>
+      // s15 served FROM A PERSISTED RANKING INDEX (the r16 lifecycle
+      // story applied to the curriculum): the older snapshot's
+      // per-source md5-ordered top-B heap state + per-source counts
+      // ARE the store; the arriving drop (doc_id % 10 == 3) MERGES in
+      // at cost ∝ index + drop (top-k of top-k(S) ∪ D = top-k(S ∪ D)
+      // — exact, spec-pinned with the delete prefix contract and the
+      // lifecycle roundtrip), and serving replays s15's quota
+      // arithmetic from the store's O(sources) count rows — the
+      // corpus is never re-ranked and never re-counted. The oracle is
+      // s15's own row_number replay over the union (= the full
+      // corpus), so hash-green proves merge-then-serve ≡
+      // rebuild-then-serve end to end.
+      import graft.operators.Curriculum
+      val d = Tables.load(s, dir, "documents")
+      val older = Curriculum.curriculumIndex(
+        d.filter(col("doc_id") % 10 =!= 3))
+      val merged = Curriculum.curriculumIndexMerge(
+        older, d.filter(col("doc_id") % 10 === 3))
+      Curriculum.curriculumServe(merged)
+    },
+
     "s2_mixture_weights" -> { (s, dir) =>
       // temperature-scaled data-mixing weights: w_lang = sqrt(token share)
       // (α = 0.5 upweights low-resource languages). Arithmetic chosen for
@@ -5741,6 +5763,68 @@ object Pipeline {
     * rounds, final state in `u<maxWordLen>`), with no result CTE — the
     * serve/piece-list variants append their own tail.
     */
+  /** s15's full row_number replay — shared verbatim by the s16
+    * incremental form, whose merged index is bit-identical to the
+    * rebuild this SQL performs.
+    */
+  private val CurriculumManifestSql: String =
+    """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt2
+        |  FROM documents GROUP BY source),
+        |t2 AS (SELECT CAST(sum(wt2) AS BIGINT) AS wtot FROM c),
+        |b2 AS (
+        |  SELECT source,
+        |    (1000 * wt2) // t2.wtot AS base_n,
+        |    (1000 * wt2) % t2.wtot AS rem
+        |  FROM c, t2),
+        |l2 AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b2),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM b2),
+        |qt AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= l2.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_temp
+        |  FROM r2, l2),
+        |tp AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wtot FROM c),
+        |bp AS (
+        |  SELECT source,
+        |    (1000 * n_docs) // tp.wtot AS base_n,
+        |    (1000 * n_docs) % tp.wtot AS rem
+        |  FROM c, tp),
+        |lp AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM bp),
+        |rp AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM bp),
+        |qp AS (
+        |  SELECT source,
+        |    CAST(base_n + CASE WHEN rk <= lp.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS q_prop
+        |  FROM rp, lp),
+        |e AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS epoch),
+        |x AS (
+        |  SELECT e.epoch, qt.source,
+        |    (3 - e.epoch) * qt.q_temp + e.epoch * qp.q_prop AS rr
+        |  FROM qt JOIN qp USING (source), e),
+        |y AS (SELECT epoch, source, rr // 3 AS base_n, rr % 3 AS rem FROM x),
+        |lo AS (SELECT epoch, 1000 - CAST(sum(base_n) AS BIGINT) AS leftover
+        |       FROM y GROUP BY epoch),
+        |rr2 AS (SELECT y.*, row_number() OVER (PARTITION BY y.epoch
+        |          ORDER BY y.rem DESC, y.source) AS rk FROM y),
+        |quotas AS (
+        |  SELECT rr2.epoch, rr2.source,
+        |    CAST(rr2.base_n + CASE WHEN rr2.rk <= lo.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS quota
+        |  FROM rr2 JOIN lo USING (epoch)),
+        |picks AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT q.epoch, p.source, CAST(p.rank AS BIGINT) AS rank, p.doc_id
+        |FROM picks p JOIN quotas q USING (source)
+        |WHERE p.rank <= q.quota
+        |ORDER BY q.epoch, p.source, p.rank""".stripMargin
+
   /** The VALUES literal for the seed [[UnigramPieces]] model. */
   private def unigramPieceValues: String = UnigramPieces
     .map { case (p, c) => s"('${p}', CAST($c AS BIGINT))" }
@@ -9508,63 +9592,12 @@ object Pipeline {
         |FROM rr JOIN lo USING (epoch)
         |ORDER BY rr.epoch, rr.source""".stripMargin,
 
-    "s15_curriculum_manifests" ->
-      """WITH c AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt2
-        |  FROM documents GROUP BY source),
-        |t2 AS (SELECT CAST(sum(wt2) AS BIGINT) AS wtot FROM c),
-        |b2 AS (
-        |  SELECT source,
-        |    (1000 * wt2) // t2.wtot AS base_n,
-        |    (1000 * wt2) % t2.wtot AS rem
-        |  FROM c, t2),
-        |l2 AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM b2),
-        |r2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |       FROM b2),
-        |qt AS (
-        |  SELECT source,
-        |    CAST(base_n + CASE WHEN rk <= l2.leftover THEN 1 ELSE 0 END
-        |      AS BIGINT) AS q_temp
-        |  FROM r2, l2),
-        |tp AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wtot FROM c),
-        |bp AS (
-        |  SELECT source,
-        |    (1000 * n_docs) // tp.wtot AS base_n,
-        |    (1000 * n_docs) % tp.wtot AS rem
-        |  FROM c, tp),
-        |lp AS (SELECT 1000 - CAST(sum(base_n) AS BIGINT) AS leftover FROM bp),
-        |rp AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |       FROM bp),
-        |qp AS (
-        |  SELECT source,
-        |    CAST(base_n + CASE WHEN rk <= lp.leftover THEN 1 ELSE 0 END
-        |      AS BIGINT) AS q_prop
-        |  FROM rp, lp),
-        |e AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS epoch),
-        |x AS (
-        |  SELECT e.epoch, qt.source,
-        |    (3 - e.epoch) * qt.q_temp + e.epoch * qp.q_prop AS rr
-        |  FROM qt JOIN qp USING (source), e),
-        |y AS (SELECT epoch, source, rr // 3 AS base_n, rr % 3 AS rem FROM x),
-        |lo AS (SELECT epoch, 1000 - CAST(sum(base_n) AS BIGINT) AS leftover
-        |       FROM y GROUP BY epoch),
-        |rr2 AS (SELECT y.*, row_number() OVER (PARTITION BY y.epoch
-        |          ORDER BY y.rem DESC, y.source) AS rk FROM y),
-        |quotas AS (
-        |  SELECT rr2.epoch, rr2.source,
-        |    CAST(rr2.base_n + CASE WHEN rr2.rk <= lo.leftover THEN 1 ELSE 0 END
-        |      AS BIGINT) AS quota
-        |  FROM rr2 JOIN lo USING (epoch)),
-        |picks AS (
-        |  SELECT source, doc_id,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
-        |  FROM documents)
-        |SELECT q.epoch, p.source, CAST(p.rank AS BIGINT) AS rank, p.doc_id
-        |FROM picks p JOIN quotas q USING (source)
-        |WHERE p.rank <= q.quota
-        |ORDER BY q.epoch, p.source, p.rank""".stripMargin,
+    "s15_curriculum_manifests" -> CurriculumManifestSql,
+
+    // the s16 gate IS s15's replay over the union (= the full corpus):
+    // merge ≡ rebuild makes the same oracle prove the incremental path
+    "s16_curriculum_incremental" -> CurriculumManifestSql,
+
 
     "t20_novelty" ->
       """WITH tok AS (

@@ -484,6 +484,69 @@ class IndexDeleteSpec extends AnyFunSuite {
     Dedup.unpersistAll()
   }
 
+  test("curriculum ranking store: merge exact, delete is the rebuild's prefix, roundtrip") {
+    import graft.operators.Curriculum
+    val k = 5
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "source")
+    // source a straddles k (8 docs > 5), b fits, drop adds to a and
+    // bootstraps c
+    val base = (1L to 8L).map(i => (i, "a")) ++
+      (101L to 103L).map(i => (i, "b"))
+    val drop = (201L to 203L).map(i => (i, "a")) :+ ((301L, "c"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val idx = Curriculum.curriculumIndex(docs(base), k)
+    val merged = Curriculum.curriculumIndexMerge(idx, docs(drop), k)
+    // merge ≡ rebuild on the union, counts included (source a's count
+    // is 11 though only 5 rank — the heap-prefix property)
+    assert(rows(merged) ==
+      rows(Curriculum.curriculumIndex(docs(base ++ drop), k)))
+    assert(merged.filter(col("source") === "a")
+      .select(col("n_src")).distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(11L))
+    // roundtrip: revoking exactly the merged drop restores counts
+    // exactly and rows as a per-source PREFIX of the original store —
+    // source a's drop arrivals displaced two old rows out of the
+    // saturated top-k (gone until a rebuild, the documented tail);
+    // source b (never touched) roundtrips bit-exactly, c vanishes
+    val rt = Curriculum.curriculumIndexDelete(merged, docs(drop))
+    def bySource(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.filter(col("source") === src).orderBy(col("rank")).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(bySource(rt, "b") == bySource(idx, "b"))
+    assert(rt.filter(col("source") === "c").count() == 0L)
+    val rtA = bySource(rt, "a")
+    assert(rtA == bySource(idx, "a").take(rtA.length) && rtA.nonEmpty,
+      s"roundtrip must be idx's prefix: $rtA vs ${bySource(idx, "a")}")
+    // delete = the rebuild's PREFIX per source: revoke two of a's
+    // ranked docs + all of b — a's survivors re-rank in place and
+    // match the rebuild rank-for-rank over the surviving length; b
+    // drops entirely (count 0); a's count decrements by the FULL
+    // revoked count (ranked or not)
+    val aTop = merged.filter(col("source") === "a")
+      .orderBy(col("rank")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val revoked = docs(Seq((aTop.head, "a"), (aTop(2), "a")) ++
+      (101L to 103L).map(i => (i, "b")))
+    val del = Curriculum.curriculumIndexDelete(merged, revoked)
+    assert(del.filter(col("source") === "b").count() == 0L)
+    val survA = del.filter(col("source") === "a").orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    val rebuiltA = Curriculum.curriculumIndex(
+        docs((base ++ drop).filterNot(r =>
+          r._1 == aTop.head || r._1 == aTop(2))), k)
+      .filter(col("source") === "a").orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(survA == rebuiltA.take(survA.length),
+      s"delete must be the rebuild's prefix: $survA vs $rebuiltA")
+    assert(survA.forall(_._3 == 9L), s"a's count must drop 11 -> 9: $survA")
+    // the rebuild promotes one below-k doc into rank 4..5 — the
+    // documented not-re-admitted tail the prefix contract allows
+    assert(rebuiltA.length == k && survA.length == 3)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("minhash/prefix/ivf merges equal their rebuilds (cap out-migration live)") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
