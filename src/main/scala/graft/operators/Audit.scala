@@ -48,10 +48,18 @@ object Audit {
       .select(lit(store).as("store"), col("n_before"), col("n_after"),
         (col("n_before") - col("n_after")).as("n_changed"))
 
+  /** `componentsStore` optionally supplies the PERSISTED components
+    * index (the production posture — every store the audit deletes
+    * from already exists on disk; x25 passes its materialized planted
+    * store so the serving lap measures the eight DELETES, not a graph
+    * build). When absent — the SQL TVF path, where the relation is
+    * arbitrary — the store builds inline from `docs`.
+    */
   def takedownAudit(docs: DataFrame, revoked: DataFrame,
       members: DataFrame, revokedVecs: DataFrame,
       spanN: Int = 8, charN: Int = 40, minDigitRun: Int = 4,
-      num: Int = 4, den: Int = 5): DataFrame = {
+      num: Int = 4, den: Int = 5,
+      componentsStore: Option[DataFrame] = None): DataFrame = {
     val revIds = revoked.select(col("doc_id"))
     val revVecIds = revokedVecs.select(col("vec_id"))
     val spanB = Dedup.spanIndexCounted(docs, n = spanN)
@@ -60,7 +68,7 @@ object Audit {
     val mhB = Dedup.minhashIndex(docs, maxBandBucket = 0)
     val pfB = Dedup.incrementalIndex(docs, num = num, den = den)
     val secB = Privacy.secretFrequencies(docs, minDigitRun)
-    val compStore = Dedup.componentsIndex(docs)
+    val compStore = componentsStore.getOrElse(Dedup.componentsIndex(docs))
     val compB = Dedup.componentsFromIndex(compStore)
     val compA = Dedup.componentsFromIndex(
       Dedup.componentsIndexDelete(compStore, revIds))

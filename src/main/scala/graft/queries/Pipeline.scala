@@ -721,6 +721,29 @@ object Pipeline {
     materializedIndex(s, dir, "components_index")(
       Dedup.componentsIndex(Tables.load(s, dir, "documents")))
 
+  /** x25's planted base slice — the pin prefix derives from the TEXT
+    * (identical texts keep identical pins, preserving exact-dup
+    * cliques; the 97 classes give secrets a rare/common structure) —
+    * one definition shared by the serving query and the pin store.
+    */
+  private def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        concat(lit("pin"),
+          lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
+          lit(" "), col("text")).as("text"))
+
+  /** The planted corpus's components store for the x25 audit —
+    * deterministic per sf dir, so it earns the materialized-index
+    * lifecycle: the audit's serving lap measures the eight DELETE
+    * paths, not a graph build (the store an audit deletes from is
+    * persisted in production by definition).
+    */
+  private def componentsIndexPinShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "components_index_pin")(
+      Dedup.componentsIndex(x25PlantedBase(s, dir)))
+
   /** Forces every cross-JVM persisted model/index the serving queries
     * read (PCA fit, IVF centroids, PQ codebooks, the tf-idf pair index,
     * the connected-components map), so a bench pass can charge one-time
@@ -751,6 +774,7 @@ object Pipeline {
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("components_index") { componentsIndexShared(s, dir) },
+      timed("components_index_pin") { componentsIndexPinShared(s, dir) },
       timed("docs_bkt") { bucketedDocsShared(s, dir) },
       timed("span_index") { spanIndexShared(s, dir) },
       timed("span_index_older") { spanIndexOlderShared(s, dir) },
@@ -865,23 +889,21 @@ object Pipeline {
       // %10 rule, plus the IVF member table with its own %10 vec
       // takedown. Every number comes from the eight DELETE PATHS on
       // the stale stores (the components row via the r16 edge-splice —
-      // no text re-read) while DuckDB rebuilds every store from
+      // no text re-read, and FROM THE PERSISTED store: the planted
+      // graph earns the materialized-index lifecycle like every store
+      // an audit deletes from) while DuckDB rebuilds every store from
       // surviving raw data, including BOTH recursive component
       // closures — one hash-green artifact certifying all eight
       // deletes. Serves graft_takedown_audit's exact engine path.
-      val d = Tables.load(s, dir, "documents")
-      val planted = concat(lit("pin"),
-        lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
-        lit(" "), col("text"))
-      val base = d.filter(col("doc_id") % 4 =!= 0)
-        .select(col("doc_id"), col("lang"), planted.as("text"))
+      val base = x25PlantedBase(s, dir)
       val revoked = base.filter(col("doc_id") % 10 === 1)
       val e = Tables.load(s, dir, "embeddings")
       val members = Similarity.ivfAssign(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)), e)
       val revVecs = e.filter(col("vec_id") % 10 === 1)
         .select(col("vec_id"))
-      graft.operators.Audit.takedownAudit(base, revoked, members, revVecs)
+      graft.operators.Audit.takedownAudit(base, revoked, members, revVecs,
+        componentsStore = Some(componentsIndexPinShared(s, dir)))
     },
 
     "x22_takedown_audit" -> { (s, dir) =>
