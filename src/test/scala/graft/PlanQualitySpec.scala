@@ -1681,6 +1681,59 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the O(sources x epochs) quota frame must broadcast:\n$p")
   }
 
+  test("d26_components_delete: index-only — no scan ever reads text") {
+    val p = plan("d26_components_delete")
+    assert(!p.contains("CartesianProduct"), p)
+    // the r16 contract: the repair is pure graph surgery on the
+    // persisted store — corpus TEXT is never read by any scan in the
+    // plan (the revoked slice prunes to doc_id)
+    val reads = p.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"the edge-splice delete must never read text:\n${reads.mkString("\n")}")
+  }
+
+  test("a13_opq_ivf_pq: rotation map-only; LUT broadcast; vectors never key shuffles") {
+    val p = plan("a13_opq_ivf_pq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"qcells and the per-cell LUT are bounded and must broadcast:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(!_.contains("embedding#")),
+      s"rotated vectors must never key a shuffle:\n${keys.mkString("\n")}")
+    assert(p.contains("TopKPerKey"),
+      s"winners come from the bounded heap, not a sort:\n$p")
+  }
+
+  test("v14_pq_partial_refit: the re-encode is one map-only pass — no join, no agg") {
+    val p = plan("v14_pq_partial_refit")
+    assert(!p.contains("Join"),
+      s"both argmins are codegen'd folds against literal books — no join:\n$p")
+    assert(nodeCount(p, "HashAggregate") == 0 && nodeCount(p, "Window") == 0,
+      s"the re-encode pass needs no aggregate and no window:\n$p")
+    val keys = shuffleKeyLines(p)
+    assert(keys.forall(!_.contains("embedding#")),
+      s"vectors must never key a shuffle:\n${keys.mkString("\n")}")
+  }
+
+  test("s16_curriculum_incremental: heaps rank, quotas broadcast, no window sort") {
+    val p = plan("s16_curriculum_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "TopKPerKey") >= 2,
+      s"build AND merge rank through the bounded heap, not window sorts:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the O(sources x epochs) quota frame must broadcast:\n$p")
+  }
+
+  test("x25_takedown_audit_full: text never keys a shuffle across all eight deletes") {
+    val p = plan("x25_takedown_audit_full")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty && keys.forall(!_.contains("text#")),
+      s"every store shuffles hashes/tokens/ids — never bodies:\n" +
+        keys.mkString("\n"))
+  }
+
   test("u13_unigram_em: one corpus aggregate; the M-step window sees O(vocab) rows") {
     val p = plan("u13_unigram_em")
     assert(!p.contains("CartesianProduct"), p)
