@@ -606,6 +606,33 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Dedup.componentsIndexMerge]]
+    * — the daily-crawl near-dup GRAPH maintenance run continuously:
+    * each arriving microbatch of documents merges into the SAME
+    * persisted components-store snapshot (clique matching on the
+    * stored fingerprints, new×new / new×old pair generation against
+    * the store's own shingle evidence, affected-component re-closure —
+    * base text never read), and `sink` receives that batch's merged
+    * store. Production swaps the persisted store between batches —
+    * the caller-owned store-swap contract every index twin here
+    * shares ([[ivfRefitStream]]'s shape); the batch operator's
+    * merge ≡ rebuild identity makes the swap chain exact: folding
+    * batch after batch reproduces `componentsIndex` over everything
+    * that ever arrived, bit-for-bit (spec-pinned). Without the swap,
+    * two near-dup copies arriving in DIFFERENT batches pair only
+    * through the base — the documented cross-batch divergence shared
+    * with the d22 family.
+    */
+  def componentsMergeStream(docs: DataFrame, store: DataFrame,
+      n: Int = 1, threshold: Double = 0.95)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.componentsIndexMerge(
+          store, batch.toDF(), n = n, threshold = threshold))
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Privacy.retentionExpiry]] —
     * the x23 retention/TTL sweep as a CONTINUOUS gate at ingest: every
     * arriving microbatch of documents (carrying `source` and

@@ -988,6 +988,47 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_index_delete/merge kind curriculum: the s16 ranking lifecycle via SQL") {
+    import org.apache.spark.sql.functions.col
+    engine.run("create table cu_docs_t(doc_id bigint, source varchar)")
+    engine.run("insert into cu_docs_t values " +
+      "(1, 'a'), (2, 'a'), (3, 'a'), (4, 'b')")
+    engine.run("create table cu_drop_t(doc_id bigint, source varchar)")
+    engine.run("insert into cu_drop_t values (10, 'a'), (11, 'c')")
+    // an empty store bootstraps through merge — the SQL build path
+    engine.run("create table cu_empty_t(source varchar, doc_id bigint, " +
+      "h varchar, rank bigint, n_src bigint)")
+    def rows(sql: String) = engine.run(sql).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def scalaRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val boot = rows("select source, doc_id, h, rank, n_src from " +
+      "graft_index_merge(cu_empty_t, cu_docs_t, kind => 'curriculum', " +
+      "k => 2) order by source, rank")
+    assert(boot == scalaRows(graft.operators.Curriculum.curriculumIndex(
+      engine.table("cu_docs_t"), k = 2)), boot.toString)
+    // merge a drop in, then revoke it: counts restore and rows are the
+    // per-source prefix of the bootstrap (the documented contract)
+    val rt = rows("select source, doc_id, h, rank, n_src from " +
+      "graft_index_delete(graft_index_merge(graft_index_merge(" +
+      "cu_empty_t, cu_docs_t, kind => 'curriculum', k => 2), " +
+      "cu_drop_t, kind => 'curriculum', k => 2), cu_drop_t, " +
+      "kind => 'curriculum') order by source, rank")
+    assert(rt.map(t => (t._1, t._5)) == boot.map(t => (t._1, t._5)),
+      "counts must roundtrip exactly")
+    assert(rt.subsetOf(boot), s"roundtrip rows are the bootstrap's prefix: $rt")
+    // k on a DELETE errors loudly (no delete kind accepts it, so the
+    // TVF-level unknown-option check fires before kind dispatch)
+    val e = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_delete(" +
+        "cu_empty_t, cu_drop_t, kind => 'curriculum', k => 5)")
+    }
+    assert(e.getMessage.contains("unknown option(s) k"), e.getMessage)
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete/merge: kind-mismatched options error, never silently default") {
     engine.run("create table ko_docs_t(doc_id bigint, text varchar)")
     engine.run("insert into ko_docs_t values (1, 'one two three')")

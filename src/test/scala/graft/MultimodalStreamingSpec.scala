@@ -823,6 +823,62 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("components merge stream: per-batch exact; the store swap chains to the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = (1 to 40).map(i => s"tok$i")
+    val tA = ts.mkString(" ")
+    val tA1 = (ts.dropRight(1) :+ "xx").mkString(" ")
+    val base = Seq((10L, tA, "en"), (11L, tA, "en"),
+      (20L, "an unrelated base document", "en"))
+      .toDF("doc_id", "text", "lang")
+    val store = graft.operators.Dedup.componentsIndex(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    val b1 = Seq((5L, tA, "en"),     // takes over the {10,11} clique
+      (30L, "fresh singleton content", "en"))
+    val b2 = Seq((40L, tA1, "en"))   // near-dup of the clique text
+    def storeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), l(1), l(2), l(6))
+      }.toSet
+    val in = MemoryStream[(Long, String, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Option[Long], Option[Long], Option[Long])]]
+    val q = EventsStream.componentsMergeStream(
+        in.toDF().toDF("doc_id", "text", "lang"), store) { batch =>
+      perBatch += storeRows(batch)
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(perBatch.head == storeRows(graft.operators.Dedup
+        .componentsIndexMerge(store, b1.toDF("doc_id", "text", "lang"))),
+      "per-batch output must equal the batch merge against the snapshot")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // each batch merged against the SAME snapshot (b2 alone does not
+    // see b1's docs — the pre-swap contract)...
+    assert(perBatch(1) == storeRows(graft.operators.Dedup
+      .componentsIndexMerge(store, b2.toDF("doc_id", "text", "lang"))))
+    assert(!perBatch(1).exists(_._1 == 5L),
+      "without the swap, batch 2's output must not hold batch 1's docs")
+    // ...and the caller-owned STORE SWAP chains exactly: folding batch
+    // after batch reproduces the build over everything that arrived
+    val chained = graft.operators.Dedup.componentsIndexMerge(
+      graft.operators.Dedup.componentsIndexMerge(
+        store, b1.toDF("doc_id", "text", "lang")),
+      b2.toDF("doc_id", "text", "lang"))
+    val all = base.unionByName((b1 ++ b2).toDF("doc_id", "text", "lang"))
+    assert(storeRows(chained) ==
+      storeRows(graft.operators.Dedup.componentsIndex(all)),
+      "the store-swap chain must equal the rebuild over the union")
+    graft.operators.Dedup.unpersistAll()
+    store.unpersist()
+  }
+
   test("retention expiry stream: stateless per-batch decisions feed the takedown") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
