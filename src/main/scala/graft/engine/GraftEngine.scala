@@ -681,8 +681,10 @@ class GraftEngine(val spark: SparkSession) {
     *    run => the digit-run length), 'components' (the near-dup graph
     *    store from graft_components_index; revoked is (doc_id) —
     *    clique relabel + edge splice + affected-component re-closure,
-    *    all index-only). Delete cost is proportional to the takedown
-    *    set, never the corpus.
+    *    all index-only), 'curriculum' (the s16 ranking store; revoked
+    *    carries (doc_id, source) — anti join + in-place re-rank +
+    *    count decrement, rank-for-rank the rebuild's prefix). Delete
+    *    cost is proportional to the takedown set, never the corpus.
     *  - `graft_components_index(docs, n => 1, threshold => 0.95)` —
     *    the d26 near-dup graph STORE build: member rows `(doc_id,
     *    rep0, rep, lang, fp, tsz, toks)` (the clique map, the closed
@@ -705,8 +707,10 @@ class GraftEngine(val spark: SparkSession) {
     *    doc_ids; 'prefix' promises served-answer equality under its
     *    frozen df order, the d19 contract; 'components' verifies only
     *    NEW cross pairs — drop carries doc_id + lang + text, and
-    *    n/threshold are its shingle knobs). IVF member appends go
-    *    through graft_ivf_append.
+    *    n/threshold are its shingle knobs; 'curriculum' re-heaps index
+    *    rows ∪ the drop's hashed rows — k is the ranking depth, and
+    *    merging into an EMPTY store relation bootstraps it, the SQL
+    *    build path). IVF member appends go through graft_ivf_append.
     *  - `graft_secret_scrub(docs, k => 3, run => 4)` — frequency-gated
     *    secret redaction (the t27 k-anonymity scrub): digit-run tokens
     *    in fewer than k distinct documents corpus-wide mask as
