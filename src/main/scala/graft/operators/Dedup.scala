@@ -755,8 +755,24 @@ object Dedup {
     * affected components' edge lists — never corpus text, which is
     * what retires the r15 giant-component re-shingle hazard.
     */
+  /** Fail fast with a store-shaped message when a caller points a
+    * non-store relation at the components lifecycle (the analysis
+    * error a missing `fp`/`toks` column produces otherwise names an
+    * internal join, not the caller's mistake).
+    */
+  private def requireComponentsStore(store: DataFrame, op: String): Unit = {
+    val need = Seq("doc_id", "rep0", "rep", "lang", "fp", "tsz", "dst", "toks")
+    val have = store.columns.toSet
+    val missing = need.filterNot(have)
+    require(missing.isEmpty,
+      s"$op: the index relation is not a components store (build one " +
+        s"with componentsIndex / graft_components_index) — missing " +
+        s"column(s) ${missing.mkString(", ")}")
+  }
+
   def componentsIndexDelete(store: DataFrame, revoked: DataFrame,
       maxIters: Int = 8): DataFrame = {
+    requireComponentsStore(store, "componentsIndexDelete")
     val rev = revoked.select(col("doc_id")).distinct()
     val members = store.filter(col("dst").isNull).transform(persistTracked)
     val edges = store.filter(col("dst").isNotNull)
@@ -872,6 +888,7 @@ object Dedup {
     */
   def componentsIndexMerge(store: DataFrame, drop: DataFrame, n: Int = 1,
       threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+    requireComponentsStore(store, "componentsIndexMerge")
     val members = store.filter(col("dst").isNull).transform(persistTracked)
     val edges = store.filter(col("dst").isNotNull)
       .select(col("doc_id").as("u"), col("dst").as("v"))

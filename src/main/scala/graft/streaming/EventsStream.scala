@@ -633,6 +633,28 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Dedup.componentsIndexDelete]]
+    * — continuous TAKEDOWN on the near-dup graph: each arriving
+    * microbatch of revocations (a `(doc_id)` relation — exactly what
+    * [[retentionExpiryStream]] emits, so scheduled expiry chains into
+    * this) splices the SAME persisted store snapshot, and `sink`
+    * receives that batch's repaired store. The store swap is
+    * caller-owned like every index twin here — and for DELETES the
+    * swap chain has a stronger property than merge's: revocations
+    * COMMUTE and FOLD (each delete ≡ rebuild-on-survivors, so folding
+    * batch after batch ≡ one delete of the union — spec-pinned), which
+    * means a backlog of takedown batches can be applied in any order,
+    * or coalesced, and lands on the same bytes.
+    */
+  def componentsDeleteStream(revocations: DataFrame, store: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    revocations.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.componentsIndexDelete(
+          store, batch.toDF()))
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Privacy.retentionExpiry]] —
     * the x23 retention/TTL sweep as a CONTINUOUS gate at ingest: every
     * arriving microbatch of documents (carrying `source` and

@@ -1050,6 +1050,13 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("do not apply to kind 'postings'"),
       e3.getMessage)
+    // a non-store relation pointed at the components lifecycle fails
+    // with a store-shaped message, not an internal-join analysis error
+    val e4 = intercept[IllegalArgumentException] {
+      engine.run("select * from graft_index_delete(" +
+        "ko_docs_t, ko_docs_t, kind => 'components')")
+    }
+    assert(e4.getMessage.contains("not a components store"), e4.getMessage)
   }
 
   test("graft_unigram_em: conflicting duplicate piece rows resolve to min cost") {

@@ -879,6 +879,60 @@ class StreamingSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("components delete stream: per-batch exact; revocations commute and fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = (1 to 40).map(i => s"tok$i")
+    val tA = ts.mkString(" ")
+    val chB = (100 to 139).map(i => s"w$i").mkString(" ")
+    val chA = ((100 to 138).map(i => s"w$i") :+ "aa").mkString(" ")
+    val chC = ("cc" +: (101 to 139).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, tA, "en"), (2L, tA, "en"),
+      (100L, chA, "en"), (101L, chB, "en"), (102L, chC, "en"),
+      (200L, "an untouched singleton here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val store = graft.operators.Dedup.componentsIndex(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    def storeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), l(1), l(2), l(6))
+      }.toSet
+    val b1 = Seq(1L)    // clique rep leaves
+    val b2 = Seq(101L)  // the chain's middle leaves (split)
+    val in = MemoryStream[Long]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Option[Long], Option[Long], Option[Long])]]
+    val q = EventsStream.componentsDeleteStream(
+        in.toDF().toDF("doc_id"), store) { batch =>
+      perBatch += storeRows(batch)
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-batch ≡ the batch delete against the snapshot
+    assert(perBatch.head == storeRows(graft.operators.Dedup
+      .componentsIndexDelete(store, b1.toDF("doc_id"))))
+    assert(perBatch(1) == storeRows(graft.operators.Dedup
+      .componentsIndexDelete(store, b2.toDF("doc_id"))))
+    // revocations COMMUTE and FOLD: chaining the swaps in either order
+    // equals one delete of the union
+    def del(s: org.apache.spark.sql.DataFrame, ids: Seq[Long]) =
+      graft.operators.Dedup.componentsIndexDelete(s, ids.toDF("doc_id"))
+    val unionDel = storeRows(del(store, b1 ++ b2))
+    assert(storeRows(del(del(store, b1), b2)) == unionDel)
+    assert(storeRows(del(del(store, b2), b1)) == unionDel)
+    // and the fold equals the ground-truth rebuild on the survivors
+    assert(unionDel == storeRows(graft.operators.Dedup.componentsIndex(
+      docs.filter(!col("doc_id").isInCollection(b1 ++ b2)))))
+    graft.operators.Dedup.unpersistAll()
+    store.unpersist()
+  }
+
   test("retention expiry stream: stateless per-batch decisions feed the takedown") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
