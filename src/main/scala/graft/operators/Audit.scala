@@ -48,27 +48,37 @@ object Audit {
       .select(lit(store).as("store"), col("n_before"), col("n_after"),
         (col("n_before") - col("n_after")).as("n_changed"))
 
-  /** `componentsStore` optionally supplies the PERSISTED components
-    * index (the production posture — every store the audit deletes
-    * from already exists on disk; x25 passes its materialized planted
-    * store so the serving lap measures the eight DELETES, not a graph
-    * build). When absent — the SQL TVF path, where the relation is
-    * arbitrary — the store builds inline from `docs`.
+  /** `prebuilt` optionally supplies PERSISTED stores by name
+    * (`span_index`, `charspan_index`, `tfidf_postings`, `mh_index`,
+    * `prefix_index`, `secrets_index`, `components`) — the production
+    * posture: every store the audit deletes from already exists on
+    * disk, so the audit's cost is the eight DELETE paths plus O(1)
+    * counts, never a build (x25 passes all seven text stores from its
+    * materialized planted snapshot). A store not supplied — the SQL
+    * TVF path, where the relations are arbitrary — builds inline from
+    * `docs` with the documented parameters; a prebuilt store MUST have
+    * been built with those same parameters (the caller's snapshot
+    * contract, same as every materialized index).
     */
   def takedownAudit(docs: DataFrame, revoked: DataFrame,
       members: DataFrame, revokedVecs: DataFrame,
       spanN: Int = 8, charN: Int = 40, minDigitRun: Int = 4,
       num: Int = 4, den: Int = 5,
-      componentsStore: Option[DataFrame] = None): DataFrame = {
+      prebuilt: Map[String, DataFrame] = Map.empty): DataFrame = {
     val revIds = revoked.select(col("doc_id"))
     val revVecIds = revokedVecs.select(col("vec_id"))
-    val spanB = Dedup.spanIndexCounted(docs, n = spanN)
-    val chB = Dedup.spanIndexCountedChars(docs, n = charN)
-    val postB = Dedup.tfidfPostingsFull(docs)
-    val mhB = Dedup.minhashIndex(docs, maxBandBucket = 0)
-    val pfB = Dedup.incrementalIndex(docs, num = num, den = den)
-    val secB = Privacy.secretFrequencies(docs, minDigitRun)
-    val compStore = componentsStore.getOrElse(Dedup.componentsIndex(docs))
+    def store(name: String)(build: => DataFrame): DataFrame =
+      prebuilt.getOrElse(name, build)
+    val spanB = store("span_index")(Dedup.spanIndexCounted(docs, n = spanN))
+    val chB = store("charspan_index")(
+      Dedup.spanIndexCountedChars(docs, n = charN))
+    val postB = store("tfidf_postings")(Dedup.tfidfPostingsFull(docs))
+    val mhB = store("mh_index")(Dedup.minhashIndex(docs, maxBandBucket = 0))
+    val pfB = store("prefix_index")(
+      Dedup.incrementalIndex(docs, num = num, den = den))
+    val secB = store("secrets_index")(
+      Privacy.secretFrequencies(docs, minDigitRun))
+    val compStore = store("components")(Dedup.componentsIndex(docs))
     val compB = Dedup.componentsFromIndex(compStore)
     val compA = Dedup.componentsFromIndex(
       Dedup.componentsIndexDelete(compStore, revIds))

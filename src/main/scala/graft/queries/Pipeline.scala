@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Layout, Multimodal, Probe, Similarity, Tokenizer}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Graph, Layout, Multimodal, Privacy, Probe, Similarity, Tokenizer}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: the dedup family, similarity search, and text analysis.
@@ -734,15 +734,31 @@ object Pipeline {
           lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
           lit(" "), col("text")).as("text"))
 
-  /** The planted corpus's components store for the x25 audit —
-    * deterministic per sf dir, so it earns the materialized-index
+  /** The planted corpus's SEVEN text stores for the x25 audit — each
+    * deterministic per sf dir, so they earn the materialized-index
     * lifecycle: the audit's serving lap measures the eight DELETE
-    * paths, not a graph build (the store an audit deletes from is
-    * persisted in production by definition).
+    * paths plus O(1) counts, never a build (the store an audit
+    * deletes from is persisted in production by definition).
     */
-  private def componentsIndexPinShared(s: SparkSession, dir: String): DataFrame =
-    materializedIndex(s, dir, "components_index_pin")(
-      Dedup.componentsIndex(x25PlantedBase(s, dir)))
+  private def x25StoresShared(s: SparkSession,
+      dir: String): Map[String, DataFrame] = {
+    def base = x25PlantedBase(s, dir)
+    Map(
+      "span_index" -> materializedIndex(s, dir, "pin_span_index")(
+        Dedup.spanIndexCounted(base, n = 8)),
+      "charspan_index" -> materializedIndex(s, dir, "pin_charspan_index")(
+        Dedup.spanIndexCountedChars(base, n = 40)),
+      "tfidf_postings" -> materializedIndex(s, dir, "pin_tfidf_postings")(
+        Dedup.tfidfPostingsFull(base)),
+      "mh_index" -> materializedIndex(s, dir, "pin_mh_index")(
+        Dedup.minhashIndex(base, maxBandBucket = 0)),
+      "prefix_index" -> materializedIndex(s, dir, "pin_prefix_index")(
+        Dedup.incrementalIndex(base)),
+      "secrets_index" -> materializedIndex(s, dir, "pin_secrets_index")(
+        Privacy.secretFrequencies(base)),
+      "components" -> materializedIndex(s, dir, "components_index_pin")(
+        Dedup.componentsIndex(base)))
+  }
 
   /** Forces every cross-JVM persisted model/index the serving queries
     * read (PCA fit, IVF centroids, PQ codebooks, the tf-idf pair index,
@@ -774,7 +790,7 @@ object Pipeline {
       timed("mh_index") { minhashIndexShared(s, dir) },
       timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
       timed("components_index") { componentsIndexShared(s, dir) },
-      timed("components_index_pin") { componentsIndexPinShared(s, dir) },
+      timed("x25_pin_stores") { x25StoresShared(s, dir) },
       timed("docs_bkt") { bucketedDocsShared(s, dir) },
       timed("span_index") { spanIndexShared(s, dir) },
       timed("span_index_older") { spanIndexOlderShared(s, dir) },
@@ -903,7 +919,7 @@ object Pipeline {
       val revVecs = e.filter(col("vec_id") % 10 === 1)
         .select(col("vec_id"))
       graft.operators.Audit.takedownAudit(base, revoked, members, revVecs,
-        componentsStore = Some(componentsIndexPinShared(s, dir)))
+        prebuilt = x25StoresShared(s, dir))
     },
 
     "x22_takedown_audit" -> { (s, dir) =>
