@@ -37,6 +37,12 @@ object GraftSession {
       // dimension tables (region/nation/supplier/part at tested SFs) stay
       // broadcastable; 64 MB threshold is safe with 128 GiB of driver heap
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // scan-split defense (r16: t24/d10 ran near-serial — wall ≈ cpu —
+      // when the driver regenerated a table as ONE large parquet file):
+      // 16 MB splits give a multi-row-group file enough map tasks to
+      // feed 32 cores. A single-ROW-GROUP file still yields one split —
+      // that case is covered by Tables.loadFanned's explicit fan-out.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
       // default; read as Long and convert (Tables.load truncates to µs —
@@ -100,6 +106,29 @@ object Tables {
     d.mkdirs()
     d.getAbsolutePath
   }
+
+  /** Parallelism floor for EXPLODE-HEAVY consumers (shingle/char-window/
+    * token pipelines, where each input row fans out 10-1000×): when the
+    * scan yields fewer splits than half the session's parallelism — a
+    * single-row-group parquet file yields ONE split no matter how small
+    * `maxPartitionBytes` is — round-robin the rows across the full
+    * width before the expensive per-row kernels run. The exchange moves
+    * only the raw (pre-explode) rows, and on any healthy multi-split
+    * layout (every file at 100 TB) the branch never fires, so the
+    * defense is free exactly where it isn't needed. r16's bench showed
+    * the failure mode: t24/d10 at wall ≈ cpu (parallelism ≈ 1) against
+    * a one-file table layout, 4-5 s in every multi-split environment.
+    */
+  def fanned(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
+  /** [[load]] with the [[fanned]] parallelism floor — for operators whose
+    * dominant cost is per-row kernel work directly over the scan.
+    */
+  def loadFanned(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    fanned(spark, load(spark, sfDir, name))
 
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

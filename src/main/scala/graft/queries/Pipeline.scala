@@ -612,7 +612,7 @@ object Pipeline {
   private def minhashIndexFullShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "mh_index") {
       Dedup.minhashIndex(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
         shingleLen = 3, numHashes = 32, bands = 8, maxBandBucket = 0)
     }
 
@@ -633,7 +633,7 @@ object Pipeline {
   private def spanIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "span_index") {
       Dedup.spanIndexCounted(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
     }
 
   /** The STALE (pre-compaction) span index d25's merge advances — the
@@ -648,7 +648,7 @@ object Pipeline {
   private def spanIndexOlderShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "span_index_older") {
       Dedup.spanIndexCounted(
-        Tables.load(s, dir, "documents")
+        Tables.loadFanned(s, dir, "documents")
           .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3))
     }
 
@@ -686,7 +686,22 @@ object Pipeline {
   private def tfidfPostingsFullShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "tfidf_postings") {
       Dedup.tfidfPostingsFull(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+    }
+
+  /** The STALE (pre-compaction) postings store d25b's merge advances —
+    * the base snapshot minus the doc_id % 10 == 3 compaction drop,
+    * persisted like last night's index in production (the
+    * [[spanIndexOlderShared]] pattern): d25b's serving lap measures
+    * MERGE + band projection, cost ∝ drop — not the from-scratch
+    * rebuild that charged the r16 bench 450 CPU-s against a 4.8 s
+    * steady state.
+    */
+  private def tfidfPostingsOlderShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "tfidf_postings_older") {
+      Dedup.tfidfPostingsFull(
+        Tables.loadFanned(s, dir, "documents")
+          .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3))
     }
 
   /** The SERVED banded postings `(gram, doc_id, tf, w)` g14 probes —
@@ -719,7 +734,7 @@ object Pipeline {
     */
   private[graft] def componentsIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "components_index")(
-      Dedup.componentsIndex(Tables.load(s, dir, "documents")))
+      Dedup.componentsIndex(Tables.loadFanned(s, dir, "documents")))
 
   /** x25's planted base slice — the pin prefix derives from the TEXT
     * (identical texts keep identical pins, preserving exact-dup
@@ -727,7 +742,7 @@ object Pipeline {
     * one definition shared by the serving query and the pin store.
     */
   private def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFanned(s, dir, "documents")
       .filter(col("doc_id") % 4 =!= 0)
       .select(col("doc_id"), col("lang"),
         concat(lit("pin"),
@@ -795,7 +810,8 @@ object Pipeline {
       timed("span_index") { spanIndexShared(s, dir) },
       timed("span_index_older") { spanIndexOlderShared(s, dir) },
       timed("span_bloom") { spanBloomShared(s, dir) },
-      timed("tfidf_postings") { tfidfPostingsShared(s, dir) })
+      timed("tfidf_postings") { tfidfPostingsShared(s, dir) },
+      timed("tfidf_postings_older") { tfidfPostingsOlderShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
   }
@@ -1154,7 +1170,10 @@ object Pipeline {
       // the strategy). The oracle recomputes doc frequencies on the raw
       // span strings — a hash collision would hash-mismatch the gate, so
       // the gate also pins collision-freedom on this corpus.
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: the tokenize+shingle+hash pass below is the
+      // dominant cost and runs straight over the scan — a one-split
+      // file layout would serialize it (r16: 30.8 s wall ≈ 35.2 cpu)
+      val d = Tables.loadFanned(s, dir, "documents")
       // persisted (Dedup lifecycle): the span subtree feeds BOTH the
       // doc-frequency aggregate and the re-join — without the persist the
       // tokenize+shingle+hash pass (the dominant cost) runs twice
@@ -1232,7 +1251,9 @@ object Pipeline {
       // The oracle is a genuine differential: DuckDB matches the
       // actual 40-char STRINGS where Spark probes xxhash64 hashes —
       // corpus collision-freedom is part of the gate.
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: both the index build and the probe char-window
+      // their text straight off the scan
+      val d = Tables.loadFanned(s, dir, "documents")
       val idx = Dedup.spanIndexCountedChars(
         d.filter(col("doc_id") % 4 =!= 0), n = 40)
       Dedup.spanExciseCharsAgainstIndex(
@@ -1369,12 +1390,14 @@ object Pipeline {
       // from the full base corpus — hash-green ⇒ merge ≡ rebuild
       // including band migrations. Merge cost ∝ drop text + one
       // gram-keyed join; the base corpus is never re-read.
-      val d = Tables.load(s, dir, "documents")
+      val d = Tables.loadFanned(s, dir, "documents")
       val base = d.filter(col("doc_id") % 4 =!= 0)
-      val older = Dedup.tfidfPostingsFull(
-        base.filter(col("doc_id") % 10 =!= 3))
+      // the stale index comes from the persisted store (the d25
+      // discipline — last night's index is on disk; r16's bench paid a
+      // 450 CPU-s inline rebuild here), so this lap measures the merge
       Dedup.postingsBand(Dedup.postingsMerge(
-          older, base.filter(col("doc_id") % 10 === 3)))
+          tfidfPostingsOlderShared(s, dir),
+          base.filter(col("doc_id") % 10 === 3)))
         .orderBy(col("gram"), col("doc_id"))
     },
 
@@ -2278,7 +2301,9 @@ object Pipeline {
       // checkpoint arithmetically, and the cumulative sum runs over
       // the 10-row checkpoint frame. Exact integers end to end.
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: the bigram explode is the whole cost and runs over
+      // the raw scan (r16: 52.4 s serial against a one-split layout)
+      val d = Tables.loadFanned(s, dir, "documents")
       val n = d.agg(max(col("doc_id")).as("max_id"))
       val first = d.select(col("doc_id"), explode(TextFunctions
           .wordShingles(TextFunctions.tokens(col("text")), 2)).as("w"))
@@ -5178,7 +5203,9 @@ object Pipeline {
       val wnd = org.apache.spark.sql.expressions.Window
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
         "that", "for")
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: tokenize+posexplode runs over the raw scan before
+      // the first doc_id shuffle can spread it
+      val d = Tables.loadFanned(s, dir, "documents")
       val tk = d.select(col("doc_id"),
           posexplode(TextFunctions.tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"),
