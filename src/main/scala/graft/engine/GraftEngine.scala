@@ -1036,11 +1036,24 @@ class GraftEngine(val spark: SparkSession) {
             col("a").cast("string"), col("b").cast("string"))
           .where(col("round").isNotNull && col("a").isNotNull
             && col("b").isNotNull)
+          // exact duplicate rows collapse harmlessly; what must NOT
+          // pass is two DIFFERENT merges sharing one round — ranks are
+          // positional, so they'd apply in plan-dependent order (the
+          // unigram_encode min-cost discipline, applied to merges:
+          // the shipped model must be a deterministic function of the
+          // relation, and an ambiguous one is a caller error)
+          .distinct()
           .orderBy(col("round"))
           .limit(65537).collect()
         require(mergeRows.length <= 65536,
           "graft_byte_encode: merges relation exceeds 65536 rows — " +
             "a merge table is model state, not a corpus")
+        val dupRounds = mergeRows.groupBy(_.getLong(0))
+          .collect { case (r, g) if g.length > 1 => r }.toSeq.sorted
+        require(dupRounds.isEmpty,
+          "graft_byte_encode: merge rounds must be unique (BPE ranks " +
+            "are positional) — conflicting merges at round(s) " +
+            dupRounds.take(5).mkString(", "))
         val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
         val toks = graft.functions.TextFunctions.tokens(col("text"))
         docs.select(col("doc_id"),

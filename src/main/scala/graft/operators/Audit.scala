@@ -41,12 +41,13 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  private def countRow(store: String, before: DataFrame,
+  private def countRow(store: String, params: String, before: DataFrame,
       after: DataFrame): DataFrame =
     before.agg(count(lit(1)).as("n_before"))
       .crossJoin(after.agg(count(lit(1)).as("n_after")))
       .select(lit(store).as("store"), col("n_before"), col("n_after"),
-        (col("n_before") - col("n_after")).as("n_changed"))
+        (col("n_before") - col("n_after")).as("n_changed"),
+        lit(params).as("params"))
 
   /** `prebuilt` optionally supplies PERSISTED stores by name
     * (`span_index`, `charspan_index`, `tfidf_postings`, `mh_index`,
@@ -58,7 +59,12 @@ object Audit {
     * TVF path, where the relations are arbitrary — builds inline from
     * `docs` with the documented parameters; a prebuilt store MUST have
     * been built with those same parameters (the caller's snapshot
-    * contract, same as every materialized index).
+    * contract, same as every materialized index). Because a prebuilt
+    * store built under DIFFERENT parameters would yield plausible but
+    * wrong before/after numbers with no error, every output row
+    * carries a `params` column naming the parameters the audit ASSUMED
+    * — the compliance record is self-describing, and a mismatch with
+    * the store's build manifest is visible in the artifact itself.
     */
   def takedownAudit(docs: DataFrame, revoked: DataFrame,
       members: DataFrame, revokedVecs: DataFrame,
@@ -89,7 +95,8 @@ object Audit {
           .as("n_changed"))
       .crossJoin(compB.agg(count(lit(1)).as("n_before")))
       .select(lit("components").as("store"), col("n_before"),
-        col("n_after"), col("n_changed"))
+        col("n_after"), col("n_changed"),
+        lit("n=1,t=0.95").as("params"))
     val memA = Similarity.ivfMembersDelete(members, revVecIds)
     val lostCells = members.join(revVecIds, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
@@ -97,18 +104,19 @@ object Audit {
       .crossJoin(memA.agg(count(lit(1)).as("n_after")))
       .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
       .select(lit("ivf_members").as("store"), col("n_before"),
-        col("n_after"), col("n_changed"))
-    countRow("span_index", spanB,
+        col("n_after"), col("n_changed"),
+        lit("cells=caller").as("params"))
+    countRow("span_index", s"n=$spanN", spanB,
         Dedup.spanIndexDelete(spanB, revoked, n = spanN))
-      .unionByName(countRow("charspan_index", chB,
+      .unionByName(countRow("charspan_index", s"n=$charN", chB,
         Dedup.spanIndexCharsDelete(chB, revoked, n = charN)))
-      .unionByName(countRow("tfidf_postings", postB,
+      .unionByName(countRow("tfidf_postings", "gram_n=2", postB,
         Dedup.postingsDelete(postB, revIds)))
-      .unionByName(countRow("mh_index", mhB,
+      .unionByName(countRow("mh_index", "shingle=3,hashes=32,bands=8", mhB,
         Dedup.minhashIndexDelete(mhB, revIds)))
-      .unionByName(countRow("prefix_index", pfB,
+      .unionByName(countRow("prefix_index", s"t=$num/$den", pfB,
         Dedup.prefixIndexDelete(pfB, revIds)))
-      .unionByName(countRow("secrets_index", secB,
+      .unionByName(countRow("secrets_index", s"run=$minDigitRun", secB,
         Privacy.secretIndexDelete(secB, revoked, minDigitRun)))
       .unionByName(compRow)
       .unionByName(memRow)

@@ -31,7 +31,15 @@ object Bucketing {
       buckets: Int,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key")
-    df.write
+    // Pre-shuffle on the bucket keys so each write task holds exactly
+    // one bucket's rows (repartition and bucketBy share the Murmur3
+    // hash): ONE file per bucket instead of tasks × buckets files.
+    // Single-file buckets are what lets the scan honor the sortBy
+    // metadata (a multi-file bucket has no cross-file order, so Spark
+    // re-sorts the join side); the exchange itself is the write-once
+    // cost the bucketed layout prepays for every later join.
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .format("parquet")
       .option("path", path)

@@ -99,11 +99,28 @@ object Curriculum {
     * carries (doc_id, source) — `Privacy.retentionExpiry`'s shape).
     * Rank-for-rank the PREFIX of a rebuild on the survivors; sources
     * whose count reaches zero drop entirely.
+    *
+    * CONTRACT (the n_src decrement trusts the request): `revoked` must
+    * be a subset of the indexed corpus, applied EXACTLY ONCE — the
+    * store ranks only the top-k per source but counts the WHOLE
+    * source, so a revoked doc outside the top-k is invisible to the
+    * store and its decrement cannot be membership-checked against
+    * index rows (checking would need a persisted per-source membership
+    * the index deliberately does not carry). Restating the same
+    * (source, doc_id) WITHIN one request is harmless — the request
+    * dedups below — but replaying a whole request, or revoking a doc
+    * the source never held, over-decrements n_src, skews the Hamilton
+    * quotas, and can drop a live source via the n_src > 0 filter.
+    * Unlike componentsIndexDelete this delete is NOT idempotent.
     */
   def curriculumIndexDelete(index: DataFrame,
       revoked: DataFrame): DataFrame = {
-    val revIds = revoked.select(col("doc_id"))
-    val revCnt = revoked.groupBy(col("source")).agg(count(lit(1)).as("rn"))
+    // within-request replay guard: the same revocation stated twice in
+    // one request is one revocation (cross-request replay remains the
+    // caller's exactly-once obligation — see the contract above)
+    val rev = revoked.select(col("source"), col("doc_id")).distinct()
+    val revIds = rev.select(col("doc_id"))
+    val revCnt = rev.groupBy(col("source")).agg(count(lit(1)).as("rn"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
     index.join(revIds, Seq("doc_id"), "left_anti")

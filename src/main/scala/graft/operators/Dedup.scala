@@ -72,9 +72,53 @@ object Dedup {
       t: Double): Column =
     least(a, b) >= lit(java.math.BigDecimal.valueOf(t)) * greatest(a, b)
 
+  /** Active [[releaseScope]] buffers for THIS thread (operator
+    * construction is single-threaded, so a thread-local is exact):
+    * frames persisted / checkpoint RDDs pinned while a scope is open
+    * register here INSTEAD of the global queues, and the scope
+    * releases them when it closes.
+    */
+  private val scopeLocal = new ThreadLocal[List[
+    (java.util.ArrayList[DataFrame],
+      java.util.ArrayList[org.apache.spark.rdd.RDD[_]])]] {
+    override def initialValue() = Nil
+  }
+
+  /** Scoped release — the per-batch lifecycle hook the STREAMING twins
+    * need (r16 ADVICE): the index-maintenance operators persist /
+    * localCheckpoint internal frames, and a long-running stream calling
+    * one per microbatch would otherwise accumulate executor storage
+    * without bound, while [[unpersistAll]] is global and would
+    * invalidate concurrent work's checkpointed plans. Everything
+    * persisted or checkpoint-pinned by dedup-family operators DURING
+    * `body` (on this thread) is released when the scope closes —
+    * nothing else is touched.
+    *
+    * CONTRACT: `body` must MATERIALIZE every result it keeps (write,
+    * collect, or the sink's own action) before returning —
+    * checkpoint-truncated plans cannot recompute after their blocks are
+    * released, and cached plans would silently recompute. Scopes nest
+    * (each releases only its own frames); operators called OUTSIDE any
+    * scope keep the global [[unpersistAll]] lifecycle unchanged.
+    */
+  def releaseScope[T](body: => T): T = {
+    val bufs = (new java.util.ArrayList[DataFrame](),
+      new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]())
+    scopeLocal.set(bufs :: scopeLocal.get())
+    try body
+    finally {
+      scopeLocal.set(scopeLocal.get().tail)
+      bufs._1.forEach(df => df.unpersist(blocking = false))
+      bufs._2.forEach(rdd => rdd.unpersist(blocking = false))
+    }
+  }
+
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cachedFrames.add(p)
+    scopeLocal.get() match {
+      case (frames, _) :: _ => frames.add(p)
+      case Nil => cachedFrames.add(p)
+    }
     p
   }
 
@@ -115,7 +159,11 @@ object Dedup {
   private def localCheckpointTracked(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(true)
     out.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => checkpointRdds.add(l.rdd)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        scopeLocal.get() match {
+          case (_, rdds) :: _ => rdds.add(l.rdd)
+          case Nil => checkpointRdds.add(l.rdd)
+        }
       case _ => ()
     }
     out
@@ -351,6 +399,19 @@ object Dedup {
       .groupBy(docs("doc_id"))
       .agg(coalesce(min(col("i")), first(docs("doc_id"))).as("rep"))
       .select(col("doc_id"), col("rep"))
+
+  /** Serve [[ngramJaccard]]'s per-doc keep/rep verdicts from an
+    * already-VERIFIED pair set (typically a materialized pair store —
+    * the tfidfPairsShared discipline applied to the PPJoin family):
+    * the expensive prefix-filter + exact-verify subtree runs once per
+    * corpus snapshot at store-build time, and every consumer of the
+    * same (n, threshold, blocking) pair universe reads the persisted
+    * edges instead of re-verifying. Duplicate pair rows are tolerated
+    * (the rep aggregation is duplicate-insensitive, the
+    * [[ngramJaccardPairs]] multi-emit contract).
+    */
+  def ngramJaccardFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    attachRep(docs, pairs)
 
   /** MinHash + LSH near-dup: shingle → k-minhash → band-bucket join →
     * exact Jaccard verification on the (hashed) shingle sets.

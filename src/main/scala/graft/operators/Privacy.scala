@@ -106,7 +106,12 @@ object Privacy {
       k: Int = 3, minDigitRun: Int = 4,
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // persisted for the same two-consumer reason as secretScrub's
+    // persisted for the same two-consumer reason as secretScrub's.
+    // Release obligation: batch callers free it via Dedup.unpersistAll
+    // once results are materialized; the streaming twin
+    // (EventsStream.secretScrubStream) frees it PER BATCH via
+    // Dedup.releaseScope — without one of the two, repeated calls
+    // accumulate cached frames without bound (r16 ADVICE).
     val cand = Dedup.persistPublic(candidateSecrets(drop, minDigitRun, textCol))
     val dropNd = cand.groupBy(col("tok")).agg(count(lit(1)).as("drop_nd"))
     val rare = dropNd

@@ -562,8 +562,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.spanExciseAgainstIndex(
-          batch.toDF(), spanIndex, n))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.spanExciseAgainstIndex(
+            batch.toDF(), spanIndex, n))
+        }
       }
       .start()
 
@@ -584,8 +589,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.spanExciseAgainstIndexKeepOne(
-          batch.toDF(), spanIndex, n))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.spanExciseAgainstIndexKeepOne(
+            batch.toDF(), spanIndex, n))
+        }
       }
       .start()
 
@@ -601,8 +611,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.spanExciseCharsAgainstIndex(
-          batch.toDF(), charIndex, n))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.spanExciseCharsAgainstIndex(
+            batch.toDF(), charIndex, n))
+        }
       }
       .start()
 
@@ -628,8 +643,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.componentsIndexMerge(
-          store, batch.toDF(), n = n, threshold = threshold))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.componentsIndexMerge(
+            store, batch.toDF(), n = n, threshold = threshold))
+        }
       }
       .start()
 
@@ -650,8 +670,63 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     revocations.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.componentsIndexDelete(
-          store, batch.toDF()))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.componentsIndexDelete(
+            store, batch.toDF()))
+        }
+      }
+      .start()
+
+  /** Streaming twin of
+    * [[graft.operators.Curriculum.curriculumIndexMerge]] — the s16
+    * curriculum-ranking store maintained CONTINUOUSLY (r16: every
+    * other lifecycle store had a continuous form; this closes the
+    * gap): each arriving microbatch of documents folds into the SAME
+    * persisted ranking snapshot via the per-batch EXACT top-k merge
+    * (top-k(top-k(S) ∪ D) = top-k(S ∪ D) — the s16 fold identity),
+    * and `sink` receives that batch's merged store. The store swap is
+    * caller-owned like every index twin here, and because the batch
+    * merge is exact the swap chain reproduces
+    * `curriculumIndex` over everything that ever arrived, bit-for-bit
+    * (spec-pinned: per-batch ≡ batch merge, chain-fold ≡ rebuild on
+    * the union).
+    */
+  def curriculumMergeStream(docs: DataFrame, store: DataFrame,
+      k: Int = 1000)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Curriculum.curriculumIndexMerge(
+            store, batch.toDF(), k = k))
+        }
+      }
+      .start()
+
+  /** Streaming twin of
+    * [[graft.operators.Curriculum.curriculumIndexDelete]] — continuous
+    * TAKEDOWN on the curriculum ranking: each microbatch of
+    * revocations (`(source, doc_id)` rows — `retentionExpiryStream`'s
+    * output shape, so scheduled expiry chains into this) anti-joins
+    * the SAME persisted snapshot and re-ranks survivors in place.
+    * Per-batch ≡ the batch delete (spec-pinned); folding swap after
+    * swap equals one delete of the union (anti joins and count
+    * decrements both fold), under the batch operator's documented
+    * prefix contract and its exactly-once/subset revocation contract —
+    * a stream REPLAYING a batch would over-decrement, exactly as in
+    * batch use.
+    */
+  def curriculumDeleteStream(revocations: DataFrame, store: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    revocations.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Curriculum.curriculumIndexDelete(
+            store, batch.toDF()))
+        }
       }
       .start()
 
@@ -677,8 +752,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Privacy.retentionExpiry(
-          batch.toDF(), policy, asOfDay))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Privacy.retentionExpiry(
+            batch.toDF(), policy, asOfDay))
+        }
       }
       .start()
 
@@ -700,8 +780,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Privacy.secretScrubAgainstIndex(
-          batch.toDF(), freqIndex, k, minDigitRun))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Privacy.secretScrubAgainstIndex(
+            batch.toDF(), freqIndex, k, minDigitRun))
+        }
       }
       .start()
 
@@ -724,8 +809,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Similarity.ivfPartialRefit(
-          cells, corpus, batch.toDF(), minCos, iters))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Similarity.ivfPartialRefit(
+            cells, corpus, batch.toDF(), minCos, iters))
+        }
       }
       .start()
 
@@ -746,8 +836,13 @@ object EventsStream {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.incrementalTfidfPairs(
-          batch.toDF(), postings))
+        // per-batch release (r17): frames the batch operator
+        // persists/checkpoints free when the scope closes — the
+        // sink must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          sink(graft.operators.Dedup.incrementalTfidfPairs(
+            batch.toDF(), postings))
+        }
       }
       .start()
 

@@ -723,6 +723,29 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n must be >= 2"))
   }
 
+  test("graft_byte_encode rejects conflicting merges at one round; exact dups collapse") {
+    engine.run("create table byte_mrg_docs_t(doc_id bigint, text varchar)")
+    engine.run("insert into byte_mrg_docs_t values (1, 'aa ab aa')")
+    engine.run("create table byte_mrg_bad_t(round int, a varchar, b varchar)")
+    // two DIFFERENT merges claiming round 1: positional ranks make the
+    // apply order plan-dependent — must fail fast, not silently pick one
+    engine.run("insert into byte_mrg_bad_t values (1, 'a', 'a'), (1, 'a', 'b')")
+    val e = intercept[IllegalArgumentException] {
+      engine.run(
+        "select * from graft_byte_encode(byte_mrg_docs_t, byte_mrg_bad_t)")
+        .collect()
+    }
+    assert(e.getMessage.contains("merge rounds must be unique"),
+      e.getMessage)
+    // an exact duplicate row is a harmless re-statement of the same model
+    engine.run("create table byte_mrg_dup_t(round int, a varchar, b varchar)")
+    engine.run("insert into byte_mrg_dup_t values (1, 'a', 'a'), (1, 'a', 'a')")
+    val n = engine.run(
+      "select * from graft_byte_encode(byte_mrg_docs_t, byte_mrg_dup_t)")
+      .collect().length
+    assert(n == 1)
+  }
+
   test("graft_byte_bpe_merges/byte_encode TVFs compose and equal the Scala chain") {
     import org.apache.spark.sql.functions._
     engine.run("create table byte_docs_t(doc_id bigint, text varchar)")

@@ -94,7 +94,6 @@ class GoldenPlanSpec extends AnyFunSuite {
     "e15_mad_outliers",    // user-keyed selection windows + equi joins
     "v7_truncation_recall",// two bounded-heap rankings, broadcast queries
     "k9_bloom",            // map-side partial bloom states, OR rollup
-    "t21_rake",            // doc-partitioned run windows, bounded-heap top-3
     "u2_stupid_backoff",   // floored count tables broadcast, integer backoff
     "t22_sentences",       // map-only segmentation, single order exchange
     "a6_ivf_pq",           // fused cell+code projection, cell-pruned ADC
@@ -107,7 +106,6 @@ class GoldenPlanSpec extends AnyFunSuite {
     "s9_hard_negatives",   // broadcast queries, label-filtered bounded heap
     "e16_burst_ratio",     // hourly pre-agg, type-partitioned RANGE frame
     "x13_budget_waterfill",// one corpus count, O(langs) waterfill rounds
-    "t24_vocab_growth",    // per-gram first-doc min, 10-row checkpoint sum
     "t26_blocklist",       // literal-array filter lambda, map-only scan
     "u4_bpe_encode",       // merge-table expression, one fused corpus pass
     "u7_unigram_encode",   // piece-table Viterbi expression, one fused pass
@@ -136,6 +134,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v11_ann_recall",      // left-semi hit join over two bounded retrievals
     "v12_pq_distortion",   // broadcast codebooks, decimal map-combine SSE
     "q31_unpivot")         // melt via Expand over the O(sources) aggregate
+  // t21_rake / t24_vocab_growth are NOT whole-plan-pinned (r17): they
+  // read through Tables.loadFanned, whose parallelism-floor repartition
+  // appears only when the scan is under-split — the plan text varies
+  // with the testdata's file/row-group layout (exactly the environment
+  // difference the fan-out defends against). Their shapes are guarded
+  // by the targeted PlanQualitySpec asserts instead.
   // d17_incremental_dedup is NOT whole-plan-pinned: its token/prefix
   // frames are persistPublic caches (the d8/g4 cache-manager situation)
   // — guarded by targeted PlanQualitySpec asserts instead.

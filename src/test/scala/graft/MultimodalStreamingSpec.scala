@@ -933,6 +933,96 @@ class StreamingSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("curriculum merge stream: per-batch exact top-k; store-swap chain equals rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 3 // small so merges genuinely DISPLACE ranked rows
+    val base = (1L to 8L).map(i => (i, if (i <= 5) "web" else "book"))
+      .toDF("doc_id", "source")
+    val store = graft.operators.Curriculum.curriculumIndex(base, k = k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val b1 = Seq((20L, "web"), (21L, "forum")) // new source bootstraps
+    val b2 = Seq((30L, "web"), (31L, "book"))
+    val in = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(String, Long, String, Long, Long)]]
+    val q = EventsStream.curriculumMergeStream(
+        in.toDF().toDF("doc_id", "source"), store, k = k) { batch =>
+      perBatch += rows(batch)
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-batch ≡ the batch merge against the snapshot
+    assert(perBatch.head == rows(graft.operators.Curriculum
+      .curriculumIndexMerge(store, b1.toDF("doc_id", "source"), k = k)))
+    assert(perBatch(1) == rows(graft.operators.Curriculum
+      .curriculumIndexMerge(store, b2.toDF("doc_id", "source"), k = k)))
+    // the caller-owned store-swap chain is EXACT: fold ≡ rebuild on
+    // the union (the top-k fold identity — s16's bit-identity run
+    // continuously), including counts and displaced rows
+    val chained = graft.operators.Curriculum.curriculumIndexMerge(
+      graft.operators.Curriculum.curriculumIndexMerge(
+        store, b1.toDF("doc_id", "source"), k = k),
+      b2.toDF("doc_id", "source"), k = k)
+    val all = base.unionByName((b1 ++ b2).toDF("doc_id", "source"))
+    assert(rows(chained) ==
+      rows(graft.operators.Curriculum.curriculumIndex(all, k = k)),
+      "the store-swap chain must equal the rebuild over the union")
+    store.unpersist()
+  }
+
+  test("curriculum delete stream: per-batch exact; revocations fold to the union delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // default k = 1000 leaves every source UNSATURATED, where the
+    // prefix contract is vacuous and delete ≡ rebuild exactly
+    val base = (1L to 9L).map(i => (i, if (i % 3 == 0) "book" else "web"))
+      .toDF("doc_id", "source")
+    val store = graft.operators.Curriculum.curriculumIndex(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val b1 = Seq((1L, "web"), (3L, "book"))
+    val b2 = Seq((4L, "web"))
+    val in = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(String, Long, String, Long, Long)]]
+    val q = EventsStream.curriculumDeleteStream(
+        in.toDF().toDF("doc_id", "source"), store) { batch =>
+      perBatch += rows(batch)
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def del(s: org.apache.spark.sql.DataFrame, ids: Seq[(Long, String)]) =
+      graft.operators.Curriculum.curriculumIndexDelete(
+        s, ids.toDF("doc_id", "source"))
+    // per-batch ≡ the batch delete against the snapshot
+    assert(perBatch.head == rows(del(store, b1)))
+    assert(perBatch(1) == rows(del(store, b2)))
+    // folding swap after swap ≡ one delete of the union, and (sources
+    // unsaturated) ≡ the rebuild on the survivors
+    val unionDel = rows(del(store, b1 ++ b2))
+    assert(rows(del(del(store, b1), b2)) == unionDel)
+    val revoked = (b1 ++ b2).map(_._1)
+    assert(unionDel == rows(graft.operators.Curriculum.curriculumIndex(
+      base.filter(!col("doc_id").isInCollection(revoked)))))
+    store.unpersist()
+  }
+
   test("retention expiry stream: stateless per-batch decisions feed the takedown") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -1071,6 +1071,93 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pMh.contains("CartesianProduct"), pMh)
   }
 
+  test("d23/d25b: lifecycle stores scan BUCKETED; no exchange above the store scan") {
+    // r17: the persisted span/postings stores are written bucketed by
+    // their probe key (gh / gram), so a delete/merge equi join plans
+    // ZERO exchange on the store side — the 100 TB posture where a
+    // takedown that is ∝ revoked-set in arithmetic must not pay a
+    // full-store shuffle in the join. Pinned on the real serving
+    // queries (constructing them runs the holder's write job once —
+    // the g9 situation, accepted here because the BUCKETED scan is
+    // exactly what's under test). AQE is disabled for the plan
+    // inspection so the tree carries plain exchanges.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+    def pathsToScan(p: SparkPlan, frag: String,
+        acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+        Seq((s :: acc).reverse)
+      case _ => p.children.flatMap(c => pathsToScan(c, frag, p :: acc))
+    }
+
+    def check(name: String, frag: String, keys: Seq[String]): Unit = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // at this test SF the delta sides broadcast, so Spark's
+      // DisableUnnecessaryBucketedScan would (correctly) strip the
+      // bucket distribution it doesn't need; force it visible so the
+      // LAYOUT property — the one that matters when the delta is too
+      // big to broadcast — is what's pinned
+      val prevAuto = spark.conf
+        .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val exec = df.queryExecution.executedPlan
+        val paths = pathsToScan(exec, frag, Nil)
+        assert(paths.nonEmpty, s"$name: no scan of $frag found:\n$exec")
+        var joinPaths = 0
+        paths.foreach { path =>
+          val scan = path.last.asInstanceOf[FileSourceScanExec]
+          // walking UP from the scan, store rows must reach a join or a
+          // (partial) aggregate before any shuffle: the only exchanges
+          // allowed above the store are post-reduction ones
+          val boundary = path.reverse.drop(1).find {
+            case _: BaseJoinExec | _: BaseAggregateExec |
+                _: ShuffleExchangeExec => true
+            case _ => false
+          }
+          boundary.foreach { b =>
+            assert(!b.isInstanceOf[ShuffleExchangeExec],
+              s"$name: the store side shuffles before its join/agg — " +
+                s"the bucketed layout is not being used:\n$exec")
+          }
+          // join-feeding scans must carry the bucket distribution (a
+          // scan feeding only a pre-reducing aggregate may legitimately
+          // be de-bucketed by DisableUnnecessaryBucketedScan)
+          if (boundary.exists(_.isInstanceOf[BaseJoinExec])) {
+            joinPaths += 1
+            scan.outputPartitioning match {
+              case h: HashPartitioning =>
+                assert(h.expressions.map(_.sql.replaceAll("`", ""))
+                    .map(_.split("\\.").last) == keys,
+                  s"$name: store scan must be bucket-partitioned by " +
+                    s"$keys, got ${h.expressions}:\n$scan")
+              case other => fail(
+                s"$name: join-feeding store scan must report its bucket " +
+                  s"distribution, got $other — bucketed layout lost:\n$exec")
+            }
+          }
+        }
+        assert(joinPaths >= 1,
+          s"$name: expected at least one join directly over the store scan:\n$exec")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
+    }
+
+    check("d23_index_delete", "span_index.parquet", Seq("gh"))
+    check("d25b_postings_merge", "tfidf_postings_older.parquet", Seq("gram"))
+  }
+
   test("x19_syndication_matrix: band-join pairs, equi source maps, no cartesian") {
     val p = plan("x19_syndication_matrix")
     assert(!p.contains("CartesianProduct"), p)
