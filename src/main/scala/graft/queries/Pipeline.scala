@@ -792,6 +792,18 @@ object Pipeline {
   private[graft] def tfidfPostingsShared(s: SparkSession, dir: String): DataFrame =
     Dedup.postingsBand(tfidfPostingsFullShared(s, dir))
 
+  /** The STALE curriculum ranking store s16's merge advances (and the
+    * x26 compaction audit's curriculum row) — the corpus minus the
+    * doc_id % 10 == 3 compaction drop, persisted bucketed by `source`
+    * (quota serving and count folds are source-keyed) like every
+    * lifecycle store: the serving lap measures the exact top-k MERGE +
+    * quota replay, cost ∝ index + drop, never a corpus re-rank.
+    */
+  private[graft] def curriculumOlderShared(s: SparkSession, dir: String): DataFrame =
+    materializedBucketedIndex(s, dir, "curriculum_index_older", Seq("source"))(
+      graft.operators.Curriculum.curriculumIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3)))
+
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step
     * partitioning-independent), so it shares the materialized-index
@@ -819,13 +831,15 @@ object Pipeline {
     * cliques; the 97 classes give secrets a rare/common structure) —
     * one definition shared by the serving query and the pin store.
     */
-  private def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
     Tables.loadFanned(s, dir, "documents")
-      .filter(col("doc_id") % 4 =!= 0)
       .select(col("doc_id"), col("lang"),
         concat(lit("pin"),
           lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
           lit(" "), col("text")).as("text"))
+
+  private def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
+    plantedDocs(s, dir).filter(col("doc_id") % 4 =!= 0)
 
   /** The planted corpus's SEVEN text stores for the x25 audit — each
     * deterministic per sf dir, so they earn the materialized-index
@@ -903,7 +917,8 @@ object Pipeline {
       timed("tfidf_postings_older") { tfidfPostingsOlderShared(s, dir) },
       timed("pairs_ng1_t95_lang") { ngramPairs95Shared(s, dir) },
       timed("pairs_ng3_t80") { ngramPairs80Shared(s, dir) },
-      timed("pairs_mh_t80") { mhPairs80Shared(s, dir) })
+      timed("pairs_mh_t80") { mhPairs80Shared(s, dir) },
+      timed("curriculum_index_older") { curriculumOlderShared(s, dir) })
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
   }
@@ -1032,6 +1047,59 @@ object Pipeline {
         .select(col("vec_id"))
       graft.operators.Audit.takedownAudit(base, revoked, members, revVecs,
         prebuilt = x25StoresShared(s, dir))
+    },
+
+    "x26_compaction_audit" -> { (s, dir) =>
+      // the UNIFIED COMPACTION audit — x25's takedown discipline with
+      // the sign flipped: one (store, n_before, n_after, n_added,
+      // params) row per lifecycle store, every number computed by the
+      // MERGE paths advancing the PERSISTED stale stores (the seven
+      // x25 pin stores fold in the planted doc_id % 4 == 0 drop; the
+      // curriculum store follows its own s16 lifecycle convention —
+      // stale = % 10 <> 3, drop = % 10 == 3 — named in its params).
+      // The base corpus is read only for the drop slice; DuckDB
+      // rebuilds every store on the UNION from raw data, so hash-green
+      // certifies all eight merge paths end-to-end in one artifact
+      // (components included: its row counts members + edges, so the
+      // merge's new-pair generation must reproduce the rebuilt edge
+      // set exactly). params makes the record self-describing, the
+      // r17 takedownAudit convention.
+      import graft.operators.{Curriculum, Privacy}
+      val drop = plantedDocs(s, dir).filter(col("doc_id") % 4 === 0)
+      val stores = x25StoresShared(s, dir)
+      def audit(store: String, params: String, before: DataFrame,
+          after: DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .select(lit(store).as("store"), col("n_before"), col("n_after"),
+            (col("n_after") - col("n_before")).as("n_added"),
+            lit(params).as("params"))
+      val d = Tables.load(s, dir, "documents")
+      audit("span_index", "n=8,drop=mod4", stores("span_index"),
+          Dedup.spanIndexMerge(stores("span_index"), drop, n = 8))
+        .unionByName(audit("charspan_index", "n=40,drop=mod4",
+          stores("charspan_index"),
+          Dedup.spanIndexCharsMerge(stores("charspan_index"), drop, n = 40)))
+        .unionByName(audit("tfidf_postings", "gram_n=2,drop=mod4",
+          stores("tfidf_postings"),
+          Dedup.postingsMerge(stores("tfidf_postings"), drop)))
+        .unionByName(audit("mh_index",
+          "shingle=3,hashes=32,bands=8,drop=mod4", stores("mh_index"),
+          Dedup.minhashIndexMerge(stores("mh_index"), drop)))
+        .unionByName(audit("prefix_index", "t=4/5,drop=mod4",
+          stores("prefix_index"),
+          Dedup.prefixIndexMerge(stores("prefix_index"), drop)))
+        .unionByName(audit("secrets_index", "run=4,drop=mod4",
+          stores("secrets_index"),
+          Privacy.secretIndexMerge(stores("secrets_index"), drop)))
+        .unionByName(audit("components", "n=1,t=0.95,drop=mod4",
+          stores("components"),
+          Dedup.componentsIndexMerge(stores("components"), drop)))
+        .unionByName(audit("curriculum_index", "k=1000,drop=mod10",
+          curriculumOlderShared(s, dir),
+          Curriculum.curriculumIndexMerge(curriculumOlderShared(s, dir),
+            d.filter(col("doc_id") % 10 === 3))))
+        .orderBy(col("store"))
     },
 
     "x22_takedown_audit" -> { (s, dir) =>
@@ -3312,10 +3380,11 @@ object Pipeline {
       // rebuild-then-serve end to end.
       import graft.operators.Curriculum
       val d = Tables.load(s, dir, "documents")
-      val older = Curriculum.curriculumIndex(
-        d.filter(col("doc_id") % 10 =!= 3))
+      // the stale ranking comes from the persisted bucketed store (the
+      // d25/d25b discipline — last night's index is on disk), so this
+      // lap measures merge + quota serve
       val merged = Curriculum.curriculumIndexMerge(
-        older, d.filter(col("doc_id") % 10 === 3))
+        curriculumOlderShared(s, dir), d.filter(col("doc_id") % 10 === 3))
       Curriculum.curriculumServe(merged)
     },
 
@@ -6682,6 +6751,85 @@ object Pipeline {
         |  UNION ALL SELECT 'secrets_index', seb.n, sea.n, seb.n - sea.n, 'run=4' FROM seb, sea
         |  UNION ALL SELECT 'components', n_before, n_after, n_changed, 'n=1,t=0.95' FROM crow
         |  UNION ALL SELECT 'ivf_members', imb.n, ima.n, imc.n, 'cells=caller' FROM imb, ima, imc) u
+        |ORDER BY store""".stripMargin,
+
+    "x26_compaction_audit" ->
+      """WITH
+        |pl AS (SELECT doc_id, lang,
+        |  'pin' || lpad(CAST((length(text) * 7) % 97 AS VARCHAR), 4, '0') ||
+        |  ' ' || text AS text
+        |  FROM documents),
+        |b AS (SELECT * FROM pl WHERE doc_id % 4 <> 0),
+        |tu AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> len(x) > 0) AS toks FROM pl),
+        |tb AS (SELECT t.* FROM tu t JOIN b USING (doc_id)),
+        |spb AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tb WHERE len(toks) >= 8)),
+        |spa AS (SELECT CAST(count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS BIGINT) AS n
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tu WHERE len(toks) >= 8)),
+        |lowu AS (SELECT doc_id, lower(text) AS t FROM pl),
+        |cw AS (
+        |  SELECT DISTINCT doc_id, substring(t, i + 1, 40) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, length(t) - 40)) AS i
+        |        FROM lowu WHERE length(t) >= 40)),
+        |chb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw
+        |        WHERE doc_id % 4 <> 0),
+        |cha AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM cw),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tb WHERE len(toks) >= 2))),
+        |pa AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tu WHERE len(toks) >= 2))),
+        |mhb AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tb WHERE len(toks) >= 3),
+        |mha AS (SELECT CAST(8 * count(*) AS BIGINT) AS n FROM tu WHERE len(toks) >= 3),
+        |pfb AS (SELECT CAST(sum(bn - ((4 * bn + 4) // 5) + 1) AS BIGINT) AS n
+        |  FROM (SELECT len(list_distinct(toks)) AS bn FROM tb) z WHERE bn > 0),
+        |pfa AS (SELECT CAST(sum(bn - ((4 * bn + 4) // 5) + 1) AS BIGINT) AS n
+        |  FROM (SELECT len(list_distinct(toks)) AS bn FROM tu) z WHERE bn > 0),
+        |toku AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM tu) z
+        |  WHERE regexp_matches(tok, '[0-9]{4}')),
+        |seb AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM toku
+        |        WHERE doc_id % 4 <> 0),
+        |sea AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM toku),
+        |du AS (SELECT p.doc_id, p.lang, p.text, list_distinct(t.toks) AS dt,
+        |  len(list_distinct(t.toks)) AS tsz FROM pl p JOIN tu t USING (doc_id)),
+        |repu AS (SELECT * FROM (SELECT doc_id, lang, dt,
+        |    CASE WHEN tsz > 0 THEN min(doc_id) OVER (PARTITION BY lang, text)
+        |         ELSE doc_id END AS rep0
+        |  FROM du) z WHERE doc_id = rep0),
+        |repb AS (SELECT * FROM (SELECT doc_id, lang, dt,
+        |    CASE WHEN tsz > 0 THEN min(doc_id) OVER (PARTITION BY lang, text)
+        |         ELSE doc_id END AS rep0
+        |  FROM du WHERE doc_id % 4 <> 0) z WHERE doc_id = rep0),
+        |cpa AS (SELECT CAST(count(*) AS BIGINT) AS n FROM repu a JOIN repu b2
+        |  ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.dt, b2.dt))) > 0
+        |    AND CAST(len(list_intersect(a.dt, b2.dt)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.dt, b2.dt))) AS DOUBLE) >= 0.95),
+        |cpb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM repb a JOIN repb b2
+        |  ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+        |  WHERE len(list_distinct(list_concat(a.dt, b2.dt))) > 0
+        |    AND CAST(len(list_intersect(a.dt, b2.dt)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.dt, b2.dt))) AS DOUBLE) >= 0.95),
+        |cb AS (SELECT CAST((SELECT count(*) FROM b) + (SELECT n FROM cpb) AS BIGINT) AS n),
+        |ca AS (SELECT CAST((SELECT count(*) FROM pl) + (SELECT n FROM cpa) AS BIGINT) AS n),
+        |cub AS (SELECT CAST(sum(least(1000, n)) AS BIGINT) AS n FROM
+        |  (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 3 GROUP BY source) z),
+        |cua AS (SELECT CAST(sum(least(1000, n)) AS BIGINT) AS n FROM
+        |  (SELECT count(*) AS n FROM documents GROUP BY source) z)
+        |SELECT * FROM (
+        |  SELECT 'span_index' AS store, spb.n AS n_before, spa.n AS n_after,
+        |    spa.n - spb.n AS n_added, 'n=8,drop=mod4' AS params FROM spb, spa
+        |  UNION ALL SELECT 'charspan_index', chb.n, cha.n, cha.n - chb.n, 'n=40,drop=mod4' FROM chb, cha
+        |  UNION ALL SELECT 'tfidf_postings', pb.n, pa.n, pa.n - pb.n, 'gram_n=2,drop=mod4' FROM pb, pa
+        |  UNION ALL SELECT 'mh_index', mhb.n, mha.n, mha.n - mhb.n, 'shingle=3,hashes=32,bands=8,drop=mod4' FROM mhb, mha
+        |  UNION ALL SELECT 'prefix_index', pfb.n, pfa.n, pfa.n - pfb.n, 't=4/5,drop=mod4' FROM pfb, pfa
+        |  UNION ALL SELECT 'secrets_index', seb.n, sea.n, sea.n - seb.n, 'run=4,drop=mod4' FROM seb, sea
+        |  UNION ALL SELECT 'components', cb.n, ca.n, ca.n - cb.n, 'n=1,t=0.95,drop=mod4' FROM cb, ca
+        |  UNION ALL SELECT 'curriculum_index', cub.n, cua.n, cua.n - cub.n, 'k=1000,drop=mod10' FROM cub, cua) u
         |ORDER BY store""".stripMargin,
 
     "x22_takedown_audit" ->

@@ -1216,6 +1216,58 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("x26-style compaction audit composes in SQL: counts over graft_index_merge") {
+    // the x26 discipline through the engine: per-store (n_before,
+    // n_after, n_added) where n_after counts the MERGE TVF's output
+    // over a stale store — one SQL statement, two kinds
+    engine.run("create table xca_docs_t(doc_id bigint, text varchar, " +
+      "lang varchar, source varchar)")
+    engine.run("insert into xca_docs_t values " +
+      "(1, 'a1 a2 a3 a4 a5 a6 a7 a8 a9', 'en', 'web'), " +
+      "(2, 'b1 b2 b3 b4 b5 b6 b7 b8', 'en', 'web'), " +
+      "(3, 'c1 c2 c3 c4 c5 c6 c7 c8 c9 c10', 'en', 'book')")
+    engine.run("create table xca_drop_t(doc_id bigint, text varchar, " +
+      "lang varchar, source varchar)")
+    engine.run("insert into xca_drop_t values " +
+      "(10, 'a1 a2 a3 a4 a5 a6 a7 a8 fresh', 'en', 'web'), " +
+      "(11, 'd1 d2 d3 d4 d5 d6 d7 d8', 'en', 'forum')")
+    graft.operators.Dedup.spanIndexCounted(engine.table("xca_docs_t"))
+      .createOrReplaceTempView("xca_span_idx")
+    graft.operators.Curriculum.curriculumIndex(engine.table("xca_docs_t"))
+      .createOrReplaceTempView("xca_cur_idx")
+    val got = engine.run(
+      "select 'span_index' as store, " +
+        "(select count(*) from xca_span_idx) as n_before, " +
+        "(select count(*) from graft_index_merge(xca_span_idx, xca_drop_t)) as n_after " +
+        "union all select 'curriculum_index', " +
+        "(select count(*) from xca_cur_idx), " +
+        "(select count(*) from graft_index_merge(xca_cur_idx, xca_drop_t, " +
+        "kind => 'curriculum')) order by store")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    val wantSpanB = cnt(graft.operators.Dedup.spanIndexCounted(
+      engine.table("xca_docs_t")))
+    val wantSpanA = cnt(graft.operators.Dedup.spanIndexMerge(
+      graft.operators.Dedup.spanIndexCounted(engine.table("xca_docs_t")),
+      engine.table("xca_drop_t")))
+    val wantCurB = cnt(graft.operators.Curriculum.curriculumIndex(
+      engine.table("xca_docs_t")))
+    val wantCurA = cnt(graft.operators.Curriculum.curriculumIndexMerge(
+      graft.operators.Curriculum.curriculumIndex(engine.table("xca_docs_t")),
+      engine.table("xca_drop_t")))
+    assert(got == Seq(
+      ("curriculum_index", wantCurB, wantCurA),
+      ("span_index", wantSpanB, wantSpanA)), got.mkString(", "))
+    // and the merge counts equal a rebuild on the union — the
+    // compaction identity the x26 gate certifies at corpus scale
+    val union = engine.table("xca_docs_t")
+      .unionByName(engine.table("xca_drop_t"))
+    assert(wantSpanA == cnt(graft.operators.Dedup.spanIndexCounted(union)))
+    assert(wantCurA == cnt(graft.operators.Curriculum.curriculumIndex(union)))
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_incremental_dedup TVF: planted near-dup flagged, fresh doc is new") {
     engine.run("create table inc_base_t(doc_id bigint, text varchar, lang varchar)")
     engine.run("insert into inc_base_t values " +
