@@ -1158,23 +1158,26 @@ class PlanQualitySpec extends AnyFunSuite {
     check("d25b_postings_merge", "tfidf_postings_older.parquet", Seq("gram"))
   }
 
-  test("x19_syndication_matrix: band-join pairs, equi source maps, no cartesian") {
+  test("x19_syndication_matrix: pairs served from the materialized store, no cartesian") {
+    // r17: the verified LSH pair set is a materialized index
+    // (pairs_mh_t80 — the tfidfPairsShared discipline), so the serving
+    // plan is a SCAN of the persisted edges + two source-map equi
+    // joins + one rollup; the band-bucket machinery (skew caps, banded
+    // self-join) runs once at store-build time and is plan-asserted by
+    // the d3 operator tests
     val p = plan("x19_syndication_matrix")
     assert(!p.contains("CartesianProduct"), p)
-    // the only windows are capBuckets' per-(band,bucket) skew caps —
-    // both sides of the banded self-join, never a global frame
-    val specs = p.linesIterator
-      .filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("band")),
-      s"only the band-bucket cap windows are allowed:\n$p")
-    // the rollup and the pair distinct must combine map-side
+    assert(p.contains("pairs_mh_t80"),
+      s"pairs must come from the materialized verified pair store:\n$p")
+    // no pair re-verification in the serving plan: windows (skew caps)
+    // and shingle kernels belong to the build, not the serve
+    assert(nodeCount(p, "Window") == 0,
+      s"serving must not re-run the band-cap machinery:\n$p")
+    assert(!p.contains("graft_shingle_hashes"),
+      s"serving must not re-shingle the corpus:\n$p")
+    // the rollup must combine map-side
     assert(p.contains("partial_count"),
       s"the source-pair rollup must map-combine:\n$p")
-    // candidates come from the banded equi self-join (band, bucket keys
-    // in an exchange), never an all-pairs stage
-    assert(p.linesIterator.exists(l =>
-        l.contains("hashpartitioning(") && l.contains("band")),
-      s"pair candidates must come from the band-bucket exchange:\n$p")
   }
 
   test("e14_rolling_window: range-frame window partitioned by user") {
