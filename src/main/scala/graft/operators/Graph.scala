@@ -77,6 +77,28 @@ object Graph {
     else p
   }
 
+  /** [[edgeFrame]] persisted PRE-PARTITIONED on the round-join key
+    * (`doc_a`) — the iterative-walk storage posture (r17): every
+    * rank/label iteration joins edges on `doc_a`, and a cache without
+    * a known partitioning re-exchanges the EDGE side — the
+    * corpus-sized side at 100 TB — once per round. Hash-partitioning
+    * BEFORE the persist makes the cached scan report
+    * hashpartitioning(doc_a, P), so every round's join plans zero
+    * exchange on the edge side and only the vertex-sized rank/label
+    * vector shuffles per iteration (the Pregel edge-placement
+    * argument, in DataFrame form). The partition count is pinned to
+    * the session's shuffle parallelism so AQE cannot re-coalesce the
+    * cached layout out from under the per-round joins. Per-source
+    * degree aggregates over the same frame combine on the cached
+    * partitioning too (zero-exchange groupBy(doc_a)).
+    */
+  private def partitionedEdges(pairs: DataFrame,
+      symmetrize: Boolean): DataFrame = {
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    Dedup.persistPublic(
+      edgeFrame(pairs, symmetrize).repartition(parts, col("doc_a")))
+  }
+
   /** PageRank with `iters` unrolled damped iterations. Returns
     * `(doc_id, r)` for every vertex in `vertices` (isolated vertices
     * converge to the teleport mass `(1-damping)/n` when `dangling` is
@@ -110,8 +132,11 @@ object Graph {
         s"pageRankConverged for $iters iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val edges = edgeFrame(pairs, symmetrize)
-    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val edges = partitionedEdges(pairs, symmetrize)
+    // zero-exchange over the cached layout, persisted because every
+    // unrolled round references it
+    val deg = Dedup.persistPublic(
+      edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")))
     val n1 = vertices.agg(count(lit(1)).as("n"))
     var ranks = vertices.crossJoin(broadcast(n1))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
@@ -154,7 +179,7 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize))
+    val edges = partitionedEdges(pairs, symmetrize)
     val deg = Dedup.persistPublic(
       edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")))
     // vertices and the N count feed EVERY round's separate job — persist
@@ -256,9 +281,7 @@ object Graph {
   def labelPropagate(vertices: DataFrame, pairs: DataFrame,
       seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(
-      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = partitionedEdges(pairs, symmetrize = true)
     var labels = vertices
       .join(seeds.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
     (1 to iters).foreach { _ =>
@@ -297,10 +320,9 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(
-      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    val edges = partitionedEdges(pairs, symmetrize = true)
+    val deg = Dedup.persistPublic(
+      edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg")))
     val seedSet = seeds.select(col("doc_id")).distinct()
     // the seed set is small by contract (it is the user's query); an
     // empty one would silently return all-zero ranks (t = 0 everywhere
@@ -832,7 +854,10 @@ object Graph {
   def hits(vertices: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4,
       s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    // persisted (both per-round joins and the guard read it); HITS
+    // alternates join keys (doc_a then doc_b), so no single bucket key
+    // helps both half-rounds — plain cache, not partitionedEdges
+    val edges = Dedup.persistPublic(pairs.select(col("doc_a"), col("doc_b")))
     // overflow guard, LAZY and attached to the FINAL output (see the
     // operator doc): scores reach (inmax·outmax)^iters in the worst
     // case and the BIGINT sums below wrap silently past int64. The
@@ -963,7 +988,7 @@ object Graph {
       maxDist: Int = 4): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8,
       s"maxDist must be in [1, 8], got $maxDist")
-    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize = true))
+    val edges = partitionedEdges(pairs, symmetrize = true)
     var dist = vertices.select(col("doc_id").as("v"),
       col("doc_id").as("u"), lit(0).as("d"))
     (1 to maxDist).foreach { t =>
@@ -1038,7 +1063,7 @@ object Graph {
     require(maxDist >= 1 && maxDist <= 8,
       s"maxDist must be in [1, 8], got $maxDist")
     require(m >= 16 && m <= (1 << 16), s"m must be in [16, 65536], got $m")
-    val edges = Dedup.persistPublic(edgeFrame(pairs, symmetrize = true))
+    val edges = partitionedEdges(pairs, symmetrize = true)
     // graft_hll_state is an AGGREGATE (the k8 shape) — seed each
     // vertex's singleton sketch through a one-row-per-group aggregate
     var st = vertices.select(col("doc_id").as("v"))

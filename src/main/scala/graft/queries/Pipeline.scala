@@ -2143,8 +2143,11 @@ object Pipeline {
       // oracle. One edges ⋈ states shuffle + one register-max
       // aggregate per round, fixed-width binary states.
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.hyperBallDigests(docs, p, maxDist = 4, m = 64)
         .orderBy(col("doc_id"), col("t"))
     },
@@ -2158,8 +2161,11 @@ object Pipeline {
       // BFS over the same pair CTE. The O(V·reach) distance table is
       // the documented reason the sketch form (g15) exists.
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.harmonicCentralityExact(docs, p, maxDist = 4)
         .orderBy(col("doc_id"))
     },
@@ -2182,8 +2188,11 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
       // the pair subtree feeds all 3 iterations — persist so the tf-idf
       // index builds once (the d10 span-subtree discipline)
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.pageRank(docs, p, iters = 3, damping = 0.85)
         .orderBy(col("doc_id"))
     },
@@ -2198,8 +2207,11 @@ object Pipeline {
       // persisted-pair-index discipline as g1.
       val d = Tables.load(s, dir, "documents")
       val seeds = d.filter(col("doc_id") % 25 === 0).select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.personalizedPageRank(d.select(col("doc_id")), p, seeds,
         iters = 3, damping = 0.85)
         .orderBy(col("doc_id"))
@@ -2215,8 +2227,11 @@ object Pipeline {
       // total rank is exactly 1 at every round. 3 unrolled rounds,
       // bit-exact against DuckDB's replay.
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.pageRank(docs, p, iters = 3, damping = 0.85,
         symmetrize = false, dangling = true)
         .orderBy(col("doc_id"))
@@ -2232,8 +2247,11 @@ object Pipeline {
       // and checkpoint-invariant, which is exactly what lets a real
       // corpus run the 20+-round fixpoint the unrolled form can't.
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.pageRankConverged(docs, p, tol = 0.0, maxIters = 3,
         damping = 0.85, symmetrize = false, dangling = true)
         .orderBy(col("doc_id"))
@@ -2250,8 +2268,11 @@ object Pipeline {
       // subtree persisted (each round scans the edges twice — the g1
       // discipline), no vertex-cardinality broadcast anywhere.
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.hits(docs, p, iters = 2)
         .orderBy(col("doc_id"))
     },
@@ -2285,8 +2306,11 @@ object Pipeline {
       val d = Tables.load(s, dir, "documents")
       val seeds = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("lang").as("label"))
-      val p = Dedup.persistPublic(
-        tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b")))
+      // NOT persisted here: the Graph op caches the PARTITIONED edge
+      // frame it derives, and an inner cache would defeat the outer
+      // cache key's plan substitution (top-down, single pass); the
+      // pairs side is a cheap pruned scan of the materialized index
+      val p = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       Graph.labelPropagate(d.select(col("doc_id")), p, seeds, iters = 2)
         .select(col("doc_id"),
           coalesce(col("label"), lit("unlabeled")).as("label"))

@@ -57,7 +57,6 @@ class GoldenPlanSpec extends AnyFunSuite {
     "t14_tfidf_simjoin",   // df-banded postings self-join, n_docs broadcast
     "a4_pq_adc",           // LUT broadcast join + bounded-heap winners
     "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg plain-joined, N broadcast
-    "g2_triangle_count",   // persisted oriented edges, wedge + closure equi joins
     "t16_quality_probe",   // map-only margin over literal weights, no join
     "t17_topk_similar",    // two-phase TopKPerKey over symmetrized pairs
     "d13_containment",     // prefix-filtered equi candidate join, pruned postings
@@ -134,6 +133,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v11_ann_recall",      // left-semi hit join over two bounded retrievals
     "v12_pq_distortion",   // broadcast codebooks, decimal map-combine SSE
     "q31_unpivot")         // melt via Expand over the O(sources) aggregate
+  // g2_triangle_count is NOT whole-plan-pinned (r17): g10's hits now
+  // caches the canonical pairs (doc_a, doc_b) select internally, so
+  // g2's subtree flips to InMemoryTableScan whenever another suite has
+  // constructed g10 first — the g4/g6 cache-state situation. Guarded
+  // by the targeted PlanQualitySpec asserts (wedge/closure equi joins,
+  // no hint over grouped aggregates) instead.
   // t21_rake / t24_vocab_growth are NOT whole-plan-pinned (r17): they
   // read through Tables.loadFanned, whose parallelism-floor repartition
   // appears only when the scan is under-split — the plan text varies
