@@ -2097,7 +2097,8 @@ object Pipeline {
       // postings is filtered before its list exists, so no aggregation
       // buffer exceeds the df cap. Postings emit as comma-joined strings
       // (arrays don't gate — the v3/array_join discipline).
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: the explode kernel runs straight over the scan
+      val d = Tables.loadFanned(s, dir, "documents")
       val td = d.select(col("doc_id"), explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
           .as("gram"))
@@ -2785,7 +2786,8 @@ object Pipeline {
       // broadcast as RAW strings (benchmark-sized by contract —
       // collision-freedom by construction); the oracle replays the
       // same raw-string membership.
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: the explode kernel runs straight over the scan
+      val d = Tables.loadFanned(s, dir, "documents")
       Decontaminate.charOverlapExcise(
           d.filter(col("doc_id") % 10 =!= 7),
           d.filter(col("doc_id") % 10 === 7), n = 40)
@@ -3195,7 +3197,8 @@ object Pipeline {
       // capacity=4096 ≥ the per-pair union here, so both estimates sit in
       // the sketches' exact regime and must equal DuckDB's exact set SQL
       // (the k1/k2/k3 exact-regime gate discipline).
-      val d = Tables.load(s, dir, "documents")
+      // loadFanned: the explode kernel runs straight over the scan
+      val d = Tables.loadFanned(s, dir, "documents")
       val states = d
         .select(col("lang"), explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
