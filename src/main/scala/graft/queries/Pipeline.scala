@@ -5486,7 +5486,8 @@ object Pipeline {
       // chars or containing U+001F are excluded (documented contract,
       // mirrored in the oracle). Per-round localCheckpoint bounds the
       // DP lineage (trainer fit cost, the g9 discipline).
-      Tokenizer.unigramLm(Tables.load(s, dir, "documents"))
+      // loadFanned: the word-table extraction runs over the raw scan
+      Tokenizer.unigramLm(Tables.loadFanned(s, dir, "documents"))
     },
 
     "u4_bpe_encode" -> { (s, dir) =>
