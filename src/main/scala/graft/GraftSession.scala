@@ -43,6 +43,17 @@ object GraftSession {
       // feed 32 cores. A single-ROW-GROUP file still yields one split —
       // that case is covered by Tables.loadFanned's explicit fan-out.
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // cached plans must KEEP their static output partitioning: the
+      // iterative graph walks persist their edge frame pre-partitioned
+      // on the round-join key (Graph.partitionedEdges), and under the
+      // Spark 4 default (true) the cache compiles adaptively and
+      // reports UnknownPartitioning until materialized — every round's
+      // join then re-inserts the edge-side exchange the layout exists
+      // to remove. AQE still optimizes everything outside cached
+      // subtrees (skew joins, coalescing) — this only pins the cache's
+      // own layout.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
       // default; read as Long and convert (Tables.load truncates to µs —

@@ -94,9 +94,23 @@ object Graph {
     */
   private def partitionedEdges(pairs: DataFrame,
       symmetrize: Boolean): DataFrame = {
-    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    Dedup.persistPublic(
-      edgeFrame(pairs, symmetrize).repartition(parts, col("doc_a")))
+    val spark = pairs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val df = edgeFrame(pairs, symmetrize).repartition(parts, col("doc_a"))
+    // the cache must compile NON-adaptively: Spark 4 plans cached
+    // relations under AQE regardless of
+    // canChangeCachedPlanOutputPartitioning, and an adaptive cached
+    // plan reports UnknownPartitioning until materialized — every
+    // round's join would then re-insert the edge-side exchange this
+    // layout exists to remove. cacheQuery compiles the cached plan
+    // EAGERLY at persist, so a scoped AQE-off toggle pins the static
+    // hashpartitioning(doc_a, parts) the per-round joins plan against;
+    // the subtree being de-adaptived is one repartition over a scan —
+    // nothing AQE could improve. The OUTER queries stay adaptive.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Dedup.persistPublic(df)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** PageRank with `iters` unrolled damped iterations. Returns
@@ -854,10 +868,15 @@ object Graph {
   def hits(vertices: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4,
       s"exact integer HITS is capped at 4 rounds (score overflow), got $iters")
-    // persisted (both per-round joins and the guard read it); HITS
-    // alternates join keys (doc_a then doc_b), so no single bucket key
-    // helps both half-rounds — plain cache, not partitionedEdges
-    val edges = Dedup.persistPublic(pairs.select(col("doc_a"), col("doc_b")))
+    // persisted DIRECTED and partitioned on doc_a (both per-round joins
+    // and the guard read it; the auth half-round joins on doc_a and
+    // skips its exchange — the hub half-round joins on doc_b and pays
+    // one vertex-sized shuffle, HITS' alternating-key price). NOT the
+    // bare (doc_a, doc_b) select: caching that canonical form would sit
+    // INSIDE the g1-family's partitionedEdges subtree and defeat the
+    // outer cache's top-down plan substitution (the r17 nested-cache
+    // lesson)
+    val edges = partitionedEdges(pairs, symmetrize = false)
     // overflow guard, LAZY and attached to the FINAL output (see the
     // operator doc): scores reach (inmax·outmax)^iters in the worst
     // case and the BIGINT sums below wrap silently past int64. The

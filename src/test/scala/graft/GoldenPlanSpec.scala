@@ -56,7 +56,6 @@ class GoldenPlanSpec extends AnyFunSuite {
     "k7_join_card",        // two state aggs meet in a one-row nested loop
     "t14_tfidf_simjoin",   // df-banded postings self-join, n_docs broadcast
     "a4_pq_adc",           // LUT broadcast join + bounded-heap winners
-    "g1_pagerank",         // per-iteration edge⋈rank shuffle, deg plain-joined, N broadcast
     "t16_quality_probe",   // map-only margin over literal weights, no join
     "t17_topk_similar",    // two-phase TopKPerKey over symmetrized pairs
     "d13_containment",     // prefix-filtered equi candidate join, pruned postings
@@ -77,8 +76,6 @@ class GoldenPlanSpec extends AnyFunSuite {
     "m5_media_phash",      // banded equi join over codegen'd aHash keys
     "c6_eval_leak_report", // broadcast eval grams, per-eval rollup
     "e14_rolling_window",  // user-partitioned RANGE frame
-    "g5_ppr",              // seeded teleport, per-round edge⋈rank shuffle
-    "g8_pagerank_dangling",// directed edges, 1-row dangling sum broadcast per round
     // g9_pagerank_fixpoint is NOT whole-plan-pinned: its rounds pass
     // through localCheckpoint, so the plan is a LogicalRDD with
     // unstable ids — the loop is gated by its oracle (≡ g8's replay)
@@ -133,6 +130,13 @@ class GoldenPlanSpec extends AnyFunSuite {
     "v11_ann_recall",      // left-semi hit join over two bounded retrievals
     "v12_pq_distortion",   // broadcast codebooks, decimal map-combine SSE
     "q31_unpivot")         // melt via Expand over the O(sources) aggregate
+  // g1_pagerank / g5_ppr / g8_pagerank_dangling are NOT whole-plan-
+  // pinned (r17): their edge frames are now cached PRE-PARTITIONED
+  // (partitionedEdges), and a cached subtree's rendering depends on
+  // which other suites populated the CacheManager first — the g4/g6
+  // cache-state situation. The load-bearing property (edge cache
+  // partitioned on doc_a, so rounds plan no edge-side exchange) is
+  // pinned by the targeted PlanQualitySpec assert instead.
   // g2_triangle_count is NOT whole-plan-pinned (r17): g10's hits now
   // caches the canonical pairs (doc_a, doc_b) select internally, so
   // g2's subtree flips to InMemoryTableScan whenever another suite has
