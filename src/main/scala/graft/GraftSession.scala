@@ -135,11 +135,27 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
-  /** [[load]] with the [[fanned]] parallelism floor — for operators whose
-    * dominant cost is per-row kernel work directly over the scan.
+  /** Memoized fan-out decision per (sf dir, table, target): probing the
+    * split count via `df.rdd` compiles the physical plan (and under AQE
+    * instantiates an adaptive plan) — cheap once, but [[loadFanned]] is
+    * called by every explode-heavy consumer on every pass, and the
+    * answer is a pure function of the table's file layout, which is
+    * immutable for the JVM lifetime (the materialized-index contract).
     */
-  def loadFanned(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    fanned(spark, load(spark, sfDir, name))
+  private val fanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[load]] with the [[fanned]] parallelism floor — for operators whose
+    * dominant cost is per-row kernel work directly over the scan. The
+    * split-count probe runs once per (dir, table) per JVM.
+    */
+  def loadFanned(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sessionState.conf.numShufflePartitions
+    val need = fanMemo.computeIfAbsent(s"$sfDir#$name#$target",
+      _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions * 2 <= target))
+    if (need) df.repartition(target) else df
+  }
 
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

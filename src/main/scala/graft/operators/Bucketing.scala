@@ -48,6 +48,29 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Register `table` over ALREADY-BUCKETED parquet files at `path` —
+    * metadata-only, no data moves. The files must have been produced by
+    * [[writeBucketed]] with the SAME `buckets`/`keys` (their names carry
+    * the bucket ids the catalog metadata promises; registering a foreign
+    * layout would silently mis-bucket every join). Exists so a publisher
+    * can build at a tmp path, atomically rename the directory into
+    * place, and then re-point the catalog — `saveAsTable(overwrite)`
+    * directly onto the live path deletes the serving files before the
+    * new build commits.
+    */
+  def registerBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      buckets: Int,
+      keys: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val ks = keys.map(k => s"`$k`").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` (${schema.toDDL}) USING parquet " +
+      s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+  }
+
   /** The bucketed table as a DataFrame (scan carries the bucket
     * distribution, so joins/aggregations on the bucket keys skip their
     * exchange).

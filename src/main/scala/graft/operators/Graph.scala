@@ -103,14 +103,35 @@ object Graph {
     // plan reports UnknownPartitioning until materialized — every
     // round's join would then re-insert the edge-side exchange this
     // layout exists to remove. cacheQuery compiles the cached plan
-    // EAGERLY at persist, so a scoped AQE-off toggle pins the static
+    // EAGERLY at persist, so an AQE-off compile pins the static
     // hashpartitioning(doc_a, parts) the per-round joins plan against;
     // the subtree being de-adaptived is one repartition over a scan —
     // nothing AQE could improve. The OUTER queries stay adaptive.
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Dedup.persistPublic(df)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    //
+    // The compile runs under an ISOLATED session (r18): the former
+    // session-global AQE toggle silently de-adaptived any query a
+    // concurrent thread (a streaming microbatch's foreachBatch) compiled
+    // during the persist window, and the restore left an explicit
+    // override behind. `newSession` shares the SparkContext AND the
+    // CacheManager — a persist compiled there serves this session's
+    // consumers by canonical-plan substitution — but owns a private
+    // SQLConf, so the toggle is invisible to every other thread. Runtime
+    // confs are mirrored first (newSession starts from SparkConf
+    // defaults, which would miss e.g. a test's shuffle-partition
+    // override); static/immutable entries are skipped. The plan crosses
+    // sessions via a global temp view (session temp views don't).
+    val fresh = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try fresh.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val view = "graft_edges_stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    val gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    try Dedup.persistPublic(fresh.table(s"$gdb.$view"))
+    finally spark.catalog.dropGlobalTempView(view)
   }
 
   /** PageRank with `iters` unrolled damped iterations. Returns

@@ -579,9 +579,47 @@ object Pipeline {
       _ => new IndexHolder(() => {
         val table = s"graft_idx_${name}_${dirTag(dir)}"
         if (!s.catalog.tableExists(table)) {
-          graft.operators.Bucketing.writeBucketed(build, table,
-            s"${Tables.modelsDir(dir)}/$name.parquet",
-            buckets = 32, keys = keys)
+          // build under a TMP path + tmp catalog name and publish by
+          // filesystem rename (the materializedIndex discipline):
+          // saveAsTable(overwrite) straight onto the live path deletes
+          // the serving files before the new build commits, so a
+          // failed/killed build would leave the path missing or partial
+          // for external readers (the DuckDB oracle) and fresh-JVM
+          // re-registration. The final catalog entry is metadata-only
+          // over the renamed directory.
+          val finalPath = s"${Tables.modelsDir(dir)}/$name.parquet"
+          val tmpPath = s"$finalPath.tmp-${java.util.UUID.randomUUID()}"
+          val tmpTable = s"${table}_tmp"
+          val fp = new org.apache.hadoop.fs.Path(finalPath)
+          val tp = new org.apache.hadoop.fs.Path(tmpPath)
+          val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          s.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+          try graft.operators.Bucketing.writeBucketed(build, tmpTable,
+            tmpPath, buckets = 32, keys = keys)
+          catch {
+            case e: Throwable =>
+              try {
+                s.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+                fs.delete(tp, true)
+              } catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+          val schema = s.table(tmpTable).schema
+          s.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files stay
+          // delete/rename report failure via their BOOLEAN (see
+          // materializedIndex) — check both, cleaning the tmp on failure
+          if (fs.exists(fp) && !fs.delete(fp, true)) {
+            fs.delete(tp, true)
+            throw new java.io.IOException(
+              s"materializedBucketedIndex: could not replace $finalPath")
+          }
+          if (!fs.rename(tp, fp)) {
+            fs.delete(tp, true)
+            throw new java.io.IOException(
+              s"materializedBucketedIndex: rename $tmpPath -> $finalPath failed")
+          }
+          graft.operators.Bucketing.registerBucketed(s, table, finalPath,
+            buckets = 32, keys = keys, schema = schema)
         }
         table
       }))

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *    conventions (%4 snapshots, %10 takedowns) keep their
   *    proportions.
   *  - document text maps every token through a replica-specific
-  *    bijection (`tok` -> `tokr<i>`): in-replica duplicate/span/secret
-  *    structure is preserved EXACTLY while replica vocabularies stay
-  *    disjoint — pair generators see 10 independent shards and their
+  *    bijection (`tok` -> `r<i>_tok`, applied in EVERY replica so the
+  *    mapping is collision-proof and all replicas share one length
+  *    profile): in-replica duplicate/span/secret structure is
+  *    preserved EXACTLY while replica vocabularies stay disjoint — pair generators see 10 independent shards and their
   *    work grows linearly, which is the property that makes
   *    super-linear wall growth attributable to the PLAN instead of to
   *    a quadratic blow-up planted by the data itself. (Vocabulary
@@ -72,10 +73,19 @@ object ScaleUp {
     write("lineitem", shifted(raw("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey"))())
     write("events", shifted(raw("events"), Seq("event_id", "user_id"))())
+    // collision-proof replica vocabularies (r18, ADVICE): every token is
+    // PREFIXED with `r<i>_` in EVERY replica, replica 0 included. The
+    // former suffix mapping (`tok` -> `tokr<i>`, replica 0 untouched)
+    // could alias an original token already ending in `r<digit>` with
+    // another token's replica image, and replicas i>0 carried longer
+    // texts than replica 0 — char-window (n=40) work grew slightly
+    // super-linearly against the "in-replica structure preserved
+    // exactly" claim. A uniform prefix keeps the 10 vocabularies
+    // disjoint by construction and every replica's text the same
+    // length, so cross-replica comparisons stay exactly linear.
     write("documents", shifted(raw("documents"), Seq("doc_id")) { (d, i) =>
-      if (i == 0) d
-      else d.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", s"$$1r$i"))
+      d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
     })
     write("embeddings", shifted(raw("embeddings"), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
