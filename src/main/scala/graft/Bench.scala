@@ -94,8 +94,16 @@ object Bench {
     */
   val SteadyCount = 10
 
+  /** Env var with a same-name system-property fallback: lets an
+    * in-process orchestrator (`tools.Rehearse`) parameterize a Bench
+    * pass it invokes as a plain method call — a JVM cannot set its own
+    * environment. Env wins (the driver's channel is env-only).
+    */
+  private def envOrProp(key: String): Option[String] =
+    sys.env.get(key).orElse(sys.props.get(key))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = envOrProp("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.build(appName = "graft-bench")
 
     // names are interpolated into JSON unescaped — enforce the safe set
@@ -187,7 +195,17 @@ object Bench {
     println(s"""{"fit_sec":$fitSec,"models":${built.size},"fit":$fitJson}""")
     Console.out.flush()
 
-    // Warm-up: JVM/codegen/parquet-footer caches (not reported).
+    // Warm-up: JVM/codegen/parquet-footer caches (not reported). The
+    // table prelude scans every input once through the noop sink so no
+    // timed first pass pays footer reads, codec init, or the scan
+    // codegen for whichever table it happens to touch first (r17's
+    // driver channel showed 8-12× first-pass inflation on queries whose
+    // only "first touch" was exactly this). ~2 s at sf0.1, unreported.
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () } // optional table
+    }
     SparkEntry.queries.headOption.foreach { case (n, f) => runOnce(n, f) }
 
     // Starvation sentinel: a fixed trivial CPU-bound probe timed at the
@@ -206,7 +224,7 @@ object Bench {
     // optional comma-separated subset (the SPARK_GRAFT_VERIFY_QUERIES
     // convention) — for timing one operator while iterating; the driver
     // never sets it, so artifact runs always cover everything
-    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+    val subset = envOrProp("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
@@ -268,8 +286,8 @@ object Bench {
     // driver's capture window only reliably holds the summary line, and
     // r12 cost an adjudication cycle because the per-query contention
     // evidence was not in the artifact — this file is the evidence
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
+    val detailPath = envOrProp("SPARK_GRAFT_BENCH_DETAIL")
+      .getOrElse("BENCH_DETAIL.json")
     try {
       val detail = results.map { case (k, s, c, g) =>
         val st = steady.get(k).map(v => ",\"steady\":" + r3(v)).getOrElse("")
@@ -319,6 +337,17 @@ object Bench {
     Console.out.flush()
     System.err.println(summary)
     System.err.flush()
+    // optional summary artifact (the sf1 rehearsal channel): the driver
+    // parses stdout, but an orchestrated pass wants the same line as a
+    // committed file without shell redirection games
+    envOrProp("SPARK_GRAFT_BENCH_SUMMARY").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (summary + "\n").getBytes("UTF-8"))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"bench: summary write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

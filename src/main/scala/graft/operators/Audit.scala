@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * per-query corpus conventions; a compliance officer wants one
   * record): span, charspan, tf-idf postings, minhash, streaming
   * prefix, secret-frequency, near-dup components, and IVF members.
+  * Since r18 the historical x22/x24 keys are THIN VIEWS of this one
+  * convention — the `stores` parameter selects the subset a view
+  * serves, and only the selected stores' delete paths are planned.
   *
   * Every number comes from the DELETE PATHS running on the stale
   * stores (delta arithmetic / anti joins / the components edge
@@ -37,9 +40,17 @@ import org.apache.spark.sql.functions._
   * one-pass shape; each delete is ∝ the takedown set (components ∝
   * affected components' edges); the audit itself is eight O(1)
   * count aggregates unioned — nothing here adds a shuffle beyond the
-  * stores' own builds.
+  * stores' own builds. In the production posture every input is
+  * PRE-STAGED: the stores persist (`prebuilt`), and the revocation
+  * batch arrives as input rather than being carved from a corpus scan
+  * — so the audit's cost is delete paths + counts alone.
   */
 object Audit {
+
+  /** The store names the audit knows — also the `stores` vocabulary. */
+  val AllStores: Seq[String] = Seq("span_index", "charspan_index",
+    "tfidf_postings", "mh_index", "prefix_index", "secrets_index",
+    "components", "ivf_members")
 
   private def countRow(store: String, params: String, before: DataFrame,
       after: DataFrame): DataFrame =
@@ -65,61 +76,88 @@ object Audit {
     * carries a `params` column naming the parameters the audit ASSUMED
     * — the compliance record is self-describing, and a mismatch with
     * the store's build manifest is visible in the artifact itself.
+    *
+    * `stores` selects which audit rows to emit (default: all eight).
+    * Unselected stores are never planned — a subset view pays only for
+    * its own delete paths. Row construction is lazy per store, so an
+    * inline build (and its scratch persists) happens only for selected,
+    * non-prebuilt stores.
     */
   def takedownAudit(docs: DataFrame, revoked: DataFrame,
       members: DataFrame, revokedVecs: DataFrame,
       spanN: Int = 8, charN: Int = 40, minDigitRun: Int = 4,
       num: Int = 4, den: Int = 5,
-      prebuilt: Map[String, DataFrame] = Map.empty): DataFrame = {
+      prebuilt: Map[String, DataFrame] = Map.empty,
+      stores: Seq[String] = AllStores): DataFrame = {
+    val unknown = stores.filterNot(AllStores.contains)
+    require(stores.nonEmpty && unknown.isEmpty,
+      s"takedownAudit: stores must be a non-empty subset of " +
+        s"${AllStores.mkString(", ")} — got ${unknown.mkString(", ")}")
     val revIds = revoked.select(col("doc_id"))
     val revVecIds = revokedVecs.select(col("vec_id"))
     def store(name: String)(build: => DataFrame): DataFrame =
       prebuilt.getOrElse(name, build)
-    val spanB = store("span_index")(Dedup.spanIndexCounted(docs, n = spanN))
-    val chB = store("charspan_index")(
-      Dedup.spanIndexCountedChars(docs, n = charN))
-    val postB = store("tfidf_postings")(Dedup.tfidfPostingsFull(docs))
-    val mhB = store("mh_index")(Dedup.minhashIndex(docs, maxBandBucket = 0))
-    val pfB = store("prefix_index")(
-      Dedup.incrementalIndex(docs, num = num, den = den))
-    val secB = store("secrets_index")(
-      Privacy.secretFrequencies(docs, minDigitRun))
-    val compStore = store("components")(Dedup.componentsIndex(docs))
-    val compB = Dedup.componentsFromIndex(compStore)
-    val compA = Dedup.componentsFromIndex(
-      Dedup.componentsIndexDelete(compStore, revIds))
-    val compRow = compA
-      .join(compB.withColumnRenamed("rep", "rep_b"), Seq("doc_id"))
-      .agg(count(lit(1)).as("n_after"),
-        sum(when(col("rep") =!= col("rep_b"), 1L).otherwise(0L))
-          .as("n_changed"))
-      .crossJoin(compB.agg(count(lit(1)).as("n_before")))
-      .select(lit("components").as("store"), col("n_before"),
-        col("n_after"), col("n_changed"),
-        lit("n=1,t=0.95").as("params"))
-    val memA = Similarity.ivfMembersDelete(members, revVecIds)
-    val lostCells = members.join(revVecIds, Seq("vec_id"), "left_semi")
-      .select(col("cell")).distinct()
-    val memRow = members.agg(count(lit(1)).as("n_before"))
-      .crossJoin(memA.agg(count(lit(1)).as("n_after")))
-      .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
-      .select(lit("ivf_members").as("store"), col("n_before"),
-        col("n_after"), col("n_changed"),
-        lit("cells=caller").as("params"))
-    countRow("span_index", s"n=$spanN", spanB,
-        Dedup.spanIndexDelete(spanB, revoked, n = spanN))
-      .unionByName(countRow("charspan_index", s"n=$charN", chB,
-        Dedup.spanIndexCharsDelete(chB, revoked, n = charN)))
-      .unionByName(countRow("tfidf_postings", "gram_n=2", postB,
-        Dedup.postingsDelete(postB, revIds)))
-      .unionByName(countRow("mh_index", "shingle=3,hashes=32,bands=8", mhB,
-        Dedup.minhashIndexDelete(mhB, revIds)))
-      .unionByName(countRow("prefix_index", s"t=$num/$den", pfB,
-        Dedup.prefixIndexDelete(pfB, revIds)))
-      .unionByName(countRow("secrets_index", s"run=$minDigitRun", secB,
-        Privacy.secretIndexDelete(secB, revoked, minDigitRun)))
-      .unionByName(compRow)
-      .unionByName(memRow)
+    val rowByStore: Map[String, () => DataFrame] = Map(
+      "span_index" -> (() => {
+        val spanB = store("span_index")(Dedup.spanIndexCounted(docs, n = spanN))
+        countRow("span_index", s"n=$spanN", spanB,
+          Dedup.spanIndexDelete(spanB, revoked, n = spanN))
+      }),
+      "charspan_index" -> (() => {
+        val chB = store("charspan_index")(
+          Dedup.spanIndexCountedChars(docs, n = charN))
+        countRow("charspan_index", s"n=$charN", chB,
+          Dedup.spanIndexCharsDelete(chB, revoked, n = charN))
+      }),
+      "tfidf_postings" -> (() => {
+        val postB = store("tfidf_postings")(Dedup.tfidfPostingsFull(docs))
+        countRow("tfidf_postings", "gram_n=2", postB,
+          Dedup.postingsDelete(postB, revIds))
+      }),
+      "mh_index" -> (() => {
+        val mhB = store("mh_index")(Dedup.minhashIndex(docs, maxBandBucket = 0))
+        countRow("mh_index", "shingle=3,hashes=32,bands=8", mhB,
+          Dedup.minhashIndexDelete(mhB, revIds))
+      }),
+      "prefix_index" -> (() => {
+        val pfB = store("prefix_index")(
+          Dedup.incrementalIndex(docs, num = num, den = den))
+        countRow("prefix_index", s"t=$num/$den", pfB,
+          Dedup.prefixIndexDelete(pfB, revIds))
+      }),
+      "secrets_index" -> (() => {
+        val secB = store("secrets_index")(
+          Privacy.secretFrequencies(docs, minDigitRun))
+        countRow("secrets_index", s"run=$minDigitRun", secB,
+          Privacy.secretIndexDelete(secB, revoked, minDigitRun))
+      }),
+      "components" -> (() => {
+        val compStore = store("components")(Dedup.componentsIndex(docs))
+        val compB = Dedup.componentsFromIndex(compStore)
+        val compA = Dedup.componentsFromIndex(
+          Dedup.componentsIndexDelete(compStore, revIds))
+        compA
+          .join(compB.withColumnRenamed("rep", "rep_b"), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_after"),
+            sum(when(col("rep") =!= col("rep_b"), 1L).otherwise(0L))
+              .as("n_changed"))
+          .crossJoin(compB.agg(count(lit(1)).as("n_before")))
+          .select(lit("components").as("store"), col("n_before"),
+            col("n_after"), col("n_changed"),
+            lit("n=1,t=0.95").as("params"))
+      }),
+      "ivf_members" -> (() => {
+        val memA = Similarity.ivfMembersDelete(members, revVecIds)
+        val lostCells = members.join(revVecIds, Seq("vec_id"), "left_semi")
+          .select(col("cell")).distinct()
+        members.agg(count(lit(1)).as("n_before"))
+          .crossJoin(memA.agg(count(lit(1)).as("n_after")))
+          .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
+          .select(lit("ivf_members").as("store"), col("n_before"),
+            col("n_after"), col("n_changed"),
+            lit("cells=caller").as("params"))
+      }))
+    stores.map(rowByStore(_)()).reduce(_ unionByName _)
       .orderBy(col("store"))
   }
 }

@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   *    surviving length, while docs below the old top-k that a rebuild
   *    would promote into the tail are (documented) not re-admitted
   *    without a rebuild. Counts decrement from the revoked rows alone.
+  *    With an OVERFLOW BUFFER ([[curriculumOverflow]] — the rows
+  *    ranked (k, k+pad] per source, persisted beside the index) the
+  *    delete is EXACTLY the rebuild as long as no saturated source
+  *    loses more than `pad` stored rows, and RAISES (assert in the
+  *    returned plan) when the buffer is exhausted instead of silently
+  *    serving short — closing the below-k divergence for bounded
+  *    revocation rates at the cost of `pad` extra rows per source.
   *  - The roundtrip `delete(merge(idx, drop), drop)` restores idx's
   *    counts exactly and its rows as a per-source PREFIX (spec-
   *    pinned): surviving old rows keep their original relative order
@@ -93,12 +100,42 @@ object Curriculum {
         col("rank").cast("long").as("rank"), col("n_src"))
   }
 
+  /** The OVERFLOW BUFFER: the rows ranked `(k, k+pad]` per source under
+    * the same total order — the delete's refill stock. Persisted
+    * beside the index (it is NOT part of the serving store: quotas,
+    * merges, and the s16/x26 counts see exactly the top-k rows they
+    * always did). `(source, doc_id, h)` — rank and count re-derive on
+    * use. Same bounded-heap build shape as the index.
+    */
+  def curriculumOverflow(docs: DataFrame, k: Int = 1000,
+      pad: Int = 32): DataFrame = {
+    require(k >= 1 && pad >= 1, s"k and pad must be >= 1, got k=$k pad=$pad")
+    val hashed = docs.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerKey(hashed, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), k + pad)
+      .filter(col("rank") > k)
+      .select(col("source"), col("doc_id"), col("h"))
+  }
+
   /** TAKEDOWN: revoked rows leave by one anti join, survivors re-rank
     * in place (one index-sized window — the order itself never
     * changes), counts decrement from the revoked rows alone (`revoked`
     * carries (doc_id, source) — `Privacy.retentionExpiry`'s shape).
     * Rank-for-rank the PREFIX of a rebuild on the survivors; sources
     * whose count reaches zero drop entirely.
+    *
+    * With `overflow` supplied (built by [[curriculumOverflow]] for the
+    * SAME snapshot and the same `k` — the caller's snapshot contract),
+    * survivors of index ∪ overflow re-rank together and trim to `k`:
+    * since both prefixes share one per-source total order, the result
+    * is EXACTLY `curriculumIndex(survivors, k)` whenever each source
+    * still has ≥ min(k, n_src_after) stored survivors — i.e. until a
+    * saturated source loses more than `pad` stored rows. Beyond that
+    * the returned plan RAISES (an assert over the per-source served
+    * counts rides in the plan, evaluated with the result) instead of
+    * silently serving a short ranking: buffer exhaustion is a
+    * rebuild-now signal, not a degraded answer.
     *
     * CONTRACT (the n_src decrement trusts the request): `revoked` must
     * be a subset of the indexed corpus, applied EXACTLY ONCE — the
@@ -113,8 +150,8 @@ object Curriculum {
     * quotas, and can drop a live source via the n_src > 0 filter.
     * Unlike componentsIndexDelete this delete is NOT idempotent.
     */
-  def curriculumIndexDelete(index: DataFrame,
-      revoked: DataFrame): DataFrame = {
+  def curriculumIndexDelete(index: DataFrame, revoked: DataFrame,
+      overflow: Option[DataFrame] = None, k: Int = 1000): DataFrame = {
     // within-request replay guard: the same revocation stated twice in
     // one request is one revocation (cross-request replay remains the
     // caller's exactly-once obligation — see the contract above)
@@ -123,12 +160,52 @@ object Curriculum {
     val revCnt = rev.groupBy(col("source")).agg(count(lit(1)).as("rn"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
-    index.join(revIds, Seq("doc_id"), "left_anti")
-      .join(revCnt, Seq("source"), "left")
-      .select(col("source"), col("doc_id"), col("h"),
-        row_number().over(w).cast("long").as("rank"),
-        (col("n_src") - coalesce(col("rn"), lit(0L))).as("n_src"))
-      .filter(col("n_src") > 0)
+    overflow match {
+      case None =>
+        index.join(revIds, Seq("doc_id"), "left_anti")
+          .join(revCnt, Seq("source"), "left")
+          .select(col("source"), col("doc_id"), col("h"),
+            row_number().over(w).cast("long").as("rank"),
+            (col("n_src") - coalesce(col("rn"), lit(0L))).as("n_src"))
+          .filter(col("n_src") > 0)
+      case Some(over) =>
+        require(k >= 1, s"k must be >= 1, got $k")
+        // post-delete per-source counts, from the index's count rows +
+        // the request alone (the overflow carries no counts)
+        val cntAfter = index.select(col("source"), col("n_src")).distinct()
+          .join(revCnt, Seq("source"), "left")
+          .select(col("source"),
+            (col("n_src") - coalesce(col("rn"), lit(0L))).as("n_src"))
+          .filter(col("n_src") > 0)
+        val kept = index.select(col("source"), col("doc_id"), col("h"))
+          .unionByName(over.select(col("source"), col("doc_id"), col("h")))
+          .join(revIds, Seq("doc_id"), "left_anti")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .join(cntAfter, Seq("source"))
+          .select(col("source"), col("doc_id"), col("h"), col("rank"),
+            col("n_src"))
+        // exhaustion gate: a source serving FEWER than min(k,
+        // n_src_after) rows means more than `pad` of its stored rows
+        // were revoked — the rebuild would promote rows the store never
+        // kept. Raise with the result (the assert rides the plan as a
+        // one-row cross join: count(*) is never NULL, so the filter
+        // keeps every row iff the assert passes) instead of silently
+        // serving a short ranking.
+        val served = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_served"))
+        val violations = cntAfter.join(served, Seq("source"), "left")
+          .filter(coalesce(col("n_served"), lit(0L)) <
+            least(lit(k.toLong), col("n_src")))
+          .agg(count(lit(1)).as("n_viol"))
+        kept.crossJoin(violations)
+          .filter(assert_true(col("n_viol") === 0,
+            lit("curriculumIndexDelete: overflow buffer exhausted — a " +
+              "source lost more than `pad` stored rows; rebuild the " +
+              "index (and its overflow) from the surviving corpus"))
+            .isNull)
+          .drop("n_viol")
+    }
   }
 
   /** The s15 serving face, INDEX-ONLY: quotas (Hamilton apportionment

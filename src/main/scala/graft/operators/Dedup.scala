@@ -157,7 +157,18 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
   private def localCheckpointTracked(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
+    // LAZY (r18): the plan is truncated at CREATION either way (the
+    // LogicalRDD exists immediately — downstream references embed an
+    // RDD scan, never the subtree, so the 2 GB-plan hazard stays
+    // closed), but eager mode ran one standalone job per truncated
+    // frame — the lifecycle ops truncate 6-8 delta frames per call and
+    // paid ~0.3 s of job latency EACH on delta-sized data. Lazy mode
+    // fuses materialization into the first consumer job (Spark's
+    // LocalRDDCheckpointData then completes any missing partitions
+    // immediately after it), and the release discipline is unchanged:
+    // every releasePublic call site releases a frame only after an
+    // action has materialized its successor.
+    val out = df.localCheckpoint(false)
     out.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         scopeLocal.get() match {
@@ -214,6 +225,31 @@ object Dedup {
     var df = cachedFrames.poll()
     while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
   }
+
+  /** A frame is CHEAP TO RE-SCAN when it is only column pruning /
+    * filtering / aliasing over one MATERIALIZED leaf — a parquet store
+    * scan, a catalog table, an in-memory relation, a checkpoint RDD:
+    * re-executing it per consumer costs a map-side scan of bytes that
+    * already exist, while persisting it copies the whole relation
+    * (the components store's `toks` evidence included — index-sized)
+    * into executor cache on every lifecycle pass. The lifecycle ops
+    * use this to persist multi-consumer frames ONLY when they are
+    * genuinely computed (the inline-build TVF path), never when the
+    * caller hands them a persisted store (the x22/x25/x26 posture).
+    */
+  private def cheapRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    df.queryExecution.analyzed.find {
+      case _: Project | _: Filter | _: SubqueryAlias => false
+      case p => p.children.nonEmpty // any other non-leaf operator is real work
+    }.isEmpty
+  }
+
+  /** [[persistTracked]] unless the frame is a [[cheapRescan]] over a
+    * materialized store.
+    */
+  private def persistIfComputed(df: DataFrame): DataFrame =
+    if (cheapRescan(df)) df else persistTracked(df)
 
   /** Exact dedup: group identical text.
     * Reference analogue: SELECT-DISTINCT-as-groupby (sqlrs plans DISTINCT as
@@ -835,7 +871,7 @@ object Dedup {
       maxIters: Int = 8): DataFrame = {
     requireComponentsStore(store, "componentsIndexDelete")
     val rev = revoked.select(col("doc_id")).distinct()
-    val members = store.filter(col("dst").isNull).transform(persistTracked)
+    val members = store.filter(col("dst").isNull).transform(persistIfComputed)
     val edges = store.filter(col("dst").isNotNull)
       .select(col("doc_id").as("u"), col("dst").as("v"))
     // affected components (delta-sized): those holding a revoked member
@@ -947,10 +983,35 @@ object Dedup {
     * components' edges; the store's one full-relation pass (the
     * postings explode) is index-sized and map-side.
     */
+  /** The `(bid, blang, bsz, p)` posting rows of a components store's
+    * rep evidence — exactly what [[componentsIndexMerge]]'s new×old
+    * probe explodes per call. Deterministic per store snapshot, so the
+    * fit channel can MATERIALIZE it (bucketed by `p`) and hand it back
+    * via `basePostings`: the merge then plans zero index-sized work —
+    * cost ∝ drop + matched postings, the full pin discipline.
+    */
+  def componentsPostings(store: DataFrame): DataFrame = {
+    requireComponentsStore(store, "componentsPostings")
+    store.filter(col("dst").isNull)
+      .filter(col("doc_id") === col("rep0") && col("tsz") > 0)
+      .select(col("doc_id").as("bid"), col("lang").as("blang"),
+        size(col("toks")).as("bsz"), explode(col("toks")).as("p"))
+  }
+
+  /** Per-token document frequency over [[componentsPostings]] — the
+    * rarest-first prefix-ordering table. Pure selectivity heuristic
+    * (the one-sided prefix bound holds under ANY total order), so a
+    * caller-staged copy only changes candidate counts, never pairs.
+    */
+  def componentsDf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("p")).agg(count(lit(1)).as("df"))
+
   def componentsIndexMerge(store: DataFrame, drop: DataFrame, n: Int = 1,
-      threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+      threshold: Double = 0.95, maxIters: Int = 8,
+      basePostings: Option[DataFrame] = None,
+      baseDf: Option[DataFrame] = None): DataFrame = {
     requireComponentsStore(store, "componentsIndexMerge")
-    val members = store.filter(col("dst").isNull).transform(persistTracked)
+    val members = store.filter(col("dst").isNull).transform(persistIfComputed)
     val edges = store.filter(col("dst").isNotNull)
       .select(col("doc_id").as("u"), col("dst").as("v"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1001,10 +1062,14 @@ object Dedup {
       .filter(col("doc_id") === col("rep0") && col("tsz") > 0)
       .select(col("doc_id").as("bid"), col("lang").as("blang"),
         col("toks").as("btoks"), size(col("toks")).as("bsz"))
-      .transform(persistTracked)
-    val basePost = baseReps.select(col("bid"), col("blang"), col("bsz"),
-      explode(col("btoks")).as("p"))
-    val dfTab = basePost.groupBy(col("p")).agg(count(lit(1)).as("df"))
+      .transform(persistIfComputed)
+    // the new×old probe side: caller-staged (the pin store posture —
+    // zero index-sized work in the merge) or exploded from the store's
+    // own evidence inline (the TVF path)
+    val basePost = basePostings.getOrElse(
+      baseReps.select(col("bid"), col("blang"), col("bsz"),
+        explode(col("btoks")).as("p")))
+    val dfTab = baseDf.getOrElse(componentsDf(basePost))
     val wN = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("p"))
     val newPrefix = newToks

@@ -673,4 +673,55 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 102L),
       s"the revoked base doc must gain no new edges: $got")
   }
+
+  test("curriculum delete with overflow buffer: delete equals the rebuild EXACTLY; exhaustion raises") {
+    import graft.operators.Curriculum
+    val k = 5
+    val pad = 3
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "source")
+    // source a saturates k AND the buffer (12 > k + pad = 8); b fits
+    val base = (1L to 12L).map(i => (i, "a")) ++
+      (101L to 103L).map(i => (i, "b"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val idx = Curriculum.curriculumIndex(docs(base), k)
+    val over = Curriculum.curriculumOverflow(docs(base), k, pad)
+    assert(over.filter(col("source") === "a").count() == pad.toLong &&
+      over.filter(col("source") === "b").count() == 0L,
+      "overflow holds exactly the (k, k+pad] rows of saturated sources")
+    val aTop = idx.filter(col("source") === "a").orderBy(col("rank"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // revoke exactly `pad` of a's RANKED rows: the buffer refills the
+    // trimmed tail, so delete == rebuild in FULL (no prefix qualifier —
+    // the r17 below-k divergence this buffer closes)
+    val rev1 = docs(aTop.take(pad).map((_, "a")))
+    val del1 = Curriculum.curriculumIndexDelete(idx, rev1, Some(over), k)
+    val rebuilt1 = Curriculum.curriculumIndex(
+      docs(base.filterNot(r => aTop.take(pad).contains(r._1))), k)
+    assert(rows(del1) == rows(rebuilt1),
+      "delete with overflow must equal the rebuild exactly")
+    // revoking only UNSTORED mass never exhausts: counts decrement,
+    // rankings untouched, still rebuild-exact
+    val unstored = base.map(_._1).filterNot(aTop.contains)
+      .filterNot(d => over.collect().map(_.getLong(1)).contains(d))
+      .filter(_ <= 12L).take(2)
+    val rev2 = docs(unstored.map((_, "a")))
+    val del2 = Curriculum.curriculumIndexDelete(idx, rev2, Some(over), k)
+    val rebuilt2 = Curriculum.curriculumIndex(
+      docs(base.filterNot(r => unstored.contains(r._1))), k)
+    assert(rows(del2) == rows(rebuilt2))
+    // NEGATIVE: pad+1 stored revocations exhaust the buffer — the plan
+    // must RAISE (a rebuild-now signal), never silently serve short
+    val rev3 = docs(aTop.take(pad + 1).map((_, "a")))
+    val ex = intercept[Throwable] {
+      Curriculum.curriculumIndexDelete(idx, rev3, Some(over), k).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else (Option(t.getMessage).getOrElse("") + "\n" +
+        chain(t.getCause))
+    assert(chain(ex).contains("overflow buffer exhausted"),
+      s"expected the exhaustion assert, got: ${chain(ex)}")
+    graft.operators.Dedup.unpersistAll()
+  }
 }

@@ -452,7 +452,15 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("d13_containment: prefix-filtered equi candidate join, no cartesian") {
-    val p = plan("d13_containment")
+    // r18: the served key reads the materialized pair store, so the
+    // BUILD shape is asserted on the builder directly (the d2/x19
+    // store-consumer discipline)
+    val build = graft.operators.Dedup.containmentPairs(
+      Tables.load(spark, dir, "documents"),
+      n = 1, threshold = 0.98,
+      blockCols = Seq(org.apache.spark.sql.functions.col("lang")))
+    val p = build.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"containment candidates must come from an equi join:\n$p")
@@ -466,6 +474,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // tokens) shuffle bound at 100 TB
     assert(p.contains("LeftSemi"),
       s"postings must be semi-join-pruned against prefix tokens:\n$p")
+    graft.operators.Dedup.unpersistAll()
+    // the served key itself: a store scan + sort, never a rebuild
+    val served = plan("d13_containment")
+    assert(!served.contains("CartesianProduct"), served)
+    assert(!served.contains("Window"),
+      s"d13 must serve the persisted pair store, not rebuild the " +
+        s"prefix filter:\n$served")
   }
 
   test("x5_probe_auc: range-partitioned prefix-sum, never a global window") {
