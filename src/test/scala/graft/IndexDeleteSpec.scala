@@ -438,6 +438,14 @@ class IndexDeleteSpec extends AnyFunSuite {
     val merged = Dedup.componentsIndexMerge(store, drop)
     val rebuilt = Dedup.componentsIndex(base.unionByName(drop))
     assert(compStoreRows(merged) == compStoreRows(rebuilt))
+    // caller-staged probe side (the x26 pin posture): pre-derived
+    // postings + df tables must leave the merge bit-identical — df is
+    // a selectivity heuristic, the pair SET may not depend on it
+    val post = Dedup.componentsPostings(store)
+    val mergedStaged = Dedup.componentsIndexMerge(store, drop,
+      basePostings = Some(post), baseDf = Some(Dedup.componentsDf(post)))
+    assert(compStoreRows(mergedStaged) == compStoreRows(rebuilt),
+      "staged-postings merge must equal the inline merge and the rebuild")
     // the takeover and the bridge are live in the served map
     val m = Dedup.componentsFromIndex(merged).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -722,6 +730,29 @@ class IndexDeleteSpec extends AnyFunSuite {
         chain(t.getCause))
     assert(chain(ex).contains("overflow buffer exhausted"),
       s"expected the exhaustion assert, got: ${chain(ex)}")
+    graft.operators.Dedup.unpersistAll()
+  }
+
+  test("x22/x24 are exact thin views of the unified x25 audit") {
+    // one convention, one set of stores: the historical keys must be
+    // row-for-row the store-subset projection of the full artifact
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String, dropParams: Boolean) = {
+      val df0 = SparkEntry.queries(name)(spark, dir)
+      val df = if (dropParams) df0.drop("params") else df0
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).map(k => k._1 -> k).toMap
+    }
+    val full = rows("x25_takedown_audit_full", dropParams = true)
+    val x22 = rows("x22_takedown_audit", dropParams = false)
+    val x24 = rows("x24_takedown_audit_ext", dropParams = false)
+    assert(x22.keySet == Set("span_index", "tfidf_postings", "mh_index",
+      "components"))
+    assert(x24.keySet == Set("charspan_index", "secrets_index",
+      "ivf_members"))
+    (x22 ++ x24).foreach { case (s, row) =>
+      assert(full(s) == row, s"store $s diverges from the x25 artifact")
+    }
     graft.operators.Dedup.unpersistAll()
   }
 }

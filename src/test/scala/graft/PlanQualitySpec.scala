@@ -1870,6 +1870,24 @@ class PlanQualitySpec extends AnyFunSuite {
         keys.mkString("\n"))
   }
 
+  test("x26_compaction_audit: merges advance persisted stores — text never keys a shuffle") {
+    val p = plan("x26_compaction_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty && keys.forall(!_.contains("text#")),
+      s"every merge shuffles hashes/tokens/ids — never bodies:\n" +
+        keys.mkString("\n"))
+  }
+
+  test("x27_governance_loop: expiry-fed deletes — text never keys a shuffle") {
+    val p = plan("x27_governance_loop")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = shuffleKeyLines(p)
+    assert(keys.nonEmpty && keys.forall(!_.contains("text#")),
+      s"retention → takedown → audit must shuffle hashes/ids only:\n" +
+        keys.mkString("\n"))
+  }
+
   test("u13_unigram_em: one corpus aggregate; the M-step window sees O(vocab) rows") {
     val p = plan("u13_unigram_em")
     assert(!p.contains("CartesianProduct"), p)
