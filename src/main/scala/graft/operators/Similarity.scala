@@ -901,15 +901,25 @@ object Similarity {
     */
   def pqSubspaceErrors(corpus: DataFrame, model: PqModel,
       cells: DataFrame): DataFrame = {
+    // the argmin projections live in their OWN Project, a3's shape: an
+    // expensive expression inside a Generate's element list lands in
+    // the explode's doConsume, which whole-stage codegen cannot
+    // method-split — 8 fused argmins there blew the JVM's 64 KB method
+    // limit and the stage silently fell back to interpreted eval. A
+    // Project splits per-expression; the Generate then carries only
+    // column refs and cheap slices.
+    val codeCols = (0 until model.m).map { sub =>
+      nearestCellL2Expr(
+        slice(col("v"), sub * model.dsub + 1, model.dsub),
+        model.books(sub)).as(s"code$sub")
+    }
     val perSub = (0 until model.m).map { sub =>
-      struct(lit(sub).as("sub"),
-        nearestCellL2Expr(
-          slice(col("v"), sub * model.dsub + 1, model.dsub),
-          model.books(sub)).as("code"),
+      struct(lit(sub).as("sub"), col(s"code$sub").as("code"),
         slice(col("v"), sub * model.dsub + 1, model.dsub).as("b"))
     }
     corpus
       .select(col("embedding").cast("array<double>").as("v"))
+      .select(col("v") +: codeCols: _*)
       .select(explode(array(perSub: _*)).as("e"))
       .select(col("e.sub").as("sub"), col("e.code").as("code"),
         col("e.b").as("b"))
