@@ -284,7 +284,7 @@ class GraftEngine(val spark: SparkSession) {
     """(?i)read_json\s*\(\s*'([^']+)'\s*\)""".r
   private val BareJsonFromRe = """(?i)(from\s+)'([^']+\.jsonl?)'""".r
   private val GraftTvfRe =
-    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components_index|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic|takedown_audit)\s*\(([^()]*)\)""".r
+    """(?i)\bgraft_(topk|dedup_pairs|decontaminate|pagerank|hits|bpe_merges|radius|louvain_levels|louvain|incremental_dedup|incremental_minhash|knn_label|semantic_decon|asof|unigram_lm|unigram_encode|ivf_append|components_index|components|license_propagation|split_leakage|span_excise|index_delete|index_merge|components_delete|byte_bpe_merges|byte_encode|secret_scrub_incremental|secret_scrub|secret_frequencies|retention_expiry|unigram_em|hyperball|harmonic|takedown_audit|curriculum_delete_buffered)\s*\(([^()]*)\)""".r
   private val OffsetLimitRe = """(?is)\boffset\s+(\d+)\s+limit\s+(\d+)""".r
   private val SqlrsTablesCallRe = """(?i)sqlrs_tables\s*\(\s*\)""".r
   private val SqlrsColumnsCallRe = """(?i)sqlrs_columns\s*\(\s*\)""".r
@@ -801,7 +801,8 @@ class GraftEngine(val spark: SparkSession) {
     "unigram_em" -> Set("char_cost"),
     "hyperball" -> Set("dist", "m"),
     "harmonic" -> Set("dist"),
-    "takedown_audit" -> Set("n", "run"))
+    "takedown_audit" -> Set("n", "run"),
+    "curriculum_delete_buffered" -> Set("k"))
 
   /** Per-KIND option subsets for the kind-dispatched lifecycle TVFs
     * (graft_index_delete / graft_index_merge): the TVF-level option set
@@ -881,7 +882,8 @@ class GraftEngine(val spark: SparkSession) {
     "unigram_em" -> Seq("docs", "pieces"),
     "hyperball" -> Seq("pairs"),
     "harmonic" -> Seq("pairs"),
-    "takedown_audit" -> Seq("docs", "revoked", "members", "revoked_vecs"))
+    "takedown_audit" -> Seq("docs", "revoked", "members", "revoked_vecs"),
+    "curriculum_delete_buffered" -> Seq("index", "revoked", "overflow"))
 
   /** Split a TVF argument list on top-level commas only — a comma inside
     * a quoted path (`'a,b.parquet'`) is part of the argument.
@@ -1386,6 +1388,15 @@ class GraftEngine(val spark: SparkSession) {
               s"curriculum — got '$other' (IVF appends go through graft_ivf_append — the " +
               "member merge needs the centroid relation)")
         }
+      case "curriculum_delete_buffered" =>
+        // the exact-delete curriculum path (r18): index ∪ overflow
+        // survivors re-rank and trim to k — EXACTLY the rebuild until a
+        // saturated source loses more than the buffer's pad, raising
+        // in-plan beyond (a rebuild-now signal). `overflow` is the
+        // persisted (k, k+pad] buffer (graft-side: curriculumOverflow);
+        // k MUST match the index's build k (the snapshot contract).
+        graft.operators.Curriculum.curriculumIndexDelete(rel(0), rel(1),
+          overflow = Some(rel(2)), k = intOpt("k", 1000))
       case "takedown_audit" =>
         // the unified 8-store audit (x25): docs (doc_id, lang, text),
         // revoked (full doc rows — graft_retention_expiry's output

@@ -1017,46 +1017,66 @@ object Pipeline {
     * disk — every build sits behind a memoized load-or-fit holder.
     * Returns the artifact names, for logging.
     */
+  /** The fits run on a BOUNDED THREAD POOL (r18): each build is an
+    * independent Spark job chain (or serializes on its dependency's
+    * memoized holder — pq_codes on pq_model, pin_comp_postings on the
+    * pin stores; lazy-val holders are thread-safe and acyclic), and
+    * every fit leaves most of local[32] idle during its driver-side
+    * phases — the sequential pass paid the sum of those bubbles. The
+    * per-artifact numbers are each fit's WALL inside the pooled pass,
+    * so their sum exceeds `fit_sec` under overlap; relative magnitude
+    * still attributes cost.
+    */
   def prebuildModels(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(build: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       build
       name -> math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
     }
-    val fits = Seq(
-      timed("pca_fit") { fittedPca(s, dir) },
-      timed("ivf_centroids_16") { fittedIvfPath(s, dir, nlist = 16) },
-      timed("pq_model") { fittedPq(s, dir) },
-      timed("pq_resid_model") { fittedResidualPq(s, dir) },
-      timed("opq_model") { fittedOpq(s, dir) },
-      timed("opq_ivf_centroids") { fittedOpqIvfPath(s, dir) },
-      timed("opq_resid_model") { fittedOpqResidualPq(s, dir) },
-      timed("cells_d9") { fittedD9CellsPath(s, dir) },
-      timed("cells_a9") { fittedA9CellsPath(s, dir) },
-      timed("cells_v13") { fittedV13CellsPath(s, dir) },
-      timed("pq_v14_model") { fittedV14PqPath(s, dir) },
-      timed("mh_index") { minhashIndexShared(s, dir) },
-      timed("tfidf_pairs") { tfidfPairsShared(s, dir) },
-      timed("components_index") { componentsIndexShared(s, dir) },
-      timed("x25_pin_stores") { x25StoresShared(s, dir) },
-      timed("pin_revoked_docs") { pinRevokedShared(s, dir) },
-      timed("pin_drop_docs") { pinDropShared(s, dir) },
-      timed("ivf_members_16") { ivfMembersShared(s, dir) },
-      timed("curriculum_drop_docs") { curriculumDropShared(s, dir) },
-      timed("pin_comp_postings") { pinCompPostingsShared(s, dir) },
-      timed("pin_comp_df") { pinCompDfShared(s, dir) },
-      timed("pq_codes") { pqCodesShared(s, dir) },
-      timed("pairs_cont_ng1_t98_lang") { containmentPairs98Shared(s, dir) },
-      timed("docs_bkt") { bucketedDocsShared(s, dir) },
-      timed("span_index") { spanIndexShared(s, dir) },
-      timed("span_index_older") { spanIndexOlderShared(s, dir) },
-      timed("span_bloom") { spanBloomShared(s, dir) },
-      timed("tfidf_postings") { tfidfPostingsShared(s, dir) },
-      timed("tfidf_postings_older") { tfidfPostingsOlderShared(s, dir) },
-      timed("pairs_ng1_t95_lang") { ngramPairs95Shared(s, dir) },
-      timed("pairs_ng3_t80") { ngramPairs80Shared(s, dir) },
-      timed("pairs_mh_t80") { mhPairs80Shared(s, dir) },
-      timed("curriculum_index_older") { curriculumOlderShared(s, dir) })
+    val builds: Seq[(String, () => Unit)] = Seq(
+      "pca_fit" -> (() => { fittedPca(s, dir); () }),
+      "ivf_centroids_16" -> (() => { fittedIvfPath(s, dir, nlist = 16); () }),
+      "pq_model" -> (() => { fittedPq(s, dir); () }),
+      "pq_resid_model" -> (() => { fittedResidualPq(s, dir); () }),
+      "opq_model" -> (() => { fittedOpq(s, dir); () }),
+      "opq_ivf_centroids" -> (() => { fittedOpqIvfPath(s, dir); () }),
+      "opq_resid_model" -> (() => { fittedOpqResidualPq(s, dir); () }),
+      "cells_d9" -> (() => { fittedD9CellsPath(s, dir); () }),
+      "cells_a9" -> (() => { fittedA9CellsPath(s, dir); () }),
+      "cells_v13" -> (() => { fittedV13CellsPath(s, dir); () }),
+      "pq_v14_model" -> (() => { fittedV14PqPath(s, dir); () }),
+      "mh_index" -> (() => { minhashIndexShared(s, dir); () }),
+      "tfidf_pairs" -> (() => { tfidfPairsShared(s, dir); () }),
+      "components_index" -> (() => { componentsIndexShared(s, dir); () }),
+      "x25_pin_stores" -> (() => { x25StoresShared(s, dir); () }),
+      "pin_revoked_docs" -> (() => { pinRevokedShared(s, dir); () }),
+      "pin_drop_docs" -> (() => { pinDropShared(s, dir); () }),
+      "ivf_members_16" -> (() => { ivfMembersShared(s, dir); () }),
+      "curriculum_drop_docs" -> (() => { curriculumDropShared(s, dir); () }),
+      "pin_comp_postings" -> (() => { pinCompPostingsShared(s, dir); () }),
+      "pin_comp_df" -> (() => { pinCompDfShared(s, dir); () }),
+      "pq_codes" -> (() => { pqCodesShared(s, dir); () }),
+      "pairs_cont_ng1_t98_lang" -> (() => { containmentPairs98Shared(s, dir); () }),
+      "docs_bkt" -> (() => { bucketedDocsShared(s, dir); () }),
+      "span_index" -> (() => { spanIndexShared(s, dir); () }),
+      "span_index_older" -> (() => { spanIndexOlderShared(s, dir); () }),
+      "span_bloom" -> (() => { spanBloomShared(s, dir); () }),
+      "tfidf_postings" -> (() => { tfidfPostingsShared(s, dir); () }),
+      "tfidf_postings_older" -> (() => { tfidfPostingsOlderShared(s, dir); () }),
+      "pairs_ng1_t95_lang" -> (() => { ngramPairs95Shared(s, dir); () }),
+      "pairs_ng3_t80" -> (() => { ngramPairs80Shared(s, dir); () }),
+      "pairs_mh_t80" -> (() => { mhPairs80Shared(s, dir); () }),
+      "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val fits =
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = builds.map { case (n, b) =>
+          scala.concurrent.Future(timed(n)(b()))(ec)
+        }
+        futs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
     fits
   }

@@ -1052,6 +1052,47 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("graft_curriculum_delete_buffered: exact delete via SQL; exhaustion raises") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Curriculum
+    import spark.implicits._
+    val k = 3
+    val docs = (1L to 8L).map(i => (i, "a")).toDF("doc_id", "source")
+    Curriculum.curriculumIndex(docs, k)
+      .createOrReplaceTempView("cb_idx_t")
+    Curriculum.curriculumOverflow(docs, k, pad = 2)
+      .createOrReplaceTempView("cb_over_t")
+    val idxTop = engine.run("select doc_id from cb_idx_t order by rank")
+      .collect().map(_.getLong(0)).toSeq
+    // revoke 2 ranked docs (= pad): SQL path ≡ Scala ≡ the full rebuild
+    Seq((idxTop.head, "a"), (idxTop(1), "a")).toDF("doc_id", "source")
+      .createOrReplaceTempView("cb_rev_t")
+    val got = engine.run("select source, doc_id, h, rank, n_src from " +
+      s"graft_curriculum_delete_buffered(cb_idx_t, cb_rev_t, cb_over_t, " +
+      s"k => $k) order by rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val rebuilt = Curriculum.curriculumIndex(
+        docs.filter(!col("doc_id").isin(idxTop.head, idxTop(1))), k)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == rebuilt, s"SQL buffered delete must equal the rebuild: " +
+      s"$got vs $rebuilt")
+    // pad+1 stored revocations exhaust the buffer — the plan raises
+    Seq((idxTop.head, "a"), (idxTop(1), "a"), (idxTop(2), "a"))
+      .toDF("doc_id", "source").createOrReplaceTempView("cb_rev3_t")
+    val ex = intercept[Throwable] {
+      engine.run("select * from graft_curriculum_delete_buffered(" +
+        s"cb_idx_t, cb_rev3_t, cb_over_t, k => $k)").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else (Option(t.getMessage).getOrElse("") + "\n" +
+        chain(t.getCause))
+    assert(chain(ex).contains("overflow buffer exhausted"), chain(ex))
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("graft_index_delete/merge: kind-mismatched options error, never silently default") {
     engine.run("create table ko_docs_t(doc_id bigint, text varchar)")
     engine.run("insert into ko_docs_t values (1, 'one two three')")
