@@ -94,13 +94,17 @@ object Bench {
     */
   val SteadyCount = 10
 
-  /** Env var with a same-name system-property fallback: lets an
+  /** Env var with a same-name system-property override: lets an
     * in-process orchestrator (`tools.Rehearse`) parameterize a Bench
     * pass it invokes as a plain method call — a JVM cannot set its own
-    * environment. Env wins (the driver's channel is env-only).
+    * environment. The PROP wins: the driver's channel is env-only and
+    * never sets props, while Rehearse must not be silently redirected
+    * by a stale shell export (`SPARK_GRAFT_SF_DIR=...` left over from a
+    * bench/verify loop would otherwise make the "SF-1" artifacts
+    * measure the 1× corpus).
     */
   private def envOrProp(key: String): Option[String] =
-    sys.env.get(key).orElse(sys.props.get(key))
+    sys.props.get(key).orElse(sys.env.get(key))
 
   def main(args: Array[String]): Unit = {
     val sfDir = envOrProp("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")

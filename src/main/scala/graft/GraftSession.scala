@@ -130,9 +130,17 @@ object Tables {
     * the failure mode: t24/d10 at wall ≈ cpu (parallelism ≈ 1) against
     * a one-file table layout, 4-5 s in every multi-split environment.
     */
+  /** The fan-out rule, shared by [[fanned]] and [[loadFanned]] so the
+    * threshold can never silently diverge between the memoized and
+    * direct paths.
+    */
+  private def needsFanOut(splits: Int, target: Int): Boolean =
+    splits * 2 <= target
+
   def fanned(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    if (needsFanOut(df.rdd.getNumPartitions, target)) df.repartition(target)
+    else df
   }
 
   /** Memoized fan-out decision per (sf dir, table, target): probing the
@@ -153,7 +161,8 @@ object Tables {
     val df = load(spark, sfDir, name)
     val target = spark.sessionState.conf.numShufflePartitions
     val need = fanMemo.computeIfAbsent(s"$sfDir#$name#$target",
-      _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions * 2 <= target))
+      _ => java.lang.Boolean.valueOf(
+        needsFanOut(df.rdd.getNumPartitions, target)))
     if (need) df.repartition(target) else df
   }
 

@@ -83,8 +83,14 @@ object Audit {
     * inline build (and its scratch persists) happens only for selected,
     * non-prebuilt stores.
     */
-  def takedownAudit(docs: DataFrame, revoked: DataFrame,
-      members: DataFrame, revokedVecs: DataFrame,
+  /** `docs`, `members`, and `revokedVecs` are BY-NAME: a subset view
+    * whose `stores` exclude every inline build / the ivf row must not
+    * force them — x27 selects the seven text stores and would otherwise
+    * trigger the corpus-wide member-table build just to pass an
+    * argument no selected path reads.
+    */
+  def takedownAudit(docs: => DataFrame, revoked: DataFrame,
+      members: => DataFrame, revokedVecs: => DataFrame,
       spanN: Int = 8, charN: Int = 40, minDigitRun: Int = 4,
       num: Int = 4, den: Int = 5,
       prebuilt: Map[String, DataFrame] = Map.empty,
@@ -94,7 +100,6 @@ object Audit {
       s"takedownAudit: stores must be a non-empty subset of " +
         s"${AllStores.mkString(", ")} — got ${unknown.mkString(", ")}")
     val revIds = revoked.select(col("doc_id"))
-    val revVecIds = revokedVecs.select(col("vec_id"))
     def store(name: String)(build: => DataFrame): DataFrame =
       prebuilt.getOrElse(name, build)
     val rowByStore: Map[String, () => DataFrame] = Map(
@@ -147,10 +152,12 @@ object Audit {
             lit("n=1,t=0.95").as("params"))
       }),
       "ivf_members" -> (() => {
-        val memA = Similarity.ivfMembersDelete(members, revVecIds)
-        val lostCells = members.join(revVecIds, Seq("vec_id"), "left_semi")
+        val mem = members // force the by-name arg once for this thunk
+        val revVecIds = revokedVecs.select(col("vec_id"))
+        val memA = Similarity.ivfMembersDelete(mem, revVecIds)
+        val lostCells = mem.join(revVecIds, Seq("vec_id"), "left_semi")
           .select(col("cell")).distinct()
-        members.agg(count(lit(1)).as("n_before"))
+        mem.agg(count(lit(1)).as("n_before"))
           .crossJoin(memA.agg(count(lit(1)).as("n_after")))
           .crossJoin(lostCells.agg(count(lit(1)).as("n_changed")))
           .select(lit("ivf_members").as("store"), col("n_before"),

@@ -188,23 +188,32 @@ object Curriculum {
         // exhaustion gate: a source serving FEWER than min(k,
         // n_src_after) rows means more than `pad` of its stored rows
         // were revoked — the rebuild would promote rows the store never
-        // kept. Raise with the result (the assert rides the plan as a
-        // one-row cross join: count(*) is never NULL, so the filter
-        // keeps every row iff the assert passes) instead of silently
-        // serving a short ranking.
+        // kept. The assert rides the plan as a ZERO-ROW UNION BRANCH
+        // over the one-row violation aggregate: the branch's subtree
+        // always executes with the result (a union evaluates every
+        // branch), so the gate fires even when EVERY source lost all
+        // of its stored rows and `kept` itself is empty — the case a
+        // result-side cross join would silently skip. assert_true
+        // returns NULL on pass, so the isNotNull filter emits nothing.
         val served = kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_served"))
         val violations = cntAfter.join(served, Seq("source"), "left")
           .filter(coalesce(col("n_served"), lit(0L)) <
             least(lit(k.toLong), col("n_src")))
           .agg(count(lit(1)).as("n_viol"))
-        kept.crossJoin(violations)
-          .filter(assert_true(col("n_viol") === 0,
+        val guard = violations
+          .select(assert_true(col("n_viol") === 0,
             lit("curriculumIndexDelete: overflow buffer exhausted — a " +
               "source lost more than `pad` stored rows; rebuild the " +
               "index (and its overflow) from the surviving corpus"))
-            .isNull)
-          .drop("n_viol")
+            .as("ok"))
+          .filter(col("ok").isNotNull)
+          .select(lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("doc_id"),
+            lit(null).cast("string").as("h"),
+            lit(null).cast("long").as("rank"),
+            lit(null).cast("long").as("n_src"))
+        kept.unionByName(guard)
     }
   }
 

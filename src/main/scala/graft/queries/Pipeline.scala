@@ -1068,17 +1068,22 @@ object Pipeline {
       "pairs_mh_t80" -> (() => { mhPairs80Shared(s, dir); () }),
       "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    val fits =
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val futs = builds.map { case (n, b) =>
-          scala.concurrent.Future(timed(n)(b()))(ec)
-        }
-        futs.map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
-    Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
-    fits
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = builds.map { case (n, b) =>
+        scala.concurrent.Future(timed(n)(b()))(ec)
+      }
+      futs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally {
+      // a failed fit must not leave siblings writing the models dir on
+      // non-daemon threads, nor scratch persists in executor cache:
+      // cancel, drain, then release — on success this is just the
+      // normal shutdown + scratch release
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      Dedup.unpersistAll() // builds may persist scratch frames; serving must not inherit them
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1270,9 +1275,11 @@ object Pipeline {
         .select(col("doc_id"))
       val base = x25PlantedBase(s, dir)
       val revoked = base.join(expired, Seq("doc_id"), "left_semi")
-      val members = ivfMembersShared(s, dir)
-      graft.operators.Audit.takedownAudit(base, revoked, members,
-        members.select(col("vec_id")), // unused: no ivf row below
+      // members/revokedVecs are BY-NAME and no ivf row is selected, so
+      // the member-table build is never forced here
+      graft.operators.Audit.takedownAudit(base, revoked,
+        ivfMembersShared(s, dir),
+        ivfMembersShared(s, dir).select(col("vec_id")),
         prebuilt = x25StoresShared(s, dir),
         stores = Seq("span_index", "charspan_index", "tfidf_postings",
           "mh_index", "prefix_index", "secrets_index", "components"))
@@ -1295,11 +1302,11 @@ object Pipeline {
       // docs whose representative changed (a takedown can split
       // components — d26). Only the four selected stores' paths are
       // planned.
-      val members = ivfMembersShared(s, dir)
       graft.operators.Audit.takedownAudit(
           x25PlantedBase(s, dir), pinRevokedShared(s, dir),
-          members,
-          members.filter(col("vec_id") % 10 === 1).select(col("vec_id")),
+          ivfMembersShared(s, dir),
+          ivfMembersShared(s, dir).filter(col("vec_id") % 10 === 1)
+            .select(col("vec_id")),
           prebuilt = x25StoresShared(s, dir),
           stores = Seq("span_index", "tfidf_postings", "mh_index",
             "components"))

@@ -30,7 +30,8 @@ object Rehearse {
     "d23_index_delete", "d23b_postings_delete",
     "d25_index_merge", "d25b_postings_merge",
     "d26_components_delete", "d27_char_excise_incremental",
-    "s16_curriculum_incremental", "x23_retention_sweep")
+    "s16_curriculum_incremental", "x23_retention_sweep",
+    "x27_governance_loop")
 
   /** The r17 heavy list — the queries whose sf0.1 cost made the
     * steady-channel tail. */

@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   *  - `region`/`nation` copy once — TPC-H scaling holds the small
   *    dimensions fixed; every other table's nation references stay
   *    valid.
-  *  - fact/dim keys shift by `i * 10_000_000` per replica `i`, the
+  *  - fact/dim keys shift by `i * 10_800_000` per replica `i`, the
   *    SAME constant on both sides of every foreign key (orderkey,
   *    custkey, partkey, suppkey, event/user ids, doc_id, vec_id), so
   *    join cardinalities scale exactly linearly. The offset is
-  *    divisible by 4 and 10, so the doc_id/vec_id mod-slice
-  *    conventions (%4 snapshots, %10 takedowns) keep their
-  *    proportions.
+  *    divisible by 4, 10, 25, AND 360, so every doc_id/vec_id
+  *    mod-slice convention in the suite — %25 snapshots/drops, %10
+  *    takedowns, %4 vector slices, and the %360 ingest-day phase
+  *    behind the retention/x27 expiry — replicates each slice
+  *    EXACTLY, not just proportionally (r18: the former 10_000_000 is
+  *    not divisible by 360, so each replica's ingest-day phase
+  *    rotated and the expiry slice drifted per replica).
   *  - document text maps every token through a replica-specific
   *    bijection (`tok` -> `r<i>_tok`, applied in EVERY replica so the
   *    mapping is collision-proof and all replicas share one length
@@ -48,7 +52,7 @@ object ScaleUp {
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
     val spark = graft.GraftSession.build(appName = "graft-scaleup")
-    val Off = 10000000L
+    val Off = 10800000L // lcm-friendly: % 4, 10, 25, 360 all zero
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {

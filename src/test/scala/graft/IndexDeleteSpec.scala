@@ -730,6 +730,23 @@ class IndexDeleteSpec extends AnyFunSuite {
         chain(t.getCause))
     assert(chain(ex).contains("overflow buffer exhausted"),
       s"expected the exhaustion assert, got: ${chain(ex)}")
+    // TOTAL exhaustion: the ONLY source loses every stored row, so the
+    // kept frame itself is empty — the gate must still raise (it rides
+    // a zero-row union branch whose subtree always executes), never
+    // return an empty ranking while n_src_after > 0
+    val solo = docs((1L to 12L).map(i => (i, "a")))
+    val soloIdx = Curriculum.curriculumIndex(solo, k)
+    val soloOver = Curriculum.curriculumOverflow(solo, k, pad)
+    val soloTop = soloIdx.orderBy(col("rank")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val overIds = soloOver.collect().map(_.getLong(1)).toSeq
+    val revAll = docs((soloTop ++ overIds).map((_, "a")))
+    val ex2 = intercept[Throwable] {
+      Curriculum.curriculumIndexDelete(soloIdx, revAll, Some(soloOver), k)
+        .collect()
+    }
+    assert(chain(ex2).contains("overflow buffer exhausted"),
+      s"total exhaustion must raise, not serve empty: ${chain(ex2)}")
     graft.operators.Dedup.unpersistAll()
   }
 
