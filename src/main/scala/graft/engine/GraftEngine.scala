@@ -1392,9 +1392,11 @@ class GraftEngine(val spark: SparkSession) {
         // the exact-delete curriculum path (r18): index ∪ overflow
         // survivors re-rank and trim to k — EXACTLY the rebuild until a
         // saturated source loses more than the buffer's pad, raising
-        // in-plan beyond (a rebuild-now signal). `overflow` is the
-        // persisted (k, k+pad] buffer (graft-side: curriculumOverflow);
-        // k MUST match the index's build k (the snapshot contract).
+        // EAGERLY beyond (r19: the violation count is its own action at
+        // rewrite time — an in-plan assert is prunable under pushed
+        // predicates). `overflow` is the persisted (k, k+pad] buffer
+        // (graft-side: curriculumOverflow); k MUST match the index's
+        // build k (the snapshot contract).
         graft.operators.Curriculum.curriculumIndexDelete(rel(0), rel(1),
           overflow = Some(rel(2)), k = intOpt("k", 1000))
       case "takedown_audit" =>

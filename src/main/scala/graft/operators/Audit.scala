@@ -99,6 +99,10 @@ object Audit {
     require(stores.nonEmpty && unknown.isEmpty,
       s"takedownAudit: stores must be a non-empty subset of " +
         s"${AllStores.mkString(", ")} — got ${unknown.mkString(", ")}")
+    // a duplicated name would plan the store's delete path twice and
+    // emit duplicate rows in the compliance artifact
+    require(stores.distinct.size == stores.size,
+      s"takedownAudit: stores must be distinct — got ${stores.mkString(", ")}")
     val revIds = revoked.select(col("doc_id"))
     def store(name: String)(build: => DataFrame): DataFrame =
       prebuilt.getOrElse(name, build)

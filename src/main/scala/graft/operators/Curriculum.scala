@@ -118,6 +118,32 @@ object Curriculum {
       .select(col("source"), col("doc_id"), col("h"))
   }
 
+  /** COMPACTION for the overflow buffer — the merge convention's tenth
+    * persisted artifact advances WITH the index (r18 verdict task: a
+    * merge that advances the index but not its buffer leaves the next
+    * buffered delete exact against the wrong snapshot). Same heap
+    * exactness argument as [[curriculumIndexMerge]] applied at depth
+    * `k + pad`: index ∪ overflow IS the stored top-(k+pad) prefix of
+    * the base snapshot, so top-(k+pad) of (index ∪ overflow ∪ drop) =
+    * top-(k+pad) of (base ∪ drop), and rows ranked `(k, k+pad]` of
+    * that are EXACTLY `curriculumOverflow(base ∪ drop, k, pad)`
+    * (spec-pinned with the post-merge buffered delete). Cost ∝ index +
+    * buffer + drop — the corpus is never re-ranked.
+    */
+  def curriculumOverflowMerge(index: DataFrame, overflow: DataFrame,
+      drop: DataFrame, k: Int = 1000, pad: Int = 32): DataFrame = {
+    require(k >= 1 && pad >= 1, s"k and pad must be >= 1, got k=$k pad=$pad")
+    val dropH = drop.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val cand = index.select(col("source"), col("doc_id"), col("h"))
+      .unionByName(overflow.select(col("source"), col("doc_id"), col("h")))
+      .unionByName(dropH)
+    graft.plans.TopKPerKey(cand, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), k + pad)
+      .filter(col("rank") > k)
+      .select(col("source"), col("doc_id"), col("h"))
+  }
+
   /** TAKEDOWN: revoked rows leave by one anti join, survivors re-rank
     * in place (one index-sized window — the order itself never
     * changes), counts decrement from the revoked rows alone (`revoked`
@@ -132,10 +158,18 @@ object Curriculum {
     * is EXACTLY `curriculumIndex(survivors, k)` whenever each source
     * still has ≥ min(k, n_src_after) stored survivors — i.e. until a
     * saturated source loses more than `pad` stored rows. Beyond that
-    * the returned plan RAISES (an assert over the per-source served
-    * counts rides in the plan, evaluated with the result) instead of
-    * silently serving a short ranking: buffer exhaustion is a
-    * rebuild-now signal, not a degraded answer.
+    * the call RAISES EAGERLY (the violation count is evaluated as its
+    * own action before the plan is returned) instead of silently
+    * serving a short ranking: buffer exhaustion is a rebuild-now
+    * signal, not a degraded answer. Eager, not in-plan, deliberately:
+    * an assert riding the returned plan can be optimized AWAY — a
+    * downstream predicate pushed through a zero-row guard branch
+    * constant-folds on its literal-null columns and prunes the
+    * assert's subtree, and a per-row raise never fires when the
+    * consumer's filter leaves zero rows — so the lazy forms guard only
+    * some consumption shapes. The price is one extra (window-free)
+    * pass over index ∪ overflow at call time, ∝ the index, same order
+    * as the delete itself.
     *
     * CONTRACT (the n_src decrement trusts the request): `revoked` must
     * be a subset of the indexed corpus, applied EXACTLY ONCE — the
@@ -177,43 +211,38 @@ object Curriculum {
           .select(col("source"),
             (col("n_src") - coalesce(col("rn"), lit(0L))).as("n_src"))
           .filter(col("n_src") > 0)
-        val kept = index.select(col("source"), col("doc_id"), col("h"))
+        val stored = index.select(col("source"), col("doc_id"), col("h"))
           .unionByName(over.select(col("source"), col("doc_id"), col("h")))
+        // EAGER exhaustion gate: a source with FEWER than min(k,
+        // n_src_after) stored survivors means more than `pad` of its
+        // stored rows were revoked — the rebuild would promote rows the
+        // store never kept. Evaluated NOW as its own action (see the
+        // Scaladoc: any in-plan form — zero-row union branch or per-row
+        // conditional raise — is prunable by a downstream predicate
+        // pushed into the returned plan, and would then silently serve
+        // short). Window-free: n_served = min(k, n_stored_survivors),
+        // so n_served < min(k, n_src_after) ⟺ n_stored_survivors <
+        // min(k, n_src_after) — a count per source suffices, no rank
+        // needed. A source whose stored rows ALL left appears only in
+        // cntAfter; the left join's null count coalesces to 0 and still
+        // violates, so total exhaustion raises too.
+        val storedSurv = stored.join(revIds, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_stored"))
+        val nViol = cntAfter.join(storedSurv, Seq("source"), "left")
+          .filter(coalesce(col("n_stored"), lit(0L)) <
+            least(lit(k.toLong), col("n_src")))
+          .count()
+        if (nViol > 0) throw new IllegalStateException(
+          s"curriculumIndexDelete: overflow buffer exhausted — $nViol " +
+            "source(s) lost more than `pad` stored rows; rebuild the " +
+            "index (and its overflow) from the surviving corpus")
+        stored
           .join(revIds, Seq("doc_id"), "left_anti")
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= k)
           .join(cntAfter, Seq("source"))
           .select(col("source"), col("doc_id"), col("h"), col("rank"),
             col("n_src"))
-        // exhaustion gate: a source serving FEWER than min(k,
-        // n_src_after) rows means more than `pad` of its stored rows
-        // were revoked — the rebuild would promote rows the store never
-        // kept. The assert rides the plan as a ZERO-ROW UNION BRANCH
-        // over the one-row violation aggregate: the branch's subtree
-        // always executes with the result (a union evaluates every
-        // branch), so the gate fires even when EVERY source lost all
-        // of its stored rows and `kept` itself is empty — the case a
-        // result-side cross join would silently skip. assert_true
-        // returns NULL on pass, so the isNotNull filter emits nothing.
-        val served = kept.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_served"))
-        val violations = cntAfter.join(served, Seq("source"), "left")
-          .filter(coalesce(col("n_served"), lit(0L)) <
-            least(lit(k.toLong), col("n_src")))
-          .agg(count(lit(1)).as("n_viol"))
-        val guard = violations
-          .select(assert_true(col("n_viol") === 0,
-            lit("curriculumIndexDelete: overflow buffer exhausted — a " +
-              "source lost more than `pad` stored rows; rebuild the " +
-              "index (and its overflow) from the surviving corpus"))
-            .as("ok"))
-          .filter(col("ok").isNotNull)
-          .select(lit(null).cast("string").as("source"),
-            lit(null).cast("long").as("doc_id"),
-            lit(null).cast("string").as("h"),
-            lit(null).cast("long").as("rank"),
-            lit(null).cast("long").as("n_src"))
-        kept.unionByName(guard)
     }
   }
 

@@ -130,7 +130,15 @@ object Graph {
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(view)
     val gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
-    try Dedup.persistPublic(fresh.table(s"$gdb.$view"))
+    // persist under the isolated session, but hand CALLERS the
+    // original-session frame (r18 advice): the fresh-session frame
+    // would bind every downstream query built on it — pageRank rounds,
+    // the degree aggregate — to the AQE-off SQLConf. `df` hits the
+    // cache by canonical-plan substitution (the view's analyzed plan IS
+    // df's plan modulo the stripped SubqueryAlias), so consumers read
+    // the statically-partitioned InMemoryRelation while their outer
+    // plans keep the caller's adaptive conf.
+    try { Dedup.persistPublic(fresh.table(s"$gdb.$view")); df }
     finally spark.catalog.dropGlobalTempView(view)
   }
 

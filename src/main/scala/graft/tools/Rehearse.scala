@@ -50,8 +50,11 @@ object Rehearse {
 
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // completeness, not mere existence: an interrupted ScaleUp leaves
+    // partial table directories that would silently rehearse truncated
+    // data — require the committer's _SUCCESS marker in each
     val haveAll = tables.forall(t =>
-      new java.io.File(s"$out/$t.parquet").exists())
+      new java.io.File(s"$out/$t.parquet/_SUCCESS").exists())
     if (!haveAll || flags("--fresh")) {
       println(s"rehearse: generating $out from $src ($reps replicas)")
       ScaleUp.main(Array(src, out, reps.toString))

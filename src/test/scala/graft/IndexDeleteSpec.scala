@@ -730,10 +730,20 @@ class IndexDeleteSpec extends AnyFunSuite {
         chain(t.getCause))
     assert(chain(ex).contains("overflow buffer exhausted"),
       s"expected the exhaustion assert, got: ${chain(ex)}")
+    // a FILTERED consumer over a valid buffered delete stays exact —
+    // the r18-advice scenario: a predicate pushed into the returned
+    // plan used to be able to prune a lazy in-plan gate; with the
+    // eager gate the plan carries no guard to prune
+    val filt1 = del1.filter(col("source") === "a" && col("rank") <= 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val filtRebuilt = rebuilt1.filter(col("source") === "a" && col("rank") <= 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(filt1 == filtRebuilt,
+      "filtered consumption of the buffered delete must match the rebuild")
     // TOTAL exhaustion: the ONLY source loses every stored row, so the
-    // kept frame itself is empty — the gate must still raise (it rides
-    // a zero-row union branch whose subtree always executes), never
-    // return an empty ranking while n_src_after > 0
+    // kept frame itself is empty — the gate must still raise (it is
+    // evaluated eagerly at call time, before any consumer can shape
+    // the plan), never return an empty ranking while n_src_after > 0
     val solo = docs((1L to 12L).map(i => (i, "a")))
     val soloIdx = Curriculum.curriculumIndex(solo, k)
     val soloOver = Curriculum.curriculumOverflow(solo, k, pad)
@@ -747,6 +757,47 @@ class IndexDeleteSpec extends AnyFunSuite {
     }
     assert(chain(ex2).contains("overflow buffer exhausted"),
       s"total exhaustion must raise, not serve empty: ${chain(ex2)}")
+    graft.operators.Dedup.unpersistAll()
+  }
+
+  test("curriculum overflow merges with the index: buffered delete stays exact across a compaction") {
+    // the merge convention's tenth artifact (r18 verdict task 6): a
+    // compaction must REFILL the buffer so delete-after-merge is still
+    // the exact rebuild — merging only the index would leave the next
+    // buffered delete exact against the pre-merge snapshot
+    import graft.operators.Curriculum
+    val k = 5
+    val pad = 3
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "source")
+    val base = (1L to 10L).map(i => (i, "a")) ++
+      (101L to 104L).map(i => (i, "b"))
+    val drop = (11L to 16L).map(i => (i, "a")) ++
+      (105L to 107L).map(i => (i, "b"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val idx = Curriculum.curriculumIndex(docs(base), k)
+    val over = Curriculum.curriculumOverflow(docs(base), k, pad)
+    // merged buffer == the buffer a rebuild on the union would persist
+    val mergedOver = Curriculum.curriculumOverflowMerge(
+      idx, over, docs(drop), k, pad)
+    val rebuiltOver = Curriculum.curriculumOverflow(docs(base ++ drop), k, pad)
+    assert(rows(mergedOver) == rows(rebuiltOver),
+      "overflow merge must equal the rebuilt buffer exactly")
+    val mergedIdx = Curriculum.curriculumIndexMerge(idx, docs(drop), k)
+    // delete-after-merge WITH the merged buffer == rebuild on survivors
+    val unionTop = mergedIdx.filter(col("source") === "a")
+      .orderBy(col("rank")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val rev = docs(unionTop.take(pad).map((_, "a")))
+    val del = Curriculum.curriculumIndexDelete(
+      mergedIdx, rev, Some(mergedOver), k)
+    val rebuilt = Curriculum.curriculumIndex(
+      docs((base ++ drop).filterNot(r => unionTop.take(pad).contains(r._1))), k)
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(full(del) == full(rebuilt),
+      "buffered delete after a compaction must equal the rebuild exactly")
     graft.operators.Dedup.unpersistAll()
   }
 
