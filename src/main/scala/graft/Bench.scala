@@ -71,7 +71,10 @@ import org.apache.spark.sql.SparkSession
   * after the pass completes, the [[SteadyCount]] slowest queries are
   * re-run ONCE more in the same (now fully warm, post-pass) JVM and the
   * re-measured wall goes out as `steady` — per-query lines, the summary
-  * line, and BENCH_DETAIL.json. A query whose `steady` lands back at its
+  * line, and BENCH_DETAIL.json — WITH its own `steady_cpu`/`steady_gc`
+  * (r19: the r18 x26 steady-inversion could not be adjudicated because
+  * the steady channel carried wall alone; now the three-signal read
+  * applies to both channels). A query whose `steady` lands back at its
   * historical number was inflated by episode (1) or (2); a query whose
   * `steady` reproduces the inflated wall is case (3), a real regression.
   * The full per-query wall+cpu+gc(+steady) table is written to
@@ -276,14 +279,20 @@ object Bench {
     graft.operators.Dedup.unpersistAll()
     System.gc()
     val steadyGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_GC", "0") == "1"
-    val steady: Map[String, Double] = steadyTargets.map { n =>
-      val sec = (1 to steadyReps).map { _ =>
+    // the steady lap carries CPU and GC too (r18 verdict: the x26
+    // steady-inversion anomaly was unadjudicable because the steady
+    // channel recorded wall alone — contention vs recompute needs the
+    // same three-signal read as the first pass). Reported values are
+    // the min-WALL rep's, consistent with the first-pass convention.
+    val steady: Map[String, (Double, Double, Double)] = steadyTargets.map { n =>
+      val laps = (1 to steadyReps).map { _ =>
         if (steadyGc) System.gc()
-        runOnce(n, fnByName(n))._1
-      }.filter(_ >= 0).reduceOption(_ min _).getOrElse(-1.0)
-      println(s"""{"query":"$n","steady":${r3(sec)}}""")
+        runOnce(n, fnByName(n))
+      }.filter(_._1 >= 0)
+      val best = laps.minByOption(_._1).getOrElse((-1.0, -1.0, -1.0))
+      println(s"""{"query":"$n","steady":${r3(best._1)},"steady_cpu":${r3(best._2)},"steady_gc":${r3(best._3)}}""")
       Console.out.flush()
-      n -> sec
+      n -> best
     }.toMap
 
     // the COMPLETE per-query wall+cpu+gc(+steady) table, as a file: the
@@ -294,7 +303,10 @@ object Bench {
       .getOrElse("BENCH_DETAIL.json")
     try {
       val detail = results.map { case (k, s, c, g) =>
-        val st = steady.get(k).map(v => ",\"steady\":" + r3(v)).getOrElse("")
+        val st = steady.get(k).map { case (sw, sc, sg) =>
+          ",\"steady\":" + r3(sw) + ",\"steady_cpu\":" + r3(sc) +
+            ",\"steady_gc\":" + r3(sg)
+        }.getOrElse("")
         "\"" + k + "\":{\"sec\":" + r3(s) + ",\"cpu\":" + r3(c) +
           ",\"gc\":" + r3(g) + st + "}"
       }.mkString(
@@ -327,12 +339,17 @@ object Bench {
       .map { case (k, _, _, g) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
     val steadyJson = steadyTargets.sorted
-      .map(k => "\"" + k + "\":" + r3(steady(k)))
+      .map(k => "\"" + k + "\":" + r3(steady(k)._1))
+      .mkString("{", ",", "}")
+    // steady-lap CPU on the summary line too (steady GC stays in the
+    // detail file — the summary must fit the driver's capture window)
+    val steadyCpuJson = steadyTargets.sorted
+      .map(k => "\"" + k + "\":" + r3(steady(k)._2))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cpuTotal = r3(results.map(_._3).filter(_ >= 0).sum)
     val gcTotal = r3(results.map(_._4).filter(_ >= 0).sum)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"cpu_sec":$cpuTotal,"gc_sec":$gcTotal,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"cpu":$cpus,"gc":$gcs,"steady":$steadyJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"fit_sec":$fitSec,"cpu_sec":$cpuTotal,"gc_sec":$gcTotal,"probe_sec":${probes.mkString("[", ",", "]")},"queries":$qs,"cpu":$cpus,"gc":$gcs,"steady":$steadyJson,"steady_cpu":$steadyCpuJson,"sf":"$sfDir"}"""
     // The summary goes to BOTH streams: stdout arrives at the driver
     // wrapped in sbt's `[info] ` log decorator (its parser wants a line
     // STARTING with `{` — r6/r7/r8 all recorded `parsed: null`), while

@@ -842,6 +842,26 @@ object Pipeline {
       graft.operators.Curriculum.curriculumIndex(
         Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3)))
 
+  /** The SMALL-K curriculum ranking store + its overflow buffer on the
+    * same stale snapshot (%10 != 3) — the x28 buffered-delete gate and
+    * x26's overflow row. k=10/pad=8, NOT the serving store's k=1000:
+    * every source holds ≥ 25 docs at every SF, so k=10 saturates them
+    * all and the buffer holds real rows — at k=1000 no source
+    * saturates below sf1 and the buffer would be empty, gating
+    * nothing. The tenth persisted lifecycle artifact pair.
+    */
+  private[graft] def curriculumBIndexShared(s: SparkSession, dir: String): DataFrame =
+    materializedBucketedIndex(s, dir, "curriculum_b_index", Seq("source"))(
+      graft.operators.Curriculum.curriculumIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3),
+        k = 10))
+
+  private[graft] def curriculumBOverflowShared(s: SparkSession, dir: String): DataFrame =
+    materializedIndex(s, dir, "curriculum_b_overflow")(
+      graft.operators.Curriculum.curriculumOverflow(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3),
+        k = 10, pad = 8))
+
   /** d8's component map is deterministic per sf dir (md5-clique collapse
     * + exact-Jaccard pairs + min-label closure — every step
     * partitioning-independent), so it shares the materialized-index
@@ -1066,7 +1086,9 @@ object Pipeline {
       "pairs_ng1_t95_lang" -> (() => { ngramPairs95Shared(s, dir); () }),
       "pairs_ng3_t80" -> (() => { ngramPairs80Shared(s, dir); () }),
       "pairs_mh_t80" -> (() => { mhPairs80Shared(s, dir); () }),
-      "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }))
+      "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }),
+      "curriculum_b_index" -> (() => { curriculumBIndexShared(s, dir); () }),
+      "curriculum_b_overflow" -> (() => { curriculumBOverflowShared(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -1246,6 +1268,30 @@ object Pipeline {
           curriculumOlderShared(s, dir),
           Curriculum.curriculumIndexMerge(curriculumOlderShared(s, dir),
             curriculumDropShared(s, dir))))
+        .unionByName({
+          // r19 (r18 verdict task 6): the overflow buffer is a store
+          // the compaction must ADVANCE too — the merged buffer refills
+          // from the union so the next buffered delete stays exact.
+          // Counts alone can't certify a fixed-pad buffer (n_before ==
+          // n_after by construction), so n_added here is the number of
+          // buffer rows the merge REPLACED (merged ∖ stale — an anti
+          // join the oracle recomputes from raw rankings), which is
+          // content-sensitive: a merge that kept the wrong tail shows
+          // up in this count.
+          val ovB = curriculumBOverflowShared(s, dir)
+          val ovA = Curriculum.curriculumOverflowMerge(
+            curriculumBIndexShared(s, dir), ovB,
+            curriculumDropShared(s, dir), k = 10, pad = 8)
+          ovB.agg(count(lit(1)).as("n_before"))
+            .crossJoin(ovA.agg(count(lit(1)).as("n_after")))
+            .crossJoin(ovA
+              .join(ovB.select(col("source"), col("doc_id")),
+                Seq("source", "doc_id"), "left_anti")
+              .agg(count(lit(1)).as("n_added")))
+            .select(lit("curriculum_overflow").as("store"),
+              col("n_before"), col("n_after"), col("n_added"),
+              lit("k=10,pad=8,drop=mod10").as("params"))
+        })
         .orderBy(col("store"))
     },
 
@@ -1283,6 +1329,32 @@ object Pipeline {
         prebuilt = x25StoresShared(s, dir),
         stores = Seq("span_index", "charspan_index", "tfidf_postings",
           "mh_index", "prefix_index", "secrets_index", "components"))
+    },
+
+    "x28_curriculum_buffered_delete" -> { (s, dir) =>
+      // the r18 buffered-delete mechanism promoted to the oracle gate
+      // (r18 verdict task 2): overflow-buffered takedown against the
+      // persisted small-k ranking store vs DuckDB's rebuild on the
+      // survivors. k=10 saturates every source at every SF so the
+      // buffer genuinely refills the trimmed tail (k=1000 would leave
+      // it empty below sf1 and gate nothing). The revocation — the 5 %
+      // doc_id % 20 == 1 slice, inside the stale %10<>3 snapshot by
+      // construction — stays far inside pad=8 per source, so the
+      // delete must equal the rebuild EXACTLY in every column: the
+      // re-ranked survivors, the buffer-promoted tail, and the
+      // decremented per-source counts. The eager exhaustion gate rides
+      // the call: had the buffer exhausted, verify fails loudly with
+      // the rebuild-now signal rather than hash-mismatching. Cost
+      // shape: anti join + one index-sized window over index ∪
+      // overflow (O(sources × (k+pad)) rows — never the corpus), plus
+      // the gate's window-free count pass.
+      import graft.operators.Curriculum
+      val revoked = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 20 === 1)
+        .select(col("doc_id"), col("source"))
+      Curriculum.curriculumIndexDelete(curriculumBIndexShared(s, dir),
+          revoked, Some(curriculumBOverflowShared(s, dir)), k = 10)
+        .orderBy(col("source"), col("rank"))
     },
 
     "x22_takedown_audit" -> { (s, dir) =>
@@ -6829,6 +6901,26 @@ object Pipeline {
         |  FROM seb, sea) u
         |ORDER BY store""".stripMargin,
 
+    // the buffered-delete gate: DuckDB rebuilds the small-k ranking on
+    // the survivors from raw — Spark's index+overflow takedown must
+    // match it EXACTLY (ranks, refilled tail, decremented counts)
+    "x28_curriculum_buffered_delete" ->
+      """WITH surv AS (
+        |  SELECT source, doc_id FROM documents
+        |  WHERE doc_id % 10 <> 3 AND doc_id % 20 <> 1),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |        FROM surv GROUP BY source),
+        |ranked AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM surv)
+        |SELECT r.source, r.doc_id, r.h, CAST(r.rank AS BIGINT) AS rank,
+        |  c.n_src
+        |FROM ranked r JOIN cnt c USING (source)
+        |WHERE r.rank <= 10
+        |ORDER BY r.source, r.rank""".stripMargin,
+
     // the unified 8-store audit: every store rebuilt from surviving
     // planted text (both component closures recursive), vs Spark's
     // eight delete paths on the stale stores
@@ -7109,7 +7201,22 @@ object Pipeline {
         |cub AS (SELECT CAST(sum(least(1000, n)) AS BIGINT) AS n FROM
         |  (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 3 GROUP BY source) z),
         |cua AS (SELECT CAST(sum(least(1000, n)) AS BIGINT) AS n FROM
-        |  (SELECT count(*) AS n FROM documents GROUP BY source) z)
+        |  (SELECT count(*) AS n FROM documents GROUP BY source) z),
+        |ovb AS (SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents WHERE doc_id % 10 <> 3) z
+        |  WHERE rank > 10 AND rank <= 18),
+        |ova AS (SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents) z
+        |  WHERE rank > 10 AND rank <= 18),
+        |ovbn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ovb),
+        |ovan AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ova),
+        |ovch AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ova a
+        |  WHERE NOT EXISTS (SELECT 1 FROM ovb o
+        |    WHERE o.source = a.source AND o.doc_id = a.doc_id))
         |SELECT * FROM (
         |  SELECT 'span_index' AS store, spb.n AS n_before, spa.n AS n_after,
         |    spa.n - spb.n AS n_added, 'n=8,drop=mod25' AS params FROM spb, spa
@@ -7119,7 +7226,8 @@ object Pipeline {
         |  UNION ALL SELECT 'prefix_index', pfb.n, pfa.n, pfa.n - pfb.n, 't=4/5,drop=mod25' FROM pfb, pfa
         |  UNION ALL SELECT 'secrets_index', seb.n, sea.n, sea.n - seb.n, 'run=4,drop=mod25' FROM seb, sea
         |  UNION ALL SELECT 'components', cb.n, ca.n, ca.n - cb.n, 'n=1,t=0.95,drop=mod25' FROM cb, ca
-        |  UNION ALL SELECT 'curriculum_index', cub.n, cua.n, cua.n - cub.n, 'k=1000,drop=mod10' FROM cub, cua) u
+        |  UNION ALL SELECT 'curriculum_index', cub.n, cua.n, cua.n - cub.n, 'k=1000,drop=mod10' FROM cub, cua
+        |  UNION ALL SELECT 'curriculum_overflow', ovbn.n, ovan.n, ovch.n, 'k=10,pad=8,drop=mod10' FROM ovbn, ovan, ovch) u
         |ORDER BY store""".stripMargin,
 
     "x22_takedown_audit" ->
