@@ -130,15 +130,21 @@ object Graph {
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(view)
     val gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
-    // persist under the isolated session, but hand CALLERS the
-    // original-session frame (r18 advice): the fresh-session frame
-    // would bind every downstream query built on it — pageRank rounds,
-    // the degree aggregate — to the AQE-off SQLConf. `df` hits the
-    // cache by canonical-plan substitution (the view's analyzed plan IS
-    // df's plan modulo the stripped SubqueryAlias), so consumers read
-    // the statically-partitioned InMemoryRelation while their outer
-    // plans keep the caller's adaptive conf.
-    try { Dedup.persistPublic(fresh.table(s"$gdb.$view")); df }
+    // The returned frame is DELIBERATELY the fresh-session one, so
+    // every query built on it — the pageRank/Louvain rounds, the degree
+    // aggregates — compiles NON-adaptively too (r18-advice option B,
+    // adopted after measuring option A): handing back the
+    // original-session `df` keeps the caller's adaptive SQLConf, but an
+    // outer query compiled under AQE sees the cached relation as
+    // UnknownPartitioning until materialized and re-inserts the
+    // edge-side exchange in every per-round join — measured 2× on g13
+    // (steady 6.7 → 12.1 s) and g9 (2.1 → 4.7 s first). The graph
+    // rounds are exactly the plans the static layout exists for;
+    // nothing in them benefits from AQE (tiny coarse frames, fixed
+    // 32-partition shuffles), so the non-adaptive compile is the
+    // intended semantics, not a leak. Queries NOT built from this
+    // frame are unaffected — the toggle lives in the private session.
+    try Dedup.persistPublic(fresh.table(s"$gdb.$view"))
     finally spark.catalog.dropGlobalTempView(view)
   }
 
@@ -526,8 +532,15 @@ object Graph {
     // within-community edge count, and the per-endpoint w rollup is the
     // community degree sum ([[commDegreesFromCoarse]]) — each move pays
     // the two label⋈edge equi joins exactly once; no per-level
-    // vertex-cardinality join remains
-    var agg = Dedup.persistPublic(coarsePairWeights(labels, p))
+    // vertex-cardinality join remains. The SINGLETON start needs no
+    // label join at all (comm = doc_id — the map is the identity), so
+    // the one O(edges) aggregate of the whole run is a plain
+    // normalize-endpoints groupBy, value-identical to
+    // coarsePairWeights(identity, p) without its two edge-sized joins.
+    var agg = Dedup.persistPublic(
+      p.select(least(col("doc_a"), col("doc_b")).as("x"),
+          greatest(col("doc_a"), col("doc_b")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w")))
     var dC = Dedup.persistPublic(commDegreesFromCoarse(labels, agg))
     var out = louvainLevelSummary(agg, dC, m1, 0)
     (1 to levels).foreach { l =>
