@@ -903,7 +903,7 @@ object Pipeline {
     * the suite's CPU measuring an unrealistically-shaped batch),
     * takedown = base `% 10 == 1` (10 % revocation).
     */
-  private def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
+  private[graft] def x25PlantedBase(s: SparkSession, dir: String): DataFrame =
     plantedDocs(s, dir).filter(col("doc_id") % 25 =!= 0)
 
   /** The PRE-STAGED takedown batch for the x22/x24/x25 audits — full

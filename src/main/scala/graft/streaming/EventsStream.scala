@@ -762,6 +762,48 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming twin of the x27 GOVERNANCE LOOP — retention expiry →
+    * seven-store takedown → audit, composed per microbatch (r18
+    * verdict stretch): every arriving microbatch of documents
+    * (carrying `doc_id`, `source`, `ingest_day`) evaluates against the
+    * BROADCAST retention policy at the fixed audit day
+    * ([[retentionExpiryStream]]'s stateless gate), the expired rows
+    * select their full revocation slice from the planted `base`
+    * corpus, and the SEVEN text-store delete paths run against the
+    * PERSISTED `prebuilt` stores — `sink` receives that batch's
+    * compliance artifact, one `(store, n_before, n_after, n_changed,
+    * params)` row per store, exactly the batch x27 statement's output.
+    * With the whole corpus in one batch the stream result equals the
+    * batch x27 artifact bit-for-bit (spec-pinned); across batches each
+    * artifact audits its own revocation slice against the same stale
+    * snapshot — the per-request audit discipline, not a fold (an audit
+    * certifies a takedown REQUEST; folding two requests' audits is the
+    * caller's store-swap chain, as with every index twin here).
+    */
+  def governanceLoopStream(docs: DataFrame, policy: DataFrame,
+      asOfDay: Long, base: DataFrame,
+      prebuilt: Map[String, DataFrame])(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // per-batch release (r17): frames the batch operators
+        // persist/checkpoint free when the scope closes — the sink
+        // must materialize within the call (its contract)
+        graft.operators.Dedup.releaseScope {
+          val expired = graft.operators.Privacy
+            .retentionExpiry(batch.toDF(), policy, asOfDay)
+            .select(col("doc_id"))
+          val revoked = base.join(expired, Seq("doc_id"), "left_semi")
+          // members/revokedVecs are BY-NAME and no ivf row is selected,
+          // so the placeholders are never forced (the x27 arm's shape)
+          sink(graft.operators.Audit.takedownAudit(base, revoked,
+            base, base, prebuilt = prebuilt,
+            stores = Seq("span_index", "charspan_index", "tfidf_postings",
+              "mh_index", "prefix_index", "secrets_index", "components")))
+        }
+      }
+      .start()
+
   /** Streaming twin of
     * [[graft.operators.Privacy.secretScrubAgainstIndex]] — the t27
     * k-anonymity scrub at ingest: each arriving microbatch scrubs

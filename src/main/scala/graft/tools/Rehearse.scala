@@ -31,7 +31,7 @@ object Rehearse {
     "d25_index_merge", "d25b_postings_merge",
     "d26_components_delete", "d27_char_excise_incremental",
     "s16_curriculum_incremental", "x23_retention_sweep",
-    "x27_governance_loop")
+    "x27_governance_loop", "x28_curriculum_buffered_delete")
 
   /** The r17 heavy list — the queries whose sf0.1 cost made the
     * steady-channel tail. */
@@ -40,6 +40,15 @@ object Rehearse {
     "d24_char_excise", "d2_dedup_ngram_jaccard", "d13_containment",
     "g9_pagerank_fixpoint", "g13_louvain_levels", "t21_rake",
     "t24_vocab_growth", "t28_quality_logit", "a10_adc_rerank")
+
+  /** The ANN serving family (r18 verdict task 3): exactly the queries
+    * whose first-touch cost moved into the persisted `pq_codes` store
+    * in r18 — rehearsed at sf1 so the store-served ADC path's scale
+    * claim is executed, not inferred. */
+  val AnnFamily: Seq[String] = Seq(
+    "a2_ann_ivf", "a4_pq_adc", "a6_ivf_pq", "a10_adc_rerank",
+    "a11_ivf_pq_residual", "a12_opq_adc", "a13_opq_ivf_pq",
+    "v11_ann_recall", "v13_partial_refit", "v14_pq_partial_refit")
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
@@ -61,7 +70,8 @@ object Rehearse {
     } else println(s"rehearse: reusing existing $out")
 
     val tpch = graft.SparkEntry.queries.keys.filter(_.startsWith("tpch"))
-    val subset = (tpch.toSeq ++ HeavyList ++ LifecycleFamily).distinct
+    val subset =
+      (tpch.toSeq ++ HeavyList ++ LifecycleFamily ++ AnnFamily).distinct
     sys.props("SPARK_GRAFT_SF_DIR") = out
     sys.props("SPARK_GRAFT_BENCH_QUERIES") = subset.mkString(",")
     sys.props("SPARK_GRAFT_BENCH_DETAIL") = "BENCH_sf1_DETAIL.json"

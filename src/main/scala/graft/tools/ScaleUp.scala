@@ -52,7 +52,18 @@ object ScaleUp {
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
     val spark = graft.GraftSession.build(appName = "graft-scaleup")
-    val Off = 10800000L // lcm-friendly: % 4, 10, 25, 360 all zero
+    // CHAINING (r19, the sf10 decade): a second ScaleUp pass over an
+    // already-scaled dir MUST use a larger offset — reusing the default
+    // lands replica (i, j) ids at base + Off·(i+j), colliding every
+    // anti-diagonal (three copies of one doc_id at i+j=2, triangular
+    // multiplicity instead of 10× distinct docs). Pass an offset ≥
+    // 10× the default for the second decade (its multiples keep every
+    // mod-slice divisibility below); token prefixes compose
+    // (`r<j>_r<i>_tok`), so replica vocabularies stay disjoint.
+    val Off = if (args.length > 3) args(3).toLong
+      else 10800000L // lcm-friendly: % 4, 10, 25, 360 all zero
+    require(Off % 1800 == 0, // lcm(4, 10, 20, 25, 360)
+      s"offset must preserve the %4/%10/%20/%25/%360 slice conventions, got $Off")
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {

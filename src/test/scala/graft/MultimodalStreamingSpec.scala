@@ -933,6 +933,46 @@ class StreamingSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("governance loop stream: one-batch artifact equals the batch x27 statement") {
+    // the r18 verdict stretch: retention expiry -> seven-store takedown
+    // -> audit as a foreachBatch composition, pinned bit-for-bit
+    // against the batch x27_governance_loop result on the same planted
+    // corpus and the same persisted pin stores
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.load(spark, dir, "documents")
+    val policy = d.select(col("source")).distinct()
+      .select(col("source"),
+        (lit(60L) + lit(45L) * (length(col("source")) % 5).cast("long"))
+          .as("retention_days"))
+    val base = queries.Pipeline.x25PlantedBase(spark, dir)
+    val stores = queries.Pipeline.x25StoresShared(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val expected = rows(SparkEntry.queries("x27_governance_loop")(spark, dir))
+    val feed = d.select(col("doc_id"), col("source"),
+        (col("doc_id") % 360).cast("long").as("ingest_day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String, Long)]
+    val artifacts = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(String, Long, Long, Long, String)]]
+    val q = EventsStream.governanceLoopStream(
+        in.toDF().toDF("doc_id", "source", "ingest_day"),
+        policy, asOfDay = 120L, base = base, prebuilt = stores) { b =>
+      artifacts += rows(b)
+    }
+    in.addData(feed.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(artifacts.size == 1 && artifacts.head == expected,
+      s"stream artifact must equal the batch x27 statement: " +
+        s"${artifacts.headOption} vs $expected")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("curriculum merge stream: per-batch exact top-k; store-swap chain equals rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
