@@ -37,6 +37,17 @@ object GraftSession {
       // dimension tables (region/nation/supplier/part at tested SFs) stay
       // broadcastable; 64 MB threshold is safe with 128 GiB of driver heap
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // a broadcast build COLLECTS its side's task results to the driver,
+      // and a 64 MB-compressed-estimate side can exceed 1 GiB serialized —
+      // the default 1g maxResultSize then kills the job at exactly the SF
+      // where the heap could still hold the broadcast (seen at the sf10
+      // decade: d27's index-probe build hit 1.06 GiB across 27 tasks).
+      // 4g keeps the cap as a runaway-collect backstop while letting a
+      // legitimately-threshold-sized broadcast through; single-JVM local
+      // runs at sf ≥ 10 should also scale the heap (SPARK_DRIVER_MEM —
+      // on a real cluster this is executor count, not a plan property).
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "4g"))
       // scan-split defense (r16: t24/d10 ran near-serial — wall ≈ cpu —
       // when the driver regenerated a table as ONE large parquet file):
       // 16 MB splits give a multi-row-group file enough map tasks to

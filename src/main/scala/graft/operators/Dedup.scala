@@ -1234,7 +1234,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
-    toks.join(covers, Seq("doc_id"), "left")
+    toks.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (_, i) => !coalesce(
@@ -1292,10 +1292,23 @@ object Dedup {
     * and the array is exactly `length(t)` long; surrogates stay
     * fused). Used by [[spanExciseChars]] and the char-level
     * decontamination surgery ([[Decontaminate.charOverlapExcise]]).
+    *
+    * EVERY cover join-back in this file carries a `shuffle_hash` hint
+    * on the cover side (r19, found by the sf10 decade): Catalyst's
+    * size-only estimator prices the `collect_set` aggregate at the
+    * array type's DEFAULT width, so the covers frame — whose real rows
+    * are per-doc position arrays ∝ document length — estimates under
+    * the broadcast threshold and the planner silently BROADCASTS it.
+    * At sf0.1 that fits and even flatters the bench; at sf10 the build
+    * side is 12 GiB and the job dies on Spark's 8 GiB broadcast cap —
+    * and at 100 TB it would be catastrophic long before that. The hint
+    * pins the documented plan: covers shuffle on doc_id (the only
+    * exchange when the corpus side is bucketed), hash-built per
+    * partition, never driver-collected.
     */
   private[operators] def rebuildExcisedChars(base: DataFrame,
       covers: DataFrame): DataFrame =
-    base.join(covers, Seq("doc_id"), "left")
+    base.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         length(col("t")).cast("long").as("n_chars"),
         filter(expr("regexp_extract_all(t, '(?s).', 0)"), (_, i) =>
@@ -1350,7 +1363,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
-    toks.join(covers, Seq("doc_id"), "left")
+    toks.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (_, i) => !coalesce(
@@ -1396,7 +1409,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
-    toks.join(covers, Seq("doc_id"), "left")
+    toks.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (_, i) => !coalesce(
@@ -1461,7 +1474,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
-    toks.join(covers, Seq("doc_id"), "left")
+    toks.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (_, i) => !coalesce(
@@ -1529,7 +1542,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + n - 1)).as("i"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("i")).as("cov"))
-    toks.join(covers, Seq("doc_id"), "left")
+    toks.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (_, i) => !coalesce(

@@ -218,7 +218,12 @@ object Privacy {
       textCol: String): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    toks.join(rset, Seq("doc_id"), "left")
+    // shuffle_hash, not broadcast: the rare-set frame's collect_set
+    // arrays are priced at the array type's default width by the
+    // size-only estimator, so it can be picked for broadcast while its
+    // real size scales with the corpus (the r19 cover-join lesson —
+    // see Dedup.rebuildExcisedChars)
+    toks.join(rset.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("rt"), array().cast("array<string>")).as("rt"))
       .select(col("doc_id"),

@@ -3087,7 +3087,7 @@ object Pipeline {
           explode(sequence(col("pos"), col("pos") + 7)).as("i"))
         .groupBy(col("doc_id"))
         .agg(collect_set(col("i")).as("cov"))
-      corpus.join(covers, Seq("doc_id"), "left")
+      corpus.join(covers.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           filter(col("toks"), (_, i) => !coalesce(
