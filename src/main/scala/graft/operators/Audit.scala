@@ -103,20 +103,29 @@ object Audit {
     // emit duplicate rows in the compliance artifact
     require(stores.distinct.size == stores.size,
       s"takedownAudit: stores must be distinct — got ${stores.mkString(", ")}")
-    val revIds = revoked.select(col("doc_id"))
+    // Every selected store's delete path consumes the revocation set
+    // (full rows or ids), and Catalyst plans each branch's copy of the
+    // subtree independently — a COMPUTED set (x27's retention sweep:
+    // corpus scan ⋈ policy) re-ran per branch, 30 corpus scans in one
+    // x27 plan (guide §2.4/§5). Persist it once per statement when it
+    // is genuinely computed; a pre-staged store (x25's pin_revoked_docs
+    // parquet) stays a cheap rescan and is left alone. Released by the
+    // caller's unpersistAll like every tracked frame.
+    val rev = Dedup.persistIfComputed(revoked)
+    val revIds = rev.select(col("doc_id"))
     def store(name: String)(build: => DataFrame): DataFrame =
       prebuilt.getOrElse(name, build)
     val rowByStore: Map[String, () => DataFrame] = Map(
       "span_index" -> (() => {
         val spanB = store("span_index")(Dedup.spanIndexCounted(docs, n = spanN))
         countRow("span_index", s"n=$spanN", spanB,
-          Dedup.spanIndexDelete(spanB, revoked, n = spanN))
+          Dedup.spanIndexDelete(spanB, rev, n = spanN))
       }),
       "charspan_index" -> (() => {
         val chB = store("charspan_index")(
           Dedup.spanIndexCountedChars(docs, n = charN))
         countRow("charspan_index", s"n=$charN", chB,
-          Dedup.spanIndexCharsDelete(chB, revoked, n = charN))
+          Dedup.spanIndexCharsDelete(chB, rev, n = charN))
       }),
       "tfidf_postings" -> (() => {
         val postB = store("tfidf_postings")(Dedup.tfidfPostingsFull(docs))
@@ -138,7 +147,7 @@ object Audit {
         val secB = store("secrets_index")(
           Privacy.secretFrequencies(docs, minDigitRun))
         countRow("secrets_index", s"run=$minDigitRun", secB,
-          Privacy.secretIndexDelete(secB, revoked, minDigitRun))
+          Privacy.secretIndexDelete(secB, rev, minDigitRun))
       }),
       "components" -> (() => {
         val compStore = store("components")(Dedup.componentsIndex(docs))

@@ -248,7 +248,7 @@ object Dedup {
   /** [[persistTracked]] unless the frame is a [[cheapRescan]] over a
     * materialized store.
     */
-  private def persistIfComputed(df: DataFrame): DataFrame =
+  private[operators] def persistIfComputed(df: DataFrame): DataFrame =
     if (cheapRescan(df)) df else persistTracked(df)
 
   /** Exact dedup: group identical text.

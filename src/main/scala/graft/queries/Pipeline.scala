@@ -768,6 +768,23 @@ object Pipeline {
           .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3))
     }
 
+  /** The BASE-snapshot CHAR-window counted index (docs outside the x4
+    * drop convention) — [[spanIndexShared]] at d24's granularity, the
+    * store d27's probe was always documented to read ("the BASE
+    * corpus's persisted counted index") but until r19 rebuilt inline on
+    * every pass: the 96 %-side char-window explode + count dominated a
+    * serving query whose own work is ∝ the 25 % drop. Deterministic per
+    * sf dir (xxhash64 over exact lowercased windows), so it earns the
+    * materialized-index lifecycle like its token-granular twin; the
+    * streaming twin (`charExciseStream`) probes the same bytes.
+    */
+  private def charspanIndexBaseShared(s: SparkSession, dir: String): DataFrame =
+    materializedBucketedIndex(s, dir, "charspan_index_base", Seq("gh")) {
+      Dedup.spanIndexCountedChars(
+        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        n = 40)
+    }
+
   /** The span-hash Bloom prefilter d22b probes, built ONCE per index
     * snapshot from the materialized [[spanIndexShared]] (capacity
     * derived from the index itself — `Dedup.spanIndexBloom`) and
@@ -1080,6 +1097,7 @@ object Pipeline {
       "docs_bkt" -> (() => { bucketedDocsShared(s, dir); () }),
       "span_index" -> (() => { spanIndexShared(s, dir); () }),
       "span_index_older" -> (() => { spanIndexOlderShared(s, dir); () }),
+      "charspan_index_base" -> (() => { charspanIndexBaseShared(s, dir); () }),
       "span_bloom" -> (() => { spanBloomShared(s, dir); () }),
       "tfidf_postings" -> (() => { tfidfPostingsShared(s, dir); () }),
       "tfidf_postings_older" -> (() => { tfidfPostingsOlderShared(s, dir); () }),
@@ -1647,13 +1665,16 @@ object Pipeline {
       // The oracle is a genuine differential: DuckDB matches the
       // actual 40-char STRINGS where Spark probes xxhash64 hashes —
       // corpus collision-freedom is part of the gate.
-      // loadFanned: both the index build and the probe char-window
-      // their text straight off the scan
-      val d = Tables.loadFanned(s, dir, "documents")
-      val idx = Dedup.spanIndexCountedChars(
-        d.filter(col("doc_id") % 4 =!= 0), n = 40)
+      // r19 (guide §2.4/§6): the base index is SERVED from its
+      // materialized store (charspan_index_base — the d22/span_index
+      // lifecycle at char granularity; the comment above always said
+      // "persisted counted index" but the build ran inline, charging
+      // every serving pass the 96 %-side char-window explode), and the
+      // drop reads the BUCKETED corpus so the cover join-back rides
+      // hashpartitioning(doc_id) instead of exchanging drop text.
       Dedup.spanExciseCharsAgainstIndex(
-          d.filter(col("doc_id") % 4 === 0), idx, n = 40)
+          bucketedDocsShared(s, dir).filter(col("doc_id") % 4 === 0),
+          charspanIndexBaseShared(s, dir), n = 40)
         .orderBy(col("doc_id"))
     },
 
@@ -1685,7 +1706,11 @@ object Pipeline {
       // spanExciseStream runs on). One left-semi hash probe, int
       // covers, the shared indexed-filter rebuild; within-drop
       // duplication deferred to compaction-time d21 (documented).
-      val d = Tables.load(s, dir, "documents")
+      // BUCKETED drop (r19, guide §2.4): the drop is a doc_id slice of
+      // the bucketed corpus, so the cover aggregate and join-back ride
+      // hashpartitioning(doc_id) — the plain scan + shuffle_hash pin
+      // exchanged the drop's token side per pass.
+      val d = bucketedDocsShared(s, dir)
       Dedup.spanExciseAgainstIndex(
           d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
@@ -1700,7 +1725,8 @@ object Pipeline {
       // both, so fp-immunity is part of the gate). At 100 TB the win is
       // the verify shuffle carrying only probable hits instead of every
       // span of every arriving document.
-      val d = Tables.load(s, dir, "documents")
+      // BUCKETED drop (r19): same doc_id-partitioned posture as d22.
+      val d = bucketedDocsShared(s, dir)
       Dedup.spanExciseAgainstIndexBloom(
           d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir),
           spanBloomShared(s, dir), n = 8)
@@ -1721,7 +1747,8 @@ object Pipeline {
       // int-cover rebuild — bodies never shuffle. The streaming twin
       // (spanExciseComposedStream) applies the rule per microbatch;
       // cross-batch duplicate copies are the spec-pinned divergence.
-      val d = Tables.load(s, dir, "documents")
+      // BUCKETED drop (r19): same doc_id-partitioned posture as d22.
+      val d = bucketedDocsShared(s, dir)
       Dedup.spanExciseAgainstIndexKeepOne(
           d.filter(col("doc_id") % 4 === 0), spanIndexShared(s, dir), n = 8)
         .orderBy(col("doc_id"))
@@ -2801,7 +2828,11 @@ object Pipeline {
       // natural digit-run tokens in the text participate live under the
       // same gate. Only candidate tokens shuffle; the rewrite is a
       // map-side transform against the per-doc rare array.
-      val d = Tables.load(s, dir, "documents")
+      // BUCKETED corpus (r19, guide §2.4): the rare-set join-back keys
+      // on doc_id; the planted projection preserves the bucketed scan's
+      // partitioning, so the token side never exchanges (the plain scan
+      // + shuffle_hash pin exchanged it per pass).
+      val d = bucketedDocsShared(s, dir)
       val id = col("doc_id").cast("string")
       val planted = concat(
         lit("pin"), lpad((col("doc_id") % 37).cast("string"), 4, "0"),
@@ -3024,8 +3055,13 @@ object Pipeline {
       // broadcast as RAW strings (benchmark-sized by contract —
       // collision-freedom by construction); the oracle replays the
       // same raw-string membership.
-      // loadFanned: the explode kernel runs straight over the scan
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19, guide §2.4): the char-cover aggregate and
+      // the rebuild join-back key on doc_id — the bucketed scan's
+      // partitioning serves both, where the plain scan + shuffle_hash
+      // pin exchanged the corpus text side per pass. The 32-bucket
+      // layout also clears the explode-kernel parallelism floor that
+      // loadFanned existed for.
+      val d = bucketedDocsShared(s, dir)
       Decontaminate.charOverlapExcise(
           d.filter(col("doc_id") % 10 =!= 7),
           d.filter(col("doc_id") % 10 === 7), n = 40)
@@ -3070,7 +3106,12 @@ object Pipeline {
       // (`filter(toks, (w, i) => …)` — order-preserving, no re-sort,
       // no collect). Uncontaminated docs pass through the left join
       // with an empty cover. Exact strings end to end.
-      val d = Tables.load(s, dir, "documents")
+      // BUCKETED corpus (r19, guide §2.4): the cover aggregate and the
+      // cover join-back both key on doc_id, so the bucketed scan's
+      // hashpartitioning(doc_id) serves both ends — against a plain
+      // scan the shuffle_hash cover pin exchanged the heavy token side
+      // AND the cover side every pass (4 Exchanges → 1, the orderBy).
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       def grams(df: DataFrame) = df.filter(size(col("toks")) >= 8)

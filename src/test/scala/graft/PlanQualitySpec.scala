@@ -1781,9 +1781,19 @@ class PlanQualitySpec extends AnyFunSuite {
   test("d27_char_excise_incremental: index probe is equi, text never keys shuffles") {
     val p = plan("d27_char_excise_incremental")
     assert(!p.contains("CartesianProduct"), p)
+    // r19: the drop reads the bucketed corpus and the base index is a
+    // materialized store — the cover aggregate and join-back ride
+    // hashpartitioning(doc_id) from the scan, so the serving plan may
+    // carry ZERO hash exchanges (the stronger property; keys.nonEmpty
+    // was the pre-store shape). Whatever exchanges remain must never
+    // carry text.
+    assert(p.contains("graft_docs_bkt"),
+      s"the drop must read the bucketed corpus:\n$p")
+    assert(p.contains("charspan_index_base"),
+      s"the probe must serve the materialized base index, not an " +
+        s"inline rebuild:\n$p")
     val keys = shuffleKeyLines(p)
-    assert(keys.nonEmpty &&
-      keys.forall(l => !l.contains("text#") && !l.contains("t#")),
+    assert(keys.forall(l => !l.contains("text#") && !l.contains("t#")),
       s"char windows hash map-side; bodies never key a shuffle:\n" +
         keys.mkString("\n"))
   }
