@@ -1584,10 +1584,12 @@ object Pipeline {
       // the strategy). The oracle recomputes doc frequencies on the raw
       // span strings — a hash collision would hash-mismatch the gate, so
       // the gate also pins collision-freedom on this corpus.
-      // loadFanned: the tokenize+shingle+hash pass below is the
-      // dominant cost and runs straight over the scan — a one-split
-      // file layout would serialize it (r16: 30.8 s wall ≈ 35.2 cpu)
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19): the tokenize+shingle+hash pass below is
+      // the dominant cost — the 32-bucket scan distributes it without
+      // loadFanned's round-robin exchange of the raw text (r16: 30.8 s
+      // wall ≈ 35.2 cpu against a one-split layout; the bucketed scan
+      // clears the same floor with zero text movement)
+      val d = bucketedDocsShared(s, dir)
       // persisted (Dedup lifecycle): the span subtree feeds BOTH the
       // doc-frequency aggregate and the re-join — without the persist the
       // tokenize+shingle+hash pass (the dominant cost) runs twice
@@ -1813,7 +1815,7 @@ object Pipeline {
       // from the full base corpus — hash-green ⇒ merge ≡ rebuild
       // including band migrations. Merge cost ∝ drop text + one
       // gram-keyed join; the base corpus is never re-read.
-      val d = Tables.loadFanned(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir) // r19: fan-out without a text exchange
       val base = d.filter(col("doc_id") % 4 =!= 0)
       // the stale index comes from the persisted store (the d25
       // discipline — last night's index is on disk; r16's bench paid a
@@ -2362,8 +2364,9 @@ object Pipeline {
       // postings is filtered before its list exists, so no aggregation
       // buffer exceeds the df cap. Postings emit as comma-joined strings
       // (arrays don't gate — the v3/array_join discipline).
-      // loadFanned: the explode kernel runs straight over the scan
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19): the explode kernel runs straight over
+      // the 32-bucket scan — no round-robin text exchange
+      val d = bucketedDocsShared(s, dir)
       val td = d.select(col("doc_id"), explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
           .as("gram"))
@@ -2753,9 +2756,11 @@ object Pipeline {
       // checkpoint arithmetically, and the cumulative sum runs over
       // the 10-row checkpoint frame. Exact integers end to end.
       val wnd = org.apache.spark.sql.expressions.Window
-      // loadFanned: the bigram explode is the whole cost and runs over
-      // the raw scan (r16: 52.4 s serial against a one-split layout)
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19): the bigram explode is the whole cost and
+      // runs over the 32-bucket scan (r16: 52.4 s serial against a
+      // one-split layout; loadFanned fixed that with a text exchange,
+      // the bucketed scan fixes it with none)
+      val d = bucketedDocsShared(s, dir)
       val n = d.agg(max(col("doc_id")).as("max_id"))
       val first = d.select(col("doc_id"), explode(TextFunctions
           .wordShingles(TextFunctions.tokens(col("text")), 2)).as("w"))
@@ -3476,8 +3481,9 @@ object Pipeline {
       // capacity=4096 ≥ the per-pair union here, so both estimates sit in
       // the sketches' exact regime and must equal DuckDB's exact set SQL
       // (the k1/k2/k3 exact-regime gate discipline).
-      // loadFanned: the explode kernel runs straight over the scan
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19): the explode kernel runs straight over
+      // the 32-bucket scan — no round-robin text exchange
+      val d = bucketedDocsShared(s, dir)
       val states = d
         .select(col("lang"), explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
@@ -5668,9 +5674,11 @@ object Pipeline {
       val wnd = org.apache.spark.sql.expressions.Window
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
         "that", "for")
-      // loadFanned: tokenize+posexplode runs over the raw scan before
-      // the first doc_id shuffle can spread it
-      val d = Tables.loadFanned(s, dir, "documents")
+      // BUCKETED corpus (r19): tokenize+posexplode rides the 32-bucket
+      // scan, and every window/join/TopKPerKey below keys on doc_id —
+      // the run_id window and the cover joins ride
+      // hashpartitioning(doc_id) straight off the scan
+      val d = bucketedDocsShared(s, dir)
       val tk = d.select(col("doc_id"),
           posexplode(TextFunctions.tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"),
@@ -5765,8 +5773,9 @@ object Pipeline {
       // chars or containing U+001F are excluded (documented contract,
       // mirrored in the oracle). Per-round localCheckpoint bounds the
       // DP lineage (trainer fit cost, the g9 discipline).
-      // loadFanned: the word-table extraction runs over the raw scan
-      Tokenizer.unigramLm(Tables.loadFanned(s, dir, "documents"))
+      // BUCKETED corpus (r19): the word-table extraction runs over the
+      // 32-bucket scan — no round-robin text exchange
+      Tokenizer.unigramLm(bucketedDocsShared(s, dir))
     },
 
     "u4_bpe_encode" -> { (s, dir) =>
