@@ -1793,7 +1793,7 @@ object Pipeline {
       // the serve path (IndexDeleteSpec pins the index-level
       // bit-identity and the delete-roundtrip
       // delete(merge(idx, drop), drop) ≡ idx).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val base = d.filter(col("doc_id") % 4 =!= 0)
       // the stale index comes from the persisted store (the production
       // posture — last night's index is on disk), so this lap measures
@@ -1842,7 +1842,7 @@ object Pipeline {
       // Scale: the delta is O(revoked text); the merge one equi join
       // on the hash — takedown cost is proportional to the takedown,
       // not the corpus.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val revoked = d.filter(col("doc_id") % 4 =!= 0
         && col("doc_id") % 10 === 1)
       Dedup.spanExciseAgainstIndex(
@@ -1942,7 +1942,7 @@ object Pipeline {
       // an eval set an order of magnitude too big to broadcast still scrubs
       // map-side. False positives die in the exact verify join, so the
       // result — and therefore the oracle — is IDENTICAL to c1's.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       Decontaminate.ngramOverlapBloom(
         d.filter(col("doc_id") % 10 =!= 7),
         d.filter(col("doc_id") % 10 === 7), n = 8)
@@ -3083,7 +3083,7 @@ object Pipeline {
       // distinct eval gram set (the eval side is benchmark-sized by
       // contract); the gate joins RAW gram strings (collision-freedom
       // pinned, the c1/d13 discipline).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       def grams(df: DataFrame) = df.filter(size(col("toks")) >= 8)
@@ -5334,7 +5334,7 @@ object Pipeline {
       // The output IS the fingerprint index you'd persist for serving.
       // (Selection lives in [[Dedup.winnowFingerprints]]; d16 serves
       // candidate pairs from the same index.)
-      Dedup.winnowFingerprints(Tables.load(s, dir, "documents"))
+      Dedup.winnowFingerprints(bucketedDocsShared(s, dir)) // r19: 32-bucket scan
         .orderBy(col("doc_id"), col("fp_pos"))
     },
 
@@ -5363,7 +5363,9 @@ object Pipeline {
       // machinery (per-side df-ordered prefixes, base never
       // self-joins, integer-exact bounds and verify) lives in
       // Dedup.incrementalDedup — also the graft_incremental_dedup TVF.
-      val d = Tables.load(s, dir, "documents")
+      // bucketed corpus (r19): the tokenize/prefix kernels of both the
+      // base index build and the drop probe ride the 32-bucket scan
+      val d = bucketedDocsShared(s, dir)
       Dedup.incrementalDedup(
           d.filter(col("doc_id") % 4 =!= 0),
           d.filter(col("doc_id") % 4 === 0), num = 4, den = 5)
@@ -5385,7 +5387,7 @@ object Pipeline {
       // the operator never promises and fail on a qualifying pair that
       // misses all bands with no code bug. The exact-recall twin
       // d19p_incremental_exact carries the hash gate.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir) // r19: shingle kernel over the 32-bucket scan
       Dedup.incrementalMinhash(
           minhashIndexShared(s, dir), d.filter(col("doc_id") % 4 === 0),
           shingleLen = 3, numHashes = 32, bands = 8, num = 4, den = 5)
@@ -5401,7 +5403,7 @@ object Pipeline {
       // exact answer, so DuckDB's quadratic replay must match
       // bit-for-bit; d19's LSH path stays rows-only plus the planted
       // recall/soundness specs, the a2p/a8p twin discipline.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir) // r19: shingle kernel over the 32-bucket scan
       Dedup.incrementalDedup(
           d.filter(col("doc_id") % 4 =!= 0),
           d.filter(col("doc_id") % 4 === 0), num = 4, den = 5,
@@ -5417,7 +5419,7 @@ object Pipeline {
       // self-join, kept at ≥ 2 shared fingerprints. The winnowing
       // guarantee makes recall on ≥ w+k−1-token verbatim overlaps
       // structural, not probabilistic.
-      Dedup.winnowPairs(Tables.load(s, dir, "documents"),
+      Dedup.winnowPairs(bucketedDocsShared(s, dir), // r19: 32-bucket scan
         maxDf = 20, minShared = 2L)
         .orderBy(col("a"), col("b"))
     },

@@ -574,10 +574,11 @@ class PlanQualitySpec extends AnyFunSuite {
       s"selection window must be partitioned by doc_id:\n$p")
     assert(nodeCount(p, "Join") == 0,
       s"winnowing is window+distinct, no join anywhere:\n$p")
-    // the fingerprint dedup rides the window's doc_id partitioning — the
-    // only exchanges are the window hash and the final order-by range
-    assert(nodeCount(p, "Exchange") == 2,
-      s"distinct must reuse the window's partitioning, not re-shuffle:\n$p")
+    // r19: the selection window itself rides the BUCKETED scan's
+    // hashpartitioning(doc_id) and the fingerprint dedup rides the
+    // window's — the only exchange left is the final order-by range
+    assert(nodeCount(p, "Exchange") == 1,
+      s"window + distinct must ride the bucketed scan's partitioning:\n$p")
   }
 
   test("e15_mad_outliers: user-keyed windows and equi joins only") {
