@@ -455,7 +455,7 @@ object Pipeline {
     * t14's scaladoc for the fan-out bound and bit-exactness discipline.
     */
   private[graft] def tfidfPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+    val d = bucketedDocsShared(s, dir)
     val tf = d.select(col("doc_id"), explode(
         TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
         .as("gram"))
@@ -685,7 +685,7 @@ object Pipeline {
     */
   private def ngramPairs95Shared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "pairs_ng1_t95_lang") {
-      Dedup.ngramJaccardPairs(Tables.loadFanned(s, dir, "documents"),
+      Dedup.ngramJaccardPairs(bucketedDocsShared(s, dir),
         n = 1, threshold = 0.95, blockCols = Seq(col("lang"))).distinct()
     }
 
@@ -694,7 +694,7 @@ object Pipeline {
     */
   private def ngramPairs80Shared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "pairs_ng3_t80") {
-      Dedup.ngramJaccardPairs(Tables.loadFanned(s, dir, "documents"),
+      Dedup.ngramJaccardPairs(bucketedDocsShared(s, dir),
         n = 3, threshold = 0.8, blockCols = Seq(lit(true))).distinct()
     }
 
@@ -706,7 +706,7 @@ object Pipeline {
     */
   private def mhPairs80Shared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "pairs_mh_t80") {
-      Dedup.minhashLshPairs(Tables.loadFanned(s, dir, "documents"),
+      Dedup.minhashLshPairs(bucketedDocsShared(s, dir),
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
         .distinct()
     }
@@ -728,7 +728,7 @@ object Pipeline {
   private def minhashIndexFullShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "mh_index", Seq("band", "bucket")) {
       Dedup.minhashIndex(
-        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 4 =!= 0),
         shingleLen = 3, numHashes = 32, bands = 8, maxBandBucket = 0)
     }
 
@@ -749,7 +749,7 @@ object Pipeline {
   private def spanIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "span_index", Seq("gh")) {
       Dedup.spanIndexCounted(
-        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 4 =!= 0))
     }
 
   /** The STALE (pre-compaction) span index d25's merge advances — the
@@ -764,7 +764,7 @@ object Pipeline {
   private def spanIndexOlderShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "span_index_older", Seq("gh")) {
       Dedup.spanIndexCounted(
-        Tables.loadFanned(s, dir, "documents")
+        bucketedDocsShared(s, dir)
           .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3))
     }
 
@@ -781,7 +781,7 @@ object Pipeline {
   private def charspanIndexBaseShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "charspan_index_base", Seq("gh")) {
       Dedup.spanIndexCountedChars(
-        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 4 =!= 0),
         n = 40)
     }
 
@@ -819,7 +819,7 @@ object Pipeline {
   private def tfidfPostingsFullShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "tfidf_postings", Seq("gram")) {
       Dedup.tfidfPostingsFull(
-        Tables.loadFanned(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 4 =!= 0))
     }
 
   /** The STALE (pre-compaction) postings store d25b's merge advances —
@@ -833,7 +833,7 @@ object Pipeline {
   private def tfidfPostingsOlderShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "tfidf_postings_older", Seq("gram")) {
       Dedup.tfidfPostingsFull(
-        Tables.loadFanned(s, dir, "documents")
+        bucketedDocsShared(s, dir)
           .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3))
     }
 
@@ -857,7 +857,7 @@ object Pipeline {
   private[graft] def curriculumOlderShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "curriculum_index_older", Seq("source"))(
       graft.operators.Curriculum.curriculumIndex(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3)))
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 10 =!= 3)))
 
   /** The SMALL-K curriculum ranking store + its overflow buffer on the
     * same stale snapshot (%10 != 3) — the x28 buffered-delete gate and
@@ -870,13 +870,13 @@ object Pipeline {
   private[graft] def curriculumBIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "curriculum_b_index", Seq("source"))(
       graft.operators.Curriculum.curriculumIndex(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3),
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 10 =!= 3),
         k = 10))
 
   private[graft] def curriculumBOverflowShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "curriculum_b_overflow")(
       graft.operators.Curriculum.curriculumOverflow(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 3),
+        bucketedDocsShared(s, dir).filter(col("doc_id") % 10 =!= 3),
         k = 10, pad = 8))
 
   /** d8's component map is deterministic per sf dir (md5-clique collapse
@@ -899,7 +899,7 @@ object Pipeline {
     */
   private[graft] def componentsIndexShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "components_index")(
-      Dedup.componentsIndex(Tables.loadFanned(s, dir, "documents")))
+      Dedup.componentsIndex(bucketedDocsShared(s, dir)))
 
   /** x25's planted base slice — the pin prefix derives from the TEXT
     * (identical texts keep identical pins, preserving exact-dup
@@ -907,7 +907,7 @@ object Pipeline {
     * one definition shared by the serving query and the pin store.
     */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.loadFanned(s, dir, "documents")
+    bucketedDocsShared(s, dir)
       .select(col("doc_id"), col("lang"),
         concat(lit("pin"),
           lpad(((length(col("text")) * 7) % 97).cast("string"), 4, "0"),
@@ -961,7 +961,7 @@ object Pipeline {
     */
   private[graft] def curriculumDropShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "curriculum_drop_docs")(
-      Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+      bucketedDocsShared(s, dir).filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"), col("source")))
 
   /** The pin components store's rep-evidence POSTINGS `(bid, blang,
@@ -1005,7 +1005,7 @@ object Pipeline {
     */
   private def containmentPairs98Shared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "pairs_cont_ng1_t98_lang")(
-      Dedup.containmentPairs(Tables.loadFanned(s, dir, "documents"),
+      Dedup.containmentPairs(bucketedDocsShared(s, dir),
         n = 1, threshold = 0.98, blockCols = Seq(col("lang"))))
 
   /** The planted corpus's SEVEN text stores for the x25 audit — each
@@ -1129,7 +1129,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ---------------------------------------------------
     "d1_dedup_exact" -> { (s, dir) =>
-      Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+      Dedup.exact(bucketedDocsShared(s, dir)).orderBy(col("doc_id"))
     },
 
     "d2_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -1137,7 +1137,7 @@ object Pipeline {
       // tfidfPairsShared discipline): the PPJoin verify subtree is a
       // per-snapshot build cost, not a per-query one — the oracle
       // still replays the full exact-Jaccard predicate from raw text
-      Dedup.ngramJaccardFromPairs(Tables.load(s, dir, "documents"),
+      Dedup.ngramJaccardFromPairs(bucketedDocsShared(s, dir),
           ngramPairs95Shared(s, dir))
         .orderBy(col("doc_id"))
     },
@@ -1158,7 +1158,7 @@ object Pipeline {
     },
 
     "d3_dedup_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+      Dedup.minhashLsh(bucketedDocsShared(s, dir),
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.8)
         .orderBy(col("doc_id"))
     },
@@ -1169,7 +1169,7 @@ object Pipeline {
       // degenerate band cliques (measured at bench SF). An adversarial
       // boilerplate-heavy corpus should pass an explicit cap here and
       // accept the recall trade.
-      Dedup.simhash(Tables.load(s, dir, "documents"), maxHamming = 3)
+      Dedup.simhash(bucketedDocsShared(s, dir), maxHamming = 3)
         .orderBy(col("doc_id"))
     },
 
@@ -1327,7 +1327,7 @@ object Pipeline {
       // SQL path, promoted to the oracle gate: DuckDB replays the
       // policy arithmetic AND rebuilds every store from the surviving
       // planted corpus (both recursive component closures included).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val docs = d.select(col("doc_id"), col("source"),
         (col("doc_id") % 360).cast("long").as("ingest_day"))
       val policy = d.select(col("source")).distinct()
@@ -1367,7 +1367,7 @@ object Pipeline {
       // overflow (O(sources × (k+pad)) rows — never the corpus), plus
       // the gate's window-free count pass.
       import graft.operators.Curriculum
-      val revoked = Tables.load(s, dir, "documents")
+      val revoked = bucketedDocsShared(s, dir)
         .filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 20 === 1)
         .select(col("doc_id"), col("source"))
       Curriculum.curriculumIndexDelete(curriculumBIndexShared(s, dir),
@@ -1417,7 +1417,7 @@ object Pipeline {
       // governance twin of d12's quality-keeper canonicalization.
       Dedup.licensePropagation(
           ccComponentsShared(s, dir),
-          Tables.load(s, dir, "documents")
+          bucketedDocsShared(s, dir)
             .select(col("doc_id"), col("source")),
           rank = length(col("source")) % 4)
         .orderBy(col("doc_id"))
@@ -1457,7 +1457,7 @@ object Pipeline {
       // per component (k=1) — no per-cluster sort; only (doc_id, rep,
       // n_chars) triples shuffle, never text.
       val comp = ccComponentsShared(s, dir)
-      val quality = Tables.load(s, dir, "documents")
+      val quality = bucketedDocsShared(s, dir)
         .select(col("doc_id"), col("n_chars"))
       val scored = comp.join(quality, Seq("doc_id"))
       val keep = graft.plans.TopKPerKey(scored, Seq(col("rep")),
@@ -1499,7 +1499,7 @@ object Pipeline {
       // oracle's quadratic recompute of the identical signature in SQL
       // must match bit-for-bit. Zero-token docs are excluded (their
       // signature would be 0 and they have no oracle row).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val sigs = d
         .select(col("doc_id"),
           call_function("graft_simhash_md5", col("text")).as("sig"),
@@ -1770,7 +1770,7 @@ object Pipeline {
       // pass through bit-identical. The oracle rebuilds the full
       // recursive closure over the survivors' raw text, so hash-green
       // proves edge-splice ≡ rebuild including splits.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val revoked = d.filter(col("doc_id") % 10 === 1)
         .select(col("doc_id"))
       Dedup.componentsFromIndex(
@@ -1865,7 +1865,7 @@ object Pipeline {
       // text — hash-green ⇒ delete ≡ rebuild including band
       // migrations. One anti join + one gram-keyed merge; no corpus
       // read.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val revoked = d.filter(col("doc_id") % 4 =!= 0
         && col("doc_id") % 10 === 1).select(col("doc_id"))
       Dedup.postingsBand(
@@ -1884,7 +1884,7 @@ object Pipeline {
       // oracle brute-forces levenshtein over the same derived corpus, so
       // any pair the blocking lost would hash-mismatch — the candidate
       // generation itself is the system under test.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val base = d.select(col("doc_id").as("id"),
         substring(col("text"), 1, 24).as("sk"))
       val typos = d.filter(col("doc_id") % 5 === 0)
@@ -1897,7 +1897,7 @@ object Pipeline {
     "c1_decontamination" -> { (s, dir) =>
       // contamination check: corpus docs sharing a verbatim 8-gram with the
       // "eval set" (docs with doc_id % 10 == 7 stand in for a benchmark)
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       Decontaminate.ngramOverlap(
         d.filter(col("doc_id") % 10 =!= 7),
         d.filter(col("doc_id") % 10 === 7), n = 8)
@@ -1914,7 +1914,7 @@ object Pipeline {
       // corpus gram universe is unbounded, the eval set is benchmark-
       // sized by contract), only matching grams aggregate, and the
       // per-eval rollup joins two eval-sized frames.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val eg = d.filter(col("doc_id") % 10 === 7)
         .select(col("doc_id").as("eval_id"),
           explode(call_function("graft_shingle_hashes", col("text"), lit(8)))
@@ -1961,7 +1961,7 @@ object Pipeline {
       // soundness without depending on this corpus having no marginal
       // pair (the 8-band default's ~1.5% per-pair miss rate would). Same
       // code path either way; production calls keep the cheaper default.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       Decontaminate.fuzzyPairs(
           d.filter(col("doc_id") % 10 =!= 7),
           d.filter(col("doc_id") % 10 === 7),
@@ -2234,7 +2234,7 @@ object Pipeline {
     // asserts agreement); Catalyst's subexpression elimination evaluates
     // the struct once per row however many fields are projected
     "t1_text_stats" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       d.select(
         col("doc_id"),
@@ -2246,7 +2246,7 @@ object Pipeline {
     },
 
     "t2_quality" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       d.select(
         col("doc_id"),
@@ -2257,7 +2257,7 @@ object Pipeline {
     },
 
     "t3_langid" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"),
           call_function("graft_text_stats", col("text"))
             .getField("lang").as("pred_lang"))
@@ -2269,7 +2269,7 @@ object Pipeline {
     "t4_fingerprint" -> { (s, dir) =>
       // md5 over graft_norm_text ≡ TextFunctions.docFingerprint (the
       // fused kernel replaces the interpreted tokenize+join)
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(
         col("doc_id"),
         md5(call_function("graft_norm_text", col("text"))).as("fp"))
@@ -2283,7 +2283,7 @@ object Pipeline {
       // primitive (Dedup.exact, graft_text_stats) and the whole chain
       // stays a single Catalyst plan — filters push down, the dedup
       // aggregate is the only wide stage.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val keepers = Dedup.exact(d)
         .filter(col("rep") === col("doc_id"))
         .select(col("doc_id"))
@@ -2306,7 +2306,7 @@ object Pipeline {
       // attach to the following word). Same regex runs in DuckDB's RE2 and
       // Java — the pattern deliberately avoids lookahead/unicode classes,
       // which the two engines treat differently.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(Pipeline.BpePattern), lit(0)))
@@ -2338,7 +2338,7 @@ object Pipeline {
       // identically for fixed tf and is bit-free. Two aggregates (tf, df)
       // joined on the token, winner via the TopKPerKey bounded heap — no
       // per-document sort, and only (doc_id, tok, counts) rows shuffle.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val tok = d.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       val tf = tok.groupBy(col("doc_id"), col("tok"))
@@ -2658,7 +2658,7 @@ object Pipeline {
           |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q50,
           |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q75
           |FROM documents GROUP BY lang""".stripMargin)
-      Tables.load(s, dir, "documents")
+      bucketedDocsShared(s, dir)
         .join(broadcast(th), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           when(col("n_chars") <= col("q25"), 0)
@@ -2700,7 +2700,7 @@ object Pipeline {
       // the single-window form the DuckDB oracle replays, and
       // deterministic under any partitioning because (lang, doc_id) is
       // total.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       Layout.groupedRunningSum(
           d.select(col("doc_id"), col("lang"),
@@ -2722,7 +2722,7 @@ object Pipeline {
       // the chunk explode is per-document arithmetic over `sequence`, no
       // extra wide stage. A document spanning w windows emits w rows;
       // zero-token documents emit none.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       val win = 2048L
       Layout.groupedRunningSum(
@@ -2783,7 +2783,7 @@ object Pipeline {
       // pass through the fused graft_text_stats kernel, one
       // map-combinable O(langs²) aggregate, a 1-row total broadcast,
       // one scaled integer division.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val pred = d.select(col("lang").as("true_lang"),
         call_function("graft_text_stats", col("text"))
           .getField("lang").as("pred_lang"))
@@ -2808,7 +2808,7 @@ object Pipeline {
       // (driver-built Bloom broadcast + exact re-verify), same
       // per-row cost. Integer divisions only — bit-exact.
       val blocklist = Seq("dup", "spam", "junk", "noise")
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val bl = array(blocklist.map(lit): _*)
       d.select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -2858,7 +2858,7 @@ object Pipeline {
       // keys, bodies never move); the weight is one scaled integer
       // division, bit-exact.
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-      Tables.load(s, dir, "documents")
+      bucketedDocsShared(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
         .withColumn("weight_ppm", expr("1000000 div n_copies"))
@@ -2874,7 +2874,7 @@ object Pipeline {
       // ever migrates and the delta is exactly the new docs'. Two
       // map-combinable manifest aggregates (one corpus scan each, the
       // x14 body shared), then an O(shards) join — exact longs.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val base = graft.operators.Stats
         .shardManifest(d.filter(col("doc_id") % 4 =!= 0))
         .select(col("shard"), col("n_docs").as("base_docs"),
@@ -2901,7 +2901,7 @@ object Pipeline {
       // lang), and under-length docs. All flags compute in ONE corpus
       // pass (the d1 fp window is the only row-scale shuffle), then
       // one map-combinable O(sources) aggregate — integers end to end.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
       val st = call_function("graft_text_stats", col("text"))
       val base = d.select(col("doc_id"), col("source"), col("lang"),
@@ -2936,7 +2936,7 @@ object Pipeline {
       // unconditional total.
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
       val bl = array(Seq("dup", "spam", "junk", "noise").map(lit): _*)
-      val flagged = Tables.load(s, dir, "documents")
+      val flagged = bucketedDocsShared(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"),
           TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
@@ -2977,7 +2977,7 @@ object Pipeline {
       // prefix sum over the O(B) bucket frame only, and a per-BUCKET
       // row_number whose task frames are bounded by the bucket width
       // at any corpus size. See operators/Layout.globalIds.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
         .filter(col("lang") === "en")
         .select(col("doc_id"))
       graft.operators.Layout.globalIds(d, col("doc_id"), bucketWidth = 64L)
@@ -2997,7 +2997,7 @@ object Pipeline {
       // One corpus-sized count; every window runs on the O(langs)
       // frame.
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d.select(col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
         .groupBy(col("lang")).agg(sum(col("n_tok")).as("cap"))
@@ -3160,7 +3160,7 @@ object Pipeline {
       // weight by the BASE's df/N (df drift accrues to the next refit —
       // the a9/d19 contract), and drop×drop edges are deferred to that
       // refit too. Output: (base_id, drop_id, n_shared, score).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       Dedup.incrementalTfidfPairs(
           d.filter(col("doc_id") % 4 === 0), tfidfPostingsShared(s, dir))
         .orderBy(col("base_id"), col("drop_id"))
@@ -3238,7 +3238,7 @@ object Pipeline {
       // 1e6·D_c² needs D_c < 3e6 (≈ sf1) — beyond that route the square
       // through decimal(38,0) (the t19 discipline).
       val pairs = tfidfPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
-      val lang = Tables.load(s, dir, "documents")
+      val lang = bucketedDocsShared(s, dir)
         .select(col("doc_id"), col("lang"))
       val m = pairs.agg(count(lit(1)).as("m"))
       val lin = pairs
@@ -3273,7 +3273,7 @@ object Pipeline {
       // powers of two is libm-dependent); one map-only pass into one
       // map-combinable aggregate, O(buckets) output at any corpus
       // size; zero-token docs are excluded up front (nothing to pad).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       d.select(st.getField("n_tokens").cast("long").as("ntok"))
         .filter(col("ntok") > 0)
@@ -3300,7 +3300,7 @@ object Pipeline {
       // chunk text (the d1 bodies-never-move discipline).
       val width = 64
       val stride = 48
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("n"))
@@ -3326,7 +3326,7 @@ object Pipeline {
       // scale the per-language token-count set is huge and a full sort per
       // partition key is exactly what the operator exists to avoid. Total
       // order (cnt desc, tok asc) keeps ties deterministic for the oracle.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d
         .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"), col("tok"))
@@ -3345,7 +3345,7 @@ object Pipeline {
       // DuckDB's exact count(DISTINCT) and quantile_disc bit-for-bit —
       // gating the state serialization, the merge path, and the estimates
       // in one query.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val states = d
         .withColumn("shard", (col("doc_id") % 4).cast("int"))
         .groupBy(col("lang"), col("shard"))
@@ -3509,7 +3509,7 @@ object Pipeline {
       // capacity=4096 ≥ the corpus vocabulary here, so the sketch is in
       // its exact regime and must reproduce t8's counts bit-for-bit (the
       // k1/k2 discipline).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
         .agg(call_function("graft_heavy_hitters",
@@ -3541,7 +3541,7 @@ object Pipeline {
       // exploded to one row per pick with its rank. Rows-only at the
       // driver gate (the hash-based selection is not DuckDB-expressible);
       // WeightedSampleSpec pins determinism, weight bias, and exactness.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       d.select(col("doc_id"), col("lang"),
           (st.getField("quality") + lit(0.01)).as("w"))
@@ -3562,7 +3562,7 @@ object Pipeline {
       // one sampling component whose ranked s1 output is not
       // SQL-expressible). The selection ORDER is hash-derived, so ranks
       // are dropped and rows re-sorted by id for the compare.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       d.select(col("doc_id"), col("lang"),
           (st.getField("quality") + lit(0.01)).as("w"))
@@ -3589,7 +3589,7 @@ object Pipeline {
       // count. B is the TopKPerKey memory knob: a bigger budget at
       // 100 TB pairs the same machinery with a hash-threshold prefilter.
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .select(col("source"), col("n_docs"),
           floor(sqrt(col("n_docs").cast("double"))).cast("long").as("wt"))
@@ -3631,7 +3631,7 @@ object Pipeline {
       // corpus count + one corpus ranking pass, everything else on
       // O(sources × E) frames.
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       def hamilton(wt: org.apache.spark.sql.Column, out: String) =
         counts.select(col("source"), wt.as("wt"))
@@ -3691,7 +3691,7 @@ object Pipeline {
       // corpus), so hash-green proves merge-then-serve ≡
       // rebuild-then-serve end to end.
       import graft.operators.Curriculum
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       // the stale ranking comes from the persisted bucketed store (the
       // d25/d25b discipline — last night's index is on disk), so this
       // lap measures merge + quota serve
@@ -3708,7 +3708,7 @@ object Pipeline {
       // IEEE-correctly-rounded in both engines. The final normalization
       // (w / Σw) is deliberately NOT done here — a 5-term double sum has
       // engine-dependent ordering; it is a trivial driver-side step.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       val perLang = d.select(col("lang"), st.getField("n_tokens").as("ntok"))
         .groupBy(col("lang"))
@@ -3728,7 +3728,7 @@ object Pipeline {
       // the oracle is plain count(DISTINCT); the estimator regime (groups
       // larger than k) is exercised at bench SF and pinned by KmvSketchSpec
       // against exact counts and across partitionings.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.groupBy(col("lang"))
         .agg(
           call_function("graft_kmv_distinct", col("text"), lit(1024)).as("est_distinct"),
@@ -3752,7 +3752,7 @@ object Pipeline {
       // header differs (dimensions derive from doc_id) but the payload
       // is identical — the pair the header-inclusive hash would miss,
       // keeping the dup path live-fire.
-      val docs = Tables.load(s, dir, "documents")
+      val docs = bucketedDocsShared(s, dir)
       val copies = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val media = Multimodal.withFakeMedia(docs.unionByName(copies)).toDF()
@@ -3780,7 +3780,7 @@ object Pipeline {
       // codegen'd fold for energy (Σs²), adjacent-pair scan for ZCR —
       // is the real Spark-side shape: map-only, one Generate, exact
       // BIGINTs, no shuffle before the final order.
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val d = bucketedDocsShared(s, dir).select(col("doc_id"))
       d.select(col("doc_id"),
           explode(sequence(lit(0L), lit(7L))).as("frame_no"))
         .withColumn("h", md5(concat_ws(":", col("doc_id"), col("frame_no"))))
@@ -3811,7 +3811,7 @@ object Pipeline {
       // mismatches the gate. Map-only end to end — blobs never
       // shuffle; only (doc_id, frame, 2 BIGINTs) rows move before the
       // final order.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       Multimodal.wavFrameFeatures(Multimodal.withFakeWav(d), frameLen = 32)
         .orderBy(col("doc_id"), col("frame_no"))
     },
@@ -3845,7 +3845,7 @@ object Pipeline {
       // Planted variants keep both paths live: length-preserving
       // 4-char overlays (% 13 → small nonzero Hamming) and exact
       // copies (% 11 → Hamming 0).
-      val docs = Tables.load(s, dir, "documents")
+      val docs = bucketedDocsShared(s, dir)
         .filter(length(col("text")) > 0)
       val variants = docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -3895,7 +3895,7 @@ object Pipeline {
     },
 
     "m1_multimodal_meta" -> { (s, dir) =>
-      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      val media = Multimodal.withFakeMedia(bucketedDocsShared(s, dir))
       Multimodal.decodeMeta(media).toDF()
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_channels"), col("n_bytes"))
@@ -3906,7 +3906,7 @@ object Pipeline {
       // resize → decode roundtrip; the oracle recomputes the expected
       // post-resize metadata analytically, so broken re-encoding or
       // dimension handling hash-mismatches
-      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      val media = Multimodal.withFakeMedia(bucketedDocsShared(s, dir))
       Multimodal.decodeMeta(Multimodal.resize(media, newW = 8, newH = 8)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("n_channels"), col("n_bytes"))
@@ -3914,7 +3914,7 @@ object Pipeline {
     },
 
     "m2_media_frames" -> { (s, dir) =>
-      val media = Multimodal.withFakeMedia(Tables.load(s, dir, "documents"))
+      val media = Multimodal.withFakeMedia(bucketedDocsShared(s, dir))
       Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"))
@@ -3930,7 +3930,7 @@ object Pipeline {
       // TakeOrderedAndProject — per-partition top-n, no global sort — so
       // the cap costs O(cap) memory per partition at any corpus size.
       graft.operators.Tokenizer
-        .wordCounts(Tables.load(s, dir, "documents"), "text", fitCap = 20)
+        .wordCounts(bucketedDocsShared(s, dir), "text", fitCap = 20)
         .orderBy(col("cnt").desc, col("word"))
     },
 
@@ -3945,7 +3945,7 @@ object Pipeline {
       // (unnest → GROUP BY), so a kernel bug hash-mismatches; all fractions
       // are a SINGLE division of exact integer counts, so the doubles are
       // bit-identical across engines.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val r = call_function("graft_rep_stats", col("text"))
       d.select(
           col("doc_id"),
@@ -3965,7 +3965,7 @@ object Pipeline {
       // lookarounds/unicode classes by construction (the t5 discipline), so
       // Java and RE2 match identically; counts are taken on the planted
       // text in both engines. Map-only, zero shuffle.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val id = col("doc_id").cast("string")
       val planted = concat(
         lit("Reach u"), id, lit(".test@mail-"), id,
@@ -3990,7 +3990,7 @@ object Pipeline {
       // content, so the split is reproducible across re-runs and across
       // engines (the property a training pipeline needs so later data
       // refreshes never migrate a document between splits).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val bucket = TextFunctions.md5Bucket(col("doc_id"))
       d.select(
           col("doc_id"),
@@ -4018,7 +4018,7 @@ object Pipeline {
       val bucket = TextFunctions.md5Bucket(col("doc_id"))
       Dedup.crossSplitLeakage(
           ccComponentsShared(s, dir),
-          Tables.load(s, dir, "documents")
+          bucketedDocsShared(s, dir)
             .select(col("doc_id"),
               when(bucket < 245, lit("train"))
                 .when(bucket < 250, lit("val"))
@@ -4037,7 +4037,7 @@ object Pipeline {
       // ONE map-combinable aggregate; output is O(shards) at any corpus
       // size, all exact longs — bit-exact on any partitioning. ONE body
       // (operators.Stats.shardManifest) shared with the streaming twin.
-      graft.operators.Stats.shardManifest(Tables.load(s, dir, "documents"))
+      graft.operators.Stats.shardManifest(bucketedDocsShared(s, dir))
         .orderBy(col("shard"))
     },
 
@@ -4052,7 +4052,7 @@ object Pipeline {
       // (bit-identical cross-engine), ratios route through decimal so
       // the per-doc sum is order-insensitive, and the final mean is one
       // more exact division — the whole gate is bit-exact.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       val uni = toks.select(explode(col("toks")).as("w1"))
@@ -4096,7 +4096,7 @@ object Pipeline {
       // t16's (only the persisted model file differs — diff the two
       // margins to see what the loss choice buys).
       import s.implicits._
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       val feats = d.select(col("doc_id"),
         array(lit(1.0),
@@ -4129,7 +4129,7 @@ object Pipeline {
       // on the margin ≡ thresholding on the sigmoid probability
       // (monotone), so no transcendentals enter the gate.
       import s.implicits._
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       val feats = d.select(col("doc_id"),
         array(lit(1.0),
@@ -4163,7 +4163,7 @@ object Pipeline {
       // the DuckDB oracle needs no special-casing. Only (doc_id, count)
       // pairs shuffle for the per-document mean; the mean is one division
       // of an exact long sum, so doubles are bit-identical to DuckDB's.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val minCount =
         s.conf.getOption("spark.graft.surprisal.minTokenCount").map(_.toInt).getOrElse(2)
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -4186,7 +4186,7 @@ object Pipeline {
       // the per-stratum selection is O(n log k) with NO full sort at any
       // corpus size; the DuckDB twin is a row_number window over the same
       // (md5, doc_id) total order.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val keyed = d.select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string").cast("binary")).as("h"))
       graft.plans.TopKPerKey(keyed, Seq(col("lang")),
@@ -4207,7 +4207,7 @@ object Pipeline {
       // sum-of-squares route through decimal (exact); mean, the
       // population variance ((sq - s*s/n)/n), sqrt, and the final z are
       // then identical IEEE double ops on both engines.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val stats = d.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n"),
@@ -4262,7 +4262,7 @@ object Pipeline {
       // (Privacy.retentionExpiry, spec-gated + TVF front door); this
       // report is one broadcast policy join + one map-combinable
       // O(sources) aggregate.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val docs = d.select(col("doc_id"), col("source"),
         (col("doc_id") % 360).cast("long").as("ingest_day"))
       val policy = d.select(col("source")).distinct()
@@ -4285,7 +4285,7 @@ object Pipeline {
       // because the t16 gate already pins them bit-for-bit from the
       // persisted model (saved here too — self-contained).
       import s.implicits._
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = call_function("graft_text_stats", col("text"))
       val feats = d.select(col("doc_id"),
         array(lit(1.0),
@@ -4337,7 +4337,7 @@ object Pipeline {
       // replays it: docs ≡0 (mod 17) are absent from prev (→ added),
       // docs ≡0 (mod 7) had different text (→ changed), phantom ids
       // +1000000 for ≡0 (mod 23) exist only in prev (→ removed).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val currFp = d.select(col("doc_id"), md5(col("text")).as("fp"))
       val prevFp = d.filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"),
@@ -4551,7 +4551,7 @@ object Pipeline {
       // construction). Both count tables are FREQUENCY-FLOORED (≥ 2, the
       // u1 Heaps'-law bound) and broadcast; document text never
       // shuffles — only (doc_id, ratio) longs reach the per-doc sum.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val occ = d.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       val raw = occ.groupBy(col("w")).agg(count(lit(1)).as("cr"))
@@ -4648,7 +4648,7 @@ object Pipeline {
       // any scale and a stopword's quadratic blowup is filtered at the
       // frame, not the join. Candidates are an EQUI self-join on doc_id;
       // relative support (≥ 1% of docs) prunes the tail.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val td = d.select(col("doc_id"),
         explode(TextFunctions.tokenSet(col("text"))).as("w"))
       val n = d.agg(count(lit(1)).as("n_docs"))
@@ -4683,7 +4683,7 @@ object Pipeline {
       // set arithmetic + one scaled division — bit-exact. See
       // [[Dedup.sortedNeighborhoodPairs]]; DedupSpec plants template
       // families to pin the blocking semantics.
-      Dedup.sortedNeighborhoodPairs(Tables.load(s, dir, "documents"),
+      Dedup.sortedNeighborhoodPairs(bucketedDocsShared(s, dir),
         window = 3, minJaccPpm = 500000L)
         .orderBy(col("a"), col("b"))
     },
@@ -4724,7 +4724,7 @@ object Pipeline {
       // division; zero cells contribute via the (source × head) grid.
       // Long headroom holds through ~sf1; larger corpora would route
       // the products through decimal(38,0).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val occ = d.select(col("source"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       val head = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -4765,7 +4765,7 @@ object Pipeline {
       // Long headroom: idf ≤ 1e4·n, sat_num = 22·tf·L — the product
       // stays < 2^63 through ~sf10; beyond that route the product
       // through decimal(38,0).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       val dl = toks.select(col("doc_id"),
@@ -4805,7 +4805,7 @@ object Pipeline {
       // full recompute over base ∪ delta bit-for-bit (the DuckDB
       // oracle computes the direct form). Base/delta reuse x4's
       // deterministic snapshot convention (doc_id % 17).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       def stats(df: DataFrame): DataFrame =
         df.groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -4837,7 +4837,7 @@ object Pipeline {
       // fingerprints map-side (bodies never shuffle), per-fp split
       // flags via ONE max-aggregate (no distinct-set materialization),
       // one single-row pairwise rollup.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val corpus = d.select(col("doc_id"), col("text"))
         .union(d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
@@ -4869,7 +4869,7 @@ object Pipeline {
       // row_number window ranks a provably tiny frame — the
       // deterministicCentroids precedent), and the position is
       // arithmetic, not a window.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val keyed = d.select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("mk"))
       val quota = graft.plans.TopKPerKey(keyed, Seq(col("source")),
@@ -4964,7 +4964,7 @@ object Pipeline {
       // 100 TB you'd persist it once (the materializedIndex discipline)
       // instead of re-scanning; at gate scale the three passes keep the
       // plan cache-independent and pin-stable.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val st = d.select(col("source"),
           explode(TextFunctions.tokenSet(col("text"))).as("w"))
         .distinct()
@@ -5002,7 +5002,7 @@ object Pipeline {
       // band bet, so the matrix from LSH-proposed pairs is rows-only;
       // x19p_syndication_exact carries the hash gate over the
       // exact-recall prefix-filtered pair set.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val pairs = mhPairs80Shared(s, dir)
       val src = d.select(col("doc_id"), col("source"))
       pairs
@@ -5023,7 +5023,7 @@ object Pipeline {
       // instead of LSH bands, so DuckDB's quadratic replay must match
       // bit-for-bit. x19's LSH-proposed matrix stays rows-only — the
       // a2p/a8p twin discipline.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       // the exact-recall pair universe comes from its materialized
       // store (distinct'd there — the d3p multi-emit contract)
       val pairs = ngramPairs80Shared(s, dir)
@@ -5052,7 +5052,7 @@ object Pipeline {
       // the O(sources) frame (the row_number window is over that
       // provably tiny frame, not the corpus).
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       // the ONE corpus-sized stage; everything below runs on the
       // O(sources) aggregate, re-referenced via whole-frame windows so
       // the corpus is scanned exactly once (agg+crossJoin would re-scan
@@ -5095,7 +5095,7 @@ object Pipeline {
       // frame (whole-frame/per-epoch windows over provably tiny
       // frames).
       val wnd = org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       def hamilton(wt: org.apache.spark.sql.Column, out: String) =
         counts.select(col("source"), col("n_docs"), wt.as("wt"))
@@ -5147,7 +5147,7 @@ object Pipeline {
       // contract as s8 — diff the two allocations to see the
       // duplication bias directly.
       val comp = ccComponentsShared(s, dir)
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val scored = comp.join(d.select(col("doc_id"), col("n_chars")),
         Seq("doc_id"))
       val keep = graft.plans.TopKPerKey(scored, Seq(col("rep")),
@@ -5300,7 +5300,7 @@ object Pipeline {
       // 2^-64-per-pair collision for an 8-byte shuffle key. Docs with
       // fewer than 3 tokens have no trigrams and drop out, matching
       // the oracle's inner grouping.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       def grams(df: DataFrame): DataFrame =
@@ -5346,7 +5346,7 @@ object Pipeline {
       // bad template. One fp aggregate (the d1 shuffle — 128-bit keys,
       // bodies never move), then an O(distinct sizes) rollup; exact
       // longs, output bounded by the largest cluster size.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(md5(col("text")).as("fp"))
         .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
@@ -5432,7 +5432,7 @@ object Pipeline {
       // ratios, so shipping the EXACT scaled ratios (one integer
       // division each) keeps the gate transcendental-free and lets the
       // caller blend with any coefficients. Pure per-row map work.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
           size(filter(split(col("text"), "[.!?]+"),
@@ -5540,7 +5540,7 @@ object Pipeline {
       // scaled integer division; everything exact.
       val wnd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("n_chars"))
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val counts = d.groupBy(col("source"), col("n_chars"))
         .agg(count(lit(1)).as("cnt"))
       val cum = counts.withColumn("cum", sum(col("cnt")).over(wnd))
@@ -5631,7 +5631,7 @@ object Pipeline {
       // Spark's built-in BloomFilterImpl, whose murmur layout is
       // JVM-private — the reason c3's prefilter is gated on its OUTPUT
       // while this sketch is gated on its STATE).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val states = d
         .withColumn("shard", (col("doc_id") % 4).cast("int"))
         .groupBy(col("source"), col("shard"))
@@ -5725,7 +5725,7 @@ object Pipeline {
       // fold = bit-exact replay. Gated on the en slice (per-language
       // tokenizer — the production shape), 2 unrolled rounds: emits
       // (round, a, b, cnt, n_syms), the compression trace.
-      val docs = Tables.load(s, dir, "documents")
+      val docs = bucketedDocsShared(s, dir)
         .filter(col("lang") === "en")
       Tokenizer.distributedMergeRounds(docs, rounds = 2)
     },
@@ -5742,7 +5742,7 @@ object Pipeline {
       // then ONE map-combinable O(langs) aggregate — exact longs and
       // scaled integer divisions end to end.
       val merges = BpeMerges
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = TextFunctions.tokens(col("text"))
       d.select(col("lang"),
           size(toks).cast("long").as("nw"),
@@ -5796,7 +5796,7 @@ object Pipeline {
       // rank-greedy ≡ sequential application), so DuckDB replays it
       // with six list_reduce folds at the distinct-word level.
       val merges = BpeMerges
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
           size(Tokenizer.segment(col("text"), merges)).cast("long")
@@ -5819,7 +5819,7 @@ object Pipeline {
       // and words past the 12-char trainer contract fall back to
       // char-per-piece (both rules replayed exactly by the oracle's
       // 12-round unrolled relational DP at the distinct-word level).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
           size(Tokenizer.unigramSegment(col("text"), UnigramPieces,
@@ -5843,7 +5843,7 @@ object Pipeline {
       // the next round total, so iterating is feeding the output back
       // in. One corpus-sized aggregate; the M-step runs on the
       // O(vocab) frame.
-      Tokenizer.unigramEmStep(Tables.load(s, dir, "documents"),
+      Tokenizer.unigramEmStep(bucketedDocsShared(s, dir),
           UnigramPieces, UnigramCharCost)
         .orderBy(col("piece"))
     },
@@ -5860,7 +5860,7 @@ object Pipeline {
       // pins the loop arithmetic end to end. The converge-or-maxIters
       // form (model-fixpoint detection, vocab monotonically
       // shrinking) is spec-pinned loop ≡ unrolled.
-      Tokenizer.unigramEmConverged(Tables.load(s, dir, "documents"),
+      Tokenizer.unigramEmConverged(bucketedDocsShared(s, dir),
           UnigramPieces, UnigramCharCost, maxIters = 2,
           runToFixpoint = false)
         .orderBy(col("piece"))
@@ -5877,7 +5877,7 @@ object Pipeline {
       // O(langs) aggregate); fertilities and their delta are exact
       // scaled integer divisions.
       val merges = BpeMerges
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = TextFunctions.tokens(col("text"))
       d.select(col("lang"),
           size(toks).cast("long").as("nw"),
@@ -5916,7 +5916,7 @@ object Pipeline {
       // and ANSI overflow raises loudly instead of wrapping; `div` on
       // decimals still yields BIGINT, so the output schema is unchanged.
       // Output floored at c12 >= 2 (the u1 Heaps'-law bound).
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(TextFunctions.tokens(col("text")).as("toks"))
       val occ = toks.select(
           explode(TextFunctions.wordShingles(col("toks"), 2)).as("gram"))
@@ -5955,7 +5955,7 @@ object Pipeline {
       // printable by construction, the byte domain's robustness
       // argument made visible. Gated on the en slice (per-language
       // tokenizer), 2 unrolled rounds: (round, a, b, cnt, n_syms).
-      val docs = Tables.load(s, dir, "documents")
+      val docs = bucketedDocsShared(s, dir)
         .filter(col("lang") === "en")
       Tokenizer.distributedByteMergeRounds(docs, rounds = 2)
     },
@@ -5976,7 +5976,7 @@ object Pipeline {
       // unigramLm trainer's own single-char convention; exact on any
       // BMP corpus, and the UnigramPieces table is ASCII so a learned
       // piece always has length > 1 in both engines.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val types = d.select(col("lang"),
           explode(TextFunctions.tokens(col("text"))).as("w"))
         .distinct()
@@ -6010,7 +6010,7 @@ object Pipeline {
       // the same pass (octet_length ≡ UTF-8 byte count ≡ base symbol
       // count before merging). bytes-per-subword is the byte-level
       // compression ratio — THE tokenizer-quality headline number.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = TextFunctions.tokens(col("text"))
       d.select(col("doc_id"),
           size(toks).cast("long").as("n_words"),
@@ -6034,7 +6034,7 @@ object Pipeline {
       // decimal routing — backoff keeps the whole gate in integers).
       // Count tables frequency-floored ≥ 2 (u1's Heaps'-law bound) and
       // broadcast; text never shuffles beyond the per-doc sum.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks"))
       val uni = toks.select(explode(col("toks")).as("w"))
@@ -6077,7 +6077,7 @@ object Pipeline {
       // identically (no \s — the Java/RE2 divergence); tokens-per-
       // sentence is one scaled integer division. Pure per-row map work —
       // no shuffle beyond the final order.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       d.select(col("doc_id"),
           size(filter(split(col("text"), "[.!?]+"),
             x => length(regexp_replace(x, "[ \t\n\f\r]+", "")) > 0))
@@ -6098,7 +6098,7 @@ object Pipeline {
       // counts, language/source cardinalities, exact-dup rate (ppm of
       // docs whose text appears more than once — derived from
       // distinct-text count), and mean tokens/doc. All integers.
-      val d = Tables.load(s, dir, "documents")
+      val d = bucketedDocsShared(s, dir)
       val toks = d.select(col("doc_id"), col("lang"), col("source"),
         col("text"), size(TextFunctions.tokens(col("text")))
           .cast("long").as("n_tok"))
