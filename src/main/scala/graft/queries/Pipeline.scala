@@ -49,7 +49,7 @@ object Pipeline {
   private def fittedPca(s: SparkSession, dir: String): Similarity.PcaModel =
     pcaMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
       loadPcaFit(s, dir, dim = 64, k = 8).getOrElse {
-        val model = Similarity.fitPca(Tables.load(s, dir, "embeddings"),
+        val model = Similarity.fitPca(Tables.loadFanned(s, dir, "embeddings"),
           dim = 64, k = 8, whiten = true)
         savePcaFit(s, dir, model)
         model
@@ -115,13 +115,13 @@ object Pipeline {
           // feed wrong-length literals into the assignment expression);
           // the fresh-fit path skips the validation job entirely
           val rows = s.read.parquet(path).collect()
-          lazy val dim = Tables.load(s, dir, "embeddings")
+          lazy val dim = Tables.loadFanned(s, dir, "embeddings")
             .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) Similarity.saveIvfIndex(
-        Similarity.lloydCentroids(Tables.load(s, dir, "embeddings"),
+        Similarity.lloydCentroids(Tables.loadFanned(s, dir, "embeddings"),
           nlist = nlist, iters = 2), path)
       path
     })).value
@@ -143,14 +143,14 @@ object Pipeline {
       val ok =
         try {
           val rows = s.read.parquet(path).collect()
-          lazy val dim = Tables.load(s, dir, "embeddings")
+          lazy val dim = Tables.loadFanned(s, dir, "embeddings")
             .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) Similarity.saveIvfIndex(
         Similarity.lloydCentroids(
-          Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          Tables.loadFanned(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
           nlist = nlist, iters = 2), path)
       path
     })).value
@@ -171,14 +171,14 @@ object Pipeline {
       val ok =
         try {
           val rows = s.read.parquet(path).collect()
-          lazy val dim = Tables.load(s, dir, "embeddings")
+          lazy val dim = Tables.loadFanned(s, dir, "embeddings")
             .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) Similarity.saveIvfIndex(
         Similarity.lloydCentroids(
-          Tables.load(s, dir, "embeddings")
+          Tables.loadFanned(s, dir, "embeddings")
             .filter(col("vec_id") % 4 =!= 0)
             .select(col("vec_id"), col("embedding")),
           nlist = nlist, iters = 2), path)
@@ -196,7 +196,7 @@ object Pipeline {
     * expression) the oracle.
     */
   private def v13DriftedDrop(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadFanned(s, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"), x => -x)
@@ -220,7 +220,7 @@ object Pipeline {
       val ok =
         try {
           val rows = s.read.parquet(path).collect()
-          lazy val dim = Tables.load(s, dir, "embeddings")
+          lazy val dim = Tables.loadFanned(s, dir, "embeddings")
             .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist &&
             rows.exists(_.getAs[Boolean]("refit")) &&
@@ -228,7 +228,7 @@ object Pipeline {
               _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) {
-        val base = Tables.load(s, dir, "embeddings")
+        val base = Tables.loadFanned(s, dir, "embeddings")
           .filter(col("vec_id") % 4 =!= 0)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("embedding"))
@@ -251,7 +251,7 @@ object Pipeline {
     * serving query, and (as the same SQL expression) the oracle.
     */
   private def v14StaleDrop(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadFanned(s, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -281,7 +281,7 @@ object Pipeline {
               _.getAs[scala.collection.Seq[Double]]("centroid").size == 8)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) {
-        val base = Tables.load(s, dir, "embeddings")
+        val base = Tables.loadFanned(s, dir, "embeddings")
           .filter(col("vec_id") % 4 =!= 0)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("embedding"))
@@ -307,7 +307,7 @@ object Pipeline {
   private def fittedPq(s: SparkSession, dir: String): Similarity.PqModel =
     pqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
       loadPqModel(s, dir, dim = 64, m = 8, k = 16).getOrElse {
-        val model = Similarity.fitPq(Tables.load(s, dir, "embeddings"),
+        val model = Similarity.fitPq(Tables.loadFanned(s, dir, "embeddings"),
           dim = 64, m = 8, k = 16, iters = 2)
         savePqModel(s, dir, model)
         model
@@ -324,7 +324,7 @@ object Pipeline {
       loadPqModel(s, dir, dim = 64, m = 8, k = 16,
         name = "pq_resid_model").getOrElse {
         val model = Similarity.fitResidualPq(
-          Tables.load(s, dir, "embeddings"),
+          Tables.loadFanned(s, dir, "embeddings"),
           Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
           dim = 64, m = 8, k = 16, iters = 2)
         savePqModel(s, dir, model, name = "pq_resid_model")
@@ -341,7 +341,7 @@ object Pipeline {
     opqMemo.computeIfAbsent(dir, _ => new ModelHolder(() =>
       loadOpqModel(s, dir, dim = 64, m = 8, k = 16).getOrElse {
         val model = Similarity.fitOpqParametric(
-          Tables.load(s, dir, "embeddings"), dim = 64, m = 8, k = 16,
+          Tables.loadFanned(s, dir, "embeddings"), dim = 64, m = 8, k = 16,
           iters = 2)
         saveOpqModel(s, dir, model)
         model
@@ -361,14 +361,14 @@ object Pipeline {
       val ok =
         try {
           val rows = s.read.parquet(path).collect()
-          lazy val dim = Tables.load(s, dir, "embeddings")
+          lazy val dim = Tables.loadFanned(s, dir, "embeddings")
             .select(size(col("embedding")).as("d")).head().getInt(0)
           rows.length == nlist && rows.forall(
             _.getAs[scala.collection.Seq[Double]]("centroid").size == dim)
         } catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) Similarity.saveIvfIndex(
         Similarity.lloydCentroids(
-          Similarity.rotateFrame(Tables.load(s, dir, "embeddings"),
+          Similarity.rotateFrame(Tables.loadFanned(s, dir, "embeddings"),
             fittedOpq(s, dir).rotation),
           nlist = nlist, iters = 2), path)
       path
@@ -387,7 +387,7 @@ object Pipeline {
       loadPqModel(s, dir, dim = 64, m = 8, k = 16,
         name = "opq_resid_model").getOrElse {
         val model = Similarity.fitResidualPq(
-          Similarity.rotateFrame(Tables.load(s, dir, "embeddings"),
+          Similarity.rotateFrame(Tables.loadFanned(s, dir, "embeddings"),
             fittedOpq(s, dir).rotation),
           Similarity.loadIvfIndex(s, fittedOpqIvfPath(s, dir)),
           dim = 64, m = 8, k = 16, iters = 2)
@@ -953,7 +953,7 @@ object Pipeline {
     materializedIndex(s, dir, "ivf_members_16")(
       Similarity.ivfAssign(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
-        Tables.load(s, dir, "embeddings")))
+        Tables.loadFanned(s, dir, "embeddings")))
 
   /** x26's curriculum drop batch `(doc_id, source)` — the s16 lifecycle
     * convention (stale = % 10 != 3, drop = % 10 == 3), pre-staged like
@@ -991,7 +991,7 @@ object Pipeline {
     */
   private[graft] def pqCodesShared(s: SparkSession, dir: String): DataFrame =
     materializedIndex(s, dir, "pq_codes")(
-      Similarity.pqEncode(Tables.load(s, dir, "embeddings"),
+      Similarity.pqEncode(Tables.loadFanned(s, dir, "embeddings"),
         fittedPq(s, dir)))
 
   /** d13's VERIFIED containment pair set (sub_id, super_id,
@@ -1567,7 +1567,7 @@ object Pipeline {
       // fittedIvfPath discipline) — the fit never lands in the timed loop
       Similarity.semanticDedupWith(
         Similarity.loadIvfIndex(s, fittedD9CellsPath(s, dir)),
-        Tables.load(s, dir, "embeddings"), tau = 0.4)
+        Tables.loadFanned(s, dir, "embeddings"), tau = 0.4)
     },
 
     "d10_span_dedup" -> { (s, dir) =>
@@ -1998,7 +1998,7 @@ object Pipeline {
       // IVF serving against the PERSISTED centroid index (fit-once,
       // serve-many — the production ANN shape; the Lloyd fit runs only
       // on the first touch per sf dir and lands in ivf_centroids.parquet)
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfTopKWith(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
         e, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
@@ -2016,7 +2016,7 @@ object Pipeline {
       // DuckDB recomputes every argmin from it — scores replay as
       // ‖c‖² − 2·list_dot_product(block, c) with the identical fold, so
       // codes are bit-reproducible (the v4p/d9 discipline).
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
       Similarity.pqEncode(e, model)
         .select(col("vec_id"), posexplode(
@@ -2032,7 +2032,7 @@ object Pipeline {
       // insensitive ⇒ exact gate), winners via the bounded heap. The
       // oracle recomputes codes from the persisted codebooks (the a3
       // CTEs) and replays LUT + sum + ranking in SQL end-to-end.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
       // codes from the persisted quantized index (r18) — production
       // serves the 8-byte codes from disk, it never re-encodes per query
@@ -2051,7 +2051,7 @@ object Pipeline {
       // |queries|×25 shortlist (broadcast onto ONE corpus scan). Both
       // stages are oracle-replayable (a4's codes/LUT CTEs + the a1
       // cosine), so the composition hash-gates end to end.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val model = fittedPq(s, dir)
       // the shortlist proposes from the PERSISTED code store (r18):
       // re-encoding the corpus per pass was a10's 20× first-touch tax
@@ -2086,7 +2086,7 @@ object Pipeline {
       // hash-gates the whole machinery.
       // served against the PERSISTED centroid index (fit-once,
       // serve-many — the a2 discipline; the bench prebuild covers it)
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfRadiusWith(
           Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
           e, e.filter(col("vec_id") < 5), tau = 0.3, nprobe = 4)
@@ -2099,7 +2099,7 @@ object Pipeline {
       // search (a7's oracle SQL verbatim) — assignment, probe join,
       // multi-cell dedup, and the radius filter all hash-checked (the
       // a2p discipline).
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfRadius(e, e.filter(col("vec_id") < 5), tau = 0.3,
         nlist = 8, nprobe = 8, lloydIters = 0)
         .orderBy(col("query_id"), col("neighbor_id"))
@@ -2117,7 +2117,7 @@ object Pipeline {
       // thresholds to decide refit-vs-serve. Fully oracle-backed via
       // centroids-as-data: DuckDB replays the argmax assignment, the
       // counts, and the decimal-routed mean/cosine bit-for-bit.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val cells = Similarity.loadIvfIndex(s, fittedA9CellsPath(s, dir))
       val nb = Similarity.ivfAssign(cells, e.filter(col("vec_id") % 4 =!= 0))
         .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
@@ -2137,7 +2137,7 @@ object Pipeline {
       // fit-once/serve-many discipline), and since cell assignment,
       // codes, and LUT are all oracle-replayable kernels, the COMPOSED
       // answer hash-gates — the approximate index with an exact gate.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfPqTopK(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
         e, e.filter(col("vec_id") < 5), fittedPq(s, dir),
@@ -2157,7 +2157,7 @@ object Pipeline {
       // per-(query, cell) LUT join, bounded heap — and the whole
       // composition hash-gates from the persisted centroid +
       // residual-codebook parquets (models as data).
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfPqResidualTopK(
         Similarity.loadIvfIndex(s, fittedIvfPath(s, dir, nlist = 16)),
         e, e.filter(col("vec_id") < 5), fittedResidualPq(s, dir),
@@ -2177,7 +2177,7 @@ object Pipeline {
       // fused v4p dot kernel (map-only, codegen'd); serving is the a4
       // machinery verbatim in the rotated space; BOTH model halves
       // persist and DuckDB replays rotation + quantization end to end.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.opqAdcTopK(e, e.filter(col("vec_id") < 5),
           fittedOpq(s, dir), k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -2193,7 +2193,7 @@ object Pipeline {
       // energy term. All three model halves persist, so DuckDB
       // replays rotation → assignment → residual LUT end to end —
       // the approximate production index with an exact gate.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.opqIvfPqResidualTopK(
         Similarity.loadIvfIndex(s, fittedOpqIvfPath(s, dir)),
         e, e.filter(col("vec_id") < 5), fittedOpq(s, dir).rotation,
@@ -2208,7 +2208,7 @@ object Pipeline {
       // seeding, the map-only cell assignment, the probe join, multi-cell
       // candidate dedup, and the top-k heap all sit on the hash-checked
       // path. a2's pruned recall (nprobe < nlist) stays spec-measured.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
         k = 10, nlist = 8, nprobe = 8, lloydIters = 0)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -4419,7 +4419,7 @@ object Pipeline {
       // at scale 12, exact unscaled sums with a BigInteger overflow
       // lane), so the output is byte-identical to the explode/groupBy
       // decimal form on any partitioning — spec-pinned both ways.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       e.agg(call_function("graft_gram_moments",
           col("embedding"), lit(64)).as("g"))
         .select(explode(col("g")).as("r"))
@@ -4899,7 +4899,7 @@ object Pipeline {
       // crossJoin + bounded-heap TopKPerKey (never a per-query sort);
       // the fusion itself joins two ≤ 20-rows-per-query frames — the
       // corpus is scanned twice and shuffled never.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
       val cosTop = Similarity.bruteForceTopK(e, queries, k = 20)
         .select(col("query_id"), col("neighbor_id"),
@@ -5192,7 +5192,7 @@ object Pipeline {
       // beyond the broadcast, which is also what lets the
       // pqDistortionStream continuous twin run the identical chain),
       // then one map-combinable aggregate; O(m) rows at any scale.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val model = fittedPq(s, dir) // loads-or-fits; persists the parquet
       val cents = s.read
         .parquet(s"${Tables.modelsDir(dir)}/pq_model.parquet")
@@ -5217,7 +5217,7 @@ object Pipeline {
       // full-probe preservation). Output (vec_id, old_cell, cell) for
       // base ∪ drifted drop; the oracle replays both argmaxes from the
       // persisted old/new centroid parquets.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val old = s.read.parquet(fittedA9CellsPath(s, dir))
       val refit = s.read.parquet(fittedV13CellsPath(s, dir))
       val vecs = e.filter(col("vec_id") % 4 =!= 0)
@@ -5244,7 +5244,7 @@ object Pipeline {
       // (vec_id, sub, old_code, code) for base ∪ drop; the oracle
       // replays both argmins from the persisted old/new codebook
       // parquets.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val vecs = e.filter(col("vec_id") % 4 =!= 0)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
@@ -5265,7 +5265,7 @@ object Pipeline {
       // One left-semi join + two O(queries) aggregates on top of the
       // bounded retrieval frames; recall_ppm is one exact integer
       // division.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       val model = fittedPq(s, dir)
       val codes = pqCodesShared(s, dir) // the persisted quantized index
@@ -5502,7 +5502,7 @@ object Pipeline {
       // the (label × dim)-bounded centroid frame — order-insensitive,
       // so the doubles replay exactly. Two corpus passes, then
       // O(labels × dims) everything.
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadFanned(s, dir, "embeddings")
       def cent(df: DataFrame, m: String, n: String): DataFrame =
         df.select(col("label"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
