@@ -771,15 +771,26 @@ object Similarity {
     val dsub = oldModel.dsub
     def block(sub: Int): Column =
       slice(asDouble(col("embedding")), sub * dsub + 1, dsub)
-    val pairCols = (0 until m).map { sub =>
-      val oldC = nearestCellL2Expr(block(sub), oldModel.books(sub))
+    // the argmins live in their OWN Project (the pqSubspaceErrors / v12
+    // discipline): inside the posexplode's element list they compile
+    // into the Generate's doConsume, which whole-stage codegen cannot
+    // method-split — up to 2m fused argmins there blow the JVM's 64 KB
+    // method limit and the re-encode pass silently drops to interpreted
+    // eval. A Project splits per-expression; the Generate then carries
+    // only column refs.
+    val codeCols = (0 until m).flatMap { sub =>
       val newC =
         if (staleSubs.contains(sub))
           nearestCellL2Expr(block(sub), newBooks(sub))
         else lit(null).cast("int")
-      struct(oldC.as("oldc"), newC.as("newc"))
+      Seq(nearestCellL2Expr(block(sub), oldModel.books(sub)).as(s"oldc$sub"),
+        newC.as(s"newc$sub"))
+    }
+    val pairCols = (0 until m).map { sub =>
+      struct(col(s"oldc$sub").as("oldc"), col(s"newc$sub").as("newc"))
     }
     vectors
+      .select(col("vec_id") +: codeCols: _*)
       .select(col("vec_id"), posexplode(array(pairCols: _*))
         .as(Seq("sub", "cc")))
       .select(col("vec_id"), col("sub"), col("cc.oldc").as("old_code"),
@@ -842,15 +853,26 @@ object Similarity {
       // subspaces: each row explodes into its m (sub, cell, block)
       // assignments against that subspace's current literal codebook;
       // per-(sub, cell, pos) decimal means are order-insensitive, so
-      // the fused job reproduces the sequential fit bit-for-bit
+      // the fused job reproduces the sequential fit bit-for-bit.
+      // The argmins live in their OWN Project (the pqSubspaceErrors /
+      // v12 discipline): inside the explode's element list they compile
+      // into the Generate's doConsume, which whole-stage codegen cannot
+      // method-split — m fused argmins there blow the JVM's 64 KB
+      // method limit and the whole fit stage silently drops to
+      // interpreted eval (measured: the janino compile fails AFTER
+      // emitting ~12k lines, once per iteration per model — the opq/pq
+      // fit channel paid 100+ s of driver compile-and-fail).
+      val cellCols = (0 until m).map { sub =>
+        nearestCellL2Expr(
+          slice(col("embedding"), sub * dsub + 1, dsub), books(sub))
+          .as(s"cell$sub")
+      }
       val perSub = (0 until m).map { sub =>
-        struct(lit(sub).as("sub"),
-          nearestCellL2Expr(
-            slice(col("embedding"), sub * dsub + 1, dsub), books(sub))
-            .as("cell"),
+        struct(lit(sub).as("sub"), col(s"cell$sub").as("cell"),
           slice(col("embedding"), sub * dsub + 1, dsub).as("block"))
       }
-      val means = fit.select(explode(array(perSub: _*)).as("e"))
+      val means = fit.select(col("embedding") +: cellCols: _*)
+        .select(explode(array(perSub: _*)).as("e"))
         .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
           posexplode(col("e.block")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
