@@ -114,6 +114,57 @@ object Tables {
     }
   }
 
+  /** DATA-SIZED engine width (r20): the partition/bucket/fan-out width
+    * derived from the corpus's on-disk bytes, replacing the constant 32
+    * that r19 tuned to the local core count. The r19 verdict's central
+    * finding was that 32-way-everything at sf0.1 (17.5 MB of input!)
+    * collapsed the driver's local[32] channel: 32 task threads per
+    * stage saturated every core, starved the JIT compiler threads (269
+    * queries × whole-stage-codegen classes — measured: C2 threads
+    * out-CPU'd the executors, 280+ elapsed compile seconds per pass,
+    * per-query CPU 3-5× its local[8] cost with GC flat and zero
+    * spill), and paid parallel-overhead CPU on partitions of a few KB.
+    * Guide §2 names the rule: derive partitioning from input size, not
+    * from either the local core count or a cluster constant.
+    *
+    * bytes/8 MB, clamped to [8, 1024]: sf0.1 → 8 (kernels still
+    * parallelize 8-way; 24 of 32 cores stay free for the compiler and
+    * the next stage), sf1 → ~22, sf10 → ~220, and a 100 TB corpus hits
+    * the cap — production sets `SPARK_GRAFT_WIDTH` (or
+    * spark.sql.shuffle.partitions directly) from its cluster size and
+    * target partition bytes instead of trusting any local heuristic.
+    * Deterministic per sf dir (file bytes), so a fresh JVM derives the
+    * same width and re-registers byte-identical bucketed stores.
+    */
+  def adaptiveWidth(spark: SparkSession, sfDir: String): Int =
+    widthMemo.computeIfAbsent(sfDir, _ => {
+      val w: Int = sys.props.get("SPARK_GRAFT_WIDTH")
+        .orElse(sys.env.get("SPARK_GRAFT_WIDTH")).map(_.toInt).getOrElse {
+          val p = new org.apache.hadoop.fs.Path(sfDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val bytes =
+            if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          val target = 8L * 1024 * 1024
+          math.max(8, math.min(1024, ((bytes + target - 1) / target).toInt))
+        }
+      Integer.valueOf(w)
+    })
+
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Point the session's shuffle width at the data's derived width —
+    * called by every harness entry (Bench, Verify, tools) right after
+    * the session is built, once the data directory is known. The
+    * loadFanned/fanned parallelism floor follows automatically (it
+    * targets `numShufflePartitions`).
+    */
+  def applySessionWidth(spark: SparkSession, sfDir: String): Int = {
+    val w = adaptiveWidth(spark, sfDir)
+    spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    w
+  }
+
   /** Directory for small persisted model tables (PCA models, IVF
     * centroids) fitted against `sfDir`'s data — the model-as-data half of
     * an oracle-backed gate: Spark writes the fitted state here as parquet

@@ -11,6 +11,9 @@ object Verify {
       master = s"local[$cpus]",
       appName = "graft-verify",
       shufflePartitions = cpus.toInt)
+    // data-derived width, same derivation as the bench (bucketed stores
+    // are written at this width; the oracle reads the same bytes)
+    Tables.applySessionWidth(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_VERIFY_QUERIES=q1_agg,v4p_...
     // runs only those queries (the driver leaves it unset → full dump)

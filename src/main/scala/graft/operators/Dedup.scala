@@ -777,8 +777,20 @@ object Dedup {
     * EDGES, [[componentsIndexMerge]] ∝ drop + matched postings —
     * corpus text is never re-read.
     */
+  /** `verifiedPairs`, when supplied, must be the DISTINCT verified
+    * (i < j, J ≥ threshold, same-block) pair set of [[ngramJaccardPairs]]
+    * computed over EXACTLY `docs`' rows at the same (n, threshold,
+    * blocking) — e.g. the corpus's materialized pair store. Pair
+    * membership is decided independently per pair (the df-ordered prefix
+    * filter is pruning-only — exact recall under any consistent global
+    * order), so restricting the full-corpus set to rep endpoints is
+    * bit-identical to running the PPJoin over the reps alone
+    * (spec-pinned) — and the store build then skips its own PPJoin, the
+    * single most expensive subtree of the fit channel.
+    */
   def componentsIndex(docs: DataFrame, n: Int = 1,
-      threshold: Double = 0.95, maxIters: Int = 8): DataFrame = {
+      threshold: Double = 0.95, maxIters: Int = 8,
+      verifiedPairs: Option[DataFrame] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("fp"))
     val withRep0 = docs
@@ -799,9 +811,18 @@ object Dedup {
     // distinct: candidate generation emits one row per shared prefix
     // token — closure is duplicate-insensitive, a persisted EDGE STORE
     // is not
-    val pairs = persistTracked(ngramJaccardPairs(
-      reps.select(col("doc_id"), col("lang"), col("text")),
-      n = n, threshold = threshold, blockCols = Seq(col("lang"))).distinct())
+    val pairs = persistTracked(verifiedPairs match {
+      case Some(vp) =>
+        // rep-endpoint restriction of the full-corpus verified set (see
+        // the Scaladoc contract); the supplied store is already distinct
+        val repIds = reps.select(col("doc_id"))
+        vp.select(col("i"), col("j"))
+          .join(repIds.toDF("i"), Seq("i"), "left_semi")
+          .join(repIds.toDF("j"), Seq("j"), "left_semi")
+      case None => ngramJaccardPairs(
+        reps.select(col("doc_id"), col("lang"), col("text")),
+        n = n, threshold = threshold, blockCols = Seq(col("lang"))).distinct()
+    })
     val cc = connectedComponents(
       reps.select(col("doc_id")), pairs, maxIters = maxIters)
     val repToks = reps.filter(col("tsz") > 0)

@@ -594,8 +594,14 @@ object Pipeline {
           val tp = new org.apache.hadoop.fs.Path(tmpPath)
           val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
           s.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+          // bucket width = the data-derived engine width (Tables
+          // .adaptiveWidth): deterministic per sf dir, so a fresh JVM
+          // re-registers the identical layout; r19's constant 32 was
+          // the local core count in disguise and over-fanned every
+          // scan at small SFs (see the GraftSession.Tables scaladoc)
+          val buckets = Tables.adaptiveWidth(s, dir)
           try graft.operators.Bucketing.writeBucketed(build, tmpTable,
-            tmpPath, buckets = 32, keys = keys)
+            tmpPath, buckets = buckets, keys = keys)
           catch {
             case e: Throwable =>
               try {
@@ -619,15 +625,15 @@ object Pipeline {
               s"materializedBucketedIndex: rename $tmpPath -> $finalPath failed")
           }
           graft.operators.Bucketing.registerBucketed(s, table, finalPath,
-            buckets = 32, keys = keys, schema = schema)
+            buckets = buckets, keys = keys, schema = schema)
         }
         table
       }))
     s.table(holder.path)
   }
 
-  /** The corpus as a doc_id-BUCKETED external table (32 buckets — the
-    * session shuffle parallelism, so a doc_id-keyed shuffle output is
+  /** The corpus as a doc_id-BUCKETED external table (bucket count = the
+    * data-derived engine width, so a doc_id-keyed shuffle output is
     * co-partitioned with the scan): the production storage posture for
     * corpus REWRITES. A rewrite (d20's span excision) must bring global
     * metadata (cover maps) back to every document body; against a plain
@@ -652,7 +658,8 @@ object Pipeline {
       if (!s.catalog.tableExists(name)) {
         graft.operators.Bucketing.writeBucketed(
           Tables.load(s, dir, "documents"),
-          name, s"${Tables.modelsDir(dir)}/docs_bkt", buckets = 32,
+          name, s"${Tables.modelsDir(dir)}/docs_bkt",
+          buckets = Tables.adaptiveWidth(s, dir),
           keys = Seq("doc_id"))
       }
       name
@@ -898,8 +905,16 @@ object Pipeline {
     * audits run their index-only delete against.
     */
   private[graft] def componentsIndexShared(s: SparkSession, dir: String): DataFrame =
+    // the rep-level edge set rides the corpus's materialized verified
+    // pair store (same n/threshold/lang-blocking, restricted to rep
+    // endpoints — bit-identical per the componentsIndex contract,
+    // spec-pinned in IndexDeleteSpec): the store build skips its own
+    // PPJoin, the fit channel's most expensive subtree. The PIN twin
+    // (components_index_pin) cannot share it — planted text shifts
+    // every Jaccard — and keeps the inline PPJoin.
     materializedIndex(s, dir, "components_index")(
-      Dedup.componentsIndex(bucketedDocsShared(s, dir)))
+      Dedup.componentsIndex(bucketedDocsShared(s, dir),
+        verifiedPairs = Some(ngramPairs95Shared(s, dir))))
 
   /** x25's planted base slice — the pin prefix derives from the TEXT
     * (identical texts keep identical pins, preserving exact-dup
@@ -975,7 +990,11 @@ object Pipeline {
     */
   private[graft] def pinCompPostingsShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "pin_comp_postings", Seq("p"))(
-      Dedup.componentsPostings(x25StoresShared(s, dir)("components")))
+      // the SINGLE pin store it depends on — constructing the full
+      // x25StoresShared map here would build all seven pin stores
+      // sequentially inside this holder's pool thread (measured: it was
+      // the 61 s fit-channel wall)
+      Dedup.componentsPostings(x25PinStore(s, dir, "components")))
 
   private[graft] def pinCompDfShared(s: SparkSession, dir: String): DataFrame =
     materializedBucketedIndex(s, dir, "pin_comp_df", Seq("p"))(
@@ -1014,36 +1033,52 @@ object Pipeline {
     * paths plus O(1) counts, never a build (the store an audit
     * deletes from is persisted in production by definition).
     */
-  private[graft] def x25StoresShared(s: SparkSession,
-      dir: String): Map[String, DataFrame] = {
+  /** One pin store by key — each behind its own memoized holder, so the
+    * prebuild pool builds the seven INDEPENDENT stores concurrently
+    * (r19's single `x25_pin_stores` entry built all seven sequentially
+    * inside one pool thread and set the fit channel's wall).
+    */
+  private[graft] def x25PinStore(s: SparkSession, dir: String,
+      which: String): DataFrame = {
     def base = x25PlantedBase(s, dir)
-    Map(
-      "span_index" -> materializedBucketedIndex(
+    which match {
+      case "span_index" => materializedBucketedIndex(
         s, dir, "pin_span_index", Seq("gh"))(
-        Dedup.spanIndexCounted(base, n = 8)),
-      "charspan_index" -> materializedBucketedIndex(
+        Dedup.spanIndexCounted(base, n = 8))
+      case "charspan_index" => materializedBucketedIndex(
         s, dir, "pin_charspan_index", Seq("gh"))(
-        Dedup.spanIndexCountedChars(base, n = 40)),
-      "tfidf_postings" -> materializedBucketedIndex(
+        Dedup.spanIndexCountedChars(base, n = 40))
+      case "tfidf_postings" => materializedBucketedIndex(
         s, dir, "pin_tfidf_postings", Seq("gram"))(
-        Dedup.tfidfPostingsFull(base)),
-      "mh_index" -> materializedBucketedIndex(
+        Dedup.tfidfPostingsFull(base))
+      case "mh_index" => materializedBucketedIndex(
         s, dir, "pin_mh_index", Seq("band", "bucket"))(
-        Dedup.minhashIndex(base, maxBandBucket = 0)),
+        Dedup.minhashIndex(base, maxBandBucket = 0))
       // prefix_index's probe key is the (block struct, token) pair and
       // its delete is a broadcast anti join on bid — the store side
       // never shuffles as plain parquet either, so it stays unbucketed
-      "prefix_index" -> materializedIndex(s, dir, "pin_prefix_index")(
-        Dedup.incrementalIndex(base)),
-      "secrets_index" -> materializedBucketedIndex(
+      case "prefix_index" => materializedIndex(s, dir, "pin_prefix_index")(
+        Dedup.incrementalIndex(base))
+      case "secrets_index" => materializedBucketedIndex(
         s, dir, "pin_secrets_index", Seq("tok"))(
-        Privacy.secretFrequencies(base)),
+        Privacy.secretFrequencies(base))
       // the components store mixes member and edge rows (no single
       // probe key); its delete/merge joins are all broadcast-delta
-      // semi/anti probes — no full-store exchange to save
-      "components" -> materializedIndex(s, dir, "components_index_pin")(
-        Dedup.componentsIndex(base)))
+      // semi/anti probes — no full-store exchange to save. The planted
+      // text shifts every Jaccard, so it cannot ride the raw corpus's
+      // pair store the way components_index does.
+      case "components" => materializedIndex(s, dir, "components_index_pin")(
+        Dedup.componentsIndex(base))
+    }
   }
+
+  private[graft] val x25PinStoreKeys: Seq[String] = Seq("span_index",
+    "charspan_index", "tfidf_postings", "mh_index", "prefix_index",
+    "secrets_index", "components")
+
+  private[graft] def x25StoresShared(s: SparkSession,
+      dir: String): Map[String, DataFrame] =
+    x25PinStoreKeys.map(k => k -> x25PinStore(s, dir, k)).toMap
 
   /** Forces every cross-JVM persisted model/index the serving queries
     * read (PCA fit, IVF centroids, PQ codebooks, the tf-idf pair index,
@@ -1065,36 +1100,71 @@ object Pipeline {
     * still attributes cost.
     */
   def prebuildModels(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    // Per-store failure isolation (r19 verdict task 3): one store build
+    // throwing must degrade ONE store to inline-fit — not dump all ~37
+    // builds into the timed queries. A failed build reports -1 against
+    // its own name (named on stderr too), siblings keep building, and
+    // the memoized holder retries the failed store when its first
+    // consumer query runs (inline-fit, charged to that query — visible,
+    // attributable, bounded). Non-fatal errors only: an OOM must still
+    // kill the run.
     def timed(name: String)(build: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      build
+      try build
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"bench: store build '$name' FAILED " +
+            s"(its consumers will fit inline): ${e.getClass.getName}: ${e.getMessage}")
+          return name -> -1.0
+      }
       name -> math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
     }
+    // LONGEST DEPENDENCY CHAIN FIRST (r19 verdict task 6): entries that
+    // head a holder-serialized chain (pin_comp_df → pin_comp_postings →
+    // components_index_pin; opq_resid_model → opq_model) go to the pool
+    // before the independent mid-size builds, so one thread drives each
+    // chain start-to-finish while the other seven fill with the rest —
+    // the r19 ordering parked the chains behind the model fits and the
+    // fit wall WAS the chain. docs_bkt goes absolutely first: every
+    // text-bearing build reads it through its holder, and building it
+    // eagerly keeps the first text build from serializing the other
+    // seven behind that holder. The former `x25_pin_stores` aggregate
+    // (seven sequential builds in ONE pool thread — it set the r19 fit
+    // wall) is split into its seven independent entries.
     val builds: Seq[(String, () => Unit)] = Seq(
+      "docs_bkt" -> (() => { bucketedDocsShared(s, dir); () }),
+      "pin_comp_df" -> (() => { pinCompDfShared(s, dir); () }),
+      "components_index" -> (() => { componentsIndexShared(s, dir); () }),
+      "opq_resid_model" -> (() => { fittedOpqResidualPq(s, dir); () }),
+      "opq_ivf_centroids" -> (() => { fittedOpqIvfPath(s, dir); () }),
+      "pairs_ng3_t80" -> (() => { ngramPairs80Shared(s, dir); () }),
+      "pairs_mh_t80" -> (() => { mhPairs80Shared(s, dir); () }),
+      "cells_v13" -> (() => { fittedV13CellsPath(s, dir); () }),
       "pca_fit" -> (() => { fittedPca(s, dir); () }),
+      "pq_resid_model" -> (() => { fittedResidualPq(s, dir); () }),
+      "pq_v14_model" -> (() => { fittedV14PqPath(s, dir); () }),
+      "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }),
+      "curriculum_b_index" -> (() => { curriculumBIndexShared(s, dir); () }),
+      "pin_span_index" -> (() => { x25PinStore(s, dir, "span_index"); () }),
+      "pin_charspan_index" -> (() => { x25PinStore(s, dir, "charspan_index"); () }),
+      "pin_tfidf_postings" -> (() => { x25PinStore(s, dir, "tfidf_postings"); () }),
+      "pin_mh_index" -> (() => { x25PinStore(s, dir, "mh_index"); () }),
+      "pin_prefix_index" -> (() => { x25PinStore(s, dir, "prefix_index"); () }),
+      "pin_secrets_index" -> (() => { x25PinStore(s, dir, "secrets_index"); () }),
+      "opq_model" -> (() => { fittedOpq(s, dir); () }),
       "ivf_centroids_16" -> (() => { fittedIvfPath(s, dir, nlist = 16); () }),
       "pq_model" -> (() => { fittedPq(s, dir); () }),
-      "pq_resid_model" -> (() => { fittedResidualPq(s, dir); () }),
-      "opq_model" -> (() => { fittedOpq(s, dir); () }),
-      "opq_ivf_centroids" -> (() => { fittedOpqIvfPath(s, dir); () }),
-      "opq_resid_model" -> (() => { fittedOpqResidualPq(s, dir); () }),
       "cells_d9" -> (() => { fittedD9CellsPath(s, dir); () }),
       "cells_a9" -> (() => { fittedA9CellsPath(s, dir); () }),
-      "cells_v13" -> (() => { fittedV13CellsPath(s, dir); () }),
-      "pq_v14_model" -> (() => { fittedV14PqPath(s, dir); () }),
       "mh_index" -> (() => { minhashIndexShared(s, dir); () }),
       "tfidf_pairs" -> (() => { tfidfPairsShared(s, dir); () }),
-      "components_index" -> (() => { componentsIndexShared(s, dir); () }),
-      "x25_pin_stores" -> (() => { x25StoresShared(s, dir); () }),
       "pin_revoked_docs" -> (() => { pinRevokedShared(s, dir); () }),
       "pin_drop_docs" -> (() => { pinDropShared(s, dir); () }),
       "ivf_members_16" -> (() => { ivfMembersShared(s, dir); () }),
       "curriculum_drop_docs" -> (() => { curriculumDropShared(s, dir); () }),
       "pin_comp_postings" -> (() => { pinCompPostingsShared(s, dir); () }),
-      "pin_comp_df" -> (() => { pinCompDfShared(s, dir); () }),
       "pq_codes" -> (() => { pqCodesShared(s, dir); () }),
       "pairs_cont_ng1_t98_lang" -> (() => { containmentPairs98Shared(s, dir); () }),
-      "docs_bkt" -> (() => { bucketedDocsShared(s, dir); () }),
       "span_index" -> (() => { spanIndexShared(s, dir); () }),
       "span_index_older" -> (() => { spanIndexOlderShared(s, dir); () }),
       "charspan_index_base" -> (() => { charspanIndexBaseShared(s, dir); () }),
@@ -1102,10 +1172,6 @@ object Pipeline {
       "tfidf_postings" -> (() => { tfidfPostingsShared(s, dir); () }),
       "tfidf_postings_older" -> (() => { tfidfPostingsOlderShared(s, dir); () }),
       "pairs_ng1_t95_lang" -> (() => { ngramPairs95Shared(s, dir); () }),
-      "pairs_ng3_t80" -> (() => { ngramPairs80Shared(s, dir); () }),
-      "pairs_mh_t80" -> (() => { mhPairs80Shared(s, dir); () }),
-      "curriculum_index_older" -> (() => { curriculumOlderShared(s, dir); () }),
-      "curriculum_b_index" -> (() => { curriculumBIndexShared(s, dir); () }),
       "curriculum_b_overflow" -> (() => { curriculumBOverflowShared(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {

@@ -407,6 +407,18 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(sm(100L) == 100L && sm(102L) == 102L,
       s"revoking the chain's middle must split it: $sm")
     assert(sm(200L) == 200L && sm(201L) == 200L && sm(300L) == 300L)
+    // verifiedPairs path (r20): the build fed the corpus's full verified
+    // pair set (what the materialized pair store holds) must be
+    // BIT-IDENTICAL to the self-computed build — pair membership is
+    // per-pair (prefix pruning is recall-exact under any consistent
+    // global order), so restricting the full-corpus set to rep
+    // endpoints equals running the PPJoin over reps alone. This is the
+    // contract componentsIndexShared's store-fed fit relies on.
+    val fullPairs = Dedup.ngramJaccardPairs(docs,
+      n = 1, threshold = 0.95, blockCols = Seq(col("lang"))).distinct()
+    assert(compStoreRows(Dedup.componentsIndex(docs,
+        verifiedPairs = Some(fullPairs))) == compStoreRows(store),
+      "store-fed componentsIndex must equal the self-computed build")
     Dedup.unpersistAll()
   }
 
@@ -730,6 +742,19 @@ class IndexDeleteSpec extends AnyFunSuite {
         chain(t.getCause))
     assert(chain(ex).contains("overflow buffer exhausted"),
       s"expected the exhaustion assert, got: ${chain(ex)}")
+    // the r18-ADVICE scenario verbatim (r19 verdict task 7): an exhausted
+    // delete consumed under a pushed-down WHERE must STILL raise. A lazy
+    // in-plan gate dies exactly here — the filter pushes through the
+    // zero-row guard branch, constant-folds on its literal-null columns,
+    // and prunes the assert subtree — so this spec pins the eager-action
+    // form: the raise happens at call time, before any consumer predicate
+    // can shape the plan.
+    val exFiltered = intercept[Throwable] {
+      Curriculum.curriculumIndexDelete(idx, rev3, Some(over), k)
+        .filter(col("source") === "b" && col("rank") <= 2).count()
+    }
+    assert(chain(exFiltered).contains("overflow buffer exhausted"),
+      s"a filtered select must not outlive the gate: ${chain(exFiltered)}")
     // a FILTERED consumer over a valid buffered delete stays exact —
     // the r18-advice scenario: a predicate pushed into the returned
     // plan used to be able to prune a lazy in-plan gate; with the
